@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries and print ONE JSON line.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Each query is executed to completion through the ``noop`` sink (full plan
+runs, nothing is collected to the driver), timed end-to-end including plan
++ execution. The reported metric is total seconds across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import plans  # noqa: E402
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+#: headline queries (subset of the registry that exercises every operator
+#: family: parse, windowed agg, joins, window functions, top-k, extensions)
+HEADLINE = [
+    "silver_typed_ticks",
+    "gold_candles_1m",
+    "candle_close_delta",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "top_parts_by_revenue",
+    "customers_with_orders",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = plans.get(name).fn
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("cryptopulse-bench")
+    available = set(plans.all_queries())
+    names = [n for n in HEADLINE if n in available]
+    # Warm-up: JVM + parquet footer caches on the smallest query.
+    run_query(spark, names[0], sf_dir)
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        sec = run_query(spark, name, sf_dir)
+        timings[name] = round(sec, 4)
+        total += sec
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Float discipline: make double aggregates bit-identical to the oracle.
+
+Summing doubles is order-dependent, and Spark's shuffled partial
+aggregation visits rows in a different order than DuckDB — so a naive
+``sum(double)`` can differ in final ulps and fail an exact value-hash.
+The fix (SURVEY.md section 7.4 "decimal semantics"): round each row-level
+term to a fixed decimal scale (exact, order-independent integer
+arithmetic), sum exactly, and cast the exact total back to double. Both
+engines then produce identical bits. Averages divide two such doubles —
+IEEE division of identical operands is identical everywhere.
+
+``DECIMAL(25, 10)`` holds |x| < 10^15 at 10 decimal places: far beyond any
+row-level term in the testdata, and sums stay within decimal range after
+Spark's sum-precision promotion (+10 digits).
+
+At 100 TB this costs nothing: the decimal cast is per-row JVM codegen, and
+exact decimal summation is how money aggregation should be done anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SUM_DECIMAL = "decimal(25,10)"
+SQL_SUM_DECIMAL = "DECIMAL(25,10)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent double sum: per-row decimal round, exact sum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(SUM_DECIMAL)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent double average: exact sum / count, divided in IEEE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(F.lit(1)).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB twin of `dsum`.
+
+    The decimal->double cast goes through VARCHAR because DuckDB's direct
+    DECIMAL->DOUBLE cast is not correctly rounded (it divides a
+    hugeint-converted double by 10^scale — two roundings), while both
+    Spark's BigDecimal.doubleValue() and strtod parsing are single-rounded.
+    Verified empirically: 10/25 groups differed in the last ulp without this.
+    """
+    return f"CAST(CAST(SUM(CAST(({expr}) AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB twin of `davg`."""
+    return f"({sql_dsum(expr)} / CAST(COUNT(*) AS DOUBLE))"
+
+
+def fmt_ts(col: Column | str, alias: str | None = None) -> Column:
+    """Render a timestamp as ``yyyy-MM-dd HH:mm:ss`` (UTC session tz).
+
+    For sub-second event times use `unix_micros` / DuckDB ``epoch_us``.
+
+    Oracle-compared queries exchange timestamps as strings (or epoch
+    micros) so naive-vs-tz-aware dtype differences between Spark and
+    DuckDB cannot perturb the value hash (SURVEY.md section 7.4).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return out.alias(alias) if alias else out
+
+
+def sql_fmt_ts(expr: str) -> str:
+    """DuckDB twin of `fmt_ts` (second granularity)."""
+    return f"strftime(({expr}), '%Y-%m-%d %H:%M:%S')"

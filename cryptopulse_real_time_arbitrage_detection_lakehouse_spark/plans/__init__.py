@@ -1,0 +1,13 @@
+"""Query registry: every operator from SURVEY.md section 2 as a named query.
+
+Importing this package populates the registry; ``__spark_entry__.py`` is a
+thin shim over `all_queries` / `all_oracles`.
+"""
+
+from .registry import QuerySpec, all_oracles, all_queries, get, register
+
+# Import for registration side effects (order = rough build order).
+from . import medallion  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+
+__all__ = ["QuerySpec", "register", "get", "all_queries", "all_oracles"]

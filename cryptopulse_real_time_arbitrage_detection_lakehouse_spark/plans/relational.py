@@ -1,0 +1,176 @@
+"""Relational operator coverage over the TPC-H-ish star schema.
+
+The reference implements zero joins (SURVEY.md section 2.6 — its headline
+"arbitrage detection" capability needs them); this module provides the
+full join/set-op/agg surface as oracle-checked queries, scale-aware:
+dimension joins are broadcast, fact-fact joins shuffle on their keys with
+AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import davg, dsum, sql_davg, sql_dsum
+from ..sources.testdata import load_table
+from .registry import register
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT
+  l_returnflag, l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice")} AS sum_base_price,
+  {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+  {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice")} AS avg_price,
+  {sql_davg("l_discount")} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style pricing summary: scan + filter + 2-key groupBy with "
+    "8 aggregates. One shuffle; partial agg map-side (SURVEY.md A1 family).",
+    tags=("relational", "aggregate"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="Multi-way equi-join (fact-fact shuffle join + broadcast dim joins) "
+    "with revenue aggregation (SURVEY.md section 2.6 planned ops).",
+    tags=("relational", "join", "aggregate"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "nations_per_region",
+    oracle="""
+SELECT r.r_name AS region, count(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    doc="Broadcast equi-join of two dimensions (SURVEY.md 2.6: small-dim "
+    "joins go broadcast — no shuffle of the probe side).",
+    tags=("relational", "join", "broadcast"),
+)
+def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-semi join: customers having at least one order (SURVEY.md 2.6).",
+    tags=("relational", "join", "semi"),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-anti join: customers with no orders (SURVEY.md 2.6).",
+    tags=("relational", "join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "top_parts_by_revenue",
+    oracle=f"""
+SELECT p.p_partkey, p.p_name,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name
+ORDER BY revenue DESC, p_partkey ASC
+LIMIT 25
+""",
+    doc="Join + agg + deterministic top-k (TakeOrderedAndProject, no global "
+    "sort materialization — SURVEY.md O1 family at fact scale).",
+    tags=("relational", "join", "topk"),
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(25)
+    )
