@@ -9,5 +9,6 @@ from .registry import QuerySpec, all_oracles, all_queries, get, register
 # Import for registration side effects (order = rough build order).
 from . import medallion  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
+from . import arbitrage  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "get", "all_queries", "all_oracles"]

@@ -136,16 +136,23 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
 """,
-    doc="Left-anti join: customers with no orders (SURVEY.md 2.6).",
+    doc="Left-anti join: customers with no orders in the first half of "
+    "1995 (date-restricted so the result is non-trivially non-empty — "
+    "SURVEY.md 2.6).",
     tags=("relational", "join", "anti"),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    early = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp")
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        early, customer.c_custkey == early.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
