@@ -1,0 +1,140 @@
+"""Text-analysis building blocks for LLM-data-pipeline workloads.
+
+All hot-path logic is built-in Column expressions (JVM codegen, no Python
+UDFs): tokenization via regexp split, n-gram shingling via higher-order
+array functions, hashing via md5. Every helper has an exact DuckDB twin so
+the queries in ``plans/text.py`` are oracle-checkable.
+
+Scale notes: everything here is row-local (narrow, no shuffle); shingling
+multiplies row width ~tokens x shingle-size but stays inside the scan
+stage. The dedup/similarity pipelines built on top shuffle only digests
+and doc ids, never full documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles for the n-gram/wordlist language-id
+#: heuristic (deterministic, SQL-expressible in both engines).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "y", "los"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens. DuckDB twin:
+    ``string_split_regex(lower(trim(text)), '\\s+')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct). DuckDB twin: ``list_distinct(
+    list_transform(range(1, len(t) - {n-2}), i -> concat_ws(' ', ...)))``."""
+    # element_at is 1-based; sequence covers each shingle start position.
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def sql_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of `shingles`; pass a simple column name (it is indexed
+    repeatedly), e.g. via a CTE that materializes the token list first."""
+    cat = ", ".join(f"({toks_expr})[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> concat_ws(' ', {cat})))"
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
+    """MinHash signature: per hash-id h, min over shingles of
+    ``md5(h || '|' || shingle)``. Hex strings compare lexicographically the
+    same in Spark and DuckDB (ASCII), so ``array_min``/``list_aggregate
+    ('min')`` agree. Salted md5 = ``num_hashes`` independent permutations."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s)),
+                )
+            )
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def sql_minhash_signature(shingle_expr: str, num_hashes: int) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform({shingle_expr}, "
+        f"s -> md5('{h}|' || s)), 'min')"
+        for h in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def count_in_set(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens fall in a word set (stopword/profile counting).
+    DuckDB twin: ``len(list_filter(t, x -> x IN (...)))``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def sql_count_in_set(toks_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, x -> x IN ({lst})))"
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash document fingerprint.
+
+    Per token: 16-bit hash from the first 4 hex chars of md5; per bit,
+    vote +1/-1 across tokens; fingerprint bit = sign of the vote. All
+    integer arithmetic — exact in both engines. 16 bits keeps the
+    expression tree small; widen via extra nibbles for production use.
+    """
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
+
+    def _vote(bit: int):
+        # closure (not a default arg: PySpark derives lambda arity from the
+        # Python signature, so extra params would break the 2-arg merge fn)
+        mask = 2**bit
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    bits = []
+    for b in range(16):
+        vote = F.aggregate(th, F.lit(0), _vote(b))
+        bits.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def sql_simhash16(toks_expr: str) -> str:
+    th = (
+        f"list_transform({toks_expr}, "
+        f"t -> CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER))"
+    )
+    terms = []
+    for b in range(16):
+        vote = (
+            f"list_sum(list_transform(__th, h -> CASE WHEN (h // {2**b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {th} AS __th))"

@@ -10,5 +10,7 @@ from .registry import QuerySpec, all_oracles, all_queries, get, register
 from . import medallion  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import arbitrage  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "get", "all_queries", "all_oracles"]

@@ -1,0 +1,304 @@
+"""Text-analysis + document-dedup queries over ``documents`` (extension
+operators required by the north star: language-ID, quality scoring, token
+counting, fingerprinting, exact + MinHash-LSH near-dup detection).
+
+Scale design: every per-doc computation is row-local; the near-dup
+pipeline shuffles (band_id, band_signature, doc_id) — never document
+bodies — and verifies only LSH candidate pairs, so total cost is
+O(docs x shingles) + O(candidates), not O(docs^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_PROFILES,
+    SQL_TOKENS,
+    count_in_set,
+    minhash_signature,
+    shingles,
+    simhash16,
+    sql_count_in_set,
+    sql_minhash_signature,
+    sql_shingles,
+    sql_simhash16,
+    tokens,
+)
+from ..sources.testdata import load_table
+from .registry import register
+
+#: MinHash-LSH parameters: 16 hashes = 4 bands x 4 rows. P(candidate) =
+#: 1-(1-s^4)^4 — ~1 at s>=0.8, ~3e-6 at s=0.03: high recall on real
+#: near-dups, near-zero false candidates on this corpus.
+N_HASHES, N_BANDS, ROWS_PER_BAND = 16, 4, 4
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id, lang, n_chars,
+       len({SQL_TOKENS}) AS n_tokens,
+       CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+         / CAST(len({SQL_TOKENS}) AS DOUBLE) AS avg_token_len
+FROM documents
+""",
+    doc="Token counting + mean token length per document (whitespace "
+    "tokenizer; row-local, no shuffle).",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.trim(F.col("text")), " ", "")).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+_QUALITY_STOPWORDS = LANG_PROFILES["en"]
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST({sql_count_in_set("toks", _QUALITY_STOPWORDS)} AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+       CAST(n_chars AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_token
+FROM t
+""",
+    doc="Quality scoring: stopword ratio, vocabulary diversity, chars per "
+    "token — the standard LLM-corpus heuristics, all integer-exact then "
+    "IEEE-divided for oracle parity.",
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars", tokens("text").alias("toks"))
+    nt = F.size(F.col("toks")).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(F.col("toks")).alias("n_tokens"),
+        (count_in_set(F.col("toks"), _QUALITY_STOPWORDS).cast("double") / nt).alias(
+            "stopword_ratio"
+        ),
+        (F.size(F.array_distinct(F.col("toks"))).cast("double") / nt).alias(
+            "distinct_ratio"
+        ),
+        (F.col("n_chars").cast("double") / nt).alias("chars_per_token"),
+    )
+
+
+def _langid_spark_expr():
+    """Language-ID argmax over profile scores (deterministic first-wins
+    tie-break in fixed profile order). Built lazily — Spark 4 Column
+    construction requires an active session."""
+    langs = list(LANG_PROFILES)
+    scores = {
+        lang: count_in_set(F.col("toks"), words) for lang, words in LANG_PROFILES.items()
+    }
+    best = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit(langs[0]))
+
+
+def _langid_sql_expr() -> str:
+    langs = list(LANG_PROFILES)
+    scores = {
+        lang: sql_count_in_set("toks", words) for lang, words in LANG_PROFILES.items()
+    }
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"({scores[lang]}) >= ({scores[other]})" for other in langs if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return f"CASE {' '.join(whens)} ELSE '{langs[0]}' END"
+
+
+_LANGID_SQL = _langid_sql_expr()
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+)
+SELECT lang, {_LANGID_SQL} AS predicted_lang, count(*) AS n
+FROM t GROUP BY 1, 2
+""",
+    doc="Language-ID heuristic (stopword-profile argmax, deterministic "
+    "tie-break) with labeled-vs-predicted confusion counts.",
+    tags=("text", "langid"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", tokens("text").alias("toks"))
+    return (
+        d.select("lang", _langid_spark_expr().alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       md5(lower(trim(text))) AS content_hash,
+       {sql_simhash16("toks")} AS simhash16,
+       len(toks) AS n_tokens
+FROM t
+""",
+    doc="Document fingerprinting: exact content hash (md5 of normalized "
+    "text) + 16-bit SimHash (per-bit token votes). Row-local.",
+    tags=("text", "fingerprint", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text", tokens("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        simhash16(F.col("toks")).alias("simhash16"),
+        F.size(F.col("toks")).alias("n_tokens"),
+    )
+
+
+_SQL_SHINGLES = sql_shingles("toks")
+
+
+@register(
+    "doc_near_dup_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok
+),
+sig AS (
+  SELECT doc_id, sh, {sql_minhash_signature("sh", N_HASHES)} AS mh FROM s
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(concat_ws('|', mh[b.band * {ROWS_PER_BAND} + 1],
+                            mh[b.band * {ROWS_PER_BAND} + 2],
+                            mh[b.band * {ROWS_PER_BAND} + 3],
+                            mh[b.band * {ROWS_PER_BAND} + 4])) AS band_sig
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+              JOIN s sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+""",
+    doc="MinHash-LSH near-duplicate pairs: 3-word shingles -> 16 salted-md5 "
+    "minhashes -> 4x4 banding -> band-bucket equi-join for candidates -> "
+    "exact shingle-Jaccard verification >= 0.5. Only (band_sig, doc_id) "
+    "rows shuffle; candidate verification joins shingle sets for LSH "
+    "survivors only — O(docs) + O(candidates), never O(docs^2).",
+    tags=("text", "dedup", "minhash", "lsh"),
+)
+def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh"), N_HASHES).alias("mh"))
+    band_idx = F.explode(
+        F.array(*[F.lit(b) for b in range(N_BANDS)])
+    ).alias("band")
+    banded = sig.select("doc_id", "sh", band_idx, "mh").select(
+        "doc_id",
+        "sh",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(F.col("mh"), F.col("band") * ROWS_PER_BAND + j + 1)
+                    for j in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias("band_sig"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    # Candidates shuffle only (band, band_sig, doc_id) — never shingles.
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    ) / F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b")))).cast("double")
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "doc_exact_dedup_survivors",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact-content dedup: group by content digest, keep min doc_id. "
+    "The digest (16 bytes) is the shuffle key, never the text.",
+    tags=("text", "dedup"),
+)
+def doc_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"), "doc_id"
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
