@@ -41,13 +41,16 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct). DuckDB twin: ``list_distinct(
     list_transform(range(1, len(t) - {n-2}), i -> concat_ws(' ', ...)))``."""
     # element_at is 1-based; sequence covers each shingle start position.
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    # Documents with fewer than n tokens produce NO shingles. Unguarded,
+    # sequence(0, size-n) would run DESCENDING for size<n and element_at
+    # would throw; the DuckDB twin's range() returns [] in that case, so
+    # the guard keeps both engines at "empty list".
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        )
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -36,6 +36,7 @@ def asof_join(
     tolerance_seconds: int,
     left_id: str,
     right_cols: Sequence[str] | None = None,
+    right_tiebreak: str | None = None,
     suffix: str = "_right",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
@@ -43,10 +44,16 @@ def asof_join(
     (inner: unmatched left rows are dropped).
 
     ``left_id`` must be unique per left row (rank anchor). ``right_cols``
-    limits the attached columns (default: right_ts only).
+    limits the attached columns (default: right_ts only). ``right_tiebreak``
+    (a unique right-side column, e.g. a trade id) makes the surviving match
+    deterministic when several right rows share the winning timestamp —
+    DuckDB's native ASOF JOIN picks an arbitrary row on such ties, so tied
+    testdata would need the oracle pinned the same way.
     """
     tol = int(tolerance_seconds)
     keep = list(right_cols or [])
+    if right_tiebreak is not None and right_tiebreak not in keep:
+        keep.append(right_tiebreak)
     lb = left.withColumn("__bucket", F.expr(f"unix_micros({left_ts}) DIV {tol * 1_000_000}"))
     r_base = right.select(
         *on,
@@ -64,7 +71,10 @@ def asof_join(
     joined = lb.join(rb, [*on, "__bucket"]).filter(
         (rts <= lts) & (rts >= lts - F.expr(f"INTERVAL {tol} SECONDS"))
     )
-    w = W.partitionBy(left_id).orderBy(rts.desc())
+    order = [rts.desc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"{right_tiebreak}{suffix}").desc())
+    w = W.partitionBy(left_id).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -96,6 +96,7 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         tolerance_seconds=3600,
         left_id="trade_id",
         right_cols=["price"],
+        right_tiebreak="trade_id",
     )
     return joined.select(
         "trade_id",

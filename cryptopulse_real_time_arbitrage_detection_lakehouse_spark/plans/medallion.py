@@ -47,10 +47,10 @@ SELECT
   {sql_fmt_ts("date_trunc('minute', trade_timestamp)")} AS window_start,
   {sql_fmt_ts("date_trunc('minute', trade_timestamp) + INTERVAL 1 MINUTE")} AS window_end,
   symbol,
-  arg_min(price, trade_timestamp) AS open,
+  arg_min(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS open,
   max(price) AS high,
   min(price) AS low,
-  arg_max(price, trade_timestamp) AS close,
+  arg_max(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS close,
   count(*) AS trade_count,
   {sql_dsum("price * size")} / {sql_dsum("size")} AS vwap,
   {sql_dsum("price")} / CAST(COUNT(*) AS DOUBLE) AS avg_price

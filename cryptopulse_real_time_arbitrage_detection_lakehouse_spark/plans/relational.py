@@ -80,9 +80,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer scales with SF — no forced broadcast (a hint pinned here
+    # would OOM at 100x); AQE's join-strategy switching broadcasts it at
+    # small SF anyway. nation is bounded (25 rows) so its hint is safe.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -174,8 +177,10 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # part scales with SF: leave the join strategy to AQE (see
+    # revenue_by_nation note).
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name")
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))

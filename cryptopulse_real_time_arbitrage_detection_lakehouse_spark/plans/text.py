@@ -60,7 +60,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         (
             F.length(F.regexp_replace(F.trim(F.col("text")), " ", "")).cast("double")
             / F.size(toks).cast("double")
@@ -96,7 +96,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = F.size(F.col("toks")).cast("double")
     return d.select(
         "doc_id",
-        F.size(F.col("toks")).alias("n_tokens"),
+        F.size(F.col("toks")).cast("long").alias("n_tokens"),
         (count_in_set(F.col("toks"), _QUALITY_STOPWORDS).cast("double") / nt).alias(
             "stopword_ratio"
         ),
@@ -188,7 +188,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
         simhash16(F.col("toks")).alias("simhash16"),
-        F.size(F.col("toks")).alias("n_tokens"),
+        F.size(F.col("toks")).cast("long").alias("n_tokens"),
     )
 
 

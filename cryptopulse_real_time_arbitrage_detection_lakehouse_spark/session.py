@@ -66,6 +66,12 @@ def get_spark(
         # checkpoint conf (SURVEY.md section 4.2): strict distribution and
         # min multiple-watermark policy are engine defaults; kept explicit.
         .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
+        # Session-wide by design: parquet TIMESTAMP(NANOS) columns (the
+        # testdata's events.ts) read as raw longs; loaders convert
+        # ``nanos DIV 1000`` -> microsecond timestamps explicitly. Any raw
+        # nanos-parquet read in this session yields longs, never a silent
+        # mixed state (see sources/testdata.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if HAVE_DELTA:  # pragma: no cover
         builder = builder.config(

@@ -33,9 +33,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table {name!r}; have {TESTDATA_TABLES}")
     nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
     if nanos_cols:
-        # Runtime conf (safe to set on a shared session): nanos arrive as
-        # raw longs, then integer-divide to microseconds. Integer division
-        # is mandatory — a double roundtrip loses precision above 2^53.
+        # Sessions built by `session.get_spark` set this at construction;
+        # this runtime set covers foreign sessions (e.g. the driver's).
+        # SESSION-WIDE AND STICKY on purpose: restoring it right after this
+        # call could flip the conf before the lazy scan executes. Nanos
+        # arrive as raw longs, then integer-divide to microseconds (a
+        # double roundtrip would lose precision above 2^53).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for c in nanos_cols:

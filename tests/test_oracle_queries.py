@@ -27,7 +27,7 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0, "driver contract: entry() must produce rows"
     assert "symbol" in df.columns and "vwap" in df.columns
 
 
