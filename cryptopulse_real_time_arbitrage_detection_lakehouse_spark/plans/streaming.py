@@ -1,0 +1,100 @@
+"""Oracle-checked streaming queries.
+
+The driver's correctness harness is batch SQL, so streaming coverage
+normally stops at pytest. This module closes the gap for the one streaming
+property that IS SQL-expressible: a ``trigger(availableNow=True)`` drain of
+the windowed gold aggregation equals the batch aggregation restricted to
+watermark-finalized windows (``window_end <= max event time - watermark``).
+The query below physically runs ``readStream -> withWatermark -> window agg
+-> writeStream(append, checkpoint)`` and the DuckDB twin computes the same
+finalization predicate — so T1/T2/T3/T4/T5/T6 and K1-K3 all sit behind a
+green CORRECTNESS row instead of only a pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.determinism import fmt_ts, sql_dsum, sql_fmt_ts
+from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
+from ..sources.testdata import load_table
+from ..streaming.jobs import gold_stream
+from ..streaming.sinks import drain, start_parquet_stream
+from ..streaming.sources import read_parquet_stream
+from .registry import register
+
+WATERMARK = "10 minutes"
+
+#: raw-timestamp gold aggregation + the append-mode finalization predicate
+#: (window closes when the final watermark = max event time - 10 min passes
+#: its end). Column tiebreak mirrors plans/medallion._GOLD_ORACLE_BODY.
+_STREAM_GOLD_SQL = f"""
+gold AS (
+  SELECT
+    date_trunc('minute', trade_timestamp) AS ws,
+    date_trunc('minute', trade_timestamp) + INTERVAL 1 MINUTE AS we,
+    symbol,
+    arg_min(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS open,
+    max(price) AS high,
+    min(price) AS low,
+    arg_max(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS close,
+    count(*) AS trade_count,
+    {sql_dsum("price * size")} / {sql_dsum("size")} AS vwap
+  FROM ticks
+  GROUP BY 1, 2, 3
+),
+wm AS (SELECT max(trade_timestamp) - INTERVAL 10 MINUTE AS horizon FROM ticks)
+"""
+
+
+@register(
+    "streaming_gold_candles_availablenow",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+{_STREAM_GOLD_SQL}
+SELECT {sql_fmt_ts("g.ws")} AS window_start,
+       {sql_fmt_ts("g.we")} AS window_end,
+       g.symbol, g.open, g.high, g.low, g.close, g.trade_count, g.vwap
+FROM gold g, wm
+WHERE g.we <= wm.horizon
+""",
+    doc="Structured Streaming gold job, physically executed: parquet file "
+    "stream -> 10-min watermark -> 1-min windowed OHLC/VWAP -> append-mode "
+    "checkpointed parquet sink, drained with trigger(availableNow=True). "
+    "Oracle = batch aggregation restricted to watermark-finalized windows "
+    "(stream==batch equivalence, SURVEY.md section 5.2.3 / T1-T6, K1-K3).",
+    tags=("streaming", "gold", "watermark"),
+)
+def streaming_gold_candles_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = events_as_ticks(load_table(spark, sf_dir, "events"))
+    # Materialize the tick stream source, then drain it through the real
+    # streaming job. Fresh temp dirs per call: checkpoints are stateful.
+    root = tempfile.mkdtemp(prefix="cpstream_")
+    src = os.path.join(root, "src")
+    gold_path = os.path.join(root, "gold")
+    ckpt = os.path.join(root, "ckpt")
+    ticks.write.parquet(src)
+    stream = read_parquet_stream(spark, src, ticks.schema)
+    drain(
+        start_parquet_stream(
+            gold_stream(stream, watermark=WATERMARK),
+            path=gold_path,
+            checkpoint=ckpt,
+            query_name="gold_candles_availablenow",
+        )
+    )
+    out = spark.read.parquet(gold_path)
+    return out.select(
+        fmt_ts("window_start", "window_start"),
+        fmt_ts("window_end", "window_end"),
+        "symbol",
+        "open",
+        "high",
+        "low",
+        "close",
+        "trade_count",
+        "vwap",
+    )

@@ -45,6 +45,17 @@ TICKER_PAYLOAD_SCHEMA = T.StructType(
     ]
 )
 
+#: Kafka record shape as the broker delivers it (binary key/value +
+#: broker timestamp) — what `streaming.sources.rate_replay_ticks` emits
+#: and `streaming.jobs.bronze_ingest` consumes (SURVEY.md S1/F4).
+KAFKA_SHAPED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
 #: Bronze envelope — raw schema-on-read rows, exactly the reference's
 #: committed bronze Delta schema (SURVEY.md section 1.1).
 BRONZE_SCHEMA = T.StructType(

@@ -1,0 +1,128 @@
+"""The three medallion jobs as stream-pluggable transforms + a runner.
+
+Twin of the reference's job trio (``ingestion_bronze.py:54-63``,
+``process_silver.py:94-124``, ``gold_layer.py:53-92``) with one structural
+difference: each hop is the SAME pure transform the batch/oracle path uses
+(`operators.silver.parse_bronze_ticks`, `operators.gold.candles`), so
+stream==batch equivalence is a testable property instead of a hope. The
+runner chains the hops with ``availableNow`` drains — the reference runs
+them as three concurrent OS processes communicating through tables
+(SURVEY.md section 3.1); sequential bounded drains give identical results
+over bounded input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.gold import candles
+from ..operators.silver import parse_bronze_ticks, with_audit_column
+from ..schemas import BRONZE_SCHEMA, KAFKA_SHAPED_SCHEMA, SILVER_SCHEMA
+from .sinks import drain, start_parquet_stream
+from .sources import read_parquet_stream
+
+DEFAULT_WATERMARK = "10 minutes"  # gold_layer.py:56 (README claims 10s; code wins)
+
+
+def bronze_ingest(kafka_shaped: DataFrame, *, audit: bool = True) -> DataFrame:
+    """Kafka envelope -> bronze rows (P1/F4/F5; ``ingestion_bronze.py:56-57``).
+
+    Schema-on-read by design: the payload stays an unparsed JSON string so
+    upstream drift lands in bronze instead of being dropped. Works on batch
+    and streaming inputs.
+    """
+    bronze = kafka_shaped.selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS json_payload",
+        "timestamp AS kafka_ts",
+    )
+    # current_timestamp() is batch-constant per micro-batch, non-deterministic
+    # across runs — excluded from every oracle-compared projection.
+    return with_audit_column(bronze, "ingest_ts") if audit else bronze
+
+
+def silver_stream(bronze: DataFrame, *, audit: bool = False) -> DataFrame:
+    """Bronze -> typed silver ticks (``process_silver.py:94-124``)."""
+    silver = parse_bronze_ticks(bronze)
+    return with_audit_column(silver, "silver_processed_at") if audit else silver
+
+
+def gold_stream(
+    silver: DataFrame, *, watermark: str = DEFAULT_WATERMARK, window: str = "1 minute"
+) -> DataFrame:
+    """Silver -> 1-minute OHLC/VWAP candles with event-time watermark (T1/T2).
+
+    Append output mode + watermark = a window row is emitted exactly once,
+    when the watermark passes its end (``gold_layer.py:83-84``); state is
+    GC'd at the same horizon, so streaming memory is bounded by
+    (watermark span / window) x distinct symbols regardless of input size.
+    """
+    return candles(silver, window=window, watermark=watermark)
+
+
+def dedup_ticks_stream(
+    silver: DataFrame,
+    *,
+    watermark: str = DEFAULT_WATERMARK,
+    keys: tuple[str, ...] = ("symbol", "trade_id"),
+) -> DataFrame:
+    """Streaming dedup within the watermark horizon (T8).
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key and
+    drops re-deliveries until the watermark passes — the exactly-once
+    repair for at-least-once upstreams. The batch twin is
+    `operators.dedup.dedup_exact` (deterministic rank-1), which the
+    equivalence test compares against.
+    """
+    return silver.withWatermark("trade_timestamp", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_medallion_available_now(
+    spark: SparkSession,
+    *,
+    raw_dir: str,
+    out_root: str,
+    watermark: str = DEFAULT_WATERMARK,
+    timeout_sec: int = 300,
+) -> dict[str, str]:
+    """Drain raw Kafka-shaped parquet through bronze -> silver -> gold.
+
+    Each hop is an independent checkpointed streaming query over the
+    previous hop's table — the reference's process topology, bounded. Rerun
+    with the same ``out_root``: checkpoints make every hop incremental and
+    idempotent (T5).
+    """
+    paths = {layer: os.path.join(out_root, layer) for layer in ("bronze", "silver", "gold")}
+    ckpt = {layer: os.path.join(out_root, "_checkpoints", layer) for layer in paths}
+
+    raw = read_parquet_stream(spark, raw_dir, KAFKA_SHAPED_SCHEMA)
+    drain(
+        start_parquet_stream(
+            bronze_ingest(raw), path=paths["bronze"], checkpoint=ckpt["bronze"],
+            query_name="bronze_ingest",
+        ),
+        timeout_sec,
+    )
+
+    bronze = read_parquet_stream(spark, paths["bronze"], BRONZE_SCHEMA)
+    drain(
+        start_parquet_stream(
+            silver_stream(bronze), path=paths["silver"], checkpoint=ckpt["silver"],
+            query_name="silver_parse",
+        ),
+        timeout_sec,
+    )
+
+    silver = read_parquet_stream(spark, paths["silver"], SILVER_SCHEMA)
+    drain(
+        start_parquet_stream(
+            gold_stream(silver, watermark=watermark),
+            path=paths["gold"], checkpoint=ckpt["gold"], query_name="gold_candles",
+        ),
+        timeout_sec,
+    )
+    return paths

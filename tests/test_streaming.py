@@ -1,0 +1,341 @@
+"""Streaming suite (SURVEY.md section 5.2.3): stream==batch equivalence,
+watermark late-data semantics, checkpoint-restart idempotence, streaming
+dedup — the properties the DuckDB oracle cannot check.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from decimal import Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.dedup import (
+    dedup_exact,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.gold import (
+    candles,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.schemas import (
+    SILVER_SCHEMA,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming import (
+    bronze_ingest,
+    dedup_ticks_stream,
+    gold_stream,
+    rate_replay_ticks,
+    read_parquet_stream,
+    run_medallion_available_now,
+    silver_stream,
+    start_parquet_stream,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming.sinks import (
+    drain,
+)
+
+
+def utc(minute: int, second: int = 0, hour: int = 12) -> datetime:
+    return datetime(2026, 1, 2, hour, minute, second, tzinfo=timezone.utc)
+
+
+def make_raw_ticks(spark, n: int = 300):
+    """Kafka-shaped batch rows whose payload is the reference's ticker JSON."""
+    rows = [
+        (
+            i,
+            f"S{i % 3}",
+            f"{100 + (i % 3) * 100 + (i % 97) / 100.0:.8f}",
+            f"{(i % 13) / 10.0 + 0.1:.8f}",
+            utc(minute=i // 20, second=i % 60),
+            "buy" if i % 2 == 0 else "sell",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "trade_id long, product_id string, price string, last_size string, ts timestamp, side string"
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit("ticker").alias("type"),
+            F.col("product_id"),
+            F.col("price"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("time"),
+            F.col("trade_id"),
+            F.col("last_size"),
+            F.col("side").alias("side"),
+        )
+    )
+    return df.select(
+        F.lit("coinbase").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+
+
+def write_silver_file(path: str, rows: list[tuple]) -> None:
+    """One parquet file of silver-shaped ticks (one micro-batch's worth)."""
+    schema = pa.schema(
+        [
+            ("venue", pa.string()),
+            ("symbol", pa.string()),
+            ("price", pa.decimal128(18, 8)),
+            ("size", pa.decimal128(18, 8)),
+            ("trade_id", pa.int64()),
+            ("trade_timestamp", pa.timestamp("us", tz="UTC")),
+            ("taker_side", pa.string()),
+        ]
+    )
+    cols = list(zip(*rows))
+    table = pa.table(
+        {name: list(col) for name, col in zip(schema.names, cols)}, schema=schema
+    )
+    pq.write_table(table, path)
+
+
+def tick(symbol: str, ts: datetime, trade_id: int, price: str = "100.5") -> tuple:
+    return (
+        "coinbase",
+        symbol,
+        Decimal(price),
+        Decimal("1.0"),
+        trade_id,
+        ts,
+        "buy",
+    )
+
+
+def read_out(spark, path):
+    return spark.read.schema(None or spark.read.parquet(path).schema).parquet(path)
+
+
+class TestMedallionStreamEqualsBatch:
+    def test_full_pipeline_matches_batch(self, spark, tmp_path):
+        """availableNow drain of raw->bronze->silver->gold equals running the
+        same pure transforms in batch — T3/T4/T5/T6 + K1-K3 in one property."""
+        raw_dir, out_root = str(tmp_path / "raw"), str(tmp_path / "out")
+        raw = make_raw_ticks(spark)
+        raw.write.parquet(raw_dir)
+
+        paths = run_medallion_available_now(
+            spark, raw_dir=raw_dir, out_root=out_root, watermark="10 minutes"
+        )
+
+        # Batch twin: identical transforms over the identical input.
+        batch_gold = candles(
+            silver_stream(bronze_ingest(spark.read.parquet(raw_dir)))
+        )
+        got = {
+            tuple(map(str, r))
+            for r in spark.read.parquet(paths["gold"])
+            .select("window_start", "symbol", "open", "close", "trade_count")
+            .collect()
+        }
+        # Append mode emits only watermark-finalized windows: the batch twin
+        # restricted to windows whose end <= max event time - watermark.
+        max_ts = raw.agg(F.max("timestamp")).collect()[0][0]
+        expected_all = batch_gold.select(
+            "window_start", "window_end", "symbol", "open", "close", "trade_count"
+        ).collect()
+        horizon = max_ts.replace(tzinfo=None)
+        from datetime import timedelta
+
+        expected = {
+            tuple(map(str, (r.window_start, r.symbol, r.open, r.close, r.trade_count)))
+            for r in expected_all
+            if r.window_end <= horizon - timedelta(minutes=10)
+        }
+        assert expected, "test data must close at least one window"
+        assert got == expected
+
+        # Bronze preserved the raw payload (schema-on-read contract).
+        bronze = spark.read.parquet(paths["bronze"])
+        assert bronze.columns == ["key", "json_payload", "kafka_ts", "ingest_ts"]
+        assert bronze.count() == raw.count()
+
+    def test_rerun_is_idempotent(self, spark, tmp_path):
+        """T5: re-draining with the same checkpoints adds nothing."""
+        raw_dir, out_root = str(tmp_path / "raw"), str(tmp_path / "out")
+        make_raw_ticks(spark, n=100).write.parquet(raw_dir)
+        paths = run_medallion_available_now(spark, raw_dir=raw_dir, out_root=out_root)
+        first = spark.read.parquet(paths["gold"]).count()
+        paths = run_medallion_available_now(spark, raw_dir=raw_dir, out_root=out_root)
+        assert spark.read.parquet(paths["gold"]).count() == first
+
+
+class TestWatermarkSemantics:
+    def test_late_data_drop_and_keep(self, spark, tmp_path):
+        """T1/T4: a late row inside the watermark joins its window; a late row
+        whose window the watermark already closed is dropped."""
+        src = tmp_path / "silver_src"
+        src.mkdir()
+        out = str(tmp_path / "gold")
+        ckpt = str(tmp_path / "ckpt")
+
+        # Batch 1: two rows in window 12:00, plus one at 12:30 pushing the
+        # watermark (after the batch) to 12:20.
+        write_silver_file(
+            str(src / "b1.parquet"),
+            [
+                tick("S0", utc(0, 10), 1),
+                tick("S0", utc(0, 20), 2),
+                tick("S0", utc(30, 0), 3),
+            ],
+        )
+        # Batch 2 runs with watermark 12:20: window 12:00 finalizes (emitted,
+        # state evicted); the 12:35 row advances the watermark to 12:25.
+        write_silver_file(str(src / "b2.parquet"), [tick("S0", utc(35, 0), 4)])
+        # Batch 3 (watermark 12:25): a late row for the ALREADY-EMITTED 12:00
+        # window must be dropped (append mode forbids re-emission); an
+        # out-of-order row for the still-open 12:26 window must be kept; the
+        # 12:50 row advances the final watermark to 12:40 so 12:26/12:30/12:35
+        # finalize in the trailing no-data batch.
+        write_silver_file(
+            str(src / "b3.parquet"),
+            [
+                tick("S0", utc(0, 40), 5),
+                tick("S0", utc(26, 30), 6),
+                tick("S0", utc(50, 0), 7),
+            ],
+        )
+        for i, name in enumerate(["b1.parquet", "b2.parquet", "b3.parquet"]):
+            os.utime(src / name, (1000000000 + 100 * i,) * 2)
+
+        stream = read_parquet_stream(
+            spark, str(src), SILVER_SCHEMA, max_files_per_trigger=1
+        )
+        q = start_parquet_stream(
+            gold_stream(stream, watermark="10 minutes"), path=out, checkpoint=ckpt
+        )
+        drain(q)
+
+        out_rows = spark.read.parquet(out).collect()
+        rows = {r.window_start.strftime("%H:%M"): r.trade_count for r in out_rows}
+        # Append mode: every window emitted exactly once.
+        assert len(out_rows) == len(rows), f"duplicate window emission: {out_rows}"
+        # Window 12:00 closed with ONLY the two batch-1 rows; the batch-3 late
+        # row could not resurrect or re-emit it.
+        assert rows.get("12:00") == 2
+        # Out-of-order row within the watermark landed and finalized.
+        assert rows.get("12:26") == 1
+        assert rows.get("12:30") == 1
+        assert rows.get("12:35") == 1
+        # The 12:50 window never finalized (watermark stops at 12:40).
+        assert "12:50" not in rows
+
+    def test_restart_from_checkpoint_processes_only_new_files(self, spark, tmp_path):
+        """T5: restart with the same checkpoint is incremental — previously
+        emitted windows are not re-emitted, new data still flows."""
+        src = tmp_path / "silver_src"
+        src.mkdir()
+        out = str(tmp_path / "gold")
+        ckpt = str(tmp_path / "ckpt")
+
+        write_silver_file(
+            str(src / "b1.parquet"),
+            [tick("S0", utc(0, 10), 1), tick("S0", utc(30, 0), 2)],
+        )
+        stream = read_parquet_stream(spark, str(src), SILVER_SCHEMA)
+        drain(
+            start_parquet_stream(
+                gold_stream(stream, watermark="10 minutes"), path=out, checkpoint=ckpt
+            )
+        )
+        first = spark.read.parquet(out).collect()
+        assert {r.window_start.strftime("%H:%M") for r in first} == {"12:00"}
+
+        # New file closes the 12:30 window; restart must emit ONLY that.
+        write_silver_file(
+            str(src / "b2.parquet"), [tick("S0", utc(55, 0), 3)]
+        )
+        stream = read_parquet_stream(spark, str(src), SILVER_SCHEMA)
+        drain(
+            start_parquet_stream(
+                gold_stream(stream, watermark="10 minutes"), path=out, checkpoint=ckpt
+            )
+        )
+        after = spark.read.parquet(out).collect()
+        counts = [r.window_start.strftime("%H:%M") for r in after]
+        assert sorted(counts) == ["12:00", "12:30"]  # no duplicate 12:00
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """T8: re-delivered (symbol, trade_id) pairs are dropped across
+        micro-batches; result matches the deterministic batch dedup."""
+        src = tmp_path / "silver_src"
+        src.mkdir()
+        out = str(tmp_path / "deduped")
+        ckpt = str(tmp_path / "ckpt")
+
+        b1 = [tick("S0", utc(0, 10), 1), tick("S1", utc(0, 15), 2)]
+        # trade_id 1 re-delivered in batch 2 (same key, same payload).
+        b2 = [tick("S0", utc(0, 10), 1), tick("S0", utc(1, 0), 3)]
+        write_silver_file(str(src / "b1.parquet"), b1)
+        write_silver_file(str(src / "b2.parquet"), b2)
+        os.utime(src / "b1.parquet", (1000000000, 1000000000))
+        os.utime(src / "b2.parquet", (1000000100, 1000000100))
+
+        stream = read_parquet_stream(
+            spark, str(src), SILVER_SCHEMA, max_files_per_trigger=1
+        )
+        drain(
+            start_parquet_stream(
+                dedup_ticks_stream(stream, watermark="10 minutes"),
+                path=out,
+                checkpoint=ckpt,
+            )
+        )
+        got = sorted(
+            (r.symbol, r.trade_id) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [("S0", 1), ("S0", 3), ("S1", 2)]
+
+        # Batch twin: deterministic rank-1 dedup over the union.
+        batch = spark.createDataFrame(b1 + b2, SILVER_SCHEMA)
+        batch_got = sorted(
+            (r.symbol, r.trade_id)
+            for r in dedup_exact(
+                batch, ["symbol", "trade_id"], ["trade_timestamp", "trade_id"]
+            ).collect()
+        )
+        assert got == batch_got
+
+
+class TestRateReplay:
+    def test_rate_source_produces_parseable_ticker_payloads(self, spark, tmp_path):
+        """S5/F8 twin: the replay generator emits Kafka-shaped rows whose JSON
+        payload round-trips through the real bronze->silver parse."""
+        out = str(tmp_path / "bronze")
+        ckpt = str(tmp_path / "ckpt")
+        q = start_parquet_stream(
+            bronze_ingest(rate_replay_ticks(spark, rows_per_second=500)),
+            path=out,
+            checkpoint=ckpt,
+            available_now=False,
+        )
+        try:
+            # Let at least one non-empty micro-batch commit.
+            import time
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() > 0:
+                        break
+                except Exception:
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+        bronze = spark.read.parquet(out)
+        assert bronze.count() > 0
+        silver = silver_stream(bronze)
+        row = silver.filter(F.col("price").isNotNull()).first()
+        assert row is not None
+        assert row.symbol in {"BTC-USD", "ETH-USD", "SOL-USD"}
+        assert row.price is not None and row.trade_timestamp is not None
