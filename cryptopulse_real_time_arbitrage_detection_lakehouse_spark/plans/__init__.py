@@ -7,6 +7,7 @@ thin shim over `all_queries` / `all_oracles`.
 from .registry import QuerySpec, all_oracles, all_queries, get, register
 
 # Import for registration side effects (order = rough build order).
+from . import bronze  # noqa: E402,F401
 from . import medallion  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import arbitrage  # noqa: E402,F401

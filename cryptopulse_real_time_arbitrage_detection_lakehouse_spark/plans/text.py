@@ -26,6 +26,7 @@ from ..functions.text import (
     sql_simhash16,
     tokens,
 )
+from ..operators.dedup import dedup_exact_hash
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -278,6 +279,26 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register(
+    "doc_dedup_keeper_rows",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+    doc="Exact content dedup, row-preserving form (operators/dedup."
+    "dedup_exact_hash): digest the text, keep the lowest-doc_id row per "
+    "digest. The shuffle carries the 16-byte digest as key — documents "
+    "move once, at 100 TB the exchange is digest+row, never text-keyed.",
+    tags=("text", "dedup"),
+)
+def doc_dedup_keeper_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    kept = dedup_exact_hash(d, ["text"], [F.col("doc_id")])
+    return kept.select("doc_id", "lang", "n_chars")
 
 
 @register(
