@@ -1,37 +1,66 @@
 """Embedding similarity-search kernels.
 
-Two execution paths (SURVEY.md section 4.3 / north-star extension ops):
+Everything here is built on ONE numeric discipline: quantize each vector
+element to int64 via ``floor(x * 2^24)`` and do all dot/norm arithmetic in
+exact integer math. A power-of-two scale is EXACT in IEEE arithmetic (the
+multiply only shifts the exponent), so Spark SQL, NumPy, Python and DuckDB
+all floor the same doubles to the same integers; integer sums are
+order-independent, so every execution strategy produces bit-identical
+cosines and they all share one DuckDB oracle. Bounds (testdata |x| < 0.6):
+|xi| < 1e7, products < 1.1e14, 64-dim sums < 7.2e15 — inside int64 AND
+inside double's exact 2^53 window. The ~6e-8 quantization shifts cosines
+by ~1e-6, irrelevant for ranking and applied identically on all sides.
 
-- **Exact path** (oracle-checkable): posexplode the vector, join the
-  broadcast query vector on position, quantize each element to int64 via
-  ``floor(x * 2^24)`` (a power-of-two scale is EXACT in every IEEE
-  precision — float32 vs float64 evaluation cannot differ, unlike a 1e7
-  scale where products straddling an integer boundary floor differently),
-  then do ALL dot/norm arithmetic in exact integer math so sums are
-  order-independent and bit-identical to the DuckDB twin. The ~6e-8
-  quantization shifts cosines by ~1e-6 — irrelevant for ranking, applied
-  identically on both sides.
-- **Fast path** (``cosine_topk_fast``): Arrow-batched ``mapInPandas`` with
-  NumPy matrix math — the per-partition brute-force kernel you would run at
-  scale, with per-partition local top-k so only ``k x partitions`` rows
-  reach the final global top-k. No oracle (summation order differs); the
-  driver records a rows-only check and the pytest suite cross-checks its
-  ranking against the exact path.
+Execution strategies (SURVEY.md section 4.3 / north-star extension ops):
 
-Scale notes: brute-force ANN is a scan, embarrassingly parallel; the
-LSH-bucketed variant (sign-bit bucketing in ``plans/similarity.py``)
-prunes the scan to one bucket ~ N/2^bits of the data. At 100 TB you would
-pre-partition the table by bucket so the probe prunes partitions.
+- **Row-local column path** (`quantized_elements` + `dot_long`): the whole
+  cosine is a per-row ``zip_with``+``aggregate`` expression — no explode,
+  no shuffle; the only exchange in a top-k query is the final
+  TakeOrderedAndProject. This is the primary plan.
+- **Arrow/NumPy path** (`cosine_topk_fast`): ``mapInPandas`` int64 matmul
+  with per-partition local top-k, so only ``k x partitions`` rows reach
+  the global top-k. Same integers, same cosines — oracle-checkable.
+
+Scale notes: brute-force ANN is a scan, embarrassingly parallel. The
+LSH-bucketed variant (`sign_bucket`) prunes the scan to one bucket
+~ N/2^bits BEFORE any cosine math; at 100 TB you would partition the
+table by bucket so the filter becomes partition pruning.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import math
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: element quantization scale: floor(x * 2^24) -> int64 (see module doc).
+QSCALE = float(2**24)
+
+
+def quantize_vector(vec: Sequence[float]) -> list[int]:
+    """Driver-side twin of `quantized_elements` (same IEEE doubles in,
+    same integers out — the power-of-two multiply cannot round)."""
+    return [math.floor(v * QSCALE) for v in vec]
+
+
+def quantized_elements(emb_col: Column) -> Column:
+    """array<double> -> array<long> of floor(x * 2^24), row-local."""
+    return F.transform(emb_col, lambda x: F.floor(x * F.lit(QSCALE)))
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two array<long> columns, row-local
+    (zip_with + aggregate: stays inside whole-stage codegen, no shuffle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
 
 def sign_bucket(emb_col, bits: int = 8):
     """Sign-bit LSH bucket id from the first ``bits`` vector coordinates
@@ -42,6 +71,11 @@ def sign_bucket(emb_col, bits: int = 8):
         bit = F.when(F.element_at(emb_col, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         out = bit if out is None else out + bit
     return out
+
+
+def sign_bucket_py(vec: Sequence[float], bits: int = 8) -> int:
+    """Driver-side twin of `sign_bucket` for the (collected) query vector."""
+    return sum(2**i for i in range(bits) if vec[i] > 0)
 
 
 def sql_sign_bucket(emb_expr: str, bits: int = 8) -> str:
@@ -59,31 +93,44 @@ def cosine_topk_fast(
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    label_col: str | None = "label",
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """Arrow-vectorized brute-force cosine top-k (the bench fast path).
+    """Arrow-vectorized brute-force cosine top-k (the throughput path).
 
-    Each partition computes cosines for its batch with one NumPy matmul and
-    emits only its local top-k; the global top-k then sorts
-    ``k x num_partitions`` rows — no full-result shuffle.
+    Each partition quantizes its batch and computes all dots with one int64
+    matmul, then emits only its local top-k (deterministically tie-broken
+    by id); the global top-k sorts ``k x num_partitions`` rows — no
+    full-result shuffle. Exact integer math means the result is
+    bit-identical to the row-local column path and the DuckDB oracle.
     """
     import numpy as np
 
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.sqrt((q * q).sum()))
+    q = np.asarray(quantize_vector(query_vec), dtype=np.int64)
+    qn = math.sqrt(float((q * q).sum()))  # < 2^53: exact in int64 and double
+    keep = [id_col] + ([label_col] if label_col else [])
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            dots = m @ q
-            norms = np.sqrt((m * m).sum(axis=1))
-            cos = dots / (norms * qn)
-            out = pd.DataFrame({id_col: pdf[id_col], "cosine": cos})
+            mq = np.floor(m * QSCALE).astype(np.int64)
+            dots = mq @ q  # exact: bounded int64 products/sums
+            n2 = (mq * mq).sum(axis=1)
+            cos = dots.astype(np.float64) / (np.sqrt(n2.astype(np.float64)) * qn)
+            out = pd.DataFrame({c: pdf[c] for c in keep})
+            out["cosine"] = cos
             if exclude_id is not None:
                 out = out[out[id_col] != exclude_id]
-            yield out.nlargest(min(k, len(out)), "cosine")
+            yield out.sort_values(
+                ["cosine", id_col], ascending=[False, True]
+            ).head(min(k, len(out)))
 
-    local = embeddings.select(id_col, emb_col).mapInPandas(
-        part, schema=f"{id_col} long, cosine double"
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in embeddings.schema.fields}
+    schema = T.StructType(
+        [T.StructField(c, in_fields[c].dataType) for c in keep]
+        + [T.StructField("cosine", T.DoubleType())]
     )
+    local = embeddings.select(*keep, emb_col).mapInPandas(part, schema=schema)
     return local.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

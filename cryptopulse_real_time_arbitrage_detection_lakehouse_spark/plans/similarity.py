@@ -1,19 +1,38 @@
 """Similarity-search queries over ``embeddings`` (ANN extension operators).
 
 The query vector is row ``vec_id = 0`` of the same table (deterministic,
-no external input). See ``functions/similarity.py`` for the exact-decimal
-dot-product discipline that makes the cosine values bit-identical to the
-DuckDB oracle.
+no external input); fetching that single row to the driver is the one
+permitted collect (it parameterizes the plan, like a literal).
+
+All three strategies share the quantized-integer cosine discipline from
+``functions/similarity.py``, so all three are bit-identical to one DuckDB
+oracle:
+
+- `sim_cosine_topk` — row-local zip_with/aggregate cosine + top-k. The
+  plan is Scan -> Project(row-local) -> TakeOrderedAndProject: no explode,
+  no exchange before the top-k.
+- `sim_cosine_topk_lsh` — sign-bucket filter FIRST (prunes the scan to
+  ~N/256), cosine only on the survivors. At 100 TB the table would be
+  written partitioned by bucket, turning the filter into partition
+  pruning; the compute shape is already the pruned one.
+- `sim_cosine_topk_fast` — Arrow/NumPy int64-matmul path with
+  per-partition local top-k (the kernel you would run for a large batch
+  of query vectors at once).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.similarity import (
+    QSCALE,
     cosine_topk_fast,
+    dot_long,
+    quantize_vector,
+    quantized_elements,
     sign_bucket,
+    sign_bucket_py,
     sql_sign_bucket,
 )
 from ..sources.testdata import load_table
@@ -21,46 +40,6 @@ from .registry import register
 
 QUERY_VEC_ID = 0
 TOP_K = 10
-
-#: element quantization scale: floor(x * 2^24) -> int64. A power-of-two
-#: scale makes the multiply EXACT in every IEEE precision (it only shifts
-#: the exponent — float32 vs float64 evaluation cannot differ), so floor is
-#: bit-identical in Spark and DuckDB. Downstream dot/norm math is exact
-#: integer arithmetic: |x| < 0.6 -> |xi| < 1e7, products < 1.1e14,
-#: 64-dim sums < 7.2e15 — inside both int64 and double's exact 2^53 range.
-QSCALE = float(2**24)
-
-
-def _exact_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, cosine vs query vector) for every non-query vector,
-    via the quantized-integer path (order-independent, oracle-parity)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    ).withColumn("x", F.floor(F.col("x") * F.lit(QSCALE)))
-    q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.posexplode("embedding").alias("pos", "qx"))
-        .withColumn("qx", F.floor(F.col("qx") * F.lit(QSCALE)))
-    )
-    joined = e.join(F.broadcast(q), "pos")
-    agg = joined.groupBy("vec_id", "label").agg(
-        F.sum(F.col("x") * F.col("qx")).cast("double").alias("dot"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("n2"),
-    )
-    qn2 = q.agg(F.sum(F.col("qx") * F.col("qx")).cast("double").alias("qn2"))
-    return (
-        agg.crossJoin(F.broadcast(qn2))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            "vec_id",
-            "label",
-            (F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))).alias(
-                "cosine"
-            ),
-        )
-    )
-
 
 #: embedding dimensionality (all sf dirs ship 64-dim vectors; DuckDB's
 #: range() cannot take a lateral column arg, so the twin hardcodes it)
@@ -89,22 +68,46 @@ cosines AS (
 )
 """
 
-
-@register(
-    "sim_cosine_topk",
-    oracle=f"""
+_TOPK_ORACLE = f"""
 WITH {_SQL_EXACT_COSINES}
 SELECT vec_id, label, cosine FROM cosines
 ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
-""",
+"""
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    (vec,) = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    return list(vec)
+
+
+def _cosine_vs_query(qvec: list[float]) -> Column:
+    """Row-local cosine of the ``embedding`` column against the (quantized,
+    inlined-as-literal) query vector. Exact integer math throughout:
+    order-independent and bit-identical to the SQL twin."""
+    q = quantize_vector(qvec)
+    qn2 = float(sum(x * x for x in q))
+    qarr = F.array(*[F.lit(x).cast("long") for x in q])
+    xq = quantized_elements(F.col("embedding"))
+    dot = dot_long(xq, qarr)
+    n2 = dot_long(xq, xq)
+    return dot.cast("double") / (F.sqrt(n2.cast("double")) * F.sqrt(F.lit(qn2)))
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=_TOPK_ORACLE,
     doc="Brute-force cosine top-k vs the vec_id=0 query vector — the ANN "
-    "correctness baseline. Exact decimal-summed dot products; "
-    "TakeOrderedAndProject top-k (no global sort).",
+    "correctness baseline. Row-local zip_with/aggregate integer cosine "
+    "(no explode, no pre-top-k exchange); TakeOrderedAndProject top-k.",
     tags=("similarity", "topk"),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qvec = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
-        _exact_cosines(spark, sf_dir)
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", _cosine_vs_query(qvec).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -120,23 +123,25 @@ FROM cosines c JOIN b ON c.vec_id = b.vec_id
 WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = {QUERY_VEC_ID})
 ORDER BY c.cosine DESC, c.vec_id LIMIT {TOP_K}
 """,
-    doc="LSH-bucketed ANN: sign-bit bucket (8 hyperplane signs) prunes the "
-    "scan to the query's bucket (~N/256), then exact cosine rank inside. "
-    "The scale path: pre-partition by bucket -> partition pruning.",
+    doc="LSH-bucketed ANN: the sign-bit bucket filter runs BEFORE any "
+    "cosine math, so only ~N/256 vectors are scored. At 100 TB the table "
+    "is bucket-partitioned and this filter is partition pruning.",
     tags=("similarity", "lsh", "topk"),
 )
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qvec = _query_vector(spark, sf_dir)
+    qbucket = sign_bucket_py(qvec)
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = emb.select("vec_id", sign_bucket(F.col("embedding")).alias("bucket"))
-    qb = buckets.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("bucket").alias("qbucket")
+    survivors = emb.filter(F.col("vec_id") != QUERY_VEC_ID).filter(
+        sign_bucket(F.col("embedding")) == F.lit(qbucket)
     )
-    cos = _exact_cosines(spark, sf_dir)
     return (
-        cos.join(buckets, "vec_id")
-        .crossJoin(F.broadcast(qb))
-        .filter(F.col("bucket") == F.col("qbucket"))
-        .select("vec_id", "label", "cosine", "bucket")
+        survivors.select(
+            "vec_id",
+            "label",
+            _cosine_vs_query(qvec).alias("cosine"),
+            F.lit(qbucket).alias("bucket"),
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -144,17 +149,13 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_cosine_topk_fast",
-    oracle=None,  # NumPy summation order differs from SQL folds: no exact
-    # twin. pytest cross-checks its ranking against sim_cosine_topk.
-    doc="Arrow/NumPy brute-force cosine top-k (mapInPandas, per-partition "
-    "local top-k) — the throughput path for the same ANN query.",
+    oracle=_TOPK_ORACLE,
+    doc="Arrow/NumPy brute-force cosine top-k (mapInPandas int64 matmul, "
+    "per-partition local top-k). Same quantized-integer discipline as the "
+    "column path, so the same oracle checks it bit-for-bit.",
     tags=("similarity", "topk", "pandas-udf"),
 )
 def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qvec = _query_vector(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()[0]
-    )
-    return cosine_topk_fast(
-        emb, list(qvec), k=TOP_K, exclude_id=QUERY_VEC_ID
-    )
+    return cosine_topk_fast(emb, qvec, k=TOP_K, exclude_id=QUERY_VEC_ID)

@@ -12,10 +12,10 @@ def test_fast_path_matches_exact_ranking(spark):
     exact = plans.get("sim_cosine_topk").fn(spark, SF_ORACLE).collect()
     fast = plans.get("sim_cosine_topk_fast").fn(spark, SF_ORACLE).collect()
     assert [r.vec_id for r in exact] == [r.vec_id for r in fast]
-    # exact path quantizes elements to 2^-24 (~6e-8); cosines can differ
-    # from the full-precision fast path by up to ~1e-6.
+    # both paths share the quantized-integer discipline: cosines are
+    # BIT-identical, not merely close.
     for e, f in zip(exact, fast):
-        assert abs(e.cosine - f.cosine) < 1e-6
+        assert e.cosine == f.cosine
 
 
 def test_lsh_topk_subset_of_bucket(spark):
