@@ -1,0 +1,197 @@
+"""Multimodal-column queries, oracle-checked end to end.
+
+The binary assets are synthesized deterministically from ``doc_id`` (the
+testdata ships no media), so the DuckDB twin can recompute every expected
+byte arithmetically — which turns the whole Spark-side loop
+(encode kernel -> binary column -> decode kernel -> features) into an
+oracle-checkable black box. The asset generators are themselves
+``mapInPandas`` kernels, so the plumbing under test is exactly the
+plumbing a real pipeline uses; only the codec behind
+``functions/multimodal.decode_image_rgb`` is stubbed.
+
+Asset recipes (all integer arithmetic, shared with the SQL twins):
+- image: width 16 + doc_id%48, height 16 + (doc_id*7)%48, 3 channels,
+  pixel[i] = (doc_id*31 + i) % 256.
+- audio: n 1000 + doc_id%500, sample[i] = (doc_id*13 + i*7) % 4096 - 2048.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import (
+    IMG_HEADER_FMT,
+    IMG_MAGIC,
+    PCM_HEADER_FMT,
+    PCM_MAGIC,
+    audio_features,
+    image_features,
+    image_resize_nearest,
+)
+from ..sources.testdata import load_table
+from .registry import register
+
+THUMB = 16  # resize target (square thumbnails)
+
+
+def synth_image_assets(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, image binary) with the IMG1 recipe above.
+
+    The closure packs headers inline: referencing this package's top-level
+    functions from a worker-shipped closure would pickle them by reference,
+    which breaks under sessions whose executors cannot import the package
+    (constants pickle by value and are safe).
+    """
+    import numpy as np
+    import struct
+
+    fmt, magic = IMG_HEADER_FMT, IMG_MAGIC
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 48, 16 + (d * 7) % 48
+                pix = ((d * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                ids.append(d)
+                blobs.append(struct.pack(fmt, magic, w, h, 3) + pix.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "image": blobs})
+
+    return docs.select("doc_id").mapInPandas(part, schema="doc_id long, image binary")
+
+
+def synth_audio_assets(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, audio binary) with the PCM1 recipe above.
+    Headers packed inline for the same worker-pickling reason as images."""
+    import numpy as np
+    import struct
+
+    fmt, magic = PCM_HEADER_FMT, PCM_MAGIC
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1000 + d % 500
+                s = ((d * 13 + np.arange(n) * 7) % 4096 - 2048).astype("<i2")
+                ids.append(d)
+                blobs.append(struct.pack(fmt, magic, n) + s.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "audio": blobs})
+
+    return docs.select("doc_id").mapInPandas(part, schema="doc_id long, audio binary")
+
+
+@register(
+    "multimodal_image_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS width,
+         16 + (doc_id * 7) % 48 AS height
+  FROM documents
+)
+SELECT d.doc_id, 'IMG1' AS format,
+       CAST(d.width AS BIGINT) AS width, CAST(d.height AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(13 + d.width * d.height * 3 AS BIGINT) AS n_bytes,
+       CAST(SUM((d.doc_id * 31 + r.i) % 256) AS BIGINT) AS pixel_sum,
+       CAST(SUM((d.doc_id * 31 + r.i) % 256) AS DOUBLE)
+         / CAST(d.width * d.height * 3 AS DOUBLE) AS mean_byte
+FROM dims d, range(0, 63 * 63 * 3) r(i)     -- DuckDB range() takes no lateral
+WHERE r.i < d.width * d.height * 3          -- args: constant bound + filter
+GROUP BY d.doc_id, d.width, d.height
+""",
+    doc="Binary image column end to end: encode kernel -> opaque binary + "
+    "typed metadata struct -> decode/feature kernel (mapInPandas, NumPy "
+    "over frombuffer views) -> per-asset stats. Oracle recomputes every "
+    "byte arithmetically. Row-local; no shuffle.",
+    tags=("multimodal", "image", "pandas-udf"),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = image_features(synth_image_assets(docs))
+    n_px = (F.col("meta.width") * F.col("meta.height") * F.col("meta.channels")).cast(
+        "double"
+    )
+    return feats.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.channels").cast("long").alias("channels"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "pixel_sum",
+        (F.col("pixel_sum").cast("double") / n_px).alias("mean_byte"),
+    )
+
+
+@register(
+    "multimodal_thumbnail_audit",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h
+  FROM documents
+)
+SELECT d.doc_id, CAST({THUMB} AS BIGINT) AS width, CAST({THUMB} AS BIGINT) AS height,
+       CAST(13 + {THUMB} * {THUMB} * 3 AS BIGINT) AS n_bytes,
+       CAST(SUM((d.doc_id * 31
+            + (((y.i * d.h) // {THUMB}) * d.w + ((x.i * d.w) // {THUMB})) * 3 + c.i
+           ) % 256) AS BIGINT) AS pixel_sum
+FROM dims d, range(0, {THUMB}) y(i), range(0, {THUMB}) x(i), range(0, 3) c(i)
+GROUP BY d.doc_id
+""",
+    doc="Nearest-neighbor thumbnailing of binary rasters (integer source "
+    "indexing, bit-deterministic), then re-decode and audit: dimensions, "
+    "byte size, and the exact pixel sum of every thumbnail are "
+    "recomputed by the oracle from the source recipe.",
+    tags=("multimodal", "image", "resize", "pandas-udf"),
+)
+def multimodal_thumbnail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thumbs = image_resize_nearest(
+        synth_image_assets(docs), out_w=THUMB, out_h=THUMB
+    )
+    feats = image_features(thumbs)
+    return feats.select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "pixel_sum",
+    )
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, 1000 + doc_id % 500 AS n FROM documents
+)
+SELECT m.doc_id,
+       CAST(m.n AS BIGINT) AS n_samples,
+       CAST(SUM(((m.doc_id * 13 + r.i * 7) % 4096 - 2048)
+           * ((m.doc_id * 13 + r.i * 7) % 4096 - 2048)) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS((m.doc_id * 13 + r.i * 7) % 4096 - 2048)) AS BIGINT) AS peak
+FROM meta m, range(0, 1500) r(i)   -- constant bound + filter: see image twin
+WHERE r.i < m.n
+GROUP BY m.doc_id, m.n
+""",
+    doc="Binary PCM16 audio column: encode kernel -> frombuffer int16 "
+    "decode -> energy (exact integer sum of squares) and peak per clip.",
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = audio_features(synth_audio_assets(docs))
+    return feats.select(
+        "doc_id", "n_samples", "sum_sq", F.col("peak").cast("long").alias("peak")
+    )
