@@ -24,7 +24,9 @@ from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.session import ( 
 )
 
 #: headline queries (subset of the registry that exercises every operator
-#: family: parse, windowed agg, joins, window functions, top-k, extensions)
+#: family: parse, windowed agg, joins, window functions, top-k). The
+#: reported metric `value` is the total over THIS list only, so it stays
+#: round-over-round comparable with BENCH_r01.
 HEADLINE = [
     "silver_typed_ticks",
     "gold_candles_1m",
@@ -33,6 +35,18 @@ HEADLINE = [
     "revenue_by_nation",
     "top_parts_by_revenue",
     "customers_with_orders",
+]
+
+#: extension operators benched per round (timings recorded in `queries`,
+#: excluded from the headline total to keep `value` comparable).
+EXTENDED = [
+    "doc_near_dup_pairs",
+    "sim_cosine_topk",
+    "sim_cosine_topk_fast",
+    "arbitrage_spreads_1m",
+    "tick_dedup_first_per_minute",
+    "bronze_to_silver_typed",
+    "multimodal_image_stats",
 ]
 
 
@@ -50,6 +64,7 @@ def main() -> None:
     spark = get_spark("cryptopulse-bench")
     available = set(plans.all_queries())
     names = [n for n in HEADLINE if n in available]
+    extended = [n for n in EXTENDED if n in available]
     # Warm-up: JVM + parquet footer caches on the smallest query.
     run_query(spark, names[0], sf_dir)
     timings: dict[str, float] = {}
@@ -58,6 +73,8 @@ def main() -> None:
         sec = run_query(spark, name, sf_dir)
         timings[name] = round(sec, 4)
         total += sec
+    for name in extended:
+        timings[name] = round(run_query(spark, name, sf_dir), 4)
     print(
         json.dumps(
             {

@@ -1,0 +1,28 @@
+"""Partitioning helpers: parallelism discipline for CPU-heavy stages.
+
+A scan's partition count is byte-driven (``spark.sql.files.maxPartitionBytes``,
+default 128 MB), which is right for IO-bound plans but wrong for compute-
+heavy row-local stages: a 10 MB file full of documents scans as ONE split,
+and a shingle/minhash/feature kernel then runs on one core of a 32-core
+executor — or one executor of a 1000-executor cluster. `spread` widens such
+stages to at least the cluster's parallelism; when the input is already
+split wide enough (the normal case at 100 TB) it is a no-op, so the extra
+exchange only exists exactly when it pays for itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, *, by: str | None = None, partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``partitions`` (default: cluster parallelism)
+    partitions before a CPU-heavy stage; no-op when already wide enough.
+
+    ``by`` hash-distributes on a key column (keeps any later shuffle on the
+    same key co-partitioned); otherwise round-robin.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, by) if by else df.repartition(target)

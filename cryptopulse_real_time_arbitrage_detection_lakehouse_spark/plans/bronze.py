@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import spread
 from ..operators.silver import parse_bronze_ticks
 from ..schemas import EVENT_PROPS_SCHEMA
 from ..sources.testdata import load_table
@@ -109,7 +110,9 @@ FROM src
     tags=("bronze", "silver", "parse", "decimal"),
 )
 def bronze_to_silver_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    envelope = synth_kafka_envelope(load_table(spark, sf_dir, "events"))
+    # JSON serialize+parse is CPU-bound: widen past the byte-driven split
+    # count of the (locally tiny) events file before the hot expressions.
+    envelope = synth_kafka_envelope(spread(load_table(spark, sf_dir, "events")))
     silver = parse_bronze_ticks(bronze_ingest(envelope))
     # The decimal(18,8) casts happen INSIDE the plan (that is the point of
     # this query); the compared projection renders them as exact strings

@@ -157,5 +157,8 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vector(spark, sf_dir)
+    # No spread here: the testdata embeddings are small enough that Python
+    # worker startup would dominate. At scale the scan arrives pre-split
+    # and each split runs one NumPy matmul.
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_fast(emb, qvec, k=TOP_K, exclude_id=QUERY_VEC_ID)

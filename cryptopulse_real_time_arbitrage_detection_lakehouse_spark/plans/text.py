@@ -27,6 +27,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import dedup_exact_hash
+from ..operators.partitioning import spread
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -239,7 +240,9 @@ WHERE jaccard >= {NEAR_DUP_THRESHOLD}
     tags=("text", "dedup", "minhash", "lsh"),
 )
 def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # minhashing is the CPU hot spot (n_hashes x md5 per shingle): widen
+    # beyond the scan's byte-driven split count before computing it.
+    d = spread(_docs(spark, sf_dir), by="doc_id")
     sh = d.select("doc_id", shingles(tokens("text")).alias("sh"))
     sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh"), N_HASHES).alias("mh"))
     band_idx = F.explode(
