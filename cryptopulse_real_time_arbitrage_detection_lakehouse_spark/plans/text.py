@@ -20,10 +20,12 @@ from ..functions.text import (
     minhash_signature,
     shingles,
     simhash16,
+    simhash_bits,
     sql_count_in_set,
     sql_minhash_signature,
     sql_shingles,
     sql_simhash16,
+    sql_simhash_bits,
     tokens,
 )
 from ..operators.dedup import dedup_exact_hash
@@ -281,6 +283,94 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+#: SimHash near-dup parameters: 32-bit fingerprint split into 4 bands of
+#: 8 bits. True near-dups (Hamming <= 3) disagree in at most 3 bands, so
+#: at least one band matches exactly -> recall 1.0 for the verify
+#: threshold; each band bucket is 1/256 of the corpus -> candidate volume
+#: ~N^2/256 per band worst-case, in practice tiny for non-dup text.
+SIMHASH_BITS, SIM_BANDS, HAMMING_MAX = 32, 4, 3
+BITS_PER_BAND = SIMHASH_BITS // SIM_BANDS
+
+
+_SQL_SIMHASH32 = sql_simhash_bits("toks", SIMHASH_BITS)
+
+
+@register(
+    "doc_simhash_near_dups",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id, {_SQL_SIMHASH32} AS sh FROM tok
+),
+banded AS (
+  SELECT doc_id, sh, b.band,
+         (sh >> (b.band * {BITS_PER_BAND})) & {2**BITS_PER_BAND - 1} AS band_val
+  FROM fp, (SELECT unnest(range(0, {SIM_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+""",
+    doc="SimHash near-duplicate pairs: 32-bit fingerprint -> 4x8-bit "
+    "banding -> band-bucket equi-join -> Hamming-distance verify <= 3. "
+    "Pigeonhole guarantees recall: <=3 differing bits leave >=1 of the 4 "
+    "bands identical. The fingerprint is one BIGINT, so candidates carry "
+    "it through the join — the shuffle moves (band, band_val, doc_id, "
+    "fingerprint) and the verify is a bit_count(xor) on already-joined "
+    "rows: no second pass over documents, O(docs) + O(candidates).",
+    tags=("text", "dedup", "simhash"),
+)
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    fp = d.select(
+        "doc_id", simhash_bits(tokens("text"), SIMHASH_BITS).alias("sh")
+    )
+    mask = 2**BITS_PER_BAND - 1
+    banded = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * BITS_PER_BAND)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
