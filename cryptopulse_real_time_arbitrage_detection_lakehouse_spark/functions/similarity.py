@@ -62,25 +62,28 @@ def dot_long(a: Column, b: Column) -> Column:
     )
 
 
-def sign_bucket(emb_col, bits: int = 8):
-    """Sign-bit LSH bucket id from the first ``bits`` vector coordinates
-    (coordinate-sign random-hyperplane family; deterministic and
-    SQL-expressible in both engines)."""
+def sign_bucket(emb_col, bits: int = 8, offset: int = 0):
+    """Sign-bit LSH bucket id from ``bits`` vector coordinates starting at
+    ``offset`` (coordinate-sign random-hyperplane family; deterministic and
+    SQL-expressible in both engines). Different offsets give the
+    independent bands of a multi-probe / banded LSH scheme."""
     out = None
     for i in range(bits):
-        bit = F.when(F.element_at(emb_col, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.element_at(emb_col, offset + i + 1) > 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
         out = bit if out is None else out + bit
     return out
 
 
-def sign_bucket_py(vec: Sequence[float], bits: int = 8) -> int:
+def sign_bucket_py(vec: Sequence[float], bits: int = 8, offset: int = 0) -> int:
     """Driver-side twin of `sign_bucket` for the (collected) query vector."""
-    return sum(2**i for i in range(bits) if vec[i] > 0)
+    return sum(2**i for i in range(bits) if vec[offset + i] > 0)
 
 
-def sql_sign_bucket(emb_expr: str, bits: int = 8) -> str:
+def sql_sign_bucket(emb_expr: str, bits: int = 8, offset: int = 0) -> str:
     terms = " + ".join(
-        f"(CASE WHEN ({emb_expr})[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        f"(CASE WHEN ({emb_expr})[{offset + i + 1}] > 0 THEN {2**i} ELSE 0 END)"
         for i in range(bits)
     )
     return f"({terms})"

@@ -147,6 +147,211 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF parameters: 16 coarse centroids (a deterministic sample of the
+#: table itself — ids 1..16), query probes the 4 nearest cells.
+N_CENTROIDS, NPROBE = 16, 4
+CENTROID_IDS = tuple(range(1, N_CENTROIDS + 1))
+
+_SQL_QUANT = f"list_transform(embedding, x -> CAST(floor(x * {QSCALE!r}) AS BIGINT))"
+
+
+@register(
+    "sim_cosine_topk_ivf",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, {_SQL_QUANT} AS qx,
+         CAST(list_sum(list_transform({_SQL_QUANT}, v -> v * v)) AS DOUBLE) AS n2
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, qx AS cqx, n2 AS cn2 FROM n
+  WHERE vec_id IN {CENTROID_IDS}
+),
+q AS (SELECT qx AS qqx, n2 AS qn2 FROM n WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             i -> cqx[i] * qqx[i])) AS DOUBLE) / (sqrt(cn2) * sqrt(qn2)) DESC,
+           cid ASC
+  LIMIT {NPROBE}
+),
+assign AS (
+  SELECT a.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+           i -> a.qx[i] * c.cqx[i])) AS DOUBLE)
+           / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+  FROM n a, cents c
+),
+cell AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+)
+SELECT a.vec_id, a.label,
+       CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+         i -> a.qx[i] * q.qqx[i])) AS DOUBLE)
+         / (sqrt(a.n2) * sqrt(q.qn2)) AS cosine
+FROM n a JOIN cell USING (vec_id), q
+WHERE cell.cid IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
+""",
+    doc="IVF-style ANN: 16 deterministic coarse centroids (table rows "
+    "ids 1..16), every vector is assigned to its nearest centroid "
+    "(row-local argmax over the centroid literals — the 'index build'), "
+    "the query probes its 4 nearest cells, and exact quantized cosine "
+    "ranks only vectors in probed cells: compute on ~nprobe/ncentroids of "
+    "the table. At 100 TB the assignment is a one-time build writing the "
+    "table partitioned by cell, and the probe filter becomes partition "
+    "pruning — query-time scan is nprobe cells, not the table.",
+    tags=("similarity", "ann", "ivf", "topk"),
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    cents = {
+        row["vec_id"]: list(row["embedding"])
+        for row in emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    q = quantize_vector(qvec)
+    qn2 = float(sum(x * x for x in q))
+
+    def _cos_to_q(vec: list[float]) -> float:
+        c = quantize_vector(vec)
+        dot = sum(a * b for a, b in zip(c, q))
+        n2 = float(sum(a * a for a in c))
+        return float(dot) / (math.sqrt(n2) * math.sqrt(qn2))
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _cos_to_q(v)) for cid, v in cents.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:NPROBE]
+    ]
+
+    xq = quantized_elements(F.col("embedding"))
+    n2x = dot_long(xq, xq).cast("double")
+    entries = []
+    for cid in sorted(cents):
+        cq = quantize_vector(cents[cid])
+        cn2 = float(sum(v * v for v in cq))
+        carr = F.array(*[F.lit(v).cast("long") for v in cq])
+        ccos = dot_long(xq, carr).cast("double") / (F.sqrt(n2x) * F.sqrt(F.lit(cn2)))
+        # struct orders by (cosine, -cid): max = best cosine, ties -> least cid
+        entries.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("negid")))
+    cell = -F.array_max(F.array(*entries)).getField("negid")
+
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cell", cell)
+        .filter(F.col("cell").isin(*probed))
+        .select("vec_id", "label", _cosine_vs_query(qvec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+#: embedding near-dup banding: 4 independent sign-bit bands over disjoint
+#: coordinate groups (coords 1-8, 9-16, 17-24, 25-32). A pair is a
+#: candidate iff it matches in >=1 band; the verify is the exact quantized
+#: cosine >= EMB_NEAR_DUP_THRESHOLD. The oracle mirrors the banding, so
+#: both engines agree exactly (LSH recall is a property of the algorithm,
+#: not a divergence between implementations).
+EMB_BANDS, EMB_BAND_BITS = 4, 8
+EMB_NEAR_DUP_THRESHOLD = 0.4
+
+
+def _sql_pair_qdot(a: str, b: str) -> str:
+    """Exact int64 dot of two quantized embedding expressions (DuckDB)."""
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> "
+        f"CAST(floor(({a})[i] * {QSCALE!r}) AS BIGINT) * "
+        f"CAST(floor(({b})[i] * {QSCALE!r}) AS BIGINT)))"
+    )
+
+
+_SQL_BAND_VAL = "CASE " + " ".join(
+    f"WHEN b.band = {bnd} THEN "
+    f"{sql_sign_bucket('embedding', EMB_BAND_BITS, bnd * EMB_BAND_BITS)}"
+    for bnd in range(EMB_BANDS)
+) + " END"
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=f"""
+WITH banded AS (
+  SELECT vec_id, embedding, b.band, {_SQL_BAND_VAL} AS band_val
+  FROM embeddings, (SELECT unnest(range(0, {EMB_BANDS})) AS band) b
+),
+hits AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT DISTINCT vec_a, vec_b,
+         CAST({_sql_pair_qdot("ea", "eb")} AS DOUBLE)
+           / (sqrt(CAST({_sql_pair_qdot("ea", "ea")} AS DOUBLE))
+              * sqrt(CAST({_sql_pair_qdot("eb", "eb")} AS DOUBLE))) AS cosine
+  FROM hits
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
+""",
+    doc="Embedding-cosine near-duplicate pairs: banded sign-bit LSH "
+    "(4 bands x 8 coordinate-sign bits) generates candidates via a "
+    "band-bucket equi-join; the exact quantized-integer cosine verifies "
+    "only candidates. The cosine is computed row-local on the joined rows "
+    "(vectors already co-located by the band shuffle) and the final "
+    "distinct carries only (vec_a, vec_b, cosine) — O(N) + O(candidates), "
+    "never O(N^2). At 100 TB the table is written partitioned by band_val "
+    "so each band's self-join is partition-local.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sign_bucket(
+                            F.col("embedding"), EMB_BAND_BITS, b * EMB_BAND_BITS
+                        ).alias("band_val"),
+                    )
+                    for b in range(EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val")
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "band_val"
+    )
+    hits = a.join(b, ["band", "band_val"]).filter(F.col("vec_a") < F.col("vec_b"))
+    qa, qb = quantized_elements(F.col("ea")), quantized_elements(F.col("eb"))
+    cosine = dot_long(qa, qb).cast("double") / (
+        F.sqrt(dot_long(qa, qa).cast("double")) * F.sqrt(dot_long(qb, qb).cast("double"))
+    )
+    return (
+        hits.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
+        .distinct()
+    )
+
+
 @register(
     "sim_cosine_topk_fast",
     oracle=_TOPK_ORACLE,
