@@ -19,7 +19,12 @@ from .jobs import (
     run_medallion_available_now,
     silver_stream,
 )
-from .sinks import start_console_stream, start_parquet_stream
+from .sinks import (
+    kafka_records,
+    start_console_stream,
+    start_kafka_stream,
+    start_parquet_stream,
+)
 from .sources import (
     kafka_raw_stream,
     rate_replay_ticks,
@@ -31,10 +36,12 @@ __all__ = [
     "dedup_ticks_stream",
     "gold_stream",
     "kafka_raw_stream",
+    "kafka_records",
     "rate_replay_ticks",
     "read_parquet_stream",
     "run_medallion_available_now",
     "silver_stream",
     "start_console_stream",
+    "start_kafka_stream",
     "start_parquet_stream",
 ]

@@ -1,4 +1,4 @@
-"""Streaming sinks (SURVEY.md K1-K3/K5 twins).
+"""Streaming sinks (SURVEY.md K1-K5 twins).
 
 The reference's three jobs all end in a checkpointed Delta append sink;
 delta-spark is not in this image, so the engine's durable sink is
@@ -6,12 +6,62 @@ checkpointed **parquet append** — same exactly-once contract (offsets +
 commits WAL in the checkpoint, output files tracked in ``_spark_metadata``),
 different table format. The lakehouse fallback (``sources/lakehouse``)
 layers the version/history metadata on top.
+
+The Kafka producer sink (K4, the outbound twin of the reference's
+producer ``/root/reference/src/producers/main.py:46-55``) is split into a
+testable envelope transform (`kafka_records`) and a start wrapper
+(`start_kafka_stream`) that needs the spark-sql-kafka connector jar on
+the classpath to actually run.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def kafka_records(df: DataFrame, *, key: Column | str) -> DataFrame:
+    """Any DataFrame -> Kafka producer records: binary ``key`` plus a
+    binary ``value`` holding the row serialized with ``to_json`` (F8) —
+    the reference producer's ``json.dumps(data)`` payload contract.
+
+    Row-local (no shuffle); works on batch and streaming inputs, so the
+    same transform feeds `start_kafka_stream` and the batch
+    ``df.write.format("kafka")`` path.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    payload_cols = [c for c in df.columns if c != (key if isinstance(key, str) else None)]
+    return df.select(
+        key_col.cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*payload_cols)).cast("binary").alias("value"),
+    )
+
+
+def start_kafka_stream(
+    records: DataFrame,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """Kafka producer sink (K4 twin). ``records`` must already be in
+    key/value binary shape (use `kafka_records`).
+
+    Requires the ``spark-sql-kafka-0-10`` connector jar (not in this
+    image): construction is lazy, ``.start()`` raises without it — the
+    in-image substitute is `start_parquet_stream` over the same records.
+    """
+    writer = (
+        records.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    return writer.start()
 
 
 def start_parquet_stream(
