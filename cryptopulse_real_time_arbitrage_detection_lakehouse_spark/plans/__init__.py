@@ -16,5 +16,6 @@ from . import similarity  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import inspection  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "get", "all_queries", "all_oracles"]
