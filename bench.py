@@ -41,8 +41,11 @@ HEADLINE = [
 #: excluded from the headline total to keep `value` comparable).
 EXTENDED = [
     "doc_near_dup_pairs",
+    "doc_simhash_near_dups",
+    "emb_near_dup_pairs",
     "sim_cosine_topk",
     "sim_cosine_topk_fast",
+    "sim_cosine_topk_ivf",
     "arbitrage_spreads_1m",
     "tick_dedup_first_per_minute",
     "bronze_to_silver_typed",
