@@ -45,11 +45,14 @@ except ImportError:  # pragma: no cover
 
 IMG_MAGIC = b"IMG1"
 PCM_MAGIC = b"PCM1"
+VID_MAGIC = b"VID1"
 # plain format strings (struct.Struct instances do not pickle into workers)
 IMG_HEADER_FMT = "<4sIIB"  # magic, width, height, channels
 IMG_HEADER_SIZE = struct.calcsize(IMG_HEADER_FMT)
 PCM_HEADER_FMT = "<4sI"  # magic, n_samples
 PCM_HEADER_SIZE = struct.calcsize(PCM_HEADER_FMT)
+VID_HEADER_FMT = "<4sIII"  # magic, width, height, n_frames (RGB24 frames)
+VID_HEADER_SIZE = struct.calcsize(VID_HEADER_FMT)
 
 
 def decode_image_rgb(data: bytes):
@@ -189,6 +192,92 @@ AUDIO_STATS_SCHEMA = T.StructType(
         T.StructField("peak", T.IntegerType()),
     ]
 )
+
+
+def decode_video_frames(data: bytes):
+    """Decode a REAL codec video (MP4/WebM/...) to an (n, h, w, 3) array.
+
+    STUB while no video library (PyAV / OpenCV) ships in this runtime:
+    raises ``NotImplementedError``. The VID1 raster path below carries the
+    full Spark-side plumbing; swap this body for ``av.open`` when the
+    dependency exists.
+    """
+    raise NotImplementedError(
+        "codec video decode needs PyAV or OpenCV, which this runtime does "
+        "not ship; use the VID1 raster operators or install a codec library"
+    )
+
+
+def encode_vid1(width: int, height: int, n_frames: int, pixels) -> bytes:
+    return (
+        struct.pack(VID_HEADER_FMT, VID_MAGIC, width, height, n_frames)
+        + pixels.tobytes()
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("slot", T.IntegerType()),
+        T.StructField("src_frame", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),  # IMG1-encoded sampled frame
+    ]
+)
+
+
+def video_frame_sample(
+    assets: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    bin_col: str = "video",
+) -> DataFrame:
+    """Sample ``k`` evenly-spaced frames from each VID1 clip.
+
+    The frame-sampling stage of a video training pipeline: slot ``s`` of
+    ``k`` takes source frame ``s * n_frames // k`` (integer stride, so the
+    choice is bit-deterministic and SQL-reconstructible). Each sampled
+    frame is re-emitted as an IMG1 binary, so every downstream image
+    operator (``image_features``, ``image_resize_nearest``) composes with
+    the output unchanged — video decode reduces to the image path.
+
+    Row-local fan-out (one input row -> k output rows), no shuffle; the
+    NumPy slice is a view into the frombuffer raster, copied only at
+    ``tobytes`` for the sampled frames (k of n), never the whole clip.
+    """
+    import numpy as np
+
+    vfmt, vmagic = VID_HEADER_FMT, VID_MAGIC
+    ifmt, imagic = IMG_HEADER_FMT, IMG_MAGIC
+    vhdr = VID_HEADER_SIZE
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf[id_col], pdf[bin_col]):
+                magic, w, h, nf = struct.unpack_from(vfmt, data)
+                assert magic == vmagic, f"bad magic {magic!r}"
+                raster = np.frombuffer(data, dtype=np.uint8, offset=vhdr).reshape(
+                    nf, h * w * 3
+                )
+                for s in range(k):
+                    fidx = s * nf // k
+                    out.append(
+                        (
+                            int(doc_id),
+                            s,
+                            fidx,
+                            nf,
+                            struct.pack(ifmt, imagic, w, h, 3)
+                            + raster[fidx].tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "slot", "src_frame", "n_frames", "frame"]
+            )
+
+    return assets.select(id_col, bin_col).mapInPandas(part, schema=VIDEO_FRAME_SCHEMA)
 
 
 def audio_features(assets: DataFrame, *, id_col: str = "doc_id", bin_col: str = "audio") -> DataFrame:

@@ -13,6 +13,8 @@ Asset recipes (all integer arithmetic, shared with the SQL twins):
 - image: width 16 + doc_id%48, height 16 + (doc_id*7)%48, 3 channels,
   pixel[i] = (doc_id*31 + i) % 256.
 - audio: n 1000 + doc_id%500, sample[i] = (doc_id*13 + i*7) % 4096 - 2048.
+- video: width 8 + doc_id%8, height 8 + (doc_id*3)%8, n_frames 4 + doc_id%5,
+  pixel[frame][i] = (doc_id*17 + frame*101 + i) % 256.
 """
 
 from __future__ import annotations
@@ -26,12 +28,16 @@ from pyspark.sql import functions as F
 
 from ..functions.multimodal import (
     IMG_HEADER_FMT,
+    IMG_HEADER_SIZE,
     IMG_MAGIC,
     PCM_HEADER_FMT,
     PCM_MAGIC,
+    VID_HEADER_FMT,
+    VID_MAGIC,
     audio_features,
     image_features,
     image_resize_nearest,
+    video_frame_sample,
 )
 from ..sources.testdata import load_table
 from .registry import register
@@ -166,6 +172,111 @@ def multimodal_thumbnail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").cast("long").alias("width"),
         F.col("meta.height").cast("long").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
+        "pixel_sum",
+    )
+
+
+def synth_video_assets(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, video binary) with the VID1 recipe above.
+    Headers packed inline for the same worker-pickling reason as images."""
+    import numpy as np
+    import struct
+
+    fmt, magic = VID_HEADER_FMT, VID_MAGIC
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = 8 + d % 8, 8 + (d * 3) % 8, 4 + d % 5
+                frame = np.arange(nf, dtype=np.int64)[:, None] * 101
+                i = np.arange(w * h * 3, dtype=np.int64)[None, :]
+                pix = ((d * 17 + frame + i) % 256).astype(np.uint8)
+                ids.append(d)
+                blobs.append(struct.pack(fmt, magic, w, h, nf) + pix.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "video": blobs})
+
+    return docs.select("doc_id").mapInPandas(part, schema="doc_id long, video binary")
+
+
+def _sampled_frame_stats(frames: DataFrame) -> DataFrame:
+    """(doc_id, slot, src_frame, n_frames, IMG1 frame) -> per-frame stats.
+
+    The sampled frames are IMG1 binaries, so this is the image feature
+    kernel re-run per frame while carrying the sampling lineage columns
+    (slot, src_frame) that ``image_features``'s fixed schema would drop.
+    """
+    import numpy as np
+    import struct
+
+    fmt, hdr = IMG_HEADER_FMT, IMG_HEADER_SIZE
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, slot, src, nf, data in zip(
+                pdf["doc_id"], pdf["slot"], pdf["src_frame"], pdf["n_frames"], pdf["frame"]
+            ):
+                _, w, h, _c = struct.unpack_from(fmt, data)
+                pix = np.frombuffer(data, dtype=np.uint8, offset=hdr)
+                out.append(
+                    (int(doc_id), int(slot), int(src), int(nf), w, h,
+                     int(pix.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "slot", "src_frame", "n_frames",
+                         "width", "height", "pixel_sum"],
+            )
+
+    return frames.mapInPandas(
+        part,
+        schema="doc_id long, slot int, src_frame int, n_frames int, "
+        "width int, height int, pixel_sum long",
+    )
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 8 AS w,
+         8 + (doc_id * 3) % 8 AS h,
+         4 + doc_id % 5 AS nf
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(s.i AS BIGINT) AS slot,
+       CAST((s.i * d.nf) // 3 AS BIGINT) AS src_frame,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.w AS BIGINT) AS width,
+       CAST(d.h AS BIGINT) AS height,
+       CAST(SUM((d.doc_id * 17 + ((s.i * d.nf) // 3) * 101 + p.i) % 256) AS BIGINT)
+         AS pixel_sum
+FROM dims d, range(0, 3) s(i), range(0, 15 * 15 * 3) p(i)
+WHERE p.i < d.w * d.h * 3     -- constant range bound + filter: see image twin
+GROUP BY d.doc_id, s.i, d.nf, d.w, d.h
+""",
+    doc="Video frame sampling over binary VID1 clips: k=3 evenly-strided "
+    "frames per clip (slot s takes source frame s*n_frames//3, "
+    "bit-deterministic), each re-emitted as an IMG1 image and audited "
+    "per-frame (dims + exact pixel sum). Row-local 1->k fan-out, no "
+    "shuffle; the oracle recomputes every sampled byte arithmetically.",
+    tags=("multimodal", "video", "frame-sample", "pandas-udf"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = video_frame_sample(synth_video_assets(docs), k=3)
+    stats = _sampled_frame_stats(frames)
+    return stats.select(
+        "doc_id",
+        F.col("slot").cast("long").alias("slot"),
+        F.col("src_frame").cast("long").alias("src_frame"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         "pixel_sum",
     )
 

@@ -4,14 +4,19 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.multimodal import (
     HAVE_PIL,
     decode_image_rgb,
+    decode_video_frames,
     image_features,
     image_resize_nearest,
+    video_frame_sample,
 )
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.multimodal import (
     synth_image_assets,
+    synth_video_assets,
 )
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (
     load_table,
@@ -41,6 +46,31 @@ def test_identity_resize_preserves_pixels(spark):
     resized = image_resize_nearest(one, out_w=w, out_h=h)
     (after,) = image_features(resized).collect()
     assert (after.meta.width, after.meta.height, after.pixel_sum) == (w, h, psum)
+
+
+def test_video_codec_decode_is_a_clear_stub():
+    with pytest.raises(NotImplementedError, match="PyAV|OpenCV"):
+        decode_video_frames(b"\x00\x00\x00 ftypmp42")
+
+
+def test_video_frames_compose_with_image_operators(spark):
+    """Sampled frames are IMG1 binaries, so the existing image feature
+    kernel runs on them unchanged — video reduces to the image path."""
+    docs = load_table(spark, SF, "documents").limit(6)
+    frames = video_frame_sample(synth_video_assets(docs), k=3).cache()
+    try:
+        rows = frames.collect()
+        assert len(rows) == 6 * 3
+        for r in rows:
+            assert 0 <= r.src_frame < r.n_frames
+            assert r.frame[:4] == b"IMG1"
+        # feed slot-0 frames through the image kernel: dims match the recipe
+        slot0 = frames.filter("slot = 0").select("doc_id", F.col("frame").alias("image"))
+        for f in image_features(slot0, bin_col="image").collect():
+            d = f.doc_id
+            assert (f.meta.width, f.meta.height) == (8 + d % 8, 8 + (d * 3) % 8)
+    finally:
+        frames.unpersist()
 
 
 def test_metadata_struct_is_typed(spark):
