@@ -1,0 +1,140 @@
+"""Delta Lake queries through the transaction-log client, oracle-checked.
+
+The reference reads and streams real Delta tables with delta-spark
+(``/root/reference/src/jobs/process_silver.py:87``, ``check_bronze.py:52-84``
+— SURVEY.md S2/S3/S4/M2/P6). These queries exercise
+``sources/delta.DeltaTable`` — the pure-PySpark log client — end to end:
+each builds a genuine Delta table live (parquet data + ``_delta_log`` JSON
+commits + a parquet checkpoint), then reads it back by snapshot, by
+time-travel version, as a stream, and via its history. The DuckDB twin
+recomputes the expected contents straight from ``events``, so a green row
+certifies both the query AND the commit/replay machinery underneath it.
+
+Each call builds its table in a fresh temp dir: the cost is one small
+write per query (bounded by the events slice), and isolation means a
+failed run can't poison the next via stale state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.delta import DeltaTable
+from ..sources.testdata import load_table
+from ..streaming.sinks import drain, start_parquet_stream
+from .registry import register
+
+#: deterministic commit order: one Delta commit per event_type batch.
+_BATCH_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
+def _build_delta_table(
+    spark: SparkSession, sf_dir: str, *, checkpoint_after: int | None = None
+) -> DeltaTable:
+    """One Delta commit per event_type, optionally checkpointing mid-log.
+
+    ``repartition(1)`` keeps numFiles deterministic; commit order is the
+    sorted `_BATCH_TYPES`, so version assignment is reproducible and the
+    oracle can reconstruct it with a window over event_type.
+    """
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpdelta_") + "/events_delta")
+    for i, etype in enumerate(_BATCH_TYPES):
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select(*_EVENT_COLS)
+            .repartition(1)
+        )
+        if checkpoint_after is not None and i == checkpoint_after:
+            table.checkpoint(spark)
+    return table
+
+
+@register(
+    "delta_history_audit",
+    oracle=f"""
+SELECT CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS version,
+       'WRITE' AS operation,
+       'Append' AS mode,
+       count(*) AS num_output_rows
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="DESCRIBE HISTORY twin over a real _delta_log (check_bronze.py:76-84,"
+    " M2/P6): one commit per event_type, then a NESTED projection of the "
+    "history relation — operation_parameters.mode and "
+    "operation_metrics.num_output_rows are struct fields, matching the "
+    "reference's history-DataFrame access pattern. Timestamps excluded "
+    "(non-deterministic).",
+    tags=("delta", "metadata", "history"),
+)
+def delta_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)
+    hist = table.history(spark)
+    return hist.select(
+        "version",
+        "operation",
+        F.col("operation_parameters.mode").alias("mode"),
+        F.col("operation_metrics.num_output_rows").alias("num_output_rows"),
+    )
+
+
+@register(
+    "delta_time_travel_counts",
+    oracle=f"""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE event_type IN {_BATCH_TYPES[:2]!r}
+GROUP BY event_type
+""",
+    doc="Time travel (VERSION AS OF 1) through the log client: the snapshot "
+    "at version 1 is exactly the first two commits; the log replay stops at "
+    "the target version so commits 2..4 are never even listed. The table "
+    "carries a mid-log parquet checkpoint at version 2 which the v1 read "
+    "must bypass (checkpoint version > target).",
+    tags=("delta", "metadata", "time-travel"),
+)
+def delta_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir, checkpoint_after=2)
+    snapshot = table.read(spark, version=1)
+    return snapshot.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "delta_stream_type_counts",
+    oracle=f"""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="Delta streaming source (S2, process_silver.py:87): readStream over "
+    "an append-only Delta table (file-stream over its data files; the log "
+    "client refuses tables with removes), drained to a checkpointed "
+    "append-mode parquet sink with trigger(availableNow=True), then "
+    "aggregated. Oracle = the same counts straight from events: every row "
+    "every commit, exactly once.",
+    tags=("delta", "streaming", "source"),
+)
+def delta_stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cpdeltastream_")
+    out_path = os.path.join(root, "out")
+    stream = table.read_stream(spark)
+    drain(
+        start_parquet_stream(
+            stream,
+            path=out_path,
+            checkpoint=os.path.join(root, "ckpt"),
+            query_name="delta_stream_type_counts",
+        )
+    )
+    drained = spark.read.parquet(out_path)
+    return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
