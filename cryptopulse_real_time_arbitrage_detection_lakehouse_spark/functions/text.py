@@ -64,29 +64,63 @@ def sql_shingles(toks_expr: str, n: int = 3) -> str:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
-    """MinHash signature: per hash-id h, min over shingles of
-    ``md5(h || '|' || shingle)``. Hex strings compare lexicographically the
-    same in Spark and DuckDB (ASCII), so ``array_min``/``list_aggregate
-    ('min')`` agree. Salted md5 = ``num_hashes`` independent permutations."""
+#: MinHash universal-hash family h_i(x) = (a_i*x + b_i) mod P over a base
+#: hash x = first 32 bits of md5(shingle). One md5 per shingle total (the
+#: salted-md5 alternative costs num_hashes md5s per shingle — at 16 hashes
+#: that is the whole pipeline's CPU bill). P = 2^31-1 keeps every
+#: intermediate below 2^62: exact in signed-64 arithmetic in both engines.
+MINHASH_P = 2147483647
+_minhash_rng = __import__("random").Random(0xC0FFEE)
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    (_minhash_rng.randrange(1, MINHASH_P), _minhash_rng.randrange(0, MINHASH_P))
+    for _ in range(64)
+)
+
+
+def minhash_base(shingle_col: Column) -> Column:
+    """Per-shingle 32-bit base hash reduced mod P (``array<bigint>``).
+
+    Keep this in its OWN select stage, then feed the materialized column to
+    :func:`minhash_signature`: Catalyst's CollapseProject leaves a
+    multiply-referenced non-cheap alias alone, so the md5 runs once per
+    shingle instead of once per (shingle, hash-id)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature(base_col: Column, num_hashes: int) -> Column:
+    """MinHash signature from :func:`minhash_base` output: per hash id i,
+    ``min((a_i*x + b_i) mod P)`` over the base hashes. Pure integer
+    multiply-add, identical in Spark and DuckDB."""
+    def _h(a: int, b: int):
+        # closure (not default args: PySpark derives lambda arity from the
+        # Python signature, so extra params would break the 1-arg transform)
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s)),
-                )
-            )
-            for h in range(num_hashes)
+            F.array_min(F.transform(base_col, _h(a, b)))
+            for a, b in MINHASH_AB[:num_hashes]
         ]
     )
 
 
-def sql_minhash_signature(shingle_expr: str, num_hashes: int) -> str:
+def sql_minhash_base(shingle_expr: str) -> str:
+    """DuckDB twin of :func:`minhash_base`."""
+    return (
+        f"list_transform({shingle_expr}, s -> "
+        f"CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % {MINHASH_P})"
+    )
+
+
+def sql_minhash_signature(base_expr: str, num_hashes: int) -> str:
     mins = ", ".join(
-        f"list_aggregate(list_transform({shingle_expr}, "
-        f"s -> md5('{h}|' || s)), 'min')"
-        for h in range(num_hashes)
+        f"list_aggregate(list_transform({base_expr}, "
+        f"x -> ({a} * x + {b}) % {MINHASH_P}), 'min')"
+        for a, b in MINHASH_AB[:num_hashes]
     )
     return f"[{mins}]"
 

@@ -17,11 +17,13 @@ from ..functions.text import (
     LANG_PROFILES,
     SQL_TOKENS,
     count_in_set,
+    minhash_base,
     minhash_signature,
     shingles,
     simhash16,
     simhash_bits,
     sql_count_in_set,
+    sql_minhash_base,
     sql_minhash_signature,
     sql_shingles,
     sql_simhash16,
@@ -208,15 +210,18 @@ WITH tok AS (
 s AS (
   SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok
 ),
+base AS (
+  SELECT doc_id, list_distinct({sql_minhash_base("sh")}) AS xs FROM s
+),
 sig AS (
-  SELECT doc_id, sh, {sql_minhash_signature("sh", N_HASHES)} AS mh FROM s
+  SELECT doc_id, {sql_minhash_signature("xs", N_HASHES)} AS mh FROM base
 ),
 bands AS (
   SELECT doc_id, b.band,
-         md5(concat_ws('|', mh[b.band * {ROWS_PER_BAND} + 1],
-                            mh[b.band * {ROWS_PER_BAND} + 2],
-                            mh[b.band * {ROWS_PER_BAND} + 3],
-                            mh[b.band * {ROWS_PER_BAND} + 4])) AS band_sig
+         concat_ws('|', mh[b.band * {ROWS_PER_BAND} + 1],
+                        mh[b.band * {ROWS_PER_BAND} + 2],
+                        mh[b.band * {ROWS_PER_BAND} + 3],
+                        mh[b.band * {ROWS_PER_BAND} + 4]) AS band_sig
   FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band) b
 ),
 cand AS (
@@ -226,42 +231,47 @@ cand AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-           / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
-  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
-              JOIN s sb ON sb.doc_id = c.doc_b
+         CAST(len(list_intersect(xa.xs, xb.xs)) AS DOUBLE)
+           / CAST(len(list_distinct(xa.xs || xb.xs)) AS DOUBLE) AS jaccard
+  FROM cand c JOIN base xa ON xa.doc_id = c.doc_a
+              JOIN base xb ON xb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= {NEAR_DUP_THRESHOLD}
 """,
-    doc="MinHash-LSH near-duplicate pairs: 3-word shingles -> 16 salted-md5 "
-    "minhashes -> 4x4 banding -> band-bucket equi-join for candidates -> "
-    "exact shingle-Jaccard verification >= 0.5. Only (band_sig, doc_id) "
-    "rows shuffle; candidate verification joins shingle sets for LSH "
-    "survivors only — O(docs) + O(candidates), never O(docs^2).",
+    doc="MinHash-LSH near-duplicate pairs: 3-word shingles -> one md5 base "
+    "hash per shingle -> 16 universal-hash minhashes ((a*x+b) mod 2^31-1) "
+    "-> 4x4 banding -> band-bucket equi-join for candidates -> "
+    "hashed-shingle Jaccard verification >= 0.5 (integer-set intersect; "
+    "collision error ~1e-5 per pair at P=2^31, identical in both engines). "
+    "Only (band_sig, doc_id) rows shuffle; verification joins hash sets "
+    "for LSH survivors only — O(docs) + O(candidates), never O(docs^2).",
     tags=("text", "dedup", "minhash", "lsh"),
 )
 def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # minhashing is the CPU hot spot (n_hashes x md5 per shingle): widen
+    # shingle hashing is the CPU hot spot (one md5 per shingle): widen
     # beyond the scan's byte-driven split count before computing it.
     d = spread(_docs(spark, sf_dir), by="doc_id")
-    sh = d.select("doc_id", shingles(tokens("text")).alias("sh"))
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh"), N_HASHES).alias("mh"))
+    # base hashes in their own stage so the md5 transform is evaluated
+    # once, not once per derived hash (CollapseProject keeps the alias);
+    # everything downstream (signature AND verification) runs on the
+    # integer hash set, never the shingle strings.
+    xs_df = d.select("doc_id", shingles(tokens("text")).alias("sh")).select(
+        "doc_id", F.array_distinct(minhash_base(F.col("sh"))).alias("xs")
+    )
+    sig = xs_df.select("doc_id", minhash_signature(F.col("xs"), N_HASHES).alias("mh"))
     band_idx = F.explode(
         F.array(*[F.lit(b) for b in range(N_BANDS)])
     ).alias("band")
-    banded = sig.select("doc_id", "sh", band_idx, "mh").select(
+    banded = sig.select("doc_id", band_idx, "mh").select(
         "doc_id",
-        "sh",
         "band",
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.element_at(F.col("mh"), F.col("band") * ROWS_PER_BAND + j + 1)
-                    for j in range(ROWS_PER_BAND)
-                ],
-            )
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at(F.col("mh"), F.col("band") * ROWS_PER_BAND + j + 1)
+                for j in range(ROWS_PER_BAND)
+            ],
         ).alias("band_sig"),
     )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
@@ -273,8 +283,8 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = xs_df.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("sh_a"))
+    sb = xs_df.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("sh_b"))
     verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
         "double"
