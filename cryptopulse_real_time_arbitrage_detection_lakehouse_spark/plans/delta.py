@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.determinism import dsum, sql_dsum
 from ..sources.delta import DeltaTable
 from ..sources.testdata import load_table
 from ..streaming.sinks import drain, start_parquet_stream
@@ -105,6 +106,51 @@ def delta_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _build_delta_table(spark, sf_dir, checkpoint_after=2)
     snapshot = table.read(spark, version=1)
     return snapshot.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "delta_merge_upsert",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")}
+         AS total_value
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="MERGE upsert through the log client: table built WITHOUT the "
+    "'view' batch, then one merge keyed on event_id whose source doubles "
+    "every click's value (the UPDATE branch) and carries all view rows "
+    "(the INSERT branch). Oracle recomputes the post-merge state straight "
+    "from events — green means both merge branches and the atomic "
+    "overwrite commit behaved.",
+    tags=("delta", "merge", "upsert"),
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpdeltamerge_") + "/events_delta")
+    for etype in _BATCH_TYPES:
+        if etype != "view":
+            table.write(
+                events.filter(F.col("event_type") == etype)
+                .select(*_EVENT_COLS)
+                .repartition(1)
+            )
+    source = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .select(*_EVENT_COLS)
+        .withColumn(
+            "value",
+            F.when(F.col("event_type") == "click", F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    table.merge(source, ["event_id"])
+    merged = table.read(spark)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
 
 
 @register(

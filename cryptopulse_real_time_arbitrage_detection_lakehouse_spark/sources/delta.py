@@ -285,6 +285,9 @@ class DeltaTable:
         *,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
+        _operation: str = "WRITE",
+        _data_change: bool = True,
     ) -> int:
         """Commit ``df`` as one Delta transaction. Returns the version.
 
@@ -294,6 +297,14 @@ class DeltaTable:
         writer, relocated under the table root (hive layout for
         partitions), then made visible by the atomic commit-file rename:
         readers never observe a half-written transaction.
+
+        ``merge_schema=True`` is the M3 twin of the reference's
+        ``spark.databricks.delta.schema.autoMerge.enabled``
+        (``process_silver.py:67``): columns the table does not yet have are
+        appended to its schema via a new ``metaData`` action; old data
+        files simply lack them and the schema-directed parquet read
+        surfaces nulls. Type conflicts on existing columns are refused
+        (evolution adds columns, it never rewrites history).
         """
         import pyarrow.parquet as pq
 
@@ -306,6 +317,7 @@ class DeltaTable:
 
         prior_meta: dict | None = None
         prior_adds: list[dict] = []
+        new_schema_json: str | None = None
         if last is not None:
             prior_meta, prior_adds = self._snapshot_state(spark, None)
             if partition_by != (prior_meta.get("partitionColumns") or []):
@@ -313,6 +325,29 @@ class DeltaTable:
                     f"partition_by {partition_by} != table's "
                     f"{prior_meta.get('partitionColumns')}"
                 )
+            prior_schema = T.StructType.fromJson(
+                json.loads(prior_meta["schemaString"])
+            )
+            prior_types = {f.name: f.dataType for f in prior_schema.fields}
+            extra = [f for f in df.schema.fields if f.name not in prior_types]
+            for f in df.schema.fields:
+                if f.name in prior_types and f.dataType != prior_types[f.name]:
+                    raise ValueError(
+                        f"column {f.name!r} is {f.dataType.simpleString()} but "
+                        f"table has {prior_types[f.name].simpleString()}; "
+                        "schema evolution adds columns, never changes types"
+                    )
+            if extra:
+                if not merge_schema:
+                    raise ValueError(
+                        f"schema mismatch (new columns {[f.name for f in extra]}); "
+                        "pass merge_schema=True to evolve the table schema"
+                    )
+                merged = T.StructType(
+                    list(prior_schema.fields)
+                    + [T.StructField(f.name, f.dataType, True) for f in extra]
+                )
+                new_schema_json = merged.json()
 
         # stage with Spark, then move part files under the table root
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
@@ -355,7 +390,7 @@ class DeltaTable:
                         "partitionValues": part_values,
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
-                        "dataChange": True,
+                        "dataChange": _data_change,
                         "stats": json.dumps(
                             {"numRecords": pq.ParquetFile(dst).metadata.num_rows}
                         ),
@@ -375,7 +410,7 @@ class DeltaTable:
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE",
+                    "operation": _operation,
                     "operationParameters": {
                         "mode": "Append" if mode == "append" else "Overwrite"
                     },
@@ -402,6 +437,10 @@ class DeltaTable:
                     }
                 }
             )
+        elif new_schema_json is not None:
+            evolved = dict(prior_meta)
+            evolved["schemaString"] = new_schema_json
+            actions.append({"metaData": evolved})
         if mode == "overwrite":
             for a in prior_adds:
                 actions.append(
@@ -409,7 +448,7 @@ class DeltaTable:
                         "remove": {
                             "path": a["path"],
                             "deletionTimestamp": now_ms,
-                            "dataChange": True,
+                            "dataChange": _data_change,
                         }
                     }
                 )
@@ -423,6 +462,59 @@ class DeltaTable:
                 f.write(json.dumps(action) + "\n")
         os.rename(tmp, final)  # atomic on POSIX: the commit point
         return version
+
+    def merge(self, source: DataFrame, keys: list[str]) -> int:
+        """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /
+        WHEN NOT MATCHED INSERT * (the delta-spark ``merge`` shape the
+        reference's lakehouse would use for corrections). Returns the
+        committed version.
+
+        Spark-first: new snapshot = current rows anti-joined against the
+        source keys, unioned with the source — one shuffle-free scan plus
+        one join on the key columns, committed as a single atomic
+        overwrite. This is the rewrite-everything strategy; at 100 TB the
+        win is file pruning via add-file min/max stats so only key-range-
+        overlapping files rewrite. The log format already carries per-file
+        stats for that; the planner optimization is deliberately out of
+        scope.
+        """
+        spark = source.sparkSession
+        meta, _ = self._snapshot_state(spark, None)
+        part_cols = meta.get("partitionColumns") or []
+        current = self.read(spark)
+        kept = current.join(
+            source.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        merged = kept.unionByName(source.select(*current.columns))
+        return self.write(
+            merged,
+            mode="overwrite",
+            partition_by=part_cols or None,
+            _operation="MERGE",
+        )
+
+    def compact(self, spark: SparkSession, *, target_files: int = 1) -> int:
+        """OPTIMIZE twin: rewrite the active files into ``target_files``
+        per partition, committed with ``dataChange=false`` adds/removes
+        (pure layout change — streaming readers of the log would skip it).
+        Small-file compaction is what keeps a streaming-append table
+        scannable: thousands of per-trigger files become a handful of
+        full-size ones, and planning cost drops with them.
+        """
+        meta, _ = self._snapshot_state(spark, None)
+        part_cols = meta.get("partitionColumns") or []
+        df = self.read(spark)
+        if part_cols:
+            df = df.repartition(target_files, *[F.col(c) for c in part_cols])
+        else:
+            df = df.repartition(target_files)
+        return self.write(
+            df,
+            mode="overwrite",
+            partition_by=part_cols or None,
+            _operation="OPTIMIZE",
+            _data_change=False,
+        )
 
     def checkpoint(self, spark: SparkSession) -> int:
         """Write a parquet checkpoint at the latest version.

@@ -123,6 +123,76 @@ class TestDeltaBatch:
             t.write(make_df(spark, 4, 2))
 
 
+class TestDeltaEvolutionAndMaintenance:
+    def test_schema_merge_appends_column(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        wider = make_df(spark, 5, 5).withColumn("score", F.col("id") * 2)
+        t.write(wider, merge_schema=True)
+        got = t.read(spark)
+        assert got.columns == ["id", "sym", "score"]
+        rows = {r.id: r.score for r in got.collect()}
+        # pre-evolution files surface null for the new column
+        assert rows[0] is None and rows[7] == 14
+
+    def test_schema_mismatch_without_flag_rejected(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        with pytest.raises(ValueError, match="merge_schema"):
+            t.write(make_df(spark, 5, 5).withColumn("score", F.lit(1)))
+
+    def test_type_conflict_rejected(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        bad = make_df(spark, 5, 5).withColumn("sym", F.lit(3))
+        with pytest.raises(ValueError, match="never changes types"):
+            t.write(bad, merge_schema=True)
+
+    def test_merge_upserts_by_key(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        # ids 5..9 updated (sym rewritten), ids 10..14 inserted
+        src = make_df(spark, 5, 10).withColumn(
+            "sym", F.concat(F.lit("UPD"), F.col("id").cast("string"))
+        )
+        v = t.merge(src, ["id"])
+        got = {r.id: r.sym for r in t.read(spark).collect()}
+        assert len(got) == 15
+        assert got[0] == "S0" and got[5] == "UPD5" and got[14] == "UPD14"
+        # pre-merge snapshot intact; history records a MERGE
+        assert t.read(spark, version=v - 1).count() == 10
+        ops = {r.version: r.operation for r in t.history(spark).collect()}
+        assert ops[v] == "MERGE"
+
+    def test_compact_rewrites_small_files(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(4):
+            t.write(make_df(spark, i * 5, 5).repartition(2))
+        meta, adds = t._snapshot_state(spark, None)
+        assert len(adds) == 8
+        v = t.compact(spark)
+        meta, adds = t._snapshot_state(spark, None)
+        assert len(adds) == 1
+        assert t.read(spark).count() == 20
+        assert {r.id for r in t.read(spark).collect()} == set(range(20))
+        ops = {r.version: r.operation for r in t.history(spark).collect()}
+        assert ops[v] == "OPTIMIZE"
+        # pure layout change: adds carry dataChange=false
+        for action in t._read_commit(v):
+            if "add" in action:
+                assert action["add"]["dataChange"] is False
+
+    def test_compact_partitioned_keeps_partition_values(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.write(make_df(spark, i * 6, 6), partition_by=["sym"])
+        t.compact(spark)
+        got = t.read(spark)
+        assert got.count() == 18
+        by_sym = {r.sym: r["count"] for r in got.groupBy("sym").count().collect()}
+        assert by_sym == {"S0": 6, "S1": 6, "S2": 6}
+
+
 class TestDeltaStreaming:
     def test_stream_equals_batch(self, spark, tmp_path):
         """S2: draining the streaming source availableNow == snapshot read."""
