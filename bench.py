@@ -50,6 +50,9 @@ EXTENDED = [
     "tick_dedup_first_per_minute",
     "bronze_to_silver_typed",
     "multimodal_image_stats",
+    "candles_sliding_5m",
+    "user_session_stats",
+    "delta_merge_upsert",
 ]
 
 

@@ -36,6 +36,7 @@ def candles(
     ticks: DataFrame,
     *,
     window: str = "1 minute",
+    slide: str | None = None,
     ts_col: str = "trade_timestamp",
     symbol_col: str = "symbol",
     price_col: str = "price",
@@ -44,13 +45,23 @@ def candles(
     extra_keys: tuple[str, ...] = (),
     watermark: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window OHLC+VWAP candles, deterministic and stream-ready."""
+    """Windowed OHLC+VWAP candles, deterministic and stream-ready.
+
+    Tumbling by default; pass ``slide`` (< ``window``) for overlapping
+    sliding windows — same primitive family (SURVEY.md T2), each tick then
+    contributes to ``window/slide`` buckets.
+    """
     if watermark is not None:
         ticks = ticks.withWatermark(ts_col, watermark)
     # Deterministic ordering key for open/close: event time, then trade id
     # (struct comparison is lexicographic — SURVEY.md section 7.4 tie-break).
     order = F.struct(F.col(ts_col), F.col(tiebreak_col))
-    keys = [F.window(F.col(ts_col), window).alias("w"), F.col(symbol_col)]
+    win = (
+        F.window(F.col(ts_col), window)
+        if slide is None
+        else F.window(F.col(ts_col), window, slide)
+    )
+    keys = [win.alias("w"), F.col(symbol_col)]
     keys += [F.col(k) for k in extra_keys]
     price = F.col(price_col)
     size = F.col(size_col)
