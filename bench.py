@@ -53,6 +53,8 @@ EXTENDED = [
     "candles_sliding_5m",
     "user_session_stats",
     "delta_merge_upsert",
+    "sim_cosine_topk_multi",
+    "busy_window_events",
 ]
 
 

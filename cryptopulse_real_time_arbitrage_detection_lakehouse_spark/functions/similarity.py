@@ -137,3 +137,77 @@ def cosine_topk_fast(
     )
     local = embeddings.select(*keep, emb_col).mapInPandas(part, schema=schema)
     return local.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: dict[int, Sequence[float]],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """Brute-force cosine top-k for a BATCH of query vectors in one scan.
+
+    The training-pipeline shape: score every corpus vector against all
+    ``nq`` queries with a single int64 matmul per Arrow batch
+    ``(batch x dim) @ (dim x nq)``, keep each partition's local top-k per
+    query, and resolve the global per-query top-k with one window over
+    ``k x nq x partitions`` rows. One scan total for the whole query set —
+    vs ``nq`` scans of the single-query kernel. Same quantized-integer
+    discipline, so bit-identical to the DuckDB oracle.
+
+    A query vector never matches itself (``vec_id != query_id``), mirroring
+    the single-query kernels.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qids = sorted(queries)
+    qm = np.stack(
+        [np.asarray(quantize_vector(queries[qid]), dtype=np.int64) for qid in qids]
+    )  # (nq, dim)
+    qnorm = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+    keep = [id_col] + ([label_col] if label_col else [])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            mq = np.floor(m * QSCALE).astype(np.int64)
+            dots = mq @ qm.T  # (n, nq); exact int64 per module bounds
+            n2 = (mq * mq).sum(axis=1)
+            norm = np.sqrt(n2.astype(np.float64))
+            cos = dots.astype(np.float64) / (norm[:, None] * qnorm[None, :])
+            frames = []
+            for j, qid in enumerate(qids):
+                out = pd.DataFrame({c: pdf[c] for c in keep})
+                out["query_id"] = qid
+                out["cosine"] = cos[:, j]
+                out = out[out[id_col] != qid]
+                frames.append(
+                    out.sort_values(
+                        ["cosine", id_col], ascending=[False, True]
+                    ).head(min(k, len(out)))
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=keep + ["query_id", "cosine"]
+            )
+
+    in_fields = {f.name: f for f in embeddings.schema.fields}
+    schema = T.StructType(
+        [T.StructField(c, in_fields[c].dataType) for c in keep]
+        + [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    local = embeddings.select(*keep, emb_col).mapInPandas(part, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, *([label_col] if label_col else []), "cosine", "rank")
+    )

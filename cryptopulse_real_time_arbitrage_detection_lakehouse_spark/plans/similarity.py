@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import (
     QSCALE,
+    cosine_topk_batch,
     cosine_topk_fast,
     dot_long,
     quantize_vector,
@@ -350,6 +351,54 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
         .distinct()
     )
+
+
+#: batch-ANN query set: the first 8 vectors play the query role at once.
+BATCH_QUERY_IDS = tuple(range(8))
+
+
+@register(
+    "sim_cosine_topk_multi",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, {_SQL_QUANT} AS qx,
+         CAST(list_sum(list_transform({_SQL_QUANT}, v -> v * v)) AS DOUBLE) AS n2
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, qx AS qqx, n2 AS qn2 FROM n
+  WHERE vec_id IN {BATCH_QUERY_IDS!r}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+           i -> e.qx[i] * q.qqx[i])) AS DOUBLE)
+           / (sqrt(e.n2) * sqrt(q.qn2)) AS cosine
+  FROM n e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+""",
+    doc="Batch multi-query ANN: top-10 neighbors for 8 query vectors in ONE "
+    "corpus scan — per Arrow batch a single (n x dim) @ (dim x nq) int64 "
+    "matmul scores all queries, each partition keeps k rows per query, and "
+    "one window resolves the global per-query top-k over k x nq x "
+    "partitions rows. The amortized shape a training pipeline uses for "
+    "dataset-vs-dataset retrieval.",
+    tags=("similarity", "topk", "batch", "pandas-udf"),
+)
+def sim_cosine_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        row["vec_id"]: list(row["embedding"])
+        for row in emb.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return cosine_topk_batch(emb, queries, k=TOP_K)
 
 
 @register(

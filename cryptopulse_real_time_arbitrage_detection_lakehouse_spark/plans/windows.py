@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import SUM_DECIMAL, fmt_ts, sql_dsum, sql_fmt_ts
 from ..operators.gold import candles
+from ..operators.ranges import interval_point_join
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
 from ..sources.testdata import load_table
 from .registry import register
@@ -124,6 +125,61 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("w.start")).alias("session_start_us"),
         F.unix_micros(F.col("w.end")).alias("session_end_us"),
         "n_events",
+    )
+
+
+#: busy-window range join: hours with at least this many events become
+#: [hour - 30 min, hour + 90 min) intervals (deliberately overlapping).
+BUSY_HOUR_MIN_EVENTS = 20
+
+
+@register(
+    "busy_window_events",
+    oracle=f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS h
+  FROM events GROUP BY 1 HAVING count(*) >= {BUSY_HOUR_MIN_EVENTS}
+),
+i AS (
+  SELECT epoch_us(h) AS interval_id,
+         h - INTERVAL 30 MINUTE AS s,
+         h + INTERVAL 90 MINUTE AS e
+  FROM h
+)
+SELECT i.interval_id, count(*) AS n_events,
+       count(DISTINCT ev.user_id) AS n_users
+FROM events ev JOIN i ON ev.ts >= i.s AND ev.ts < i.e
+GROUP BY 1
+""",
+    doc="Range (interval-containment) join: busy hours expand to "
+    "overlapping 2-hour intervals, and every event is joined into every "
+    "interval containing its timestamp via the chunk-bucketed rewrite "
+    "(operators/ranges.py) — one equi-shuffle on the chunk id, exact "
+    "range filter partition-local, NO nested-loop. Oracle is the plain "
+    "SQL inequality join (DuckDB plans it as IEJoin).",
+    tags=("join", "range", "interval"),
+)
+def busy_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hours = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BUSY_HOUR_MIN_EVENTS)
+    )
+    intervals = hours.select(
+        F.unix_micros(F.col("h")).alias("interval_id"),
+        (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+        (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+    )
+    pairs = interval_point_join(
+        events.select("ts", "user_id"),
+        intervals,
+        ts_col="ts",
+        chunk_seconds=1800,
+    )
+    return pairs.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 
