@@ -55,6 +55,8 @@ EXTENDED = [
     "delta_merge_upsert",
     "sim_cosine_topk_multi",
     "busy_window_events",
+    "text_bpe_token_stats",
+    "customer_running_revenue",
 ]
 
 

@@ -17,6 +17,7 @@ from . import streaming  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
 from . import delta  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import inspection  # noqa: E402,F401
 
