@@ -1,0 +1,74 @@
+"""Scale-safe ``lag`` over few-distinct-key partitions.
+
+``lag(x) OVER (PARTITION BY symbol ORDER BY ts)`` runs each symbol's whole
+history through ONE task: with 3 symbols the stage has parallelism 3 no
+matter how many executors exist (round-1 verdict watch item on
+``candle_close_delta``). This operator restores parallelism with the
+classic two-level rewrite:
+
+1. bucket rows into (key, time-chunk); the heavy local ``lag`` runs per
+   chunk — parallelism keys x chunks;
+2. reduce each chunk to its LAST value (a tiny aggregate: one row per
+   (key, chunk));
+3. run the sequential pass only over that summary — a window over
+   keys x chunks rows, thousands not billions — to find each chunk's
+   predecessor tail across empty-chunk gaps;
+4. broadcast-join the tails back and patch each chunk's first row, whose
+   local lag is null.
+
+Exactly the plain window's result (verified against the same oracle), but
+the per-key serial stage now touches ~rows/chunks rows per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def chunked_lag(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    chunk: Column,
+    out_col: str = "lag_value",
+) -> DataFrame:
+    """Append ``out_col`` = ``lag(value_col)`` within ``key_cols`` ordered
+    by ``order_col``, parallel over ``chunk`` buckets.
+
+    ``chunk`` must be a monotone function of ``order_col`` (e.g. the day of
+    a timestamp): ordering by (chunk, order) must equal ordering by order.
+    """
+    d = df.withColumn("__chunk", chunk)
+    w_local = W.partitionBy(*key_cols, "__chunk").orderBy(order_col)
+    local = d.withColumn("__lag", F.lag(value_col).over(w_local)).withColumn(
+        "__rn", F.row_number().over(w_local)
+    )
+
+    # one row per (key, chunk): the chunk's last value in order
+    tails = d.groupBy(*key_cols, "__chunk").agg(
+        F.max_by(F.col(value_col), F.col(order_col)).alias("__tail")
+    )
+    # sequential pass over the SUMMARY only: the previous non-empty
+    # chunk's tail, correct across gaps
+    w_tail = (
+        W.partitionBy(*key_cols)
+        .orderBy("__chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_tails = tails.select(
+        *key_cols,
+        "__chunk",
+        F.last("__tail").over(w_tail).alias("__prev_tail"),
+    )
+
+    out = local.join(
+        F.broadcast(prev_tails), on=[*key_cols, "__chunk"], how="left"
+    ).withColumn(
+        out_col,
+        F.when(F.col("__rn") == 1, F.col("__prev_tail")).otherwise(F.col("__lag")),
+    )
+    return out.drop("__chunk", "__lag", "__rn", "__prev_tail")

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import fmt_ts, sql_dsum, sql_fmt_ts
+from ..operators.chunked_lag import chunked_lag
 from ..operators.gold import candles
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
 from ..sources.testdata import load_table
@@ -123,17 +124,31 @@ SELECT window_start, symbol, close,
 FROM gold
 """,
     doc="Dashboard KPI delta engine-side: lag(close) per symbol "
-    "(SURVEY.md O5; dashboard/app.py:70-77 done client-side in pandas).",
+    "(SURVEY.md O5; dashboard/app.py:70-77 done client-side in pandas). "
+    "Computed with the chunked-lag rewrite (operators/chunked_lag.py): a "
+    "plain per-symbol window would serialize each symbol's history into "
+    "one task (3 symbols -> parallelism 3 at any cluster size); chunking "
+    "by day keeps the heavy stage parallel and runs the serial pass over "
+    "the per-(symbol, day) tail summary only.",
     tags=("gold", "window-function"),
 )
 def candle_close_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = _gold(spark, sf_dir)
-    w = W.partitionBy("symbol").orderBy("window_start")
-    return gold.select(
+    # window_start is 'yyyy-MM-dd HH:mm:ss': lexicographic == chronological,
+    # and the date prefix is a monotone chunk of it.
+    lagged = chunked_lag(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="close",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_close",
+    )
+    return lagged.select(
         "window_start",
         "symbol",
         "close",
-        (F.col("close") - F.lag("close").over(w)).alias("close_delta"),
+        (F.col("close") - F.col("prev_close")).alias("close_delta"),
     )
 
 
