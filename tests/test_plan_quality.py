@@ -1,0 +1,80 @@
+"""Physical-plan quality gates: the scale properties (pushdown, shuffle
+count, broadcast, no nested loop, column pruning) asserted explicitly so a
+refactor cannot silently regress them. These are the properties the
+100 TB story rests on — cheap to check at sf0.001 because they are plan
+facts, not data facts.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import plans
+
+from conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = plans.get(name).fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gold_candles_is_single_shuffle(spark):
+    p = plan_of(spark, "gold_candles_1m")
+    assert p.count("Exchange") == 1
+    # map-side partial aggregation before the exchange
+    assert "partial" in p.lower()
+
+
+def test_tpch_q1_pushes_date_filter_to_scan(spark):
+    p = plan_of(spark, "tpch_q1_pricing_summary")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", p)
+    assert p.count("Exchange") == 1
+
+
+def test_silver_parse_is_narrow(spark):
+    p = plan_of(spark, "silver_typed_ticks")
+    assert p.count("Exchange") == 0
+    # type gate reaches the parquet scan
+    assert "In(event_type" in p
+
+
+def test_exact_cosine_topk_has_no_pre_topk_exchange(spark):
+    p = plan_of(spark, "sim_cosine_topk")
+    assert p.count("Exchange") == 0
+    assert "TakeOrderedAndProject" in p
+    # the query-vector exclusion prunes at the scan
+    assert "Not(EqualTo(vec_id,0))" in p
+
+
+def test_topk_queries_avoid_global_sort(spark):
+    for name in ("top_parts_by_revenue", "gold_latest_candles"):
+        p = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_dimension_joins_broadcast(spark):
+    p = plan_of(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_near_dup_pairs", "emb_near_dup_pairs", "busy_window_events",
+     "asof_last_click_before_purchase"],
+)
+def test_candidate_joins_never_nested_loop(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_text_scans_prune_columns(spark):
+    # token stats must not drag the whole documents row through the scan
+    p = plan_of(spark, "text_token_stats")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "doc_id" in cols and len(cols) <= 4
