@@ -392,3 +392,88 @@ class TestKafkaProducerSink:
                 checkpoint=str(tmp_path / "ckpt"),
             )
             q.stop()
+
+
+class TestWindowFamilyStreaming:
+    def test_sliding_candles_stream_equals_batch(self, spark, tmp_path):
+        """The sliding-window candle (T2 overlapping variant) is
+        stream-ready: availableNow drain under a watermark equals the batch
+        transform restricted to watermark-finalized windows."""
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            tick("S0", utc(m, s), i)
+            for i, (m, s) in enumerate(
+                [(0, 10), (1, 20), (2, 5), (3, 40), (7, 0), (12, 30), (40, 0)]
+            )
+        ]
+        write_silver_file(str(src / "b1.parquet"), rows)
+
+        stream = read_parquet_stream(spark, str(src), SILVER_SCHEMA)
+        slid = candles(
+            stream, window="5 minutes", slide="1 minute", watermark="10 minutes"
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        drain(start_parquet_stream(slid, path=out, checkpoint=ckpt))
+
+        batch = candles(
+            spark.createDataFrame(rows, SILVER_SCHEMA),
+            window="5 minutes",
+            slide="1 minute",
+        )
+        horizon = utc(40, 0).replace(tzinfo=None)  # max ts
+        from datetime import timedelta
+
+        expected = {
+            (str(r.window_start), r.symbol, r.trade_count)
+            for r in batch.collect()
+            if r.window_end <= horizon - timedelta(minutes=10)
+        }
+        got = {
+            (str(r.window_start), r.symbol, r.trade_count)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert expected and got == expected
+
+    def test_session_window_stream_finalizes_closed_sessions(self, spark, tmp_path):
+        """session_window under a watermark: sessions whose (end = last
+        event + gap) precedes the final watermark are emitted exactly once;
+        the still-open tail session is withheld."""
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            # session A: 12:00-12:02 (ends 12:05 with 3-min gap)
+            tick("S0", utc(0, 0), 1),
+            tick("S0", utc(1, 0), 2),
+            tick("S0", utc(2, 0), 3),
+            # session B: 12:10-12:11 (ends 12:14)
+            tick("S0", utc(10, 0), 4),
+            tick("S0", utc(11, 0), 5),
+            # spacer: advances the watermark to 12:30; its own session stays open
+            tick("S0", utc(40, 0), 6),
+        ]
+        write_silver_file(str(src / "b1.parquet"), rows)
+
+        stream = read_parquet_stream(spark, str(src), SILVER_SCHEMA)
+        sess = (
+            stream.withWatermark("trade_timestamp", "10 minutes")
+            .groupBy(
+                F.session_window(F.col("trade_timestamp"), "3 minutes").alias("w"),
+                "symbol",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "symbol",
+                "n",
+            )
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        drain(start_parquet_stream(sess, path=out, checkpoint=ckpt))
+
+        got = {
+            (r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M"), r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {("12:00", "12:05", 3), ("12:10", "12:14", 2)}
