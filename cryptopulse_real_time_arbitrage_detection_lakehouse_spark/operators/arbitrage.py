@@ -5,16 +5,18 @@ The reference's *title* capability ("Real-Time Arbitrage Detection",
 no join, pivot, or cross-venue comparison exists anywhere in its ``src/``
 (SURVEY.md section 2.6). This operator delivers it Spark-first:
 
-1. aggregate each venue's ticks into per-(symbol, window) VWAPs — one
-   shuffle with map-side partial aggregation;
-2. equi-join the two venue aggregates on (symbol, window_start);
-3. spread = a.vwap - b.vwap, relative to the cheaper leg; threshold filter.
+one conditional aggregation per (symbol, window): each venue's VWAP is a
+``sum(when(venue = X, price*size))`` pair inside a single groupBy — no
+join at all, and the decimal sums are term-for-term the ones the
+per-venue candle aggregation would produce, so results are bit-identical
+to the join formulation (and to the SQL oracle that still uses the join).
 
-Scale notes: both join inputs come pre-aggregated (cardinality = symbols x
-windows, tiny vs tick volume), so the join is cheap no matter how large
-the tick stream is; with few symbols one side fits in a broadcast. The
-expensive part — the tick aggregation — is the same single-shuffle candle
-plan as the gold layer.
+Scale notes: ONE shuffle with map-side partial aggregation, cardinality
+symbols x windows on the reduce side — strictly cheaper than the
+aggregate-then-join shape (which shuffles twice and joins). Because it is
+a single streaming-compatible aggregation, the same transform runs under
+Structured Streaming with a watermark in append mode; the join version
+would be an unsupported stream-stream join of two streaming aggregates.
 """
 
 from __future__ import annotations
@@ -22,13 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .gold import candles
-
-
-def venue_window_vwap(ticks: DataFrame, *, window: str = "1 minute") -> DataFrame:
-    """Per (venue, symbol, window) VWAP table (exact decimal-backed)."""
-    c = candles(ticks, window=window, extra_keys=("venue",))
-    return c.select("venue", "symbol", "window_start", "vwap", "trade_count")
+from ..functions.determinism import SUM_DECIMAL
 
 
 def arbitrage_spreads(
@@ -38,31 +34,45 @@ def arbitrage_spreads(
     venue_b: str = "binance",
     window: str = "1 minute",
     min_rel_spread: float = 0.0,
+    ts_col: str = "trade_timestamp",
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Windows where |vwap_a - vwap_b| / min(vwap) exceeds the threshold."""
-    vw = venue_window_vwap(ticks, window=window)
-    a = vw.filter(F.col("venue") == venue_a).select(
-        "symbol",
-        "window_start",
-        F.col("vwap").alias("vwap_a"),
-        F.col("trade_count").alias("trades_a"),
+    """Windows where |vwap_a - vwap_b| / min(vwap) exceeds the threshold.
+
+    Batch/stream agnostic: pass ``watermark=`` under Structured Streaming
+    (append mode emits a window once the watermark closes it).
+    """
+    if watermark is not None:
+        ticks = ticks.withWatermark(ts_col, watermark)
+    price, size = F.col("price"), F.col("size")
+    pv = (price * size).cast(SUM_DECIMAL)
+    v = size.cast(SUM_DECIMAL)
+
+    def leg(venue: str, suffix: str) -> list:
+        is_v = F.col("venue") == venue
+        return [
+            F.sum(F.when(is_v, pv)).alias(f"_pv{suffix}"),
+            F.sum(F.when(is_v, v)).alias(f"_v{suffix}"),
+            F.count(F.when(is_v, F.lit(1))).alias(f"trades{suffix}"),
+        ]
+
+    agg = (
+        ticks.filter(F.col("venue").isin(venue_a, venue_b))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "symbol")
+        .agg(*leg(venue_a, "_a"), *leg(venue_b, "_b"))
     )
-    b = vw.filter(F.col("venue") == venue_b).select(
+    vwap_a = F.col("_pv_a").cast("double") / F.col("_v_a").cast("double")
+    vwap_b = F.col("_pv_b").cast("double") / F.col("_v_b").cast("double")
+    both = agg.filter((F.col("trades_a") > 0) & (F.col("trades_b") > 0)).select(
         "symbol",
-        "window_start",
-        F.col("vwap").alias("vwap_b"),
-        F.col("trade_count").alias("trades_b"),
-    )
-    joined = a.join(b, ["symbol", "window_start"])
-    spread = F.col("vwap_a") - F.col("vwap_b")
-    rel = F.abs(spread) / F.least(F.col("vwap_a"), F.col("vwap_b"))
-    return joined.select(
-        "symbol",
-        "window_start",
-        "vwap_a",
-        "vwap_b",
+        F.col("w.start").alias("window_start"),
+        vwap_a.alias("vwap_a"),
+        vwap_b.alias("vwap_b"),
         "trades_a",
         "trades_b",
-        spread.alias("spread"),
-        rel.alias("rel_spread"),
-    ).filter(F.col("rel_spread") > F.lit(min_rel_spread))
+    )
+    spread = F.col("vwap_a") - F.col("vwap_b")
+    rel = F.abs(spread) / F.least(F.col("vwap_a"), F.col("vwap_b"))
+    return both.withColumn("spread", spread).withColumn("rel_spread", rel).filter(
+        F.col("rel_spread") > F.lit(min_rel_spread)
+    )

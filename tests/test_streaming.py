@@ -477,3 +477,42 @@ class TestWindowFamilyStreaming:
             for r in spark.read.parquet(out).collect()
         }
         assert got == {("12:00", "12:05", 3), ("12:10", "12:14", 2)}
+
+
+class TestStreamingArbitrage:
+    def test_arbitrage_spreads_stream_equals_batch(self, spark, tmp_path):
+        """The title capability runs as ONE streaming aggregation: drained
+        spreads equal the batch transform on finalized windows."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.arbitrage import (
+            arbitrage_spreads,
+        )
+
+        def vtick(venue, ts, trade_id, price):
+            return (venue, "S0", Decimal(price), Decimal("1.0"), trade_id, ts, "buy")
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            # window 12:00: coinbase@100.5 vs binance@120.0 -> rel spread ~19%
+            vtick("coinbase", utc(0, 11), 1, "100.5"),
+            vtick("binance", utc(0, 12), 2, "120.0"),
+            # window 12:01: both venues at par -> filtered out
+            vtick("coinbase", utc(1, 10), 3, "100.0"),
+            vtick("binance", utc(1, 10), 4, "100.0"),
+            # spacer advances the watermark past both windows
+            vtick("coinbase", utc(30, 0), 5, "100.0"),
+        ]
+        write_silver_file(str(src / "b1.parquet"), rows)
+
+        stream = read_parquet_stream(spark, str(src), SILVER_SCHEMA)
+        spreads = arbitrage_spreads(
+            stream, min_rel_spread=0.05, watermark="10 minutes"
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        drain(start_parquet_stream(spreads, path=out, checkpoint=ckpt))
+
+        got = [
+            (r.symbol, r.window_start.strftime("%H:%M"), round(r.rel_spread, 4))
+            for r in spark.read.parquet(out).collect()
+        ]
+        assert got == [("S0", "12:00", round((120.0 - 100.5) / 100.5, 4))]
