@@ -44,13 +44,22 @@ def chunked_lag(
     """
     d = df.withColumn("__chunk", chunk)
     w_local = W.partitionBy(*key_cols, "__chunk").orderBy(order_col)
-    local = d.withColumn("__lag", F.lag(value_col).over(w_local)).withColumn(
-        "__rn", F.row_number().over(w_local)
+    w_local_desc = W.partitionBy(*key_cols, "__chunk").orderBy(
+        F.col(order_col).desc()
+    )
+    # __lag, __rn, __rn_desc all ride the SAME (key, chunk) exchange; the
+    # tails branch below filters this very subtree, so Spark reuses the
+    # shuffle instead of recomputing the upstream pipeline twice.
+    local = (
+        d.withColumn("__lag", F.lag(value_col).over(w_local))
+        .withColumn("__rn", F.row_number().over(w_local))
+        .withColumn("__rn_desc", F.row_number().over(w_local_desc))
     )
 
-    # one row per (key, chunk): the chunk's last value in order
-    tails = d.groupBy(*key_cols, "__chunk").agg(
-        F.max_by(F.col(value_col), F.col(order_col)).alias("__tail")
+    # one row per (key, chunk): the chunk's last value in order — extracted
+    # from `local` (shared lineage), not recomputed from `df`
+    tails = local.filter(F.col("__rn_desc") == 1).select(
+        *key_cols, "__chunk", F.col(value_col).alias("__tail")
     )
     # sequential pass over the SUMMARY only: the previous non-empty
     # chunk's tail, correct across gaps
@@ -71,4 +80,4 @@ def chunked_lag(
         out_col,
         F.when(F.col("__rn") == 1, F.col("__prev_tail")).otherwise(F.col("__lag")),
     )
-    return out.drop("__chunk", "__lag", "__rn", "__prev_tail")
+    return out.drop("__chunk", "__lag", "__rn", "__rn_desc", "__prev_tail")

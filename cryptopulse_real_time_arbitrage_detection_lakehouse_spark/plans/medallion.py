@@ -133,7 +133,9 @@ FROM gold
     tags=("gold", "window-function"),
 )
 def candle_close_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gold = _gold(spark, sf_dir)
+    # narrow to the three needed columns BEFORE the two-branch lag so both
+    # branches share one canonical subtree (maximizes exchange reuse)
+    gold = _gold(spark, sf_dir).select("window_start", "symbol", "close")
     # window_start is 'yyyy-MM-dd HH:mm:ss': lexicographic == chronological,
     # and the date prefix is a monotone chunk of it.
     lagged = chunked_lag(
