@@ -35,13 +35,24 @@ def chunked_lag(
     value_col: str,
     chunk: Column,
     out_col: str = "lag_value",
+    materialize: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = ``lag(value_col)`` within ``key_cols`` ordered
     by ``order_col``, parallel over ``chunk`` buckets.
 
     ``chunk`` must be a monotone function of ``order_col`` (e.g. the day of
     a timestamp): ordering by (chunk, order) must equal ordering by order.
+
+    ``materialize=True`` cuts ``df``'s lineage with a lazy
+    ``localCheckpoint`` so the probe and tails branches share ONE
+    computation of the input (Catalyst cannot reuse the exchange here —
+    column pruning specializes each branch's subtree). Use it when ``df``
+    is itself an expensive aggregate that is small enough to hold in
+    executor storage — e.g. a candle table (symbols x windows), exactly
+    the table a production pipeline would have materialized anyway.
     """
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     d = df.withColumn("__chunk", chunk)
     w_local = W.partitionBy(*key_cols, "__chunk").orderBy(order_col)
     w_local_desc = W.partitionBy(*key_cols, "__chunk").orderBy(

@@ -145,6 +145,7 @@ def candle_close_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="close",
         chunk=F.substring("window_start", 1, 10),
         out_col="prev_close",
+        materialize=True,
     )
     return lagged.select(
         "window_start",
