@@ -26,3 +26,23 @@ def spread(df: DataFrame, *, by: str | None = None, partitions: int | None = Non
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, by) if by else df.repartition(target)
+
+
+def shared(df: DataFrame) -> DataFrame:
+    """Compute ``df`` ONCE when the plan references it from several
+    branches (self-joins, signature + verification legs of a dedup
+    pipeline).
+
+    Catalyst does not reuse subtrees across branches of one query —
+    column pruning specializes each branch's copy, so an expensive
+    row-local kernel (md5-per-shingle, simhash) re-runs per reference.
+    A lazy ``localCheckpoint`` cuts the lineage at this node: the first
+    action materializes the rows to executor storage and every branch
+    reads that one copy.
+
+    Scale contract: only wrap results that are per-row REDUCTIONS of the
+    input (signatures, digests, buckets — never raw documents). At 100 TB
+    the same node is what a production pipeline writes to a silver table;
+    this is the in-session analog.
+    """
+    return df.localCheckpoint(eager=False)

@@ -36,6 +36,7 @@ from ..functions.similarity import (
     sign_bucket_py,
     sql_sign_bucket,
 )
+from ..operators.partitioning import shared
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -316,7 +317,9 @@ WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    banded = emb.select(
+    # both sides of the band self-join derive from `banded` — compute the
+    # sign-bucket kernel once, not once per side.
+    banded = shared(emb.select(
         "vec_id",
         "embedding",
         F.explode(
@@ -334,7 +337,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select(
         "vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val")
-    )
+    ))
     a = banded.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "band_val"
     )

@@ -31,7 +31,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import dedup_exact_hash
-from ..operators.partitioning import spread
+from ..operators.partitioning import shared, spread
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -255,9 +255,13 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base hashes in their own stage so the md5 transform is evaluated
     # once, not once per derived hash (CollapseProject keeps the alias);
     # everything downstream (signature AND verification) runs on the
-    # integer hash set, never the shingle strings.
-    xs_df = d.select("doc_id", shingles(tokens("text")).alias("sh")).select(
-        "doc_id", F.array_distinct(minhash_base(F.col("sh"))).alias("xs")
+    # integer hash set, never the shingle strings. Three plan branches
+    # read xs_df (signature + both verification legs) — share one
+    # computation of the md5 kernel instead of three.
+    xs_df = shared(
+        d.select("doc_id", shingles(tokens("text")).alias("sh")).select(
+            "doc_id", F.array_distinct(minhash_base(F.col("sh"))).alias("xs")
+        )
     )
     sig = xs_df.select("doc_id", minhash_signature(F.col("xs"), N_HASHES).alias("mh"))
     band_idx = F.explode(
@@ -343,8 +347,10 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
 )
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_docs(spark, sf_dir), by="doc_id")
-    fp = d.select(
-        "doc_id", simhash_bits(tokens("text"), SIMHASH_BITS).alias("sh")
+    # both sides of the band self-join derive from fp — compute the
+    # simhash kernel once, not once per side.
+    fp = shared(
+        d.select("doc_id", simhash_bits(tokens("text"), SIMHASH_BITS).alias("sh"))
     )
     mask = 2**BITS_PER_BAND - 1
     banded = fp.select(
