@@ -57,6 +57,9 @@ EXTENDED = [
     "busy_window_events",
     "text_bpe_token_stats",
     "customer_running_revenue",
+    "doc_ngram_jaccard_pairs",
+    "tpch_q3_top_urgent_orders",
+    "customer_order_profile",
 ]
 
 

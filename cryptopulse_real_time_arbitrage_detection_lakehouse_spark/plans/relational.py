@@ -186,3 +186,140 @@ def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(25)
     )
+
+
+@register(
+    "customer_order_profile",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.total_spent, 0.0) AS total_spent
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         {sql_dsum("o_totalprice")} AS total_spent
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+    doc="Left-outer join with aggregate-before-join: order counts and spend "
+    "per customer, zeros for order-less customers. Pre-aggregating orders "
+    "to one row per custkey BEFORE the join keeps the outer join's build "
+    "side at |customers| rows instead of |orders| — at 100 TB the join "
+    "input shrinks by the per-customer order fan-out and the outer join "
+    "shuffles two key-partitioned inputs of comparable size.",
+    tags=("relational", "join", "outer"),
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+    )
+    return customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
+    )
+
+
+@register(
+    "tpch_q3_top_urgent_orders",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3-style shipping-priority query: selective dimension filter "
+    "(market segment) reduces customer BEFORE the join chain, date "
+    "predicates push into the orders/lineitem scans (PushedFilters), one "
+    "grouped aggregation, deterministic top-10 via TakeOrderedAndProject. "
+    "The orders-lineitem join shuffles on orderkey; the filtered customer "
+    "side is broadcast by AQE when it fits.",
+    tags=("relational", "join", "topk"),
+)
+def tpch_q3_top_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_market_balance",
+    oracle="""
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(c.n_rich_customers, 0) AS n_rich_customers,
+       COALESCE(s.n_rich_suppliers, 0) AS n_rich_suppliers
+FROM (
+  SELECT c_nationkey, count(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+) c
+FULL OUTER JOIN (
+  SELECT s_nationkey, count(*) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+) s ON c.c_nationkey = s.s_nationkey
+""",
+    doc="Full-outer join of two pre-aggregated sides: high-balance customer "
+    "vs supplier counts per nation, keeping nations present on only one "
+    "side (the acctbal filters make single-sided nations non-trivial). "
+    "Aggregate-before-join bounds both inputs at 25 rows regardless of "
+    "SF; the full-outer coalesce pattern is the standard reconciliation "
+    "operator missing from plain inner/semi coverage.",
+    tags=("relational", "join", "outer"),
+)
+def nation_market_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich_cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    rich_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return rich_cust.join(
+        rich_supp, rich_cust.c_nationkey == rich_supp.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_rich_customers"), F.lit(0)).alias("n_rich_customers"),
+        F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).alias("n_rich_suppliers"),
+    )
