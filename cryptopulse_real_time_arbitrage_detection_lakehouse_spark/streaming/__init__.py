@@ -23,6 +23,7 @@ from .sinks import (
     kafka_records,
     start_console_stream,
     start_kafka_stream,
+    start_merge_stream,
     start_parquet_stream,
 )
 from .sources import (
@@ -43,5 +44,6 @@ __all__ = [
     "silver_stream",
     "start_console_stream",
     "start_kafka_stream",
+    "start_merge_stream",
     "start_parquet_stream",
 ]

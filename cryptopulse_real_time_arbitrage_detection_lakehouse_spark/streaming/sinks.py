@@ -112,6 +112,55 @@ def start_console_stream(
     return writer.start()
 
 
+def start_merge_stream(
+    df: DataFrame,
+    *,
+    table_path: str,
+    keys: tuple[str, ...],
+    checkpoint: str,
+    available_now: bool = True,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Continuous upsert: update-mode stream -> ``foreachBatch`` -> Delta
+    MERGE keyed by ``keys`` (``sources/delta.DeltaTable.merge``).
+
+    This is the low-latency alternative to the reference's append-after-
+    watermark gold sink (``gold_layer.py:83-92``): instead of emitting a
+    window only once its watermark closes it, every micro-batch upserts
+    the CURRENT value of each updated (window, symbol) row, so dashboards
+    read live candles. Exactly-once table state comes from idempotence,
+    not the WAL: a replayed batch re-merges the same keyed rows onto the
+    same keys, leaving the table unchanged — the standard foreachBatch
+    contract (Spark guarantees at-least-once for side-effecting sinks).
+
+    ``df`` must be keyed-complete per batch: each emitted row carries the
+    full new value for its key (true for windowed aggregations in update
+    output mode).
+    """
+    from ..sources.delta import DeltaTable
+
+    table = DeltaTable(table_path)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.latest_version() is None:
+            table.write(batch_df, mode="append")
+        else:
+            table.merge(batch_df, list(keys))
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def drain(query: StreamingQuery, timeout_sec: int = 300) -> None:
     """Block until a bounded (availableNow) query finishes; surface errors."""
     if not query.awaitTermination(timeout_sec):

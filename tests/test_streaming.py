@@ -516,3 +516,82 @@ class TestStreamingArbitrage:
             for r in spark.read.parquet(out).collect()
         ]
         assert got == [("S0", "12:00", round((120.0 - 100.5) / 100.5, 4))]
+
+
+class TestMergeStream:
+    def test_update_merge_stream_equals_batch(self, spark, tmp_path):
+        """Update-mode candles -> foreachBatch Delta MERGE: after draining
+        two micro-batches (the second updating windows the first already
+        emitted), the table holds exactly the batch aggregate — one row per
+        (window_start, symbol), latest value, no duplicates."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming import (
+            start_merge_stream,
+        )
+
+        silver_dir = tmp_path / "silver"
+        silver_dir.mkdir()
+        write_silver_file(
+            str(silver_dir / "b0.parquet"),
+            [
+                tick("S0", utc(0, 10), 1, "100.0"),
+                tick("S0", utc(0, 40), 2, "101.0"),
+                tick("S1", utc(1, 10), 3, "200.0"),
+            ],
+        )
+        write_silver_file(
+            str(silver_dir / "b1.parquet"),
+            [
+                # lands in S0's already-merged minute-0 window: forces an
+                # update of an existing key, not just inserts.
+                tick("S0", utc(0, 50), 4, "102.0"),
+                tick("S1", utc(2, 10), 5, "201.0"),
+            ],
+        )
+        table_path = str(tmp_path / "gold_delta")
+
+        def run():
+            silver = read_parquet_stream(
+                spark, str(silver_dir), SILVER_SCHEMA, max_files_per_trigger=1
+            )
+            q = start_merge_stream(
+                gold_stream(silver, watermark="10 minutes"),
+                table_path=table_path,
+                keys=("window_start", "symbol"),
+                checkpoint=str(tmp_path / "ckpt"),
+                query_name="gold_merge",
+            )
+            drain(q)
+
+        run()
+        table = DeltaTable(table_path)
+        got = {
+            tuple(map(str, r))
+            for r in table.read(spark)
+            .select("window_start", "symbol", "open", "close", "trade_count")
+            .collect()
+        }
+        expected = {
+            tuple(map(str, r))
+            for r in candles(spark.read.parquet(str(silver_dir)))
+            .select("window_start", "symbol", "open", "close", "trade_count")
+            .collect()
+        }
+        assert got == expected
+        # update mode emitted minute-0 twice; MERGE kept one row per key.
+        dupes = (
+            table.read(spark)
+            .groupBy("window_start", "symbol")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0
+
+        # Re-draining with the same checkpoint sees no new files: the
+        # table version must not move (idempotent restart).
+        v1 = table.latest_version()
+        run()
+        assert DeltaTable(table_path).latest_version() == v1
