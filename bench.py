@@ -60,6 +60,7 @@ EXTENDED = [
     "doc_ngram_jaccard_pairs",
     "tpch_q3_top_urgent_orders",
     "customer_order_profile",
+    "event_user_distinct_kmv",
 ]
 
 

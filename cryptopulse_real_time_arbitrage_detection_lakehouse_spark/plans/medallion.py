@@ -187,3 +187,32 @@ SELECT DISTINCT symbol FROM ticks
 )
 def distinct_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ticks(spark, sf_dir).select("symbol").distinct()
+
+
+@register(
+    "candle_ohlc_unpivot",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY})
+SELECT window_start, symbol, field, price FROM (
+  SELECT window_start, symbol, 'open' AS field, open AS price FROM gold
+  UNION ALL SELECT window_start, symbol, 'high', high FROM gold
+  UNION ALL SELECT window_start, symbol, 'low', low FROM gold
+  UNION ALL SELECT window_start, symbol, 'close', close FROM gold
+) u
+""",
+    doc="Unpivot (wide->long melt) of the candle OHLC columns into "
+    "(field, price) rows — the inverse of vwap_pivot_by_venue's pivot. "
+    "Spark's unpivot is a row-local generate (4 output rows per input "
+    "row, no shuffle beyond the candle aggregation itself); long form is "
+    "what plotting/export pipelines consume.",
+    tags=("gold", "unpivot"),
+)
+def candle_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold(spark, sf_dir)
+    return gold.unpivot(
+        ["window_start", "symbol"],
+        ["open", "high", "low", "close"],
+        "field",
+        "price",
+    )
