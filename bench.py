@@ -61,6 +61,7 @@ EXTENDED = [
     "tpch_q3_top_urgent_orders",
     "customer_order_profile",
     "event_user_distinct_kmv",
+    "tick_new_high_alerts",
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import fmt_ts, sql_dsum, sql_fmt_ts
+from ..operators.alerts import new_high_alerts
 from ..operators.chunked_lag import chunked_lag
 from ..operators.gold import candles
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
@@ -216,3 +217,31 @@ def candle_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field",
         "price",
     )
+
+
+@register(
+    "tick_new_high_alerts",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+w AS (
+  SELECT symbol, epoch_us(trade_timestamp) AS ts_us, trade_id,
+         CAST(price AS DOUBLE) AS price,
+         max(CAST(price AS DOUBLE)) OVER (
+           PARTITION BY symbol ORDER BY trade_timestamp, trade_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_high
+  FROM ticks
+)
+SELECT symbol, ts_us, trade_id, price, prev_high
+FROM w WHERE prev_high IS NOT NULL AND price > prev_high
+""",
+    doc="Custom stateful alert operator, batch form: every tick whose "
+    "price strictly exceeds its symbol's running high, with the beaten "
+    "high. Runs the same Arrow-vectorized NumPy kernel as the streaming "
+    "applyInPandasWithState form (operators/alerts.py) — the oracle pins "
+    "the kernel's semantics via the running-max window twin, and the "
+    "streaming suite proves the state (one double per key) carries "
+    "across micro-batches.",
+    tags=("alerts", "stateful", "pandas"),
+)
+def tick_new_high_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return new_high_alerts(_ticks(spark, sf_dir))

@@ -595,3 +595,56 @@ class TestMergeStream:
         v1 = table.latest_version()
         run()
         assert DeltaTable(table_path).latest_version() == v1
+
+
+class TestStatefulAlerts:
+    def test_new_high_alerts_state_carries_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState: the running high survives the micro-batch
+        boundary — a price below batch 1's high but above its own batch's
+        local high must NOT alert in batch 2."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.alerts import (
+            new_high_alerts,
+            new_high_alerts_stream,
+        )
+
+        silver_dir = tmp_path / "silver"
+        silver_dir.mkdir()
+        write_silver_file(
+            str(silver_dir / "b0.parquet"),
+            [
+                tick("S0", utc(0, 10), 1, "100.0"),
+                tick("S0", utc(0, 20), 2, "150.0"),  # alert (beats 100)
+                tick("S0", utc(0, 30), 3, "120.0"),
+            ],
+        )
+        write_silver_file(
+            str(silver_dir / "b1.parquet"),
+            [
+                # beats batch 2's local history but NOT the carried 150:
+                # stateless per-batch logic would wrongly alert here.
+                tick("S0", utc(1, 10), 4, "140.0"),
+                tick("S0", utc(1, 20), 5, "160.0"),  # alert (beats 150)
+            ],
+        )
+        silver = read_parquet_stream(
+            spark, str(silver_dir), SILVER_SCHEMA, max_files_per_trigger=1
+        )
+        out_dir, ckpt = str(tmp_path / "alerts"), str(tmp_path / "ckpt")
+        drain(
+            start_parquet_stream(
+                new_high_alerts_stream(silver), path=out_dir, checkpoint=ckpt,
+                query_name="new_high_alerts",
+            )
+        )
+        got = {
+            (r.trade_id, r.price, r.prev_high)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == {(2, 150.0, 100.0), (5, 160.0, 150.0)}
+
+        # Stream result == batch twin over the same rows.
+        batch = {
+            (r.trade_id, r.price, r.prev_high)
+            for r in new_high_alerts(spark.read.parquet(str(silver_dir))).collect()
+        }
+        assert got == batch
