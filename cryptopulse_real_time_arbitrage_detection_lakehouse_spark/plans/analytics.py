@@ -217,3 +217,41 @@ def event_user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "n_exact", "kmv_estimate"
     )
+
+
+@register(
+    "customer_order_moving_avg",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       {sql_fmt_ts("o_orderdate")} AS order_date,
+       (CAST(CAST(SUM(CAST(o_totalprice AS {SQL_SUM_DECIMAL}))
+              OVER w AS VARCHAR) AS DOUBLE)
+        / CAST(COUNT(*) OVER w AS DOUBLE)) AS ma4_totalprice
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+    doc="Bounded-frame moving average: each order's total averaged with "
+    "its customer's 3 preceding orders (ROWS BETWEEN 3 PRECEDING AND "
+    "CURRENT ROW — the bounded frame spec the cumulative query lacks). "
+    "Partitioned by customer, so parallelism scales with customer count; "
+    "the frame sum uses the exact-decimal discipline then one IEEE "
+    "division, keeping both engines bit-identical.",
+    tags=("window-function", "relational"),
+)
+def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, W.currentRow)
+    )
+    frame_sum = F.sum(F.col("o_totalprice").cast(SUM_DECIMAL)).over(w).cast("double")
+    frame_n = F.count(F.lit(1)).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_ts("o_orderdate", "order_date"),
+        (frame_sum / frame_n).alias("ma4_totalprice"),
+    )

@@ -215,3 +215,36 @@ def venue_symbol_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_pv").cast("double") / F.col("_v").cast("double")).alias("vwap"),
         )
     )
+
+
+@register(
+    "venue_side_cube",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE}
+SELECT venue, taker_side, count(*) AS n_trades,
+       {sql_dsum("price * size")} AS notional
+FROM ticks
+GROUP BY CUBE (venue, taker_side)
+""",
+    doc="Full cube over (venue, taker_side): all four grouping sets — "
+    "cells, both one-dimension margins, and the grand total — in one "
+    "pass (rollup's superset; SURVEY.md A-family extension). Same "
+    "single-shuffle grouping-set expansion as the rollup, 2^d sets.",
+    tags=("aggregate", "cube"),
+)
+def venue_side_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    price, size = F.col("price"), F.col("size")
+    return (
+        t.cube("venue", "taker_side")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum((price * size).cast(SUM_DECIMAL)).alias("_pv"),
+        )
+        .select(
+            "venue",
+            "taker_side",
+            "n_trades",
+            F.col("_pv").cast("double").alias("notional"),
+        )
+    )
