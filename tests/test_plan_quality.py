@@ -78,3 +78,52 @@ def test_text_scans_prune_columns(spark):
     assert m, p
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert "doc_id" in cols and len(cols) <= 4
+
+
+def test_tpch_q3_pushes_both_date_filters(spark):
+    p = plan_of(spark, "tpch_q3_top_urgent_orders")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", p)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", p)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_outer_joins_stay_hash_based(spark):
+    for name in ("customer_order_profile", "nation_market_balance"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_ngram_jaccard_postings_join_never_nested_loop(spark):
+    p = plan_of(spark, "doc_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cube_is_single_shuffle(spark):
+    p = plan_of(spark, "venue_side_cube")
+    # grouping-set expansion happens map-side (Expand before one Exchange)
+    assert "Expand" in p
+    assert p.count("Exchange") == 1
+
+
+def test_unpivot_adds_no_exchange_beyond_candle_agg(spark):
+    p = plan_of(spark, "candle_ohlc_unpivot")
+    assert p.count("Exchange") == 1
+
+
+def test_moving_avg_is_single_window_shuffle(spark):
+    p = plan_of(spark, "customer_order_moving_avg")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
+
+
+def test_kmv_sketch_aggregates_partially(spark):
+    p = plan_of(spark, "event_user_distinct_kmv")
+    # the two-level sketch must keep map-side partials and hash joins only
+    assert "partial" in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_stateful_alerts_run_in_arrow_groups(spark):
+    p = plan_of(spark, "tick_new_high_alerts")
+    assert "FlatMapGroupsInPandas" in p
