@@ -43,24 +43,37 @@ ALERT_SCHEMA = (
 STATE_SCHEMA = "high double"
 
 
-def _new_high_kernel(
-    pdf: pd.DataFrame, high0: float | None
-) -> tuple[pd.DataFrame, float]:
-    """Alert rows + updated running high for ONE key's sorted rows.
+def _make_new_high_kernel():
+    """Build the per-key kernel as a NESTED function so cloudpickle ships
+    it to Python workers BY VALUE: a module-level function would pickle by
+    reference (module + qualname), and the workers of a driver process
+    that merely ``sys.path``-injected this repo cannot import the package.
+    Third-party globals (numpy/pandas) still pickle by reference — those
+    the workers do have."""
 
-    ``high0`` is the carried state (None = no prior history; the first row
-    then seeds the high and is NOT an alert — a new high must beat an
-    existing one).
-    """
-    pdf = pdf.sort_values(["ts_us", "trade_id"], ignore_index=True)
-    prices = pdf["price"].to_numpy(dtype=np.float64)
-    seed = -np.inf if high0 is None else high0
-    run = np.maximum.accumulate(np.concatenate(([seed], prices)))
-    prev = run[:-1]  # running high BEFORE each row
-    mask = (prices > prev) & np.isfinite(prev)
-    out = pdf.loc[mask, ["symbol", "ts_us", "trade_id", "price"]].copy()
-    out["prev_high"] = prev[mask]
-    return out, float(run[-1])
+    def kernel(pdf: pd.DataFrame, high0: float | None) -> tuple[pd.DataFrame, float]:
+        """Alert rows + updated running high for ONE key's sorted rows.
+
+        ``high0`` is the carried state (None = no prior history; the first
+        row then seeds the high and is NOT an alert — a new high must beat
+        an existing one).
+        """
+        pdf = pdf.sort_values(["ts_us", "trade_id"], ignore_index=True)
+        prices = pdf["price"].to_numpy(dtype=np.float64)
+        seed = -np.inf if high0 is None else high0
+        run = np.maximum.accumulate(np.concatenate(([seed], prices)))
+        prev = run[:-1]  # running high BEFORE each row
+        mask = (prices > prev) & np.isfinite(prev)
+        out = pdf.loc[mask, ["symbol", "ts_us", "trade_id", "price"]].copy()
+        out["prev_high"] = prev[mask]
+        return out, float(run[-1])
+
+    return kernel
+
+
+#: worker-shippable kernel instance (see factory docstring); unit tests
+#: and both operator forms share this one object.
+_new_high_kernel = _make_new_high_kernel()
 
 
 def _alert_projection(ticks: DataFrame) -> DataFrame:
