@@ -524,3 +524,97 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+#: md5-bucket boundaries for the deterministic corpus split: 0-229 train
+#: (~90%), 230-242 val (~5%), 243-255 test (~5%). Hash-of-key splitting
+#: is the production standard because it is STABLE: re-running over a
+#: grown corpus never moves an old document between splits (a random()
+#: split reshuffles everything and leaks val into train).
+SPLIT_TRAIN_LT, SPLIT_VAL_LT = 230, 243
+
+
+@register(
+    "doc_train_val_split",
+    oracle=f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs,
+       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_chars
+FROM b GROUP BY 1, 2
+""",
+    doc="Deterministic train/val/test corpus split: assign each document "
+    "by its md5(doc_id) bucket (~90/5/5) and report per-(split, lang) "
+    "volume and mean length. Hash-of-key assignment is row-local (the "
+    "split is a filter any scan can push down) and stable under corpus "
+    "growth — re-running never migrates an existing document across "
+    "splits, the property random sampling lacks.",
+    tags=("text", "sampling"),
+)
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_lang_rebalance",
+    oracle="""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+factors AS (
+  SELECT lang, n,
+         CAST(floor((SELECT max(n) FROM counts) / n) AS BIGINT) AS factor
+  FROM counts
+)
+SELECT d.doc_id, d.lang, unnest(range(1, f.factor + 1)) AS copy_id
+FROM documents d JOIN factors f USING (lang)
+""",
+    doc="Class-rebalancing upsample: repeat each document "
+    "floor(max_lang_count / lang_count) times so every language reaches "
+    "comparable volume — the deterministic epoch-expansion a training "
+    "pipeline applies to underrepresented classes. The factor table is a "
+    "per-class aggregate (broadcast-sized: one row per language), the "
+    "expansion is a row-local explode(sequence(1, factor)) — no shuffle "
+    "of document rows, output size = sum(n x factor) by construction.",
+    tags=("text", "sampling", "rebalance"),
+)
+def doc_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    max_n = counts.agg(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(F.broadcast(max_n)).select(
+        "lang", F.floor(F.col("max_n") / F.col("n")).cast("long").alias("factor")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("factor"))).alias(
+                "copy_id"
+            ),
+        )
+    )
