@@ -18,6 +18,7 @@ from .jobs import (
     gold_stream,
     run_medallion_available_now,
     silver_stream,
+    venue_pair_stream_join,
 )
 from .sinks import (
     kafka_records,
@@ -46,4 +47,5 @@ __all__ = [
     "start_kafka_stream",
     "start_merge_stream",
     "start_parquet_stream",
+    "venue_pair_stream_join",
 ]

@@ -126,3 +126,50 @@ def run_medallion_available_now(
         timeout_sec,
     )
     return paths
+
+
+def venue_pair_stream_join(
+    ticks_a: DataFrame,
+    ticks_b: DataFrame,
+    *,
+    tolerance_sec: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each venue-A tick with every
+    venue-B tick of the same symbol within ``tolerance_sec`` (T7 + the
+    SURVEY.md 2.6 "stream-stream interval join with watermarks" plan).
+
+    Both inputs carry their own event-time watermark — the engine's
+    multiple-watermark policy (``min``, the reference's recorded conf)
+    gates state cleanup on the SLOWER stream, so neither side drops rows
+    the other may still match. The symbol equi-key routes both streams
+    through one hash partitioning; the time bound on BOTH sides is what
+    lets the join state be garbage-collected at the watermark horizon —
+    without it, streaming state would grow forever.
+
+    Inner-join matches emit as soon as both sides arrive (no
+    append-finalization delay), so a bounded drain equals the batch join
+    of the same inputs.
+    """
+    from pyspark.sql import functions as F
+
+    a = ticks_a.withWatermark("trade_timestamp", watermark).select(
+        "symbol",
+        F.col("trade_timestamp").alias("ts_a"),
+        F.col("trade_id").alias("trade_a"),
+        F.col("price").alias("price_a"),
+    )
+    b = ticks_b.withWatermark("trade_timestamp", watermark).select(
+        F.col("symbol").alias("symbol_b"),
+        F.col("trade_timestamp").alias("ts_b"),
+        F.col("trade_id").alias("trade_b"),
+        F.col("price").alias("price_b"),
+    )
+    cond = (
+        (a.symbol == b.symbol_b)
+        & (b.ts_b >= a.ts_a - F.expr(f"INTERVAL {tolerance_sec} SECONDS"))
+        & (b.ts_b <= a.ts_a + F.expr(f"INTERVAL {tolerance_sec} SECONDS"))
+    )
+    return a.join(b, cond).select(
+        "symbol", "ts_a", "trade_a", "price_a", "ts_b", "trade_b", "price_b"
+    )

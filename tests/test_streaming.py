@@ -648,3 +648,61 @@ class TestStatefulAlerts:
             for r in new_high_alerts(spark.read.parquet(str(silver_dir))).collect()
         }
         assert got == batch
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_of_two_watermarked_streams_equals_batch(
+        self, spark, tmp_path
+    ):
+        """Two independently-watermarked tick streams interval-joined on
+        symbol +-60s: the bounded drain must equal the batch join — and the
+        dual watermark exercises the engine's min multiple-watermark policy
+        (T7), which nothing single-input can."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming import (
+            venue_pair_stream_join,
+        )
+
+        dir_a, dir_b = tmp_path / "venue_a", tmp_path / "venue_b"
+        dir_a.mkdir(), dir_b.mkdir()
+        write_silver_file(
+            str(dir_a / "a.parquet"),
+            [
+                tick("S0", utc(0, 10), 1, "100.0"),
+                tick("S0", utc(5, 0), 2, "110.0"),
+                tick("S1", utc(1, 0), 3, "200.0"),
+            ],
+        )
+        write_silver_file(
+            str(dir_b / "b.parquet"),
+            [
+                tick("S0", utc(0, 50), 11, "100.5"),   # within 60s of trade 1
+                tick("S0", utc(3, 0), 12, "105.0"),    # matches nothing
+                tick("S1", utc(1, 30), 13, "200.5"),   # within 60s of trade 3
+                tick("S1", utc(0, 30), 14, "199.5"),   # within 60s of trade 3
+            ],
+        )
+        joined = venue_pair_stream_join(
+            read_parquet_stream(spark, str(dir_a), SILVER_SCHEMA),
+            read_parquet_stream(spark, str(dir_b), SILVER_SCHEMA),
+            tolerance_sec=60,
+        )
+        out_dir = str(tmp_path / "pairs")
+        drain(
+            start_parquet_stream(
+                joined, path=out_dir, checkpoint=str(tmp_path / "ckpt"),
+                query_name="venue_pair_join",
+            )
+        )
+        got = {
+            (r.trade_a, r.trade_b) for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == {(1, 11), (3, 13), (3, 14)}
+
+        # batch twin: the same transform over batch reads (withWatermark
+        # is a no-op on bounded inputs)
+        a, b = spark.read.parquet(str(dir_a)), spark.read.parquet(str(dir_b))
+        batch_pairs = {
+            (r.trade_a, r.trade_b)
+            for r in venue_pair_stream_join(a, b, tolerance_sec=60).collect()
+        }
+        assert got == batch_pairs
