@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): the custom operators vs their naive
+reference implementations on adversarially-generated small inputs.
+
+The oracle suite pins each operator on ONE dataset; these properties hunt
+the boundary cases that dataset may not contain — chunk-boundary rows and
+empty chunks in `chunked_lag`, tolerance-edge and tie cases in
+`asof_join`, duplicate-key orderings in `dedup_exact`. Examples are kept
+small (Spark jobs per example) with a bounded example count; shrinking
+still gives a minimal counterexample on failure.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.asof import (
+    asof_join,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.chunked_lag import (
+    chunked_lag,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.dedup import (
+    dedup_exact,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def ts(sec: int) -> datetime:
+    return datetime(2026, 1, 2, tzinfo=timezone.utc) + pd.Timedelta(seconds=sec)
+
+
+# rows: (key in 2 symbols, seconds offset 0..600 spanning several 100s
+# chunks, value). Duplicate (key, sec) pairs are allowed on purpose —
+# the id column below makes the order total.
+row_strategy = st.tuples(
+    st.sampled_from(["A", "B"]),
+    st.integers(min_value=0, max_value=600),
+    st.integers(min_value=-5, max_value=5),
+)
+
+
+class TestChunkedLagEqualsPlainLag:
+    @SETTINGS
+    @given(rows=st.lists(row_strategy, min_size=1, max_size=25))
+    def test_matches_plain_window_lag(self, spark, rows):
+        df = spark.createDataFrame(
+            [
+                (k, ts(sec), i, float(v))
+                for i, (k, sec, v) in enumerate(rows)
+            ],
+            "key string, t timestamp, id long, v double",
+        )
+        # total order: (t, id) encoded into one sortable string column so
+        # chunk (100s bucket of t) is a monotone function of it
+        keyed = df.withColumn(
+            "ord",
+            F.concat(
+                F.lpad(F.unix_micros("t").cast("string"), 20, "0"),
+                F.lpad(F.col("id").cast("string"), 6, "0"),
+            ),
+        )
+        got = chunked_lag(
+            keyed,
+            key_cols=["key"],
+            order_col="ord",
+            value_col="v",
+            chunk=F.substring("ord", 1, 17),  # 100s granularity prefix
+            out_col="prev_v",
+        )
+        plain = keyed.withColumn(
+            "prev_v", F.lag("v").over(W.partitionBy("key").orderBy("ord"))
+        )
+        lhs = {(r.key, r.ord, r.prev_v) for r in got.collect()}
+        rhs = {(r.key, r.ord, r.prev_v) for r in plain.collect()}
+        assert lhs == rhs
+
+
+class TestAsofJoinEqualsNaive:
+    @SETTINGS
+    @given(
+        left=st.lists(
+            st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 400)),
+            min_size=1,
+            max_size=12,
+        ),
+        right=st.lists(
+            st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 400)),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+    def test_matches_naive_max_filter(self, spark, left, right):
+        tol = 60
+        ldf = spark.createDataFrame(
+            [(k, ts(sec), i) for i, (k, sec) in enumerate(left)],
+            "sym string, lt timestamp, lid long",
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts(sec), 1000 + i) for i, (k, sec) in enumerate(right)],
+            "sym string, trade_timestamp timestamp, rid long",
+        )
+        got = asof_join(
+            ldf,
+            rdf,
+            ["sym"],
+            left_ts="lt",
+            tolerance_seconds=tol,
+            left_id="lid",
+            right_cols=["rid"],
+            right_tiebreak="rid",
+        )
+        matched = {
+            (r.lid, r["rid_right"]) for r in got.collect()
+        }
+        # naive reference: per left row, the max-(ts, rid) right row within
+        # [lt - tol, lt]
+        lrows = [(k, ts(sec), i) for i, (k, sec) in enumerate(left)]
+        rrows = [(k, ts(sec), 1000 + i) for i, (k, sec) in enumerate(right)]
+        expected = set()
+        for k, lt, lid in lrows:
+            cands = [
+                (rt, rid)
+                for (rk, rt, rid) in rrows
+                if rk == k and rt <= lt and rt >= lt - pd.Timedelta(seconds=tol)
+            ]
+            if cands:
+                expected.add((lid, max(cands)[1]))
+        assert matched == expected
+
+
+class TestDedupExactDeterminism:
+    @SETTINGS
+    @given(rows=st.lists(row_strategy, min_size=1, max_size=25))
+    def test_keeps_exactly_the_min_ordered_row(self, spark, rows):
+        df = spark.createDataFrame(
+            [(k, sec % 3, i) for i, (k, sec, _v) in enumerate(rows)],
+            "key string, bucket long, id long",
+        )
+        got = {(r.key, r.bucket, r.id) for r in
+               dedup_exact(df, ["key", "bucket"], [F.col("id")]).collect()}
+        expected = {
+            (k, b, min(i for (k2, b2, i) in
+                       ((kk, s % 3, j) for j, (kk, s, _) in enumerate(rows))
+                       if k2 == k and b2 == b))
+            for (k, b, _i) in ((kk, s % 3, j) for j, (kk, s, _) in enumerate(rows))
+        }
+        assert got == expected
