@@ -706,3 +706,39 @@ class TestStreamStreamJoin:
             for r in venue_pair_stream_join(a, b, tolerance_sec=60).collect()
         }
         assert got == batch_pairs
+
+
+class TestAuxSinksAndSources:
+    def test_console_sink_drains_bounded_stream(self, spark, tmp_path):
+        """K5 twin: the console sink drains a bounded stream cleanly and
+        reports the processed rows. (The printed table lands on the JVM's
+        stdout, which predates pytest's capture redirection — assert on
+        query progress instead of scraping text.)"""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming import (
+            start_console_stream,
+        )
+
+        silver_dir = tmp_path / "silver"
+        silver_dir.mkdir()
+        write_silver_file(
+            str(silver_dir / "b0.parquet"),
+            [tick("S0", utc(0, 10), 1, "100.0"), tick("S1", utc(0, 20), 2, "200.0")],
+        )
+        silver = read_parquet_stream(spark, str(silver_dir), SILVER_SCHEMA)
+        q = start_console_stream(silver, num_rows=5)
+        drain(q)
+        processed = sum(p["numInputRows"] for p in q.recentProgress)
+        assert processed == 2
+
+    def test_kafka_source_gate_raises_without_connector(self, spark):
+        """S1 twin is feature-gated: without the spark-sql-kafka connector
+        jar the source must fail loudly at construction, not silently."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming import (
+            kafka_raw_stream,
+        )
+
+        with pytest.raises(Exception) as ei:
+            kafka_raw_stream(
+                spark, bootstrap_servers="localhost:9092", topic="ticks"
+            )
+        assert "kafka" in str(ei.value).lower()
