@@ -323,3 +323,73 @@ def nation_market_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_rich_customers"), F.lit(0)).alias("n_rich_customers"),
         F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).alias("n_rich_suppliers"),
     )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, order_rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS order_rank
+  FROM orders
+) r WHERE order_rank <= 3
+""",
+    doc="Top-N per group: each customer's three largest orders via a "
+    "per-partition row_number rank — the grouped-top-k pattern distinct "
+    "from global top-k (TakeOrderedAndProject). Partitioned by customer "
+    "(high cardinality), so one hash shuffle and full parallelism; the "
+    "deterministic orderkey tiebreak makes rank stable under ties.",
+    tags=("relational", "window-function", "topk"),
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("order_rank"),
+        )
+        .filter(F.col("order_rank") <= 3)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6-style forecast revenue: a pure scan-filter-aggregate "
+    "with four predicates that must ALL reach the parquet scan "
+    "(PushedFilters) — the canonical pushdown benchmark. No join, no "
+    "groupBy key: one map-side partial sum and a single-row final "
+    "aggregate; at 100 TB the cost is exactly the pruned scan.",
+    tags=("relational", "aggregate", "pushdown"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -127,3 +127,20 @@ def test_kmv_sketch_aggregates_partially(spark):
 def test_stateful_alerts_run_in_arrow_groups(spark):
     p = plan_of(spark, "tick_new_high_alerts")
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_q6_pushes_all_predicates_to_scan(spark):
+    p = plan_of(spark, "tpch_q6_forecast_revenue")
+    # Spark truncates the scan metadata, so don't require the closing
+    # bracket — just that every predicate column shows up as pushed.
+    m = re.search(r"PushedFilters: \[(.*?), ReadSchema", p, re.S)
+    assert m, p
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in m.group(1), m.group(1)
+    assert "partial" in p.lower()
+
+
+def test_top_n_per_group_is_single_shuffle(spark):
+    p = plan_of(spark, "top_orders_per_customer")
+    assert p.count("Exchange") == 1
+    assert "Window" in p
