@@ -354,7 +354,9 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("order_rank"),
+            # long, not Spark's int32 row_number: the driver compare is
+            # dtype-strict and DuckDB row_number() is BIGINT
+            F.row_number().over(w).cast("long").alias("order_rank"),
         )
         .filter(F.col("order_rank") <= 3)
     )

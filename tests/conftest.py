@@ -74,6 +74,12 @@ def assert_oracle_match(spark_df, ddb: duckdb.DuckDBPyConnection, sql: str) -> N
     assert list(left.columns) == list(right.columns), (
         f"column mismatch: spark={list(left.columns)} oracle={list(right.columns)}"
     )
+    # dtype-strict like the driver: an int32 Spark column (e.g. a bare
+    # row_number) vs DuckDB's BIGINT is a real contract violation even
+    # though the values compare equal as Python ints.
+    assert list(left.dtypes) == list(right.dtypes), (
+        f"dtype mismatch: spark={left.dtypes.to_dict()} oracle={right.dtypes.to_dict()}"
+    )
     assert len(left) == len(right), f"row count: spark={len(left)} oracle={len(right)}"
     for c in left.columns:
         lv, rv = left[c].tolist(), right[c].tolist()
