@@ -62,6 +62,8 @@ EXTENDED = [
     "customer_order_profile",
     "event_user_distinct_kmv",
     "tick_new_high_alerts",
+    "tpch_q6_forecast_revenue",
+    "top_orders_per_customer",
 ]
 
 
