@@ -36,10 +36,12 @@ relation instead of a union; noted, out of scope.)
 
 Scale notes: the log tail is tiny JSON parsed driver-side (bounded by the
 checkpoint interval); checkpoints — the part that grows with table size —
-are read *with Spark* and reduced to the active-file list, which every
-Delta client ultimately materializes to plan the scan. Data reads are
-plain parquet scans, so Catalyst pushdown, column pruning, and AQE apply
-unchanged.
+are read with pyarrow and reduced to the active-file list, which every
+Delta client ultimately materializes to plan the scan. Snapshot-state
+reconstruction therefore needs no JVM at all (`to_pandas` is a fully
+Spark-free read — the dashboard/delta-rs pattern, SURVEY.md S4). Data
+reads through Spark are plain parquet scans, so Catalyst pushdown, column
+pruning, and AQE apply unchanged.
 """
 
 from __future__ import annotations
@@ -85,6 +87,19 @@ def _commit_path(log_dir: str, version: int) -> str:
     return os.path.join(log_dir, f"{version:020d}.json")
 
 
+def _as_dict(pv) -> dict:
+    """Normalize a partitionValues payload to a plain dict: JSON commits
+    store a dict, but pyarrow renders the checkpoint's parquet MAP column
+    as a list of (key, value) pairs (or {'key','value'} structs)."""
+    if not pv:
+        return {}
+    if isinstance(pv, dict):
+        return pv
+    if isinstance(pv[0], dict):
+        return {e["key"]: e["value"] for e in pv}
+    return dict(pv)
+
+
 @dataclass
 class DeltaTable:
     """A Delta Lake table rooted at ``path`` (no delta-spark required)."""
@@ -122,10 +137,9 @@ class DeltaTable:
         with open(p) as f:
             return json.load(f)
 
-    def _snapshot_state(
-        self, spark: SparkSession, version: int | None
-    ) -> tuple[dict, list[dict]]:
-        """Replay the log to (metaData, active add actions) at ``version``."""
+    def _snapshot_state(self, version: int | None) -> tuple[dict, list[dict]]:
+        """Replay the log to (metaData, active add actions) at ``version``.
+        Pure Python + pyarrow — no JVM involved."""
         versions = self._commit_versions()
         if not versions:
             raise ValueError(f"not a Delta table (no commits): {self.path}")
@@ -145,13 +159,17 @@ class DeltaTable:
             cp_file = os.path.join(
                 self._log_dir, f"{cp['version']:020d}.checkpoint.parquet"
             )
-            # the checkpoint is the part that scales with table size: read
-            # it with Spark, keep only live adds + latest meta/protocol
-            state = spark.read.parquet(cp_file)
-            for row in state.collect():
-                d = row.asDict(recursive=True)
+            # the checkpoint is the part that scales with table size; read
+            # it with pyarrow so state reconstruction never needs a JVM
+            # (this is driver-side work in Spark too — every Delta client
+            # materializes the active-file list to plan the scan)
+            import pyarrow.parquet as pq
+
+            for d in pq.read_table(cp_file).to_pylist():
                 if d.get("add"):
-                    adds[d["add"]["path"]] = d["add"]
+                    add = d["add"]
+                    add["partitionValues"] = _as_dict(add.get("partitionValues"))
+                    adds[add["path"]] = add
                 if d.get("metaData"):
                     meta = d["metaData"]
                 if d.get("protocol"):
@@ -186,7 +204,7 @@ class DeltaTable:
 
     def read(self, spark: SparkSession, *, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version`` time-travels (``VERSION AS OF``)."""
-        meta, adds = self._snapshot_state(spark, version)
+        meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
         data_schema = T.StructType(
@@ -220,6 +238,51 @@ class DeltaTable:
             out = out.unionByName(p)
         return out
 
+    def to_pandas(self, *, version: int | None = None, columns: list[str] | None = None):
+        """JVM-free snapshot read -> pandas (S4: the reference dashboard's
+        delta-rs ``DeltaTable(path).to_pandas()``,
+        ``/root/reference/src/dashboard/app.py:31-32``).
+
+        Reads the active data files with pyarrow and injects partition
+        columns from the log's hive-encoded partitionValues. A client
+        (dashboard, notebook) can read any table this engine wrote without
+        starting Spark. ``columns`` prunes the parquet read; ``version``
+        time-travels like `read`.
+        """
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        meta, adds = self._snapshot_state(version)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns") or []
+        out_names = [f.name for f in schema.fields if columns is None or f.name in columns]
+        data_cols = [c for c in out_names if c not in part_cols]
+
+        def conv(raw: str | None, dt: T.DataType):
+            if raw is None or raw == _HIVE_NULL:
+                return None
+            if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                return int(raw)
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                return float(raw)
+            if isinstance(dt, T.BooleanType):
+                return raw == "true"
+            return raw  # strings, dates, timestamps stay hive-encoded text
+
+        types = {f.name: f.dataType for f in schema.fields}
+        pieces = []
+        for a in adds:
+            fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            pdf = pq.read_table(fp, columns=data_cols or None).to_pandas()
+            pv = a.get("partitionValues") or {}
+            for c in part_cols:
+                if c in out_names:
+                    pdf[c] = conv(pv.get(c), types[c])
+            pieces.append(pdf[out_names] if out_names else pdf)
+        if not pieces:
+            return pd.DataFrame(columns=out_names)
+        return pd.concat(pieces, ignore_index=True)
+
     def read_stream(self, spark: SparkSession) -> DataFrame:
         """Streaming read of an append-only Delta table (SURVEY.md S2).
 
@@ -234,7 +297,7 @@ class DeltaTable:
         or partition columns need real per-commit log tailing and are
         refused rather than read wrongly.
         """
-        meta, _adds = self._snapshot_state(spark, None)  # validates protocol
+        meta, _adds = self._snapshot_state(None)  # validates protocol
         if meta.get("partitionColumns"):
             raise NotImplementedError(
                 "streaming read of partitioned Delta tables is not supported "
@@ -319,7 +382,7 @@ class DeltaTable:
         prior_adds: list[dict] = []
         new_schema_json: str | None = None
         if last is not None:
-            prior_meta, prior_adds = self._snapshot_state(spark, None)
+            prior_meta, prior_adds = self._snapshot_state(None)
             if partition_by != (prior_meta.get("partitionColumns") or []):
                 raise ValueError(
                     f"partition_by {partition_by} != table's "
@@ -479,7 +542,7 @@ class DeltaTable:
         scope.
         """
         spark = source.sparkSession
-        meta, _ = self._snapshot_state(spark, None)
+        meta, _ = self._snapshot_state(None)
         part_cols = meta.get("partitionColumns") or []
         current = self.read(spark)
         kept = current.join(
@@ -501,7 +564,7 @@ class DeltaTable:
         scannable: thousands of per-trigger files become a handful of
         full-size ones, and planning cost drops with them.
         """
-        meta, _ = self._snapshot_state(spark, None)
+        meta, _ = self._snapshot_state(None)
         part_cols = meta.get("partitionColumns") or []
         df = self.read(spark)
         if part_cols:
@@ -526,7 +589,7 @@ class DeltaTable:
         version = self.latest_version()
         if version is None:
             raise ValueError(f"empty table: {self.path}")
-        meta, adds = self._snapshot_state(spark, version)
+        meta, adds = self._snapshot_state(version)
         cp_file = os.path.join(self._log_dir, f"{version:020d}.checkpoint.parquet")
         stage = os.path.join(self._log_dir, f".cp-stage-{uuid.uuid4().hex}")
         # single-file checkpoint written with pyarrow (the state is small

@@ -168,10 +168,10 @@ class TestDeltaEvolutionAndMaintenance:
         t = DeltaTable(str(tmp_path / "t"))
         for i in range(4):
             t.write(make_df(spark, i * 5, 5).repartition(2))
-        meta, adds = t._snapshot_state(spark, None)
+        meta, adds = t._snapshot_state(None)
         assert len(adds) == 8
         v = t.compact(spark)
-        meta, adds = t._snapshot_state(spark, None)
+        meta, adds = t._snapshot_state(None)
         assert len(adds) == 1
         assert t.read(spark).count() == 20
         assert {r.id for r in t.read(spark).collect()} == set(range(20))
@@ -249,3 +249,37 @@ class TestDeltaStreaming:
         assert q.awaitTermination(120)
         assert t.read(spark).count() == 20
         assert t.history(spark).count() >= 1
+
+
+class TestJvmFreeRead:
+    def test_to_pandas_matches_spark_read(self, spark, tmp_path):
+        """S4 twin: the dashboard-style read needs no Spark — to_pandas
+        reconstructs the snapshot from the log with pyarrow only and must
+        equal read(spark) across appends, overwrites, and time travel."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        t.write(make_df(spark, 10, 5))
+        pdf = t.to_pandas().sort_values("id", ignore_index=True)
+        via_spark = (
+            t.read(spark).toPandas().sort_values("id", ignore_index=True)
+        )
+        assert pdf.equals(via_spark)
+        # time travel without a JVM
+        assert sorted(t.to_pandas(version=0)["id"]) == list(range(10))
+        # column pruning
+        assert list(t.to_pandas(columns=["sym"]).columns) == ["sym"]
+
+    def test_to_pandas_reads_partitioned_and_checkpointed_tables(
+        self, spark, tmp_path
+    ):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10), partition_by=["sym"])
+        t.write(make_df(spark, 10, 5), partition_by=["sym"])
+        t.checkpoint(spark)  # state now comes from the parquet checkpoint
+        t.write(make_df(spark, 15, 3), partition_by=["sym"])
+        pdf = t.to_pandas()
+        assert sorted(pdf["id"]) == list(range(18))
+        # partition column was injected from the log with its schema type
+        assert set(pdf["sym"]) == {"S0", "S1", "S2"}
+        via_spark = t.read(spark).toPandas()
+        assert sorted(pdf["sym"]) == sorted(via_spark["sym"])
