@@ -64,6 +64,7 @@ EXTENDED = [
     "tick_new_high_alerts",
     "tpch_q6_forecast_revenue",
     "top_orders_per_customer",
+    "doc_winnow_fingerprints",
 ]
 
 
