@@ -167,28 +167,46 @@ def simhash_bits(toks: Column, nbits: int = 32) -> Column:
 
     Generalizes :func:`simhash16`: the per-token hash takes the first
     ``nbits/4`` hex chars of md5, each bit's vote is the sign of
-    ``2*count(tokens with bit set) - n_tokens`` (identical to the +1/-1
-    vote sum but one array pass per bit instead of an aggregate fold).
-    Row-local, integer-exact in both engines; 32 bits is the near-dup
-    sweet spot here (4 bands x 8 bits -> 256-way band buckets).
+    ``2*count(tokens with bit set) - n_tokens``. Single pass: one
+    ``aggregate`` folds every token into an ``nbits``-wide count vector
+    (so md5 runs ONCE per token, not once per bit — the per-bit
+    ``size(filter(...))`` formulation re-hashed every token 32 times and
+    dominated the query's runtime), then one pass over the count vector
+    assembles the fingerprint. ``pow(2, b)`` is exact for b <= 62 in
+    doubles, so the cast back to long is lossless. Row-local,
+    integer-exact in both engines; 32 bits is the near-dup sweet spot
+    here (4 bands x 8 bits -> 256-way band buckets).
     """
     nhex = nbits // 4
     th = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long")
     )
     n = F.size(toks)
-
-    def _set_count(bit: int):
-        return F.size(
-            F.filter(th, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(nbits):
-        out = out + F.when(_set_count(b) * 2 > n, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    idx = F.sequence(F.lit(0), F.lit(nbits - 1))
+    counts = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            # shiftright needs a literal shift amount, so extract bit b as
+            # floor(h / 2^b) % 2 — division by a power of two is exact in
+            # doubles for h < 2^53, and the 32-bit token hash is far below.
+            F.transform(
+                idx,
+                lambda b: F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long")
+                % F.lit(2).cast("long"),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    weighted = F.zip_with(
+        counts,
+        idx,
+        lambda c, b: F.when(
+            c * 2 > n, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def sql_simhash_bits(toks_expr: str, nbits: int = 32) -> str:

@@ -381,17 +381,18 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "band_val"
     )
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    # filter on hamming BEFORE the distinct: hamming is a function of the
+    # pair, so dedup-then-filter and filter-then-dedup agree — but the
+    # filter drops ~90% of band-join candidates, shrinking the distinct's
+    # shuffle input by the same factor.
+    return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
