@@ -368,8 +368,8 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
@@ -384,8 +384,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -393,5 +393,129 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+@register(
+    "tpch_q4_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-style order-priority check (adapted: the testdata has no "
+    "l_commitdate/l_receiptdate, so the correlated predicate is 'shipped "
+    "strictly after the order date'). The correlated EXISTS becomes a "
+    "LEFT SEMI join whose condition mixes the equi key with a per-pair "
+    "inequality: Spark plans the equi part as the shuffle key and applies "
+    "the inequality as a join residual, so the semi join stays a hash "
+    "join — no nested loop. One shuffle on orderkey, then a tiny "
+    "5-group aggregate.",
+    tags=("relational", "semi-join", "aggregate"),
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    shipped_late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q13_order_histogram",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    doc="TPC-H Q13-style customer order-count distribution: LEFT OUTER "
+    "join with a pushed non-key predicate (urgent orders excluded on the "
+    "join condition, NOT as a pre-filter of customers — customers with "
+    "only urgent orders must still appear with c_count=0), per-customer "
+    "count(o_orderkey) (nulls from the outer join don't count), then a "
+    "second aggregation into the histogram. Two shuffles: custkey join + "
+    "tiny c_count regroup. The outer-join-then-double-agg shape is the "
+    "classic distribution query.",
+    tags=("relational", "outer-join", "aggregate"),
+)
+def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, {sql_davg("l_quantity")} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       {sql_dsum("l.l_extendedprice")} AS small_qty_revenue,
+       count(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.pk = l.l_partkey
+WHERE p.p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+  AND l.l_quantity < 0.5 * a.avg_qty
+GROUP BY p.p_brand
+""",
+    doc="TPC-H Q17-style small-quantity revenue: the scalar correlated "
+    "subquery (per-part average quantity) becomes an aggregate-then-join "
+    "— lineitem is aggregated once on l_partkey and joined back on the "
+    "same key, so the aggregate and the join share one partitioning and "
+    "AQE coalesces them; part is a broadcast dim. The float threshold "
+    "uses the davg discipline so the 0.5*avg comparison is bit-identical "
+    "in both engines.",
+    tags=("relational", "aggregate", "join"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    brands = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand")
+    return (
+        li.join(brands, li["l_partkey"] == brands["p_partkey"])
+        .join(part_avg, li["l_partkey"] == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
         )
     )
