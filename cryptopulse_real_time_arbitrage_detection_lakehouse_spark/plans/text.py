@@ -717,3 +717,146 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hs_df.select("doc_id", fps.alias("fps")).select(
         "doc_id", F.explode("fps").alias("fp")
     )
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, term_rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC, tf.term
+         ) AS term_rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) r WHERE term_rank <= 3
+""",
+    doc="TF-IDF top terms per document: token explode -> (doc, term) "
+    "counts -> document-frequency join -> per-doc rank, keep 3. The "
+    "idf uses the rational form tf*N/df instead of a log so both engines "
+    "produce bit-identical doubles (each step is one correctly-rounded "
+    "IEEE op; transcendentals are not cross-engine reproducible). Scale: "
+    "shuffles carry (doc_id, term-count) pairs, the df table is "
+    "vocabulary-sized and joins on the term shuffle key, and the final "
+    "rank partitions by doc_id (high cardinality, full parallelism).",
+    tags=("text", "tfidf"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    # tf feeds both the df aggregation and the scoring join: one compute
+    tf = shared(
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
+    )
+
+
+#: contamination-check shingle width: 5-gram overlap is a strong
+#: containment signal (3-grams collide on common phrases).
+CONTAM_NGRAM = 5
+
+
+@register(
+    "doc_contamination_check",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, bucket, unnest({sql_shingles("toks", CONTAM_NGRAM)}) AS gram
+  FROM b
+),
+hashed AS (
+  SELECT doc_id, bucket,
+         CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS g
+  FROM grams
+),
+train AS (SELECT DISTINCT g FROM hashed WHERE bucket < {SPLIT_TRAIN_LT}),
+test AS (SELECT doc_id, g FROM hashed WHERE bucket >= {SPLIT_VAL_LT})
+SELECT t.doc_id,
+       count(*) AS n_grams,
+       count(tr.g) AS n_contaminated,
+       CAST(count(tr.g) AS DOUBLE) / count(*) AS contamination_ratio
+FROM test t LEFT JOIN train tr ON t.g = tr.g
+GROUP BY t.doc_id
+""",
+    doc="Benchmark-contamination / train-test leakage check: hash every "
+    "5-gram of each held-out (test-split) document and probe it against "
+    "the distinct 5-gram set of the train split; report per-test-doc "
+    "overlap counts and ratio. Uses the same md5(doc_id) split buckets "
+    "as doc_train_val_split. Scale: the join shuffles 60-bit gram hashes "
+    "(never text), the train side is distinct-deduped before the join, "
+    "and per-doc grams are already distinct (array_distinct in the "
+    "shingler) so the left join preserves row counts. This is the "
+    "eval-decontamination pass an LLM data pipeline runs before "
+    "training.",
+    tags=("text", "dedup", "contamination"),
+)
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    grams = d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(shingles(tokens("text"), CONTAM_NGRAM)).alias("gram"),
+    )
+    # train and test branches both read `hashed`: materialize the gram
+    # hashes once (per-row reduction of the text — shared() scale contract)
+    hashed = shared(
+        grams.select(
+            "doc_id",
+            "bucket",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("g"),
+        )
+    )
+    train = (
+        hashed.filter(F.col("bucket") < SPLIT_TRAIN_LT)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = hashed.filter(F.col("bucket") >= SPLIT_VAL_LT).select("doc_id", "g")
+    return (
+        test.join(train, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
