@@ -65,6 +65,11 @@ EXTENDED = [
     "tpch_q6_forecast_revenue",
     "top_orders_per_customer",
     "doc_winnow_fingerprints",
+    "doc_tfidf_top_terms",
+    "doc_contamination_check",
+    "tpch_q4_priority_check",
+    "tpch_q13_order_histogram",
+    "tpch_q17_small_qty_revenue",
 ]
 
 
