@@ -70,6 +70,7 @@ EXTENDED = [
     "tpch_q4_priority_check",
     "tpch_q13_order_histogram",
     "tpch_q17_small_qty_revenue",
+    "tick_running_vwap",
 ]
 
 

@@ -15,6 +15,7 @@ from ..functions.determinism import fmt_ts, sql_dsum, sql_fmt_ts
 from ..operators.alerts import new_high_alerts
 from ..operators.chunked_lag import chunked_lag
 from ..operators.gold import candles
+from ..operators.running_vwap import running_vwap
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
 from ..sources.testdata import load_table
 from .registry import register
@@ -245,3 +246,39 @@ FROM w WHERE prev_high IS NOT NULL AND price > prev_high
 )
 def tick_new_high_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_high_alerts(_ticks(spark, sf_dir))
+
+
+@register(
+    "tick_running_vwap",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE}
+SELECT symbol, epoch_us(trade_timestamp) AS ts_us, trade_id, price, size,
+       CAST(CAST(SUM(CAST(price * size AS DECIMAL(25,10))) OVER w AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(size AS DECIMAL(25,10))) OVER w AS VARCHAR) AS DOUBLE)
+         AS vwap
+FROM ticks
+WINDOW w AS (PARTITION BY symbol ORDER BY trade_timestamp, trade_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+    doc="Anchored VWAP at every tick: sum(price*size)/sum(size) over each "
+    "symbol's full history up to that tick — the real version of the KPI "
+    "the reference's dashboard approximates client-side. The Spark plan "
+    "is the two-level chunked rewrite (operators/running_vwap.py): "
+    "exact-decimal running sums per (symbol, day-chunk) in parallel, a "
+    "prefix pass over per-chunk totals only, broadcast offsets back — "
+    "so the per-key sequential stage never sees more than a chunk. The "
+    "oracle is the plain single-window form; decimal associativity makes "
+    "them bit-identical. The streaming twin carries (sum_pv, sum_v) in "
+    "Spark 4 transformWithStateInPandas ValueState (streaming suite).",
+    tags=("window-function", "stateful", "gold"),
+)
+def tick_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = running_vwap(_ticks(spark, sf_dir))
+    return out.select(
+        "symbol",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        "trade_id",
+        "price",
+        "size",
+        "vwap",
+    )

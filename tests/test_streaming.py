@@ -650,6 +650,110 @@ class TestStatefulAlerts:
         assert got == batch
 
 
+class TestRunningVwapState:
+    """transformWithStateInPandas (Spark 4 arbitrary state API): the
+    (sum_pv, sum_v) pair must survive the micro-batch boundary — batch 2's
+    vwap reflects batch 1's volume, which stateless per-batch logic would
+    lose. The engine path needs google.protobuf (state-server protocol);
+    where it is absent the construction gate must fail fast and the kernel
+    carries the coverage."""
+
+    def _write_batches(self, silver_dir):
+        def sized_tick(symbol, ts, trade_id, price, size):
+            return ("coinbase", symbol, Decimal(price), Decimal(size), trade_id, ts, "buy")
+
+        write_silver_file(
+            str(silver_dir / "b0.parquet"),
+            [
+                sized_tick("S0", utc(0, 10), 1, "100.0", "1.0"),
+                sized_tick("S0", utc(0, 20), 2, "200.0", "3.0"),
+            ],
+        )
+        write_silver_file(
+            str(silver_dir / "b1.parquet"),
+            [sized_tick("S0", utc(1, 10), 3, "50.0", "2.0")],
+        )
+
+    # batch 2's value needs the carried sums: (100*1 + 200*3 + 50*2) / 6
+    EXPECTED = {(1, 100.0), (2, 175.0), (3, 800.0 / 6.0)}
+
+    def test_kernel_carries_state_across_batches(self):
+        """Engine-free check of the exact cross-batch arithmetic (the same
+        kernel object the StatefulProcessor runs)."""
+        import pandas as pd
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.running_vwap import (
+            _vwap_kernel,
+        )
+
+        b0 = pd.DataFrame(
+            {"symbol": ["S0"] * 2, "ts_us": [10, 20], "trade_id": [1, 2],
+             "price": [100.0, 200.0], "size": [1.0, 3.0]}
+        )
+        b1 = pd.DataFrame(
+            {"symbol": ["S0"], "ts_us": [70], "trade_id": [3],
+             "price": [50.0], "size": [2.0]}
+        )
+        out0, state = _vwap_kernel(b0, None)
+        out1, state = _vwap_kernel(b1, state)
+        got = set(
+            zip(
+                list(out0["trade_id"]) + list(out1["trade_id"]),
+                list(out0["vwap"]) + list(out1["vwap"]),
+            )
+        )
+        assert got == self.EXPECTED
+        assert state == (800 * 10_000_000_000, 6 * 10_000_000_000)
+
+    def test_stream_form_gate_or_engine_run(self, spark, tmp_path):
+        """Where protobuf exists, drain the real transformWithStateInPandas
+        query (RocksDB provider) and match the batch twin; otherwise the
+        constructor must raise the documented gate error."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.running_vwap import (
+            running_vwap,
+            running_vwap_stream,
+            transform_with_state_available,
+        )
+
+        silver_dir = tmp_path / "silver"
+        silver_dir.mkdir()
+        self._write_batches(silver_dir)
+        silver = read_parquet_stream(
+            spark, str(silver_dir), SILVER_SCHEMA, max_files_per_trigger=1
+        )
+
+        if not transform_with_state_available():
+            with pytest.raises(RuntimeError, match="protobuf"):
+                running_vwap_stream(silver)
+            return
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            out_dir, ckpt = str(tmp_path / "vwap"), str(tmp_path / "ckpt")
+            drain(
+                start_parquet_stream(
+                    running_vwap_stream(silver), path=out_dir, checkpoint=ckpt,
+                    query_name="running_vwap",
+                )
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        got = {(r.trade_id, r.vwap) for r in spark.read.parquet(out_dir).collect()}
+        assert got == self.EXPECTED
+        batch = {
+            (r.trade_id, r.vwap)
+            for r in running_vwap(spark.read.parquet(str(silver_dir))).collect()
+        }
+        assert got == batch
+
+
 class TestStreamStreamJoin:
     def test_interval_join_of_two_watermarked_streams_equals_batch(
         self, spark, tmp_path
