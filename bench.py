@@ -71,6 +71,8 @@ EXTENDED = [
     "tpch_q13_order_histogram",
     "tpch_q17_small_qty_revenue",
     "tick_running_vwap",
+    "doc_repetition_scores",
+    "doc_near_dup_clusters",
 ]
 
 

@@ -70,6 +70,28 @@ def sql_shingles(toks_expr: str, n: int = 3) -> str:
     )
 
 
+def shingles_all(toks: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicities (no distinct) — for repetition
+    metrics, where how often a gram repeats is the signal `shingles`'s
+    dedup would erase. Same slice construction and same <n-token guard."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles_all(toks_expr: str, n: int = 2) -> str:
+    """DuckDB twin of `shingles_all`."""
+    cat = ", ".join(f"({toks_expr})[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> concat_ws(' ', {cat}))"
+    )
+
+
 #: MinHash universal-hash family h_i(x) = (a_i*x + b_i) mod P over a base
 #: hash x = first 32 bits of md5(shingle). One md5 per shingle total (the
 #: salted-md5 alternative costs num_hashes md5s per shingle — at 16 hashes

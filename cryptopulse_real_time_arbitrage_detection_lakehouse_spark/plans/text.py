@@ -20,12 +20,14 @@ from ..functions.text import (
     minhash_base,
     minhash_signature,
     shingles,
+    shingles_all,
     simhash16,
     simhash_bits,
     sql_count_in_set,
     sql_minhash_base,
     sql_minhash_signature,
     sql_shingles,
+    sql_shingles_all,
     sql_simhash16,
     sql_simhash_bits,
     tokens,
@@ -201,10 +203,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SHINGLES = sql_shingles("toks")
 
 
-@register(
-    "doc_near_dup_pairs",
-    oracle=f"""
-WITH tok AS (
+#: shared CTE chain producing the verified near-dup pairs — used by the
+#: pairs oracle and (under WITH RECURSIVE) the clusters oracle.
+_SQL_NEAR_DUP_CTES = f"""tok AS (
   SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
 ),
 s AS (
@@ -235,7 +236,13 @@ verified AS (
            / CAST(len(list_distinct(xa.xs || xb.xs)) AS DOUBLE) AS jaccard
   FROM cand c JOIN base xa ON xa.doc_id = c.doc_a
               JOIN base xb ON xb.doc_id = c.doc_b
-)
+)"""
+
+
+@register(
+    "doc_near_dup_pairs",
+    oracle=f"""
+WITH {_SQL_NEAR_DUP_CTES}
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= {NEAR_DUP_THRESHOLD}
 """,
@@ -249,6 +256,12 @@ WHERE jaccard >= {NEAR_DUP_THRESHOLD}
     tags=("text", "dedup", "minhash", "lsh"),
 )
 def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _near_dup_pairs_df(spark, sf_dir)
+
+
+def _near_dup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold) —
+    shared by the pairs query and the connected-components clustering."""
     # shingle hashing is the CPU hot spot (one md5 per shingle): widen
     # beyond the scan's byte-driven split count before computing it.
     d = spread(_docs(spark, sf_dir), by="doc_id")
@@ -859,4 +872,166 @@ def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contamination_ratio"
             ),
         )
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM tk
+),
+c AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+),
+tokstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM c GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, {sql_shingles_all('toks', 2)} AS g FROM tk
+),
+bgstats AS (
+  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct_bigrams
+  FROM bg
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(t.top_c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS top_token_frac,
+       CAST(t.n_tokens - t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+         AS dup_token_frac,
+       CASE WHEN b.n_bigrams = 0 THEN 0.0
+            ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+                 / CAST(b.n_bigrams AS DOUBLE) END AS dup_bigram_frac
+FROM tokstats t JOIN bgstats b USING (doc_id)
+""",
+    doc="Gopher-style repetition quality signals per document: most-"
+    "frequent-token fraction, duplicate-token fraction (1 - type/token "
+    "ratio), and duplicate-bigram fraction — the filters LLM corpus "
+    "pipelines use to drop boilerplate and degenerate repetition. Token "
+    "frequencies go through one explode + (doc_id, token) count — the "
+    "scale shape: the shuffle key space is docs x vocab, never a hot "
+    "key. Bigram duplication is ROW-LOCAL (size vs array_distinct size "
+    "of the multiplicity-keeping shingler), so it adds zero shuffle; its "
+    "per-doc stats ride the token aggregation via first().",
+    tags=("text", "quality", "llm-pipeline"),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    grams = shingles_all(F.col("toks"), 2)
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("__n_tok_sz"),
+        F.size(grams).alias("__n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("__n_distinct_bigrams"),
+        F.explode("toks").alias("t"),
+    )
+    counts = base.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("__n_bigrams").alias("__nb"),
+        F.first("__n_distinct_bigrams").alias("__ndb"),
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.first("__nb").alias("__nb"),
+        F.first("__ndb").alias("__ndb"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("top_c").cast("double") / n_tok).alias("top_token_frac"),
+        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / n_tok).alias(
+            "dup_token_frac"
+        ),
+        F.when(F.col("__nb") == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("__nb") - F.col("__ndb")).cast("double")
+            / F.col("__nb").cast("double")
+        )
+        .alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "doc_near_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_NEAR_DUP_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+""",
+    doc="Near-duplicate CLUSTERS: connected components over the verified "
+    "MinHash-LSH pair graph, labeling every involved document with the "
+    "smallest doc_id reachable from it (the canonical survivor a dedup "
+    "pass would keep). Spark has no component operator, so this is "
+    "min-label propagation as an iterative DataFrame loop: each round "
+    "joins labels to the (tiny) edge list, takes the min over neighbors, "
+    "and localCheckpoints the label table to cut lineage; convergence is "
+    "detected with a count of changed labels (driver-side control flow "
+    "over aggregate SCALARS, not data). Rounds needed = graph diameter "
+    "(near-dup clusters are shallow; a 100 TB corpus wants the "
+    "alternating-star variant, same loop shape). Oracle: recursive CTE "
+    "reachability + min label — semantics pinned, execution strategy "
+    "free.",
+    tags=("text", "dedup", "graph", "iterative"),
+)
+def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    edges = shared(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).toDF("src", "dst")
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        merged = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("new_lbl"),
+                "lbl",
+            )
+        ).localCheckpoint(eager=True)
+        changed = merged.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = merged.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 50 rounds")
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
     )
