@@ -519,3 +519,62 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+@register(
+    "tpch_q5_local_supplier_revenue",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+    doc="TPC-H Q5-style local-supplier revenue: the 6-table join. The "
+    "distinguishing constraint is c_nationkey = s_nationkey (customer and "
+    "supplier in the SAME nation), which rides the lineitem-supplier join "
+    "as a residual after the customer chain. Join order matters at scale: "
+    "the date filter prunes orders at the scan, lineitem shuffles once on "
+    "orderkey and once on suppkey; nation/region (and supplier at this "
+    "SF) broadcast via AQE - no forced hints, so a grown supplier side "
+    "degrades to a shuffle join instead of OOMing the driver.",
+    tags=("relational", "join", "tpch"),
+)
+def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
