@@ -73,6 +73,8 @@ EXTENDED = [
     "tick_running_vwap",
     "doc_repetition_scores",
     "doc_near_dup_clusters",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q18_large_volume_orders",
 ]
 
 

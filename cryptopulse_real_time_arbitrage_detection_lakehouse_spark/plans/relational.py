@@ -578,3 +578,96 @@ def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum("l_quantity")} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum("l_quantity")} > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice AS totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+    doc="TPC-H Q18-style large-volume orders: HAVING sum(l_quantity) > 300 "
+    "as an aggregate-then-filter, joined to orders and customer. The "
+    "per-order quantity total IS the output column, so lineitem is "
+    "aggregated exactly once (one orderkey shuffle) instead of the naive "
+    "IN-subquery + re-join double scan; the surviving ~1e-3 of orders "
+    "make both downstream joins broadcast-able under AQE. Deterministic "
+    "top-100 via sort on (totalprice desc, orderkey).",
+    tags=("relational", "join", "tpch"),
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(ords, big["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_idle_customer_balance",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {sql_davg("c_acctbal")} AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, count(*) AS numcust, {sql_dsum("c.c_acctbal")} AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22-style idle-customer balance (adapted: the testdata "
+    "schema has no c_phone, so grouping is by nation): customers with "
+    "above-average positive balance and NO orders — a scalar aggregate "
+    "subquery (computed once, broadcast into the filter as a 1-row "
+    "cross join) followed by a left_anti join against orders and a "
+    "grouped count/sum. The anti join shuffles on custkey; the scalar "
+    "avg goes through the exact-decimal discipline so the boundary "
+    "comparison picks identical rows in both engines.",
+    tags=("relational", "join", "anti-join", "tpch"),
+)
+def tpch_q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(ords, cust["c_custkey"] == ords["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -144,3 +144,43 @@ def test_top_n_per_group_is_single_shuffle(spark):
     p = plan_of(spark, "top_orders_per_customer")
     assert p.count("Exchange") == 1
     assert "Window" in p
+
+
+def test_running_vwap_broadcasts_offsets_and_shares_exchange(spark):
+    """Two-level running VWAP: the chunk-offset table must come back via
+    broadcast (never a fact-fact shuffle join), and the chunk-local
+    window + totals branches must ride ONE (symbol, chunk) exchange."""
+    p = plan_of(spark, "tick_running_vwap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # ticks shuffle once on (symbol, chunk); the prefix pass runs on the
+    # per-chunk summary only (symbol exchange of a tiny table)
+    assert "CartesianProduct" not in p
+
+
+def test_repetition_scores_tokenizes_once(spark):
+    """Both metric branches must read the materialized token table: the
+    split() kernel appears in the checkpointed subtree, not inlined into
+    the exploded per-token stream."""
+    p = plan_of(spark, "doc_repetition_scores")
+    # the shingler (concat_ws over slices) must not sit above the explode
+    gen = p.split("Generate explode", 1)
+    assert len(gen) == 2, "token explode missing"
+    assert "concat_ws" not in gen[1].split("Scan")[0]
+
+
+def test_q18_aggregates_lineitem_once(spark):
+    """The HAVING total is reused as the output column: exactly one
+    lineitem scan, one orderkey shuffle for the aggregate."""
+    p = plan_of(spark, "tpch_q18_large_volume_orders")
+    assert p.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q22_scalar_subquery_broadcasts_not_cartesian(spark):
+    """The 1-row average joins in via broadcast nested loop (fine: one
+    row), and the NOT EXISTS compiles to a hash-based anti join — never
+    a cartesian product."""
+    p = plan_of(spark, "tpch_q22_idle_customer_balance")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
