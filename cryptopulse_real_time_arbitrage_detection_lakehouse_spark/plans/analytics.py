@@ -255,3 +255,168 @@ def customer_order_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("o_orderdate", "order_date"),
         (frame_sum / frame_n).alias("ma4_totalprice"),
     )
+
+
+@register(
+    "order_rank_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       rank()       OVER w2 AS rnk,
+       dense_rank() OVER w2 AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+""",
+    doc="Ranking-function sweep per customer: row_number / rank / "
+    "dense_rank / ntile / percent_rank / cume_dist in one pass. Both "
+    "window specs share the (o_custkey) partitioning, so Spark plans ONE "
+    "exchange and two in-partition sorts. rank/dense_rank run on a "
+    "low-cardinality key (priority) to exercise tie semantics; the "
+    "ordering key set of w is unique, so every rank output is "
+    "deterministic. percent_rank/cume_dist divide exact integer "
+    "counts - IEEE-identical across engines.",
+    tags=("window-function", "relational"),
+)
+def order_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w2).cast("long").alias("rnk"),
+        F.dense_rank().over(w2).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "order_date_dimensions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT) AS mth,
+       CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
+         AS days_to_y2k
+FROM orders
+WHERE o_custkey % 200 = 0
+""",
+    doc="Date/time function sweep: calendar field extraction (year / "
+    "quarter / month / day-of-month / ISO weekday / day-of-year), "
+    "month-end, interval arithmetic, and day differences — the date "
+    "dimension columns a warehouse derives at ingest. Row-local, fully "
+    "codegen'd, no shuffle. ISO weekday bridges the engines' different "
+    "dayofweek conventions (Spark Sun=1 vs DuckDB Mon=1).",
+    tags=("functions", "relational"),
+)
+def order_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 200 == 0)
+    d = F.col("o_orderdate")
+    return ords.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mth"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        # Spark: dayofweek is Sun=1..Sat=7; ISO wants Mon=1..Sun=7
+        ((F.dayofweek(d) + 5) % 7 + 1).cast("long").alias("iso_dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
+
+
+@register(
+    "part_name_string_ops",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_name, 1, 8) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_slug,
+       CAST(strpos(p_type, 'BRUSHED') AS BIGINT) AS brushed_at,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       reverse(p_brand) AS brand_rev
+FROM part
+WHERE p_partkey % 10 = 0
+""",
+    doc="String function sweep over part names: case mapping, length, "
+    "substring, replace, find-position, zero-padding, anchored regex "
+    "capture, split-count, reverse — the cleanup/standardization kit of "
+    "an entity-resolution pipeline. Row-local and codegen'd; the regex "
+    "is anchored and character-class-only so Java regex and DuckDB RE2 "
+    "agree.",
+    tags=("functions", "text"),
+)
+def part_name_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+        F.locate("BRUSHED", F.col("p_type")).cast("long").alias("brushed_at"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+@register(
+    "emb_vector_ops",
+    oracle="""
+SELECT vec_id, label,
+       CAST(len(embedding) AS BIGINT) AS dims,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       CAST(list_min(embedding) AS DOUBLE) AS min_val,
+       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS abs_max,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       CAST(list_sort(embedding[1:4])[4] AS DOUBLE) AS first4_max
+FROM embeddings
+""",
+    doc="Array-function sweep over the embedding column: size, "
+    "element-wise max/min, abs-transform + max, lambda filter count, "
+    "slice + sort + index — the array kit (transform/filter/slice/"
+    "sort) applied per row with zero shuffle. All outputs are "
+    "comparison- or count-based (no float summation), so float32 "
+    "widening to double is exact and both engines agree bit-for-bit.",
+    tags=("functions", "similarity"),
+)
+def emb_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).cast("long").alias("dims"),
+        F.array_max(e).cast("double").alias("max_val"),
+        F.array_min(e).cast("double").alias("min_val"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).cast("double").alias("abs_max"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.element_at(F.array_sort(F.slice(e, 1, 4)), 4)
+        .cast("double")
+        .alias("first4_max"),
+    )
