@@ -75,6 +75,13 @@ EXTENDED = [
     "doc_near_dup_clusters",
     "tpch_q5_local_supplier_revenue",
     "tpch_q18_large_volume_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q19_disjunctive_revenue",
+    "doc_vocab_stats",
+    "order_stats_moments",
 ]
 
 

@@ -420,3 +420,74 @@ def emb_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("first4_max"),
     )
+
+
+@register(
+    "order_stats_moments",
+    oracle=f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS x, c.c_acctbal AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+  SELECT segment,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(x AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(x * x AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE) AS sx2,
+         CAST(CAST(SUM(CAST(y AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(y * y AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE) AS sy2,
+         CAST(CAST(SUM(CAST(x * y AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM j GROUP BY segment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_orders,
+       sx / n AS mean_price,
+       sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_price,
+       (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+         AS price_balance_corr
+FROM s
+""",
+    doc="Second-moment statistics with the exact-sum discipline: mean, "
+    "sample stddev, and Pearson correlation per market segment, derived "
+    "from five exact decimal sums (x, x^2, y, y^2, xy) rather than the "
+    "engines' builtin stddev/corr — builtin moment aggregates are "
+    "order-dependent double sums that cannot hash-match across engines, "
+    "while exact sums + an identical post-aggregation IEEE expression "
+    "are bit-identical. One fact shuffle (orders on custkey) and a "
+    "5-row result; the moment sums are map-side partials like any sum.",
+    tags=("analytics", "aggregate", "statistics"),
+)
+def order_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    x, y = F.col("o_totalprice"), F.col("c_acctbal")
+
+    def es(c):
+        return F.sum(c.cast(SUM_DECIMAL)).cast("double")
+
+    agg = (
+        ords.join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            es(x).alias("sx"),
+            es(x * x).alias("sx2"),
+            es(y).alias("sy"),
+            es(y * y).alias("sy2"),
+            es(x * y).alias("sxy"),
+        )
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    return agg.select(
+        "segment",
+        n.cast("long").alias("n_orders"),
+        (sx / n).alias("mean_price"),
+        F.sqrt((sx2 - sx * sx / n) / (n - 1)).alias("stddev_price"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("price_balance_corr"),
+    )

@@ -1039,3 +1039,123 @@ def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         "cluster_size",
     )
+
+
+#: Per-language sampling rates for the stratified sample, expressed as a
+#: threshold over the 16-bit md5 bucket (rate = threshold / 65536). Hot
+#: languages are downsampled hard; rare ones kept nearly whole — the mix
+#: a pretraining pipeline uses to rebalance a crawl.
+SAMPLE_THRESHOLDS = {"en": 13108, "fr": 26214, "de": 26214, "es": 39322, "zh": 58982}
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang
+  {' '.join(f"WHEN '{lang}' THEN {t}" for lang, t in sorted(SAMPLE_THRESHOLDS.items()))}
+  ELSE 32768 END
+""",
+    doc="Deterministic stratified sampling: each document is kept iff its "
+    "16-bit md5(doc_id) bucket falls under its language's threshold — "
+    "per-class Bernoulli sampling with a content-independent, stable "
+    "key. Row-local (a pushable filter, no shuffle at any scale), "
+    "reproducible across runs and engines, and monotone under corpus "
+    "growth: adding documents never flips an existing keep/drop "
+    "decision, unlike rand()-based sampling.",
+    tags=("text", "sampling"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    thresh = F.lit(32768)
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    return d.filter(bucket < thresh).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, len({SQL_TOKENS}) AS n_tokens FROM documents
+)
+SELECT lang, CAST(length(bin(n_tokens)) AS BIGINT) AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(CAST(SUM(CAST(n_tokens AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_tokens
+FROM t GROUP BY 1, 2
+""",
+    doc="Token-count histogram on power-of-two buckets per language — the "
+    "length-distribution audit a batch-shaping / sequence-packing "
+    "pipeline runs before choosing context lengths. The bucket is "
+    "length(bin(n)) = floor(log2(n))+1 computed in INTEGER arithmetic, "
+    "not floating log2, so bucket edges are exact in both engines. "
+    "Row-local bucketing, one small groupBy shuffle (langs x ~20 "
+    "buckets).",
+    tags=("text", "histogram"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(tokens(F.col("text")))
+    return (
+        d.select(
+            "lang",
+            F.length(F.bin(n_tokens)).cast("long").alias("log2_bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("n_tokens").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_vocab_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({SQL_TOKENS}) AS token FROM documents
+)
+SELECT lang,
+       count(*) AS total_tokens,
+       count(DISTINCT token) AS vocab_size,
+       CAST(count(DISTINCT token) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS type_token_ratio
+FROM tok GROUP BY lang
+""",
+    doc="Per-language vocabulary statistics: total token instances, "
+    "distinct vocabulary size, and type-token ratio — the corpus "
+    "diversity signal used to spot boilerplate-heavy or template "
+    "languages. The explode shuffles (lang, token) pairs; Spark plans "
+    "count(DISTINCT) as a two-level expand+partial-agg, so the heavy "
+    "dedup happens map-side per token before the lang-level merge. At "
+    "100 TB the same plan holds: the shuffle key space is the "
+    "vocabulary, not the corpus.",
+    tags=("text", "aggregate"),
+)
+def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("token").alias("vocab_size"),
+            (
+                F.countDistinct("token").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )

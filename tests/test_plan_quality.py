@@ -184,3 +184,48 @@ def test_q22_scalar_subquery_broadcasts_not_cartesian(spark):
     p = plan_of(spark, "tpch_q22_idle_customer_balance")
     assert "CartesianProduct" not in p
     assert "LeftAnti" in p
+
+
+def test_q19_pushes_disjunction_implications_to_scans(spark):
+    # Catalyst extracts per-side implications of the OR-of-ANDs: the
+    # lineitem scan gets the quantity envelope, the part scan the brand set.
+    p = plan_of(spark, "tpch_q19_disjunctive_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", p), p
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", p), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q14_is_broadcast_join_single_agg_exchange(spark):
+    # month filter to the lineitem scan, part broadcast, one-row final agg:
+    # the only exchange is the single-partition gather for the scalar row.
+    p = plan_of(spark, "tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in p
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", p)
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_q15_scans_lineitem_once(spark):
+    p = plan_of(spark, "tpch_q15_top_supplier")
+    assert p.count("FileScan parquet") - p.count("supplier.parquet") == 1, p
+
+
+def test_q10_pushes_both_fact_filters(spark):
+    p = plan_of(spark, "tpch_q10_returned_items")
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", p)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", p)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_stratified_sample_filter_is_scan_local(spark):
+    # hash-threshold sampling must not shuffle: keep/drop is row-local
+    p = plan_of(spark, "doc_stratified_sample")
+    assert p.count("Exchange") == 0
+
+
+def test_vocab_stats_dedups_distinct_map_side(spark):
+    # the single count(DISTINCT token) plans as a two-level aggregate:
+    # partial on (lang, token) before any exchange — the heavy dedup is
+    # distributed and map-side, never a single-node distinct.
+    p = plan_of(spark, "doc_vocab_stats")
+    assert "partial_count(1)" in p and "keys=[lang" in p
+    assert re.search(r"HashAggregate\(keys=\[lang#\d+, token#\d+\], functions=\[partial_count", p)
