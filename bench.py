@@ -82,6 +82,12 @@ EXTENDED = [
     "tpch_q19_disjunctive_revenue",
     "doc_vocab_stats",
     "order_stats_moments",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_types",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_orders",
 ]
 
 

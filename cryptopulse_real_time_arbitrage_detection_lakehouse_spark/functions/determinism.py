@@ -25,20 +25,27 @@ from pyspark.sql import functions as F
 SUM_DECIMAL = "decimal(25,10)"
 SQL_SUM_DECIMAL = "DECIMAL(25,10)"
 
+#: The rounding scale must stay COARSE relative to the term's double ulp:
+#: Spark rounds the double's shortest decimal repr (BigDecimal.valueOf)
+#: while DuckDB rounds its exact binary expansion, and the two agree only
+#: when no rounding boundary falls within one ulp. Scale 10 is safe for
+#: term magnitudes up to ~1e4 (ulp 2e-12 << half-step 5e-11); for larger
+#: terms (e.g. price*quantity ~ 5e6, ulp ~ 1e-9) pass a smaller scale.
 
-def dsum(col: Column | str) -> Column:
+
+def dsum(col: Column | str, scale: int = 10) -> Column:
     """Order-independent double sum: per-row decimal round, exact sum."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(SUM_DECIMAL)).cast("double")
+    return F.sum(c.cast(f"decimal(25,{scale})")).cast("double")
 
 
-def davg(col: Column | str) -> Column:
+def davg(col: Column | str, scale: int = 10) -> Column:
     """Order-independent double average: exact sum / count, divided in IEEE."""
     c = F.col(col) if isinstance(col, str) else col
-    return dsum(c) / F.count(F.lit(1)).cast("double")
+    return dsum(c, scale) / F.count(F.lit(1)).cast("double")
 
 
-def sql_dsum(expr: str) -> str:
+def sql_dsum(expr: str, scale: int = 10) -> str:
     """DuckDB twin of `dsum`.
 
     The decimal->double cast goes through VARCHAR because DuckDB's direct
@@ -47,12 +54,13 @@ def sql_dsum(expr: str) -> str:
     Spark's BigDecimal.doubleValue() and strtod parsing are single-rounded.
     Verified empirically: 10/25 groups differed in the last ulp without this.
     """
-    return f"CAST(CAST(SUM(CAST(({expr}) AS {SQL_SUM_DECIMAL})) AS VARCHAR) AS DOUBLE)"
+    dec = f"DECIMAL(25,{scale})"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS {dec})) AS VARCHAR) AS DOUBLE)"
 
 
-def sql_davg(expr: str) -> str:
+def sql_davg(expr: str, scale: int = 10) -> str:
     """DuckDB twin of `davg`."""
-    return f"({sql_dsum(expr)} / CAST(COUNT(*) AS DOUBLE))"
+    return f"({sql_dsum(expr, scale)} / CAST(COUNT(*) AS DOUBLE))"
 
 
 def fmt_ts(col: Column | str, alias: str | None = None) -> Column:

@@ -643,22 +643,31 @@ WITH avg_bal AS (
 SELECT c.c_nationkey, count(*) AS numcust, {sql_dsum("c.c_acctbal")} AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.a
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c.c_nationkey
 """,
     doc="TPC-H Q22-style idle-customer balance (adapted: the testdata "
-    "schema has no c_phone, so grouping is by nation): customers with "
-    "above-average positive balance and NO orders — a scalar aggregate "
-    "subquery (computed once, broadcast into the filter as a 1-row "
-    "cross join) followed by a left_anti join against orders and a "
-    "grouped count/sum. The anti join shuffles on custkey; the scalar "
-    "avg goes through the exact-decimal discipline so the boundary "
-    "comparison picks identical rows in both engines.",
+    "schema has no c_phone, so grouping is by nation; and customers with "
+    "zero orders carry NULL balances in the generated data, so 'idle' "
+    "means no orders SINCE 2000 — the official query's 7-year dormancy "
+    "window): customers with above-average positive balance and no "
+    "recent orders — a scalar aggregate subquery (computed once, "
+    "broadcast into the filter as a 1-row cross join) followed by a "
+    "left_anti join against date-filtered orders (the date pushes to "
+    "the orders scan) and a grouped count/sum. The anti join shuffles "
+    "on custkey; the scalar avg goes through the exact-decimal "
+    "discipline so the boundary comparison picks identical rows in "
+    "both engines.",
     tags=("relational", "join", "anti-join", "tpch"),
 )
 def tpch_q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    ords = load_table(spark, sf_dir, "orders").select("o_custkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         davg("c_acctbal").alias("a")
     )
@@ -1036,4 +1045,347 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(clause).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), ranked AS (
+  SELECT eu.s_acctbal, eu.s_name, eu.nation, p.p_partkey, p.p_name,
+         c.unit_cost,
+         min(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+  FROM cost c
+  JOIN eu ON c.l_suppkey = eu.s_suppkey
+  JOIN part p ON p.p_partkey = c.l_partkey AND p.p_type = 'SMALL'
+)
+SELECT s_acctbal, s_name, nation, p_partkey, p_name, unit_cost
+FROM ranked WHERE unit_cost = min_cost
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2-style minimum-cost supplier (adapted: the testdata schema "
+    "has no partsupp, so the supply-cost relation is derived from lineitem "
+    "as the minimum observed unit price per (part, supplier) pair): for "
+    "SMALL-type parts, find the EUROPE supplier(s) matching the per-part "
+    "minimum cost. The correlated min subquery becomes a window min over "
+    "the part key — the derived cost relation is aggregated and windowed "
+    "on the SAME key, so one shuffle serves both (no re-scan, unlike the "
+    "view-twice formulation). Supplier/nation/region fold to a broadcast "
+    "dim; top-100 via TakeOrderedAndProject with a full tiebreak chain. "
+    "min() of per-row double division is order-independent, so the "
+    "equality filter picks identical rows in both engines. Reference "
+    "cite: SURVEY.md section 2.6 (joins absent from the reference).",
+    tags=("relational", "join", "window", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
+        "p_partkey", "p_name"
+    )
+    ranked = (
+        cost.join(F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"])
+        .join(F.broadcast(part), cost["l_partkey"] == part["p_partkey"])
+        .withColumn("min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey")))
+    )
+    return (
+        ranked.filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("nation").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle=f"""
+WITH v AS (
+  SELECT l.l_partkey,
+         {sql_dsum("l.l_extendedprice * l.l_quantity", scale=4)} AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM v, (SELECT {sql_davg("part_value", scale=4)} AS avg_value FROM v) t
+WHERE part_value > 1.5 * avg_value
+""",
+    doc="TPC-H Q11-style important stock (adapted: no partsupp, so the "
+    "per-part 'value' is extendedprice*quantity summed over one nation's "
+    "suppliers' lineitems; the official query's fixed global fraction is "
+    "replaced by 1.5x the per-part average, which stays meaningful at "
+    "any SF): a grouped aggregate compared against a scalar aggregate of "
+    "itself. The scalar is computed from the SAME aggregated frame and "
+    "broadcast back as a 1-row cross join — lineitem is scanned and "
+    "shuffled once, and the threshold comparison divides exact-decimal "
+    "doubles so both engines pick identical survivors.",
+    tags=("relational", "aggregate", "scalar-subquery", "tpch"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_sup = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(nat_sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        # price*quantity terms reach ~5e6, where a double ulp exceeds the
+        # default scale-10 half-step — round at scale 4 (see determinism.py).
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_quantity"), scale=4).alias(
+                "part_value"
+            )
+        )
+    )
+    # part_value carries at most 4 decimals and sits at ~1e6 magnitude, so
+    # its re-round for the scalar average must also stay at scale 4.
+    avg_v = v.agg(davg("part_value", scale=4).alias("avg_value"))
+    return (
+        v.crossJoin(F.broadcast(avg_v))
+        .filter(F.col("part_value") > 1.5 * F.col("avg_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+    doc="TPC-H Q12-style shipping priority classes (adapted: the testdata "
+    "schema has no l_shipmode, so the return flag plays the mode class): "
+    "a year of lineitem joined to orders, with the order-priority split "
+    "folded into two conditional counts in one aggregation pass. The "
+    "date range pushes to the lineitem scan; one orderkey shuffle joins "
+    "the facts; the 3-group conditional-count agg is all map-side "
+    "partials. Counts are integer-exact — no float discipline needed.",
+    tags=("relational", "join", "aggregate", "tpch"),
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_types",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q16-style supplier counts per part class (adapted: no "
+    "partsupp, so observed lineitem (part, supplier) pairs play the "
+    "supplies relation; no s_comment, so negative-balance suppliers play "
+    "the complaints exclusion): distinct-supplier counts per (brand, "
+    "type, size) with a NOT IN anti-join. The anti list is tiny (bounded "
+    "by |supplier|) so it broadcasts; the part predicate set (two "
+    "inequalities + IN list) prunes at the broadcast-join build; "
+    "count(DISTINCT) plans as a two-phase expand+agg on the same "
+    "grouping shuffle. All-integer outputs — no float discipline.",
+    tags=("relational", "join", "anti-join", "aggregate", "tpch"),
+)
+def tpch_q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(bad_sup, li["l_suppkey"] == bad_sup["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    oracle=f"""
+WITH pairq AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum("l_quantity")} AS pair_qty
+  FROM lineitem GROUP BY 1, 2
+), partavg AS (
+  SELECT l_partkey AS pk, {sql_davg("pair_qty")} AS avg_qty
+  FROM pairq GROUP BY 1
+), excess AS (
+  SELECT DISTINCT pq.l_suppkey
+  FROM pairq pq
+  JOIN partavg pa ON pq.l_partkey = pa.pk
+  JOIN part p ON p.p_partkey = pq.l_partkey AND p.p_name LIKE 'small%'
+  WHERE pq.pair_qty > 2.5 * pa.avg_qty
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN excess e ON s.s_suppkey = e.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+""",
+    doc="TPC-H Q20-style excess-supply suppliers (adapted: no "
+    "ps_availqty, so 'excess' means a (part, supplier) shipped quantity "
+    "above 2.5x the part's average per-supplier quantity — a "
+    "concentration test that stays meaningful at any SF): the nested "
+    "semi-join chain of the official query becomes aggregate -> "
+    "re-aggregate on the same part key (one lineitem shuffle serves "
+    "both levels) -> threshold join -> DISTINCT supplier semi-list -> "
+    "dim-filtered supplier join. Thresholds compare dsum/davg exact-"
+    "decimal doubles; 2.5x is exact in binary so both engines agree.",
+    tags=("relational", "join", "semi-join", "aggregate", "tpch"),
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pairq = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("pair_qty")
+    )
+    partavg = pairq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("pair_qty").alias("avg_qty")
+    )
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    excess = (
+        pairq.join(partavg, pairq["l_partkey"] == partavg["pk"])
+        .join(F.broadcast(small), pairq["l_partkey"] == small["p_partkey"])
+        .filter(F.col("pair_qty") > 2.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        sup.join(excess, sup["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_orders",
+    oracle="""
+WITH fl AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS nsupp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM fl GROUP BY 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM per_order p
+JOIN supplier s ON s.s_suppkey = p.late_supp
+WHERE p.nsupp > 1 AND p.nlate = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21-style suppliers who kept orders waiting (adapted: no "
+    "commit/receipt dates, so 'late' means shipped more than 60 days "
+    "after the order date): for finalized orders with multiple "
+    "suppliers, count orders where exactly one supplier was late, per "
+    "supplier. The official EXISTS / NOT EXISTS pair over lineitem "
+    "becomes a single grouped pass per order — distinct-supplier count, "
+    "distinct-late count, and the lone late supplier's key come out of "
+    "ONE orderkey shuffle (vs the naive triple self-join's three). "
+    "'exactly one distinct late supplier in a multi-supplier order' is "
+    "precisely the not-exists-other-late semantics. Counts are exact; "
+    "the interval comparison is integer timestamp math in both engines.",
+    tags=("relational", "join", "aggregate", "tpch"),
+)
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .withColumn("late_supp_or_null", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct("late_supp_or_null").alias("nlate"),
+            F.max("late_supp_or_null").alias("late_supp"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(sup), F.col("late_supp") == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
     )

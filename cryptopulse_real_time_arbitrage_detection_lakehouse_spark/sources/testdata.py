@@ -13,15 +13,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-#: columns stored as parquet TIMESTAMP(NANOS) — Spark 4 rejects them unless
-#: read as raw longs; we convert ``nanos DIV 1000`` -> microsecond timestamp,
-#: the exact truncation DuckDB applies when it reads the same file.
-_NANOS_TS_COLUMNS = {"events": ("ts",)}
+#: event-time columns normalized to the session-UTC TIMESTAMP type.
+#: Generator versions have stored these as parquet TIMESTAMP(NANOS)
+#: (which Spark 4 only reads as raw longs) or as TIMESTAMP(MICROS)
+#: without UTC adjustment (which Spark reads as TIMESTAMP_NTZ); both are
+#: converted to plain TIMESTAMP so windows/watermarks/lag behave
+#: identically regardless of how the testdata was written.
+_EVENT_TIME_COLUMNS = {"events": ("ts",)}
 
 
 def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
@@ -31,18 +35,25 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; have {TESTDATA_TABLES}")
-    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
-    if nanos_cols:
+    ts_cols = _EVENT_TIME_COLUMNS.get(name, ())
+    if ts_cols:
         # Sessions built by `session.get_spark` set this at construction;
         # this runtime set covers foreign sessions (e.g. the driver's).
         # SESSION-WIDE AND STICKY on purpose: restoring it right after this
-        # call could flip the conf before the lazy scan executes. Nanos
-        # arrive as raw longs, then integer-divide to microseconds (a
-        # double roundtrip would lose precision above 2^53).
+        # call could flip the conf before the lazy scan executes. A no-op
+        # when the file stores micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    for c in ts_cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
+            # TIMESTAMP(NANOS) read as raw longs: integer-divide to micros
+            # (a double roundtrip would lose precision above 2^53) — the
+            # exact truncation DuckDB applies reading the same file.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Session tz is pinned to UTC, so this cast is value-preserving.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
