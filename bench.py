@@ -88,6 +88,11 @@ EXTENDED = [
     "tpch_q16_supplier_part_types",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_orders",
+    "doc_rarity_scores",
+    "emb_quantization_stats",
+    "sim_lsh_recall_at_k",
+    "order_value_window_kit",
+    "doc_hash_sample_per_lang",
 ]
 
 

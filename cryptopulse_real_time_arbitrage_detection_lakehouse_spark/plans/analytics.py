@@ -491,3 +491,51 @@ def order_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
         ).alias("price_balance_corr"),
     )
+
+
+@register(
+    "order_value_window_kit",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS first_price,
+       last_value(o_totalprice) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       nth_value(o_totalprice, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_price
+FROM orders
+WHERE o_custkey % 100 = 7
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Value-window function kit (lead/lag/first_value/last_value/"
+    "nth_value) over each customer's order history — the offset/frame "
+    "family the ranking kit (order_rank_analytics) does not touch. All "
+    "six functions share ONE window spec (partition custkey, order by "
+    "date with orderkey tiebreak), so the plan is a single hash shuffle "
+    "+ one in-partition sort serving every column; the unbounded frames "
+    "are declared explicitly because last_value/nth_value default to "
+    "'rows up to current' in both engines (a correctness trap this "
+    "query pins). Partitioning is by customer: high cardinality, full "
+    "parallelism at any SF. Values pass through untouched — no float "
+    "discipline needed.",
+    tags=("analytics", "window-function"),
+)
+def order_value_window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )

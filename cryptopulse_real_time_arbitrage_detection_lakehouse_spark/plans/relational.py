@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import davg, dsum, sql_davg, sql_dsum
+from ..operators.partitioning import shared
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -1157,7 +1158,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_sup = sup.join(
         F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
     ).select("s_suppkey")
-    v = (
+    # shared(): the aggregated frame feeds both the scalar average and the
+    # threshold filter — materialize it once instead of scanning lineitem
+    # per branch (it is a per-part reduction, safe to cache at any SF).
+    v = shared(
         li.join(F.broadcast(nat_sup), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey")
         # price*quantity terms reach ~5e6, where a double ulp exceeds the
@@ -1298,8 +1302,11 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
-    pairq = li.groupBy("l_partkey", "l_suppkey").agg(
-        dsum("l_quantity").alias("pair_qty")
+    # shared(): pairq feeds both the per-part re-aggregation and the
+    # threshold join — one lineitem scan, not two (per-pair reduction,
+    # cache-safe at any SF).
+    pairq = shared(
+        li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("pair_qty"))
     )
     partavg = pairq.groupBy(F.col("l_partkey").alias("pk")).agg(
         davg("pair_qty").alias("avg_qty")

@@ -419,3 +419,140 @@ def sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and each split runs one NumPy matmul.
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_fast(emb, qvec, k=TOP_K, exclude_id=QUERY_VEC_ID)
+
+
+@register(
+    "emb_quantization_stats",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+), m AS (
+  SELECT vec_id, label, xd,
+         list_aggregate(list_transform(xd, x -> abs(x)), 'max') AS amax
+  FROM v
+), qq AS (
+  SELECT vec_id, label, xd, amax,
+         list_transform(xd, x -> CAST(floor(x / amax * 127.0 + 0.5) AS BIGINT)) AS q
+  FROM m
+)
+SELECT vec_id, label, amax AS scale,
+  len(list_filter(q, x -> abs(x) = 127)) AS n_sat,
+  CAST(CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i ->
+    CAST((xd[i] - CAST(q[i] AS DOUBLE) * amax / 127.0)
+       * (xd[i] - CAST(q[i] AS DOUBLE) * amax / 127.0) AS DECIMAL(25,12))))
+    AS VARCHAR) AS DOUBLE) / {EMB_DIM}.0 AS mse
+FROM qq
+""",
+    doc="Int8 symmetric per-vector quantization audit — the compression "
+    "step a vector store applies before indexing billions of embeddings: "
+    "per vector, the max-abs scale, the quantized codes floor(x/scale*127 "
+    "+ 0.5) (half-up via floor, which both engines evaluate identically), "
+    "the saturated-code count, and the dequantization MSE. Entirely "
+    "row-local — scan -> project, no shuffle at any SF; each non-cheap "
+    "intermediate (xd, amax, q) is materialized in its own projection so "
+    "higher-order-function lambdas don't re-evaluate it per element. "
+    "The MSE sums per-element squared errors through DECIMAL(25,12) "
+    "(order-independent exact addition; err^2 ~ 1e-6 sits ~7 orders above "
+    "the half-step) and divides by the power-of-two dimension, so both "
+    "engines emit bit-identical doubles.",
+    tags=("similarity", "quantization", "multimodal"),
+)
+def emb_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("xd"),
+    )
+    m = xd.withColumn(
+        "amax", F.array_max(F.transform(F.col("xd"), lambda v: F.abs(v)))
+    )
+    amax = F.col("amax")
+    qq = m.withColumn(
+        "q",
+        F.transform(F.col("xd"), lambda v: F.floor(v / amax * 127.0 + 0.5)),
+    )
+    sq_err = F.zip_with(
+        F.col("xd"),
+        F.col("q"),
+        lambda v, c: (
+            (v - c.cast("double") * amax / 127.0)
+            * (v - c.cast("double") * amax / 127.0)
+        ).cast("decimal(25,12)"),
+    )
+    mse = (
+        F.aggregate(
+            sq_err,
+            F.lit(0).cast("decimal(25,12)"),
+            # decimal + decimal widens to (26,12); the merge lambda must
+            # return the accumulator type exactly, and the down-cast is
+            # lossless here (same scale, values far below 10^13).
+            lambda acc, x: (acc + x).cast("decimal(25,12)"),
+        ).cast("double")
+        / float(EMB_DIM)
+    )
+    return qq.select(
+        "vec_id",
+        "label",
+        amax.alias("scale"),
+        F.size(F.filter(F.col("q"), lambda c: F.abs(c) == 127))
+        .cast("long")
+        .alias("n_sat"),
+        mse.alias("mse"),
+    )
+
+
+@register(
+    "sim_lsh_recall_at_k",
+    oracle=f"""
+WITH {_SQL_EXACT_COSINES},
+topk AS (
+  SELECT vec_id FROM cosines ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+b AS (SELECT vec_id, {sql_sign_bucket("embedding")} AS bucket FROM embeddings),
+lshk AS (
+  SELECT c.vec_id FROM cosines c JOIN b ON c.vec_id = b.vec_id
+  WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+  ORDER BY c.cosine DESC, c.vec_id LIMIT {TOP_K}
+)
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       (SELECT count(*) FROM topk) AS n_exact,
+       (SELECT count(*) FROM lshk) AS n_lsh,
+       (SELECT count(*) FROM topk JOIN lshk USING (vec_id)) AS n_overlap,
+       CAST((SELECT count(*) FROM topk JOIN lshk USING (vec_id)) AS DOUBLE)
+         / CAST({TOP_K} AS DOUBLE) AS recall
+""",
+    doc="ANN index-quality evaluation: recall@k of the sign-bucket LSH "
+    "strategy against the exact brute-force top-k — the metric a "
+    "retrieval pipeline tracks when tuning bucket bits / probe counts. "
+    "Reuses both registered strategies as subplans; the overlap is a "
+    "left-semi join of two k-row frames and the three counts broadcast "
+    "into a single output row, so the added cost over the underlying "
+    "searches is nil. Counts are integer-exact; recall divides two "
+    "exact small integers.",
+    tags=("similarity", "evaluation", "topk"),
+)
+def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    lsh = sim_cosine_topk_lsh(spark, sf_dir).select("vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_overlap = (
+        exact.join(lsh, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_overlap))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_exact",
+            "n_lsh",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.lit(TOP_K).cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.determinism import dsum, sql_dsum
 from ..functions.text import (
     LANG_PROFILES,
     SQL_TOKENS,
@@ -1158,4 +1159,103 @@ def doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)).cast("double")
             ).alias("type_token_ratio"),
         )
+    )
+
+
+@register(
+    "doc_rarity_scores",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tf
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       {sql_dsum("CAST(tf.cnt AS DOUBLE) / tot.total")} AS sum_tok_prob,
+       min(CAST(tf.cnt AS DOUBLE) / tot.total) AS min_tok_prob
+FROM toks t
+JOIN tf ON t.token = tf.token, tot
+GROUP BY t.doc_id
+""",
+    doc="Corpus-frequency rarity scores — the unigram-LM quality-filter "
+    "proxy an LLM data pipeline runs before training (docs whose tokens "
+    "are uniformly common score high; docs carrying rare tokens score "
+    "low): pass 1 aggregates the corpus term frequencies (shuffle keyed "
+    "on the VOCABULARY, not the corpus — bounded by distinct tokens); "
+    "the scalar total rides along as a 1-row broadcast cross join; pass "
+    "2 joins frequencies back onto the exploded tokens and re-groups by "
+    "doc. At 100 TB the frequency table is millions of rows against "
+    "billions of docs, so the join broadcasts (or bucket-joins) the "
+    "SMALL side and the only corpus-wide shuffle is the per-doc regroup. "
+    "Per-token probabilities divide exact longs (IEEE-identical in both "
+    "engines); the per-doc sum goes through the decimal discipline. "
+    "No logs on purpose: ln() differs in last-ulp across libm "
+    "implementations; sum/min of probabilities ranks documents the "
+    "same way and compares exactly.",
+    tags=("text", "quality", "aggregate", "join"),
+)
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = shared(
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tf.agg(F.sum("cnt").cast("double").alias("total"))
+    prob = F.col("cnt").cast("double") / F.col("total")
+    return (
+        toks.join(tf, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum(prob).alias("sum_tok_prob"),
+            F.min(prob).alias("min_tok_prob"),
+        )
+    )
+
+
+@register(
+    "doc_hash_sample_per_lang",
+    oracle="""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+""",
+    doc="Deterministic fixed-size per-class sample: exactly 20 docs per "
+    "language, chosen by ranking on a content-independent hash — the "
+    "exact-quota counterpart of doc_stratified_sample's Bernoulli "
+    "thresholding (which only hits its quota in expectation). md5 of "
+    "the id gives a uniform, engine-identical permutation; row_number "
+    "with the id tiebreak makes the quota cut exact and reproducible. "
+    "One hash shuffle on the class key; at 100 TB prefer per-partition "
+    "top-20 pre-aggregation (rank over a union of per-partition "
+    "survivors) if classes are few and huge — at vocabulary-scale class "
+    "counts the plain window is already parallel.",
+    tags=("text", "sampling", "window-function"),
+)
+def doc_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = (
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .cast("long")
+    )
+    return (
+        d.select("doc_id", "lang", w.alias("rk"))
+        .filter(F.col("rk") <= 20)
     )

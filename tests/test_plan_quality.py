@@ -229,3 +229,72 @@ def test_vocab_stats_dedups_distinct_map_side(spark):
     p = plan_of(spark, "doc_vocab_stats")
     assert "partial_count(1)" in p and "keys=[lang" in p
     assert re.search(r"HashAggregate\(keys=\[lang#\d+, token#\d+\], functions=\[partial_count", p)
+
+
+def shuffle_count(p: str) -> int:
+    """Shuffle exchanges only — BroadcastExchange also contains the
+    substring 'Exchange' but moves a bounded build side, not the data."""
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", p))
+
+
+def test_q2_aggregates_and_windows_on_one_partitioning(spark):
+    # the derived cost relation groups on (l_partkey, l_suppkey) and the
+    # window min runs on l_partkey: two shuffles max (agg + window),
+    # dims all broadcast, top-100 via TakeOrderedAndProject.
+    p = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert shuffle_count(p) <= 2, p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q11_scans_lineitem_once(spark):
+    # the scalar average comes from the shared() aggregated frame — the
+    # second branch must NOT rescan lineitem; the 1-row average joins in
+    # via broadcast (nested-loop on one row is fine), never cartesian
+    p = plan_of(spark, "tpch_q11_important_parts")
+    assert p.count("lineitem.parquet") <= 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_q12_pushes_date_range_to_scan(spark):
+    p = plan_of(spark, "tpch_q12_shipmode_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+
+
+def test_q16_anti_join_broadcasts(spark):
+    # the negative-balance supplier list is bounded — its anti join must
+    # broadcast, never shuffle lineitem for it
+    p = plan_of(spark, "tpch_q16_supplier_part_types")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_q20_two_level_agg_scans_lineitem_once(spark):
+    # pair-level and part-level aggregation both derive from the shared()
+    # pair frame: one lineitem scan feeds both levels
+    p = plan_of(spark, "tpch_q20_excess_suppliers")
+    assert p.count("lineitem.parquet") <= 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_is_one_grouped_pass_over_lineitem(spark):
+    # the EXISTS/NOT-EXISTS pair is folded into a single per-order
+    # aggregation: lineitem scanned once, no self-joins
+    p = plan_of(spark, "tpch_q21_waiting_orders")
+    assert p.count("lineitem.parquet") == 1, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_quantization_stats_is_pure_projection(spark):
+    # row-local quantization audit: no exchange anywhere in the plan
+    p = plan_of(spark, "emb_quantization_stats")
+    assert p.count("Exchange") == 0, p
+
+
+def test_rarity_scores_shuffle_keys_are_bounded(spark):
+    # corpus frequencies shuffle on the token (vocabulary-bounded) and the
+    # scalar total rides a 1-row broadcast; no cartesian anywhere
+    p = plan_of(spark, "doc_rarity_scores")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
