@@ -43,16 +43,19 @@ def chunked_lag(
     ``chunk`` must be a monotone function of ``order_col`` (e.g. the day of
     a timestamp): ordering by (chunk, order) must equal ordering by order.
 
-    ``materialize=True`` cuts ``df``'s lineage with a lazy
+    ``materialize=True`` cuts ``df``'s lineage with an EAGER
     ``localCheckpoint`` so the probe and tails branches share ONE
     computation of the input (Catalyst cannot reuse the exchange here —
-    column pruning specializes each branch's subtree). Use it when ``df``
-    is itself an expensive aggregate that is small enough to hold in
-    executor storage — e.g. a candle table (symbols x windows), exactly
-    the table a production pipeline would have materialized anyway.
+    column pruning specializes each branch's subtree; a lazy checkpoint
+    gives no reuse at all inside a single action, and ``persist()``
+    pollutes the session CacheManager — see ``partitioning.shared``).
+    Use it when ``df`` is itself an expensive aggregate that is small
+    enough to hold in executor storage — e.g. a candle table (symbols x
+    windows), exactly the table a production pipeline would have
+    materialized anyway.
     """
     if materialize:
-        df = df.localCheckpoint(eager=False)
+        df = df.localCheckpoint(eager=True)
     d = df.withColumn("__chunk", chunk)
     w_local = W.partitionBy(*key_cols, "__chunk").orderBy(order_col)
     w_local_desc = W.partitionBy(*key_cols, "__chunk").orderBy(

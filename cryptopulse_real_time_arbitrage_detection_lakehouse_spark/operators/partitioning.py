@@ -72,13 +72,25 @@ def shared(df: DataFrame) -> DataFrame:
     Catalyst does not reuse subtrees across branches of one query —
     column pruning specializes each branch's copy, so an expensive
     row-local kernel (md5-per-shingle, simhash) re-runs per reference.
-    A lazy ``localCheckpoint`` cuts the lineage at this node: the first
-    action materializes the rows to executor storage and every branch
-    reads that one copy.
+    An EAGER ``localCheckpoint`` materializes the rows to executor
+    storage here and now; every branch then reads that one copy.
+
+    Why eager, and why not the alternatives (both measured on
+    doc_ngram_jaccard_pairs at sf0.1):
+    - ``localCheckpoint(eager=False)``: inside a single action the lazy
+      checkpoint gives NO cross-stage reuse — each downstream
+      shuffle-map stage re-runs the full lineage (83 s vs 14 s).
+    - ``persist()``: same 14 s for THIS query, but every persisted frame
+      registers in the session CacheManager and is never unpersisted, so
+      each subsequent query's analysis canonicalizes its whole tree
+      against every cached plan — in a 50-query session (bench, the
+      driver's correctness run) later queries degraded up to 70x.
+    Checkpointed RDDs stay out of the CacheManager and are released by
+    the ContextCleaner once the frame goes out of scope.
 
     Scale contract: only wrap results that are per-row REDUCTIONS of the
     input (signatures, digests, buckets — never raw documents). At 100 TB
     the same node is what a production pipeline writes to a silver table;
     this is the in-session analog.
     """
-    return df.localCheckpoint(eager=False)
+    return df.localCheckpoint(eager=True)

@@ -53,3 +53,29 @@ def test_bucketed_fact_fact_join_has_no_exchange(spark, bucket_db):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-style partitionBy layout: a filter on the partition column must
+    resolve at PLANNING time (PartitionFilters + pruned partition count),
+    never as a per-row data filter — at 100 TB this is the difference
+    between listing one directory and scanning the table."""
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "venue",
+        F.when(F.col("event_id") % 2 == 0, "coinbase").otherwise("binance"),
+    )
+    path = str(tmp_path / "events_by_venue")
+    events.write.partitionBy("venue").parquet(path)
+
+    scan = spark.read.parquet(path).filter(F.col("venue") == "coinbase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "venue" in plan, plan
+    # the non-matching partition is pruned from the file listing itself
+    assert "isnotnull(venue" in plan or "venue#" in plan
+    expected = events.filter(F.col("venue") == "coinbase").count()
+    assert scan.count() == expected
+    # pushed partition filter must not survive as a post-scan Filter on venue
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "coinbase" in m.group(1), plan

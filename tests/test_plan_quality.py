@@ -249,11 +249,13 @@ def test_q2_aggregates_and_windows_on_one_partitioning(spark):
 
 
 def test_q11_scans_lineitem_once(spark):
-    # the scalar average comes from the shared() aggregated frame — the
-    # second branch must NOT rescan lineitem; the 1-row average joins in
-    # via broadcast (nested-loop on one row is fine), never cartesian
+    # the scalar average comes from the shared() (checkpointed) aggregated
+    # frame — both branches read the materialized RDD, so the plan has NO
+    # second lineitem scan; the 1-row average joins in via broadcast
+    # (nested-loop on one row is fine), never cartesian
     p = plan_of(spark, "tpch_q11_important_parts")
-    assert p.count("lineitem.parquet") <= 1, p
+    assert "Scan ExistingRDD" in p, p
+    assert p.count("lineitem.parquet") == 0, p
     assert "CartesianProduct" not in p
 
 
@@ -272,9 +274,11 @@ def test_q16_anti_join_broadcasts(spark):
 
 def test_q20_two_level_agg_scans_lineitem_once(spark):
     # pair-level and part-level aggregation both derive from the shared()
-    # pair frame: one lineitem scan feeds both levels
+    # (checkpointed) pair frame: the lineitem scan ran exactly once at
+    # materialization and is absent from the downstream plan
     p = plan_of(spark, "tpch_q20_excess_suppliers")
-    assert p.count("lineitem.parquet") <= 1, p
+    assert "Scan ExistingRDD" in p, p
+    assert p.count("lineitem.parquet") == 0, p
     assert "CartesianProduct" not in p
 
 
