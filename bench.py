@@ -37,8 +37,12 @@ HEADLINE = [
     "customers_with_orders",
 ]
 
-#: extension operators benched per round (timings recorded in `queries`,
-#: excluded from the headline total to keep `value` comparable).
+#: every registered query outside HEADLINE is benched too (timings
+#: recorded in `queries`, excluded from the headline total to keep
+#: `value` round-over-round comparable). The explicit list below pins
+#: the run order for the queries that existed when it was written; any
+#: query registered later is appended alphabetically by the `main` loop,
+#: so nothing ships without a recorded timing.
 EXTENDED = [
     "doc_near_dup_pairs",
     "doc_simhash_near_dups",
@@ -111,6 +115,7 @@ def main() -> None:
     available = set(plans.all_queries())
     names = [n for n in HEADLINE if n in available]
     extended = [n for n in EXTENDED if n in available]
+    extended += sorted(available - set(names) - set(extended))
     # Warm-up: JVM + parquet footer caches on the smallest query.
     run_query(spark, names[0], sf_dir)
     timings: dict[str, float] = {}

@@ -556,3 +556,70 @@ def sim_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+#: a text near-dup pair whose embeddings disagree below this cosine is
+#: flagged: either the embedding run predates the near-dup text edit or
+#: one modality is corrupted — the cross-modal audit a training pipeline
+#: runs before trusting either signal for dedup decisions.
+MODALITY_AGREE_COSINE = 0.5
+
+# text.py does not import this module, so the CTE-chain import is acyclic.
+from .text import _SQL_NEAR_DUP_CTES, NEAR_DUP_THRESHOLD  # noqa: E402
+
+
+@register(
+    "doc_text_embedding_disagreement",
+    oracle=f"""
+WITH {_SQL_NEAR_DUP_CTES},
+pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM verified
+  WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST({_sql_pair_qdot("a.embedding", "b.embedding")} AS DOUBLE)
+         / (sqrt(CAST({_sql_pair_qdot("a.embedding", "a.embedding")} AS DOUBLE))
+            * sqrt(CAST({_sql_pair_qdot("b.embedding", "b.embedding")} AS DOUBLE)))
+         AS cosine,
+       (CAST({_sql_pair_qdot("a.embedding", "b.embedding")} AS DOUBLE)
+         / (sqrt(CAST({_sql_pair_qdot("a.embedding", "a.embedding")} AS DOUBLE))
+            * sqrt(CAST({_sql_pair_qdot("b.embedding", "b.embedding")} AS DOUBLE)))
+         < {MODALITY_AGREE_COSINE}) AS modality_disagree
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.doc_a
+JOIN embeddings b ON b.vec_id = p.doc_b
+""",
+    doc="Cross-modal dedup audit: MinHash-verified text near-dup pairs "
+    "(jaccard >= 0.5) joined to the exact quantized cosine of the same "
+    "documents' embeddings, flagging pairs where the text and vector "
+    "modalities disagree. Reuses the registered near-dup pipeline as a "
+    "subplan; the pair list is tiny (O(near-dups)), so both embedding "
+    "joins broadcast the pairs against the vector table and the cosine "
+    "is computed row-local on the joined rows — the added cost over the "
+    "text pass is two hash joins over k pairs, not a scan product.",
+    tags=("similarity", "text", "dedup", "multimodal"),
+)
+def doc_text_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _near_dup_pairs_df
+
+    pairs = _near_dup_pairs_df(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    qa, qb = quantized_elements(F.col("ea")), quantized_elements(F.col("eb"))
+    cosine = dot_long(qa, qb).cast("double") / (
+        F.sqrt(dot_long(qa, qa).cast("double"))
+        * F.sqrt(dot_long(qb, qb).cast("double"))
+    )
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cosine.alias("cosine"),
+            (F.col("cosine") < MODALITY_AGREE_COSINE).alias("modality_disagree"),
+        )
+        .select("doc_a", "doc_b", "jaccard", "cosine", "modality_disagree")
+    )
