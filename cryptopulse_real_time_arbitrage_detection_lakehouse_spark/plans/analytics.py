@@ -539,3 +539,131 @@ def order_value_window_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(wfull).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+         AS weeks_since,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="Weekly retention cohorts — the standard product-analytics "
+    "operator: each user's cohort is the week of their first event; the "
+    "cell (cohort, weeks-since) counts users still active that week. "
+    "Three stages share the user_id partitioning: first-event agg, "
+    "distinct (user, week) activity, and the join — one logical key, so "
+    "AQE reuses the exchange instead of reshuffling; only the final "
+    "(cohort, offset) regroup re-keys, onto a frame bounded by "
+    "users x weeks. Both engines truncate weeks to ISO Monday and the "
+    "offset divides exact day counts, so every cell matches exactly.",
+    tags=("analytics", "events", "cohort"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(active_week, cohort_week) DIV 7 AS BIGINT)").alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+WITH stamped AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT user_id, event_type, ts, t_view,
+         min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM stamped
+), s3 AS (
+  SELECT user_id, t_view, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+)
+SELECT count(t_view) AS n_view,
+       count(t_click) AS n_click_after_view,
+       count(t_purchase) AS n_purchase_after_click,
+       CAST(count(t_click) AS DOUBLE) / CAST(count(t_view) AS DOUBLE)
+         AS view_to_click,
+       CAST(count(t_purchase) AS DOUBLE) / CAST(count(t_click) AS DOUBLE)
+         AS click_to_purchase
+FROM per_user
+""",
+    doc="Ordered funnel conversion (view -> click -> purchase): each "
+    "stage's timestamp is the earliest qualifying event AT OR AFTER the "
+    "previous stage's — the sequential constraint that separates a "
+    "funnel from three independent counts. Three chained unbounded "
+    "window minima share ONE user_id hash partitioning (no ORDER BY in "
+    "the frame, so no per-user sort), then a per-user collapse and a "
+    "single-row conditional-count summary. Scale: one shuffle on the "
+    "high-cardinality user key; everything after operates on one row "
+    "per user. Timestamps compare exactly; the conversion ratios "
+    "divide exact counts.",
+    tags=("analytics", "events", "funnel", "window-function"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t_purchase", t_purchase)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+        (F.count("t_click").cast("double") / F.count("t_view").cast("double")).alias(
+            "view_to_click"
+        ),
+        (
+            F.count("t_purchase").cast("double") / F.count("t_click").cast("double")
+        ).alias("click_to_purchase"),
+    )

@@ -23,6 +23,7 @@ from ..functions.text import (
     shingles,
     shingles_all,
     simhash16,
+    token_hashes16,
     simhash_bits,
     sql_count_in_set,
     sql_minhash_base,
@@ -193,10 +194,15 @@ FROM t
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text", tokens("text").alias("toks"))
-    return d.select(
+    # token hashes in their own stage: md5 runs once per token; the 16
+    # per-bit vote folds below then fold cheap ints (see token_hashes16)
+    hashed = d.select(
+        "doc_id", "text", "toks", token_hashes16(F.col("toks")).alias("th")
+    )
+    return hashed.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
-        simhash16(F.col("toks")).alias("simhash16"),
+        simhash16(F.col("th")).alias("simhash16"),
         F.size(F.col("toks")).cast("long").alias("n_tokens"),
     )
 

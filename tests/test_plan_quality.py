@@ -302,3 +302,17 @@ def test_rarity_scores_shuffle_keys_are_bounded(spark):
     p = plan_of(spark, "doc_rarity_scores")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_funnel_windows_share_one_user_shuffle(spark):
+    # three chained stage minima + the per-user collapse all key on
+    # user_id: one hash shuffle, no per-user sort (unbounded frames)
+    p = plan_of(spark, "event_funnel_conversion")
+    assert shuffle_count(p) <= 2, p  # user_id exchange + single-row agg
+
+
+def test_fingerprints_hash_each_token_once(spark):
+    # token hashes are materialized in their own stage: exactly one md5 of
+    # the token inside one aggregate fold, not 16 per-bit re-hashes
+    p = plan_of(spark, "doc_fingerprints")
+    assert p.count("md5") <= 3, p  # content_hash + token-hash (+ scan alias)
