@@ -667,3 +667,82 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").cast("double") / F.count("t_click").cast("double")
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "user_event_set_ops",
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+both_sides AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+click_only AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers),
+buy_only AS (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
+SELECT (SELECT count(*) FROM clickers) AS n_clickers,
+       (SELECT count(*) FROM buyers) AS n_buyers,
+       (SELECT count(*) FROM both_sides) AS n_both,
+       (SELECT count(*) FROM click_only) AS n_click_only,
+       (SELECT count(*) FROM buy_only) AS n_buy_only
+""",
+    doc="Set operations over user cohorts: INTERSECT and EXCEPT (both "
+    "DISTINCT semantics) between clicking and purchasing users — the "
+    "set-op family the join coverage (semi/anti) leaves untested. Spark "
+    "plans intersect/except as hash left-semi/anti joins over "
+    "deduplicated keys, so each leg is one user_id shuffle; the five "
+    "single-row counts broadcast into one output row. Counts are "
+    "integer-exact.",
+    tags=("analytics", "set-ops", "events"),
+)
+def user_event_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    legs = {
+        "n_clickers": clickers,
+        "n_buyers": buyers,
+        "n_both": clickers.intersect(buyers),
+        "n_click_only": clickers.exceptAll(buyers).distinct(),
+        "n_buy_only": buyers.exceptAll(clickers).distinct(),
+    }
+    out = None
+    for name, df in legs.items():
+        leg = df.agg(F.count(F.lit(1)).alias(name))
+        out = leg if out is None else out.crossJoin(F.broadcast(leg))
+    return out
+
+
+@register(
+    "emb_vector_predicates",
+    oracle="""
+SELECT vec_id, label,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       (len(list_filter(embedding, x -> abs(x) > 0.3)) > 0) AS any_large,
+       (len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding))
+         AS all_bounded,
+       CAST(list_position(embedding, list_aggregate(embedding, 'max'))
+            AS BIGINT) AS argmax_pos
+FROM embeddings
+""",
+    doc="Higher-order predicate kit over the embedding array: filter-count "
+    "(n_positive), EXISTS (any coordinate above a magnitude), FORALL "
+    "(every coordinate bounded), and argmax position (array_position of "
+    "the array max — first match, same rule in both engines). Row-local "
+    "projection, zero shuffle; float32 comparisons against exact binary "
+    "thresholds (0.3 rounds identically on read in both engines, 1.0 is "
+    "exact) so the booleans match bit-for-bit.",
+    tags=("similarity", "array", "higher-order"),
+)
+def emb_vector_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.exists(e, lambda x: F.abs(x) > 0.3).alias("any_large"),
+        F.forall(e, lambda x: F.abs(x) <= 1.0).alias("all_bounded"),
+        F.array_position(e, F.array_max(e)).alias("argmax_pos"),
+    )

@@ -282,3 +282,147 @@ def tick_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         "vwap",
     )
+
+
+@register(
+    "symbol_max_drawdown",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+dd AS (
+  SELECT symbol, close,
+         max(close) OVER (PARTITION BY symbol ORDER BY window_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM gold
+)
+SELECT symbol,
+       count(*) AS n_candles,
+       max(peak) AS peak_close,
+       max(CAST(CAST(peak - close AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(peak AS VARCHAR) AS DOUBLE)) AS max_drawdown
+FROM dd GROUP BY symbol
+""",
+    doc="Per-symbol maximum drawdown over the 1-minute close series — the "
+    "dashboard risk KPI the reference's client-side pandas never got to "
+    "(dashboard/app.py:70-86 family). The running peak uses the chunked "
+    "two-level rewrite (operators/chunked_lag.py family): a chunk-local "
+    "running max at full parallelism over (symbol, day), then the "
+    "per-chunk maxima (a symbols x days frame, tiny at any SF) take a "
+    "prefix-max and rejoin by broadcast — the per-symbol serial pass "
+    "never touches candle-level data, unlike a naive per-symbol window "
+    "that would serialize each symbol's whole history into one task. "
+    "Decimal peak/close subtract exactly; the drawdown ratio divides "
+    "VARCHAR-mediated doubles so both engines round identically.",
+    tags=("gold", "analytics", "window-function"),
+)
+def symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold(spark, sf_dir).select("window_start", "symbol", "close")
+    # window_start is 'yyyy-MM-dd HH:mm:ss': the date prefix is a monotone
+    # chunk of the ordering (same contract as candle_close_delta).
+    d = gold.withColumn("__chunk", F.substring("window_start", 1, 10))
+    w_local = (
+        W.partitionBy("symbol", "__chunk")
+        .orderBy("window_start")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = d.withColumn("local_peak", F.max("close").over(w_local))
+    chunk_max = (
+        d.groupBy("symbol", "__chunk").agg(F.max("close").alias("chunk_peak"))
+    )
+    w_prefix = (
+        W.partitionBy("symbol").orderBy("__chunk").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    prefix = chunk_max.select(
+        "symbol",
+        "__chunk",
+        F.max("chunk_peak").over(w_prefix).alias("prefix_peak"),
+    )
+    joined = local.join(F.broadcast(prefix), ["symbol", "__chunk"])
+    peak = F.greatest(
+        F.col("local_peak"), F.coalesce(F.col("prefix_peak"), F.col("local_peak"))
+    )
+    dd = joined.select(
+        "symbol",
+        "close",
+        peak.alias("peak"),
+    )
+    return dd.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_candles"),
+        F.max("peak").alias("peak_close"),
+        F.max(
+            (F.col("peak") - F.col("close")).cast("double")
+            / F.col("peak").cast("double")
+        ).alias("max_drawdown"),
+    )
+
+
+@register(
+    "symbol_return_volatility",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+r AS (
+  SELECT symbol,
+         CAST(CAST(close AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(lag(close) OVER (PARTITION BY symbol
+                                        ORDER BY window_start) AS VARCHAR)
+                  AS DOUBLE) - 1.0 AS ret
+  FROM gold
+), s AS (
+  SELECT symbol, count(ret) AS n_returns,
+         {sql_dsum("ret")} AS sx,
+         {sql_dsum("ret * ret")} AS sxx
+  FROM r WHERE ret IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n_returns,
+       sx / CAST(n_returns AS DOUBLE) AS mean_return,
+       sqrt((sxx - sx * sx / CAST(n_returns AS DOUBLE))
+            / CAST(n_returns - 1 AS DOUBLE)) AS volatility
+FROM s
+""",
+    doc="Per-symbol realized volatility of 1-minute simple returns "
+    "(close/prev_close - 1): the lag rides the chunked-lag rewrite "
+    "(parallel over (symbol, day) chunks, serial only on the per-chunk "
+    "tail summary), returns divide VARCHAR-mediated doubles, and the "
+    "sample variance comes from exact-decimal power sums (the "
+    "order_stats_moments discipline) so sqrt sees bit-identical "
+    "operands in both engines. One candle aggregation shuffle + the "
+    "chunk window; the moment regroup is per-symbol rows only.",
+    tags=("gold", "analytics", "window-function"),
+)
+def symbol_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import dsum
+
+    gold = _gold(spark, sf_dir).select("window_start", "symbol", "close")
+    lagged = chunked_lag(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="close",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_close",
+        materialize=True,
+    )
+    ret = (
+        F.col("close").cast("double") / F.col("prev_close").cast("double")
+        - F.lit(1.0)
+    )
+    r = lagged.select("symbol", ret.alias("ret")).filter(F.col("ret").isNotNull())
+    s = r.groupBy("symbol").agg(
+        F.count("ret").alias("n_returns"),
+        dsum("ret").alias("sx"),
+        dsum(F.col("ret") * F.col("ret")).alias("sxx"),
+    )
+    n = F.col("n_returns").cast("double")
+    return s.select(
+        "symbol",
+        "n_returns",
+        (F.col("sx") / n).alias("mean_return"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+            / (n - F.lit(1.0))
+        ).alias("volatility"),
+    )
