@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import SQL_SUM_DECIMAL, SUM_DECIMAL, fmt_ts, sql_fmt_ts
+from ..functions.determinism import (
+    SQL_SUM_DECIMAL,
+    SUM_DECIMAL,
+    dsum,
+    fmt_ts,
+    sql_dsum,
+    sql_fmt_ts,
+)
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
 from ..sources.testdata import load_table
 from .registry import register
@@ -745,4 +752,42 @@ def emb_vector_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(e, lambda x: F.abs(x) > 0.3).alias("any_large"),
         F.forall(e, lambda x: F.abs(x) <= 1.0).alias("all_bounded"),
         F.array_position(e, F.array_max(e)).alias("argmax_pos"),
+    )
+
+
+@register(
+    "customer_null_semantics",
+    oracle=f"""
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       count(c_acctbal) AS n_with_balance,
+       count(CASE WHEN c_acctbal IS NOT DISTINCT FROM NULL THEN 1 END)
+         AS n_null_balance,
+       {sql_dsum("coalesce(c_acctbal, 0.0)")} AS total_balance,
+       count(nullif(c_mktsegment, 'BUILDING')) AS n_non_building
+FROM customer
+GROUP BY c_nationkey
+""",
+    doc="Null-semantics kit over the customer table (the regenerated "
+    "testdata gives order-less customers NULL balances, so every branch "
+    "is exercised): count(col) vs count(*) null skipping, null-safe "
+    "equality (eqNullSafe / IS NOT DISTINCT FROM — the three-valued-"
+    "logic escape hatch), coalesce defaulting inside an exact-decimal "
+    "sum, and nullif sentinel conversion. Row-local expressions + one "
+    "bounded-key aggregation; both engines implement the same SQL "
+    "three-valued logic so counts match exactly.",
+    tags=("analytics", "null-semantics", "aggregate"),
+)
+def customer_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("c_acctbal").alias("n_with_balance"),
+        F.count(
+            F.when(F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")), 1)
+        ).alias("n_null_balance"),
+        dsum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))).alias("total_balance"),
+        F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias(
+            "n_non_building"
+        ),
     )

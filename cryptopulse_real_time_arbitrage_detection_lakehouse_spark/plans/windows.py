@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import SUM_DECIMAL, fmt_ts, sql_dsum, sql_fmt_ts
+from ..functions.determinism import SUM_DECIMAL, dsum, fmt_ts, sql_dsum, sql_fmt_ts
 from ..operators.gold import candles
 from ..operators.ranges import interval_point_join
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
@@ -247,4 +247,91 @@ def venue_side_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trades",
             F.col("_pv").cast("double").alias("notional"),
         )
+    )
+
+
+@register(
+    "venue_grouping_sets",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE}
+SELECT venue, taker_side,
+       CAST(grouping(venue) * 2 + grouping(taker_side) AS BIGINT) AS gid,
+       count(*) AS n_ticks,
+       {sql_dsum("price")} AS total_price
+FROM ticks
+GROUP BY GROUPING SETS ((venue, taker_side), (venue), ())
+""",
+    doc="Explicit GROUPING SETS — the irregular-subtotal shape rollup and "
+    "cube cannot express (here: (venue, side), (venue), and grand total, "
+    "but NOT (side) alone). Spark's DataFrame.groupingSets plans the "
+    "same Expand-then-aggregate as cube/rollup: each input row fans out "
+    "to its matching sets map-side, one hash shuffle aggregates all "
+    "three granularities, and grouping() bits disambiguate NULL-as-"
+    "subtotal from NULL data. grouping_id arithmetic is identical in "
+    "both engines.",
+    tags=("windows", "grouping-sets", "aggregate"),
+)
+def venue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    return (
+        t.groupingSets(
+            [["venue", "taker_side"], ["venue"], []],
+            F.col("venue"),
+            F.col("taker_side"),
+        )
+        .agg(
+            (F.grouping("venue") * 2 + F.grouping("taker_side"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("price").alias("total_price"),
+        )
+        .select("venue", "taker_side", "gid", "n_ticks", "total_price")
+    )
+
+
+@register(
+    "revenue_time_rollup",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(grouping(year(o_orderdate)) * 4
+            + grouping(quarter(o_orderdate)) * 2
+            + grouping(month(o_orderdate)) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+""",
+    doc="Time-hierarchy rollup: revenue at month, quarter, year, and "
+    "grand-total granularity in ONE aggregation pass — the OLAP "
+    "drill-down table a dashboard reads instead of re-querying per "
+    "level. Calendar fields are computed once in the projection, the "
+    "Expand emits 4 granularity rows per input map-side, and a single "
+    "hash shuffle finishes all levels; grouping() bits mark subtotal "
+    "rows. Revenue sums ride the exact-decimal discipline.",
+    tags=("windows", "rollup", "aggregate", "date"),
+)
+def revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("o_year", "o_quarter", "o_month")
+        .agg(
+            (
+                F.grouping("o_year") * 4
+                + F.grouping("o_quarter") * 2
+                + F.grouping("o_month")
+            )
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select("o_year", "o_quarter", "o_month", "gid", "n_orders", "revenue")
     )
