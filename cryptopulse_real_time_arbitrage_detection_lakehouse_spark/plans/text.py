@@ -1265,3 +1265,116 @@ def doc_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", w.alias("rk"))
         .filter(F.col("rk") <= 20)
     )
+
+
+#: RAG chunking parameters: window of tokens per chunk, stride (overlap =
+#: window - stride). Chunk starts are 1, 1+stride, 1+2*stride, ...
+CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
+
+#: sequence-packing context budget (tokens per training sequence).
+PACK_BUDGET = 512
+
+
+@register(
+    "doc_rag_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(s.i AS BIGINT) AS chunk_id,
+       CAST(1 + s.i * {CHUNK_STRIDE} AS BIGINT) AS start_token,
+       CAST(len(toks[1 + s.i * {CHUNK_STRIDE} :
+                 {CHUNK_TOKENS} + s.i * {CHUNK_STRIDE}]) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(toks[1 + s.i * {CHUNK_STRIDE} :
+                                {CHUNK_TOKENS} + s.i * {CHUNK_STRIDE}], ' '))
+         AS chunk_hash
+FROM t, (SELECT unnest(range(0, 64)) AS i) s
+WHERE s.i * {CHUNK_STRIDE} < len(toks)
+""",
+    doc="Overlapping token-window chunking — the retrieval-pipeline "
+    "operator that turns documents into embedding-sized chunks (64-token "
+    "windows, stride 48, 16-token overlap). Row-local: one transform "
+    "over the chunk-start sequence with array slices, exploded to one "
+    "row per chunk; the chunk payload travels as an md5 so the shuffle-"
+    "free plan emits (ids, counts, hash), never the text. The constant "
+    "64-window upper bound mirrors DuckDB's non-lateral range(); the "
+    "start-position filter keeps exactly ceil(len/stride) chunks per "
+    "doc in both engines.",
+    tags=("text", "chunking", "rag"),
+)
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok_df = d.select("doc_id", tokens("text").alias("toks"))
+    starts = F.sequence(F.lit(0), F.lit(63))
+    chunks = tok_df.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.filter(starts, lambda i: i * CHUNK_STRIDE < F.size(F.col("toks")))
+        ).alias("i"),
+    )
+    sliced = F.slice(
+        F.col("toks"), F.col("i") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        (F.col("i") * CHUNK_STRIDE + 1).cast("long").alias("start_token"),
+        F.size(sliced).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sliced)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len({SQL_TOKENS}) AS n_tokens FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT lang, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}.0 AS fill_ratio
+FROM packed GROUP BY lang, pack_id
+""",
+    doc="Greedy sequence packing for training batches: documents stream "
+    "in deterministic doc_id order per language shard, and a document "
+    "opens in the pack where its running-token prefix (exclusive) "
+    "lands — the one-pass approximation of first-fit packing that a "
+    "pretraining pipeline uses to fill fixed context windows. One "
+    "running-sum window per shard (integer token counts, exact) plus a "
+    "small per-pack regroup; at scale the shard key is the parallelism "
+    "unit and each pack's stats are map-side partials. fill_ratio > 1 "
+    "measures overflow from documents straddling a boundary (a packer "
+    "would truncate or split; the stats quantify how often).",
+    tags=("text", "packing", "window-function"),
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    prefix_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = t.withColumn(
+        "pack_id", F.floor(prefix_excl / PACK_BUDGET).cast("long")
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        (F.sum("n_tokens").cast("double") / float(PACK_BUDGET)).alias("fill_ratio"),
+    )
