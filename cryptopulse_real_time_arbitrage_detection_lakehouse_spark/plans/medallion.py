@@ -289,12 +289,15 @@ def tick_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {EVENTS_TICKS_CTE},
 gold AS ({_GOLD_ORACLE_BODY}),
+pos AS (
+  SELECT symbol, window_start, close FROM gold WHERE close > 0
+),
 dd AS (
   SELECT symbol, close,
          max(close) OVER (PARTITION BY symbol ORDER BY window_start
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS peak
-  FROM gold
+  FROM pos
 )
 SELECT symbol,
        count(*) AS n_candles,
@@ -313,14 +316,25 @@ FROM dd GROUP BY symbol
     "never touches candle-level data, unlike a naive per-symbol window "
     "that would serialize each symbol's whole history into one task. "
     "Decimal peak/close subtract exactly; the drawdown ratio divides "
-    "VARCHAR-mediated doubles so both engines round identically.",
+    "VARCHAR-mediated doubles so both engines round identically. "
+    "Zero-priced candles are excluded up front (drawdown from a zero "
+    "peak is undefined, and ANSI mode would reject the division).",
     tags=("gold", "analytics", "window-function"),
 )
 def symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gold = _gold(spark, sf_dir).select("window_start", "symbol", "close")
+    from ..operators.partitioning import shared
+
+    gold = (
+        _gold(spark, sf_dir)
+        .select("window_start", "symbol", "close")
+        .filter(F.col("close") > 0)
+    )
     # window_start is 'yyyy-MM-dd HH:mm:ss': the date prefix is a monotone
     # chunk of the ordering (same contract as candle_close_delta).
-    d = gold.withColumn("__chunk", F.substring("window_start", 1, 10))
+    # shared(): the chunk-local window and the per-chunk max both read the
+    # candle aggregate — materialize it once instead of re-running the
+    # whole silver->gold pipeline per branch.
+    d = shared(gold.withColumn("__chunk", F.substring("window_start", 1, 10)))
     w_local = (
         W.partitionBy("symbol", "__chunk")
         .orderBy("window_start")
@@ -364,24 +378,28 @@ def symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {EVENTS_TICKS_CTE},
 gold AS ({_GOLD_ORACLE_BODY}),
-r AS (
+lagged AS (
+  SELECT symbol, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS prev_close
+  FROM gold
+), r AS (
   SELECT symbol,
          CAST(CAST(close AS VARCHAR) AS DOUBLE)
-           / CAST(CAST(lag(close) OVER (PARTITION BY symbol
-                                        ORDER BY window_start) AS VARCHAR)
-                  AS DOUBLE) - 1.0 AS ret
-  FROM gold
+           / CAST(CAST(prev_close AS VARCHAR) AS DOUBLE) - 1.0 AS ret
+  FROM lagged
+  WHERE prev_close IS NOT NULL AND prev_close <> 0
 ), s AS (
   SELECT symbol, count(ret) AS n_returns,
          {sql_dsum("ret")} AS sx,
          {sql_dsum("ret * ret")} AS sxx
-  FROM r WHERE ret IS NOT NULL GROUP BY symbol
+  FROM r GROUP BY symbol
 )
 SELECT symbol, n_returns,
        sx / CAST(n_returns AS DOUBLE) AS mean_return,
        sqrt((sxx - sx * sx / CAST(n_returns AS DOUBLE))
             / CAST(n_returns - 1 AS DOUBLE)) AS volatility
-FROM s
+FROM s WHERE n_returns >= 2
 """,
     doc="Per-symbol realized volatility of 1-minute simple returns "
     "(close/prev_close - 1): the lag rides the chunked-lag rewrite "
@@ -410,19 +428,29 @@ def symbol_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").cast("double") / F.col("prev_close").cast("double")
         - F.lit(1.0)
     )
-    r = lagged.select("symbol", ret.alias("ret")).filter(F.col("ret").isNotNull())
+    # zero previous closes make the return undefined (and ANSI mode
+    # rejects the division); n_returns >= 2 guards the n-1 denominator
+    r = (
+        lagged.filter(
+            F.col("prev_close").isNotNull() & (F.col("prev_close") != 0)
+        )
+        .select("symbol", ret.alias("ret"))
+    )
     s = r.groupBy("symbol").agg(
         F.count("ret").alias("n_returns"),
         dsum("ret").alias("sx"),
         dsum(F.col("ret") * F.col("ret")).alias("sxx"),
     )
     n = F.col("n_returns").cast("double")
-    return s.select(
-        "symbol",
-        "n_returns",
-        (F.col("sx") / n).alias("mean_return"),
-        F.sqrt(
-            (F.col("sxx") - F.col("sx") * F.col("sx") / n)
-            / (n - F.lit(1.0))
-        ).alias("volatility"),
+    return (
+        s.filter(F.col("n_returns") >= 2)
+        .select(
+            "symbol",
+            "n_returns",
+            (F.col("sx") / n).alias("mean_return"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+                / (n - F.lit(1.0))
+            ).alias("volatility"),
+        )
     )

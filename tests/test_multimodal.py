@@ -80,3 +80,44 @@ def test_metadata_struct_is_typed(spark):
     assert schema["meta"].startswith("struct<format:string,width:int")
     row = feats.first()
     assert row.meta.format == "IMG1" and row.meta.n_bytes > 13
+
+
+def test_encoders_roundtrip_through_feature_kernels(spark):
+    """encode_img1 / encode_pcm1 / encode_vid1 are the write-side API for
+    the custom formats: bytes they produce must decode through the same
+    feature kernels the queries use, with matching dims and stats."""
+    import numpy as np
+
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.multimodal import (
+        audio_features,
+        encode_img1,
+        encode_pcm1,
+        encode_vid1,
+        video_frame_sample,
+    )
+
+    w, h = 5, 4
+    pix = np.arange(w * h * 3, dtype=np.uint8)
+    img = spark.createDataFrame([(1, encode_img1(w, h, pix))], "doc_id long, image binary")
+    row = image_features(img).first()
+    assert (row.meta.width, row.meta.height, row.meta.channels) == (w, h, 3)
+    assert row.pixel_sum == int(pix.sum())
+
+    samples = np.array([0, 100, -100, 2047, -2048], dtype="<i2")
+    pcm = spark.createDataFrame([(2, encode_pcm1(samples))], "doc_id long, audio binary")
+    arow = audio_features(pcm).first()
+    adict = arow.asDict(recursive=True)
+    flat = {**adict, **adict.get("meta", {})}
+    assert flat["n_samples"] == len(samples)
+    assert max(abs(int(s)) for s in samples) in (
+        flat.get("peak"),
+        flat.get("peak_abs"),
+        flat.get("max_abs"),
+    )
+
+    vpix = np.arange(2 * 3 * 2 * 3, dtype=np.uint8)  # 2 frames of 3x2 rgb
+    vid = spark.createDataFrame(
+        [(3, encode_vid1(3, 2, 2, vpix))], "doc_id long, video binary"
+    )
+    frames = video_frame_sample(vid, k=2).collect()
+    assert len(frames) == 2
