@@ -126,14 +126,35 @@ def main() -> None:
         total += sec
     for name in extended:
         timings[name] = round(run_query(spark, name, sf_dir), 4)
-    print(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query timings go to a FILE, not stdout: the driver captures only
+    # the stdout tail, and a single giant JSON line gets its head (with the
+    # headline `value`) truncated away — which is exactly what made
+    # BENCH_r02 unparseable. The last stdout line is a compact
+    # headline-only record: headline-total plus the 7 headline per-query
+    # timings (small, bounded — safe for a tail capture).
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            },
+            indent=1,
+        )
+        + "\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": {n: timings[n] for n in names},
+                "sf": sf_val,
             }
         )
     )

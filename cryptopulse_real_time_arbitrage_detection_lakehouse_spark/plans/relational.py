@@ -809,7 +809,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part scales with SF — no pinned broadcast (would OOM executors at
+        # 100x); AQE join-strategy switching broadcasts it while it fits.
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(ords, li["l_orderkey"] == ords["o_orderkey"])
         .join(cust, ords["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
@@ -860,7 +862,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part scales with SF — no pinned broadcast (would OOM executors at
+        # 100x); AQE join-strategy switching broadcasts it while it fits.
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(ords, li["l_orderkey"] == ords["o_orderkey"])
@@ -946,7 +950,9 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part scales with SF — no pinned broadcast (would OOM executors at
+        # 100x); AQE join-strategy switching broadcasts it while it fits.
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             (
                 F.lit(100.0)
@@ -995,7 +1001,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.withColumn("mr", F.max("total_revenue").over(W.partitionBy()))
         .filter(F.col("total_revenue") == F.col("mr"))
-        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1025,7 +1031,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    # part scales with SF — unhinted; AQE broadcasts it only while it fits.
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
     clause = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1105,8 +1112,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name"
     )
     ranked = (
-        cost.join(F.broadcast(eu), cost["l_suppkey"] == eu["s_suppkey"])
-        .join(F.broadcast(part), cost["l_partkey"] == part["p_partkey"])
+        # eu (supplier subset) and the SMALL-part subset both scale with SF
+        # — unhinted; AQE broadcasts them only while they fit.
+        cost.join(eu, cost["l_suppkey"] == eu["s_suppkey"])
+        .join(part, cost["l_partkey"] == part["p_partkey"])
         .withColumn("min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey")))
     )
     return (
@@ -1162,7 +1171,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold filter — materialize it once instead of scanning lineitem
     # per branch (it is a per-part reduction, safe to cache at any SF).
     v = shared(
-        li.join(F.broadcast(nat_sup), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(nat_sup, li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey")
         # price*quantity terms reach ~5e6, where a double ulp exceeds the
         # default scale-10 half-step — round at scale 4 (see determinism.py).
@@ -1258,7 +1267,7 @@ def tpch_q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     return (
         li.join(bad_sup, li["l_suppkey"] == bad_sup["s_suppkey"], "left_anti")
-        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1316,7 +1325,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     excess = (
         pairq.join(partavg, pairq["l_partkey"] == partavg["pk"])
-        .join(F.broadcast(small), pairq["l_partkey"] == small["p_partkey"])
+        .join(small, pairq["l_partkey"] == small["p_partkey"])
         .filter(F.col("pair_qty") > 2.5 * F.col("avg_qty"))
         .select("l_suppkey")
         .distinct()
@@ -1390,7 +1399,8 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_order.join(F.broadcast(sup), F.col("late_supp") == sup["s_suppkey"])
+        # supplier scales with SF — unhinted; AQE decides at runtime.
+        per_order.join(sup, F.col("late_supp") == sup["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

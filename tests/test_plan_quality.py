@@ -61,6 +61,63 @@ def test_dimension_joins_broadcast(spark):
     assert "CartesianProduct" not in p
 
 
+def _tree_depth(line: str) -> int:
+    """Indent depth of a Scala plan-tree line (3 chars per level)."""
+    m = re.search(r"[+:]-", line)
+    return m.start() // 3 if m else -1
+
+
+def _broadcast_hint_children(plan: str) -> list[list[str]]:
+    """Subtree (list of stripped lines) under each broadcast ResolvedHint."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in line:
+            continue
+        d = _tree_depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            nd = _tree_depth(nxt)
+            if nd <= d:
+                break
+            sub.append(re.sub(r"^[\s:+-]*", "", nxt))
+        out.append(sub)
+    return out
+
+
+def test_no_broadcast_hint_on_unbounded_relation(spark):
+    """Every pinned F.broadcast in the relational plans must cover a
+    bounded-cardinality frame: nation/region (25/5 rows by TPC-H spec,
+    independent of SF) or a global (ungrouped) aggregate that reduces to a
+    single row. A hint pinned on an SF-proportional relation (part,
+    supplier, customer, orders, lineitem or any filtered subset) OOMs
+    executors at 100x — AQE's runtime join-strategy switching must be the
+    thing that broadcasts those, not a hint. Checked on the ANALYZED plan
+    because that is where hints live before the planner consumes them.
+    """
+    names = [n for n, s in plans.all_queries().items()
+             if s.__module__.endswith("plans.relational")]
+    assert len(names) >= 20
+    for name in names:
+        df = plans.get(name).fn(spark, SF_SMOKE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for sub in _broadcast_hint_children(analyzed):
+            assert sub, f"{name}: empty hint subtree"
+            # single-row global aggregate: `Aggregate [exprs]` with exactly
+            # one bracket group (grouped form is `Aggregate [keys], [outs]`)
+            root = sub[0]
+            if root.startswith("Aggregate [") and "], [" not in root:
+                continue
+            rels = [l for l in sub if l.startswith("Relation [")]
+            assert rels, f"{name}: hint subtree has no Relation\n{sub}"
+            for rel in rels:
+                first_col = rel[len("Relation ["):].split(",")[0].split("#")[0]
+                assert first_col.startswith(("n_", "r_")), (
+                    f"{name}: broadcast hint pinned over unbounded relation "
+                    f"({rel})"
+                )
+
+
 @pytest.mark.parametrize(
     "name",
     ["doc_near_dup_pairs", "emb_near_dup_pairs", "busy_window_events",
