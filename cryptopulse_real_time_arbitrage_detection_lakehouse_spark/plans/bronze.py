@@ -18,12 +18,15 @@ exactly as the reference does to avoid double-precision loss on the wire
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.partitioning import spread
 from ..operators.silver import parse_bronze_ticks
 from ..schemas import EVENT_PROPS_SCHEMA
+from ..sources.kafka_file import FileTopic
 from ..sources.testdata import load_table
 from ..streaming.jobs import bronze_ingest
 from .registry import register
@@ -126,4 +129,62 @@ def bronze_to_silver_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_id",
         F.unix_micros(F.col("trade_timestamp")).alias("trade_ts_us"),
         "taker_side",
+    )
+
+
+@register(
+    "kafka_topic_partition_audit",
+    oracle="""
+WITH rec AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'coinbase' ELSE 'binance' END AS venue
+  FROM events
+), placed AS (
+  SELECT venue,
+         CAST(('0x' || substring(md5(venue), 1, 8)) AS BIGINT) % 3 AS partition
+  FROM rec
+)
+SELECT 'crypto_market_data' AS topic,
+       CAST(partition AS INTEGER) AS partition,
+       count(*) AS n,
+       CAST(0 AS BIGINT) AS min_offset,
+       count(*) - 1 AS max_offset,
+       count(DISTINCT venue) AS n_keys
+FROM placed
+GROUP BY partition
+""",
+    doc="File-backed Kafka topic twin (S1/K4 stand-in; the "
+    "spark-sql-kafka connector jar is absent from this image and there is "
+    "no network to vendor it — see README). The events-derived ticker "
+    "envelope is PRODUCED to a 3-partition FileTopic (keyed md5-hash "
+    "partitioner, per-partition contiguous offsets), read back through the "
+    "Kafka record contract, and passed through the bronze envelope "
+    "projection (CAST(key AS STRING) / CAST(value AS STRING) — P1/F4, "
+    "ingestion_bronze.py:56). The audit asserts Kafka's core invariants: "
+    "record counts per partition follow the key hash, offsets are dense "
+    "from 0 (min=0, max=n-1), and each partition holds exactly the keys "
+    "that hash to it.",
+    tags=("kafka", "source", "sink", "envelope"),
+)
+def kafka_topic_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    envelope = synth_kafka_envelope(load_table(spark, sf_dir, "events"))
+    topic = FileTopic(
+        tempfile.mkdtemp(prefix="cpkafka_") + "/crypto_market_data",
+        "crypto_market_data",
+        num_partitions=3,
+    )
+    topic.produce(envelope)
+    rec = topic.read(spark)
+    # the reference's bronze envelope projection (P1/F4) over the records
+    bronze = rec.selectExpr(
+        "CAST(key AS STRING) AS venue",
+        "CAST(value AS STRING) AS json_payload",
+        "topic",
+        "partition",
+        "offset",
+    )
+    return bronze.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.countDistinct("venue").alias("n_keys"),
     )

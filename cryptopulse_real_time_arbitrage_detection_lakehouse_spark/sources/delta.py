@@ -283,8 +283,21 @@ class DeltaTable:
             return pd.DataFrame(columns=out_names)
         return pd.concat(pieces, ignore_index=True)
 
+    @staticmethod
+    def _path_partition_values(rel_path: str, part_cols: list[str]) -> dict | None:
+        """Partition values hive-encoded in a data-file path, or None if the
+        path does not carry exactly the table's partition columns."""
+        vals: dict[str, str | None] = {}
+        for seg in rel_path.split("/")[:-1]:
+            if "=" not in seg:
+                return None
+            c, raw = seg.split("=", 1)
+            vals[c] = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+        return vals if set(vals) == set(part_cols) else None
+
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        """Streaming read of an append-only Delta table (SURVEY.md S2).
+        """Streaming read of an append-only Delta table (SURVEY.md S2),
+        partitioned or not.
 
         The reference's silver/gold jobs stream from Delta tables their
         upstream job appends to (``/root/reference/src/jobs/process_silver.py:87``).
@@ -293,16 +306,28 @@ class DeltaTable:
         *adds* parquet files under the root, Spark's file source discovers
         new files per micro-batch, and ``_delta_log``/staging dirs are
         invisible to it (underscore-prefixed paths are skipped by Spark's
-        file listing). Tables with ``remove`` actions (overwrites/compaction)
-        or partition columns need real per-commit log tailing and are
-        refused rather than read wrongly.
+        file listing).
+
+        Partitioned tables: partition values live in the log
+        (``add.partitionValues``), not the data files, so this method tails
+        the log commit by commit and validates that every ``add``'s path
+        hive-encodes *exactly* the partition values the log records for it
+        (the layout this engine's writer always produces). Spark's
+        streaming file source then re-derives each file's partition columns
+        from its directory path with the table schema's types — by the
+        validation, byte-for-byte the values a per-commit literal injection
+        (the batch path above) would produce — while keeping the scan a
+        genuine file-source stream: incremental discovery, checkpointable
+        offsets, and partition pruning on any downstream partition filter.
+        A foreign-written table whose paths don't match its logged
+        partition values is refused rather than read wrongly.
+
+        Tables with ``remove`` actions (overwrites/compaction) are likewise
+        refused — the file-stream shortcut only matches Delta
+        streaming-source semantics for append-only logs.
         """
         meta, _adds = self._snapshot_state(None)  # validates protocol
-        if meta.get("partitionColumns"):
-            raise NotImplementedError(
-                "streaming read of partitioned Delta tables is not supported "
-                "(partition values live in the log, not the data files)"
-            )
+        part_cols = meta.get("partitionColumns") or []
         for v in self._commit_versions():
             for action in self._read_commit(v):
                 if "remove" in action:
@@ -311,6 +336,20 @@ class DeltaTable:
                         "compaction); the file-stream shortcut only matches "
                         "Delta streaming-source semantics for append-only logs"
                     )
+                if "add" in action and part_cols:
+                    add = action["add"]
+                    from_path = self._path_partition_values(
+                        urllib.parse.unquote(add["path"]), part_cols
+                    )
+                    from_log = _as_dict(add.get("partitionValues"))
+                    if from_path != from_log:
+                        raise NotImplementedError(
+                            f"data file {add['path']!r} does not hive-encode "
+                            f"its logged partition values {from_log!r}; "
+                            "streaming this layout would need literal "
+                            "injection per file, which a file stream cannot "
+                            "express"
+                        )
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.readStream.schema(schema).parquet(self.path)
 

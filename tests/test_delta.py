@@ -228,6 +228,67 @@ class TestDeltaStreaming:
         with pytest.raises(NotImplementedError, match="remove"):
             t.read_stream(spark)
 
+    def test_partitioned_stream_equals_batch(self, spark, tmp_path):
+        """S2 on a partitioned table: every commit spans all 3 sym
+        partitions (>=2 per commit), values live only in the log, and the
+        availableNow drain must equal the snapshot read — partition column
+        included, with its schema type."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 9), partition_by=["sym"])
+        t.write(make_df(spark, 9, 9), partition_by=["sym"])
+        # each commit really did produce one file per partition
+        for v in (0, 1):
+            parts = {
+                a["add"]["partitionValues"]["sym"]
+                for a in t._read_commit(v)
+                if "add" in a
+            }
+            assert parts == {"S0", "S1", "S2"}, parts
+        out = str(tmp_path / "out")
+        drain(
+            start_parquet_stream(
+                t.read_stream(spark),
+                path=out,
+                checkpoint=str(tmp_path / "ckpt"),
+            )
+        )
+        got = spark.read.parquet(out)
+        assert dict(got.dtypes)["sym"] == "string"
+        assert {(r.id, r.sym) for r in got.collect()} == {
+            (r.id, r.sym) for r in t.read(spark).collect()
+        }
+        assert got.count() == 18
+
+    def test_partitioned_stream_resumes_incrementally(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 6), partition_by=["sym"])
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        drain(start_parquet_stream(t.read_stream(spark), path=out, checkpoint=ckpt))
+        t.write(make_df(spark, 6, 6), partition_by=["sym"])
+        drain(start_parquet_stream(t.read_stream(spark), path=out, checkpoint=ckpt))
+        got = spark.read.parquet(out)
+        assert got.count() == 12  # old commit not re-emitted, new one drained
+        by_sym = {r.sym: r["count"] for r in got.groupBy("sym").count().collect()}
+        assert by_sym == {"S0": 4, "S1": 4, "S2": 4}
+
+    def test_stream_refuses_foreign_partition_layout(self, spark, tmp_path):
+        """A table whose data-file paths don't hive-encode the logged
+        partition values can't be expressed as a file stream — refuse it."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 6), partition_by=["sym"])
+        # rewrite commit 0's adds to flat (non-hive) paths, the layout a
+        # foreign Delta writer is allowed to produce
+        log = str(tmp_path / "t" / "_delta_log" / f"{0:020d}.json")
+        actions = [json.loads(l) for l in open(log)]
+        for a in actions:
+            if "add" in a:
+                a["add"]["path"] = a["add"]["path"].split("/")[-1]
+        with open(log, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        with pytest.raises(NotImplementedError, match="hive-encode"):
+            t.read_stream(spark)
+
     def test_lakehouse_sink_to_delta_source_pipeline(self, spark, tmp_path):
         """A parquet file stream drained INTO a Delta table via foreachBatch,
         then read back — the bronze-ingestion shape of the reference
