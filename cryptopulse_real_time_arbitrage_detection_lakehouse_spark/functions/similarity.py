@@ -89,6 +89,51 @@ def sql_sign_bucket(emb_expr: str, bits: int = 8, offset: int = 0) -> str:
     return f"({terms})"
 
 
+def ivf_cell_column(
+    centroids: dict[int, Sequence[float]], emb_col: Column | None = None
+) -> Column:
+    """Nearest-centroid cell id for each row — the IVF coarse assignment,
+    entirely row-local (the centroids are inlined as literals).
+
+    Per centroid the exact quantized cosine is computed against the row's
+    embedding; the argmax is taken with ``array_max`` over (cosine, -cid)
+    structs so ties resolve to the least centroid id — the same rule the
+    DuckDB oracle's ``row_number() OVER (ORDER BY ccos DESC, cid)`` uses.
+    """
+    xq = quantized_elements(emb_col if emb_col is not None else F.col("embedding"))
+    n2x = dot_long(xq, xq).cast("double")
+    entries = []
+    for cid in sorted(centroids):
+        cq = quantize_vector(centroids[cid])
+        cn2 = float(sum(v * v for v in cq))
+        carr = F.array(*[F.lit(v).cast("long") for v in cq])
+        ccos = dot_long(xq, carr).cast("double") / (F.sqrt(n2x) * F.sqrt(F.lit(cn2)))
+        # struct orders by (cosine, -cid): max = best cosine, ties -> least cid
+        entries.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("negid")))
+    return (-F.array_max(F.array(*entries)).getField("negid")).cast("int")
+
+
+def ivf_probe_cells(
+    centroids: dict[int, Sequence[float]], query_vec: Sequence[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid cells nearest the query vector (driver-side
+    twin of `ivf_cell_column`'s ranking, same quantized math + tiebreak)."""
+    q = quantize_vector(query_vec)
+    qn2 = float(sum(x * x for x in q))
+
+    def cos(vec: Sequence[float]) -> float:
+        c = quantize_vector(vec)
+        dot = sum(a * b for a, b in zip(c, q))
+        n2 = float(sum(a * a for a in c))
+        return float(dot) / (math.sqrt(n2) * math.sqrt(qn2))
+
+    ranked = sorted(
+        ((cid, cos(v)) for cid, v in centroids.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return [cid for cid, _ in ranked[:nprobe]]
+
+
 def cosine_topk_fast(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -208,24 +208,37 @@ def simhash16(th: Column) -> Column:
     return out
 
 
-def simhash_bits(toks: Column, nbits: int = 32) -> Column:
+def simhash_bits(toks: Column, nbits: int = 32, hex_offset: int = 0) -> Column:
     """``nbits``-bit SimHash fingerprint as a single BIGINT.
 
-    Generalizes :func:`simhash16`: the per-token hash takes the first
-    ``nbits/4`` hex chars of md5, each bit's vote is the sign of
-    ``2*count(tokens with bit set) - n_tokens``. Single pass: one
+    Generalizes :func:`simhash16`: the per-token hash takes ``nbits/4``
+    hex chars of md5 starting at ``hex_offset``, each bit's vote is the
+    sign of ``2*count(tokens with bit set) - n_tokens``. Single pass: one
     ``aggregate`` folds every token into an ``nbits``-wide count vector
     (so md5 runs ONCE per token, not once per bit — the per-bit
     ``size(filter(...))`` formulation re-hashed every token 32 times and
     dominated the query's runtime), then one pass over the count vector
     assembles the fingerprint. ``pow(2, b)`` is exact for b <= 62 in
     doubles, so the cast back to long is lossless. Row-local,
-    integer-exact in both engines; 32 bits is the near-dup sweet spot
-    here (4 bands x 8 bits -> 256-way band buckets).
+    integer-exact in both engines.
+
+    ``nbits`` must stay <= 32 per call: the per-token hash and the bit
+    weights live in the double-exact / positive-BIGINT range on both
+    engines. WIDER fingerprints compose words via ``hex_offset`` —
+    e.g. a 64-bit fingerprint is the pair ``(simhash_bits(t, 32, 0),
+    simhash_bits(t, 32, 8))``, disjoint md5 hex ranges making the words
+    independent — which avoids every int64 sign/overflow hazard a single
+    64-bit BIGINT fingerprint would hit (bit-63 weight, unsigned hex
+    parse, arithmetic-vs-logical shift divergence between engines).
     """
+    if nbits > 32:
+        raise ValueError("nbits > 32: compose words via hex_offset instead")
     nhex = nbits // 4
     th = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long")
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(t), hex_offset + 1, nhex), 16, 10
+        ).cast("long"),
     )
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.lit(nbits - 1))
@@ -255,13 +268,15 @@ def simhash_bits(toks: Column, nbits: int = 32) -> Column:
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def sql_simhash_bits(toks_expr: str, nbits: int = 32) -> str:
+def sql_simhash_bits(toks_expr: str, nbits: int = 32, hex_offset: int = 0) -> str:
     """DuckDB twin of :func:`simhash_bits` (scalar subquery so the token
     hash list materializes once)."""
+    if nbits > 32:
+        raise ValueError("nbits > 32: compose words via hex_offset instead")
     nhex = nbits // 4
     th = (
         f"list_transform({toks_expr}, "
-        f"t -> CAST(('0x' || substring(md5(t), 1, {nhex})) AS BIGINT))"
+        f"t -> CAST(('0x' || substring(md5(t), {hex_offset + 1}, {nhex})) AS BIGINT))"
     )
     terms = []
     for b in range(nbits):

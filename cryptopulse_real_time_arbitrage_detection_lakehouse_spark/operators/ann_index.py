@@ -1,0 +1,73 @@
+"""Materialized ANN indexes: persist embeddings partitioned by their
+coarse cell so query-time probing is PARTITION PRUNING, not a scan.
+
+The registered IVF/LSH queries in ``plans/similarity.py`` compute the
+bucket/cell assignment inline, per query — correct, but the assignment
+kernel re-runs on the full table every time. A vector store amortizes
+that: the "index build" runs once, writing the table hive-partitioned by
+cell (IVF) or sign-bucket (LSH); every query then reads only its probed
+partitions. Spark's planner resolves the ``cell IN (...)`` filter against
+the partition directory values at planning time, so the files of
+unprobed cells are never listed in the scan — at 100 TB a ``nprobe=4 /
+ncentroids=16`` probe touches ~1/4 of the table's files and the other 3/4
+cost nothing, not even footer reads (asserted by the plan-quality test on
+``PartitionFilters`` + ``inputFiles``).
+
+Build cost: one pass over the table (row-local assignment — the centroid
+literals travel with the plan) plus the partitioned write's shuffle-free
+dynamic-partition insert. The layout is plain hive-partitioned parquet,
+so any engine (DuckDB included) can read it back, and the Delta client in
+``sources/delta.py`` could commit the same files with partitionValues for
+ACID visibility.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import ivf_cell_column, sign_bucket
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: dict[int, Sequence[float]],
+    *,
+    emb_col: str = "embedding",
+) -> None:
+    """Build the IVF index: assign every vector its nearest-centroid cell
+    (row-local, exact quantized cosine) and persist partitioned by cell."""
+    indexed = embeddings.withColumn(
+        "cell", ivf_cell_column(centroids, F.col(emb_col))
+    )
+    indexed.write.mode("errorifexists").partitionBy("cell").parquet(path)
+
+
+def read_ivf_cells(
+    spark: SparkSession, path: str, cells: Sequence[int]
+) -> DataFrame:
+    """Probe: read ONLY the given cells (planning-time partition pruning)."""
+    return spark.read.parquet(path).filter(F.col("cell").isin(*cells))
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    bits: int = 8,
+    emb_col: str = "embedding",
+) -> None:
+    """Build the sign-bucket LSH index, partitioned by bucket (2^bits
+    directories; each query probes exactly one)."""
+    indexed = embeddings.withColumn(
+        "bucket", sign_bucket(F.col(emb_col), bits).cast("int")
+    )
+    indexed.write.mode("errorifexists").partitionBy("bucket").parquet(path)
+
+
+def read_lsh_bucket(spark: SparkSession, path: str, bucket: int) -> DataFrame:
+    """Probe: read the query's single bucket partition."""
+    return spark.read.parquet(path).filter(F.col("bucket") == bucket)

@@ -35,13 +35,17 @@ def observed(
     return df.observe(obs, *named), obs
 
 
-def ingest_audit_metrics(ts_col: str = "trade_timestamp") -> dict[str, Column]:
+def ingest_audit_metrics(
+    ts_col: str = "trade_timestamp", key_col: str = "symbol"
+) -> dict[str, Column]:
     """The standard medallion ingest audit: volume, null-key volume, and
     event-time freshness bounds — the engine-side twin of the
-    reference's check_data count + max(ingest_ts) queries."""
+    reference's check_data count + max(ingest_ts) queries. ``key_col``
+    names the frame's key column for the null check (frames without a
+    'symbol' column pass their own, e.g. ``key_col='user_id'``)."""
     return {
         "n_rows": F.count(F.lit(1)),
-        "n_null_keys": F.count(F.when(F.col("symbol").isNull(), 1)),
+        "n_null_keys": F.count(F.when(F.col(key_col).isNull(), 1)),
         "max_event_ts": F.max(ts_col),
         "min_event_ts": F.min(ts_col),
     }

@@ -191,6 +191,8 @@ def _make_vwap_processor():
             self._cum.update((float(state[0]), float(state[1])))
 
         def close(self) -> None:
+            # required by the StatefulProcessor ABC; this processor holds
+            # no resources outside the engine-managed state store
             pass
 
     return RunningVwapProcessor()

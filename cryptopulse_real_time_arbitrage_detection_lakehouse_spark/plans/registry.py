@@ -6,6 +6,15 @@ driver hash-compares row count + schema + order-insensitive values, sorting
 columns by name — so both sides must agree on column NAMES and exact
 values (see ``determinism`` helpers for the float discipline that makes
 exact double equality achievable).
+
+Construction-time side effects: CALLING a registered ``fn`` may run
+cluster jobs before any action on the returned frame — queries that use
+``operators.partitioning.shared`` (an EAGER ``localCheckpoint``
+materializing a multiply-referenced subplan) or that build fixture
+tables (the Delta/lakehouse/Kafka-twin queries write real tables under a
+temp dir). Tooling that merely introspects plans (``.explain``, schema
+inspection) should expect ``fn`` itself to take seconds and to pin
+executor-storage blocks until the frame is garbage collected.
 """
 
 from __future__ import annotations

@@ -1241,14 +1241,19 @@ JOIN lineitem l ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#45'
   AND p.p_type <> 'MEDIUM'
   AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
-  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
 GROUP BY 1, 2, 3
 """,
     doc="TPC-H Q16-style supplier counts per part class (adapted: no "
     "partsupp, so observed lineitem (part, supplier) pairs play the "
     "supplies relation; no s_comment, so negative-balance suppliers play "
     "the complaints exclusion): distinct-supplier counts per (brand, "
-    "type, size) with a NOT IN anti-join. The anti list is tiny (bounded "
+    "type, size) with an anti-join. The oracle uses NOT EXISTS (equality "
+    "correlate), not NOT IN: NOT IN over a subquery returns zero rows if "
+    "the list contains a NULL and drops NULL-key probe rows, while "
+    "Spark's left_anti keeps them — NOT EXISTS matches left_anti "
+    "semantics for any future NULL keys. The anti list is tiny (bounded "
     "by |supplier|) so it broadcasts; the part predicate set (two "
     "inequalities + IN list) prunes at the broadcast-join build; "
     "count(DISTINCT) plans as a two-phase expand+agg on the same "

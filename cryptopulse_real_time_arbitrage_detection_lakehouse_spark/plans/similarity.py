@@ -30,6 +30,8 @@ from ..functions.similarity import (
     cosine_topk_batch,
     cosine_topk_fast,
     dot_long,
+    ivf_cell_column,
+    ivf_probe_cells,
     quantize_vector,
     quantized_elements,
     sign_bucket,
@@ -115,19 +117,23 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_cosine_topk_lsh",
-    oracle=f"""
+_LSH_ORACLE = f"""
 WITH {_SQL_EXACT_COSINES},
 b AS (SELECT vec_id, {sql_sign_bucket("embedding")} AS bucket FROM embeddings)
 SELECT c.vec_id, c.label, c.cosine, b.bucket
 FROM cosines c JOIN b ON c.vec_id = b.vec_id
 WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = {QUERY_VEC_ID})
 ORDER BY c.cosine DESC, c.vec_id LIMIT {TOP_K}
-""",
+"""
+
+
+@register(
+    "sim_cosine_topk_lsh",
+    oracle=_LSH_ORACLE,
     doc="LSH-bucketed ANN: the sign-bit bucket filter runs BEFORE any "
     "cosine math, so only ~N/256 vectors are scored. At 100 TB the table "
-    "is bucket-partitioned and this filter is partition pruning.",
+    "is bucket-partitioned and this filter is partition pruning "
+    "(materialized as sim_cosine_topk_lsh_indexed).",
     tags=("similarity", "lsh", "topk"),
 )
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +155,44 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_cosine_topk_lsh_indexed",
+    oracle=_LSH_ORACLE,
+    doc="LSH ANN over a MATERIALIZED index: write_lsh_index persists the "
+    "table hive-partitioned by sign bucket (256 directories); the query "
+    "reads exactly ONE — planning-time partition pruning, so at 100 TB "
+    "the per-query scan is ~N/256 regardless of table size. Same bucket "
+    "rule and quantized cosine as the inline sim_cosine_topk_lsh, same "
+    "oracle: materialization must not change a single result row.",
+    tags=("similarity", "lsh", "index", "topk"),
+)
+def sim_cosine_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import read_lsh_bucket, write_lsh_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    qbucket = sign_bucket_py(qvec)
+    index_path = tempfile.mkdtemp(prefix="cplsh_") + "/lsh_index"
+    write_lsh_index(emb, index_path)
+    survivors = read_lsh_bucket(spark, index_path, qbucket).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    return (
+        survivors.select(
+            "vec_id",
+            "label",
+            _cosine_vs_query(qvec).alias("cosine"),
+            # partition-dir inference yields int; match the inline query's
+            # IntegerType bucket so both share the oracle's dtype
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 #: IVF parameters: 16 coarse centroids (a deterministic sample of the
 #: table itself — ids 1..16), query probes the 4 nearest cells.
 N_CENTROIDS, NPROBE = 16, 4
@@ -157,9 +201,7 @@ CENTROID_IDS = tuple(range(1, N_CENTROIDS + 1))
 _SQL_QUANT = f"list_transform(embedding, x -> CAST(floor(x * {QSCALE!r}) AS BIGINT))"
 
 
-@register(
-    "sim_cosine_topk_ivf",
-    oracle=f"""
+_IVF_ORACLE = f"""
 WITH n AS (
   SELECT vec_id, label, {_SQL_QUANT} AS qx,
          CAST(list_sum(list_transform({_SQL_QUANT}, v -> v * v)) AS DOUBLE) AS n2
@@ -195,7 +237,22 @@ SELECT a.vec_id, a.label,
 FROM n a JOIN cell USING (vec_id), q
 WHERE cell.cid IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}
 ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
-""",
+"""
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        row["vec_id"]: list(row["embedding"])
+        for row in emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+
+@register(
+    "sim_cosine_topk_ivf",
+    oracle=_IVF_ORACLE,
     doc="IVF-style ANN: 16 deterministic coarse centroids (table rows "
     "ids 1..16), every vector is assigned to its nearest centroid "
     "(row-local argmax over the centroid literals — the 'index build'), "
@@ -203,53 +260,56 @@ ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
     "ranks only vectors in probed cells: compute on ~nprobe/ncentroids of "
     "the table. At 100 TB the assignment is a one-time build writing the "
     "table partitioned by cell, and the probe filter becomes partition "
-    "pruning — query-time scan is nprobe cells, not the table.",
+    "pruning — query-time scan is nprobe cells, not the table "
+    "(materialized as sim_cosine_topk_ivf_indexed).",
     tags=("similarity", "ann", "ivf", "topk"),
 )
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    probed = ivf_probe_cells(cents, qvec, NPROBE)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cell", ivf_cell_column(cents))
+        .filter(F.col("cell").isin(*probed))
+        .select("vec_id", "label", _cosine_vs_query(qvec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# the oracle for the materialized-index variant is the inline-IVF oracle
+# verbatim: building the index first must not change a single cosine.
+@register(
+    "sim_cosine_topk_ivf_indexed",
+    oracle=_IVF_ORACLE,
+    doc="IVF ANN over a MATERIALIZED index (VERDICT r2 #6): the coarse "
+    "assignment runs ONCE in write_ivf_index, which persists the table "
+    "hive-partitioned by cell; the query then reads only its nprobe "
+    "probed cells — planning-time partition pruning (PartitionFilters on "
+    "the scan, unprobed cells' files never listed), asserted by "
+    "tests/test_plan_quality.py. Same centroids, same quantized cosine, "
+    "same oracle as the inline sim_cosine_topk_ivf: materialization must "
+    "not change a single result row. At 100 TB this is the operating "
+    "shape: the build is a one-time pass + partitioned write, each query "
+    "touches nprobe/ncentroids of the files.",
+    tags=("similarity", "ann", "ivf", "index", "topk"),
+)
+def sim_cosine_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ann_index import read_ivf_cells, write_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
-    cents = {
-        row["vec_id"]: list(row["embedding"])
-        for row in emb.filter(F.col("vec_id").isin(*CENTROID_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    q = quantize_vector(qvec)
-    qn2 = float(sum(x * x for x in q))
-
-    def _cos_to_q(vec: list[float]) -> float:
-        c = quantize_vector(vec)
-        dot = sum(a * b for a, b in zip(c, q))
-        n2 = float(sum(a * a for a in c))
-        return float(dot) / (math.sqrt(n2) * math.sqrt(qn2))
-
-    probed = [
-        cid
-        for cid, _ in sorted(
-            ((cid, _cos_to_q(v)) for cid, v in cents.items()),
-            key=lambda t: (-t[1], t[0]),
-        )[:NPROBE]
-    ]
-
-    xq = quantized_elements(F.col("embedding"))
-    n2x = dot_long(xq, xq).cast("double")
-    entries = []
-    for cid in sorted(cents):
-        cq = quantize_vector(cents[cid])
-        cn2 = float(sum(v * v for v in cq))
-        carr = F.array(*[F.lit(v).cast("long") for v in cq])
-        ccos = dot_long(xq, carr).cast("double") / (F.sqrt(n2x) * F.sqrt(F.lit(cn2)))
-        # struct orders by (cosine, -cid): max = best cosine, ties -> least cid
-        entries.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("negid")))
-    cell = -F.array_max(F.array(*entries)).getField("negid")
-
+    cents = _centroids(spark, sf_dir)
+    index_path = tempfile.mkdtemp(prefix="cpivf_") + "/ivf_index"
+    write_ivf_index(emb, index_path, cents)
+    probed = ivf_probe_cells(cents, qvec, NPROBE)
+    hits = read_ivf_cells(spark, index_path, probed)
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("cell", cell)
-        .filter(F.col("cell").isin(*probed))
+        hits.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", _cosine_vs_query(qvec).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -433,7 +493,8 @@ WITH v AS (
   FROM v
 ), qq AS (
   SELECT vec_id, label, xd, amax,
-         list_transform(xd, x -> CAST(floor(x / amax * 127.0 + 0.5) AS BIGINT)) AS q
+         list_transform(xd, x -> CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor(x / amax * 127.0 + 0.5) AS BIGINT) END) AS q
   FROM m
 )
 SELECT vec_id, label, amax AS scale,
@@ -469,9 +530,18 @@ def emb_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amax", F.array_max(F.transform(F.col("xd"), lambda v: F.abs(v)))
     )
     amax = F.col("amax")
+    # amax = 0 (all-zero vector) guard: Spark's non-ANSI x/0.0 yields NULL
+    # where DuckDB yields NaN/inf — emit all-zero codes on both sides
+    # instead (repo convention: guard zero divisors, cf. drawdown/
+    # volatility in plans/medallion.py).
     qq = m.withColumn(
         "q",
-        F.transform(F.col("xd"), lambda v: F.floor(v / amax * 127.0 + 0.5)),
+        F.when(
+            amax == 0,
+            F.array_repeat(F.lit(0).cast("bigint"), EMB_DIM),
+        ).otherwise(
+            F.transform(F.col("xd"), lambda v: F.floor(v / amax * 127.0 + 0.5))
+        ),
     )
     sq_err = F.zip_with(
         F.col("xd"),

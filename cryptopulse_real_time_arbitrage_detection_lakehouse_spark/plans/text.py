@@ -325,16 +325,23 @@ def _near_dup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SimHash near-dup parameters: 32-bit fingerprint split into 4 bands of
-#: 8 bits. True near-dups (Hamming <= 3) disagree in at most 3 bands, so
-#: at least one band matches exactly -> recall 1.0 for the verify
-#: threshold; each band bucket is 1/256 of the corpus -> candidate volume
-#: ~N^2/256 per band worst-case, in practice tiny for non-dup text.
-SIMHASH_BITS, SIM_BANDS, HAMMING_MAX = 32, 4, 3
+#: SimHash near-dup parameters: 64-bit fingerprint (two independent
+#: 32-bit words over disjoint md5 hex ranges — a single signed BIGINT
+#: fingerprint would hit the bit-63 weight / unsigned-parse / shift-
+#: semantics divergences between engines) split into 8 bands of 8 bits.
+#: True near-dups (Hamming <= 3) disagree in at most 3 bands, so at
+#: least 5 of the 8 bands match exactly -> recall 1.0 for the verify
+#: threshold; each band bucket is 1/256 of the corpus -> candidate
+#: volume ~N^2/256 per band worst-case, in practice tiny for non-dup
+#: text. 64 bits (vs r2's 32) keeps random-pair collisions negligible at
+#: corpus scale: P[Hamming<=3] drops from ~1e-4 to ~1e-14 per pair.
+SIMHASH_BITS, SIM_WORD_BITS, SIM_BANDS, HAMMING_MAX = 64, 32, 8, 3
 BITS_PER_BAND = SIMHASH_BITS // SIM_BANDS
+BANDS_PER_WORD = SIM_WORD_BITS // BITS_PER_BAND
 
-
-_SQL_SIMHASH32 = sql_simhash_bits("toks", SIMHASH_BITS)
+#: the two fingerprint words: lo = md5 hex chars 1-8, hi = chars 9-16.
+_SQL_SIMHASH_LO = sql_simhash_bits("toks", SIM_WORD_BITS, 0)
+_SQL_SIMHASH_HI = sql_simhash_bits("toks", SIM_WORD_BITS, SIM_WORD_BITS // 4)
 
 
 @register(
@@ -344,64 +351,91 @@ WITH tok AS (
   SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
 ),
 fp AS (
-  SELECT doc_id, {_SQL_SIMHASH32} AS sh FROM tok
+  SELECT doc_id, {_SQL_SIMHASH_LO} AS sh_lo, {_SQL_SIMHASH_HI} AS sh_hi FROM tok
 ),
 banded AS (
-  SELECT doc_id, sh, b.band,
-         (sh >> (b.band * {BITS_PER_BAND})) & {2**BITS_PER_BAND - 1} AS band_val
+  SELECT doc_id, sh_lo, sh_hi, b.band,
+         (CASE WHEN b.band < {BANDS_PER_WORD}
+               THEN sh_lo >> (b.band * {BITS_PER_BAND})
+               ELSE sh_hi >> ((b.band - {BANDS_PER_WORD}) * {BITS_PER_BAND})
+          END) & {2**BITS_PER_BAND - 1} AS band_val
   FROM fp, (SELECT unnest(range(0, {SIM_BANDS})) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.sh AS sh_a, b.sh AS sh_b
+                  a.sh_lo AS lo_a, a.sh_hi AS hi_a,
+                  b.sh_lo AS lo_b, b.sh_hi AS hi_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {HAMMING_MAX}
 """,
-    doc="SimHash near-duplicate pairs: 32-bit fingerprint -> 4x8-bit "
-    "banding -> band-bucket equi-join -> Hamming-distance verify <= 3. "
-    "Pigeonhole guarantees recall: <=3 differing bits leave >=1 of the 4 "
-    "bands identical. The fingerprint is one BIGINT, so candidates carry "
-    "it through the join — the shuffle moves (band, band_val, doc_id, "
-    "fingerprint) and the verify is a bit_count(xor) on already-joined "
-    "rows: no second pass over documents, O(docs) + O(candidates).",
+    doc="SimHash near-duplicate pairs: 64-bit fingerprint (2x32-bit words "
+    "over disjoint md5 hex ranges) -> 8x8-bit banding -> band-bucket "
+    "equi-join -> Hamming-distance verify <= 3. Pigeonhole guarantees "
+    "recall: <=3 differing bits leave >=5 of the 8 bands identical. The "
+    "fingerprint is two BIGINT words carried through the join — the "
+    "shuffle moves (band, band_val, doc_id, 2 words) and the verify is "
+    "bit_count(xor) per word on already-joined rows: no second pass over "
+    "documents, O(docs) + O(candidates).",
     tags=("text", "dedup", "simhash"),
 )
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_docs(spark, sf_dir), by="doc_id")
     # both sides of the band self-join derive from fp — compute the
-    # simhash kernel once, not once per side.
+    # simhash kernel once, not once per side. One tokenize feeds both
+    # words; each word's md5 range is disjoint, so the words are
+    # independent hash functions of the same token multiset.
+    toks = tokens("text")
     fp = shared(
-        d.select("doc_id", simhash_bits(tokens("text"), SIMHASH_BITS).alias("sh"))
+        d.select(
+            "doc_id",
+            simhash_bits(toks, SIM_WORD_BITS, 0).alias("sh_lo"),
+            simhash_bits(toks, SIM_WORD_BITS, SIM_WORD_BITS // 4).alias("sh_hi"),
+        )
     )
     mask = 2**BITS_PER_BAND - 1
-    banded = fp.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sh"), b * BITS_PER_BAND)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(SIM_BANDS)
-                ]
+    band_structs = []
+    for b in range(SIM_BANDS):
+        word = F.col("sh_lo") if b < BANDS_PER_WORD else F.col("sh_hi")
+        shift = (b % BANDS_PER_WORD) * BITS_PER_BAND
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(word, shift).bitwiseAND(F.lit(mask)).alias("band_val"),
             )
-        ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+        )
+    banded = fp.select(
+        "doc_id", "sh_lo", "sh_hi", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        "sh_lo",
+        "sh_hi",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "band_val"
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_lo").alias("lo_a"),
+        F.col("sh_hi").alias("hi_a"),
+        "band",
+        "band_val",
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "band_val"
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_lo").alias("lo_b"),
+        F.col("sh_hi").alias("hi_b"),
+        "band",
+        "band_val",
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
     # filter on hamming BEFORE the distinct: hamming is a function of the
     # pair, so dedup-then-filter and filter-then-dedup agree — but the
     # filter drops ~90% of band-join candidates, shrinking the distinct's

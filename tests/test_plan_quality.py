@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import plans
 
@@ -126,6 +127,47 @@ def test_no_broadcast_hint_on_unbounded_relation(spark):
 def test_candidate_joins_never_nested_loop(spark, name):
     p = plan_of(spark, name)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_index_probe_is_partition_pruning(spark, tmp_path):
+    """The materialized IVF index turns the probe filter into PLANNING-TIME
+    partition pruning: the scan carries a PartitionFilters entry on cell,
+    and the files it reads are exactly the probed cells' directories —
+    unprobed cells are never listed, the 100 TB contract of the index."""
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.ann_index import (
+        read_ivf_cells,
+        write_ivf_index,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.similarity import (
+        _centroids,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, _centroids(spark, SF_SMOKE))
+    probed = [1, 2, 3, 4]
+    hits = read_ivf_cells(spark, path, probed)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    # files ACTUALLY scanned (input_file_name reflects post-pruning reads;
+    # DataFrame.inputFiles() would report the whole relation pre-filter)
+    all_files = {
+        r.f
+        for r in spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    probe_files = {
+        r.f for r in hits.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert 0 < len(probe_files) < len(all_files)
+    assert all(
+        any(f"cell={c}/" in f for c in probed) for f in probe_files
+    ), probe_files
 
 
 def test_text_scans_prune_columns(spark):

@@ -49,3 +49,45 @@ def test_unsupported_join_type_rejected(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         salted_join(df, df, ["id"], how="full_outer")
+
+
+def test_salted_join_splits_hot_key_across_tasks(spark):
+    """The point of salting: the hot key's rows must land on MULTIPLE
+    shuffle tasks (the plain shuffled join puts them all on one). Forced
+    to a shuffle join (broadcast off, AQE off) so spark_partition_id
+    reflects the join's hash partitioning on the (possibly salted) key."""
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 25)
+        .alias("n_nationkey"),
+        F.col("id").alias("row_id"),
+    )
+    nation = load_table(spark, SF_SMOKE, "nation")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        hot_parts = (
+            salted_join(left, nation, ["n_nationkey"], salt=8)
+            .filter(F.col("n_nationkey") == 7)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        assert len(hot_parts) > 1, hot_parts  # spread over several tasks
+        total = sum(r["count"] for r in hot_parts)
+        assert max(r["count"] for r in hot_parts) < total  # none owns it all
+        # control: the UNSALTED shuffle join concentrates the hot key's
+        # 1800 rows in exactly one task — the pathology salting removes
+        plain_parts = (
+            left.join(nation, "n_nationkey")
+            .filter(F.col("n_nationkey") == 7)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert plain_parts == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
