@@ -301,3 +301,44 @@ def sql_simhash16(toks_expr: str) -> str:
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN {2**b} ELSE 0 END)")
     return f"(SELECT {' + '.join(terms)} FROM (SELECT {th} AS __th))"
+
+
+#: PII patterns kept inside the Java-regex ∩ RE2 common subset (no
+#: lookaround, no backreferences) so Spark and the DuckDB oracle match the
+#: same spans. Order matters for redaction: URLs first (they may embed
+#: '@' and dotted hosts that the email/IP patterns would also hit).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+)
+
+
+def pii_count(text_col: Column, pattern: str) -> Column:
+    """Number of matches of one PII pattern (row-local, JVM regex)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(pattern), F.lit(0)))
+
+
+def sql_pii_count(text_expr: str, pattern: str) -> str:
+    """DuckDB twin of `pii_count`."""
+    return f"len(regexp_extract_all({text_expr}, '{pattern}'))"
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace every PII span with a ``<KIND>`` placeholder, applying the
+    patterns in `PII_PATTERNS` order (URL before email/IP so a URL's
+    userinfo/host is consumed as one URL, not re-matched piecemeal)."""
+    out = text_col
+    for kind, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"<{kind.upper()}>")
+    return out
+
+
+def sql_redact_pii(text_expr: str) -> str:
+    """DuckDB twin of `redact_pii` (the ``'g'`` flag makes DuckDB replace
+    every match, which is Spark's default)."""
+    out = text_expr
+    for kind, pattern in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '<{kind.upper()}>', 'g')"
+    return out

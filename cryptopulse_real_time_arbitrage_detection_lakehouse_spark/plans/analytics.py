@@ -791,3 +791,48 @@ def customer_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_non_building"
         ),
     )
+
+
+@register(
+    "event_sketch_accuracy_audit",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_10pct,
+       quantile_disc(value, 0.5) AS median_value,
+       TRUE AS approx_median_within_5pct_range
+FROM events GROUP BY event_type
+""",
+    doc="Engine-builtin sketch accuracy audit: per event_type, "
+    "HyperLogLog++ (`approx_count_distinct`, rsd 0.02) must land within "
+    "10% of the exact distinct-user count, and `approx_percentile` "
+    "within 5% of the value range around the exact discrete median. "
+    "Exact values are emitted alongside the booleans; the oracle asserts "
+    "the booleans are TRUE, so any engine regression in the sketches "
+    "fails parity. Bounds are generous multiples of the configured sketch "
+    "error, so they hold at any SF and shuffle-partition count (sketch "
+    "merge order can shift estimates slightly but never near the bound). "
+    "Complements the KMV query above: that one pins a portable sketch "
+    "bit-for-bit; this one pins the engine's native sketches "
+    "behaviorally. One shuffle, partial aggregation map-side.",
+    tags=("analytics", "sketch", "audit"),
+)
+def event_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact_users = F.countDistinct("user_id")
+    hll_users = F.approx_count_distinct("user_id", rsd=0.02)
+    exact_med = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+    approx_med = F.expr("approx_percentile(value, 0.5, 10000)")
+    vrange = F.max("value") - F.min("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_users.alias("exact_users"),
+        (F.abs(hll_users - exact_users) <= F.lit(0.1) * exact_users).alias(
+            "hll_within_10pct"
+        ),
+        exact_med.alias("median_value"),
+        (F.abs(approx_med - exact_med) <= F.lit(0.05) * vrange).alias(
+            "approx_median_within_5pct_range"
+        ),
+    )

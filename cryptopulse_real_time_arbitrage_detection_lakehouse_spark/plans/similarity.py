@@ -693,3 +693,165 @@ def doc_text_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("doc_a", "doc_b", "jaccard", "cosine", "modality_disagree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (spherical / cosine) over embeddings
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+from ..functions.determinism import dsum, sql_dsum  # noqa: E402
+
+#: k-means parameters: K clusters, one Lloyd update (assign -> recompute
+#: centroids -> reassign), deterministic init = the embeddings of the K
+#: smallest vec_ids. Fixed iteration count keeps the whole algorithm a
+#: finite, oracle-expressible dataflow.
+KMEANS_K = 8
+
+_KM_E = f"""
+e AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(floor(embedding[r.i] * {QSCALE!r}) AS BIGINT) AS x
+  FROM embeddings, range(1, {EMB_DIM} + 1) r(i)
+),
+n AS (SELECT vec_id, SUM(x*x) AS n2 FROM e GROUP BY vec_id),
+ve AS (SELECT e.vec_id, e.pos, e.x FROM e JOIN n USING (vec_id) WHERE n.n2 > 0),
+c0 AS (SELECT vec_id AS cluster, pos, x AS c FROM e WHERE vec_id < {KMEANS_K}),
+cn0 AS (SELECT cluster, CAST(SUM(c*c) AS DOUBLE) AS n2c FROM c0 GROUP BY cluster),
+s0 AS (
+  SELECT ve.vec_id, c0.cluster,
+         CASE WHEN cn0.n2c = 0 THEN -2.0
+              ELSE CAST(SUM(ve.x * c0.c) AS DOUBLE) / sqrt(cn0.n2c) END AS score
+  FROM ve
+  JOIN c0 USING (pos)
+  JOIN cn0 ON cn0.cluster = c0.cluster
+  GROUP BY ve.vec_id, c0.cluster, cn0.n2c
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+    FROM s0) WHERE rn = 1
+),
+c1 AS (
+  SELECT a0.cluster, ve.pos,
+         CAST(floor(CAST(SUM(ve.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM ve JOIN a0 USING (vec_id) GROUP BY a0.cluster, ve.pos
+),
+cn1 AS (SELECT cluster, CAST(SUM(c*c) AS DOUBLE) AS n2c FROM c1 GROUP BY cluster),
+s1 AS (
+  SELECT ve.vec_id, c1.cluster,
+         CASE WHEN cn1.n2c = 0 THEN -2.0
+              ELSE CAST(SUM(ve.x * c1.c) AS DOUBLE) / sqrt(cn1.n2c) END AS score
+  FROM ve
+  JOIN c1 USING (pos)
+  JOIN cn1 ON cn1.cluster = c1.cluster
+  GROUP BY ve.vec_id, c1.cluster, cn1.n2c
+),
+a1 AS (
+  SELECT vec_id, cluster, score FROM (
+    SELECT vec_id, cluster, score,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+    FROM s1) WHERE rn = 1
+),
+scored AS (
+  SELECT a1.cluster,
+         CASE WHEN a1.score = -2.0 THEN -2.0
+              ELSE a1.score / sqrt(CAST(n.n2 AS DOUBLE)) END AS cosine
+  FROM a1 JOIN n USING (vec_id)
+)
+"""
+
+
+def _km_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Row-local nearest-centroid assignment against literal centroids.
+
+    Each centroid becomes an inlined array<long>; the score is the exact
+    integer dot product over sqrt of the centroid norm (dividing by the
+    vector's own norm cannot change the argmax, so it is deferred to the
+    final cosine). argmax with smallest-cluster tie-break = array_max over
+    (score, -cluster) structs. Degenerate all-zero centroids score -2.0
+    (below any cosine) in both engines.
+    """
+    structs = []
+    for cluster, vec in cents:
+        n2c = float(sum(v * v for v in vec))
+        if n2c == 0.0:
+            score: Column = F.lit(-2.0)
+        else:
+            carr = F.array(*[F.lit(v).cast("long") for v in vec])
+            score = dot_long(F.col("qx"), carr).cast("double") / F.lit(math.sqrt(n2c))
+        structs.append(
+            F.struct(score.alias("score"), F.lit(-cluster).alias("jneg"))
+        )
+    best = F.array_max(F.array(*structs))
+    return qdf.withColumn("score", best["score"]).withColumn(
+        "cluster", (-best["jneg"]).cast("long")
+    )
+
+
+@register(
+    "emb_kmeans_clusters",
+    oracle=f"""
+WITH {_KM_E}
+SELECT cluster, count(*) AS size,
+       ({sql_dsum("cosine")} / CAST(count(*) AS DOUBLE)) AS avg_cosine
+FROM scored GROUP BY cluster
+""",
+    doc="Deterministic spherical k-means over embeddings (K=8, fixed init "
+    "= K smallest vec_ids, one Lloyd update), reporting per-cluster size "
+    "and mean cosine-to-centroid. Everything stays in the quantized-"
+    "integer cosine discipline, so the iterative algorithm is bit-"
+    "identical to a pure-SQL oracle — the repo's showcase that iterative "
+    "ML can be oracle-checked, not just rows-only. Scale: assignment is "
+    "row-local against K inlined centroids (no explode, no shuffle); the "
+    "centroid update is K x DIM map-side partial sums collapsing to K "
+    "rows; the two driver collects are K x DIM constants (the IVF-index "
+    "pattern). Zero-norm vectors are excluded (guarded in both engines); "
+    "per-dimension means floor to the integer grid so re-quantization is "
+    "exact. Integer sums stay exact in doubles below 2^53 — at larger "
+    "corpus sizes the update would switch to decimal sums like the "
+    "determinism kit.",
+    tags=("similarity", "clustering", "kmeans"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = shared(
+        emb.select("vec_id", quantized_elements(F.col("embedding")).alias("qx"))
+        .withColumn("n2x", dot_long(F.col("qx"), F.col("qx")))
+        .filter(F.col("n2x") > 0)
+    )
+    init_rows = (
+        emb.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "embedding").collect()
+    )
+    cents0 = sorted(
+        (int(r["vec_id"]), quantize_vector(list(r["embedding"]))) for r in init_rows
+    )
+    assigned0 = _km_assign(qdf, cents0)
+    sums = assigned0.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(F.element_at(F.col("qx"), i + 1)).alias(f"s{i}")
+            for i in range(EMB_DIM)
+        ],
+    ).collect()
+    cents1 = sorted(
+        (
+            int(r["cluster"]),
+            [math.floor(float(r[f"s{i}"]) / float(r["cnt"])) for i in range(EMB_DIM)],
+        )
+        for r in sums
+    )
+    assigned1 = _km_assign(qdf, cents1)
+    cosine = F.when(F.col("score") == F.lit(-2.0), F.lit(-2.0)).otherwise(
+        F.col("score") / F.sqrt(F.col("n2x").cast("double"))
+    )
+    return (
+        assigned1.withColumn("cosine", cosine)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            (dsum("cosine") / F.count(F.lit(1)).cast("double")).alias("avg_cosine"),
+        )
+    )

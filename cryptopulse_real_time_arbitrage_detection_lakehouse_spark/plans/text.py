@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from ..functions.determinism import dsum, sql_dsum
 from ..functions.text import (
     LANG_PROFILES,
+    PII_PATTERNS,
     SQL_TOKENS,
+    pii_count,
+    redact_pii,
+    sql_pii_count,
+    sql_redact_pii,
     count_in_set,
     minhash_base,
     minhash_signature,
@@ -1411,4 +1416,227 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
         (F.sum("n_tokens").cast("double") / float(PACK_BUDGET)).alias("fill_ratio"),
+    )
+
+
+#: BPE merge-step parameters: number of top adjacent-pair candidates kept.
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "doc_bpe_merge_candidates",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+pairs AS (SELECT unnest({sql_shingles_all('toks', 2)}) AS pair FROM tok)
+SELECT pair, count(*) AS pair_count FROM pairs
+GROUP BY pair ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_PAIRS}
+""",
+    doc="BPE vocabulary-induction step: corpus-wide adjacent token-pair "
+    "frequencies, top candidates by count (tie-broken by pair text) — "
+    "the argmax a byte-pair tokenizer trainer computes per merge round. "
+    "Scale: the explode emits (pair) strings only; partial aggregation "
+    "collapses each partition to its distinct pairs before the single "
+    "vocabulary-keyed shuffle; the top-k is TakeOrderedAndProject, never "
+    "a global sort.",
+    tags=("text", "tokenizer", "bpe"),
+)
+def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    pairs = d.select(
+        F.explode(shingles_all(tokens("text"), 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+#: Bigram language-model smoothing: add-1 (Laplace). With integer counts
+#: the conditional probability is a ratio of two integers — one IEEE
+#: division, bit-identical in both engines. (A log-probability would go
+#: through libm, which is NOT cross-engine reproducible — same discipline
+#: as the TF-IDF rational score above.)
+
+
+@register(
+    "doc_bigram_lm_scores",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+uni AS (
+  SELECT t AS token, count(*) AS c1
+  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t
+),
+v AS (SELECT count(*) AS vocab FROM uni),
+doc_pairs AS (
+  SELECT doc_id, unnest({sql_shingles_all('toks', 2)}) AS pair FROM tok
+),
+bi AS (SELECT pair, count(*) AS c2 FROM doc_pairs GROUP BY pair),
+scored AS (
+  SELECT dp.doc_id,
+         CAST(bi.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.vocab AS DOUBLE) AS p
+  FROM doc_pairs dp
+  JOIN bi USING (pair)
+  JOIN uni ON uni.token = string_split(dp.pair, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       ({sql_dsum("p")} / CAST(count(*) AS DOUBLE)) AS avg_cond_prob,
+       min(p) AS min_cond_prob
+FROM scored GROUP BY doc_id
+""",
+    doc="Bigram-LM fluency scoring (quality-filter proxy): corpus unigram "
+    "and bigram counts with add-1 smoothing give P(w2|w1) = (c2+1)/(c1+V) "
+    "per adjacent pair; per-doc mean and min flag incoherent/garbled text "
+    "the way an n-gram perplexity filter does. Probabilities stay rational "
+    "(no libm log — not cross-engine reproducible); the mean uses the "
+    "exact-decimal sum discipline. Scale: both count tables are "
+    "vocabulary-sized and join on the same pair/token shuffle keys as "
+    "they are built on; nothing is collected.",
+    tags=("text", "quality", "lm"),
+)
+def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    tok_df = shared(d.select("doc_id", tokens("text").alias("toks")))
+    doc_pairs = tok_df.select(
+        "doc_id", F.explode(shingles_all(F.col("toks"), 2)).alias("pair")
+    )
+    uni = (
+        tok_df.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    bi = doc_pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        doc_pairs.join(bi, "pair")
+        .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("vocab")).cast("double")
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (dsum("p") / F.count(F.lit(1)).cast("double")).alias("avg_cond_prob"),
+        F.min("p").alias("min_cond_prob"),
+    )
+
+
+#: Boilerplate detection: a 3-gram shingle is "boilerplate" when it occurs
+#: in at least 1% of the corpus (ceil, computed from the corpus itself so
+#: the operator is scale-free).
+BOILER_DF_PCT = 1
+
+
+@register(
+    "doc_boilerplate_ngrams",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest({sql_shingles('toks', 3)}) AS s FROM tok
+),
+n AS (
+  SELECT CAST(floor((count(*) + 99) / 100.0) AS BIGINT) AS min_df
+  FROM documents
+),
+boiler AS (
+  SELECT s FROM sh, n GROUP BY s, n.min_df HAVING count(*) >= n.min_df
+),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_boiler
+  FROM sh JOIN boiler USING (s) GROUP BY sh.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.n_boiler, 0) AS n_boiler,
+       CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+         AS boiler_frac
+FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+""",
+    doc="Boilerplate n-gram audit (web-corpus cleaning): 3-gram shingles "
+    "occurring in >= ceil(1%) of documents are boilerplate; each doc "
+    "reports its distinct-shingle count and boilerplate fraction. The "
+    "threshold is derived from corpus size, so the operator is unchanged "
+    "at any SF. Scale: postings shape — shingles shuffle once to compute "
+    "document frequency, the boilerplate set is df-pruned (tiny) and "
+    "re-joined on the same shingle key; documents with <3 tokens have no "
+    "shingles and drop out in both engines.",
+    tags=("text", "quality", "boilerplate"),
+)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    tok_df = d.select("doc_id", tokens("text").alias("toks"))
+    sh = shared(
+        tok_df.select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("s"))
+    )
+    min_df = _docs(spark, sf_dir).agg(
+        F.floor((F.count(F.lit(1)) + 99) / F.lit(100.0)).cast("long").alias("min_df")
+    )
+    boiler = (
+        sh.crossJoin(F.broadcast(min_df))
+        .groupBy("s", "min_df")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= F.col("min_df"))
+        .select("s")
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(boiler, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@register(
+    "doc_pii_redaction_audit",
+    oracle=f"""
+SELECT doc_id,
+       {sql_pii_count('text', PII_PATTERNS[0][1])} AS n_url,
+       {sql_pii_count('text', PII_PATTERNS[1][1])} AS n_email,
+       {sql_pii_count('text', PII_PATTERNS[2][1])} AS n_ipv4,
+       {sql_pii_count('text', PII_PATTERNS[3][1])} AS n_phone,
+       length({sql_redact_pii('text')}) AS redacted_len,
+       length(text) AS original_len
+FROM documents
+""",
+    doc="PII scrub audit (privacy pass a training pipeline runs before "
+    "release): per-document match counts for URL/email/IPv4/phone "
+    "patterns plus the redacted text length. Patterns live in the "
+    "Java-regex ∩ RE2 common subset so both engines match identical "
+    "spans; the redaction kernel itself (placeholder substitution, "
+    "pattern order) is unit-tested on synthetic PII in "
+    "tests/test_pii.py — this corpus is synthetic word-salad, so the "
+    "registry row pins the all-clean case. Row-local, zero shuffle.",
+    tags=("text", "pii", "privacy"),
+)
+def doc_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        pii_count(t, PII_PATTERNS[0][1]).cast("long").alias("n_url"),
+        pii_count(t, PII_PATTERNS[1][1]).cast("long").alias("n_email"),
+        pii_count(t, PII_PATTERNS[2][1]).cast("long").alias("n_ipv4"),
+        pii_count(t, PII_PATTERNS[3][1]).cast("long").alias("n_phone"),
+        F.length(redact_pii(t)).cast("long").alias("redacted_len"),
+        F.length(t).cast("long").alias("original_len"),
     )

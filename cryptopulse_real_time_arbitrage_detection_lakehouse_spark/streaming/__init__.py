@@ -20,6 +20,12 @@ from .jobs import (
     silver_stream,
     venue_pair_stream_join,
 )
+from .orchestrator import (
+    JobSpec,
+    MedallionOrchestrator,
+    PipelineListener,
+    run_medallion_concurrent,
+)
 from .sinks import (
     kafka_records,
     start_console_stream,
@@ -34,7 +40,11 @@ from .sources import (
 )
 
 __all__ = [
+    "JobSpec",
+    "MedallionOrchestrator",
+    "PipelineListener",
     "bronze_ingest",
+    "run_medallion_concurrent",
     "dedup_ticks_stream",
     "gold_stream",
     "kafka_raw_stream",
