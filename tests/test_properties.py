@@ -158,3 +158,31 @@ class TestDedupExactDeterminism:
             for (k, b, _i) in ((kk, s % 3, j) for j, (kk, s, _) in enumerate(rows))
         }
         assert got == expected
+
+
+class TestKmeansPartitionInvariance:
+    """The iterative k-means must produce identical clusters at any
+    parallelism: partial aggregation order, shuffle partition count, and
+    input partitioning must not leak into centroid updates or
+    assignments — the property that makes the operator trustworthy on a
+    1000-executor cluster. (Integer dots and exact-decimal cosine sums
+    are the mechanisms; this pins the end result.)"""
+
+    def test_same_clusters_under_different_parallelism(self, spark):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.registry import (
+            get,
+        )
+
+        spec = get("emb_kmeans_clusters")
+        base = {
+            tuple(r) for r in spec.fn(spark, "/root/testdata/sf0.01").collect()
+        }
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            alt = {
+                tuple(r) for r in spec.fn(spark, "/root/testdata/sf0.01").collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert base == alt
