@@ -1,0 +1,109 @@
+"""Command-line entry points (reference ``orchestration.py`` CLI twin).
+
+The reference is operated from the shell — ``uv run`` per job, an
+orchestrator process, and three check scripts (SURVEY.md sections 3.1-3.2).
+This module is the single CLI a migrating user drives instead:
+
+    python -m cryptopulse_real_time_arbitrage_detection_lakehouse_spark \
+        pipeline --raw-dir RAW --out-root OUT [--concurrent]
+    python -m ... query gold_candles_1m --sf-dir /root/testdata/sf0.001
+    python -m ... list [--tag text]
+
+``pipeline`` runs the bronze→silver→gold medallion (sequential
+``availableNow`` drains by default; ``--concurrent`` supervises all three
+hops live, the reference's process topology). ``query`` executes any
+registered operator and shows rows (the ``check_*`` scripts' role).
+``list`` prints the registry — the catalog of everything the engine runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cryptopulse-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pipe = sub.add_parser("pipeline", help="run the medallion pipeline to parquet")
+    pipe.add_argument("--raw-dir", required=True, help="Kafka-shaped parquet input")
+    pipe.add_argument("--out-root", required=True, help="output root for the 3 layers")
+    pipe.add_argument("--watermark", default="10 minutes")
+    pipe.add_argument(
+        "--concurrent",
+        action="store_true",
+        help="supervise all three hops live (reference topology) instead of "
+        "sequential availableNow drains",
+    )
+    pipe.add_argument("--log-dir", default=None, help="per-job lifecycle logs")
+
+    q = sub.add_parser("query", help="run a registered query and show rows")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+
+    ls = sub.add_parser("list", help="list registered queries")
+    ls.add_argument("--tag", default=None, help="filter by tag substring")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    """Dispatch a CLI invocation; accepts an existing session for tests."""
+    from . import plans
+    from .plans import registry
+    from .session import get_spark
+
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list":
+        for name in sorted(registry.all_queries()):
+            spec = registry.get(name)
+            if args.tag and not any(args.tag in t for t in spec.tags):
+                continue
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}  [{', '.join(spec.tags)}]  ({oracle})")
+        return 0
+
+    own_session = spark is None
+    spark = spark or get_spark("cryptopulse-cli")
+    try:
+        if args.cmd == "query":
+            df = plans.get(args.name).fn(spark, args.sf_dir)
+            df.show(args.limit, truncate=False)
+            return 0
+
+        if args.cmd == "pipeline":
+            if args.concurrent:
+                from .streaming.orchestrator import run_medallion_concurrent
+
+                paths = run_medallion_concurrent(
+                    spark,
+                    raw_dir=args.raw_dir,
+                    out_root=args.out_root,
+                    watermark=args.watermark,
+                    log_dir=args.log_dir,
+                )
+            else:
+                from .streaming.jobs import run_medallion_available_now
+
+                paths = run_medallion_available_now(
+                    spark,
+                    raw_dir=args.raw_dir,
+                    out_root=args.out_root,
+                    watermark=args.watermark,
+                )
+            for layer, path in paths.items():
+                n = spark.read.parquet(path).count()
+                print(f"{layer}: {n} rows at {path}")
+            return 0
+        return 2
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via __main__
+    sys.exit(main())

@@ -595,18 +595,40 @@ class DeltaTable:
             _operation="MERGE",
         )
 
-    def compact(self, spark: SparkSession, *, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        target_files: int = 1,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """OPTIMIZE twin: rewrite the active files into ``target_files``
         per partition, committed with ``dataChange=false`` adds/removes
         (pure layout change — streaming readers of the log would skip it).
         Small-file compaction is what keeps a streaming-append table
         scannable: thousands of per-trigger files become a handful of
         full-size ones, and planning cost drops with them.
+
+        ``zorder_by=(col_a, col_b)`` is the ``OPTIMIZE ... ZORDER BY``
+        twin: output files are range-partitioned and sorted on the
+        normalized Morton code of the two columns (see
+        ``operators.zorder``), so each rewritten file carries narrow
+        min/max stats for BOTH — the log's per-file stats then let any
+        reader data-skip on either column.
         """
         meta, _ = self._snapshot_state(None)
         part_cols = meta.get("partitionColumns") or []
         df = self.read(spark)
-        if part_cols:
+        if zorder_by is not None:
+            from ..operators.zorder import with_zvalue
+
+            df = (
+                with_zvalue(df, zorder_by)
+                .repartitionByRange(target_files, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif part_cols:
             df = df.repartition(target_files, *[F.col(c) for c in part_cols])
         else:
             df = df.repartition(target_files)

@@ -87,3 +87,39 @@ class TestZorder:
         assert back.count() == li.count()
         assert sorted(back.columns) == sorted(li.columns)
         assert back.exceptAll(li).isEmpty() and li.exceptAll(back).isEmpty()
+
+
+class TestDeltaOptimizeZorder:
+    def test_compact_zorder_narrows_stats_and_preserves_data(self, spark, tmp_path):
+        """OPTIMIZE ... ZORDER BY twin: after a z-ordered compaction the
+        table's active files carry narrow min/max on both clustering
+        columns, row content is unchanged, and the commit is a
+        dataChange=false layout operation."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        li = load_table(spark, SF_ORACLE, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+        table = DeltaTable(str(tmp_path / "t"))
+        table.write(li, mode="append")
+        v = table.compact(spark, target_files=16, zorder_by=("l_partkey", "l_suppkey"))
+        assert v == 1
+
+        def width(col):
+            df = table.read(spark).withColumn("_f", F.input_file_name())
+            return float(
+                df.groupBy("_f")
+                .agg((F.max(col) - F.min(col)).alias("w"))
+                .agg(F.avg("w"))
+                .first()[0]
+            )
+
+        full_part = 1999.0  # sf0.01 partkey range
+        full_supp = 99.0
+        assert width("l_partkey") < full_part / 2
+        assert width("l_suppkey") < full_supp / 2
+        back = table.read(spark)
+        assert back.count() == li.count()
+        assert back.exceptAll(li).isEmpty() and li.exceptAll(back).isEmpty()
