@@ -126,3 +126,30 @@ class TestConcurrentPipeline:
             orch.await_quiescent(timeout_sec=120)
             orch.stop_all()  # explicit stop, then __exit__ stops again
         assert all(not q.isActive for q in orch.queries.values())
+
+
+class TestConcurrentRestart:
+    def test_rerun_on_same_root_is_idempotent(self, spark, tmp_path):
+        """Re-running the concurrent pipeline over the same out_root must
+        replay nothing: every hop resumes from its checkpoint, finds no
+        new files, and the tables are byte-identical to the first run —
+        the exactly-once contract (T5) holding across the supervised
+        topology, not just single queries."""
+        raw_dir = str(tmp_path / "raw")
+        # 400 ticks span 20 event-minutes: the 10-minute watermark then
+        # finalizes ~half the windows (n=200 would finalize none).
+        make_raw_ticks(spark, n=400).write.parquet(raw_dir)
+        spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1s")
+        root = str(tmp_path / "out")
+
+        paths = run_medallion_concurrent(
+            spark, raw_dir=raw_dir, out_root=root, timeout_sec=180
+        )
+        first = {layer: read_sorted(spark, p) for layer, p in paths.items()}
+        assert len(first["gold"]) > 0
+
+        paths2 = run_medallion_concurrent(
+            spark, raw_dir=raw_dir, out_root=root, timeout_sec=180
+        )
+        second = {layer: read_sorted(spark, p) for layer, p in paths2.items()}
+        assert first == second
