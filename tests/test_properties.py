@@ -160,20 +160,32 @@ class TestDedupExactDeterminism:
         assert got == expected
 
 
-class TestKmeansPartitionInvariance:
-    """The iterative k-means must produce identical clusters at any
-    parallelism: partial aggregation order, shuffle partition count, and
-    input partitioning must not leak into centroid updates or
-    assignments — the property that makes the operator trustworthy on a
-    1000-executor cluster. (Integer dots and exact-decimal cosine sums
-    are the mechanisms; this pins the end result.)"""
+class TestPartitionInvariance:
+    """Operators whose internals aggregate, join, or iterate must produce
+    identical results at any parallelism: partial-aggregation order,
+    shuffle partition count, and input partitioning must not leak into
+    outputs — the property that makes them trustworthy on a
+    1000-executor cluster. (Integer arithmetic and exact-decimal sums
+    are the mechanisms; this pins the end result for the operators with
+    the most room to go wrong: an iterative algorithm, a smoothed-LM
+    join chain, a threshold derived from a corpus aggregate, and an
+    Arrow decode kernel.)"""
 
-    def test_same_clusters_under_different_parallelism(self, spark):
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "emb_kmeans_clusters",
+            "doc_bigram_lm_scores",
+            "doc_boilerplate_ngrams",
+            "multimodal_image_ahash",
+        ],
+    )
+    def test_same_result_under_different_parallelism(self, spark, name):
         from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.registry import (
             get,
         )
 
-        spec = get("emb_kmeans_clusters")
+        spec = get(name)
         base = {
             tuple(r) for r in spec.fn(spark, "/root/testdata/sf0.01").collect()
         }
