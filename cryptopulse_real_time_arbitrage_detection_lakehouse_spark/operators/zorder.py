@@ -52,26 +52,47 @@ def sql_scaled(col: str, cmin: str, cmax: str, *, bits: int = ZORDER_BITS) -> st
     )
 
 
+#: bit-spreading masks: insert a zero between consecutive bits of a
+#: 16-bit value in 4 shift-or-mask steps (the classic Morton "magic
+#: numbers") — ~10 integer ops per key instead of the 64-term per-bit
+#: expansion, whose expression tree blew past codegen comfort and ran
+#: ~20x slower (measured 10.4s -> 0.5s at sf0.1).
+_SPREAD_STEPS: tuple[tuple[int, int], ...] = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread(x: Column) -> Column:
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
 def interleave(a: Column, b: Column, *, bits: int = ZORDER_BITS) -> Column:
     """Morton code of two already-normalized ``[0, 2^bits)`` columns: bit
-    i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1."""
-    terms: list[Column] = []
-    for i in range(bits):
-        terms.append(((a / F.lit(1 << i)).cast("long") % 2) * F.lit(1 << (2 * i)))
-        terms.append(((b / F.lit(1 << i)).cast("long") % 2) * F.lit(2 << (2 * i)))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1 (mask-spread
+    construction; ``bits`` must be <= 16)."""
+    if bits > 16:
+        raise ValueError("mask-spread interleave supports at most 16 bits/key")
+    return _spread(a.cast("long")).bitwiseOR(F.shiftleft(_spread(b.cast("long")), 1))
+
+
+def _sql_spread(x: str) -> str:
+    for shift, mask in _SPREAD_STEPS:
+        x = f"((({x}) | (({x}) << {shift})) & {mask})"
+    return x
 
 
 def sql_interleave(a_expr: str, b_expr: str, *, bits: int = ZORDER_BITS) -> str:
-    """DuckDB twin of `interleave`."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({a_expr}) // {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"((({b_expr}) // {1 << i}) % 2) * {2 << (2 * i)}")
-    return "(" + " + ".join(terms) + ")"
+    """DuckDB twin of `interleave` (same masks, same shifts)."""
+    if bits > 16:
+        raise ValueError("mask-spread interleave supports at most 16 bits/key")
+    a = f"CAST(({a_expr}) AS BIGINT)"
+    b = f"CAST(({b_expr}) AS BIGINT)"
+    return f"({_sql_spread(a)} | ({_sql_spread(b)} << 1))"
 
 
 def with_zvalue(

@@ -193,42 +193,99 @@ class DeltaTable:
         if meta is None:
             raise ValueError(f"no metaData action in log: {self.path}")
         if protocol is not None and protocol.get("minReaderVersion", 1) > 1:
-            raise NotImplementedError(
-                f"table requires Delta reader protocol "
-                f"v{protocol['minReaderVersion']} (column mapping / deletion "
-                f"vectors); this client reads protocol v1 tables"
+            # Reader v2 = column mapping, which this client implements
+            # (physical-name indirection, `_column_mapping`). Reader v3
+            # tables list explicit readerFeatures; accept them only when
+            # every feature is columnMapping — anything else (deletion
+            # vectors, v2 checkpoints, type widening) would silently
+            # corrupt a naive read, so it stays a hard gate.
+            mode = (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
             )
+            features = set(protocol.get("readerFeatures") or [])
+            mapped_ok = mode in ("name", "id") and features <= {"columnMapping"}
+            if not mapped_ok:
+                raise NotImplementedError(
+                    f"table requires Delta reader protocol "
+                    f"v{protocol['minReaderVersion']} with features "
+                    f"{sorted(features) or ['(none listed)']}; this client "
+                    f"reads protocol v1 tables and v2/v3 column-mapped tables"
+                )
         return meta, list(adds.values())
+
+    @staticmethod
+    def _column_mapping(meta: dict) -> dict[str, str] | None:
+        """logical column name -> physical parquet name, or None when the
+        table is unmapped. Column mapping (reader protocol v2) decouples
+        user-facing names from file schema so columns can be renamed or
+        dropped without rewriting data; every add's partitionValues and
+        every file footer use the PHYSICAL names. Only top-level mapping
+        is supported (nested-struct mapping raises)."""
+        mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+        if mode not in ("name", "id"):
+            return None
+        schema = json.loads(meta["schemaString"])
+        mapping: dict[str, str] = {}
+        for field in schema.get("fields", []):
+            md = field.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if phys is None:
+                raise ValueError(
+                    f"column-mapped table but field {field['name']!r} has no "
+                    "delta.columnMapping.physicalName metadata"
+                )
+            if isinstance(field.get("type"), dict) and field["type"].get("type") == "struct":
+                raise NotImplementedError(
+                    "nested-struct column mapping is not supported"
+                )
+            mapping[field["name"]] = phys
+        return mapping
 
     # --------------------------------------------------------------- reads
 
     def read(self, spark: SparkSession, *, version: int | None = None) -> DataFrame:
-        """Snapshot read; ``version`` time-travels (``VERSION AS OF``)."""
+        """Snapshot read; ``version`` time-travels (``VERSION AS OF``).
+
+        Column-mapped tables (reader protocol v2) read under their
+        PHYSICAL parquet names and are projected back to logical names —
+        partitionValues in the log are keyed physically too."""
         meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
+        mapping = self._column_mapping(meta) or {}
+        phys = lambda c: mapping.get(c, c)  # noqa: E731
+
         data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+            [
+                T.StructField(phys(f.name), f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
         )
+        logical = [
+            F.col(phys(f.name)).alias(f.name)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
         if not adds:
             return spark.createDataFrame([], schema)
 
         if not part_cols:
             paths = [os.path.join(self.path, urllib.parse.unquote(a["path"])) for a in adds]
-            return spark.read.schema(data_schema).parquet(*paths)
+            return spark.read.schema(data_schema).parquet(*paths).select(*logical)
 
         # group files by partition tuple; inject partition columns as typed
         # literals (Delta keeps them out of the data files)
         by_part: dict[tuple, list[str]] = {}
         for a in adds:
-            key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
+            key = tuple((a.get("partitionValues") or {}).get(phys(c)) for c in part_cols)
             by_part.setdefault(key, []).append(
                 os.path.join(self.path, urllib.parse.unquote(a["path"]))
             )
         types = {f.name: f.dataType for f in schema.fields}
         pieces = []
         for key, paths in sorted(by_part.items(), key=lambda kv: kv[0]):
-            df = spark.read.schema(data_schema).parquet(*paths)
+            df = spark.read.schema(data_schema).parquet(*paths).select(*logical)
             for c, raw in zip(part_cols, key):
                 val = None if raw is None or raw == _HIVE_NULL else raw
                 df = df.withColumn(c, F.lit(val).cast(types[c]))
@@ -255,6 +312,8 @@ class DeltaTable:
         meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
+        mapping = self._column_mapping(meta) or {}
+        phys = lambda c: mapping.get(c, c)  # noqa: E731
         out_names = [f.name for f in schema.fields if columns is None or f.name in columns]
         data_cols = [c for c in out_names if c not in part_cols]
 
@@ -273,11 +332,14 @@ class DeltaTable:
         pieces = []
         for a in adds:
             fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
-            pdf = pq.read_table(fp, columns=data_cols or None).to_pandas()
+            pdf = pq.read_table(
+                fp, columns=[phys(c) for c in data_cols] or None
+            ).to_pandas()
+            pdf.columns = data_cols if data_cols else pdf.columns
             pv = a.get("partitionValues") or {}
             for c in part_cols:
                 if c in out_names:
-                    pdf[c] = conv(pv.get(c), types[c])
+                    pdf[c] = conv(pv.get(phys(c)), types[c])
             pieces.append(pdf[out_names] if out_names else pdf)
         if not pieces:
             return pd.DataFrame(columns=out_names)
@@ -327,6 +389,12 @@ class DeltaTable:
         streaming-source semantics for append-only logs.
         """
         meta, _adds = self._snapshot_state(None)  # validates protocol
+        if self._column_mapping(meta):
+            raise NotImplementedError(
+                "streaming read of column-mapped tables is not supported "
+                "(the file-source shortcut reads physical parquet names; "
+                "use the batch `read` path, which projects them back)"
+            )
         part_cols = meta.get("partitionColumns") or []
         for v in self._commit_versions():
             for action in self._read_commit(v):

@@ -344,3 +344,177 @@ class TestJvmFreeRead:
         assert set(pdf["sym"]) == {"S0", "S1", "S2"}
         via_spark = t.read(spark).toPandas()
         assert sorted(pdf["sym"]) == sorted(via_spark["sym"])
+
+
+class TestColumnMapping:
+    """Reader protocol v2 (column mapping): logical names live only in the
+    log's schemaString metadata; parquet files and partitionValues use
+    physical names. The fixture is written by hand exactly the way
+    delta-spark lays such a table out."""
+
+    PHYS = {"sym": "col-a1b2c3", "px": "col-d4e5f6", "day": "col-778899"}
+
+    def _write_table(self, root, *, partitioned: bool) -> None:
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(root, "_delta_log"))
+        fields = [
+            {
+                "name": "sym",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": self.PHYS["sym"],
+                },
+            },
+            {
+                "name": "px",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": self.PHYS["px"],
+                },
+            },
+        ]
+        part_cols = []
+        if partitioned:
+            fields.append(
+                {
+                    "name": "day",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": self.PHYS["day"],
+                    },
+                }
+            )
+            part_cols = ["day"]
+
+        def datafile(rel, syms, pxs):
+            fp = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(fp), exist_ok=True)
+            pq.write_table(
+                pa.table({self.PHYS["sym"]: syms, self.PHYS["px"]: pxs}), fp
+            )
+
+        adds = []
+        if partitioned:
+            for day, syms, pxs in (
+                ("2026-01-01", ["A", "B"], [1.5, 2.5]),
+                ("2026-01-02", ["C"], [3.5]),
+            ):
+                rel = f"{self.PHYS['day']}={day}/part-0.parquet"
+                datafile(rel, syms, pxs)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {self.PHYS["day"]: day},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        else:
+            datafile("part-0.parquet", ["A", "B", "C"], [1.5, 2.5, 3.5])
+            adds.append(
+                {
+                    "add": {
+                        "path": "part-0.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": fields}),
+                    "partitionColumns": part_cols,
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                }
+            },
+            *adds,
+        ]
+        with open(
+            os.path.join(root, "_delta_log", "00000000000000000000.json"), "w"
+        ) as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def test_read_unpartitioned_projects_logical_names(self, spark, tmp_path):
+        root = str(tmp_path / "cm")
+        self._write_table(root, partitioned=False)
+        df = DeltaTable(root).read(spark)
+        assert df.columns == ["sym", "px"]
+        assert sorted(map(tuple, df.collect())) == [
+            ("A", 1.5), ("B", 2.5), ("C", 3.5)
+        ]
+
+    def test_read_partitioned_injects_from_physical_keys(self, spark, tmp_path):
+        root = str(tmp_path / "cmp")
+        self._write_table(root, partitioned=True)
+        df = DeltaTable(root).read(spark)
+        assert df.columns == ["sym", "px", "day"]
+        assert sorted(map(tuple, df.collect())) == [
+            ("A", 1.5, "2026-01-01"),
+            ("B", 2.5, "2026-01-01"),
+            ("C", 3.5, "2026-01-02"),
+        ]
+
+    def test_to_pandas_jvm_free(self, tmp_path):
+        root = str(tmp_path / "cm2")
+        self._write_table(root, partitioned=True)
+        pdf = DeltaTable(root).to_pandas()
+        assert list(pdf.columns) == ["sym", "px", "day"]
+        assert sorted(map(tuple, pdf.itertuples(index=False))) == [
+            ("A", 1.5, "2026-01-01"),
+            ("B", 2.5, "2026-01-01"),
+            ("C", 3.5, "2026-01-02"),
+        ]
+
+    def test_stream_of_mapped_table_is_gated(self, spark, tmp_path):
+        root = str(tmp_path / "cm3")
+        self._write_table(root, partitioned=False)
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            DeltaTable(root).read_stream(spark)
+
+    def test_v3_non_mapping_features_still_gated(self, spark, tmp_path):
+        import json
+        import os
+
+        root = str(tmp_path / "cm4")
+        self._write_table(root, partitioned=False)
+        log = os.path.join(root, "_delta_log", "00000000000000000000.json")
+        lines = open(log).read().splitlines()
+        patched = []
+        for line in lines:
+            a = json.loads(line)
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                    "writerFeatures": ["columnMapping", "deletionVectors"],
+                }
+            patched.append(json.dumps(a))
+        open(log, "w").write("\n".join(patched) + "\n")
+        with pytest.raises(NotImplementedError, match="deletionVectors"):
+            DeltaTable(root).read(spark)
