@@ -43,7 +43,15 @@ def write_ivf_index(
     indexed = embeddings.withColumn(
         "cell", ivf_cell_column(centroids, F.col(emb_col))
     )
-    indexed.write.mode("errorifexists").partitionBy("cell").parquet(path)
+    # Co-partition by cell before the dynamic-partition insert: without
+    # it every input task writes one file into EVERY cell directory it
+    # sees — tasks x cells tiny files (measured 19x slower at sf0.1).
+    # With it, each cell's rows land in one task -> one file per cell.
+    # At 100 TB, hot cells wanting multiple files would repartition on
+    # (cell, salt) instead.
+    indexed.repartition(F.col("cell")).write.mode("errorifexists").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def read_ivf_cells(
@@ -65,7 +73,10 @@ def write_lsh_index(
     indexed = embeddings.withColumn(
         "bucket", sign_bucket(F.col(emb_col), bits).cast("int")
     )
-    indexed.write.mode("errorifexists").partitionBy("bucket").parquet(path)
+    # same co-partitioning rationale as write_ivf_index
+    indexed.repartition(F.col("bucket")).write.mode("errorifexists").partitionBy(
+        "bucket"
+    ).parquet(path)
 
 
 def read_lsh_bucket(spark: SparkSession, path: str, bucket: int) -> DataFrame:

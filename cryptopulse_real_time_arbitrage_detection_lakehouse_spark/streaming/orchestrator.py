@@ -215,6 +215,11 @@ class MedallionOrchestrator:
         discovered, and the downstream trigger needs a beat to notice new
         files. Any hop with an active trigger, pending data, or a growing
         listener row total resets the counter for the whole cascade.
+
+        A query that never commits a single batch (a source directory
+        that stays empty forever) never satisfies the at-rest conditions
+        and the call times out — deliberately: "drained" is meaningless
+        for a pipeline that never started.
         """
         deadline = time.monotonic() + timeout_sec
         idle = 0
