@@ -624,14 +624,129 @@ class DeltaTable:
                 )
         actions.extend({"add": a} for a in adds)
 
+        self._write_commit(version, actions)
+        return version
+
+    def _write_commit(self, version: int, actions: list[dict]) -> None:
+        """Atomically publish one commit file (rename = the commit point)."""
         os.makedirs(self._log_dir, exist_ok=True)
         final = _commit_path(self._log_dir, version)
         tmp = os.path.join(self._log_dir, f".tmp-{version}-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             for action in actions:
                 f.write(json.dumps(action) + "\n")
-        os.rename(tmp, final)  # atomic on POSIX: the commit point
+        os.rename(tmp, final)  # atomic on POSIX
+
+    # ------------------------------------------------- schema evolution
+
+    def enable_column_mapping(self) -> int:
+        """Upgrade the table to column mapping (reader protocol v2).
+
+        Existing columns take their current names as physical names, so
+        every already-written data file still matches; from then on
+        logical names are pure metadata and `rename_column` /
+        `drop_column` are metadata-only commits — the operation column
+        mapping exists for (delta-spark's
+        ``delta.columnMapping.mode = name`` upgrade).
+        """
+        meta, _ = self._snapshot_state(None)
+        if self._column_mapping(meta):
+            raise ValueError(f"column mapping already enabled: {self.path}")
+        schema = json.loads(meta["schemaString"])
+        for i, field in enumerate(schema.get("fields", []), start=1):
+            md = dict(field.get("metadata") or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = field["name"]
+            field["metadata"] = md
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        conf = dict(new_meta.get("configuration") or {})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(len(schema.get("fields", [])))
+        new_meta["configuration"] = conf
+        version = (self.latest_version() or 0) + 1
+        self._write_commit(
+            version,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "UPGRADE COLUMN MAPPING",
+                        "operationParameters": {"mode": "name"},
+                    }
+                },
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": new_meta},
+            ],
+        )
         return version
+
+    def _metadata_commit(self, operation: str, new_meta: dict) -> int:
+        version = (self.latest_version() or 0) + 1
+        self._write_commit(
+            version,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": operation,
+                        "operationParameters": {},
+                    }
+                },
+                {"metaData": new_meta},
+            ],
+        )
+        return version
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column without touching any data file — the logical
+        name changes in the schema metadata, the physical name stays
+        bound to the bytes on disk. Requires column mapping."""
+        meta, _ = self._snapshot_state(None)
+        if not self._column_mapping(meta):
+            raise ValueError(
+                "rename_column requires column mapping; call "
+                "enable_column_mapping() first"
+            )
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for field in schema["fields"]:
+            if field["name"] == old:
+                field["name"] = new
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        new_meta["partitionColumns"] = [
+            new if c == old else c for c in meta.get("partitionColumns") or []
+        ]
+        return self._metadata_commit("RENAME COLUMN", new_meta)
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column without rewriting data — the field leaves the
+        schema; the physical bytes stay in the files and every read
+        prunes them. Requires column mapping; partition columns cannot
+        be dropped."""
+        meta, _ = self._snapshot_state(None)
+        if not self._column_mapping(meta):
+            raise ValueError(
+                "drop_column requires column mapping; call "
+                "enable_column_mapping() first"
+            )
+        if name in (meta.get("partitionColumns") or []):
+            raise ValueError(f"cannot drop partition column {name!r}")
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        return self._metadata_commit("DROP COLUMN", new_meta)
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /
