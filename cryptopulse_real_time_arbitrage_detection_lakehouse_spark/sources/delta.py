@@ -138,8 +138,14 @@ class DeltaTable:
             return json.load(f)
 
     def _snapshot_state(self, version: int | None) -> tuple[dict, list[dict]]:
-        """Replay the log to (metaData, active add actions) at ``version``.
-        Pure Python + pyarrow — no JVM involved."""
+        meta, adds, _protocol = self._snapshot_state_full(version)
+        return meta, adds
+
+    def _snapshot_state_full(
+        self, version: int | None
+    ) -> tuple[dict, list[dict], dict | None]:
+        """Replay the log to (metaData, active adds, protocol) at
+        ``version``. Pure Python + pyarrow — no JVM involved."""
         versions = self._commit_versions()
         if not versions:
             raise ValueError(f"not a Delta table (no commits): {self.path}")
@@ -172,6 +178,12 @@ class DeltaTable:
                     adds[add["path"]] = add
                 if d.get("metaData"):
                     meta = d["metaData"]
+                    # pyarrow surfaces map<string,string> as [(k, v)] lists
+                    meta["configuration"] = _as_dict(meta.get("configuration"))
+                    if meta.get("format"):
+                        meta["format"]["options"] = _as_dict(
+                            meta["format"].get("options")
+                        )
                 if d.get("protocol"):
                     protocol = d["protocol"]
             start = cp["version"] + 1
@@ -203,7 +215,11 @@ class DeltaTable:
                 "delta.columnMapping.mode", "none"
             )
             features = set(protocol.get("readerFeatures") or [])
-            mapped_ok = mode in ("name", "id") and features <= {"columnMapping"}
+            # 'id' mode resolves columns by parquet field id, not by the
+            # physicalName metadata — a name-matching reader would misread
+            # id-mode tables (e.g. Iceberg-compat converts), so only
+            # 'name' mode passes the gate.
+            mapped_ok = mode == "name" and features <= {"columnMapping"}
             if not mapped_ok:
                 raise NotImplementedError(
                     f"table requires Delta reader protocol "
@@ -211,7 +227,7 @@ class DeltaTable:
                     f"{sorted(features) or ['(none listed)']}; this client "
                     f"reads protocol v1 tables and v2/v3 column-mapped tables"
                 )
-        return meta, list(adds.values())
+        return meta, list(adds.values()), protocol
 
     @staticmethod
     def _column_mapping(meta: dict) -> dict[str, str] | None:
@@ -222,7 +238,9 @@ class DeltaTable:
         every file footer use the PHYSICAL names. Only top-level mapping
         is supported (nested-struct mapping raises)."""
         mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-        if mode not in ("name", "id"):
+        if mode != "name":
+            # 'id' mode never reaches here — the protocol gate in
+            # `_snapshot_state` rejects it (field-id resolution unsupported)
             return None
         schema = json.loads(meta["schemaString"])
         mapping: dict[str, str] = {}
@@ -488,8 +506,11 @@ class DeltaTable:
         prior_meta: dict | None = None
         prior_adds: list[dict] = []
         new_schema_json: str | None = None
+        new_configuration: dict | None = None
+        mapping: dict[str, str] = {}
         if last is not None:
             prior_meta, prior_adds = self._snapshot_state(None)
+            mapping = self._column_mapping(prior_meta) or {}
             if partition_by != (prior_meta.get("partitionColumns") or []):
                 raise ValueError(
                     f"partition_by {partition_by} != table's "
@@ -513,17 +534,53 @@ class DeltaTable:
                         f"schema mismatch (new columns {[f.name for f in extra]}); "
                         "pass merge_schema=True to evolve the table schema"
                     )
-                merged = T.StructType(
-                    list(prior_schema.fields)
-                    + [T.StructField(f.name, f.dataType, True) for f in extra]
-                )
-                new_schema_json = merged.json()
+                if mapping:
+                    # On a column-mapped table every field must carry a
+                    # physicalName — new fields get a fresh synthetic one
+                    # (delta-spark uses col-<uuid>) and the next column id,
+                    # so the staged parquet and future reads agree.
+                    conf = dict(prior_meta.get("configuration") or {})
+                    next_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
+                    schema_json = json.loads(prior_meta["schemaString"])
+                    for f in extra:
+                        next_id += 1
+                        phys_name = f"col-{uuid.uuid4().hex}"
+                        mapping[f.name] = phys_name
+                        schema_json["fields"].append(
+                            {
+                                "name": f.name,
+                                "type": json.loads(f.dataType.json()),
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": next_id,
+                                    "delta.columnMapping.physicalName": phys_name,
+                                },
+                            }
+                        )
+                    conf["delta.columnMapping.maxColumnId"] = str(next_id)
+                    new_configuration = conf
+                    new_schema_json = json.dumps(schema_json)
+                else:
+                    merged = T.StructType(
+                        list(prior_schema.fields)
+                        + [T.StructField(f.name, f.dataType, True) for f in extra]
+                    )
+                    new_schema_json = merged.json()
 
-        # stage with Spark, then move part files under the table root
+        # stage with Spark, then move part files under the table root.
+        # Column-mapped tables stage under PHYSICAL names so both the
+        # parquet footers and the hive partition dirs (-> partitionValues
+        # keys) match what `read()` resolves — staging logical names here
+        # would make any post-rename append read back as NULL.
+        stage_df = df
+        if mapping:
+            stage_df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        writer = df.write.mode("errorifexists")
+        writer = stage_df.write.mode("errorifexists")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*[mapping.get(c, c) for c in partition_by])
         writer.parquet(stage)
 
         adds = []
@@ -610,6 +667,8 @@ class DeltaTable:
         elif new_schema_json is not None:
             evolved = dict(prior_meta)
             evolved["schemaString"] = new_schema_json
+            if new_configuration is not None:
+                evolved["configuration"] = new_configuration
             actions.append({"metaData": evolved})
         if mode == "overwrite":
             for a in prior_adds:
@@ -833,7 +892,7 @@ class DeltaTable:
         version = self.latest_version()
         if version is None:
             raise ValueError(f"empty table: {self.path}")
-        meta, adds = self._snapshot_state(version)
+        meta, adds, protocol = self._snapshot_state_full(version)
         cp_file = os.path.join(self._log_dir, f"{version:020d}.checkpoint.parquet")
         stage = os.path.join(self._log_dir, f".cp-stage-{uuid.uuid4().hex}")
         # single-file checkpoint written with pyarrow (the state is small
@@ -853,6 +912,8 @@ class DeltaTable:
                         [
                             ("minReaderVersion", pa.int32()),
                             ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
                         ]
                     ),
                 ),
@@ -889,7 +950,18 @@ class DeltaTable:
                 ),
             ]
         )
-        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        # preserve the table's real protocol: checkpointing a column-mapped
+        # (reader v2/v3) table with a hardcoded v1 protocol would let a
+        # checkpoint-based reader skip the feature gate entirely
+        proto_row = {
+            k: (protocol or {"minReaderVersion": 1, "minWriterVersion": 2}).get(k)
+            for k in (
+                "minReaderVersion",
+                "minWriterVersion",
+                "readerFeatures",
+                "writerFeatures",
+            )
+        }
         meta_row = {k: meta.get(k) for k in (
             "id", "format", "schemaString", "partitionColumns", "configuration",
             "createdTime",
@@ -903,7 +975,7 @@ class DeltaTable:
         ]
         table = pa.Table.from_pylist(
             [
-                {"protocol": protocol, "metaData": None, "add": None},
+                {"protocol": proto_row, "metaData": None, "add": None},
                 {"protocol": None, "metaData": meta_row, "add": None},
                 *({"protocol": None, "metaData": None, "add": a} for a in add_rows),
             ],

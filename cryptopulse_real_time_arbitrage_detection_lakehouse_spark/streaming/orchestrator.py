@@ -269,6 +269,19 @@ class MedallionOrchestrator:
             except Exception:
                 pass  # already-failed query; reported via check_failures
         if self._listener is not None:
+            # onQueryTerminated is delivered asynchronously on the listener
+            # bus — removing the listener right after awaitTermination races
+            # the delivery and can drop the terminated event from the JSON
+            # logs. Poll briefly until every started query's terminated
+            # event has landed (bounded: a dropped event must not hang stop).
+            deadline = time.monotonic() + 10.0
+            while time.monotonic() < deadline:
+                if all(
+                    self._listener.state.get(name, {}).get("terminated")
+                    for name in self.queries
+                ):
+                    break
+                time.sleep(0.05)
             self._spark.streams.removeListener(self._listener)
             self._listener = None
 

@@ -518,3 +518,132 @@ class TestColumnMapping:
         open(log, "w").write("\n".join(patched) + "\n")
         with pytest.raises(NotImplementedError, match="deletionVectors"):
             DeltaTable(root).read(spark)
+
+    def test_id_mode_is_gated(self, spark, tmp_path):
+        # 'id' mode resolves columns by parquet field id, which this
+        # client does not implement — name-matching would misread
+        # Iceberg-compat converts, so the protocol gate must refuse.
+        root = str(tmp_path / "cm5")
+        self._write_table(root, partitioned=False)
+        log = os.path.join(root, "_delta_log", "00000000000000000000.json")
+        lines = open(log).read().splitlines()
+        patched = []
+        for line in lines:
+            a = json.loads(line)
+            if "metaData" in a:
+                a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            patched.append(json.dumps(a))
+        open(log, "w").write("\n".join(patched) + "\n")
+        with pytest.raises(NotImplementedError, match="reader protocol"):
+            DeltaTable(root).read(spark)
+
+
+class TestColumnMappingWrites:
+    """Writes on a column-mapped table must stage files (and key
+    partitionValues) under PHYSICAL names — the regression here is a
+    post-rename append whose new files carry the logical name and read
+    back as all-NULL."""
+
+    def _mapped_table(self, spark, tmp_path, *, partition_by=None):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.createDataFrame(
+            [("A", 1.5, "d1"), ("B", 2.5, "d1"), ("C", 3.5, "d2")],
+            "sym string, px double, day string",
+        )
+        t.write(df, partition_by=partition_by)
+        t.enable_column_mapping()
+        return t
+
+    def test_rename_then_append_roundtrip(self, spark, tmp_path):
+        t = self._mapped_table(spark, tmp_path)
+        t.rename_column("px", "price")
+        more = spark.createDataFrame(
+            [("D", 4.5, "d2")], "sym string, price double, day string"
+        )
+        t.write(more)
+        got = sorted(map(tuple, t.read(spark).collect()))
+        assert got == [
+            ("A", 1.5, "d1"), ("B", 2.5, "d1"), ("C", 3.5, "d2"), ("D", 4.5, "d2")
+        ]
+        # the appended file's parquet footer must use the physical name
+        import pyarrow.parquet as pq
+        data_files = [
+            f for f in os.listdir(str(tmp_path / "t"))
+            if f.endswith(".parquet") and f.startswith("part-")
+        ]
+        names = set()
+        for f in data_files:
+            names |= set(pq.read_schema(str(tmp_path / "t" / f)).names)
+        assert "price" not in names and "px" in names
+        # JVM-free path agrees
+        pdf = t.to_pandas()
+        assert list(pdf.columns) == ["sym", "price", "day"]
+        assert sorted(pdf["price"]) == [1.5, 2.5, 3.5, 4.5]
+
+    def test_rename_partition_column_then_append(self, spark, tmp_path):
+        t = self._mapped_table(spark, tmp_path, partition_by=["day"])
+        t.rename_column("day", "dt")
+        more = spark.createDataFrame(
+            [("D", 4.5, "d3")], "sym string, px double, dt string"
+        )
+        t.write(more, partition_by=["dt"])
+        got = t.read(spark)
+        assert got.filter(F.col("dt") == "d3").count() == 1
+        assert got.count() == 4
+        # partitionValues in the new commit are keyed by the PHYSICAL name
+        last = t.latest_version()
+        with open(
+            os.path.join(str(tmp_path / "t"), "_delta_log", f"{last:020d}.json")
+        ) as fh:
+            adds = [json.loads(x)["add"] for x in fh if "add" in json.loads(x)]
+        assert adds and all(
+            list(a["partitionValues"].keys()) == ["day"] for a in adds
+        )
+
+    def test_merge_schema_assigns_physical_names(self, spark, tmp_path):
+        t = self._mapped_table(spark, tmp_path)
+        t.rename_column("px", "price")
+        more = spark.createDataFrame(
+            [("E", 5.5, "d3", 42)], "sym string, price double, day string, qty int"
+        )
+        t.write(more, merge_schema=True)
+        got = t.read(spark)
+        assert got.columns == ["sym", "price", "day", "qty"]
+        assert got.filter(F.col("qty").isNotNull()).count() == 1
+        # the new field carries synthetic physicalName + bumped maxColumnId
+        meta, _ = t._snapshot_state(None)
+        field = json.loads(meta["schemaString"])["fields"][-1]
+        phys = field["metadata"]["delta.columnMapping.physicalName"]
+        assert field["name"] == "qty" and phys.startswith("col-")
+        assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+        # old rows surface NULL for the evolved column
+        assert got.filter(F.col("qty").isNull()).count() == 3
+
+    def test_compact_after_rename_keeps_values(self, spark, tmp_path):
+        t = self._mapped_table(spark, tmp_path)
+        t.rename_column("sym", "symbol")
+        t.compact(spark, target_files=1)
+        got = sorted(map(tuple, t.read(spark).collect()))
+        assert got == [("A", 1.5, "d1"), ("B", 2.5, "d1"), ("C", 3.5, "d2")]
+
+    def test_checkpoint_preserves_mapped_protocol(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = self._mapped_table(spark, tmp_path)
+        t.rename_column("px", "price")
+        v = t.checkpoint(spark)
+        cp = pq.read_table(
+            os.path.join(str(tmp_path / "t"), "_delta_log",
+                         f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+        protos = [r["protocol"] for r in cp if r["protocol"]]
+        assert protos and protos[0]["minReaderVersion"] == 2
+        # a snapshot built from the checkpoint still maps names correctly
+        t.write(
+            spark.createDataFrame(
+                [("Z", 9.5, "d9")], "sym string, price double, day string"
+            )
+        )
+        assert sorted(t.read(spark).select("price").toPandas()["price"]) == [
+            1.5, 2.5, 3.5, 9.5
+        ]
