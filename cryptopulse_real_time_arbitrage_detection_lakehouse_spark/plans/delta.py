@@ -232,3 +232,35 @@ def delta_partitioned_stream_counts(spark: SparkSession, sf_dir: str) -> DataFra
     return drained.groupBy(
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "delta_deletion_vector_survivors",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum("value")} AS total_value
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'click' AND value < 50)
+GROUP BY event_type
+""",
+    doc="DELETE via deletion vectors (reader protocol v3) through the log "
+    "client: table built with one commit per event_type, then "
+    "delete(\"event_type = 'click' AND value < 50\") — which rewrites NO "
+    "data file, only commits per-file roaring-bitmap sidecars "
+    "(sources/dv.py, the public DV wire format: z85 'u' storage, "
+    "magic-prefixed portable RoaringBitmapArray, CRC-framed). The read "
+    "drops flagged (file, row-index) positions with a BROADCAST anti-join "
+    "against Spark's _metadata.row_index — no shuffle of surviving data. "
+    "Oracle recomputes the survivors straight from events; green means "
+    "bitmap serialization, sidecar framing, protocol upgrade, and the "
+    "metadata-join read path all agree.",
+    tags=("delta", "deletion-vectors", "delete"),
+)
+def delta_deletion_vector_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)
+    table.delete(spark, "event_type = 'click' AND value < 50")
+    survivors = table.read(spark)
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )

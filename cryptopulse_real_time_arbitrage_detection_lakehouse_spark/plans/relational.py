@@ -1435,39 +1435,69 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DISTANCE}
 """,
     doc="Fuzzy entity resolution on part names: collapse to DISTINCT "
     "names first (the scale move — the quadratic verify runs on the "
-    "name vocabulary, never the row count), block on the first token, "
-    "then verify candidates with exact Levenshtein distance <= 4. Edit "
-    "distance is an integer dynamic program, bit-identical across "
-    "engines. Scale: the distinct-name aggregation is the only "
-    "full-data shuffle; the blocked self-join shuffles the (tiny) name "
-    "vocabulary on the block key. Production blocking would add more "
-    "selective keys (length bands, q-gram prefixes, phonetic codes) to "
-    "keep per-block candidate counts bounded; the compute shape is "
-    "identical.",
+    "name vocabulary, never the row count), block on (first token, "
+    "length band), then verify candidates with exact Levenshtein "
+    "distance <= 4. The length band is LOSSLESS (distance <= d bounds "
+    "the length difference at d; width d+1 bands + a one-sided "
+    "+-1-band explode catch every qualifying pair exactly once) and is "
+    "the skew guard: a Zipfian-dominant first token splits across its "
+    "length bands instead of hot-spotting one task. Edit distance is "
+    "an integer dynamic program, bit-identical across engines. Scale: "
+    "the distinct-name aggregation is the only full-data shuffle; the "
+    "blocked self-join shuffles the (tiny) name vocabulary on the "
+    "block key.",
     tags=("relational", "join", "fuzzy", "entity-resolution"),
 )
 def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    return fuzzy_name_matches(
+        load_table(spark, sf_dir, "part").select("p_name"),
+        name_col="p_name",
+        max_distance=FUZZY_MAX_DISTANCE,
+    )
+
+
+def fuzzy_name_matches(
+    df: DataFrame, *, name_col: str, max_distance: int
+) -> DataFrame:
+    """Blocked fuzzy self-match on ``name_col`` (see the register() doc).
+
+    Blocking key = (first token, length band): edit distance <= d bounds
+    the length difference at d, so with band width d+1 a matching pair's
+    bands differ by at most 1 — the left side explodes into {band-1,
+    band, band+1} and the equi-join on the right side's exact band
+    catches every such pair EXACTLY once (the three exploded bands are
+    distinct). Lossless by construction, and the second key is what
+    keeps a Zipfian first token from hot-spotting one task: the hot
+    block splits across its length bands (tests/test_skew.py asserts
+    the spread)."""
+    band_w = max_distance + 1
+    names = df.groupBy(name_col).agg(F.count(F.lit(1)).alias("n_parts"))
     p = names.select(
-        "p_name", "n_parts", F.split(F.col("p_name"), " ").getItem(0).alias("tok1")
+        F.col(name_col).alias("p_name"),
+        "n_parts",
+        F.split(F.col(name_col), " ").getItem(0).alias("tok1"),
+        (F.length(name_col) / band_w).cast("int").alias("band"),
     )
     a = p.select(
         F.col("p_name").alias("name_a"),
         F.col("n_parts").alias("n_parts_a"),
         "tok1",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
     )
     b = p.select(
         F.col("p_name").alias("name_b"),
         F.col("n_parts").alias("n_parts_b"),
         "tok1",
+        "band",
     )
     return (
-        a.join(b, "tok1")
+        a.join(b, ["tok1", "band"])
         .filter(F.col("name_a") < F.col("name_b"))
         .withColumn(
             "distance", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
         )
-        .filter(F.col("distance") <= FUZZY_MAX_DISTANCE)
+        .filter(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "n_parts_a", "n_parts_b", "distance")
     )

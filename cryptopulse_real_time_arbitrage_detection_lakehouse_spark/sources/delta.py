@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -98,6 +99,136 @@ def _as_dict(pv) -> dict:
     if isinstance(pv[0], dict):
         return {e["key"]: e["value"] for e in pv}
     return dict(pv)
+
+
+def _file_stats(md) -> dict:
+    """Delta per-file stats from a parquet footer: numRecords plus
+    min/max/nullCount per top-level column (the data-skipping payload —
+    PROTOCOL.md 'Per-file Statistics'). Columns whose footer stats are
+    absent in any row group, nested, or of a type without a total-order
+    JSON encoding (bytes, decimals) are omitted — skipping must only ever
+    prune files it can PROVE empty for a predicate."""
+    import datetime
+
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set[str] = set()
+
+    def enc(v):
+        if isinstance(v, bool) or v is None:
+            return None  # booleans: not worth a skipping entry
+        if isinstance(v, (int, str)):
+            return v
+        if isinstance(v, float):
+            return None if v != v else v  # NaN-poisoned stats: drop
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            # space separator so stats compare lexicographically against
+            # SQL literals ('2026-01-02 03:04:05')
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        return None
+
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            lo, hi = enc(st.min), enc(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    out: dict = {"numRecords": md.num_rows}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+        out["nullCount"] = nulls
+    return out
+
+
+#: simple conjunct: `col op literal` — the skippable subset of a WHERE
+_CMP_RE = re.compile(
+    r"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*\)?\s*$"
+)
+
+
+def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Decompose a WHERE string into provable (col, op, literal) conjuncts.
+    Anything that does not match the simple shape contributes NO pruning
+    (conservative — the full predicate is still applied to the rows)."""
+    out = []
+    for part in re.split(r"\s+AND\s+", where, flags=re.I):
+        m = _CMP_RE.match(part.strip())
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val: object = lit[1:-1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _file_may_match(
+    add: dict,
+    conjuncts: list[tuple[str, str, object]],
+    part_cols: list[str],
+    phys,
+) -> bool:
+    """False only when the add's stats / partition values PROVE no row can
+    satisfy every conjunct. Missing stats, type mismatches, and null-able
+    edge cases all answer True (read the file; the row filter decides)."""
+    stats = json.loads(add.get("stats") or "{}")
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    pv = _as_dict(add.get("partitionValues"))
+    for col, op, val in conjuncts:
+        if col in part_cols:
+            raw = pv.get(phys(col))
+            if raw is None or raw == _HIVE_NULL:
+                continue
+            if isinstance(val, (int, float)):
+                try:
+                    lo = hi = type(val)(raw) if "." not in raw else float(raw)
+                except ValueError:
+                    continue
+            else:
+                lo = hi = raw
+        else:
+            p = phys(col)
+            if p not in mins or p not in maxs:
+                continue
+            lo, hi = mins[p], maxs[p]
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # string literal vs numeric stats etc.: no pruning
+    return True
 
 
 @dataclass
@@ -205,27 +336,32 @@ class DeltaTable:
         if meta is None:
             raise ValueError(f"no metaData action in log: {self.path}")
         if protocol is not None and protocol.get("minReaderVersion", 1) > 1:
-            # Reader v2 = column mapping, which this client implements
-            # (physical-name indirection, `_column_mapping`). Reader v3
-            # tables list explicit readerFeatures; accept them only when
-            # every feature is columnMapping — anything else (deletion
-            # vectors, v2 checkpoints, type widening) would silently
-            # corrupt a naive read, so it stays a hard gate.
+            # Reader v2 = column mapping; reader v3 tables list explicit
+            # readerFeatures. This client implements column mapping
+            # (physical-name indirection, `_column_mapping`) and deletion
+            # vectors (`sources.dv` + the scan's anti-join); any OTHER
+            # feature (v2 checkpoints, type widening, ...) would silently
+            # corrupt a naive read, so it stays a hard gate. 'id'-mode
+            # column mapping resolves columns by parquet field id, which
+            # a name-matching reader would misread (e.g. Iceberg-compat
+            # converts) — gated too.
             mode = (meta.get("configuration") or {}).get(
                 "delta.columnMapping.mode", "none"
             )
             features = set(protocol.get("readerFeatures") or [])
-            # 'id' mode resolves columns by parquet field id, not by the
-            # physicalName metadata — a name-matching reader would misread
-            # id-mode tables (e.g. Iceberg-compat converts), so only
-            # 'name' mode passes the gate.
-            mapped_ok = mode == "name" and features <= {"columnMapping"}
-            if not mapped_ok:
+            unsupported = features - {"columnMapping", "deletionVectors"}
+            # v3 REQUIRES an explicit feature list; absent = malformed, and
+            # guessing what such a table needs would risk a silent misread
+            malformed_v3 = (
+                protocol.get("minReaderVersion", 1) >= 3 and not features
+            )
+            if mode == "id" or unsupported or malformed_v3:
                 raise NotImplementedError(
                     f"table requires Delta reader protocol "
                     f"v{protocol['minReaderVersion']} with features "
-                    f"{sorted(features) or ['(none listed)']}; this client "
-                    f"reads protocol v1 tables and v2/v3 column-mapped tables"
+                    f"{sorted(features) or ['(none listed)']} and column "
+                    f"mapping mode {mode!r}; this client reads protocol v1 "
+                    f"tables, v2/v3 name-mapped tables, and deletion vectors"
                 )
         return meta, list(adds.values()), protocol
 
@@ -261,17 +397,81 @@ class DeltaTable:
 
     # --------------------------------------------------------------- reads
 
-    def read(self, spark: SparkSession, *, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        *,
+        version: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
         """Snapshot read; ``version`` time-travels (``VERSION AS OF``).
 
         Column-mapped tables (reader protocol v2) read under their
         PHYSICAL parquet names and are projected back to logical names —
-        partitionValues in the log are keyed physically too."""
+        partitionValues in the log are keyed physically too.
+
+        Files carrying a ``deletionVector`` (reader protocol v3) are
+        scanned with Spark's hidden ``_metadata.row_index`` column and
+        the deleted positions removed by a BROADCAST anti-join — the data
+        files are never rewritten and never shuffled: each task drops its
+        own rows against the (small — one bit per deleted row, roaring-
+        compressed) broadcast set, the same shape delta-spark's scan
+        uses. Sidecars parse on the driver (they are KBs per file; a
+        scan-side parse is the optimization delta-spark makes with its
+        own file index, out of scope here).
+
+        ``where`` enables LOG-LEVEL data skipping: before any file is
+        listed into the plan, simple ``col op literal`` conjuncts are
+        evaluated against each add's per-file min/max stats (written by
+        this client from the parquet footers) and partitionValues — files
+        provably empty for the predicate never reach Spark. The full
+        predicate is then applied to the surviving rows, so pruning can
+        only ever remove whole files, never change results. Z-ordered
+        compaction (``compact(zorder_by=...)``) is what makes these
+        min/max ranges narrow on BOTH clustering keys."""
+        df = self._scan(spark, version=version, where=where)
+        if where is not None:
+            df = df.filter(F.expr(where))
+        return df
+
+    def _scan(
+        self,
+        spark: SparkSession,
+        *,
+        version: int | None = None,
+        keep_meta: bool = False,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Build the snapshot DataFrame. ``keep_meta=True`` appends
+        ``__file`` (data file name) and ``__rid`` (row index within the
+        file) — the physical coordinates `delete()` needs. ``where``
+        prunes provably-non-matching files via log stats (the caller
+        still applies the row filter)."""
         meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
         phys = lambda c: mapping.get(c, c)  # noqa: E731
+
+        if where is not None:
+            conjuncts = _parse_conjuncts(where)
+            if conjuncts:
+                adds = [
+                    a
+                    for a in adds
+                    if _file_may_match(a, conjuncts, part_cols, phys)
+                ]
+
+        dv_by_name: dict[str, list[int]] = {}
+        for a in adds:
+            if a.get("deletionVector"):
+                from . import dv as _dv
+
+                name = os.path.basename(urllib.parse.unquote(a["path"]))
+                dv_by_name[name] = _dv.resolve_dv_rows(
+                    self.path, a["deletionVector"]
+                )
+        need_meta = keep_meta or bool(dv_by_name)
 
         data_schema = T.StructType(
             [
@@ -285,32 +485,75 @@ class DeltaTable:
             for f in schema.fields
             if f.name not in part_cols
         ]
+        meta_cols = (
+            [
+                F.col("_metadata.file_name").alias("__file"),
+                F.col("_metadata.row_index").alias("__rid"),
+            ]
+            if need_meta
+            else []
+        )
+        out_cols = [f.name for f in schema.fields] + (
+            ["__file", "__rid"] if need_meta else []
+        )
         if not adds:
-            return spark.createDataFrame([], schema)
+            empty = T.StructType(
+                list(schema.fields)
+                + (
+                    [
+                        T.StructField("__file", T.StringType()),
+                        T.StructField("__rid", T.LongType()),
+                    ]
+                    if keep_meta
+                    else []
+                )
+            )
+            return spark.createDataFrame([], empty)
 
         if not part_cols:
             paths = [os.path.join(self.path, urllib.parse.unquote(a["path"])) for a in adds]
-            return spark.read.schema(data_schema).parquet(*paths).select(*logical)
-
-        # group files by partition tuple; inject partition columns as typed
-        # literals (Delta keeps them out of the data files)
-        by_part: dict[tuple, list[str]] = {}
-        for a in adds:
-            key = tuple((a.get("partitionValues") or {}).get(phys(c)) for c in part_cols)
-            by_part.setdefault(key, []).append(
-                os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            out = spark.read.schema(data_schema).parquet(*paths).select(
+                *logical, *meta_cols
             )
-        types = {f.name: f.dataType for f in schema.fields}
-        pieces = []
-        for key, paths in sorted(by_part.items(), key=lambda kv: kv[0]):
-            df = spark.read.schema(data_schema).parquet(*paths).select(*logical)
-            for c, raw in zip(part_cols, key):
-                val = None if raw is None or raw == _HIVE_NULL else raw
-                df = df.withColumn(c, F.lit(val).cast(types[c]))
-            pieces.append(df.select(*[f.name for f in schema.fields]))
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
+        else:
+            # group files by partition tuple; inject partition columns as
+            # typed literals (Delta keeps them out of the data files)
+            by_part: dict[tuple, list[str]] = {}
+            for a in adds:
+                key = tuple(
+                    (a.get("partitionValues") or {}).get(phys(c)) for c in part_cols
+                )
+                by_part.setdefault(key, []).append(
+                    os.path.join(self.path, urllib.parse.unquote(a["path"]))
+                )
+            types = {f.name: f.dataType for f in schema.fields}
+            pieces = []
+            for key, paths in sorted(by_part.items(), key=lambda kv: kv[0]):
+                df = spark.read.schema(data_schema).parquet(*paths).select(
+                    *logical, *meta_cols
+                )
+                for c, raw in zip(part_cols, key):
+                    val = None if raw is None or raw == _HIVE_NULL else raw
+                    df = df.withColumn(c, F.lit(val).cast(types[c]))
+                pieces.append(df.select(*out_cols))
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+
+        if dv_by_name:
+            deleted = spark.createDataFrame(
+                [
+                    (name, int(r))
+                    for name, rows in dv_by_name.items()
+                    for r in rows
+                ],
+                "__file string, __rid long",
+            )
+            out = out.join(F.broadcast(deleted), ["__file", "__rid"], "left_anti")
+        if need_meta and not keep_meta:
+            out = out.drop("__file", "__rid")
+        elif keep_meta:
+            out = out.select(*out_cols)
         return out
 
     def to_pandas(self, *, version: int | None = None, columns: list[str] | None = None):
@@ -354,6 +597,13 @@ class DeltaTable:
                 fp, columns=[phys(c) for c in data_cols] or None
             ).to_pandas()
             pdf.columns = data_cols if data_cols else pdf.columns
+            if a.get("deletionVector"):
+                from . import dv as _dv
+
+                gone = _dv.resolve_dv_rows(self.path, a["deletionVector"])
+                # row indexes are positions within THIS file
+                pdf = pdf.drop(index=[i for i in gone if i < len(pdf)])
+                pdf = pdf.reset_index(drop=True)
             pv = a.get("partitionValues") or {}
             for c in part_cols:
                 if c in out_names:
@@ -421,6 +671,12 @@ class DeltaTable:
                         f"table {self.path} has remove actions (overwrite/"
                         "compaction); the file-stream shortcut only matches "
                         "Delta streaming-source semantics for append-only logs"
+                    )
+                if "add" in action and action["add"].get("deletionVector"):
+                    raise NotImplementedError(
+                        "streaming read of deletion-vector tables is not "
+                        "supported (the file-source shortcut would resurrect "
+                        "deleted rows); use the batch `read` path"
                     )
                 if "add" in action and part_cols:
                     add = action["add"]
@@ -618,8 +874,11 @@ class DeltaTable:
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": _data_change,
+                        # numRecords + per-column min/max/nullCount from the
+                        # parquet footer: the data-skipping payload `read
+                        # (where=...)` prunes files with (SURVEY §4.1)
                         "stats": json.dumps(
-                            {"numRecords": pq.ParquetFile(dst).metadata.num_rows}
+                            _file_stats(pq.ParquetFile(dst).metadata)
                         ),
                     }
                 )
@@ -807,6 +1066,121 @@ class DeltaTable:
         new_meta["schemaString"] = json.dumps(schema)
         return self._metadata_commit("DROP COLUMN", new_meta)
 
+    def delete(self, spark: SparkSession, condition) -> int:
+        """DELETE WHERE ``condition`` via deletion vectors — no data file
+        is rewritten. Returns the committed version (a no-op delete still
+        commits, mirroring delta-spark's DELETE semantics).
+
+        Matching rows are located by their physical coordinates (data
+        file name, row index within the file — Spark's
+        ``_metadata.row_index``), serialized as a roaring bitmap sidecar
+        per file (``sources.dv``), and committed as remove+re-add of the
+        SAME data file with a ``deletionVector`` descriptor. Readers drop
+        the flagged positions via a broadcast anti-join; `compact()`
+        rewrites files and sheds the vectors. A file whose every row is
+        deleted is removed outright (no empty-file DV). Existing vectors
+        union with the new deletions (rows already deleted are invisible
+        to ``condition`` — the scan applies current DVs first).
+
+        The matched coordinates collect to the driver, bounding a single
+        DELETE's cardinality by driver memory — the simplification over
+        delta-spark's executor-side DV writer; the log format produced is
+        the interoperable one.
+
+        First delete upgrades the protocol to reader v3 / writer v7 with
+        the ``deletionVectors`` feature (plus ``columnMapping`` when the
+        table is mapped) — exactly the upgrade delta-spark performs.
+        """
+        from . import dv as _dv
+
+        meta, adds, protocol = self._snapshot_state_full(None)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = (
+            self._scan(spark, keep_meta=True)
+            .filter(cond)
+            .select("__file", "__rid")
+            .collect()
+        )
+        now_ms = int(time.time() * 1000)
+        new_by_file: dict[str, list[int]] = {}
+        for r in matched:
+            new_by_file.setdefault(r["__file"], []).append(r["__rid"])
+
+        by_name = {
+            os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
+        }
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {},
+                    "operationMetrics": {
+                        "numDeletedRows": str(len(matched)),
+                        "numDvsAdded": str(len(new_by_file)),
+                    },
+                }
+            }
+        ]
+        needs_v3 = (protocol or {}).get("minReaderVersion", 1) < 3 or (
+            "deletionVectors" not in ((protocol or {}).get("readerFeatures") or [])
+        )
+        if needs_v3:
+            feats = {"deletionVectors"}
+            if self._column_mapping(meta):
+                feats.add("columnMapping")
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(feats),
+                        "writerFeatures": sorted(feats),
+                    }
+                }
+            )
+            new_meta = dict(meta)
+            conf = dict(new_meta.get("configuration") or {})
+            conf["delta.enableDeletionVectors"] = "true"
+            new_meta["configuration"] = conf
+            actions.append({"metaData": new_meta})
+
+        for name, rows in sorted(new_by_file.items()):
+            a = by_name[name]
+            prior = a.get("deletionVector")
+            all_rows = set(rows)
+            if prior:
+                all_rows |= set(_dv.resolve_dv_rows(self.path, prior))
+            n_rows = None
+            stats = a.get("stats")
+            if stats:
+                n_rows = json.loads(stats).get("numRecords")
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        **({"deletionVector": prior} if prior else {}),
+                    }
+                }
+            )
+            if n_rows is not None and len(all_rows) >= n_rows:
+                continue  # fully-deleted file: drop it, no re-add
+            new_add = {
+                k: v for k, v in a.items() if k != "deletionVector"
+            }
+            new_add["modificationTime"] = now_ms
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = _dv.make_dv_descriptor(
+                self.path, sorted(all_rows)
+            )
+            actions.append({"add": new_add})
+
+        version = (self.latest_version() or 0) + 1
+        self._write_commit(version, actions)
+        return version
+
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /
         WHEN NOT MATCHED INSERT * (the delta-spark ``merge`` shape the
@@ -945,6 +1319,20 @@ class DeltaTable:
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
                             ("stats", pa.string()),
+                            # omitting this would silently RESURRECT
+                            # deleted rows for checkpoint-based readers
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),
@@ -969,7 +1357,7 @@ class DeltaTable:
         add_rows = [
             {k: a.get(k) for k in (
                 "path", "partitionValues", "size", "modificationTime",
-                "dataChange", "stats",
+                "dataChange", "stats", "deletionVector",
             )}
             for a in adds
         ]

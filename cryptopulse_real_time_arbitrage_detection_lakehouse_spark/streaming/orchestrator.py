@@ -97,15 +97,23 @@ class PipelineListener(StreamingQueryListener):
         # a zero-row progress is a no-data batch (watermark flush) — counts
         # as idleness for drain detection, same as an explicit idle event.
         st["idle"] = p.numInputRows == 0
-        self._append(
-            name,
-            {
-                "event": "progress",
-                "batchId": p.batchId,
-                "numInputRows": p.numInputRows,
-                "timestamp": p.timestamp,
-            },
-        )
+        record = {
+            "event": "progress",
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "timestamp": p.timestamp,
+        }
+        # observe()-attached audit metrics ride the same progress event;
+        # recording them here is what lets the JSON logs reconcile with
+        # the engine-side counters (the two observability surfaces must
+        # agree — tests/test_orchestrator.py::TestAuditParity)
+        om = p.observedMetrics
+        if om:
+            record["observedMetrics"] = {
+                n: (row.asDict() if hasattr(row, "asDict") else dict(row))
+                for n, row in om.items()
+            }
+        self._append(name, record)
 
     def onQueryIdle(self, event) -> None:
         name = self._name(event.id)

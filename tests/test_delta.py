@@ -496,7 +496,9 @@ class TestColumnMapping:
         with pytest.raises(NotImplementedError, match="column-mapped"):
             DeltaTable(root).read_stream(spark)
 
-    def test_v3_non_mapping_features_still_gated(self, spark, tmp_path):
+    def test_v3_unsupported_features_still_gated(self, spark, tmp_path):
+        # columnMapping AND deletionVectors are now implemented; any other
+        # v3 feature (v2 checkpoints here) must still hard-gate the read
         import json
         import os
 
@@ -511,12 +513,12 @@ class TestColumnMapping:
                 a["protocol"] = {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping", "deletionVectors"],
-                    "writerFeatures": ["columnMapping", "deletionVectors"],
+                    "readerFeatures": ["columnMapping", "v2Checkpoint"],
+                    "writerFeatures": ["columnMapping", "v2Checkpoint"],
                 }
             patched.append(json.dumps(a))
         open(log, "w").write("\n".join(patched) + "\n")
-        with pytest.raises(NotImplementedError, match="deletionVectors"):
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
             DeltaTable(root).read(spark)
 
     def test_id_mode_is_gated(self, spark, tmp_path):
@@ -647,3 +649,198 @@ class TestColumnMappingWrites:
         assert sorted(t.read(spark).select("price").toPandas()["price"]) == [
             1.5, 2.5, 3.5, 9.5
         ]
+
+
+class TestDeletionVectors:
+    """DELETE via deletion vectors: no data file rewritten; readers drop
+    flagged (file, row-index) positions via a broadcast anti-join. The
+    sidecar codec (sources/dv.py) follows the public protocol spec —
+    z85 'u' storage, magic + portable RoaringBitmapArray, CRC'd frames."""
+
+    def _table(self, spark, tmp_path, n=100):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("grp"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("val"),
+        )
+        t.write(df.repartition(4))
+        return t
+
+    def test_delete_roundtrip_and_no_rewrite(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        files_before = {
+            f for f in os.listdir(str(tmp_path / "t")) if f.endswith(".parquet")
+        }
+        v = t.delete(spark, "grp = 3")
+        assert v == 1
+        got = t.read(spark)
+        assert got.filter(F.col("grp") == 3).count() == 0
+        assert got.count() == 100 - 14  # ids 3,10,...,94 -> 14 rows
+        assert {r.id for r in got.collect()} == {
+            i for i in range(100) if i % 7 != 3
+        }
+        # the data files were NOT rewritten — only sidecars appeared
+        files_after = {
+            f for f in os.listdir(str(tmp_path / "t")) if f.endswith(".parquet")
+        }
+        assert files_before == files_after
+        sidecars = [
+            f
+            for f in os.listdir(str(tmp_path / "t"))
+            if f.startswith("deletion_vector_")
+        ]
+        assert sidecars, "expected DV sidecar files"
+        # protocol upgraded to v3 with the feature listed
+        log = open(
+            os.path.join(str(tmp_path / "t"), "_delta_log",
+                         "00000000000000000001.json")
+        ).read()
+        assert '"minReaderVersion": 3' in log
+        assert "deletionVectors" in log
+
+    def test_second_delete_unions_vectors(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "grp = 3")
+        t.delete(spark, "id < 10")
+        got = t.read(spark)
+        expect = {i for i in range(100) if i % 7 != 3 and i >= 10}
+        assert {r.id for r in got.collect()} == expect
+        # time travel still sees the intermediate state
+        v1 = t.read(spark, version=1)
+        assert {r.id for r in v1.collect()} == {
+            i for i in range(100) if i % 7 != 3
+        }
+
+    def test_delete_everything_drops_files(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, n=20)
+        t.delete(spark, "id >= 0")
+        assert t.read(spark).count() == 0
+        # fully-deleted files are removed outright, not re-added with DVs
+        _meta, adds = t._snapshot_state(None)
+        assert adds == []
+
+    def test_to_pandas_applies_dvs(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "grp = 0")
+        pdf = t.to_pandas()
+        assert sorted(pdf["id"]) == [i for i in range(100) if i % 7 != 0]
+
+    def test_checkpoint_preserves_dvs(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "grp = 5")
+        t.checkpoint(spark)
+        # append AFTER the checkpoint so the snapshot is rebuilt from the
+        # checkpoint (which must carry the deletionVector descriptors)
+        t.write(
+            spark.createDataFrame([(1000, 1, "x")], "id long, grp long, val string")
+        )
+        got = t.read(spark)
+        assert got.filter((F.col("grp") == 5) & (F.col("id") < 1000)).count() == 0
+        assert got.filter(F.col("id") == 1000).count() == 1
+
+    def test_compact_sheds_dvs(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "grp = 2")
+        t.compact(spark, target_files=1)
+        _meta, adds = t._snapshot_state(None)
+        assert all(not a.get("deletionVector") for a in adds)
+        got = t.read(spark)
+        assert {r.id for r in got.collect()} == {
+            i for i in range(100) if i % 7 != 2
+        }
+
+    def test_delete_on_partitioned_mapped_table(self, spark, tmp_path):
+        # the full stack at once: partitioned + column-mapped + DVs
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.createDataFrame(
+            [(i, f"d{i % 3}", float(i)) for i in range(30)],
+            "id long, day string, px double",
+        )
+        t.write(df, partition_by=["day"])
+        t.enable_column_mapping()
+        t.rename_column("px", "price")
+        t.delete(spark, "price >= 20.0 OR day = 'd0'")
+        got = t.read(spark)
+        ids = {r.id for r in got.collect()}
+        assert ids == {i for i in range(30) if i < 20 and i % 3 != 0}
+        pdf = t.to_pandas()
+        assert set(pdf["id"]) == ids
+
+    def test_streaming_read_of_dv_table_gated(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "grp = 1")
+        with pytest.raises(NotImplementedError):
+            t.read_stream(spark)
+
+
+class TestDataSkipping:
+    """Log-level data skipping (SURVEY §4.1): per-file min/max stats are
+    written into every add action from the parquet footers, and
+    read(where=...) drops provably-empty files BEFORE they are listed
+    into the Spark plan — proved via df.inputFiles(), i.e. the log, not
+    parquet-footer row-group pruning."""
+
+    def test_stats_written_per_file(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 100).repartition(1))
+        _meta, adds = t._snapshot_state(None)
+        stats = json.loads(adds[0]["stats"])
+        assert stats["numRecords"] == 100
+        assert stats["minValues"]["id"] == 0 and stats["maxValues"]["id"] == 99
+        assert stats["minValues"]["sym"] == "S0" and stats["maxValues"]["sym"] == "S2"
+        assert stats["nullCount"]["id"] == 0
+
+    def test_range_predicate_skips_files_via_log(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        # 4 range-disjoint files: ids 0-24, 25-49, 50-74, 75-99
+        for lo in (0, 25, 50, 75):
+            t.write(make_df(spark, lo, 25).coalesce(1))
+        full = t.read(spark)
+        assert len(full.inputFiles()) == 4
+        pruned = t.read(spark, where="id >= 80")
+        assert len(pruned.inputFiles()) == 1  # only the 75-99 file listed
+        assert {r.id for r in pruned.collect()} == set(range(80, 100))
+        # row filter still applies within the surviving file (80 not 75)
+        both = t.read(spark, where="id >= 30 AND id < 60")
+        assert len(both.inputFiles()) == 2
+        assert {r.id for r in both.collect()} == set(range(30, 60))
+
+    def test_unparseable_predicate_prunes_nothing_but_filters(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 50):
+            t.write(make_df(spark, lo, 50).coalesce(1))
+        got = t.read(spark, where="id % 10 = 3")
+        assert len(got.inputFiles()) == 2  # no pruning claimed
+        assert {r.id for r in got.collect()} == {i for i in range(100) if i % 10 == 3}
+
+    def test_partition_values_prune_via_log(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 30), partition_by=["sym"])
+        all_files = len(t.read(spark).inputFiles())
+        pruned = t.read(spark, where="sym = 'S1'")
+        assert len(pruned.inputFiles()) < all_files
+        assert pruned.count() == 10
+
+    def test_zorder_compaction_enables_two_key_skipping(self, spark, tmp_path):
+        # the round-3 gap: zorder.py's clustered files were plain parquet;
+        # committed through the Delta client their narrow min/max on BOTH
+        # keys now lands in the LOG and read(where=...) skips on either key
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / F.lit(64)).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        t.write(df.repartition(8))
+        t.compact(spark, target_files=16, zorder_by=("x", "y"))
+        total = len(t.read(spark).inputFiles())
+        assert total == 16
+        for where, col in (("x <= 7", "x"), ("y <= 7", "y")):
+            pruned = t.read(spark, where=where)
+            assert len(pruned.inputFiles()) < total // 2, (where, len(pruned.inputFiles()))
+            assert pruned.count() == 8 * 64
+        # correctness: pruned read == unpruned filtered read
+        a = {tuple(r) for r in t.read(spark, where="x <= 7").collect()}
+        b = {tuple(r) for r in t.read(spark).filter("x <= 7").collect()}
+        assert a == b

@@ -153,3 +153,62 @@ class TestConcurrentRestart:
         )
         second = {layer: read_sorted(spark, p) for layer, p in paths2.items()}
         assert first == second
+
+
+class TestAuditParity:
+    def test_json_logs_reconcile_with_observe_counters(self, spark, tmp_path):
+        """X82 closure: the per-query JSON logs and the observe() audit
+        metrics are two views of the same execution — every batch's
+        observedMetrics must land in the log, and their sum must equal
+        both the listener's row counter and the rows actually written."""
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.observability import (
+            observe_stream,
+        )
+
+        raw_dir = str(tmp_path / "raw")
+        make_raw_ticks(spark, n=60).write.parquet(raw_dir)
+        out = str(tmp_path / "out")
+        log_dir = str(tmp_path / "logs")
+        spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1s")
+
+        def start_job():
+            stream = spark.readStream.schema(
+                "key binary, value binary, timestamp timestamp"
+            ).parquet(raw_dir)
+            audited = observe_stream(
+                stream, "ingest_audit", {"n_rows": F.count(F.lit(1))}
+            )
+            return (
+                audited.writeStream.format("parquet")
+                .queryName("audited_job")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .start()
+            )
+
+        orch = MedallionOrchestrator(
+            spark, [JobSpec("audited_job", start_job)], log_dir=log_dir
+        )
+        orch.start_all()
+        try:
+            orch.await_quiescent(timeout_sec=120)
+            listener_rows = orch._listener.state["audited_job"]["rows"]
+        finally:
+            orch.stop_all()
+
+        records = [
+            json.loads(line)
+            for line in open(os.path.join(log_dir, "audited_job.log"))
+        ]
+        observed_total = sum(
+            r["observedMetrics"]["ingest_audit"]["n_rows"]
+            for r in records
+            if r.get("observedMetrics")
+        )
+        input_total = sum(
+            r["numInputRows"] for r in records if r["event"] == "progress"
+        )
+        written = spark.read.parquet(out).count()
+        assert observed_total == written == input_total == listener_rows == 60

@@ -91,3 +91,53 @@ def test_salted_join_splits_hot_key_across_tasks(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_fuzzy_blocking_spreads_dominant_first_token(spark):
+    """Zipfian guard for fuzzy matching: a corpus where EVERY name shares
+    one first token must still spread the blocked self-join across >1
+    shuffle task — the (tok1, length-band) composite key splits the hot
+    token block by its length bands. Also pins losslessness: the banded
+    join finds exactly the pairs the unbanded tok1 join finds."""
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.relational import (
+        fuzzy_name_matches,
+    )
+
+    # one dominant first token, name lengths spanning many 5-char bands
+    names = spark.range(0, 400).select(
+        F.concat(
+            F.lit("acme "),
+            F.expr("repeat('x', CAST(id % 40 AS INT))"),
+            F.lit("-"),
+            F.col("id").cast("string"),
+        ).alias("name")
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        got = fuzzy_name_matches(names, name_col="name", max_distance=4)
+        parts = (
+            got.select(F.spark_partition_id().alias("pid")).distinct().count()
+        )
+        assert parts > 1, "hot first-token block still lands on one task"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # losslessness vs the unbanded tok1 block (small input, exact compare)
+    p = names.groupBy("name").count().select(
+        F.col("name"),
+        F.split("name", " ").getItem(0).alias("tok1"),
+    )
+    a = p.select(F.col("name").alias("name_a"), "tok1")
+    b = p.select(F.col("name").alias("name_b"), "tok1")
+    ref = (
+        a.join(b, "tok1")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select("name_a", "name_b")
+    )
+    got_pairs = {(r.name_a, r.name_b) for r in got.collect()}
+    ref_pairs = {(r.name_a, r.name_b) for r in ref.collect()}
+    assert got_pairs == ref_pairs and len(ref_pairs) > 0
