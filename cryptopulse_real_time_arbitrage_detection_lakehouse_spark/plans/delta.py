@@ -264,3 +264,39 @@ def delta_deletion_vector_survivors(spark: SparkSession, sf_dir: str) -> DataFra
     return survivors.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
+
+
+@register(
+    "delta_change_feed_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN {_BATCH_TYPES!r}
+)
+SELECT event_type, 'insert' AS change_type, count(*) AS n FROM base
+GROUP BY event_type
+UNION ALL
+SELECT event_type, 'delete' AS change_type, count(*) AS n FROM base
+WHERE event_type = 'error' AND value >= 25
+GROUP BY event_type
+ORDER BY event_type, change_type
+""",
+    doc="Change data feed derived from the log (table_changes twin): one "
+    "insert batch per event_type, then a deletion-vector DELETE of "
+    "errors with value >= 25; read_changes() replays the window and "
+    "emits every insert plus EXACTLY the newly-deleted rows (the DV "
+    "delta against the prior file state — not a rewrite). Oracle "
+    "recomputes both legs straight from events. Downstream consumers "
+    "(incremental ETL, cache invalidation, reverse ETL) read this feed "
+    "instead of diffing snapshots — the point of CDF at 100 TB.",
+    tags=("delta", "cdf", "deletion-vectors"),
+)
+def delta_change_feed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)
+    table.delete(spark, "event_type = 'error' AND value >= 25")
+    cf = table.read_changes(spark, starting_version=0)
+    return (
+        cf.groupBy("event_type", F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "change_type")
+    )

@@ -1664,3 +1664,130 @@ def doc_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redact_pii(t)).cast("long").alias("redacted_len"),
         F.length(t).cast("long").alias("original_len"),
     )
+
+
+#: pairwise-containment parameters: a test doc counts as contained in a
+#: train doc when >= this fraction of its (hashed, distinct) 3-shingles
+#: appear in that train doc. Containment |A∩B|/|A| is ASYMMETRIC — the
+#: right metric when a short eval document may be embedded verbatim in a
+#: much larger train document, where Jaccard (÷ by the union) vanishes.
+CONTAIN_THRESHOLD = 0.5
+#: candidate generation reuses the postings df cap (boilerplate shingles
+#: shared by hundreds of docs would explode the pair fan-out).
+CONTAIN_DF_CAP = 50
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, bucket, {_SQL_SHINGLES} AS sh FROM b
+),
+base AS (
+  SELECT doc_id, bucket, list_distinct({sql_minhash_base("sh")}) AS xs FROM s
+),
+postings AS (
+  SELECT doc_id, bucket, len(xs) AS n, unnest(xs) AS x FROM base
+),
+rare AS (
+  SELECT x FROM postings GROUP BY x HAVING count(*) <= {CONTAIN_DF_CAP}
+),
+rp AS (
+  SELECT p.doc_id, p.bucket, p.n, p.x FROM postings p JOIN rare USING (x)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS test_doc_id, b.doc_id AS train_doc_id
+  FROM rp a JOIN rp b ON a.x = b.x
+  WHERE a.bucket >= {SPLIT_VAL_LT} AND b.bucket < {SPLIT_TRAIN_LT}
+    AND CAST(b.n AS DOUBLE) >= {CONTAIN_THRESHOLD} * CAST(a.n AS DOUBLE)
+),
+verified AS (
+  SELECT c.test_doc_id, c.train_doc_id,
+         len(xa.xs) AS n_test_grams,
+         CAST(len(list_intersect(xa.xs, xb.xs)) AS DOUBLE)
+           / CAST(len(xa.xs) AS DOUBLE) AS containment
+  FROM cand c JOIN base xa ON xa.doc_id = c.test_doc_id
+              JOIN base xb ON xb.doc_id = c.train_doc_id
+)
+SELECT test_doc_id, train_doc_id, n_test_grams, containment FROM verified
+WHERE containment >= {CONTAIN_THRESHOLD}
+""",
+    doc="Pairwise train/test CONTAINMENT decontamination: for every "
+    "held-out document, find the specific train documents containing >= "
+    "50% of its distinct hashed 3-shingles — containment |A∩B|/|A| is "
+    "the asymmetric metric that catches a short eval doc embedded in a "
+    "large train doc, where Jaccard's union denominator hides it. "
+    "Actionable output (WHICH train doc to drop), complementing "
+    "doc_contamination_check's per-doc corpus-level ratio. Same "
+    "postings-join shape as doc_ngram_jaccard_pairs: df-capped rare "
+    "shingles generate candidates, the lossless size prefilter "
+    "|B| >= t*|A| (containment >= t forces |A∩B| <= |B|) prunes before "
+    "the array-carrying verify join, and only integer hash sets ever "
+    "shuffle — never text.",
+    tags=("text", "dedup", "contamination", "containment"),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    xs_df = shared(
+        d.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            bind(
+                tokens("text"),
+                lambda t: F.array_distinct(minhash_base(shingles(t))),
+            ).alias("xs"),
+        )
+    )
+    postings = xs_df.select(
+        "doc_id", "bucket", F.size("xs").alias("n"), F.explode("xs").alias("x")
+    )
+    rare = (
+        postings.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("x")
+    )
+    rp = postings.join(rare, "x")
+    a = rp.filter(F.col("bucket") >= SPLIT_VAL_LT).select(
+        F.col("doc_id").alias("test_doc_id"), F.col("n").alias("na"), "x"
+    )
+    b = rp.filter(F.col("bucket") < SPLIT_TRAIN_LT).select(
+        F.col("doc_id").alias("train_doc_id"), F.col("n").alias("nb"), "x"
+    )
+    cand = (
+        a.join(b, "x")
+        .filter(
+            F.col("nb").cast("double")
+            >= F.lit(CONTAIN_THRESHOLD) * F.col("na").cast("double")
+        )
+        .select("test_doc_id", "train_doc_id")
+        .distinct()
+    )
+    xa = xs_df.select(F.col("doc_id").alias("test_doc_id"), F.col("xs").alias("xs_a"))
+    xb = xs_df.select(
+        F.col("doc_id").alias("train_doc_id"), F.col("xs").alias("xs_b")
+    )
+    containment = F.size(F.array_intersect(F.col("xs_a"), F.col("xs_b"))).cast(
+        "double"
+    ) / F.size("xs_a").cast("double")
+    return (
+        cand.join(xa, "test_doc_id")
+        .join(xb, "train_doc_id")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            F.size("xs_a").cast("long").alias("n_test_grams"),
+            "containment",
+        )
+    )

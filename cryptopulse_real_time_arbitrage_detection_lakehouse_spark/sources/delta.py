@@ -60,6 +60,12 @@ from pyspark.sql import types as T
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+
+def _uuid_from_z85(text: str):
+    from . import dv as _dv
+
+    return uuid.UUID(bytes=_dv.z85_decode(text))
+
 HISTORY_SCHEMA = T.StructType(
     [
         T.StructField("version", T.LongType(), False),
@@ -1210,6 +1216,264 @@ class DeltaTable:
             partition_by=part_cols or None,
             _operation="MERGE",
         )
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF ``version`` — delta-spark's
+        rollback: ONE new commit whose removes/adds flip the current
+        snapshot back to the target's active-file set. History is never
+        rewritten (the bad commits stay replayable; time travel still
+        sees them); the data files must still exist, i.e. not vacuumed.
+        Restoring also re-instates the target's schema/metadata, so a
+        bad schema evolution rolls back too."""
+        cur_meta, cur_adds, _ = self._snapshot_state_full(None)
+        tgt_meta, tgt_adds, _ = self._snapshot_state_full(version)
+        for a in tgt_adds:
+            fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            if not os.path.exists(fp):
+                raise ValueError(
+                    f"cannot restore to version {version}: data file "
+                    f"{a['path']!r} no longer exists (vacuumed?)"
+                )
+        cur_by_path = {a["path"]: a for a in cur_adds}
+        tgt_by_path = {a["path"]: a for a in tgt_adds}
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": str(version)},
+                }
+            }
+        ]
+        if tgt_meta != cur_meta:
+            actions.append({"metaData": tgt_meta})
+        for path, a in sorted(cur_by_path.items()):
+            # a path present in both but with a different add (e.g. a DV
+            # appeared since) must also be flipped back: remove + re-add
+            if tgt_by_path.get(path) != a:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": path,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for path, a in sorted(tgt_by_path.items()):
+            if cur_by_path.get(path) != a:
+                actions.append({"add": a})
+        new_version = (self.latest_version() or 0) + 1
+        self._write_commit(new_version, actions)
+        return new_version
+
+    def vacuum(self, *, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
+        """VACUUM: physically delete data files and DV sidecars that the
+        CURRENT snapshot no longer references and whose modification time
+        is older than ``retention_ms``. Returns the deleted relative
+        paths. After a vacuum, time travel to versions that referenced
+        the deleted files fails on read (exactly delta-spark's trade-off;
+        the default 7-day retention is its default too)."""
+        from . import dv as _dv
+
+        _meta, adds = self._snapshot_state(None)
+        referenced: set[str] = set()
+        for a in adds:
+            referenced.add(
+                os.path.normpath(urllib.parse.unquote(a["path"]))
+            )
+            d = a.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                enc = d["pathOrInlineDv"]
+                uid = _uuid_from_z85(enc[-20:])
+                referenced.add(
+                    os.path.normpath(_dv.dv_sidecar_name(uid, enc[:-20]))
+                )
+        cutoff = time.time() - retention_ms / 1000.0
+        deleted: list[str] = []
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in files:
+                if not (name.endswith(".parquet") or name.endswith(".bin")):
+                    continue
+                if name.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, name)
+                rel = os.path.normpath(os.path.relpath(fp, self.path))
+                if rel in referenced:
+                    continue
+                if os.path.getmtime(fp) > cutoff:
+                    continue
+                os.remove(fp)
+                deleted.append(rel)
+        # drop now-empty partition directories
+        for root, dirs, files in os.walk(self.path, topdown=False):
+            if root != self.path and not dirs and not files:
+                os.rmdir(root)
+        return sorted(deleted)
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        *,
+        starting_version: int,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """Physical change feed derived from the log (the CDF shape of
+        ``table_changes`` for a table without CDC files): every data
+        change in commits ``starting_version..ending_version`` as rows
+        tagged ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``.
+
+        Per commit: ``dataChange=true`` adds contribute their rows as
+        inserts — minus rows already dead in the file's OWN deletion
+        vector at that commit, and for a DV-carrying re-add of a known
+        path, only the DV *delta* versus the prior state is emitted (as
+        deletes): a DELETE commit therefore yields exactly the newly
+        deleted rows, not a rewrite. ``dataChange=true`` removes without
+        a matching re-add emit the file's then-live rows as deletes
+        (overwrite/merge show as full rewrite — the same thing
+        delta-spark's CDF shows for non-CDC writers). ``dataChange=
+        false`` (OPTIMIZE) commits emit nothing.
+
+        No updates are synthesized (physical log has no row identity);
+        a MERGE shows as delete+insert pairs. Update pre/post images
+        need CDC files — out of scope, stated loudly.
+        """
+        from . import dv as _dv
+
+        last = self.latest_version()
+        if last is None:
+            raise ValueError(f"empty table: {self.path}")
+        end = last if ending_version is None else ending_version
+
+        # replay to just before the window, tracking per-path state
+        live: dict[str, dict] = {}
+        for v in self._commit_versions():
+            if v >= starting_version:
+                break
+            for action in self._read_commit(v):
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+
+        meta, _adds = self._snapshot_state(None)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
+
+        def dv_rows(a: dict) -> set[int]:
+            d = a.get("deletionVector")
+            return set(_dv.resolve_dv_rows(self.path, d)) if d else set()
+
+        def file_rows(a: dict, keep: set[int] | None, drop: set[int]) -> DataFrame:
+            """Rows of one file; ``keep`` restricts to those positions,
+            ``drop`` excludes positions."""
+            fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            mapping = self._column_mapping(meta) or {}
+            phys = lambda c: mapping.get(c, c)  # noqa: E731
+            part_cols = meta.get("partitionColumns") or []
+            data_schema = T.StructType(
+                [
+                    T.StructField(phys(f.name), f.dataType, f.nullable)
+                    for f in schema.fields
+                    if f.name not in part_cols
+                ]
+            )
+            logical = [
+                F.col(phys(f.name)).alias(f.name)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+            df = spark.read.schema(data_schema).parquet(fp).select(
+                F.col("_metadata.row_index").alias("__rid"), *logical
+            )
+            # position sets can be large (a bulk DELETE's delta): broadcast
+            # semi/anti joins, never a literal IN-list in the plan
+            if keep is not None:
+                kdf = spark.createDataFrame(
+                    [(int(x),) for x in keep], "__rid long"
+                )
+                df = df.join(F.broadcast(kdf), "__rid", "left_semi")
+            if drop:
+                ddf = spark.createDataFrame(
+                    [(int(x),) for x in drop], "__rid long"
+                )
+                df = df.join(F.broadcast(ddf), "__rid", "left_anti")
+            pv = _as_dict(a.get("partitionValues"))
+            types = {f.name: f.dataType for f in schema.fields}
+            for c in part_cols:
+                raw = pv.get(phys(c))
+                val = None if raw is None or raw == _HIVE_NULL else raw
+                df = df.withColumn(c, F.lit(val).cast(types[c]))
+            return df.select(*[f.name for f in schema.fields])
+
+        pieces: list[DataFrame] = []
+
+        def tag(df: DataFrame, change: str, v: int) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+
+        for v in self._commit_versions():
+            if v < starting_version or v > end:
+                if v > end:
+                    break
+                continue
+            removed_this_commit: dict[str, dict] = {}
+            for action in self._read_commit(v):
+                if "remove" in action:
+                    path = action["remove"]["path"]
+                    prior = live.pop(path, None)
+                    if prior is not None and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removed_this_commit[path] = prior
+            for action in self._read_commit(v):
+                if "add" not in action:
+                    continue
+                a = action["add"]
+                path = a["path"]
+                prior = removed_this_commit.pop(path, None)
+                live[path] = a
+                if not a.get("dataChange", True):
+                    continue
+                new_dead = dv_rows(a)
+                if prior is not None:
+                    # same path re-added: a DV delta — emit ONLY the newly
+                    # deleted positions
+                    old_dead = dv_rows(prior)
+                    delta = new_dead - old_dead
+                    if delta:
+                        pieces.append(
+                            tag(file_rows(a, keep=delta, drop=set()), "delete", v)
+                        )
+                else:
+                    pieces.append(
+                        tag(file_rows(a, keep=None, drop=new_dead), "insert", v)
+                    )
+            for path, prior in sorted(removed_this_commit.items()):
+                # removed without re-add: its then-live rows are deletes
+                pieces.append(
+                    tag(
+                        file_rows(prior, keep=None, drop=dv_rows(prior)),
+                        "delete",
+                        v,
+                    )
+                )
+        if not pieces:
+            return spark.createDataFrame([], out_schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def compact(
         self,

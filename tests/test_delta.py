@@ -844,3 +844,82 @@ class TestDataSkipping:
         a = {tuple(r) for r in t.read(spark, where="x <= 7").collect()}
         b = {tuple(r) for r in t.read(spark).filter("x <= 7").collect()}
         assert a == b
+
+
+class TestRestoreVacuumChanges:
+    def _table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(1))   # v0
+        t.write(make_df(spark, 10, 10).coalesce(1))  # v1
+        return t
+
+    def test_restore_rolls_back_with_one_commit(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.write(make_df(spark, 0, 3), mode="overwrite")  # v2: bad overwrite
+        v = t.restore(1)
+        assert v == 3
+        assert {r.id for r in t.read(spark).collect()} == set(range(20))
+        # history intact: the bad version still time-travels
+        assert t.read(spark, version=2).count() == 3
+        ops = {r.version: r.operation for r in t.history(spark).collect()}
+        assert ops[3] == "RESTORE"
+
+    def test_restore_undoes_dv_delete(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "id < 5")  # v2
+        assert t.read(spark).count() == 15
+        t.restore(1)
+        assert {r.id for r in t.read(spark).collect()} == set(range(20))
+
+    def test_vacuum_removes_only_unreferenced_old_files(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.write(make_df(spark, 0, 3).coalesce(1), mode="overwrite")  # v2
+        # retention window: nothing old enough yet
+        assert t.vacuum() == []
+        deleted = t.vacuum(retention_ms=0)
+        assert len(deleted) == 2  # the two overwritten v0/v1 files
+        # current snapshot unaffected; time travel to v1 now fails on read
+        assert t.read(spark).count() == 3
+        with pytest.raises(Exception):
+            t.read(spark, version=1).collect()
+        # restore to a vacuumed version is refused loudly
+        with pytest.raises(ValueError, match="vacuumed"):
+            t.restore(1)
+
+    def test_vacuum_keeps_active_dv_sidecars(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "id < 5")
+        deleted = t.vacuum(retention_ms=0)
+        assert deleted == []  # data files re-added with DVs; sidecar active
+        assert t.read(spark).count() == 15
+
+    def test_change_feed_inserts_and_dv_deletes(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)     # v0, v1: inserts
+        t.delete(spark, "id % 2 = 0")        # v2: DV delete of 10 rows
+        t.delete(spark, "id = 1")            # v3: DV delta of exactly 1 row
+        cf = t.read_changes(spark, starting_version=0)
+        rows = [(r.id, r._change_type, r._commit_version) for r in cf.collect()]
+        inserts = {r[0] for r in rows if r[1] == "insert"}
+        assert inserts == set(range(20))
+        v2_deletes = {r[0] for r in rows if r[1] == "delete" and r[2] == 2}
+        assert v2_deletes == {i for i in range(20) if i % 2 == 0}
+        v3_deletes = {r[0] for r in rows if r[1] == "delete" and r[2] == 3}
+        assert v3_deletes == {1}  # only the NEW deletion, not the old DV
+        # windowed read: only v3
+        cf3 = t.read_changes(spark, starting_version=3)
+        assert [(r.id, r._change_type) for r in cf3.collect()] == [(1, "delete")]
+
+    def test_change_feed_overwrite_is_full_rewrite(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.write(make_df(spark, 100, 2).coalesce(1), mode="overwrite")  # v2
+        cf = t.read_changes(spark, starting_version=2, ending_version=2)
+        rows = {(r.id, r._change_type) for r in cf.collect()}
+        assert {(i, "delete") for i in range(20)} <= rows
+        assert {(100, "insert"), (101, "insert")} <= rows
+        assert len(rows) == 22
+
+    def test_change_feed_optimize_emits_nothing(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        v = t.compact(spark)
+        cf = t.read_changes(spark, starting_version=v, ending_version=v)
+        assert cf.count() == 0
