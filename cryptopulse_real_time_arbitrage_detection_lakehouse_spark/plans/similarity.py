@@ -878,3 +878,206 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("cosine") / F.count(F.lit(1)).cast("double")).alias("avg_cosine"),
         )
     )
+
+
+#: Product quantization: 8 subspaces of 8 dims; 16 centroids per subspace
+#: taken deterministically from table rows vec_id 1..16 (the IVF trick —
+#: no training RNG, both engines derive identical codebooks).
+PQ_S, PQ_SUBDIM, PQ_K = 8, EMB_DIM // 8, N_CENTROIDS
+
+_PQ_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, label, {_SQL_QUANT} AS qx FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s.s AS s,
+         list_slice(qx, s.s * {PQ_SUBDIM} + 1, s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+  FROM n, (SELECT unnest(range(0, {PQ_S})) AS s) s
+),
+csubs AS (
+  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id IN {CENTROID_IDS}
+),
+code AS (
+  SELECT a.vec_id, a.s, c.cid, c.csub
+  FROM subs a JOIN csubs c USING (s)
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id, a.s
+    ORDER BY list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+              i -> (a.sub[i] - c.csub[i]) * (a.sub[i] - c.csub[i]))), c.cid
+  ) = 1
+),
+qsub AS (SELECT s, sub FROM subs WHERE vec_id = {QUERY_VEC_ID}),
+qn AS (
+  SELECT CAST(list_sum(list_transform(qx, v -> v * v)) AS DOUBLE) AS qn2
+  FROM n WHERE vec_id = {QUERY_VEC_ID}
+),
+adc AS (
+  SELECT code.vec_id,
+         SUM(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+             i -> q.sub[i] * code.csub[i]))) AS adot,
+         SUM(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+             i -> code.csub[i] * code.csub[i]))) AS an2
+  FROM code JOIN qsub q ON q.s = code.s
+  GROUP BY 1
+)
+SELECT a.vec_id, n.label,
+       CAST(a.adot AS DOUBLE) / (sqrt(CAST(a.an2 AS DOUBLE)) * sqrt(qn.qn2))
+         AS approx_cosine
+FROM adc a JOIN n ON n.vec_id = a.vec_id, qn
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY approx_cosine DESC, a.vec_id LIMIT {TOP_K}
+"""
+
+
+@register(
+    "sim_cosine_topk_pq",
+    oracle=_PQ_ORACLE,
+    doc="Product-quantization ANN (IVF-PQ's compression half): each "
+    "vector's 8 8-dim quantized subvectors are encoded as the nearest of "
+    "16 per-subspace codebook centroids (deterministic codebook = table "
+    "rows 1..16, the same no-RNG trick as the IVF coarse quantizer; "
+    "integer L2 argmin, cid tie-break). The query is answered by "
+    "asymmetric distance computation: per-subspace lookup tables "
+    "dot(q_s, c_k,s) and ||c_k,s||^2 are 8x16 integer constants inlined "
+    "as literals, so the per-row cost is 8 array lookups + adds — no "
+    "shuffle, TakeOrderedAndProject top-k. At 100 TB this is THE memory "
+    "move: 64 dims x 8 bytes -> 8 one-byte codes (64x), scan bandwidth "
+    "drops the same factor, and exact re-ranking runs on the short "
+    "list only. All arithmetic is exact int64 (quantized elements), so "
+    "codes and ADC scores are bit-identical to the DuckDB twin.",
+    tags=("similarity", "ann", "pq", "topk"),
+)
+def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+
+    # driver-side exact-integer codebooks and ADC tables (bounded: 16
+    # centroids x 64 dims of Python ints — plan constants, like literals)
+    qq = quantize_vector(qvec)
+    qn2 = float(sum(x * x for x in qq))
+    csub: dict[int, list[list[int]]] = {}  # s -> [centroid k's subvector]
+    for k, cid in enumerate(sorted(cents)):
+        cq = quantize_vector(cents[cid])
+        for s in range(PQ_S):
+            csub.setdefault(s, []).append(
+                cq[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            )
+    adc_dot = [
+        [sum(a * b for a, b in zip(qq[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM], c))
+         for c in csub[s]]
+        for s in range(PQ_S)
+    ]
+    cent_n2 = [[sum(x * x for x in c) for c in csub[s]] for s in range(PQ_S)]
+
+    xq = quantized_elements(F.col("embedding"))
+    code_cols = []
+    for s in range(PQ_S):
+        sub = F.slice(xq, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        # argmin_k ||sub - c_k||^2 == argmin_k (||c_k||^2 - 2*dot): one
+        # exact-integer dot per centroid, sort_array on (key, k) structs
+        # gives the deterministic cid tie-break
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(cent_n2[s][k]).cast("long")
+                        - F.lit(2).cast("long")
+                        * dot_long(
+                            sub,
+                            F.array(
+                                *[F.lit(v).cast("long") for v in csub[s][k]]
+                            ),
+                        )
+                    ).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        code_cols.append(F.sort_array(cands)[0]["k"].alias(f"c{s}"))
+
+    coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "label", *code_cols
+    )
+    adot = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v).cast("long") for v in adc_dot[s]]),
+                F.col(f"c{s}") + 1,
+            )
+            for s in range(PQ_S)
+        ),
+        F.lit(0).cast("long"),
+    )
+    an2 = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v).cast("long") for v in cent_n2[s]]),
+                F.col(f"c{s}") + 1,
+            )
+            for s in range(PQ_S)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        coded.select(
+            "vec_id",
+            "label",
+            (
+                adot.cast("double")
+                / (F.sqrt(an2.cast("double")) * F.sqrt(F.lit(qn2)))
+            ).alias("approx_cosine"),
+        )
+        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "sim_pq_recall_at_k",
+    oracle=f"""
+WITH {_SQL_EXACT_COSINES},
+topk AS (
+  SELECT vec_id FROM cosines ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+pq AS ({_PQ_ORACLE})
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       (SELECT count(*) FROM topk) AS n_exact,
+       (SELECT count(*) FROM pq) AS n_pq,
+       (SELECT count(*) FROM topk JOIN pq USING (vec_id)) AS n_overlap,
+       CAST((SELECT count(*) FROM topk JOIN pq USING (vec_id)) AS DOUBLE)
+         / CAST({TOP_K} AS DOUBLE) AS recall
+""",
+    doc="PQ index-quality evaluation: recall@k of the 8x16 product "
+    "quantizer's ADC top-k against the exact brute-force top-k — the "
+    "number that decides how long the exact re-ranking short list must "
+    "be at 100 TB (recall 0.7 at k=10 means re-rank ~3k candidates to "
+    "recover exact top-k with high probability). Same composition shape "
+    "as sim_lsh_recall_at_k: both strategies as subplans, one-row "
+    "output, integer-exact counts.",
+    tags=("similarity", "evaluation", "pq", "topk"),
+)
+def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    pq = sim_cosine_topk_pq(spark, sf_dir).select("vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_pq = pq.agg(F.count(F.lit(1)).alias("n_pq"))
+    n_overlap = (
+        exact.join(pq, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_pq))
+        .crossJoin(F.broadcast(n_overlap))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_exact",
+            "n_pq",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.lit(TOP_K).cast("double")
+            ).alias("recall"),
+        )
+    )

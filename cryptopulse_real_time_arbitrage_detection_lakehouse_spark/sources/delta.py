@@ -772,6 +772,7 @@ class DeltaTable:
         mapping: dict[str, str] = {}
         if last is not None:
             prior_meta, prior_adds = self._snapshot_state(None)
+            self._check_constraints(df, prior_meta)
             mapping = self._column_mapping(prior_meta) or {}
             if partition_by != (prior_meta.get("partitionColumns") or []):
                 raise ValueError(
@@ -1071,6 +1072,80 @@ class DeltaTable:
         new_meta = dict(meta)
         new_meta["schemaString"] = json.dumps(schema)
         return self._metadata_commit("DROP COLUMN", new_meta)
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT twin (writer feature
+        ``checkConstraints``): record ``delta.constraints.<name>`` in the
+        table configuration and upgrade the writer protocol. Every
+        subsequent `write`/`merge`/`compact` refuses data violating the
+        expression — validation is a Spark filter + count on the incoming
+        frame (one extra pass over the batch, nothing driver-side). The
+        current contents must already satisfy the constraint."""
+        import keyword
+
+        if not name.isidentifier() or keyword.iskeyword(name):
+            raise ValueError(f"bad constraint name {name!r}")
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key in conf:
+            raise ValueError(f"constraint {name!r} already exists")
+        conf[key] = expr
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        version = (self.latest_version() or 0) + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            }
+        ]
+        proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        if proto.get("minWriterVersion", 1) < 3 and "writerFeatures" not in proto:
+            # checkConstraints is a writer-v3 capability; reader unchanged
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": proto.get("minReaderVersion", 1),
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
+        actions.append({"metaData": new_meta})
+        self._write_commit(version, actions)
+        return version
+
+    def drop_check_constraint(self, name: str) -> int:
+        meta, _ = self._snapshot_state(None)
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key not in conf:
+            raise ValueError(f"no constraint {name!r}")
+        del conf[key]
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        return self._metadata_commit("DROP CONSTRAINT", new_meta)
+
+    def _check_constraints(self, df: DataFrame, meta: dict) -> None:
+        """Refuse a write whose batch violates any recorded constraint —
+        the writer-side contract every engine honoring ``checkConstraints``
+        must enforce (a non-enforcing writer would silently corrupt the
+        table's invariant for every reader)."""
+        conf = meta.get("configuration") or {}
+        for key, expr in sorted(conf.items()):
+            if not key.startswith("delta.constraints."):
+                continue
+            name = key[len("delta.constraints."):]
+            # SQL CHECK semantics: NULL passes, only FALSE violates
+            n_bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).count()
+            if n_bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{n_bad} row(s); write refused"
+                )
 
     def delete(self, spark: SparkSession, condition) -> int:
         """DELETE WHERE ``condition`` via deletion vectors — no data file

@@ -923,3 +923,51 @@ class TestRestoreVacuumChanges:
         v = t.compact(spark)
         cf = t.read_changes(spark, starting_version=v, ending_version=v)
         assert cf.count() == 0
+
+
+class TestCheckConstraints:
+    def test_constraint_enforced_on_write(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        v = t.add_check_constraint("id_nonneg", "id >= 0")
+        # recorded in the table configuration + writer protocol bumped
+        meta, _ = t._snapshot_state(None)
+        assert meta["configuration"]["delta.constraints.id_nonneg"] == "id >= 0"
+        log = open(
+            os.path.join(str(tmp_path / "t"), "_delta_log", f"{v:020d}.json")
+        ).read()
+        assert '"minWriterVersion": 3' in log
+        # conforming write passes; violating write refused atomically
+        t.write(make_df(spark, 10, 5))
+        before = t.read(spark).count()
+        bad = spark.createDataFrame([(-1, "S0")], "id long, sym string")
+        with pytest.raises(ValueError, match="id_nonneg"):
+            t.write(bad)
+        assert t.read(spark).count() == before  # nothing committed
+
+    def test_null_passes_false_fails(self, spark, tmp_path):
+        # SQL CHECK semantics: NULL is not a violation
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 3))
+        t.add_check_constraint("sym_s", "sym LIKE 'S%'")
+        t.write(
+            spark.createDataFrame([(7, None)], "id long, sym string")
+        )  # NULL sym passes
+        with pytest.raises(ValueError, match="sym_s"):
+            t.write(spark.createDataFrame([(8, "X1")], "id long, sym string"))
+
+    def test_merge_and_drop_constraint(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        t.add_check_constraint("id_cap", "id < 100")
+        # merge funnels through write(): violating source refused
+        with pytest.raises(ValueError, match="id_cap"):
+            t.merge(
+                spark.createDataFrame([(500, "S0")], "id long, sym string"),
+                ["id"],
+            )
+        t.drop_check_constraint("id_cap")
+        t.merge(
+            spark.createDataFrame([(500, "S0")], "id long, sym string"), ["id"]
+        )
+        assert t.read(spark).filter(F.col("id") == 500).count() == 1

@@ -465,3 +465,28 @@ def test_pii_audit_is_pure_projection(spark):
     p = plan_of(spark, "doc_pii_redaction_audit")
     assert p.count("Exchange") == 0
     assert "Generate" not in p
+
+
+def test_pq_topk_is_shuffle_free(spark):
+    # codes + ADC lookups are row-local literals; top-k must plan as
+    # TakeOrderedAndProject with zero exchanges
+    p = plan_of(spark, "sim_cosine_topk_pq")
+    assert p.count("Exchange") == 0
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dv_read_applies_broadcast_anti_join(spark, tmp_path):
+    # deletion-vector reads must drop positions via a BROADCAST anti-join
+    # (per-task, no shuffle of surviving data), never a shuffled join
+    from pyspark.sql import functions as F
+
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+        DeltaTable,
+    )
+
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(spark.range(0, 1000).select(F.col("id"), (F.col("id") % 5).alias("g")))
+    t.delete(spark, "g = 2")
+    p = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p

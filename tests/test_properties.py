@@ -198,3 +198,62 @@ class TestPartitionInvariance:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert base == alt
+
+
+class TestDeletionVectorCodec:
+    """Pure-Python roaring/DV codec properties — no Spark per example, so
+    hypothesis can be generous with cases. The adversarial shapes: values
+    straddling 16-bit container and 32-bit bitmap-key boundaries, dense
+    runs (>4096 per container forces the bitset encoding), duplicates."""
+
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=200_000),
+                # straddle container (2^16) and key (2^32) boundaries
+                st.integers(min_value=2**16 - 3, max_value=2**16 + 3),
+                st.integers(min_value=2**32 - 3, max_value=2**32 + 3),
+                st.integers(min_value=0, max_value=2**40),
+            ),
+            max_size=300,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_serialize_roundtrip(self, values):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import (
+            dv,
+        )
+
+        blob = dv.serialize_rbm_array(values)
+        assert dv.deserialize_rbm_array(blob) == sorted(set(values))
+
+    def test_dense_container_uses_bitmap_encoding_and_roundtrips(self):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import (
+            dv,
+        )
+
+        values = list(range(0, 10_000))  # >4096 in container 0: bitset path
+        blob = dv.serialize_rbm_array(values)
+        assert dv.deserialize_rbm_array(blob) == values
+        # bitset is fixed 8 KiB per full container, not 2 bytes per value
+        assert len(blob) < 2 * len(values)
+
+    def test_run_container_read_path(self):
+        # a foreign writer may emit run containers (cookie 12347); build
+        # one by hand per the roaring format spec and read it back
+        import struct
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import (
+            dv,
+        )
+
+        # one run container, key 0, cardinality 100: run [5, 104]
+        bitmap = bytearray()
+        bitmap += struct.pack("<HH", dv.SERIAL_COOKIE_RUN, 0)  # n-1 = 0
+        bitmap += b"\x01"  # run bitset: container 0 is a run
+        bitmap += struct.pack("<HH", 0, 99)  # key, card-1
+        bitmap += struct.pack("<H", 1)  # 1 run
+        bitmap += struct.pack("<HH", 5, 99)  # start 5, length 99 -> 5..104
+        blob = struct.pack("<i", dv.MAGIC) + struct.pack("<q", 1)
+        blob += struct.pack("<i", 0) + bytes(bitmap)
+        assert dv.deserialize_rbm_array(blob) == list(range(5, 105))
