@@ -400,12 +400,24 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simhash kernel once, not once per side. One tokenize feeds both
     # words; each word's md5 range is disjoint, so the words are
     # independent hash functions of the same token multiset.
-    toks = tokens("text")
+    # bind(): the token split is a HOF-lambda VALUE, so both words'
+    # aggregate folds read it for free instead of re-splitting per token
     fp = shared(
         d.select(
             "doc_id",
-            simhash_bits(toks, SIM_WORD_BITS, 0).alias("sh_lo"),
-            simhash_bits(toks, SIM_WORD_BITS, SIM_WORD_BITS // 4).alias("sh_hi"),
+            bind(
+                tokens("text"),
+                lambda t: F.struct(
+                    simhash_bits(t, SIM_WORD_BITS, 0).alias("lo"),
+                    simhash_bits(t, SIM_WORD_BITS, SIM_WORD_BITS // 4).alias(
+                        "hi"
+                    ),
+                ),
+            ).alias("sh"),
+        ).select(
+            "doc_id",
+            F.col("sh.lo").alias("sh_lo"),
+            F.col("sh.hi").alias("sh_hi"),
         )
     )
     mask = 2**BITS_PER_BAND - 1
@@ -759,45 +771,49 @@ SELECT doc_id, unnest(fps) AS fp FROM winnowed
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_docs(spark, sf_dir), by="doc_id")
-    toks = tokens("text")
     k, w = WINNOW_K, WINNOW_W
+
     # ordered gram hashes: element_at is 1-based; sequence guard keeps
     # short docs at an empty list (cf. shingles() in functions/text.py)
-    gram = lambda i: F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+    def gram(t, i):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def hs_of(t):
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)), lambda i: gram(t, i)
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def fps_of(h):
+        return F.when(
+            F.size(h) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(h) - (w - 1)),
+                    lambda i: F.array_min(F.slice(h, i, w)),
                 )
             ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    hs = F.when(
-        F.size(F.col("toks")) >= k,
-        F.transform(F.sequence(F.lit(1), F.size(F.col("toks")) - (k - 1)), gram),
-    ).otherwise(F.array().cast("array<long>"))
-    fps = F.when(
-        F.size(F.col("hs")) >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("hs")) - (w - 1)),
-                lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    # materialize each stage: Catalyst inlines a projected alias into the
-    # next stage's lambda, so without a hard boundary the token array (and
-    # then the gram array) would be recomputed PER POSITION — O(n^2) per
-    # document (measured: 100x slower). shared() pins each per-row
-    # reduction exactly once, the same boundaries a production pipeline
-    # would persist.
-    tok_df = shared(d.select("doc_id", toks.alias("toks")))
-    hs_df = shared(tok_df.select("doc_id", hs.alias("hs")))
-    return hs_df.select("doc_id", fps.alias("fps")).select(
+        ).otherwise(F.array().cast("array<long>"))
+
+    # nested bind(): tokens and gram hashes are HOF-lambda VALUES, so the
+    # per-position references are free — the whole text->tokens->grams->
+    # window-min kernel is ONE pipelined projection, where the previous
+    # two eager localCheckpoints existed only to stop Catalyst from
+    # inlining each stage into the next stage's lambda (O(n^2)/document).
+    fps = bind(tokens("text"), lambda t: bind(hs_of(t), fps_of))
+    return d.select("doc_id", fps.alias("fps")).select(
         "doc_id", F.explode("fps").alias("fp")
     )
 
@@ -911,10 +927,14 @@ def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("long")
+    # bind(): tokens evaluated once per row — the shingle lambda's slice
+    # references would otherwise re-split the document per position
     grams = d.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.explode(shingles(tokens("text"), CONTAM_NGRAM)).alias("gram"),
+        F.explode(
+            bind(tokens("text"), lambda t: shingles(t, CONTAM_NGRAM))
+        ).alias("gram"),
     )
     # train and test branches both read `hashed`: materialize the gram
     # hashes once (per-row reduction of the text — shared() scale contract)
@@ -1467,7 +1487,9 @@ GROUP BY pair ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_PAIRS}
 def doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_docs(spark, sf_dir), by="doc_id")
     pairs = d.select(
-        F.explode(shingles_all(tokens("text"), 2)).alias("pair")
+        F.explode(
+            bind(tokens("text"), lambda t: shingles_all(t, 2))
+        ).alias("pair")
     )
     return (
         pairs.groupBy("pair")
@@ -1596,9 +1618,11 @@ FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
 )
 def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_docs(spark, sf_dir), by="doc_id")
-    tok_df = d.select("doc_id", tokens("text").alias("toks"))
     sh = shared(
-        tok_df.select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("s"))
+        d.select(
+            "doc_id",
+            F.explode(bind(tokens("text"), lambda t: shingles(t, 3))).alias("s"),
+        )
     )
     min_df = _docs(spark, sf_dir).agg(
         F.floor((F.count(F.lit(1)) + 99) / F.lit(100.0)).cast("long").alias("min_df")
