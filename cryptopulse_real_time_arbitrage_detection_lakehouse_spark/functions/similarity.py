@@ -99,18 +99,31 @@ def ivf_cell_column(
     embedding; the argmax is taken with ``array_max`` over (cosine, -cid)
     structs so ties resolve to the least centroid id — the same rule the
     DuckDB oracle's ``row_number() OVER (ORDER BY ccos DESC, cid)`` uses.
+
+    The quantize transform is bind()-materialized as a lambda value, so
+    the 16 centroid dots (and the norm) read it for free instead of
+    re-running the per-element floor transform once per reference.
     """
-    xq = quantized_elements(emb_col if emb_col is not None else F.col("embedding"))
-    n2x = dot_long(xq, xq).cast("double")
-    entries = []
-    for cid in sorted(centroids):
-        cq = quantize_vector(centroids[cid])
-        cn2 = float(sum(v * v for v in cq))
-        carr = F.array(*[F.lit(v).cast("long") for v in cq])
-        ccos = dot_long(xq, carr).cast("double") / (F.sqrt(n2x) * F.sqrt(F.lit(cn2)))
-        # struct orders by (cosine, -cid): max = best cosine, ties -> least cid
-        entries.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("negid")))
-    return (-F.array_max(F.array(*entries)).getField("negid")).cast("int")
+    from .expr import bind
+
+    def cell_of(xq: Column) -> Column:
+        n2x = dot_long(xq, xq).cast("double")
+        entries = []
+        for cid in sorted(centroids):
+            cq = quantize_vector(centroids[cid])
+            cn2 = float(sum(v * v for v in cq))
+            carr = F.array(*[F.lit(v).cast("long") for v in cq])
+            ccos = dot_long(xq, carr).cast("double") / (
+                F.sqrt(n2x) * F.sqrt(F.lit(cn2))
+            )
+            # struct orders by (cosine, -cid): max = best, ties -> least cid
+            entries.append(F.struct(ccos.alias("c"), F.lit(-cid).alias("negid")))
+        return (-F.array_max(F.array(*entries)).getField("negid")).cast("int")
+
+    return bind(
+        quantized_elements(emb_col if emb_col is not None else F.col("embedding")),
+        cell_of,
+    )
 
 
 def ivf_probe_cells(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expr import bind  # noqa: F401  (re-export; text kernels use it heavily)
+
 #: tiny per-language stopword profiles for the n-gram/wordlist language-id
 #: heuristic (deterministic, SQL-expressible in both engines).
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -25,22 +27,6 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "de", "y", "los"),
     "zh": ("de5", "le5", "shi4", "zai4", "he2"),
 }
-
-
-def bind(col: Column, fn) -> Column:
-    """Evaluate ``col`` ONCE per row and feed the materialized VALUE into
-    ``fn``'s expression (``fn`` is a one-arg lambda over a HOF variable).
-
-    Why: expressions referenced inside a higher-order-function lambda are
-    RE-EVALUATED on every reference — ``shingles(split(text))`` re-splits
-    the whole document once per shingle position, O(positions * doc_len).
-    A lambda VARIABLE, by contrast, is a concrete value in the evaluator:
-    every reference is free. Wrapping the input in a single-element array
-    and transforming over it binds it as such a variable — same effect as
-    materializing the column via an eager localCheckpoint, with zero
-    executor-storage traffic (measured on the sf0.1 shingle pipeline:
-    checkpoint 3.6 s, bind 0.67 s, bit-identical output)."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def tokens(text: Column | str) -> Column:

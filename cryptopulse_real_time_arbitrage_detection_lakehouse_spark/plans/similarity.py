@@ -90,14 +90,23 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
 def _cosine_vs_query(qvec: list[float]) -> Column:
     """Row-local cosine of the ``embedding`` column against the (quantized,
     inlined-as-literal) query vector. Exact integer math throughout:
-    order-independent and bit-identical to the SQL twin."""
+    order-independent and bit-identical to the SQL twin. The quantize
+    transform is bind()-materialized so the dot and the norm read the
+    same value instead of re-quantizing per reference."""
+    from ..functions.expr import bind
+
     q = quantize_vector(qvec)
     qn2 = float(sum(x * x for x in q))
     qarr = F.array(*[F.lit(x).cast("long") for x in q])
-    xq = quantized_elements(F.col("embedding"))
-    dot = dot_long(xq, qarr)
-    n2 = dot_long(xq, xq)
-    return dot.cast("double") / (F.sqrt(n2.cast("double")) * F.sqrt(F.lit(qn2)))
+
+    def cos_of(xq: Column) -> Column:
+        dot = dot_long(xq, qarr)
+        n2 = dot_long(xq, xq)
+        return dot.cast("double") / (
+            F.sqrt(n2.cast("double")) * F.sqrt(F.lit(qn2))
+        )
+
+    return bind(quantized_elements(F.col("embedding")), cos_of)
 
 
 @register(
@@ -970,65 +979,61 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cent_n2 = [[sum(x * x for x in c) for c in csub[s]] for s in range(PQ_S)]
 
-    xq = quantized_elements(F.col("embedding"))
-    code_cols = []
-    for s in range(PQ_S):
-        sub = F.slice(xq, s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        # argmin_k ||sub - c_k||^2 == argmin_k (||c_k||^2 - 2*dot): one
-        # exact-integer dot per centroid, sort_array on (key, k) structs
-        # gives the deterministic cid tie-break
-        cands = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(cent_n2[s][k]).cast("long")
-                        - F.lit(2).cast("long")
-                        * dot_long(
-                            sub,
-                            F.array(
-                                *[F.lit(v).cast("long") for v in csub[s][k]]
-                            ),
-                        )
-                    ).alias("d"),
-                    F.lit(k).alias("k"),
-                )
-                for k in range(PQ_K)
-            ]
-        )
-        code_cols.append(F.sort_array(cands)[0]["k"].alias(f"c{s}"))
+    # The whole code-assignment kernel is GENERATED SQL parsed in one
+    # JVM call: building it from ~3000 individual pyspark Column ops
+    # cost 7 s of py4j round trips per plan at 2000 rows (measured) —
+    # the expression is identical, only its construction path differs.
+    # bind()-shape inside the SQL: the quantize transform is a lambda
+    # VALUE (xq), so the 128 unrolled dot terms read it for free.
+    # argmin_k ||sub - c_k||^2 == argmin_k (||c_k||^2 - 2*dot); array_min
+    # over (d, k) structs = smallest distance with cid tie-break, the
+    # same rule as the oracle's row_number ordering.
+    quant = f"transform(embedding, x -> CAST(floor(x * {QSCALE!r}) AS BIGINT))"
 
-    coded = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id", "label", *code_cols
-    )
-    adot = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v).cast("long") for v in adc_dot[s]]),
-                F.col(f"c{s}") + 1,
+    def code_sql(s: int) -> str:
+        cands = []
+        for k in range(PQ_K):
+            dot = " + ".join(
+                f"element_at(xq, {s * PQ_SUBDIM + j + 1}) * "
+                f"CAST({csub[s][k][j]} AS BIGINT)"
+                for j in range(PQ_SUBDIM)
             )
-            for s in range(PQ_S)
-        ),
-        F.lit(0).cast("long"),
-    )
-    an2 = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v).cast("long") for v in cent_n2[s]]),
-                F.col(f"c{s}") + 1,
+            cands.append(
+                f"named_struct('d', CAST({cent_n2[s][k]} AS BIGINT) - "
+                f"2 * ({dot}), 'k', {k})"
             )
-            for s in range(PQ_S)
-        ),
-        F.lit(0).cast("long"),
+        return f"array_min(array({', '.join(cands)})).k"
+
+    fields = ", ".join(f"'c{s}', {code_sql(s)}" for s in range(PQ_S))
+    codes = F.expr(
+        f"element_at(transform(array({quant}), xq -> named_struct({fields})), 1)"
     )
-    return (
-        coded.select(
+    coded = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        # the codes struct is aliased ONCE and unpacked in a second
+        # projection — unpacking getFields off the bind directly would
+        # reference it 8 times and re-run the whole 8x16 argmin per field
+        .select("vec_id", "label", codes.alias("cs"))
+        .select(
             "vec_id",
             "label",
-            (
-                adot.cast("double")
-                / (F.sqrt(an2.cast("double")) * F.sqrt(F.lit(qn2)))
-            ).alias("approx_cosine"),
+            *[F.col("cs").getField(f"c{s}").alias(f"c{s}") for s in range(PQ_S)],
         )
+    )
+
+    def lut_sql(table: list[list[int]]) -> str:
+        terms = []
+        for s in range(PQ_S):
+            arr = ", ".join(f"CAST({v} AS BIGINT)" for v in table[s])
+            terms.append(f"element_at(array({arr}), c{s} + 1)")
+        return " + ".join(terms)
+
+    approx = F.expr(
+        f"CAST(({lut_sql(adc_dot)}) AS DOUBLE) / "
+        f"(SQRT(CAST(({lut_sql(cent_n2)}) AS DOUBLE)) * SQRT({qn2!r}))"
+    )
+    return (
+        coded.select("vec_id", "label", approx.alias("approx_cosine"))
         .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
