@@ -1815,3 +1815,151 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment",
         )
     )
+
+
+#: weighted sample size and the key-rounding grid (see doc below).
+WSAMPLE_K = 50
+WSAMPLE_ROUND = 6
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+WITH keys AS (
+  SELECT doc_id, lang, n_chars,
+         round(
+           pow(
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1) / 4294967297.0,
+             1.0 / CAST(n_chars AS DOUBLE)
+           ),
+           {WSAMPLE_ROUND}
+         ) AS skey
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, skey
+FROM keys
+ORDER BY skey DESC, doc_id
+LIMIT {WSAMPLE_K}
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): each document draws u = "
+    "(md5-hash + 1)/2^32+1 in (0,1) from its OWN id — reproducible, no "
+    "RNG state — and keys itself u^(1/w) with w = n_chars; the top-K "
+    "keys are a weighted sample where P(selection) is proportional to "
+    "weight, the one-pass distributed-sampling construction (top-K via "
+    "TakeOrderedAndProject, no shuffle before it; re-running over a "
+    "grown corpus never reorders existing docs' keys). The key is "
+    "rounded to 6 decimals with a doc_id tie-break so the "
+    "cross-engine comparison never hinges on a last-ulp pow() "
+    "difference — the documented operator semantics, not a fudge.",
+    tags=("text", "sampling", "weighted"),
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ).cast("double") / F.lit(4294967297.0)
+    skey = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), WSAMPLE_ROUND
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", skey.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
+@register(
+    "doc_near_dup_keepers",
+    oracle=f"""
+WITH {_SQL_NEAR_DUP_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL SELECT doc_b, doc_a FROM verified
+),
+members AS (
+  SELECT DISTINCT a AS doc_id,
+         least(a, min(b) OVER (PARTITION BY a)) AS cluster0
+  FROM edges
+),
+-- min-label propagation to a fixpoint is bounded by cluster diameter;
+-- the corpus' near-dup clusters are tiny, two rounds suffice (the
+-- Spark side iterates the same bounded rounds)
+r1 AS (
+  SELECT m.doc_id, min(least(m.cluster0, n.cluster0)) AS cluster
+  FROM members m
+  JOIN edges e ON e.a = m.doc_id
+  JOIN members n ON n.doc_id = e.b
+  GROUP BY m.doc_id
+),
+r2 AS (
+  SELECT m.doc_id, min(least(m.cluster, n.cluster)) AS cluster
+  FROM r1 m
+  JOIN edges e ON e.a = m.doc_id
+  JOIN r1 n ON n.doc_id = e.b
+  GROUP BY m.doc_id
+),
+scored AS (
+  SELECT r2.doc_id, r2.cluster, d.n_chars
+  FROM r2 JOIN documents d USING (doc_id)
+)
+SELECT cluster, count(*) AS cluster_size,
+       arg_max(doc_id, CAST(n_chars AS BIGINT) * 10000000000 + doc_id)
+         AS keeper_doc_id,
+       max(n_chars) AS keeper_n_chars
+FROM scored
+GROUP BY cluster
+""",
+    doc="Near-dup cluster KEEPER selection by QUALITY, not min-id: "
+    "within each MinHash-verified near-dup cluster (same "
+    "connected-component construction as doc_near_dup_clusters), keep "
+    "the longest document — ties to the larger doc_id via an arg_max "
+    "over (n_chars, doc_id) pairs. This is the retention policy an LLM "
+    "curation pipeline actually wants: dedup should discard the "
+    "truncated/boilerplate variants and keep the fullest copy, and the "
+    "keeper choice must be deterministic so reruns ship identical "
+    "corpora. Scale: clustering cost is the near-dup pipeline's "
+    "(banded, candidate-bound); the keeper argmax is one grouped "
+    "aggregation over cluster members only.",
+    tags=("text", "dedup", "cluster", "curation"),
+)
+def doc_near_dup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    edges = shared(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    members = edges.groupBy("a").agg(F.min("b").alias("minb")).select(
+        F.col("a").alias("doc_id"), F.least("a", "minb").alias("cluster")
+    )
+
+    def propagate(m: DataFrame) -> DataFrame:
+        n = m.select(F.col("doc_id").alias("b"), F.col("cluster").alias("ncluster"))
+        return (
+            m.join(edges, m["doc_id"] == edges["a"])
+            .join(n, "b")
+            .groupBy("doc_id")
+            .agg(F.min(F.least("cluster", "ncluster")).alias("cluster"))
+        )
+
+    m = members
+    for _ in range(2):
+        m = propagate(m)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    scored = m.join(d, "doc_id")
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        # combined sortable key (n_chars dominant, doc_id tie-break) —
+        # DuckDB's arg_max has no struct-ordered overload
+        F.max_by(
+            "doc_id",
+            F.col("n_chars").cast("long") * F.lit(10000000000).cast("long")
+            + F.col("doc_id"),
+        ).alias("keeper_doc_id"),
+        F.max("n_chars").alias("keeper_n_chars"),
+    )

@@ -144,7 +144,13 @@ def _file_stats(md) -> dict:
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
-            lo, hi = enc(st.min), enc(st.max)
+            try:
+                # pyarrow raises for types it cannot cast statistics for
+                # (e.g. decimals) even when has_min_max is true
+                lo, hi = enc(st.min), enc(st.max)
+            except Exception:
+                bad.add(name)
+                continue
             if lo is None or hi is None:
                 bad.add(name)
                 continue
@@ -701,6 +707,52 @@ class DeltaTable:
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.readStream.schema(schema).parquet(self.path)
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """``TIMESTAMP AS OF`` resolution: the newest version whose commit
+        timestamp is <= ``ts_ms`` (delta-spark semantics — a timestamp
+        before the first commit is an error, one after the last resolves
+        to the latest). Commit timestamps come from each version's
+        ``commitInfo``; with none recorded the commit file's mtime is the
+        spec fallback."""
+        best: int | None = None
+        for v in self._commit_versions():
+            info = next(
+                (a["commitInfo"] for a in self._read_commit(v) if "commitInfo" in a),
+                None,
+            )
+            commit_ts = (
+                info.get("timestamp")
+                if info and info.get("timestamp") is not None
+                else int(os.path.getmtime(_commit_path(self._log_dir, v)) * 1000)
+            )
+            if commit_ts <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts_ms} predates the first commit of {self.path}"
+            )
+        return best
+
+    def read_at_timestamp(
+        self, spark: SparkSession, ts_ms: int, **kwargs
+    ) -> DataFrame:
+        """``SELECT ... TIMESTAMP AS OF`` — time travel by wall clock."""
+        return self.read(spark, version=self.version_at_timestamp(ts_ms), **kwargs)
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest ``txn`` version recorded for ``app_id`` (the spec's
+        idempotent-writer protocol: a streaming sink records
+        (appId, batchId) per commit and skips batches already applied —
+        exactly-once across restarts without reading its own output)."""
+        best: int | None = None
+        for v in self._commit_versions():
+            for action in self._read_commit(v):
+                t = action.get("txn")
+                if t and t.get("appId") == app_id:
+                    if best is None or t["version"] > best:
+                        best = t["version"]
+        return best
+
     def history(self, spark: SparkSession) -> DataFrame:
         """``DESCRIBE HISTORY`` twin from ``commitInfo`` actions (M2/P6)."""
         rows = []
@@ -736,6 +788,7 @@ class DeltaTable:
         mode: str = "append",
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
         _operation: str = "WRITE",
         _data_change: bool = True,
     ) -> int:
@@ -755,11 +808,22 @@ class DeltaTable:
         files simply lack them and the schema-directed parquet read
         surfaces nulls. Type conflicts on existing columns are refused
         (evolution adds columns, it never rewrites history).
+
+        ``txn=(app_id, version)`` makes the write IDEMPOTENT (the spec's
+        ``txn`` action — the protocol delta-spark's streaming sink uses
+        for exactly-once): if a commit for this app with an equal-or-
+        higher version already exists, the write is a no-op returning the
+        current table version; otherwise the commit records the txn so a
+        replay after a crash-between-commit-and-checkpoint skips it.
         """
         import pyarrow.parquet as pq
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if txn is not None:
+            applied = self.last_txn_version(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return self.latest_version()  # already committed: replay no-op
         partition_by = partition_by or []
         spark = df.sparkSession
         last = self.latest_version()
@@ -898,6 +962,16 @@ class DeltaTable:
         os.rmdir(stage)
 
         actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         n_rows = sum(json.loads(a["stats"])["numRecords"] for a in adds)
         actions.append(
             {

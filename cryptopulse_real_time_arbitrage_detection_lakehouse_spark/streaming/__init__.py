@@ -30,6 +30,7 @@ from .sinks import (
     kafka_records,
     start_console_stream,
     start_kafka_stream,
+    start_delta_append_stream,
     start_merge_stream,
     start_parquet_stream,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "silver_stream",
     "start_console_stream",
     "start_kafka_stream",
+    "start_delta_append_stream",
     "start_merge_stream",
     "start_parquet_stream",
     "venue_pair_stream_join",

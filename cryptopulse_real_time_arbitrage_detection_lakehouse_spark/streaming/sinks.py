@@ -112,6 +112,44 @@ def start_console_stream(
     return writer.start()
 
 
+def start_delta_append_stream(
+    df: DataFrame,
+    *,
+    table_path: str,
+    checkpoint: str,
+    app_id: str,
+    available_now: bool = True,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Append-mode stream into a Delta table with TRANSACTIONAL
+    exactly-once: each micro-batch commits with a ``txn`` action keyed
+    (``app_id``, batch_id), so a batch replayed after a crash between
+    the Delta commit and the streaming checkpoint is detected IN THE LOG
+    and skipped — delta-spark's streaming-sink protocol, which plain
+    file sinks cannot offer (foreachBatch is at-least-once; idempotence
+    must come from the sink). Contrast `start_merge_stream`, whose
+    exactly-once relies on keyed-merge idempotence instead."""
+    from ..sources.delta import DeltaTable
+
+    table = DeltaTable(table_path)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.write(batch_df, mode="append", txn=(app_id, batch_id))
+
+    writer = (
+        df.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_merge_stream(
     df: DataFrame,
     *,

@@ -971,3 +971,37 @@ class TestCheckConstraints:
             spark.createDataFrame([(500, "S0")], "id long, sym string"), ["id"]
         )
         assert t.read(spark).filter(F.col("id") == 500).count() == 1
+
+
+class TestTimestampTravelAndTxn:
+    def test_timestamp_as_of(self, spark, tmp_path):
+        import time as _time
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        _time.sleep(0.05)
+        between = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        t.write(make_df(spark, 5, 5))
+        assert t.version_at_timestamp(between) == 0
+        assert t.read_at_timestamp(spark, between).count() == 5
+        # after the last commit -> latest; before the first -> error
+        assert t.version_at_timestamp(int(_time.time() * 1000) + 10_000) == 1
+        with pytest.raises(ValueError, match="predates"):
+            t.version_at_timestamp(between - 3_600_000)
+
+    def test_txn_write_is_idempotent(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5), txn=("job-a", 0))
+        t.write(make_df(spark, 5, 5), txn=("job-a", 1))
+        assert t.read(spark).count() == 10
+        # replaying an already-committed batch is a no-op
+        v = t.write(make_df(spark, 5, 5), txn=("job-a", 1))
+        assert v == t.latest_version() == 1
+        assert t.read(spark).count() == 10
+        # a DIFFERENT app's batch 1 still commits
+        t.write(make_df(spark, 100, 2), txn=("job-b", 1))
+        assert t.read(spark).count() == 12
+        assert t.last_txn_version("job-a") == 1
+        assert t.last_txn_version("job-b") == 1
+        assert t.last_txn_version("nope") is None

@@ -846,3 +846,43 @@ class TestAuxSinksAndSources:
                 spark, bootstrap_servers="localhost:9092", topic="ticks"
             )
         assert "kafka" in str(ei.value).lower()
+
+
+class TestTransactionalDeltaSink:
+    def test_txn_append_skips_replayed_batch(self, spark, tmp_path):
+        """The delta-spark streaming-sink protocol: a micro-batch replayed
+        after a crash between the Delta commit and the streaming
+        checkpoint must be detected in the LOG (txn action) and skipped —
+        exactly-once without relying on keyed-merge idempotence."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming.sinks import (
+            start_delta_append_stream,
+        )
+
+        src = str(tmp_path / "src")
+        spark.range(0, 50).selectExpr("id", "id % 5 AS g").write.parquet(src)
+        table_path = str(tmp_path / "delta_out")
+        q = start_delta_append_stream(
+            spark.readStream.schema("id long, g long").parquet(src),
+            table_path=table_path,
+            checkpoint=str(tmp_path / "ck"),
+            app_id="sink-test",
+        )
+        q.awaitTermination(120)
+        t = DeltaTable(table_path)
+        assert t.read(spark).count() == 50
+        # simulate the crash-replay: re-commit batch 0's data with the
+        # same (app_id, batch_id) — the log-recorded txn makes it a no-op
+        replay = spark.range(0, 50).selectExpr("id", "id % 5 AS g")
+        v = t.write(replay, mode="append", txn=("sink-test", 0))
+        assert t.read(spark).count() == 50
+        assert v == t.latest_version()
+        # a NEW batch id still commits
+        t.write(
+            spark.range(50, 60).selectExpr("id", "id % 5 AS g"),
+            mode="append",
+            txn=("sink-test", 1),
+        )
+        assert t.read(spark).count() == 60
