@@ -178,6 +178,10 @@ class TestPartitionInvariance:
             "doc_bigram_lm_scores",
             "doc_boilerplate_ngrams",
             "multimodal_image_ahash",
+            "sim_cosine_topk_pq",
+            "doc_containment_pairs",
+            "doc_weighted_sample",
+            "doc_near_dup_keepers",
         ],
     )
     def test_same_result_under_different_parallelism(self, spark, name):
