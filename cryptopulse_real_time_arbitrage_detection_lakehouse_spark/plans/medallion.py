@@ -43,26 +43,29 @@ def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: one materialized gold candle table per (Spark application, sf_dir):
-#: the medallion contract is that gold is PERSISTED once and every
-#: dashboard query reads the stored table — re-deriving the whole
-#: silver->gold pipeline per downstream query triples the headline cost
-#: for identical bytes (round-3 verdict, `candle_close_delta` drift).
-#: The eager localCheckpoint is the in-session analog of that persisted
-#: table (see `operators.partitioning.shared` for why not persist());
-#: keying by applicationId drops the cache with the executors that held
-#: the checkpointed blocks.
-_GOLD_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: one materialized gold candle table per sf_dir: the medallion contract
+#: is that gold is PERSISTED once and every dashboard query reads the
+#: stored table — re-deriving the whole silver->gold pipeline per
+#: downstream query triples the headline cost for identical bytes
+#: (round-3 verdict, `candle_close_delta` drift). Materialized as a
+#: PARQUET table on disk, not a localCheckpoint: checkpoint blocks die
+#: with an executor (a lost executor would permanently fail every later
+#: gold query), while the parquet table is durable, survives session
+#: restarts, and gives downstream plans real column pruning per branch.
+_GOLD_CACHE: dict[str, str] = {}
 
 
 def _gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.partitioning import shared
+    import os
+    import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _GOLD_CACHE.get(key)
-    if df is None:
-        df = _GOLD_CACHE[key] = shared(_gold(spark, sf_dir))
-    return df
+    key = os.path.abspath(sf_dir)
+    path = _GOLD_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="cpgold_") + "/gold_candles"
+        _gold(spark, sf_dir).write.parquet(path)
+        _GOLD_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 #: DuckDB twin of the gold candle aggregation (kept in lockstep with

@@ -61,11 +61,6 @@ from pyspark.sql import types as T
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _uuid_from_z85(text: str):
-    from . import dv as _dv
-
-    return uuid.UUID(bytes=_dv.z85_decode(text))
-
 HISTORY_SCHEMA = T.StructType(
     [
         T.StructField("version", T.LongType(), False),
@@ -172,18 +167,37 @@ def _file_stats(md) -> dict:
 
 #: simple conjunct: `col op literal` — the skippable subset of a WHERE
 _CMP_RE = re.compile(
-    r"^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
-    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*\)?\s*$"
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
 
 
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Decompose a WHERE string into provable (col, op, literal) conjuncts.
-    Anything that does not match the simple shape contributes NO pruning
-    (conservative — the full predicate is still applied to the rows)."""
+
+    A top-level AND split is only sound for a PURE conjunction: any OR /
+    NOT / IN anywhere in the predicate disables pruning entirely —
+    splitting "a OR b AND c" on AND would treat the "c" fragment as
+    required and prune files whose rows satisfy the other branch
+    (silently wrong results, not just a missed optimization). Fragments
+    may be wrapped in one BALANCED paren pair ("(a = 1) AND (b = 2)");
+    anything else contributes no pruning. The full predicate is always
+    re-applied to the surviving rows, so every bail-out here is
+    correctness-neutral."""
+    if re.search(r"\b(OR|NOT|IN)\b", where, flags=re.I):
+        return []
     out = []
     for part in re.split(r"\s+AND\s+", where, flags=re.I):
-        m = _CMP_RE.match(part.strip())
+        frag = part.strip()
+        if frag.startswith("(") and frag.endswith(")"):
+            inner = frag[1:-1]
+            # strip only a BALANCED enclosing pair; "f(a)) AND (b" style
+            # fragments must not be repaired into a comparison
+            if inner.count("(") == inner.count(")"):
+                frag = inner.strip()
+        if "(" in frag or ")" in frag:
+            continue
+        m = _CMP_RE.match(frag)
         if not m:
             continue
         col, op, lit = m.groups()
@@ -744,14 +758,17 @@ class DeltaTable:
         idempotent-writer protocol: a streaming sink records
         (appId, batchId) per commit and skips batches already applied —
         exactly-once across restarts without reading its own output)."""
-        best: int | None = None
-        for v in self._commit_versions():
+        # newest-first with early exit: writers record monotonically
+        # increasing versions, so the first hit IS the highest — a
+        # long-lived streaming sink checking before every batch must not
+        # re-parse the whole log each time (O(total commits) per batch
+        # would make log I/O quadratic over the stream's life)
+        for v in reversed(self._commit_versions()):
             for action in self._read_commit(v):
                 t = action.get("txn")
                 if t and t.get("appId") == app_id:
-                    if best is None or t["version"] > best:
-                        best = t["version"]
-        return best
+                    return t["version"]
+        return None
 
     def history(self, spark: SparkSession) -> DataFrame:
         """``DESCRIBE HISTORY`` twin from ``commitInfo`` actions (M2/P6)."""
@@ -1178,7 +1195,22 @@ class DeltaTable:
             }
         ]
         proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-        if proto.get("minWriterVersion", 1) < 3 and "writerFeatures" not in proto:
+        wf = proto.get("writerFeatures")
+        if wf is not None:
+            # feature-list protocol (e.g. after a DV delete): the feature
+            # must be LISTED or compliant external writers won't enforce it
+            if "checkConstraints" not in wf:
+                actions.append(
+                    {
+                        "protocol": {
+                            **proto,
+                            "writerFeatures": sorted(
+                                set(wf) | {"checkConstraints"}
+                            ),
+                        }
+                    }
+                )
+        elif proto.get("minWriterVersion", 1) < 3:
             # checkConstraints is a writer-v3 capability; reader unchanged
             actions.append(
                 {
@@ -1281,16 +1313,43 @@ class DeltaTable:
             "deletionVectors" not in ((protocol or {}).get("readerFeatures") or [])
         )
         if needs_v3:
-            feats = {"deletionVectors"}
+            # upgrading to the feature-list protocol must CARRY OVER every
+            # capability the prior versioned protocol implied — a v7
+            # protocol lists the features a compliant writer enforces, so
+            # dropping e.g. checkConstraints here would let delta-spark
+            # append constraint-violating rows (silent invariant loss)
+            proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+            reader_feats = set(proto.get("readerFeatures") or [])
+            if not reader_feats and proto.get("minReaderVersion", 1) >= 2:
+                reader_feats = {"columnMapping"}
+            writer_feats = set(proto.get("writerFeatures") or [])
+            if not writer_feats:
+                wv = proto.get("minWriterVersion", 2)
+                if wv >= 2:
+                    writer_feats |= {"appendOnly", "invariants"}
+                if wv >= 3:
+                    writer_feats.add("checkConstraints")
+                if wv >= 5:
+                    writer_feats.add("columnMapping")
+            # state-derived (belt and braces: a constraint recorded in the
+            # configuration must be listed regardless of the prior version)
+            if any(
+                k.startswith("delta.constraints.")
+                for k in (meta.get("configuration") or {})
+            ):
+                writer_feats.add("checkConstraints")
             if self._column_mapping(meta):
-                feats.add("columnMapping")
+                reader_feats.add("columnMapping")
+                writer_feats.add("columnMapping")
+            reader_feats.add("deletionVectors")
+            writer_feats.add("deletionVectors")
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": sorted(feats),
-                        "writerFeatures": sorted(feats),
+                        "readerFeatures": sorted(reader_feats),
+                        "writerFeatures": sorted(writer_feats),
                     }
                 }
             )
@@ -1434,10 +1493,9 @@ class DeltaTable:
             )
             d = a.get("deletionVector")
             if d and d.get("storageType") == "u":
-                enc = d["pathOrInlineDv"]
-                uid = _uuid_from_z85(enc[-20:])
+                prefix, uid = _dv.split_u_descriptor(d["pathOrInlineDv"])
                 referenced.add(
-                    os.path.normpath(_dv.dv_sidecar_name(uid, enc[:-20]))
+                    os.path.normpath(_dv.dv_sidecar_name(uid, prefix))
                 )
         cutoff = time.time() - retention_ms / 1000.0
         deleted: list[str] = []
@@ -1522,25 +1580,31 @@ class DeltaTable:
             d = a.get("deletionVector")
             return set(_dv.resolve_dv_rows(self.path, d)) if d else set()
 
+        # per-TABLE constants hoisted out of the per-file reader (they were
+        # recomputed per file; review finding) — and kept textually next to
+        # it so the mapping/HIVE-null conventions stay in lockstep with
+        # `_scan` and `to_pandas`
+        mapping = self._column_mapping(meta) or {}
+        phys = lambda c: mapping.get(c, c)  # noqa: E731
+        part_cols = meta.get("partitionColumns") or []
+        data_schema = T.StructType(
+            [
+                T.StructField(phys(f.name), f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
+        logical = [
+            F.col(phys(f.name)).alias(f.name)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+        types = {f.name: f.dataType for f in schema.fields}
+
         def file_rows(a: dict, keep: set[int] | None, drop: set[int]) -> DataFrame:
             """Rows of one file; ``keep`` restricts to those positions,
             ``drop`` excludes positions."""
             fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
-            mapping = self._column_mapping(meta) or {}
-            phys = lambda c: mapping.get(c, c)  # noqa: E731
-            part_cols = meta.get("partitionColumns") or []
-            data_schema = T.StructType(
-                [
-                    T.StructField(phys(f.name), f.dataType, f.nullable)
-                    for f in schema.fields
-                    if f.name not in part_cols
-                ]
-            )
-            logical = [
-                F.col(phys(f.name)).alias(f.name)
-                for f in schema.fields
-                if f.name not in part_cols
-            ]
             df = spark.read.schema(data_schema).parquet(fp).select(
                 F.col("_metadata.row_index").alias("__rid"), *logical
             )
@@ -1557,7 +1621,6 @@ class DeltaTable:
                 )
                 df = df.join(F.broadcast(ddf), "__rid", "left_anti")
             pv = _as_dict(a.get("partitionValues"))
-            types = {f.name: f.dataType for f in schema.fields}
             for c in part_cols:
                 raw = pv.get(phys(c))
                 val = None if raw is None or raw == _HIVE_NULL else raw
@@ -1577,7 +1640,8 @@ class DeltaTable:
                     break
                 continue
             removed_this_commit: dict[str, dict] = {}
-            for action in self._read_commit(v):
+            actions_v = self._read_commit(v)  # one read per commit
+            for action in actions_v:
                 if "remove" in action:
                     path = action["remove"]["path"]
                     prior = live.pop(path, None)
@@ -1585,7 +1649,7 @@ class DeltaTable:
                         "dataChange", True
                     ):
                         removed_this_commit[path] = prior
-            for action in self._read_commit(v):
+            for action in actions_v:
                 if "add" not in action:
                     continue
                 a = action["add"]
@@ -1749,8 +1813,63 @@ class DeltaTable:
                         ]
                     ),
                 ),
+                # the spec REQUIRES checkpoints to carry unexpired remove
+                # tombstones (VACUUM coordination) and the latest txn per
+                # app (idempotent-writer state) — omitting txn would make
+                # a checkpoint-based external engine re-apply streaming
+                # batches this client's sink already committed
+                pa.field(
+                    "remove",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("deletionTimestamp", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                            ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                ),
             ]
         )
+        # tombstones: the LAST remove per path not currently active; txns:
+        # the highest recorded version per app. One pass over the log
+        # (checkpointing is rare; O(commits) here is what every
+        # Delta client's checkpoint write costs).
+        active_paths = {a["path"] for a in adds}
+        tombstones: dict[str, dict] = {}
+        txns: dict[str, dict] = {}
+        for v in self._commit_versions():
+            if v > version:
+                break
+            for action in self._read_commit(v):
+                if "remove" in action:
+                    r = action["remove"]
+                    if r["path"] not in active_paths:
+                        tombstones[r["path"]] = {
+                            "path": r["path"],
+                            "deletionTimestamp": r.get("deletionTimestamp"),
+                            "dataChange": r.get("dataChange", True),
+                        }
+                    else:
+                        tombstones.pop(r["path"], None)
+                elif "txn" in action:
+                    t = action["txn"]
+                    cur = txns.get(t["appId"])
+                    if cur is None or t["version"] > cur["version"]:
+                        txns[t["appId"]] = {
+                            "appId": t["appId"],
+                            "version": t["version"],
+                            "lastUpdated": t.get("lastUpdated"),
+                        }
         # preserve the table's real protocol: checkpointing a column-mapped
         # (reader v2/v3) table with a hardcoded v1 protocol would let a
         # checkpoint-based reader skip the feature gate entirely
@@ -1776,9 +1895,11 @@ class DeltaTable:
         ]
         table = pa.Table.from_pylist(
             [
-                {"protocol": proto_row, "metaData": None, "add": None},
-                {"protocol": None, "metaData": meta_row, "add": None},
-                *({"protocol": None, "metaData": None, "add": a} for a in add_rows),
+                {"protocol": proto_row},
+                {"metaData": meta_row},
+                *({"add": a} for a in add_rows),
+                *({"remove": r} for r in tombstones.values()),
+                *({"txn": t} for t in txns.values()),
             ],
             schema=cp_schema,
         )

@@ -242,6 +242,16 @@ def dv_sidecar_name(uid: _uuid.UUID, prefix: str = "") -> str:
     return (prefix + "/" if prefix else "") + f"deletion_vector_{uid}.bin"
 
 
+def split_u_descriptor(path_or_inline: str) -> tuple[str, _uuid.UUID]:
+    """'u'-storage ``pathOrInlineDv`` -> (prefix, UUID). The last 20 chars
+    are the z85-encoded 16-byte UUID; anything before is the random
+    directory prefix. THE single home of that slicing convention — the
+    reader (`resolve_dv_rows`) and the vacuum path both resolve sidecar
+    names through here."""
+    prefix, uid85 = path_or_inline[:-20], path_or_inline[-20:]
+    return prefix, _uuid.UUID(bytes=z85_decode(uid85))
+
+
 def make_dv_descriptor(
     table_root: str, row_indexes: list[int], *, prefix: str = ""
 ) -> dict:
@@ -274,9 +284,7 @@ def resolve_dv_rows(table_root: str, dv: dict) -> list[int]:
             blob = blob[: dv["sizeInBytes"]]
         return deserialize_rbm_array(blob)
     if st == "u":
-        enc = dv["pathOrInlineDv"]
-        prefix, uid85 = enc[:-20], enc[-20:]
-        uid = _uuid.UUID(bytes=z85_decode(uid85))
+        prefix, uid = split_u_descriptor(dv["pathOrInlineDv"])
         path = os.path.join(table_root, dv_sidecar_name(uid, prefix))
     elif st == "p":
         path = dv["pathOrInlineDv"]
