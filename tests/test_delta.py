@@ -1005,3 +1005,86 @@ class TestTimestampTravelAndTxn:
         assert t.last_txn_version("job-a") == 1
         assert t.last_txn_version("job-b") == 1
         assert t.last_txn_version("nope") is None
+
+
+class TestSkippingSoundness:
+    """Regression tests from the round-4 self-review: data skipping must
+    be provably sound for non-conjunctive predicates, and protocol
+    upgrades must never drop implied capabilities."""
+
+    def test_or_predicate_disables_pruning_not_results(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 50):
+            t.write(make_df(spark, lo, 50).coalesce(1))
+        # rows 0..49 satisfy the OR's left branch; the old AND-split
+        # treated 'id >= 90' as required and pruned their file
+        got = t.read(spark, where="sym = 'S0' OR sym = 'S1' AND id >= 90")
+        assert len(got.inputFiles()) == 2  # no pruning claimed
+        expect = {
+            i for i in range(100) if i % 3 == 0 or (i % 3 == 1 and i >= 90)
+        }
+        assert {r.id for r in got.collect()} == expect
+
+    def test_not_predicate_disables_pruning(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 50):
+            t.write(make_df(spark, lo, 50).coalesce(1))
+        got = t.read(spark, where="NOT (id >= 50)")
+        assert len(got.inputFiles()) == 2
+        assert {r.id for r in got.collect()} == set(range(50))
+
+    def test_balanced_paren_conjuncts_still_prune(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 50):
+            t.write(make_df(spark, lo, 50).coalesce(1))
+        got = t.read(spark, where="(id >= 60) AND (id < 80)")
+        assert len(got.inputFiles()) == 1
+        assert {r.id for r in got.collect()} == set(range(60, 80))
+
+    def test_constraint_survives_dv_protocol_upgrade(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        t.add_check_constraint("id_nonneg", "id >= 0")
+        t.delete(spark, "id = 3")  # upgrades to the v7 feature list
+        _meta, _adds, proto = t._snapshot_state_full(None)
+        assert "checkConstraints" in proto["writerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+        # and enforcement still fires post-upgrade
+        with pytest.raises(ValueError, match="id_nonneg"):
+            t.write(spark.createDataFrame([(-5, "S0")], "id long, sym string"))
+
+    def test_constraint_added_after_dv_is_listed(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        t.delete(spark, "id = 3")
+        t.add_check_constraint("id_cap", "id < 1000")
+        _meta, _adds, proto = t._snapshot_state_full(None)
+        assert "checkConstraints" in proto["writerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+
+    def test_checkpoint_carries_txn_state(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5), txn=("app-x", 7))
+        v = t.checkpoint(spark)
+        cp = pq.read_table(
+            os.path.join(str(tmp_path / "t"), "_delta_log",
+                         f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+        txns = [r["txn"] for r in cp if r.get("txn")]
+        assert txns == [{"appId": "app-x", "version": 7, "lastUpdated": txns[0]["lastUpdated"]}]
+
+    def test_checkpoint_carries_tombstones(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        t.write(make_df(spark, 0, 2).coalesce(1), mode="overwrite")
+        v = t.checkpoint(spark)
+        cp = pq.read_table(
+            os.path.join(str(tmp_path / "t"), "_delta_log",
+                         f"{v:020d}.checkpoint.parquet")
+        ).to_pylist()
+        removes = [r["remove"] for r in cp if r.get("remove")]
+        assert len(removes) == 1 and removes[0]["path"].endswith(".parquet")
