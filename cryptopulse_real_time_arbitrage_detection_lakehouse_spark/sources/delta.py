@@ -61,6 +61,18 @@ from pyspark.sql import types as T
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class CommitConflict(Exception):
+    """Another writer published this commit version first (the
+    put-if-absent lost). Internal signal — callers either retry from a
+    fresh snapshot (blind appends) or surface `ConcurrentWriteError`."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent commit logically conflicts with this operation (it
+    read snapshot state another writer has since changed). Retry the
+    whole operation from a fresh snapshot."""
+
+
 HISTORY_SCHEMA = T.StructType(
     [
         T.StructField("version", T.LongType(), False),
@@ -1040,18 +1052,88 @@ class DeltaTable:
                 )
         actions.extend({"add": a} for a in adds)
 
-        self._write_commit(version, actions)
-        return version
+        # optimistic concurrency: a blind APPEND whose commit slot was
+        # taken retries against the new tail if the interleaved commits
+        # are themselves pure appends (no metaData/protocol/remove — the
+        # only state this append read was the schema, which is then
+        # unchanged). Anything else — overwrites, schema evolution, or an
+        # interleaved non-append — is a logical conflict surfaced to the
+        # caller. A retry re-publishes the SAME staged files under the
+        # next version; file names are uuid-unique so nothing collides.
+        for _attempt in range(20):
+            try:
+                self._write_commit(version, actions)
+                return version
+            except CommitConflict:
+                if mode != "append" or new_schema_json is not None:
+                    raise ConcurrentWriteError(
+                        f"{_operation} on {self.path} lost the commit race "
+                        f"at version {version} and cannot be safely "
+                        "retried; rerun from a fresh snapshot"
+                    )
+                latest = self.latest_version()
+                for v2 in range(version, latest + 1):
+                    for action in self._read_commit(v2):
+                        if (
+                            "metaData" in action
+                            or "protocol" in action
+                            or "remove" in action
+                        ):
+                            raise ConcurrentWriteError(
+                                f"append on {self.path} conflicts with a "
+                                f"concurrent non-append commit at version "
+                                f"{v2}; rerun from a fresh snapshot"
+                            )
+                        t = action.get("txn")
+                        if (
+                            txn is not None
+                            and t
+                            and t.get("appId") == txn[0]
+                            and t["version"] >= txn[1]
+                        ):
+                            # another instance of OUR app already applied
+                            # this very batch: idempotent no-op
+                            return latest
+                version = latest + 1
+        raise ConcurrentWriteError(
+            f"append on {self.path} kept losing the commit race (20 attempts)"
+        )
 
     def _write_commit(self, version: int, actions: list[dict]) -> None:
-        """Atomically publish one commit file (rename = the commit point)."""
+        """Atomically publish one commit file with PUT-IF-ABSENT
+        semantics: ``os.link`` fails if the target exists, so of two
+        writers racing for the same version exactly one wins and the
+        other gets `CommitConflict` — the optimistic-concurrency commit
+        point every Delta log store must provide (a plain rename would
+        silently CLOBBER the winner's commit, losing its transaction)."""
         os.makedirs(self._log_dir, exist_ok=True)
         final = _commit_path(self._log_dir, version)
         tmp = os.path.join(self._log_dir, f".tmp-{version}-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             for action in actions:
                 f.write(json.dumps(action) + "\n")
-        os.rename(tmp, final)  # atomic on POSIX
+        try:
+            os.link(tmp, final)  # atomic create-if-absent on POSIX
+        except FileExistsError:
+            raise CommitConflict(version)
+        finally:
+            os.unlink(tmp)
+
+    def _publish_or_conflict(
+        self, version: int, actions: list[dict], operation: str
+    ) -> int:
+        """Publish a commit that read snapshot state: ANY concurrent
+        commit is a logical conflict (the snapshot this operation
+        validated/derived from is stale) — surfaced, never retried
+        blindly."""
+        try:
+            self._write_commit(version, actions)
+        except CommitConflict:
+            raise ConcurrentWriteError(
+                f"{operation} on {self.path} conflicts with a concurrent "
+                f"commit at version {version}; retry from a fresh snapshot"
+            )
+        return version
 
     # ------------------------------------------------- schema evolution
 
@@ -1065,6 +1147,7 @@ class DeltaTable:
         mapping exists for (delta-spark's
         ``delta.columnMapping.mode = name`` upgrade).
         """
+        base = self.latest_version() or 0
         meta, _ = self._snapshot_state(None)
         if self._column_mapping(meta):
             raise ValueError(f"column mapping already enabled: {self.path}")
@@ -1080,9 +1163,8 @@ class DeltaTable:
         conf["delta.columnMapping.mode"] = "name"
         conf["delta.columnMapping.maxColumnId"] = str(len(schema.get("fields", [])))
         new_meta["configuration"] = conf
-        version = (self.latest_version() or 0) + 1
-        self._write_commit(
-            version,
+        return self._publish_or_conflict(
+            base + 1,
             [
                 {
                     "commitInfo": {
@@ -1094,12 +1176,14 @@ class DeltaTable:
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
                 {"metaData": new_meta},
             ],
+            "UPGRADE COLUMN MAPPING",
         )
-        return version
 
-    def _metadata_commit(self, operation: str, new_meta: dict) -> int:
-        version = (self.latest_version() or 0) + 1
-        self._write_commit(
+    def _metadata_commit(
+        self, operation: str, new_meta: dict, base: int | None = None
+    ) -> int:
+        version = ((self.latest_version() if base is None else base) or 0) + 1
+        return self._publish_or_conflict(
             version,
             [
                 {
@@ -1111,13 +1195,14 @@ class DeltaTable:
                 },
                 {"metaData": new_meta},
             ],
+            operation,
         )
-        return version
 
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column without touching any data file — the logical
         name changes in the schema metadata, the physical name stays
         bound to the bytes on disk. Requires column mapping."""
+        base = self.latest_version() or 0
         meta, _ = self._snapshot_state(None)
         if not self._column_mapping(meta):
             raise ValueError(
@@ -1138,13 +1223,14 @@ class DeltaTable:
         new_meta["partitionColumns"] = [
             new if c == old else c for c in meta.get("partitionColumns") or []
         ]
-        return self._metadata_commit("RENAME COLUMN", new_meta)
+        return self._metadata_commit("RENAME COLUMN", new_meta, base=base)
 
     def drop_column(self, name: str) -> int:
         """Drop a column without rewriting data — the field leaves the
         schema; the physical bytes stay in the files and every read
         prunes them. Requires column mapping; partition columns cannot
         be dropped."""
+        base = self.latest_version() or 0
         meta, _ = self._snapshot_state(None)
         if not self._column_mapping(meta):
             raise ValueError(
@@ -1162,7 +1248,7 @@ class DeltaTable:
         schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
         new_meta = dict(meta)
         new_meta["schemaString"] = json.dumps(schema)
-        return self._metadata_commit("DROP COLUMN", new_meta)
+        return self._metadata_commit("DROP COLUMN", new_meta, base=base)
 
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT twin (writer feature
@@ -1176,6 +1262,7 @@ class DeltaTable:
 
         if not name.isidentifier() or keyword.iskeyword(name):
             raise ValueError(f"bad constraint name {name!r}")
+        base = self.latest_version() or 0
         meta, _adds, protocol = self._snapshot_state_full(None)
         conf = dict(meta.get("configuration") or {})
         key = f"delta.constraints.{name}"
@@ -1184,7 +1271,6 @@ class DeltaTable:
         conf[key] = expr
         new_meta = dict(meta)
         new_meta["configuration"] = conf
-        version = (self.latest_version() or 0) + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -1221,10 +1307,10 @@ class DeltaTable:
                 }
             )
         actions.append({"metaData": new_meta})
-        self._write_commit(version, actions)
-        return version
+        return self._publish_or_conflict(base + 1, actions, "ADD CONSTRAINT")
 
     def drop_check_constraint(self, name: str) -> int:
+        base = self.latest_version() or 0
         meta, _ = self._snapshot_state(None)
         conf = dict(meta.get("configuration") or {})
         key = f"delta.constraints.{name}"
@@ -1233,7 +1319,7 @@ class DeltaTable:
         del conf[key]
         new_meta = dict(meta)
         new_meta["configuration"] = conf
-        return self._metadata_commit("DROP CONSTRAINT", new_meta)
+        return self._metadata_commit("DROP CONSTRAINT", new_meta, base=base)
 
     def _check_constraints(self, df: DataFrame, meta: dict) -> None:
         """Refuse a write whose batch violates any recorded constraint —
@@ -1280,6 +1366,10 @@ class DeltaTable:
         """
         from . import dv as _dv
 
+        # pin the commit slot to the SNAPSHOT this delete derives from: a
+        # commit landing between snapshot and publish must collide at
+        # base+1 and surface ConcurrentWriteError, never be built over
+        base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = (
@@ -1391,9 +1481,7 @@ class DeltaTable:
             )
             actions.append({"add": new_add})
 
-        version = (self.latest_version() or 0) + 1
-        self._write_commit(version, actions)
-        return version
+        return self._publish_or_conflict(base + 1, actions, "DELETE")
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /
@@ -1433,6 +1521,7 @@ class DeltaTable:
         sees them); the data files must still exist, i.e. not vacuumed.
         Restoring also re-instates the target's schema/metadata, so a
         bad schema evolution rolls back too."""
+        base = self.latest_version() or 0
         cur_meta, cur_adds, _ = self._snapshot_state_full(None)
         tgt_meta, tgt_adds, _ = self._snapshot_state_full(version)
         for a in tgt_adds:
@@ -1472,9 +1561,7 @@ class DeltaTable:
         for path, a in sorted(tgt_by_path.items()):
             if cur_by_path.get(path) != a:
                 actions.append({"add": a})
-        new_version = (self.latest_version() or 0) + 1
-        self._write_commit(new_version, actions)
-        return new_version
+        return self._publish_or_conflict(base + 1, actions, "RESTORE")
 
     def vacuum(self, *, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
         """VACUUM: physically delete data files and DV sidecars that the

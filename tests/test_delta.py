@@ -1088,3 +1088,141 @@ class TestSkippingSoundness:
         ).to_pylist()
         removes = [r["remove"] for r in cp if r.get("remove")]
         assert len(removes) == 1 and removes[0]["path"].endswith(".parquet")
+
+
+class TestOptimisticConcurrency:
+    """The commit point is put-if-absent: of two writers racing for one
+    version exactly one wins (a plain rename would silently CLOBBER the
+    winner's commit). Blind appends retry against an append-only tail;
+    snapshot-reading operations surface ConcurrentWriteError."""
+
+    def _steal_next_version(self, t):
+        # simulate a concurrent writer publishing the next commit first
+        v = t.latest_version() + 1
+        with open(
+            os.path.join(t.path, "_delta_log", f"{v:020d}.json"), "w"
+        ) as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "commitInfo": {
+                            "timestamp": 0,
+                            "operation": "WRITE",
+                            "operationParameters": {"mode": "Append"},
+                        }
+                    }
+                )
+                + "\n"
+            )
+        return v
+
+    def test_append_retries_past_concurrent_append(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            CommitConflict,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        stolen = self._steal_next_version(t)
+        v = t.write(make_df(spark, 5, 5))  # must NOT clobber; retries
+        assert v == stolen + 1
+        assert t.read(spark).count() == 10
+        # the stolen commit's file is intact
+        got = open(
+            os.path.join(t.path, "_delta_log", f"{stolen:020d}.json")
+        ).read()
+        assert '"timestamp": 0' in got
+        # direct collision raises the internal conflict signal
+        with pytest.raises(CommitConflict):
+            t._write_commit(v, [{"commitInfo": {"timestamp": 1}}])
+
+    def test_append_conflicts_with_concurrent_overwrite(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            ConcurrentWriteError,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        _meta, adds = t._snapshot_state(None)
+        orig = t._snapshot_state_full
+        fired = {"done": False}
+
+        def hooked(version=None):
+            out = orig(version)
+            if not fired["done"]:
+                fired["done"] = True
+                # concurrent OVERWRITE removes a file in the race window
+                v = t.latest_version() + 1
+                with open(
+                    os.path.join(t.path, "_delta_log", f"{v:020d}.json"), "w"
+                ) as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "remove": {
+                                    "path": adds[0]["path"],
+                                    "deletionTimestamp": 0,
+                                    "dataChange": True,
+                                }
+                            }
+                        )
+                        + "\n"
+                    )
+            return out
+
+        t._snapshot_state_full = hooked
+        with pytest.raises(ConcurrentWriteError, match="non-append"):
+            t.write(make_df(spark, 5, 5))
+
+    def _race_after_snapshot(self, t):
+        """Interpose the concurrent commit in the REAL race window: after
+        this writer takes its snapshot, before it publishes."""
+        orig = t._snapshot_state_full
+        fired = {"done": False}
+
+        def hooked(version=None):
+            out = orig(version)
+            if not fired["done"]:
+                fired["done"] = True
+                self._steal_next_version(t)
+            return out
+
+        t._snapshot_state_full = hooked
+
+    def test_overwrite_conflict_surfaces(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            ConcurrentWriteError,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        self._race_after_snapshot(t)
+        with pytest.raises(ConcurrentWriteError):
+            t.write(make_df(spark, 0, 2), mode="overwrite")
+        # the concurrent commit was not clobbered; table state is its view
+        assert t.read(spark).count() == 5
+
+    def test_delete_conflict_surfaces(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            ConcurrentWriteError,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        self._race_after_snapshot(t)
+        with pytest.raises(ConcurrentWriteError, match="DELETE"):
+            t.delete(spark, "id = 1")
+        assert t.read(spark).count() == 5  # nothing half-applied
+
+    def test_txn_append_detects_other_instance_applied_batch(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        # a concurrent instance of the SAME app committed our batch id
+        v = t.latest_version() + 1
+        with open(
+            os.path.join(t.path, "_delta_log", f"{v:020d}.json"), "w"
+        ) as fh:
+            fh.write(json.dumps({"txn": {"appId": "app-z", "version": 4}}) + "\n")
+        out = t.write(make_df(spark, 5, 5), txn=("app-z", 4))
+        assert out == v  # no-op: batch already applied by the other instance
+        assert t.read(spark).count() == 5
