@@ -300,3 +300,101 @@ def delta_change_feed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "change_type")
     )
+
+
+@register(
+    "delta_gdpr_delete_stream_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND user_id % 10 NOT IN (3, 7)
+GROUP BY event_type
+""",
+    doc="Right-to-erasure pipeline end-to-end: the events table lands in "
+    "Delta (one commit per event_type), then a STREAM of deletion "
+    "requests (two micro-batches of user ids: ids ending in 3, then in "
+    "7) drives foreachBatch DV deletes with txn idempotence — each "
+    "request batch commits remove+re-add with roaring-bitmap sidecars "
+    "and a (app, batch) txn action, so a replayed request batch is "
+    "skipped in the log and NO data file is ever rewritten. The oracle "
+    "recomputes the surviving rows straight from events. This is the "
+    "GDPR/CCPA erasure shape at 100 TB: deletes touch KBs of bitmap per "
+    "affected file instead of rewriting petabytes, and compliance "
+    "audits read the change feed.",
+    tags=("delta", "deletion-vectors", "streaming", "gdpr"),
+)
+def delta_gdpr_delete_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)
+
+    # the deletion-request stream: two bounded micro-batches of user ids
+    req_dir = tempfile.mkdtemp(prefix="cpgdpr_req_")
+    for i, digit in enumerate((3, 7)):
+        spark.createDataFrame([(digit,)], "last_digit long").write.parquet(
+            os.path.join(req_dir, f"batch{i}")
+        )
+
+    def apply_deletes(batch_df, batch_id: int) -> None:
+        digits = [r.last_digit for r in batch_df.collect()]
+        if not digits:
+            return
+        preds = " OR ".join(f"user_id % 10 = {d}" for d in digits)
+        # the txn rides the SAME commit as the DV delete, so idempotence
+        # and erasure are atomic: a replayed request batch is a no-op
+        table.delete(spark, preds, txn=("gdpr-eraser", batch_id))
+
+    # process the two request batches deterministically (availableNow
+    # over the request directory would interleave them into one batch;
+    # erasure ordering must be the request order), then PROVE replay
+    # safety by re-applying batch 0
+    for i in range(2):
+        batch = spark.read.parquet(os.path.join(req_dir, f"batch{i}"))
+        apply_deletes(batch, i)
+    apply_deletes(spark.read.parquet(os.path.join(req_dir, "batch0")), 0)
+
+    survivors = table.read(spark)
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "delta_tpch_refresh_audit",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey % 100 <> 1
+GROUP BY o_orderstatus
+""",
+    doc="TPC-H refresh functions through the lakehouse write path: the "
+    "orders table lands in Delta minus a 10% tail, RF1 (new sales) "
+    "APPENDS that tail back as a second commit, RF2 (old sales purge) "
+    "DELETES o_orderkey % 100 = 1 via deletion vectors — the "
+    "insert/delete maintenance cycle every warehouse benchmark models, "
+    "run here with ACID commits, per-file stats, and no file rewrites "
+    "on the delete leg. Oracle recomputes the end state from orders "
+    "with exact-decimal totals. At 100 TB: RF1 is a blind append "
+    "(optimistic-retry safe), RF2 touches only the files whose key "
+    "ranges contain purged orders (log stats prune the scan).",
+    tags=("delta", "tpch", "refresh", "deletion-vectors"),
+)
+def delta_tpch_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = DeltaTable(tempfile.mkdtemp(prefix="cptpchrf_") + "/orders_delta")
+    table.write(orders.filter(F.col("o_orderkey") % 10 != 0).repartition(4))
+    # RF1: new sales append
+    table.write(orders.filter(F.col("o_orderkey") % 10 == 0).repartition(2))
+    # RF2: old sales purge, deletion vectors (no rewrite)
+    table.delete(spark, "o_orderkey % 100 = 1")
+    from ..functions.determinism import dsum
+
+    t = table.read(spark)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )

@@ -1339,7 +1339,9 @@ class DeltaTable:
                     f"{n_bad} row(s); write refused"
                 )
 
-    def delete(self, spark: SparkSession, condition) -> int:
+    def delete(
+        self, spark: SparkSession, condition, *, txn: tuple[str, int] | None = None
+    ) -> int:
         """DELETE WHERE ``condition`` via deletion vectors — no data file
         is rewritten. Returns the committed version (a no-op delete still
         commits, mirroring delta-spark's DELETE semantics).
@@ -1369,6 +1371,10 @@ class DeltaTable:
         # pin the commit slot to the SNAPSHOT this delete derives from: a
         # commit landing between snapshot and publish must collide at
         # base+1 and surface ConcurrentWriteError, never be built over
+        if txn is not None:
+            applied = self.last_txn_version(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1382,11 +1388,17 @@ class DeltaTable:
         new_by_file: dict[str, list[int]] = {}
         for r in matched:
             new_by_file.setdefault(r["__file"], []).append(r["__rid"])
+        txn_actions = (
+            [{"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}]
+            if txn is not None
+            else []
+        )
 
         by_name = {
             os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
         }
         actions: list[dict] = [
+            *txn_actions,
             {
                 "commitInfo": {
                     "timestamp": now_ms,
