@@ -337,10 +337,28 @@ class DeltaTable:
             # the checkpoint is the part that scales with table size; read
             # it with pyarrow so state reconstruction never needs a JVM
             # (this is driver-side work in Spark too — every Delta client
-            # materializes the active-file list to plan the scan)
+            # materializes the active-file list to plan the scan). A
+            # multi-part checkpoint (`parts` in _last_checkpoint; spec's
+            # scale path for huge file lists) reads every part — action
+            # order across parts is irrelevant, the state is a set.
             import pyarrow.parquet as pq
 
-            for d in pq.read_table(cp_file).to_pylist():
+            n_parts = cp.get("parts")
+            if n_parts:
+                part_files = [
+                    os.path.join(
+                        self._log_dir,
+                        f"{cp['version']:020d}.checkpoint."
+                        f"{i + 1:010d}.{n_parts:010d}.parquet",
+                    )
+                    for i in range(n_parts)
+                ]
+                rows = [
+                    d for pf in part_files for d in pq.read_table(pf).to_pylist()
+                ]
+            else:
+                rows = pq.read_table(cp_file).to_pylist()
+            for d in rows:
                 if d.get("add"):
                     add = d["add"]
                     add["partitionValues"] = _as_dict(add.get("partitionValues"))
@@ -1832,7 +1850,7 @@ class DeltaTable:
             _data_change=False,
         )
 
-    def checkpoint(self, spark: SparkSession) -> int:
+    def checkpoint(self, spark: SparkSession, *, parts: int | None = None) -> int:
         """Write a parquet checkpoint at the latest version.
 
         Collapses the log so later snapshot builds replay only the JSON
@@ -2002,8 +2020,35 @@ class DeltaTable:
             ],
             schema=cp_schema,
         )
-        pq.write_table(table, stage)
-        os.rename(stage, cp_file)
+        if parts and parts > 1:
+            # multi-part checkpoint (spec scale path): rows round-robin
+            # across `%020d.checkpoint.%010d.%010d.parquet` files; action
+            # placement is arbitrary per spec — the state is a set. Parts
+            # stage under dot-names and publish with renames BEFORE
+            # _last_checkpoint flips readers over (a reader never sees a
+            # half-published checkpoint because discovery goes through
+            # _last_checkpoint, which is written last).
+            for i in range(parts):
+                part_tbl = table.filter(
+                    [r % parts == i for r in range(table.num_rows)]
+                )
+                part_stage = os.path.join(
+                    self._log_dir, f".cp-part-{uuid.uuid4().hex}"
+                )
+                pq.write_table(part_tbl, part_stage)
+                os.rename(
+                    part_stage,
+                    os.path.join(
+                        self._log_dir,
+                        f"{version:020d}.checkpoint."
+                        f"{i + 1:010d}.{parts:010d}.parquet",
+                    ),
+                )
+            last = {"version": version, "size": table.num_rows, "parts": parts}
+        else:
+            pq.write_table(table, stage)
+            os.rename(stage, cp_file)
+            last = {"version": version, "size": table.num_rows}
         with open(os.path.join(self._log_dir, "_last_checkpoint"), "w") as f:
-            json.dump({"version": version, "size": table.num_rows}, f)
+            json.dump(last, f)
         return version

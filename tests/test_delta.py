@@ -1226,3 +1226,25 @@ class TestOptimisticConcurrency:
         out = t.write(make_df(spark, 5, 5), txn=("app-z", 4))
         assert out == v  # no-op: batch already applied by the other instance
         assert t.read(spark).count() == 5
+
+
+class TestMultiPartCheckpoint:
+    def test_multipart_checkpoint_roundtrip(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(4):
+            t.write(make_df(spark, i * 5, 5).coalesce(1))
+        v = t.checkpoint(spark, parts=3)
+        names = sorted(os.listdir(str(tmp_path / "t" / "_delta_log")))
+        part_files = [n for n in names if ".checkpoint.00" in n]
+        assert len(part_files) == 3
+        assert json.load(
+            open(str(tmp_path / "t/_delta_log/_last_checkpoint"))
+        )["parts"] == 3
+        # snapshot rebuilt from the multi-part checkpoint + tail
+        t.write(make_df(spark, 20, 3).coalesce(1))
+        assert {r.id for r in t.read(spark).collect()} == set(range(23))
+        # DVs and protocol survive part distribution too
+        t.delete(spark, "id < 2")
+        t.checkpoint(spark, parts=2)
+        t.write(make_df(spark, 23, 2).coalesce(1))
+        assert {r.id for r in t.read(spark).collect()} == set(range(2, 25))
