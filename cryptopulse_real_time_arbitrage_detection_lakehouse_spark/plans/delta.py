@@ -398,3 +398,41 @@ def delta_tpch_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+@register(
+    "pyds_delta_survivors",
+    oracle=f"""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'view' AND value < 10)
+  AND event_type >= 'p'
+GROUP BY event_type
+""",
+    doc="The Delta client as a REGISTERED Spark data source (Spark 4 "
+    "Python Data Source API, sources/pyds.py): the table lands in "
+    "Delta, a DV DELETE drops cheap views, and the read goes through "
+    "spark.read.format('pydelta') — schema discovery, one "
+    "InputPartition per active file scheduled across executors, Arrow "
+    "RecordBatch reads, DV application by row position, and the "
+    "where-option's log-stats file pruning + exact row filtering "
+    "(event_type >= 'p' keeps purchase/signup/view files only; the "
+    "module documents why pushFilters is unsound on this Spark "
+    "version). Green means the whole format integrates with Spark's "
+    "planner as a first-class source, not just as library calls.",
+    tags=("delta", "python-datasource", "deletion-vectors"),
+)
+def pyds_delta_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    table = _build_delta_table(spark, sf_dir)
+    table.delete(spark, "event_type = 'view' AND value < 10")
+    pyds.register(spark)
+    out = (
+        spark.read.format("pydelta")
+        .option("path", table.path)
+        .option("where", "event_type >= 'p'")
+        .load()
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

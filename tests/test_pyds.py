@@ -1,0 +1,105 @@
+"""Spark 4 Python Data Source API: the Delta client as
+spark.read.format("pydelta") — schema discovery, executor-side Arrow
+reads, DV application, column mapping, time travel, and option-scoped
+file pruning (see sources/pyds.py for why pushFilters is deliberately
+absent on this Spark version)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import (
+    pyds,
+)
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+    DeltaTable,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = DeltaTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("g"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("day"),
+    )
+    t.write(df, partition_by=["day"])
+    t.delete(spark, "g = 2")
+    pyds.register(spark)
+    return t
+
+
+class TestPyDeltaSource:
+    def test_read_applies_dvs_and_partition_values(self, spark, table):
+        out = spark.read.format("pydelta").option("path", table.path).load()
+        assert set(out.columns) == {"id", "g", "day"}
+        rows = {(r.id, r.day) for r in out.collect()}
+        assert rows == {
+            (i, f"d{i % 3}") for i in range(100) if i % 5 != 2
+        }
+
+    def test_shared_dataframe_not_poisoned_by_filtered_action(self, spark, table):
+        # the hazard that rules out pushFilters on Spark 4.1: a filtered
+        # action then an unfiltered one on the SAME DataFrame
+        out = spark.read.format("pydelta").option("path", table.path).load()
+        assert out.count() == 80
+        assert out.filter("day = 'd1'").count() == 26
+        assert out.count() == 80  # scan must be filter-independent
+
+    def test_where_option_prunes_and_filters_exactly(self, spark, table):
+        w = (
+            spark.read.format("pydelta")
+            .option("path", table.path)
+            .option("where", "day = 'd1'")
+            .load()
+        )
+        assert w.count() == 26
+        rdr = pyds.PyDeltaReader({"path": table.path, "where": "day = 'd1'"}, w.schema)
+        full = pyds.PyDeltaReader({"path": table.path}, w.schema)
+        assert 0 < len(rdr.partitions()) < len(full.partitions())
+        # row-exactness within surviving files: mid-file range predicate
+        r = (
+            spark.read.format("pydelta")
+            .option("path", table.path)
+            .option("where", "id >= 90")
+            .load()
+        )
+        assert {x.id for x in r.collect()} == {
+            i for i in range(90, 100) if i % 5 != 2
+        }
+
+    def test_version_and_timestamp_travel(self, spark, table):
+        v0 = (
+            spark.read.format("pydelta")
+            .option("path", table.path)
+            .option("versionAsOf", "0")
+            .load()
+        )
+        assert v0.count() == 100
+        import time as _time
+
+        ts_now = int(_time.time() * 1000) + 60_000
+        latest = (
+            spark.read.format("pydelta")
+            .option("path", table.path)
+            .option("timestampAsOf", str(ts_now))
+            .load()
+        )
+        assert latest.count() == 80
+
+    def test_column_mapped_table_reads_logical_names(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "cm"))
+        t.write(
+            spark.createDataFrame(
+                [("A", 1.5), ("B", 2.5)], "sym string, px double"
+            )
+        )
+        t.enable_column_mapping()
+        t.rename_column("px", "price")
+        t.write(spark.createDataFrame([("C", 3.5)], "sym string, price double"))
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", t.path).load()
+        assert out.columns == ["sym", "price"]
+        assert sorted(r.price for r in out.collect()) == [1.5, 2.5, 3.5]
