@@ -1787,14 +1787,34 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = rp.filter(F.col("bucket") < SPLIT_TRAIN_LT).select(
         F.col("doc_id").alias("train_doc_id"), F.col("n").alias("nb"), "x"
     )
+    # second LOSSLESS prune, on the count of SHARED RARE shingles: the
+    # pair's total overlap must reach t*|A|, and at most `na_common` of
+    # it (A's above-cap shingles) can be invisible to the postings join,
+    # so shared_rare >= t*|A| - na_common for every qualifying pair. A
+    # one-rare-shingle coincidence between a short test doc and many
+    # long train docs — the bulk of the 92k candidates at sf0.1 — dies
+    # here instead of in the array-carrying verify join.
+    na_common = (
+        postings.filter(F.col("bucket") >= SPLIT_VAL_LT)
+        .join(rare, "x", "left_anti")
+        .groupBy(F.col("doc_id").alias("test_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     cand = (
         a.join(b, "x")
         .filter(
             F.col("nb").cast("double")
             >= F.lit(CONTAIN_THRESHOLD) * F.col("na").cast("double")
         )
+        .groupBy("test_doc_id", "train_doc_id", "na")
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+        .join(F.broadcast(na_common), "test_doc_id", "left")
+        .filter(
+            F.col("shared_rare").cast("double")
+            >= F.lit(CONTAIN_THRESHOLD) * F.col("na").cast("double")
+            - F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+        )
         .select("test_doc_id", "train_doc_id")
-        .distinct()
     )
     xa = xs_df.select(F.col("doc_id").alias("test_doc_id"), F.col("xs").alias("xs_a"))
     xb = xs_df.select(
