@@ -52,14 +52,20 @@ def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: with an executor (a lost executor would permanently fail every later
 #: gold query), while the parquet table is durable, survives session
 #: restarts, and gives downstream plans real column pruning per branch.
-_GOLD_CACHE: dict[str, str] = {}
+_GOLD_CACHE: dict[tuple, str] = {}
 
 
 def _gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    key = os.path.abspath(sf_dir)
+    # key includes the source's mtime so regenerated testdata at the
+    # same path is never served from a stale materialization
+    events_file = os.path.join(sf_dir, "events.parquet")
+    key = (
+        os.path.abspath(sf_dir),
+        os.path.getmtime(events_file) if os.path.exists(events_file) else 0,
+    )
     path = _GOLD_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix="cpgold_") + "/gold_candles"

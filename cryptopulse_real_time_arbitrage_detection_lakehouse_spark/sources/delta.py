@@ -223,6 +223,28 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     return out
 
 
+def _parse_conjuncts_strict(where: str) -> list[tuple[str, str, object]]:
+    """Like `_parse_conjuncts` but REFUSES predicates it cannot fully
+    decompose. For consumers that re-apply the predicate to rows
+    (`DeltaTable.read`) a partial parse is correctness-neutral; for
+    consumers whose row filtering IS the parsed conjuncts (the pydelta
+    source's `where` option) a dropped fragment would silently return
+    wrong rows — they must error instead."""
+    if re.search(r"\b(OR|NOT|IN)\b", where, flags=re.I):
+        raise ValueError(
+            f"unsupported predicate {where!r}: only simple AND-conjunctions "
+            "of `col op literal` are supported here"
+        )
+    parts = re.split(r"\s+AND\s+", where, flags=re.I)
+    out = _parse_conjuncts(where)
+    if len(out) != len(parts):
+        raise ValueError(
+            f"unsupported predicate {where!r}: every AND-conjunct must be "
+            "a simple `col op literal` comparison"
+        )
+    return out
+
+
 def _file_may_match(
     add: dict,
     conjuncts: list[tuple[str, str, object]],
@@ -784,10 +806,12 @@ class DeltaTable:
         return self.read(spark, version=self.version_at_timestamp(ts_ms), **kwargs)
 
     def last_txn_version(self, app_id: str) -> int | None:
-        """Highest ``txn`` version recorded for ``app_id`` (the spec's
-        idempotent-writer protocol: a streaming sink records
-        (appId, batchId) per commit and skips batches already applied —
-        exactly-once across restarts without reading its own output)."""
+        """The ``txn`` version in the NEWEST commit carrying one for
+        ``app_id`` — per the spec the latest setTransaction REPLACES
+        earlier state for the app (a writer that deliberately resets its
+        version counter starts a new idempotence epoch). `checkpoint()`
+        records the same newest-commit-wins state so checkpoint-based
+        readers agree with log replay."""
         # newest-first with early exit: writers record monotonically
         # increasing versions, so the first hit IS the highest — a
         # long-lived streaming sink checking before every batch must not
@@ -1980,13 +2004,13 @@ class DeltaTable:
                         tombstones.pop(r["path"], None)
                 elif "txn" in action:
                     t = action["txn"]
-                    cur = txns.get(t["appId"])
-                    if cur is None or t["version"] > cur["version"]:
-                        txns[t["appId"]] = {
-                            "appId": t["appId"],
-                            "version": t["version"],
-                            "lastUpdated": t.get("lastUpdated"),
-                        }
+                    # newest commit REPLACES (spec setTransaction
+                    # semantics) — must match last_txn_version
+                    txns[t["appId"]] = {
+                        "appId": t["appId"],
+                        "version": t["version"],
+                        "lastUpdated": t.get("lastUpdated"),
+                    }
         # preserve the table's real protocol: checkpointing a column-mapped
         # (reader v2/v3) table with a hardcoded v1 protocol would let a
         # checkpoint-based reader skip the feature gate entirely

@@ -47,7 +47,7 @@ from pyspark.sql.datasource import (
 )
 
 from . import dv as _dv
-from .delta import DeltaTable, _file_may_match, _parse_conjuncts, _HIVE_NULL
+from .delta import DeltaTable, _file_may_match, _parse_conjuncts_strict, _HIVE_NULL
 
 
 class PyDeltaPartition(InputPartition):
@@ -66,6 +66,36 @@ class PyDeltaPartition(InputPartition):
         self.part_values = part_values
         self.dv_rows = dv_rows
         self.conjuncts = conjuncts
+
+
+def _coerce_partition_value(raw, dt: T.DataType):
+    """Hive-encoded partition string -> a Python value pyarrow can build
+    an array of the column's arrow type from. Unsupported partition
+    types fail HERE at planning time, loudly — a string fallback would
+    produce a column whose type mismatches the declared schema."""
+    import datetime
+    import decimal
+
+    if raw is None or raw == _HIVE_NULL:
+        return None
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int(raw)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw == "true"
+    if isinstance(dt, T.StringType):
+        return raw
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(raw)
+    if isinstance(dt, T.DecimalType):
+        return decimal.Decimal(raw)
+    raise NotImplementedError(
+        f"partition column type {dt.simpleString()} is not supported by the "
+        "pydelta source"
+    )
 
 
 def _spark_to_arrow_type(dt: T.DataType):
@@ -91,19 +121,31 @@ def _spark_to_arrow_type(dt: T.DataType):
     }.get(dt)
 
 
+def _resolve_version(table: DeltaTable, opts: dict) -> int | None:
+    """Time-travel target from lowercased options; specifying both
+    version and timestamp is ambiguous and refused (delta-spark does
+    the same)."""
+    version = opts.get("versionasof")
+    ts = opts.get("timestampasof")
+    if version is not None and ts is not None:
+        raise ValueError("specify versionAsOf OR timestampAsOf, not both")
+    if ts is not None:
+        return table.version_at_timestamp(int(ts))
+    return int(version) if version is not None else None
+
+
+def _lower_opts(options: dict) -> dict:
+    # Spark hands options through a case-insensitive dict whose plain
+    # dict() view is lowercased — normalize every lookup
+    return {str(k).lower(): v for k, v in dict(options).items()}
+
+
 class PyDeltaReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType) -> None:
-        # Spark hands options through a case-insensitive dict whose plain
-        # dict() view is lowercased — look keys up lowercased only
-        opts = {str(k).lower(): v for k, v in dict(options).items()}
+        opts = _lower_opts(options)
         self._root = opts["path"]
         table = DeltaTable(self._root)
-        version = opts.get("versionasof")
-        if version is not None:
-            version = int(version)
-        ts = opts.get("timestampasof")
-        if ts is not None:
-            version = table.version_at_timestamp(int(ts))
+        version = _resolve_version(table, opts)
         meta, adds = table._snapshot_state(version)
         self._meta = meta
         self._adds = adds
@@ -111,10 +153,20 @@ class PyDeltaReader(DataSourceReader):
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
         where = opts.get("where")
+        # STRICT parse: this reader's row filtering IS the conjunct list
+        # (nothing re-applies the predicate above the scan), so a
+        # predicate that does not fully decompose must error, never
+        # silently under-filter
         self._conjuncts: list[tuple[str, str, object]] = (
-            _parse_conjuncts(where) if where else []
+            _parse_conjuncts_strict(where) if where else []
         )
-        self._table = table
+        # arrow types per column, precomputed ONCE (read() must not
+        # re-parse the schema JSON per field per file on executors)
+        log_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        self._arrow_types = {
+            f.name: _spark_to_arrow_type(f.dataType) for f in log_schema.fields
+        }
+        self._spark_types = {f.name: f.dataType for f in log_schema.fields}
 
     # ----------------------------------------------------------- planning
 
@@ -141,7 +193,7 @@ class PyDeltaReader(DataSourceReader):
                 if _file_may_match(a, conjuncts, self._part_cols, phys)
             ]
         out = []
-        types = {f.name: f.dataType for f in self._schema.fields}
+        types = self._spark_types
         phys_to_logical = {
             phys(f.name): f.name
             for f in self._schema.fields
@@ -152,14 +204,7 @@ class PyDeltaReader(DataSourceReader):
             part_values = {}
             for c in self._part_cols:
                 raw = pv_raw.get(phys(c))
-                if raw is None or raw == _HIVE_NULL:
-                    part_values[c] = None
-                elif isinstance(types[c], (T.LongType, T.IntegerType)):
-                    part_values[c] = int(raw)
-                elif isinstance(types[c], (T.DoubleType, T.FloatType)):
-                    part_values[c] = float(raw)
-                else:
-                    part_values[c] = raw
+                part_values[c] = _coerce_partition_value(raw, types[c])
             dv_rows: list[int] = []
             if a.get("deletionVector"):
                 # module captured at import time: runtime relative imports
@@ -177,6 +222,12 @@ class PyDeltaReader(DataSourceReader):
                     conjuncts,
                 )
             )
+        # the planner pickles (partitions, read function) for executors
+        # AFTER this call: drop the driver-only state so each task does
+        # not redundantly carry the whole add list + stats JSON (linear
+        # in table size times task count)
+        self._adds = []
+        self._meta = {}
         return out
 
     # ---------------------------------------------------------- execution
@@ -202,7 +253,7 @@ class PyDeltaReader(DataSourceReader):
                 name,
                 pa.array(
                     [val] * tbl.num_rows,
-                    type=self._arrow_type_for(name) or pa.string(),
+                    type=self._arrow_types.get(name) or pa.string(),
                 ),
             )
         # conform every column to the Spark schema's arrow types (e.g.
@@ -210,7 +261,7 @@ class PyDeltaReader(DataSourceReader):
         fields = []
         changed = False
         for fld in tbl.schema:
-            want = self._arrow_type_for(fld.name)
+            want = self._arrow_types.get(fld.name)
             if want is not None and want != fld.type:
                 fields.append(pa.field(fld.name, want))
                 changed = True
@@ -234,13 +285,6 @@ class PyDeltaReader(DataSourceReader):
                 }[op]
                 tbl = tbl.filter(expr)
         yield from tbl.to_batches()
-
-    def _arrow_type_for(self, name: str):
-        # the reader object (with the log metadata dict) is pickled to
-        # executors; re-derive the partition column's arrow type from it
-        schema = T.StructType.fromJson(json.loads(self._meta["schemaString"]))
-        dt = next(f.dataType for f in schema.fields if f.name == name)
-        return _spark_to_arrow_type(dt)
 
 
 def register(spark) -> None:
@@ -273,8 +317,12 @@ class PyDeltaDataSource(DataSource):
         return "pydelta"
 
     def schema(self) -> T.StructType:
-        table = DeltaTable(self.options["path"])
-        meta, _ = table._snapshot_state(None)
+        opts = _lower_opts(self.options)
+        table = DeltaTable(opts["path"])
+        # resolve at the TRAVELED version: a schema-evolved table read at
+        # an old version must expose that version's columns (the latest
+        # schema would send executors after columns the old files lack)
+        meta, _ = table._snapshot_state(_resolve_version(table, opts))
         return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
     def reader(self, schema: T.StructType) -> PyDeltaReader:

@@ -1248,3 +1248,34 @@ class TestMultiPartCheckpoint:
         t.checkpoint(spark, parts=2)
         t.write(make_df(spark, 23, 2).coalesce(1))
         assert {r.id for r in t.read(spark).collect()} == set(range(2, 25))
+
+
+class TestTxnRetryBranch:
+    def test_retry_loop_detects_racing_instance_of_same_app(self, spark, tmp_path):
+        """The OTHER txn-idempotence path: the pre-check passes (no txn
+        recorded yet), the commit RACE is lost, and the interleaved
+        commit turns out to be OUR OWN app's batch — the retry loop must
+        return as a no-op, not double-apply."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        orig = t._snapshot_state_full
+        fired = {"done": False}
+
+        def hooked(version=None):
+            out = orig(version)
+            if not fired["done"]:
+                fired["done"] = True
+                v = t.latest_version() + 1
+                with open(
+                    os.path.join(t.path, "_delta_log", f"{v:020d}.json"), "w"
+                ) as fh:
+                    fh.write(
+                        json.dumps({"txn": {"appId": "app-r", "version": 5}})
+                        + "\n"
+                    )
+            return out
+
+        t._snapshot_state_full = hooked
+        out = t.write(make_df(spark, 5, 5), txn=("app-r", 5))
+        assert out == t.latest_version()
+        assert t.read(spark).count() == 5  # our batch was NOT double-applied

@@ -103,3 +103,65 @@ class TestPyDeltaSource:
         out = spark.read.format("pydelta").option("path", t.path).load()
         assert out.columns == ["sym", "price"]
         assert sorted(r.price for r in out.collect()) == [1.5, 2.5, 3.5]
+
+
+class TestPyDeltaWhereSoundness:
+    """Round-4 second self-review regressions: the where option's row
+    filtering IS the parsed conjunct list, so unsupported predicates
+    must ERROR (DeltaTable.read can be lenient — it re-applies the
+    predicate; this source cannot)."""
+
+    def test_unsupported_where_raises(self, spark, table):
+        for bad in ("id = 1 OR id = 2", "NOT (id = 1)", "abs(id) >= 9 AND id >= 8"):
+            with pytest.raises(Exception, match="unsupported predicate"):
+                (
+                    spark.read.format("pydelta")
+                    .option("path", table.path)
+                    .option("where", bad)
+                    .load()
+                    .count()
+                )
+
+    def test_both_travel_options_rejected(self, spark, table):
+        with pytest.raises(Exception, match="not both"):
+            (
+                spark.read.format("pydelta")
+                .option("path", table.path)
+                .option("versionAsOf", "0")
+                .option("timestampAsOf", "1")
+                .load()
+                .count()
+            )
+
+    def test_travel_resolves_old_schema(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "ev"))
+        t.write(spark.createDataFrame([(1,)], "id long"))
+        t.write(
+            spark.createDataFrame([(2, "x")], "id long, tag string"),
+            merge_schema=True,
+        )
+        pyds.register(spark)
+        v0 = (
+            spark.read.format("pydelta")
+            .option("path", t.path)
+            .option("versionAsOf", "0")
+            .load()
+        )
+        assert v0.columns == ["id"]
+        assert [r.id for r in v0.collect()] == [1]
+        latest = spark.read.format("pydelta").option("path", t.path).load()
+        assert set(latest.columns) == {"id", "tag"}
+
+    def test_date_partitioned_table_reads(self, spark, tmp_path):
+        import datetime
+
+        t = DeltaTable(str(tmp_path / "dp"))
+        df = spark.createDataFrame(
+            [(i, datetime.date(2026, 1, 1 + i % 3)) for i in range(9)],
+            "id long, d date",
+        )
+        t.write(df, partition_by=["d"])
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", t.path).load()
+        rows = {(r.id, r.d) for r in out.collect()}
+        assert rows == {(i, datetime.date(2026, 1, 1 + i % 3)) for i in range(9)}
