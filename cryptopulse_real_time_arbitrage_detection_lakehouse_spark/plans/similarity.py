@@ -1086,3 +1086,79 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "emb_dimension_stats",
+    oracle=f"""
+WITH q AS (
+  SELECT r.i - 1 AS dim,
+         CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {QSCALE!r}) AS BIGINT) AS xq
+  FROM embeddings, range(1, {EMB_DIM} + 1) r(i)
+),
+m AS (
+  SELECT dim, count(*) AS n,
+         CAST(SUM(xq) AS HUGEINT) AS sx,
+         CAST(SUM(xq * xq) AS HUGEINT) AS sxx,
+         min(xq) AS minq,
+         max(xq) AS maxq
+  FROM q GROUP BY dim
+)
+SELECT dim, n AS n_vecs,
+       CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {QSCALE!r}) AS mean_x,
+       CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {QSCALE!r} * {QSCALE!r})
+         AS var_x,
+       CAST(minq AS DOUBLE) / {QSCALE!r} AS min_x,
+       CAST(maxq AS DOUBLE) / {QSCALE!r} AS max_x
+FROM m
+""",
+    doc="Per-DIMENSION embedding statistics (mean/variance/range of each "
+    "of the 64 coordinates) — the batch-quality audit an embedding "
+    "pipeline runs before indexing: a collapsed dimension (variance ~0) "
+    "means the encoder ignores it (wasting index bytes and flattening "
+    "cosine contrast); an exploded range means a normalization bug "
+    "upstream. Moments are computed over the same 2^-24 quantization "
+    "grid every ANN kernel in this engine scores on (floor(x * 2^24) as "
+    "int64 — float32->double widening and the power-of-two multiply are "
+    "both exact), so all sums are exact integers and both engines "
+    "divide bit-identical operands; a plain double->decimal dsum hit a "
+    "DuckDB rounding divergence at the 13th digit on exactly this data. "
+    "Scale: one posexplode + a 64-group aggregation; the shuffle "
+    "carries 64 keys x (count, two int sums) per map partition — "
+    "constant-width regardless of corpus size.",
+    tags=("similarity", "embedding", "quality", "audit"),
+)
+def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x0")).select(
+        "dim",
+        F.floor(F.col("x0").cast("double") * F.lit(float(QSCALE)))
+        .cast("long")
+        .alias("xq"),
+    )
+    n = F.count(F.lit(1))
+    # sums fit long (|xq| <= 2^24, xq^2 <= 2^48; rows per dim bounded by
+    # corpus size); the cross terms n*sxx and sx^2 need 38-digit decimals
+    agg = d.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        n.alias("n_vecs"),
+        F.sum("xq").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.min("xq").alias("minq"),
+        F.max("xq").alias("maxq"),
+    )
+    nd = F.col("n_vecs").cast("double")
+    scale = F.lit(float(QSCALE))
+    var_num = (
+        F.col("n_vecs").cast("decimal(38,0)") * F.col("sxx").cast("decimal(38,0)")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        (F.col("sx").cast("double") / (nd * scale)).alias("mean_x"),
+        (var_num.cast("double") / (nd * nd * scale * scale)).alias("var_x"),
+        (F.col("minq").cast("double") / scale).alias("min_x"),
+        (F.col("maxq").cast("double") / scale).alias("max_x"),
+    )

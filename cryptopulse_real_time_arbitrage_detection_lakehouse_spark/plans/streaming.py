@@ -98,3 +98,95 @@ def streaming_gold_candles_availablenow(spark: SparkSession, sf_dir: str) -> Dat
         "trade_count",
         "vwap",
     )
+
+
+@register(
+    "streaming_click_purchase_interval_join",
+    oracle="""
+WITH c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id % 10 AS user_bucket,
+       count(*) AS n_matches,
+       count(DISTINCT p.event_id) AS n_purchases,
+       count(DISTINCT c.event_id) AS n_clicks
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+GROUP BY 1
+""",
+    doc="STREAM-STREAM interval join, physically executed (T7 made "
+    "driver-checkable): click and purchase streams over the same event "
+    "source, both watermarked 10 minutes, inner-joined on user with a "
+    "30-minute attribution window, drained append-mode through a "
+    "checkpointed parquet sink with trigger(availableNow=True), then "
+    "audited per user bucket. Inner-join matches emit as found; the "
+    "dual watermark (Spark takes the MIN across inputs) bounds the "
+    "buffered state to the interval span — the mechanism that makes "
+    "stream-stream joins feasible at 100 TB/day, where unbounded state "
+    "would OOM. The source is a single file so the bounded drain is one "
+    "micro-batch and emission is deterministic; the oracle is the plain "
+    "batch interval join — stream == batch, the Structured Streaming "
+    "contract.",
+    tags=("streaming", "join", "interval", "watermark"),
+)
+def streaming_click_purchase_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="cpssjoin_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "joined")
+    ckpt = os.path.join(root, "ckpt")
+    # one file -> one micro-batch: deterministic emission (state eviction
+    # across micro-batches would otherwise depend on file order)
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("purchase_user"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_user", "purchase_id", "click_id")
+    drain(
+        start_parquet_stream(
+            joined,
+            path=out_path,
+            checkpoint=ckpt,
+            query_name="click_purchase_interval_join",
+        )
+    )
+    matches = spark.read.parquet(out_path)
+    return matches.groupBy((F.col("purchase_user") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.countDistinct("click_id").alias("n_clicks"),
+    )
