@@ -261,3 +261,119 @@ class TestDeletionVectorCodec:
         blob = struct.pack("<i", dv.MAGIC) + struct.pack("<q", 1)
         blob += struct.pack("<i", 0) + bytes(bitmap)
         assert dv.deserialize_rbm_array(blob) == list(range(5, 105))
+
+
+class TestSkippingProverSoundness:
+    """Pure-python property for the data-skipping prover: whenever
+    `_file_may_match` answers False, NO row in the file satisfies the
+    conjunction. (Completeness — pruning as much as possible — is a
+    performance property; soundness is correctness and must hold for
+    every stats/predicate combination hypothesis can dream up.)"""
+
+    @given(
+        rows=st.lists(
+            st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30
+        ),
+        bounds=st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        ops=st.lists(
+            st.sampled_from(["=", "<", "<=", ">", ">="]), min_size=1, max_size=3
+        ),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_pruned_file_has_no_matching_rows(self, rows, bounds, ops):
+        import json as _json
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            _file_may_match,
+        )
+
+        add = {
+            "stats": _json.dumps(
+                {
+                    "numRecords": len(rows),
+                    "minValues": {"x": min(rows)},
+                    "maxValues": {"x": max(rows)},
+                    "nullCount": {"x": 0},
+                }
+            ),
+            "partitionValues": {},
+        }
+        lits = [bounds[i % 2] for i in range(len(ops))]
+        conjuncts = [("x", op, lit) for op, lit in zip(ops, lits)]
+
+        def row_matches(v):
+            return all(
+                {
+                    "=": v == c_lit,
+                    "<": v < c_lit,
+                    "<=": v <= c_lit,
+                    ">": v > c_lit,
+                    ">=": v >= c_lit,
+                }[c_op]
+                for _c, c_op, c_lit in conjuncts
+            )
+
+        may = _file_may_match(add, conjuncts, [], lambda c: c)
+        if not may:
+            assert not any(row_matches(v) for v in rows), (
+                conjuncts,
+                min(rows),
+                max(rows),
+            )
+
+    @given(
+        raw=st.integers(min_value=-100, max_value=100),
+        op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+        lit=st.integers(min_value=-100, max_value=100),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_partition_value_pruning_sound(self, raw, op, lit):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            _file_may_match,
+        )
+
+        add = {"stats": None, "partitionValues": {"p": str(raw)}}
+        conjuncts = [("p", op, lit)]
+        matches = {
+            "=": raw == lit,
+            "<": raw < lit,
+            "<=": raw <= lit,
+            ">": raw > lit,
+            ">=": raw >= lit,
+        }[op]
+        may = _file_may_match(add, conjuncts, ["p"], lambda c: c)
+        if matches:
+            assert may  # a file whose partition value matches must survive
+
+    @given(
+        where=st.sampled_from(
+            [
+                "a = 1 AND b < 2",
+                "a = 1 OR b < 2",
+                "NOT (a = 1)",
+                "a IN (1, 2)",
+                "(a = 1) AND (b >= 3)",
+                "abs(a) = 1 AND b = 2",
+            ]
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_strict_parser_never_partial(self, where):
+        """The strict parser either fully decomposes or raises — it can
+        never return a subset of the predicate's conjuncts (the pydelta
+        soundness contract)."""
+        import re
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            _parse_conjuncts_strict,
+        )
+
+        try:
+            out = _parse_conjuncts_strict(where)
+        except ValueError:
+            return
+        n_parts = len(re.split(r"\s+AND\s+", where, flags=re.I))
+        assert len(out) == n_parts
