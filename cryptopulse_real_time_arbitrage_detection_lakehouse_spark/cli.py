@@ -47,6 +47,28 @@ def _build_parser() -> argparse.ArgumentParser:
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.add_argument("--tag", default=None, help="filter by tag substring")
+
+    d = sub.add_parser(
+        "delta", help="Delta table maintenance (OPTIMIZE/VACUUM/RESTORE/...)"
+    )
+    d.add_argument("--path", required=True, help="table root")
+    dsub = d.add_subparsers(dest="delta_cmd", required=True)
+    dsub.add_parser("history", help="DESCRIBE HISTORY")
+    comp = dsub.add_parser("compact", help="OPTIMIZE (small-file compaction)")
+    comp.add_argument("--target-files", type=int, default=1)
+    comp.add_argument(
+        "--zorder-by", default=None, help="two comma-separated columns"
+    )
+    vac = dsub.add_parser("vacuum", help="delete unreferenced old files")
+    vac.add_argument(
+        "--retention-hours", type=float, default=168.0, help="default 7 days"
+    )
+    rst = dsub.add_parser("restore", help="roll back to a version")
+    rst.add_argument("version", type=int)
+    cp = dsub.add_parser("checkpoint", help="write a log checkpoint")
+    cp.add_argument("--parts", type=int, default=None)
+    dl = dsub.add_parser("delete", help="DELETE WHERE via deletion vectors")
+    dl.add_argument("predicate")
     return p
 
 
@@ -73,6 +95,34 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if args.cmd == "query":
             df = plans.get(args.name).fn(spark, args.sf_dir)
             df.show(args.limit, truncate=False)
+            return 0
+
+        if args.cmd == "delta":
+            from .sources.delta import DeltaTable
+
+            t = DeltaTable(args.path)
+            if args.delta_cmd == "history":
+                t.history(spark).show(100, truncate=False)
+            elif args.delta_cmd == "compact":
+                z = tuple(args.zorder_by.split(",")) if args.zorder_by else None
+                v = t.compact(spark, target_files=args.target_files, zorder_by=z)
+                print(f"OPTIMIZE committed version {v}")
+            elif args.delta_cmd == "vacuum":
+                deleted = t.vacuum(
+                    retention_ms=int(args.retention_hours * 3600 * 1000)
+                )
+                print(f"vacuumed {len(deleted)} file(s)")
+                for rel in deleted:
+                    print(f"  {rel}")
+            elif args.delta_cmd == "restore":
+                v = t.restore(args.version)
+                print(f"RESTORE committed version {v}")
+            elif args.delta_cmd == "checkpoint":
+                v = t.checkpoint(spark, parts=args.parts)
+                print(f"checkpointed at version {v}")
+            elif args.delta_cmd == "delete":
+                v = t.delete(spark, args.predicate)
+                print(f"DELETE committed version {v}")
             return 0
 
         if args.cmd == "pipeline":

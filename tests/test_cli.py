@@ -56,3 +56,37 @@ def test_query_catalog_is_current():
         text=True,
     )
     assert rc.returncode == 0, rc.stdout + rc.stderr
+
+
+class TestDeltaMaintenanceCli:
+    def test_delta_subcommands_roundtrip(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import (
+            main,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / "t")
+        t = DeltaTable(root)
+        for i in range(3):
+            t.write(
+                spark.range(i * 10, i * 10 + 10).select(
+                    F.col("id"), (F.col("id") % 4).alias("g")
+                ).coalesce(1)
+            )
+        assert main(["delta", "--path", root, "delete", "g = 1"], spark=spark) == 0
+        out = capsys.readouterr().out
+        assert "DELETE committed version" in out
+        assert t.read(spark).count() == 30 - 8  # ids 1,5,...29 -> 8 rows? g=id%4==1
+        assert main(["delta", "--path", root, "compact", "--target-files", "1"], spark=spark) == 0
+        assert main(["delta", "--path", root, "checkpoint"], spark=spark) == 0
+        assert main(["delta", "--path", root, "vacuum", "--retention-hours", "0"], spark=spark) == 0
+        out = capsys.readouterr().out
+        assert "vacuumed" in out
+        assert main(["delta", "--path", root, "history"], spark=spark) == 0
+        out = capsys.readouterr().out
+        assert "OPTIMIZE" in out and "DELETE" in out
+        assert t.read(spark).count() == 30 - 8
