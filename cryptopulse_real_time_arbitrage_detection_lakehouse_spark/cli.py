@@ -104,7 +104,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             if args.delta_cmd == "history":
                 t.history(spark).show(100, truncate=False)
             elif args.delta_cmd == "compact":
-                z = tuple(args.zorder_by.split(",")) if args.zorder_by else None
+                z = None
+                if args.zorder_by:
+                    cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                    if len(cols) != 2:
+                        print(
+                            "--zorder-by needs exactly two comma-separated "
+                            f"columns, got {args.zorder_by!r}",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    z = (cols[0], cols[1])
                 v = t.compact(spark, target_files=args.target_files, zorder_by=z)
                 print(f"OPTIMIZE committed version {v}")
             elif args.delta_cmd == "vacuum":

@@ -52,26 +52,29 @@ def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: with an executor (a lost executor would permanently fail every later
 #: gold query), while the parquet table is durable, survives session
 #: restarts, and gives downstream plans real column pruning per branch.
-_GOLD_CACHE: dict[tuple, str] = {}
+_GOLD_CACHE: dict[str, tuple[float, str]] = {}
 
 
 def _gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
-    # key includes the source's mtime so regenerated testdata at the
-    # same path is never served from a stale materialization
+    # the source's mtime invalidates the cache when testdata at the same
+    # path is regenerated; exactly ONE materialization per sf_dir lives
+    # at a time (the superseded one is deleted, not leaked)
     events_file = os.path.join(sf_dir, "events.parquet")
-    key = (
-        os.path.abspath(sf_dir),
-        os.path.getmtime(events_file) if os.path.exists(events_file) else 0,
-    )
-    path = _GOLD_CACHE.get(key)
-    if path is None or not os.path.isdir(path):
+    mtime = os.path.getmtime(events_file) if os.path.exists(events_file) else 0
+    key = os.path.abspath(sf_dir)
+    cached = _GOLD_CACHE.get(key)
+    if cached is not None and (cached[0] != mtime or not os.path.isdir(cached[1])):
+        shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
+        cached = None
+    if cached is None:
         path = tempfile.mkdtemp(prefix="cpgold_") + "/gold_candles"
         _gold(spark, sf_dir).write.parquet(path)
-        _GOLD_CACHE[key] = path
-    return spark.read.parquet(path)
+        _GOLD_CACHE[key] = cached = (mtime, path)
+    return spark.read.parquet(cached[1])
 
 
 #: DuckDB twin of the gold candle aggregation (kept in lockstep with

@@ -1139,12 +1139,15 @@ def emb_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xq"),
     )
     n = F.count(F.lit(1))
-    # sums fit long (|xq| <= 2^24, xq^2 <= 2^48; rows per dim bounded by
-    # corpus size); the cross terms n*sxx and sx^2 need 38-digit decimals
+    # sx fits long at any realistic scale (n * 2^24 < 2^63 up to ~5e14
+    # rows); sxx and the cross terms use exact 38-digit decimals
     agg = d.groupBy(F.col("dim").cast("long").alias("dim")).agg(
         n.alias("n_vecs"),
         F.sum("xq").alias("sx"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        # per-row xq^2 fits long (<= 2^48) but the SUM overflows int64
+        # past ~131k vectors; exact decimal summation matches the
+        # oracle's HUGEINT at any corpus size
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("sxx"),
         F.min("xq").alias("minq"),
         F.max("xq").alias("maxq"),
     )

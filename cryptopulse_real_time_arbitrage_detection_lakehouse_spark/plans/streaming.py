@@ -184,7 +184,9 @@ def streaming_click_purchase_interval_join(
             query_name="click_purchase_interval_join",
         )
     )
-    matches = spark.read.parquet(out_path)
+    # explicit schema: a zero-match drain commits no data files and
+    # schema inference would fail where the correct answer is empty
+    matches = spark.read.schema(joined.schema).parquet(out_path)
     return matches.groupBy((F.col("purchase_user") % 10).alias("user_bucket")).agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.countDistinct("purchase_id").alias("n_purchases"),

@@ -196,7 +196,7 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     anything else contributes no pruning. The full predicate is always
     re-applied to the surviving rows, so every bail-out here is
     correctness-neutral."""
-    if re.search(r"\b(OR|NOT|IN)\b", where, flags=re.I):
+    if re.search(r"\b(OR|NOT|IN)\b", re.sub(r"'[^']*'", "''", where), flags=re.I):
         return []
     out = []
     for part in re.split(r"\s+AND\s+", where, flags=re.I):
@@ -230,7 +230,10 @@ def _parse_conjuncts_strict(where: str) -> list[tuple[str, str, object]]:
     consumers whose row filtering IS the parsed conjuncts (the pydelta
     source's `where` option) a dropped fragment would silently return
     wrong rows — they must error instead."""
-    if re.search(r"\b(OR|NOT|IN)\b", where, flags=re.I):
+    # screen STRUCTURE only: 'or'/'not'/'in' INSIDE a quoted string
+    # literal (status = 'checked in') is data, not an operator
+    structure = re.sub(r"'[^']*'", "''", where)
+    if re.search(r"\b(OR|NOT|IN)\b", structure, flags=re.I):
         raise ValueError(
             f"unsupported predicate {where!r}: only simple AND-conjunctions "
             "of `col op literal` are supported here"
@@ -1982,7 +1985,8 @@ class DeltaTable:
             ]
         )
         # tombstones: the LAST remove per path not currently active; txns:
-        # the highest recorded version per app. One pass over the log
+        # newest-commit-wins per app (setTransaction REPLACES — must match
+        # last_txn_version's newest-first scan). One pass over the log
         # (checkpointing is rare; O(commits) here is what every
         # Delta client's checkpoint write costs).
         active_paths = {a["path"] for a in adds}

@@ -141,12 +141,17 @@ def _lower_opts(options: dict) -> dict:
 
 
 class PyDeltaReader(DataSourceReader):
-    def __init__(self, options: dict, schema: T.StructType) -> None:
+    def __init__(
+        self, options: dict, schema: T.StructType, snapshot=None
+    ) -> None:
         opts = _lower_opts(options)
         self._root = opts["path"]
         table = DeltaTable(self._root)
-        version = _resolve_version(table, opts)
-        meta, adds = table._snapshot_state(version)
+        if snapshot is not None:
+            _version, meta, adds = snapshot
+        else:
+            version = _resolve_version(table, opts)
+            meta, adds = table._snapshot_state(version)
         self._meta = meta
         self._adds = adds
         self._schema = schema
@@ -237,12 +242,31 @@ class PyDeltaReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(
-            partition.file_path, columns=list(partition.phys_to_logical)
-        )
+        if partition is None:
+            # partitions() pruned every file (e.g. a where-option literal
+            # matching nothing): Spark still schedules one task with a
+            # None partition — the correct output is zero batches
+            return
+
+        # schema-directed read: a pre-evolution file lacks columns added
+        # later (merge_schema); request only what the footer has and
+        # null-fill the rest — requesting a missing column would crash
+        # the whole scan (ArrowInvalid), where Delta semantics say NULL
+        present = set(pq.read_schema(partition.file_path).names)
+        wanted = [c for c in partition.phys_to_logical if c in present]
+        tbl = pq.read_table(partition.file_path, columns=wanted)
         tbl = tbl.rename_columns(
             [partition.phys_to_logical[c] for c in tbl.column_names]
         )
+        for phys_name, logical in partition.phys_to_logical.items():
+            if phys_name not in present:
+                tbl = tbl.append_column(
+                    logical,
+                    pa.nulls(
+                        tbl.num_rows,
+                        type=self._arrow_types.get(logical) or pa.string(),
+                    ),
+                )
         if partition.dv_rows:
             mask = np.ones(tbl.num_rows, dtype=bool)
             gone = np.asarray(partition.dv_rows, dtype=np.int64)
@@ -322,8 +346,14 @@ class PyDeltaDataSource(DataSource):
         # resolve at the TRAVELED version: a schema-evolved table read at
         # an old version must expose that version's columns (the latest
         # schema would send executors after columns the old files lack)
-        meta, _ = table._snapshot_state(_resolve_version(table, opts))
+        version = _resolve_version(table, opts)
+        meta, adds = table._snapshot_state(version)
+        # stash the replayed snapshot: reader() (same instance, possibly
+        # pickled with this state) can then skip a second log replay
+        self._snapshot = (version, meta, adds)
         return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
     def reader(self, schema: T.StructType) -> PyDeltaReader:
-        return PyDeltaReader(dict(self.options), schema)
+        return PyDeltaReader(
+            dict(self.options), schema, snapshot=getattr(self, "_snapshot", None)
+        )

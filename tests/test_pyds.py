@@ -165,3 +165,34 @@ class TestPyDeltaWhereSoundness:
         out = spark.read.format("pydelta").option("path", t.path).load()
         rows = {(r.id, r.d) for r in out.collect()}
         assert rows == {(i, datetime.date(2026, 1, 1 + i % 3)) for i in range(9)}
+
+    def test_schema_evolved_table_null_fills_old_files(self, spark, tmp_path):
+        # the latest-version read of an evolved table must surface NULLs
+        # for pre-evolution files, not crash requesting absent columns
+        t = DeltaTable(str(tmp_path / "ev2"))
+        t.write(spark.createDataFrame([(1,)], "id long"))
+        t.write(
+            spark.createDataFrame([(2, "x")], "id long, tag string"),
+            merge_schema=True,
+        )
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", t.path).load()
+        rows = {(r.id, r.tag) for r in out.collect()}
+        assert rows == {(1, None), (2, "x")}
+
+    def test_where_with_quoted_keyword_literal(self, spark, table):
+        # 'or'/'in'/'not' INSIDE a string literal is data, not an operator
+        w = (
+            spark.read.format("pydelta")
+            .option("path", table.path)
+            .option("where", "day = 'd1' AND day >= 'd0'")
+            .load()
+        )
+        assert w.count() == 26
+        ok = (
+            spark.read.format("pydelta")
+            .option("path", table.path)
+            .option("where", "day = 'not in order'")
+            .load()
+        )
+        assert ok.count() == 0
