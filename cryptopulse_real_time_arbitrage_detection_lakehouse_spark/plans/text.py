@@ -1983,3 +1983,67 @@ def doc_near_dup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keeper_doc_id"),
         F.max("n_chars").alias("keeper_n_chars"),
     )
+
+
+#: a document is "short" below this many chars (boilerplate/fragment
+#: signal in the per-source scorecard)
+SHORT_DOC_CHARS = 100
+
+
+@register(
+    "doc_source_scorecard",
+    oracle=f"""
+WITH h AS (
+  SELECT source, lang, n_chars, md5(lower(trim(text))) AS content_hash
+  FROM documents
+),
+dup AS (
+  SELECT content_hash, count(*) AS n_copies FROM h GROUP BY content_hash
+)
+SELECT h.source,
+       count(*) AS n_docs,
+       CAST(SUM(h.n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT h.lang) AS n_langs,
+       CAST(count(CASE WHEN h.n_chars < {SHORT_DOC_CHARS} THEN 1 END) AS DOUBLE)
+         / count(*) AS short_doc_rate,
+       CAST(count(CASE WHEN dup.n_copies > 1 THEN 1 END) AS DOUBLE)
+         / count(*) AS dup_involvement_rate
+FROM h JOIN dup USING (content_hash)
+GROUP BY h.source
+""",
+    doc="Per-SOURCE curation scorecard: volume, language spread, "
+    "short-document rate, and exact-duplicate involvement for every "
+    "ingestion source — the table a data-mixture owner reads to decide "
+    "which crawls to up/down-weight or drop before training (a source "
+    "whose docs are mostly near-empty or duplicated elsewhere adds "
+    "tokens, not information). Dup involvement counts a doc whose "
+    "content hash appears anywhere in the corpus, so a source that "
+    "plagiarizes another scores high even if internally unique. Scale: "
+    "one digest pass, one hash-keyed count (16-byte keys, never text), "
+    "one source-keyed rollup; all ratios divide exact integers.",
+    tags=("text", "curation", "quality", "source"),
+)
+def doc_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    dup = h.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    joined = h.join(dup, "content_hash")
+    n = F.count(F.lit(1))
+    return joined.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.count(F.when(F.col("n_chars") < SHORT_DOC_CHARS, 1)).cast("double")
+            / n.cast("double")
+        ).alias("short_doc_rate"),
+        (
+            F.count(F.when(F.col("n_copies") > 1, 1)).cast("double")
+            / n.cast("double")
+        ).alias("dup_involvement_rate"),
+    )
