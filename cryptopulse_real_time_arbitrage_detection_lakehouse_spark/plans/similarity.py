@@ -409,10 +409,28 @@ WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # both sides of the band self-join derive from `banded` — compute the
-    # sign-bucket kernel once, not once per side.
-    banded = shared(emb.select(
-        "vec_id",
+    # SCALE.md lesson, applied: collapse BIT-IDENTICAL vectors before
+    # banding. Exact duplicates are the adversarial mass for LSH (k
+    # copies of a vector put k identical signatures in every band
+    # bucket, k^2 candidate pairs each paying a cosine); collapsing to
+    # one representative per distinct vector makes the banded join's
+    # work a function of DISTINCT content. Lossless by construction:
+    # members of a digest group share every band value and every cosine
+    # with any third vector, and within-group pairs have quantized
+    # cosine exactly 1.0 (dot(q,q)/(sqrt(n2)*sqrt(n2))) — no math
+    # needed. (Collapsing by the QUANTIZED vector would NOT be lossless:
+    # sign_bucket tests x > 0, and floor-equal coordinates straddling 0
+    # can band differently.)
+    dig = F.md5(F.to_json(F.col("embedding")))
+    members = shared(emb.select("vec_id", dig.alias("dig")))
+    reps = members.groupBy("dig").agg(F.min("vec_id").alias("rep_id"))
+    rep_vecs = shared(
+        emb.select("vec_id", "embedding")
+        .join(reps, F.col("vec_id") == F.col("rep_id"))
+        .select("dig", "embedding")
+    )
+    banded = shared(rep_vecs.select(
+        "dig",
         "embedding",
         F.explode(
             F.array(
@@ -428,24 +446,55 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select(
-        "vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val")
+        "dig", "embedding", F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
     ))
     a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "band_val"
+        F.col("dig").alias("dig_a"), F.col("embedding").alias("ea"),
+        "band", "band_val",
     )
     b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "band_val"
+        F.col("dig").alias("dig_b"), F.col("embedding").alias("eb"),
+        "band", "band_val",
     )
-    hits = a.join(b, ["band", "band_val"]).filter(F.col("vec_a") < F.col("vec_b"))
+    hits = a.join(b, ["band", "band_val"]).filter(F.col("dig_a") < F.col("dig_b"))
     qa, qb = quantized_elements(F.col("ea")), quantized_elements(F.col("eb"))
     cosine = dot_long(qa, qb).cast("double") / (
-        F.sqrt(dot_long(qa, qa).cast("double")) * F.sqrt(dot_long(qb, qb).cast("double"))
+        F.sqrt(dot_long(qa, qa).cast("double"))
+        * F.sqrt(dot_long(qb, qb).cast("double"))
     )
-    return (
-        hits.select("vec_a", "vec_b", cosine.alias("cosine"))
+    rep_pairs = (
+        hits.select("dig_a", "dig_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
         .distinct()
     )
+    # expand digest pairs to member pairs (vec order normalized); the
+    # rep cosine is every member pair's cosine by construction
+    ma = members.select(F.col("dig").alias("dig_a"), F.col("vec_id").alias("va"))
+    mb = members.select(F.col("dig").alias("dig_b"), F.col("vec_id").alias("vb"))
+    cross = (
+        rep_pairs.join(ma, "dig_a")
+        .join(mb, "dig_b")
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+            "cosine",
+        )
+    )
+    if EMB_NEAR_DUP_THRESHOLD > 1.0:  # pragma: no cover - constant guard
+        return cross
+    m1 = members.select("dig", F.col("vec_id").alias("va"))
+    m2 = members.select("dig", F.col("vec_id").alias("vb"))
+    within = (
+        m1.join(m2, "dig")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 #: batch-ANN query set: the first 8 vectors play the query role at once.
