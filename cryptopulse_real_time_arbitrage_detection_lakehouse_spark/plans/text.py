@@ -274,36 +274,47 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold) —
-    shared by the pairs query and the connected-components clustering."""
+    shared by the pairs query, the connected-components clustering, and
+    the keeper selection.
+
+    Exact-duplicate collapse FIRST (the SCALE.md ordering rule): k
+    byte-identical documents put k identical MinHash signatures in every
+    band bucket — k^2 candidate pairs each paying an array-verify. The
+    pipeline instead collapses to one representative per
+    md5(lower(trim(text))) digest (exactly the normalization the token
+    kernel applies, so digest-equal implies shingle-set-equal), runs
+    banding + verification over DISTINCT content only, and expands digest
+    pairs back to member pairs: within-group pairs carry jaccard exactly
+    1.0 with no math — except empty-shingle groups (docs under 3 tokens),
+    whose pairwise jaccard is 0/0 = NaN and must stay excluded, matching
+    the verify leg's NaN-drops semantics."""
     # shingle hashing is the CPU hot spot (one md5 per shingle): widen
     # beyond the scan's byte-driven split count before computing it.
     d = spread(_docs(spark, sf_dir), by="doc_id")
-    # base hashes in their own stage so the md5 transform is evaluated
-    # once, not once per derived hash (CollapseProject keeps the alias);
-    # everything downstream (signature AND verification) runs on the
-    # integer hash set, never the shingle strings. Three plan branches
-    # read xs_df (signature + both verification legs) — share one
-    # computation of the md5 kernel instead of three.
+    dig = F.md5(F.lower(F.trim(F.col("text"))))
+    members = shared(d.select("doc_id", dig.alias("dig")))
+    reps = members.groupBy("dig").agg(F.min("doc_id").alias("rep_id"))
+    rd = d.join(reps, d["doc_id"] == reps["rep_id"]).select("dig", "text")
     # bind() evaluates the token split ONCE per row (a HOF lambda
     # variable — references are free) so the whole text->tokens->shingles
-    # ->md5 kernel is a single pipelined projection; only its per-row
-    # REDUCTION (the integer hash set) is materialized, for the three
-    # branches that read it (signature + both verification legs).
+    # ->md5 kernel is a single pipelined projection over DISTINCT content;
+    # only its per-row REDUCTION (the integer hash set) is materialized,
+    # for the three branches that read it (signature + both verify legs).
     xs_df = shared(
-        d.select(
-            "doc_id",
+        rd.select(
+            "dig",
             bind(
                 tokens("text"),
                 lambda t: F.array_distinct(minhash_base(shingles(t))),
             ).alias("xs"),
         )
     )
-    sig = xs_df.select("doc_id", minhash_signature(F.col("xs"), N_HASHES).alias("mh"))
+    sig = xs_df.select("dig", minhash_signature(F.col("xs"), N_HASHES).alias("mh"))
     band_idx = F.explode(
         F.array(*[F.lit(b) for b in range(N_BANDS)])
     ).alias("band")
-    banded = sig.select("doc_id", band_idx, "mh").select(
-        "doc_id",
+    banded = sig.select("dig", band_idx, "mh").select(
+        "dig",
         "band",
         F.concat_ws(
             "|",
@@ -313,26 +324,51 @@ def _near_dup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).alias("band_sig"),
     )
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
-    # Candidates shuffle only (band, band_sig, doc_id) — never shingles.
+    a = banded.select(F.col("dig").alias("dig_a"), "band", "band_sig")
+    b = banded.select(F.col("dig").alias("dig_b"), "band", "band_sig")
+    # Candidates shuffle only (band, band_sig, digest) — never shingles.
     cand = (
         a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .filter(F.col("dig_a") < F.col("dig_b"))
+        .select("dig_a", "dig_b")
         .distinct()
     )
-    sa = xs_df.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("sh_a"))
-    sb = xs_df.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("sh_b"))
-    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    sa = xs_df.select(F.col("dig").alias("dig_a"), F.col("xs").alias("sh_a"))
+    sb = xs_df.select(F.col("dig").alias("dig_b"), F.col("xs").alias("sh_b"))
     jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
         "double"
     ) / F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b")))).cast("double")
-    return (
-        verified.withColumn("jaccard", jac)
+    rep_pairs = (
+        cand.join(sa, "dig_a")
+        .join(sb, "dig_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("dig_a", "dig_b", "jaccard")
     )
+    ma = members.select(F.col("dig").alias("dig_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("dig").alias("dig_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "dig_a")
+        .join(mb, "dig_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    nonempty = xs_df.filter(F.size("xs") > 0).select("dig")
+    m1 = members.join(nonempty, "dig").select("dig", F.col("doc_id").alias("da"))
+    m2 = members.join(nonempty, "dig").select("dig", F.col("doc_id").alias("db"))
+    within = (
+        m1.join(m2, "dig")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 #: SimHash near-dup parameters: 64-bit fingerprint (two independent
