@@ -57,18 +57,19 @@ _GOLD_CACHE: dict[str, tuple[float, str]] = {}
 
 def _gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
     import tempfile
 
     # the source's mtime invalidates the cache when testdata at the same
-    # path is regenerated; exactly ONE materialization per sf_dir lives
-    # at a time (the superseded one is deleted, not leaked)
+    # path is regenerated. A superseded materialization is ABANDONED, not
+    # deleted: DataFrames returned earlier are lazy and still reference
+    # the old path — deleting it would fail their next action mid-session.
+    # The leak is bounded by the number of regenerations (tiny; tmp is
+    # reclaimed at process end).
     events_file = os.path.join(sf_dir, "events.parquet")
     mtime = os.path.getmtime(events_file) if os.path.exists(events_file) else 0
     key = os.path.abspath(sf_dir)
     cached = _GOLD_CACHE.get(key)
     if cached is not None and (cached[0] != mtime or not os.path.isdir(cached[1])):
-        shutil.rmtree(os.path.dirname(cached[1]), ignore_errors=True)
         cached = None
     if cached is None:
         path = tempfile.mkdtemp(prefix="cpgold_") + "/gold_candles"

@@ -481,18 +481,27 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
-    if EMB_NEAR_DUP_THRESHOLD > 1.0:  # pragma: no cover - constant guard
-        return cross
+    # within-group pairs: the oracle computes n2/(sqrt(n2)*sqrt(n2)),
+    # which is NOT bit-equal to 1.0 for most n2 (sqrt(2)^2 =
+    # 1.9999999999999998) — emit the SAME float expression, and exclude
+    # zero-norm vectors exactly as the oracle's 0/0 -> NULL drop does
+    qr = quantized_elements(F.col("embedding"))
+    rep_norms = rep_vecs.select(
+        "dig", dot_long(qr, qr).cast("double").alias("n2")
+    ).filter(F.col("n2") > 0)
+    self_cos = F.col("n2") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("n2")))
     m1 = members.select("dig", F.col("vec_id").alias("va"))
     m2 = members.select("dig", F.col("vec_id").alias("vb"))
     within = (
         m1.join(m2, "dig")
         .filter(F.col("va") < F.col("vb"))
+        .join(rep_norms, "dig")
         .select(
             F.col("va").alias("vec_a"),
             F.col("vb").alias("vec_b"),
-            F.lit(1.0).alias("cosine"),
+            self_cos.alias("cosine"),
         )
+        .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
     )
     return cross.unionByName(within)
 

@@ -184,6 +184,26 @@ _CMP_RE = re.compile(
 )
 
 
+def _mask_quotes(where: str) -> str:
+    """LENGTH-PRESERVING mask of single-quoted literals ('abc' -> 'xxx')
+    so structural scans (the OR/NOT/IN screen, the AND split) never see
+    operator words or connectives that are really data. Same length means
+    positions found on the mask slice the ORIGINAL correctly."""
+    return re.sub(r"'[^']*'", lambda m: "'" + "x" * (len(m.group()) - 2) + "'", where)
+
+
+def _split_top_level_and(where: str) -> list[str]:
+    """Split on AND connectives OUTSIDE quoted literals (positions found
+    on the mask, slices taken from the original)."""
+    masked = _mask_quotes(where)
+    parts, start = [], 0
+    for m in re.finditer(r"\s+AND\s+", masked, flags=re.I):
+        parts.append(where[start : m.start()])
+        start = m.end()
+    parts.append(where[start:])
+    return parts
+
+
 def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     """Decompose a WHERE string into provable (col, op, literal) conjuncts.
 
@@ -196,10 +216,12 @@ def _parse_conjuncts(where: str) -> list[tuple[str, str, object]]:
     anything else contributes no pruning. The full predicate is always
     re-applied to the surviving rows, so every bail-out here is
     correctness-neutral."""
-    if re.search(r"\b(OR|NOT|IN)\b", re.sub(r"'[^']*'", "''", where), flags=re.I):
+    if re.search(r"\b(OR|NOT|IN)\b", _mask_quotes(where), flags=re.I):
         return []
     out = []
-    for part in re.split(r"\s+AND\s+", where, flags=re.I):
+    # split on the MASK, slice the original: a literal containing
+    # " AND y = 3" must not contribute a spurious pruning conjunct
+    for part in _split_top_level_and(where):
         frag = part.strip()
         if frag.startswith("(") and frag.endswith(")"):
             inner = frag[1:-1]
@@ -232,13 +254,12 @@ def _parse_conjuncts_strict(where: str) -> list[tuple[str, str, object]]:
     wrong rows — they must error instead."""
     # screen STRUCTURE only: 'or'/'not'/'in' INSIDE a quoted string
     # literal (status = 'checked in') is data, not an operator
-    structure = re.sub(r"'[^']*'", "''", where)
-    if re.search(r"\b(OR|NOT|IN)\b", structure, flags=re.I):
+    if re.search(r"\b(OR|NOT|IN)\b", _mask_quotes(where), flags=re.I):
         raise ValueError(
             f"unsupported predicate {where!r}: only simple AND-conjunctions "
             "of `col op literal` are supported here"
         )
-    parts = re.split(r"\s+AND\s+", where, flags=re.I)
+    parts = _split_top_level_and(where)
     out = _parse_conjuncts(where)
     if len(out) != len(parts):
         raise ValueError(

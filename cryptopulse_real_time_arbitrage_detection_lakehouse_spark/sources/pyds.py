@@ -172,6 +172,7 @@ class PyDeltaReader(DataSourceReader):
             f.name: _spark_to_arrow_type(f.dataType) for f in log_schema.fields
         }
         self._spark_types = {f.name: f.dataType for f in log_schema.fields}
+        self._col_order = [f.name for f in log_schema.fields]
 
     # ----------------------------------------------------------- planning
 
@@ -252,9 +253,11 @@ class PyDeltaReader(DataSourceReader):
         # later (merge_schema); request only what the footer has and
         # null-fill the rest — requesting a missing column would crash
         # the whole scan (ArrowInvalid), where Delta semantics say NULL
-        present = set(pq.read_schema(partition.file_path).names)
+        # one ParquetFile open serves both the footer schema and the read
+        pf = pq.ParquetFile(partition.file_path)
+        present = set(pf.schema_arrow.names)
         wanted = [c for c in partition.phys_to_logical if c in present]
-        tbl = pq.read_table(partition.file_path, columns=wanted)
+        tbl = pf.read(columns=wanted)
         tbl = tbl.rename_columns(
             [partition.phys_to_logical[c] for c in tbl.column_names]
         )
@@ -308,6 +311,12 @@ class PyDeltaReader(DataSourceReader):
                     ">=": field >= val,
                 }[op]
                 tbl = tbl.filter(expr)
+        # Spark consumes these batches POSITIONALLY (the worker validates
+        # names as a set but never reorders): null-filled and partition
+        # columns were appended at the end, so the table MUST be put in
+        # declared-schema order or values silently land in the wrong
+        # columns (reproduced: a middle-column evolution swapped fields)
+        tbl = tbl.select(self._col_order)
         yield from tbl.to_batches()
 
 
@@ -354,6 +363,9 @@ class PyDeltaDataSource(DataSource):
         return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
     def reader(self, schema: T.StructType) -> PyDeltaReader:
-        return PyDeltaReader(
-            dict(self.options), schema, snapshot=getattr(self, "_snapshot", None)
-        )
+        snap = getattr(self, "_snapshot", None)
+        # clear the stash: the read-function closure pickles this
+        # DataSource instance into every executor task, and the snapshot
+        # holds the full adds list (linear in table size)
+        self._snapshot = None
+        return PyDeltaReader(dict(self.options), schema, snapshot=snap)

@@ -22,3 +22,73 @@ def test_lsh_topk_subset_of_bucket(spark):
     rows = plans.get("sim_cosine_topk_lsh").fn(spark, SF_ORACLE).collect()
     assert rows, "query bucket should contain neighbors"
     assert len({r.bucket for r in rows}) == 1
+
+
+class TestEmbNearDupDuplicateHeavy:
+    def test_dup_heavy_corpus_matches_oracle_bitwise(self, spark, tmp_path):
+        """Round-4 regression: the exact-dup collapse's within-group leg
+        must emit the ORACLE's float expression n2/(sqrt(n2)*sqrt(n2)) —
+        which is NOT bit-equal to a literal 1.0 for most norms
+        (sqrt(2)^2 = 1.9999999999999998) — and exclude zero-norm
+        duplicates (oracle: 0/0 -> NULL -> dropped). The stock testdata
+        has no duplicate embeddings, so this builds a corpus that does."""
+        import random
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as e
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import (
+            plans,
+        )
+
+        rnd = random.Random(7)
+        root = str(tmp_path)
+        base = [rnd.uniform(-0.5, 0.5) for _ in range(64)]
+        ids, vecs, labels = [], [], []
+        for i in range(20):
+            ids.append(i)
+            vecs.append([rnd.uniform(-0.5, 0.5) for _ in range(64)])
+            labels.append("r")
+        for k in (100, 101, 102):  # identical triple
+            ids.append(k)
+            vecs.append(list(base))
+            labels.append("d")
+        near = [x + 1e-6 for x in base]
+        for k in (200, 201):  # identical pair, near the triple
+            ids.append(k)
+            vecs.append(list(near))
+            labels.append("n")
+        for k in (300, 301):  # duplicate ZERO vectors: oracle drops (0/0)
+            ids.append(k)
+            vecs.append([0.0] * 64)
+            labels.append("z")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                    "label": pa.array(labels),
+                }
+            ),
+            f"{root}/embeddings.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{root}/embeddings.parquet')"
+        )
+        l = plans.get("emb_near_dup_pairs").fn(spark, root).toPandas()
+        r = con.execute(e.oracle_sql()["emb_near_dup_pairs"]).df()
+
+        def canon(d):
+            d = d.reindex(sorted(d.columns), axis=1)
+            return d.sort_values(list(d.columns), ignore_index=True)
+
+        l, r = canon(l), canon(r)
+        assert l.shape == r.shape and l.equals(r), (l, r)
+        # the duplicate groups actually exercised the within-group leg
+        pairs = {(int(a), int(b)) for a, b in zip(l["vec_a"], l["vec_b"])}
+        assert {(100, 101), (100, 102), (101, 102), (200, 201)} <= pairs
+        assert not any(a >= 300 for a, _ in pairs)  # zero-norm dups dropped
