@@ -54,6 +54,7 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--path", required=True, help="table root")
     dsub = d.add_subparsers(dest="delta_cmd", required=True)
     dsub.add_parser("history", help="DESCRIBE HISTORY")
+    dsub.add_parser("detail", help="DESCRIBE DETAIL (one-row table facts)")
     comp = dsub.add_parser("compact", help="OPTIMIZE (small-file compaction)")
     comp.add_argument("--target-files", type=int, default=1)
     comp.add_argument(
@@ -103,6 +104,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             t = DeltaTable(args.path)
             if args.delta_cmd == "history":
                 t.history(spark).show(100, truncate=False)
+            elif args.delta_cmd == "detail":
+                t.detail(spark).show(truncate=False, vertical=True)
             elif args.delta_cmd == "compact":
                 z = None
                 if args.zorder_by:

@@ -1591,6 +1591,66 @@ class DeltaTable:
             _operation="MERGE",
         )
 
+    def detail(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE DETAIL`` twin: one row of table facts from the log
+        alone (no data scan) — format, id, creation time, partition
+        columns, active file count/bytes, row count from per-file stats,
+        protocol versions and feature lists, table configuration."""
+        meta, adds, protocol = self._snapshot_state_full(None)
+        proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        n_rows = 0
+        rows_known = True
+        for a in adds:
+            st = a.get("stats")
+            rec = json.loads(st).get("numRecords") if st else None
+            if rec is None:
+                rows_known = False
+            else:
+                n_rows += rec
+        schema = T.StructType(
+            [
+                T.StructField("format", T.StringType(), False),
+                T.StructField("id", T.StringType(), True),
+                T.StructField("location", T.StringType(), False),
+                T.StructField("created_at_ms", T.LongType(), True),
+                T.StructField(
+                    "partition_columns", T.ArrayType(T.StringType()), False
+                ),
+                T.StructField("num_files", T.LongType(), False),
+                T.StructField("size_in_bytes", T.LongType(), False),
+                T.StructField("num_rows", T.LongType(), True),
+                T.StructField("num_deletion_vectors", T.LongType(), False),
+                T.StructField("min_reader_version", T.IntegerType(), False),
+                T.StructField("min_writer_version", T.IntegerType(), False),
+                T.StructField(
+                    "reader_features", T.ArrayType(T.StringType()), True
+                ),
+                T.StructField(
+                    "writer_features", T.ArrayType(T.StringType()), True
+                ),
+                T.StructField(
+                    "properties", T.MapType(T.StringType(), T.StringType()), False
+                ),
+            ]
+        )
+        row = (
+            "delta",
+            meta.get("id"),
+            self.path,
+            meta.get("createdTime"),
+            list(meta.get("partitionColumns") or []),
+            len(adds),
+            sum(int(a.get("size") or 0) for a in adds),
+            n_rows if rows_known else None,
+            sum(1 for a in adds if a.get("deletionVector")),
+            proto.get("minReaderVersion", 1),
+            proto.get("minWriterVersion", 2),
+            list(proto["readerFeatures"]) if proto.get("readerFeatures") else None,
+            list(proto["writerFeatures"]) if proto.get("writerFeatures") else None,
+            dict(meta.get("configuration") or {}),
+        )
+        return spark.createDataFrame([row], schema)
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF ``version`` — delta-spark's
         rollback: ONE new commit whose removes/adds flip the current

@@ -1279,3 +1279,22 @@ class TestTxnRetryBranch:
         out = t.write(make_df(spark, 5, 5), txn=("app-r", 5))
         assert out == t.latest_version()
         assert t.read(spark).count() == 5  # our batch was NOT double-applied
+
+
+class TestDescribeDetail:
+    def test_detail_reports_log_facts(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 20).coalesce(1), partition_by=["sym"])
+        t.add_check_constraint("id_nonneg", "id >= 0")
+        t.delete(spark, "id < 3")
+        r = t.detail(spark).collect()[0]
+        assert r.format == "delta"
+        assert r.partition_columns == ["sym"]
+        assert r.num_files == 3  # one per sym partition, re-added with DVs
+        assert r.num_rows == 20  # physical rows (DV'd rows still in files)
+        assert r.num_deletion_vectors == 3
+        assert r.min_reader_version == 3
+        assert "deletionVectors" in r.reader_features
+        assert "checkConstraints" in r.writer_features
+        assert r.properties["delta.constraints.id_nonneg"] == "id >= 0"
+        assert r.size_in_bytes > 0
