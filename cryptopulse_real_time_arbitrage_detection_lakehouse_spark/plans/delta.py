@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.determinism import dsum, sql_dsum
 from ..sources.delta import DeltaTable
 from ..sources.testdata import load_table
-from ..streaming.sinks import drain, start_parquet_stream
+from ..streaming.sinks import drain, scoped_shuffle_partitions, start_parquet_stream
 from .registry import register
 
 #: deterministic commit order: one Delta commit per event_type batch.
@@ -174,14 +174,15 @@ def delta_stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="cpdeltastream_")
     out_path = os.path.join(root, "out")
     stream = table.read_stream(spark)
-    drain(
-        start_parquet_stream(
-            stream,
-            path=out_path,
-            checkpoint=os.path.join(root, "ckpt"),
-            query_name="delta_stream_type_counts",
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                stream,
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="delta_stream_type_counts",
+            )
         )
-    )
     drained = spark.read.parquet(out_path)
     return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -220,14 +221,15 @@ def delta_partitioned_stream_counts(spark: SparkSession, sf_dir: str) -> DataFra
         )
     root = tempfile.mkdtemp(prefix="cpdeltapartstream_")
     out_path = os.path.join(root, "out")
-    drain(
-        start_parquet_stream(
-            table.read_stream(spark),
-            path=out_path,
-            checkpoint=os.path.join(root, "ckpt"),
-            query_name="delta_partitioned_stream_counts",
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                table.read_stream(spark),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="delta_partitioned_stream_counts",
+            )
         )
-    )
     drained = spark.read.parquet(out_path)
     return drained.groupBy(
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date")

@@ -980,13 +980,19 @@ JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     doc="TPC-H Q15-style top supplier: a quarter's per-supplier revenue "
-    "(the TPC-H view) with the scalar-max subquery rewritten as a "
-    "global window max over the aggregated frame — lineitem is scanned "
-    "and shuffled exactly ONCE (a naive twice-referenced view would "
-    "re-aggregate unless exchange reuse kicks in), and the window runs "
-    "over one row per supplier, a frame small enough at any SF for the "
-    "single-partition max. Revenue equality is safe across engines "
-    "because dsum makes both sides' doubles bit-identical.",
+    "(the TPC-H view) with the scalar-max subquery evaluated as a "
+    "scalar AGGREGATE broadcast-cross-joined back onto the per-supplier "
+    "frame — the max reduces map-side with no single-partition window "
+    "stage, so the shape survives 100× more suppliers (a global "
+    "`max().over()` would funnel the whole aggregate through one task). "
+    "Both references derive from the SAME revenue⋈supplier subtree so "
+    "Catalyst's ReuseExchange collapses them to one lineitem "
+    "scan+shuffle (joining before the max keeps the pushed-down "
+    "isnotnull filters identical across branches — the max-over-revenue "
+    "vs max-over-join distinction is vacuous under TPC-H FK integrity, "
+    "which the oracle's schema also guarantees). Revenue equality is "
+    "safe across engines because dsum makes both sides' doubles "
+    "bit-identical.",
     tags=("relational", "join", "aggregate", "tpch"),
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,10 +1004,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = revenue.join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+    max_rev = joined.agg(F.max("total_revenue").alias("mr"))
     return (
-        revenue.withColumn("mr", F.max("total_revenue").over(W.partitionBy()))
+        joined.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("mr"))
-        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

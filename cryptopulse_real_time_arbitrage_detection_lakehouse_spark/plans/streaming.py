@@ -22,7 +22,7 @@ from ..functions.determinism import fmt_ts, sql_dsum, sql_fmt_ts
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
 from ..sources.testdata import load_table
 from ..streaming.jobs import gold_stream
-from ..streaming.sinks import drain, start_parquet_stream
+from ..streaming.sinks import drain, scoped_shuffle_partitions, start_parquet_stream
 from ..streaming.sources import read_parquet_stream
 from .registry import register
 
@@ -78,14 +78,15 @@ def streaming_gold_candles_availablenow(spark: SparkSession, sf_dir: str) -> Dat
     ckpt = os.path.join(root, "ckpt")
     ticks.write.parquet(src)
     stream = read_parquet_stream(spark, src, ticks.schema)
-    drain(
-        start_parquet_stream(
-            gold_stream(stream, watermark=WATERMARK),
-            path=gold_path,
-            checkpoint=ckpt,
-            query_name="gold_candles_availablenow",
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                gold_stream(stream, watermark=WATERMARK),
+                path=gold_path,
+                checkpoint=ckpt,
+                query_name="gold_candles_availablenow",
+            )
         )
-    )
     out = spark.read.parquet(gold_path)
     return out.select(
         fmt_ts("window_start", "window_start"),
@@ -176,14 +177,17 @@ def streaming_click_purchase_interval_join(
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     ).select("purchase_user", "purchase_id", "click_id")
-    drain(
-        start_parquet_stream(
-            joined,
-            path=out_path,
-            checkpoint=ckpt,
-            query_name="click_purchase_interval_join",
+    # stream-stream join state cost is (shuffle partitions × micro-batch)
+    # store commits — drain at the reference's narrow streaming width
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                joined,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="click_purchase_interval_join",
+            )
         )
-    )
     # explicit schema: a zero-match drain commits no data files and
     # schema inference would fail where the correct answer is empty
     matches = spark.read.schema(joined.schema).parquet(out_path)

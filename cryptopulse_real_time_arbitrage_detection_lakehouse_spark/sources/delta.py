@@ -58,6 +58,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import dv as _dv
+
+# The DV kernels below close over functions from `sources.dv` and run on
+# executors. A foreign driver (the contract driver, a notebook) may have
+# this package only via a sys.path insert the Python workers don't
+# inherit — so register the codec module for BY-VALUE pickling: the
+# closure then carries the code itself instead of an import that fails
+# worker-side. The module is self-contained stdlib, so this is cheap.
+try:  # pragma: no cover - depends on vendored cloudpickle version
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_dv)
+except Exception:  # noqa: BLE001
+    pass
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -315,6 +330,69 @@ def _file_may_match(
     return True
 
 
+def _dv_expansion_df(
+    spark: SparkSession, dv_blobs: list[tuple[str, bytes]]
+) -> DataFrame:
+    """(file name, serialized roaring blob) pairs -> a distributed
+    ``(__file, __rid)`` DataFrame of deleted coordinates. The driver only
+    parallelizes the compressed blobs (one row per file); each bitmap is
+    decoded exactly once, executor-side, in an Arrow kernel — so a table
+    carrying millions of deleted rows never expands them on the driver."""
+
+    deserialize = _dv.deserialize_rbm_array  # closure-captured, by-value
+
+    def expand(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for name, blob in zip(pdf["__file"], pdf["__blob"]):
+                rows = deserialize(bytes(blob))
+                yield pd.DataFrame(
+                    {
+                        "__file": np.repeat(name, len(rows)),
+                        "__rid": np.asarray(rows, dtype=np.int64),
+                    }
+                )
+
+    blobs = spark.createDataFrame(dv_blobs, "__file string, __blob binary")
+    return blobs.mapInPandas(expand, "__file string, __rid long")
+
+
+def _file_dv_kernel(table_root: str, prior_by_name: dict[str, dict]):
+    """Grouped Arrow kernel for `DeltaTable.delete`: one group per data
+    file, serializing that file's (new ∪ prior) deleted row indexes into a
+    roaring blob ON THE EXECUTOR. The driver collects one
+    ``(file, blob, cardinality, n_new)`` row per touched file — O(files ×
+    compressed bitmap bytes) transferred, never O(matched rows) — the
+    distributed-DV-writer shape delta-spark uses, minus its JVM."""
+
+    resolve_rows = _dv.resolve_dv_rows  # closure-captured, by-value
+    serialize = _dv.serialize_rbm_array
+
+    def build(pdf):
+        import pandas as pd
+
+        name = pdf["__file"].iat[0]
+        rids = [int(r) for r in pdf["__rid"]]
+        n_new = len(rids)
+        prior = prior_by_name.get(name)
+        if prior:
+            rids.extend(resolve_rows(table_root, prior))
+        distinct = sorted(set(rids))
+        blob = serialize(distinct)
+        return pd.DataFrame(
+            {
+                "file": [name],
+                "blob": [blob],
+                "card": [len(distinct)],
+                "n_new": [n_new],
+            }
+        )
+
+    return build
+
+
 @dataclass
 class DeltaTable:
     """A Delta Lake table rooted at ``path`` (no delta-spark required)."""
@@ -564,16 +642,21 @@ class DeltaTable:
                     if _file_may_match(a, conjuncts, part_cols, phys)
                 ]
 
-        dv_by_name: dict[str, list[int]] = {}
+        # deletion vectors: the driver touches only the COMPRESSED blobs
+        # (O(files × bitmap bytes)); expansion to row indexes happens
+        # executor-side in `_dv_expansion_df` — a GDPR-scale DV never
+        # materializes its row list on the driver
+        dv_blobs: list[tuple[str, bytes]] = []
+        dv_cardinality = 0
         for a in adds:
-            if a.get("deletionVector"):
+            desc = a.get("deletionVector")
+            if desc:
                 from . import dv as _dv
 
                 name = os.path.basename(urllib.parse.unquote(a["path"]))
-                dv_by_name[name] = _dv.resolve_dv_rows(
-                    self.path, a["deletionVector"]
-                )
-        need_meta = keep_meta or bool(dv_by_name)
+                dv_blobs.append((name, _dv.resolve_dv_blob(self.path, desc)))
+                dv_cardinality += int(desc.get("cardinality") or 0)
+        need_meta = keep_meta or bool(dv_blobs)
 
         data_schema = T.StructType(
             [
@@ -642,16 +725,14 @@ class DeltaTable:
             for p in pieces[1:]:
                 out = out.unionByName(p)
 
-        if dv_by_name:
-            deleted = spark.createDataFrame(
-                [
-                    (name, int(r))
-                    for name, rows in dv_by_name.items()
-                    for r in rows
-                ],
-                "__file string, __rid long",
-            )
-            out = out.join(F.broadcast(deleted), ["__file", "__rid"], "left_anti")
+        if dv_blobs:
+            deleted = _dv_expansion_df(spark, dv_blobs)
+            # total cardinality is known from the descriptors alone; hint
+            # broadcast while the expanded side is small, otherwise let
+            # AQE pick the join strategy for a truly large deletion set
+            if dv_cardinality <= 4_000_000:
+                deleted = F.broadcast(deleted)
+            out = out.join(deleted, ["__file", "__rid"], "left_anti")
         if need_meta and not keep_meta:
             out = out.drop("__file", "__rid")
         elif keep_meta:
@@ -1405,6 +1486,31 @@ class DeltaTable:
                     f"{n_bad} row(s); write refused"
                 )
 
+    def _build_file_dvs(self, spark: SparkSession, cond, adds: list[dict]):
+        """Distributed deletion-vector construction: group the matched
+        coordinates by data file ON THE EXECUTORS and serialize each
+        file's union'd roaring bitmap there (``_file_dv_kernel``). Returns
+        one collected Row ``(file, blob, card, n_new)`` per touched file —
+        the ONLY thing that crosses to the driver, O(files × compressed
+        bitmap bytes). Split out so tests can assert the transferred
+        volume directly."""
+        prior_by_name = {
+            os.path.basename(urllib.parse.unquote(a["path"])): a["deletionVector"]
+            for a in adds
+            if a.get("deletionVector")
+        }
+        return (
+            self._scan(spark, keep_meta=True)
+            .filter(cond)
+            .select("__file", "__rid")
+            .groupBy("__file")
+            .applyInPandas(
+                _file_dv_kernel(self.path, prior_by_name),
+                "file string, blob binary, card long, n_new long",
+            )
+            .collect()
+        )
+
     def delete(
         self, spark: SparkSession, condition, *, txn: tuple[str, int] | None = None
     ) -> int:
@@ -1423,10 +1529,14 @@ class DeltaTable:
         union with the new deletions (rows already deleted are invisible
         to ``condition`` — the scan applies current DVs first).
 
-        The matched coordinates collect to the driver, bounding a single
-        DELETE's cardinality by driver memory — the simplification over
-        delta-spark's executor-side DV writer; the log format produced is
-        the interoperable one.
+        DV construction is DISTRIBUTED (delta-spark's executor-side DV
+        writer shape): matched coordinates group by file on the
+        executors, each file's bitmap (new rows ∪ its prior vector) is
+        serialized there, and the driver collects one compressed blob per
+        touched file — O(files), never O(matched rows) — then writes
+        sidecars and the commit. A delete matching half a 100 TB table
+        ships per-file roaring bytes to the driver, not billions of
+        (file, rid) tuples.
 
         First delete upgrades the protocol to reader v3 / writer v7 with
         the ``deletionVectors`` feature (plus ``columnMapping`` when the
@@ -1444,16 +1554,9 @@ class DeltaTable:
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        matched = (
-            self._scan(spark, keep_meta=True)
-            .filter(cond)
-            .select("__file", "__rid")
-            .collect()
-        )
+        file_dvs = self._build_file_dvs(spark, cond, adds)
+        n_deleted = sum(r["n_new"] for r in file_dvs)
         now_ms = int(time.time() * 1000)
-        new_by_file: dict[str, list[int]] = {}
-        for r in matched:
-            new_by_file.setdefault(r["__file"], []).append(r["__rid"])
         txn_actions = (
             [{"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}]
             if txn is not None
@@ -1471,8 +1574,8 @@ class DeltaTable:
                     "operation": "DELETE",
                     "operationParameters": {},
                     "operationMetrics": {
-                        "numDeletedRows": str(len(matched)),
-                        "numDvsAdded": str(len(new_by_file)),
+                        "numDeletedRows": str(n_deleted),
+                        "numDvsAdded": str(len(file_dvs)),
                     },
                 }
             }
@@ -1527,12 +1630,9 @@ class DeltaTable:
             new_meta["configuration"] = conf
             actions.append({"metaData": new_meta})
 
-        for name, rows in sorted(new_by_file.items()):
-            a = by_name[name]
+        for r in sorted(file_dvs, key=lambda r: r["file"]):
+            a = by_name[r["file"]]
             prior = a.get("deletionVector")
-            all_rows = set(rows)
-            if prior:
-                all_rows |= set(_dv.resolve_dv_rows(self.path, prior))
             n_rows = None
             stats = a.get("stats")
             if stats:
@@ -1547,15 +1647,17 @@ class DeltaTable:
                     }
                 }
             )
-            if n_rows is not None and len(all_rows) >= n_rows:
+            if n_rows is not None and r["card"] >= n_rows:
                 continue  # fully-deleted file: drop it, no re-add
             new_add = {
                 k: v for k, v in a.items() if k != "deletionVector"
             }
             new_add["modificationTime"] = now_ms
             new_add["dataChange"] = True
-            new_add["deletionVector"] = _dv.make_dv_descriptor(
-                self.path, sorted(all_rows)
+            # the blob was serialized executor-side; the driver only
+            # persists it as a sidecar and records the descriptor
+            new_add["deletionVector"] = _dv.make_dv_descriptor_from_blob(
+                self.path, bytes(r["blob"]), int(r["card"])
             )
             actions.append({"add": new_add})
 

@@ -257,10 +257,25 @@ def make_dv_descriptor(
 ) -> dict:
     """Serialize ``row_indexes`` to a fresh 'u'-storage sidecar under
     ``table_root``; return the add-file ``deletionVector`` struct."""
+    return make_dv_descriptor_from_blob(
+        table_root,
+        serialize_rbm_array(row_indexes),
+        len(set(row_indexes)),
+        prefix=prefix,
+    )
+
+
+def make_dv_descriptor_from_blob(
+    table_root: str, blob: bytes, cardinality: int, *, prefix: str = ""
+) -> dict:
+    """Persist an ALREADY-SERIALIZED roaring blob (built executor-side by
+    ``DeltaTable.delete``'s distributed DV kernel) as a fresh 'u'-storage
+    sidecar; return the add-file ``deletionVector`` struct. The driver
+    never sees individual row indexes on this path — only the compressed
+    bitmap bytes, bounding DELETE's driver transfer at O(files)."""
     import os
 
     uid = _uuid.uuid4()
-    blob = serialize_rbm_array(row_indexes)
     rel = dv_sidecar_name(uid, prefix)
     fields = write_dv_file(os.path.join(table_root, rel), blob)
     return {
@@ -268,12 +283,15 @@ def make_dv_descriptor(
         "pathOrInlineDv": prefix + z85_encode(uid.bytes),
         "offset": fields["offset"],
         "sizeInBytes": fields["sizeInBytes"],
-        "cardinality": len(set(row_indexes)),
+        "cardinality": cardinality,
     }
 
 
-def resolve_dv_rows(table_root: str, dv: dict) -> list[int]:
-    """Descriptor -> deleted row indexes, for any storageType."""
+def resolve_dv_blob(table_root: str, dv: dict) -> bytes:
+    """Descriptor -> the serialized ``[magic][portable]`` blob, for any
+    storageType, WITHOUT decoding row indexes — the O(compressed-bytes)
+    handle the distributed read/delete paths ship around instead of
+    expanded row lists."""
     import os
 
     st = dv["storageType"]
@@ -282,7 +300,7 @@ def resolve_dv_rows(table_root: str, dv: dict) -> list[int]:
         if len(blob) != dv["sizeInBytes"]:
             # z85 pads to 4-byte groups; trust the declared size
             blob = blob[: dv["sizeInBytes"]]
-        return deserialize_rbm_array(blob)
+        return blob
     if st == "u":
         prefix, uid = split_u_descriptor(dv["pathOrInlineDv"])
         path = os.path.join(table_root, dv_sidecar_name(uid, prefix))
@@ -290,5 +308,9 @@ def resolve_dv_rows(table_root: str, dv: dict) -> list[int]:
         path = dv["pathOrInlineDv"]
     else:
         raise NotImplementedError(f"unknown DV storageType {st!r}")
-    blob = read_dv_blob(path, dv["offset"], dv["sizeInBytes"])
-    return deserialize_rbm_array(blob)
+    return read_dv_blob(path, dv["offset"], dv["sizeInBytes"])
+
+
+def resolve_dv_rows(table_root: str, dv: dict) -> list[int]:
+    """Descriptor -> deleted row indexes, for any storageType."""
+    return deserialize_rbm_array(resolve_dv_blob(table_root, dv))

@@ -16,9 +16,36 @@ the classpath to actually run.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+#: stateful-drain shuffle width: every micro-batch commits one state-store
+#: delta PER shuffle partition, so a bounded drain pays (partitions ×
+#: batches) commit overheads regardless of data volume. The reference runs
+#: its streaming jobs at 4 (``src/jobs/gold_layer.py:37``) for exactly this
+#: reason; state volume per drain here is tiny, so 4 holds at any SF the
+#: bench runs (an unbounded production stream would size this to state
+#: volume / executor count instead — it is pinned per-checkpoint anyway).
+STREAM_SHUFFLE_PARTITIONS = 4
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Temporarily set ``spark.sql.shuffle.partitions`` around a bounded
+    stream start+drain. Streaming state partitioning is read from the
+    session conf when the query's checkpoint is created — the fresh
+    per-call checkpoints in `plans/streaming.py` make this scope exact —
+    and the conf is restored for whatever batch work follows."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
 
 
 def kafka_records(df: DataFrame, *, key: Column | str) -> DataFrame:

@@ -490,3 +490,18 @@ def test_dv_read_applies_broadcast_anti_join(spark, tmp_path):
     p = t.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q15_scalar_max_is_broadcast_not_global_window(spark):
+    """The Q15 scalar-max subquery must compile to a map-side-reducible
+    aggregate broadcast back onto the per-supplier frame: no
+    single-partition Window stage (the round-4 hotspot), and the two
+    references to the revenue view collapse to ONE lineitem scan via
+    ReuseExchange."""
+    df = plans.get("tpch_q15_top_supplier").fn(spark, SF_SMOKE)
+    df.collect()  # AQE applies stage reuse as stages materialize
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "ReusedExchange" in p
+    assert final.count("lineitem.parquet") == 1
