@@ -403,6 +403,47 @@ def delta_tpch_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_table_detail",
+    oracle=f"""
+SELECT 'delta' AS format,
+       count(DISTINCT event_type) AS num_files,
+       count(*) AS num_rows,
+       count(DISTINCT CASE WHEN event_type = 'click' AND value < 50
+                           THEN event_type END) AS num_deletion_vectors,
+       3 AS min_reader_version,
+       7 AS min_writer_version,
+       'deletionVectors' AS reader_features
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+""",
+    doc="DESCRIBE DETAIL behind a correctness row (round-4 verdict item "
+    "8): the table lands with one single-file commit per event_type, a "
+    "DV DELETE flags cheap clicks, and detail() then reports table "
+    "facts FROM THE LOG ALONE (no data scan): active file count, "
+    "physical row count from per-file stats (DV'd rows still live in "
+    "the files — that is the point of deletion vectors), DV count, and "
+    "the upgraded protocol. The oracle reconstructs every fact from "
+    "events: files == distinct types (one file each), rows == all rows "
+    "(no rewrite), DVs == types with at least one matching delete. "
+    "Green certifies the stats/DV/protocol bookkeeping the log carries.",
+    tags=("delta", "metadata", "detail"),
+)
+def delta_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)
+    table.delete(spark, "event_type = 'click' AND value < 50")
+    d = table.detail(spark)
+    return d.select(
+        "format",
+        "num_files",
+        "num_rows",
+        "num_deletion_vectors",
+        "min_reader_version",
+        "min_writer_version",
+        F.array_join("reader_features", ",").alias("reader_features"),
+    )
+
+
+@register(
     "pyds_delta_survivors",
     oracle=f"""
 SELECT event_type, count(*) AS n

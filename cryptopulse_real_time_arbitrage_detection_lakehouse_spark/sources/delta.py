@@ -330,6 +330,91 @@ def _file_may_match(
     return True
 
 
+def _arrow_names_differ(pa_type, dt: T.DataType) -> bool:
+    """True when the arrow type's nested struct field names (physical)
+    differ anywhere from the Spark type's (logical)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.StructType) and pa.types.is_struct(pa_type):
+        if pa_type.num_fields != len(dt.fields):
+            return True
+        return any(
+            pa_type.field(i).name != f.name
+            or _arrow_names_differ(pa_type.field(i).type, f.dataType)
+            for i, f in enumerate(dt.fields)
+        )
+    if isinstance(dt, T.ArrayType) and (
+        pa.types.is_list(pa_type) or pa.types.is_large_list(pa_type)
+    ):
+        return _arrow_names_differ(pa_type.value_type, dt.elementType)
+    if isinstance(dt, T.MapType) and pa.types.is_map(pa_type):
+        return _arrow_names_differ(
+            pa_type.key_type, dt.keyType
+        ) or _arrow_names_differ(pa_type.item_type, dt.valueType)
+    return False
+
+
+def _arrow_to_logical_names(arr, dt: T.DataType):
+    """Rename nested struct fields POSITIONALLY physical -> logical in an
+    arrow array — the pure-python (`to_pandas`, ``pydelta``) twin of the
+    Spark scan's positional struct cast. Structs at any depth are
+    rebuilt; a renamed field inside array/map ELEMENTS is refused loudly
+    (`rename_column` never creates that shape — only a foreign writer
+    can — and silently misreading it would be worse than the gate)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.StructType) and pa.types.is_struct(arr.type):
+        children, fields = [], []
+        for i, f in enumerate(dt.fields):
+            child = _arrow_to_logical_names(arr.field(i), f.dataType)
+            children.append(child)
+            fields.append(
+                pa.field(f.name, child.type, nullable=arr.type.field(i).nullable)
+            )
+        mask = None
+        if arr.null_count:
+            import pyarrow.compute as pc
+
+            mask = pc.is_null(arr)
+        return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+    if _arrow_names_differ(arr.type, dt):
+        raise NotImplementedError(
+            "renamed struct fields inside array/map elements cannot be "
+            "projected by the pure-python readers; use the Spark read path"
+        )
+    return arr
+
+
+def _assign_mapping_meta(type_json, next_id: int, name_fn):
+    """Walk a Delta schema-JSON *type* and stamp every nested struct field
+    with ``delta.columnMapping.id`` / ``physicalName`` metadata. ``name_fn``
+    picks the physical name (identity at enable time — existing files
+    already use the logical names — or a fresh ``col-<uuid>`` for columns
+    new to a mapped table). Returns (new type_json, next_id)."""
+    if isinstance(type_json, dict):
+        t = type_json.get("type")
+        if t == "struct":
+            fields = []
+            for f in type_json.get("fields", []):
+                inner, next_id = _assign_mapping_meta(f["type"], next_id, name_fn)
+                next_id += 1
+                md = dict(f.get("metadata") or {})
+                md["delta.columnMapping.id"] = next_id
+                md["delta.columnMapping.physicalName"] = name_fn(f["name"])
+                fields.append({**f, "type": inner, "metadata": md})
+            return {**type_json, "fields": fields}, next_id
+        if t == "array":
+            inner, next_id = _assign_mapping_meta(
+                type_json["elementType"], next_id, name_fn
+            )
+            return {**type_json, "elementType": inner}, next_id
+        if t == "map":
+            k, next_id = _assign_mapping_meta(type_json["keyType"], next_id, name_fn)
+            v, next_id = _assign_mapping_meta(type_json["valueType"], next_id, name_fn)
+            return {**type_json, "keyType": k, "valueType": v}, next_id
+    return type_json, next_id
+
+
 def _dv_expansion_df(
     spark: SparkSession, dv_blobs: list[tuple[str, bytes]]
 ) -> DataFrame:
@@ -547,12 +632,15 @@ class DeltaTable:
 
     @staticmethod
     def _column_mapping(meta: dict) -> dict[str, str] | None:
-        """logical column name -> physical parquet name, or None when the
-        table is unmapped. Column mapping (reader protocol v2) decouples
-        user-facing names from file schema so columns can be renamed or
-        dropped without rewriting data; every add's partitionValues and
-        every file footer use the PHYSICAL names. Only top-level mapping
-        is supported (nested-struct mapping raises)."""
+        """TOP-LEVEL logical column name -> physical parquet name, or None
+        when the table is unmapped. Column mapping (reader protocol v2)
+        decouples user-facing names from file schema so columns can be
+        renamed or dropped without rewriting data; every add's
+        partitionValues and every file footer use the PHYSICAL names.
+        Nested struct fields carry their own physicalName metadata inside
+        the schemaString — `_phys_type` / `_logical_cast` resolve those
+        recursively (the Spark read/write paths rename nested fields with
+        positional struct casts)."""
         mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
         if mode != "name":
             # 'id' mode never reaches here — the protocol gate in
@@ -568,12 +656,83 @@ class DeltaTable:
                     f"column-mapped table but field {field['name']!r} has no "
                     "delta.columnMapping.physicalName metadata"
                 )
-            if isinstance(field.get("type"), dict) and field["type"].get("type") == "struct":
-                raise NotImplementedError(
-                    "nested-struct column mapping is not supported"
-                )
             mapping[field["name"]] = phys
         return mapping
+
+    @staticmethod
+    def _phys_name(f: T.StructField) -> str:
+        return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+    @classmethod
+    def _phys_type(cls, dt: T.DataType) -> T.DataType:
+        """Recursively rename nested struct fields to their physical names
+        (from the ``delta.columnMapping.physicalName`` field metadata the
+        schemaString carries and ``StructType.fromJson`` preserves). The
+        result is the FILE schema of a column-mapped table's data files;
+        arrays and maps recurse so struct elements inside them map too."""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(
+                        cls._phys_name(f),
+                        cls._phys_type(f.dataType),
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._phys_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._phys_type(dt.keyType),
+                cls._phys_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    @classmethod
+    def _strip_meta(cls, dt: T.DataType) -> T.DataType:
+        """``dt`` with field metadata removed and every nested slot forced
+        NULLABLE (recursively) — the LOGICAL cast target: a struct cast in
+        Spark renames fields POSITIONALLY, so casting the physically-named
+        file column to this type is the whole nested rename, NULL-safe and
+        JVM-side. Nullability must be relaxed because Spark refuses
+        casting a nullable source field onto a non-nullable target, and a
+        rename has no business asserting nullability anyway. (Catalyst
+        elides the cast when no nested name differs, so unmapped tables
+        pay nothing.)"""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, cls._strip_meta(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._strip_meta(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._strip_meta(dt.keyType),
+                cls._strip_meta(dt.valueType),
+                True,
+            )
+        return dt
+
+    @classmethod
+    def _logical_cast(cls, f: T.StructField, phys: str):
+        """Physical file column -> logical output column (nested rename)."""
+        return (
+            F.col(f"`{phys}`").cast(cls._strip_meta(f.dataType)).alias(f.name)
+        )
+
+    @classmethod
+    def _physical_cast(cls, f: T.StructField, phys: str):
+        """Logical input column -> physical staged column (write path)."""
+        return (
+            F.col(f"`{f.name}`").cast(cls._strip_meta(cls._phys_type(f.dataType))).alias(phys)
+        )
 
     # --------------------------------------------------------------- reads
 
@@ -660,13 +819,13 @@ class DeltaTable:
 
         data_schema = T.StructType(
             [
-                T.StructField(phys(f.name), f.dataType, f.nullable)
+                T.StructField(phys(f.name), self._phys_type(f.dataType), f.nullable)
                 for f in schema.fields
                 if f.name not in part_cols
             ]
         )
         logical = [
-            F.col(phys(f.name)).alias(f.name)
+            self._logical_cast(f, phys(f.name))
             for f in schema.fields
             if f.name not in part_cols
         ]
@@ -776,9 +935,20 @@ class DeltaTable:
         pieces = []
         for a in adds:
             fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
-            pdf = pq.read_table(
-                fp, columns=[phys(c) for c in data_cols] or None
-            ).to_pandas()
+            tbl = pq.read_table(fp, columns=[phys(c) for c in data_cols] or None)
+            if mapping:
+                # nested struct fields read under PHYSICAL names; rebuild
+                # positionally to logical (struct-cast twin, arrow-side)
+                import pyarrow as pa
+
+                for i, c in enumerate(data_cols):
+                    col = tbl.column(i)
+                    if _arrow_names_differ(col.type, types[c]):
+                        arr = _arrow_to_logical_names(
+                            col.combine_chunks(), types[c]
+                        )
+                        tbl = tbl.set_column(i, pa.field(c, arr.type), arr)
+            pdf = tbl.to_pandas()
             pdf.columns = data_cols if data_cols else pdf.columns
             if a.get("deletionVector"):
                 from . import dv as _dv
@@ -1025,7 +1195,12 @@ class DeltaTable:
             prior_types = {f.name: f.dataType for f in prior_schema.fields}
             extra = [f for f in df.schema.fields if f.name not in prior_types]
             for f in df.schema.fields:
-                if f.name in prior_types and f.dataType != prior_types[f.name]:
+                # compare nested-metadata-stripped, nullability-relaxed
+                # types: a mapped table's schemaString carries columnMapping
+                # metadata inside struct types that incoming frames lack
+                if f.name in prior_types and self._strip_meta(
+                    f.dataType
+                ) != self._strip_meta(prior_types[f.name]):
                     raise ValueError(
                         f"column {f.name!r} is {f.dataType.simpleString()} but "
                         f"table has {prior_types[f.name].simpleString()}; "
@@ -1046,13 +1221,20 @@ class DeltaTable:
                     next_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
                     schema_json = json.loads(prior_meta["schemaString"])
                     for f in extra:
+                        # nested struct fields of a NEW column get their own
+                        # synthetic physical names too (delta-spark's shape)
+                        inner_type, next_id = _assign_mapping_meta(
+                            json.loads(f.dataType.json()),
+                            next_id,
+                            lambda _name: f"col-{uuid.uuid4().hex}",
+                        )
                         next_id += 1
                         phys_name = f"col-{uuid.uuid4().hex}"
                         mapping[f.name] = phys_name
                         schema_json["fields"].append(
                             {
                                 "name": f.name,
-                                "type": json.loads(f.dataType.json()),
+                                "type": inner_type,
                                 "nullable": True,
                                 "metadata": {
                                     "delta.columnMapping.id": next_id,
@@ -1077,8 +1259,22 @@ class DeltaTable:
         # would make any post-rename append read back as NULL.
         stage_df = df
         if mapping:
+            # schemaString fields carry the nested physicalName metadata;
+            # df.schema does not — resolve each staged column through the
+            # table schema so nested struct fields stage physically too
+            table_fields = {}
+            if prior_meta is not None:
+                for fj in json.loads(
+                    new_schema_json or prior_meta["schemaString"]
+                ).get("fields", []):
+                    table_fields[fj["name"]] = T.StructField.fromJson(fj)
             stage_df = df.select(
-                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+                *[
+                    self._physical_cast(table_fields[c], mapping.get(c, c))
+                    if c in table_fields
+                    else F.col(f"`{c}`").alias(mapping.get(c, c))
+                    for c in df.columns
+                ]
             )
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         writer = stage_df.write.mode("errorifexists")
@@ -1299,16 +1495,15 @@ class DeltaTable:
         if self._column_mapping(meta):
             raise ValueError(f"column mapping already enabled: {self.path}")
         schema = json.loads(meta["schemaString"])
-        for i, field in enumerate(schema.get("fields", []), start=1):
-            md = dict(field.get("metadata") or {})
-            md["delta.columnMapping.id"] = i
-            md["delta.columnMapping.physicalName"] = field["name"]
-            field["metadata"] = md
+        # identity physical names at every nesting level: the data already
+        # on disk was written under the logical names, so they ARE the
+        # physical names; only post-upgrade renames diverge the two
+        schema, max_id = _assign_mapping_meta(schema, 0, lambda name: name)
         new_meta = dict(meta)
         new_meta["schemaString"] = json.dumps(schema)
         conf = dict(new_meta.get("configuration") or {})
         conf["delta.columnMapping.mode"] = "name"
-        conf["delta.columnMapping.maxColumnId"] = str(len(schema.get("fields", [])))
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
         new_meta["configuration"] = conf
         return self._publish_or_conflict(
             base + 1,
@@ -1348,7 +1543,14 @@ class DeltaTable:
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column without touching any data file — the logical
         name changes in the schema metadata, the physical name stays
-        bound to the bytes on disk. Requires column mapping."""
+        bound to the bytes on disk. Requires column mapping.
+
+        ``old`` may be a dotted path into nested STRUCTS
+        (``"outer.inner"``); ``new`` is the new leaf name. Paths through
+        array/map elements are refused — Spark reads would handle them
+        (positional struct casts), but the pure-python readers
+        (`to_pandas`, ``pydelta``) rename struct fields only, and a
+        rename this client cannot read back has no business committing."""
         base = self.latest_version() or 0
         meta, _ = self._snapshot_state(None)
         if not self._column_mapping(meta):
@@ -1356,14 +1558,34 @@ class DeltaTable:
                 "rename_column requires column mapping; call "
                 "enable_column_mapping() first"
             )
+        if "." in new:
+            raise ValueError(f"new name {new!r} must be a leaf name, not a path")
         schema = json.loads(meta["schemaString"])
-        names = [f["name"] for f in schema["fields"]]
-        if old not in names:
-            raise ValueError(f"no column {old!r} in {names}")
+        *parents, leaf = old.split(".")
+        container = schema  # a struct type-JSON node with "fields"
+        for seg in parents:
+            hit = next(
+                (f for f in container.get("fields", []) if f["name"] == seg), None
+            )
+            if hit is None:
+                raise ValueError(
+                    f"no column {seg!r} on path {old!r} in "
+                    f"{[f['name'] for f in container.get('fields', [])]}"
+                )
+            t = hit["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"{seg!r} on path {old!r} is not a struct (renames "
+                    "inside array/map elements are not supported)"
+                )
+            container = t
+        names = [f["name"] for f in container.get("fields", [])]
+        if leaf not in names:
+            raise ValueError(f"no column {leaf!r} in {names}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
-        for field in schema["fields"]:
-            if field["name"] == old:
+        for field in container["fields"]:
+            if field["name"] == leaf:
                 field["name"] = new
         new_meta = dict(meta)
         new_meta["schemaString"] = json.dumps(schema)
@@ -1916,13 +2138,13 @@ class DeltaTable:
         part_cols = meta.get("partitionColumns") or []
         data_schema = T.StructType(
             [
-                T.StructField(phys(f.name), f.dataType, f.nullable)
+                T.StructField(phys(f.name), self._phys_type(f.dataType), f.nullable)
                 for f in schema.fields
                 if f.name not in part_cols
             ]
         )
         logical = [
-            F.col(phys(f.name)).alias(f.name)
+            self._logical_cast(f, phys(f.name))
             for f in schema.fields
             if f.name not in part_cols
         ]

@@ -47,7 +47,14 @@ from pyspark.sql.datasource import (
 )
 
 from . import dv as _dv
-from .delta import DeltaTable, _file_may_match, _parse_conjuncts_strict, _HIVE_NULL
+from .delta import (
+    DeltaTable,
+    _arrow_names_differ,
+    _arrow_to_logical_names,
+    _file_may_match,
+    _parse_conjuncts_strict,
+    _HIVE_NULL,
+)
 
 
 class PyDeltaPartition(InputPartition):
@@ -261,6 +268,16 @@ class PyDeltaReader(DataSourceReader):
         tbl = tbl.rename_columns(
             [partition.phys_to_logical[c] for c in tbl.column_names]
         )
+        # nested struct fields still carry PHYSICAL names after the
+        # top-level rename — rebuild positionally to logical (column
+        # mapping; same contract as DeltaTable.to_pandas)
+        for idx, name in enumerate(tbl.column_names):
+            dt = self._spark_types.get(name)
+            if dt is not None and _arrow_names_differ(tbl.column(idx).type, dt):
+                arr = _arrow_to_logical_names(
+                    tbl.column(idx).combine_chunks(), dt
+                )
+                tbl = tbl.set_column(idx, pa.field(name, arr.type), arr)
         for phys_name, logical in partition.phys_to_logical.items():
             if phys_name not in present:
                 tbl = tbl.append_column(

@@ -1298,3 +1298,151 @@ class TestDescribeDetail:
         assert "checkConstraints" in r.writer_features
         assert r.properties["delta.constraints.id_nonneg"] == "id >= 0"
         assert r.size_in_bytes > 0
+
+
+class TestNestedColumnMapping:
+    """Nested-struct column mapping (round-4 verdict item 4): inner
+    struct fields carry their own physicalName metadata; renames at any
+    struct depth are metadata-only; reads rebuild logical names via
+    positional struct casts (Spark) / StructArray rebuilds (pure
+    python); appends after a nested rename stage physical names at
+    every level."""
+
+    def _mk(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, 6).select(
+            F.col("id"),
+            F.when(
+                F.col("id") < 5,
+                F.struct(
+                    (F.col("id") * 2).alias("a"),
+                    F.concat(F.lit("s"), F.col("id").cast("string")).alias("b"),
+                    F.struct((F.col("id") + 100).alias("deep")).alias("inner"),
+                ),
+            ).alias("s"),  # id=5 -> NULL struct: casts must preserve it
+        )
+        t.write(df.repartition(2))
+        t.enable_column_mapping()
+        return t
+
+    def _renamed(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.rename_column("s", "payload")
+        t.rename_column("payload.a", "alpha")
+        t.rename_column("payload.inner.deep", "depth")
+        return t
+
+    def test_nested_rename_batch_read(self, spark, tmp_path):
+        t = self._renamed(spark, tmp_path)
+        got = t.read(spark)
+        assert set(got.columns) == {"id", "s"} - {"s"} | {"payload"}
+        row = got.filter("id = 2").collect()[0]
+        assert row.payload.alpha == 4
+        assert row.payload.b == "s2"
+        assert row.payload.inner.depth == 102
+        assert got.filter("id = 5").collect()[0].payload is None
+
+    def test_append_after_nested_rename(self, spark, tmp_path):
+        t = self._renamed(spark, tmp_path)
+        extra = spark.range(6, 8).select(
+            F.col("id"),
+            F.struct(
+                (F.col("id") * 2).alias("alpha"),
+                F.concat(F.lit("s"), F.col("id").cast("string")).alias("b"),
+                F.struct((F.col("id") + 100).alias("depth")).alias("inner"),
+            ).alias("payload"),
+        )
+        t.write(extra)
+        got = t.read(spark)
+        assert got.count() == 8
+        assert got.filter("payload.alpha = 14").collect()[0].id == 7
+        # the staged file must use PHYSICAL nested names: reread one raw
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "t")
+        newest = max(
+            (f for f in os.listdir(root) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(root, f)),
+        )
+        names = pq.read_schema(os.path.join(root, newest)).names
+        assert "payload" not in names and "s" in names  # physical outer
+
+    def test_nested_rename_to_pandas_and_pyds(self, spark, tmp_path):
+        t = self._renamed(spark, tmp_path)
+        pdf = t.to_pandas()
+        assert sorted(pdf.columns) == ["id", "payload"]
+        by_id = {r["id"]: r["payload"] for _, r in pdf.iterrows()}
+        assert by_id[2]["alpha"] == 4 and by_id[2]["b"] == "s2"
+        assert by_id[2]["inner"]["depth"] == 102
+        assert by_id[5] is None
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", t.path).load()
+        row = out.filter("id = 2").collect()[0]
+        assert row.payload.alpha == 4 and row.payload.inner.depth == 102
+        assert out.filter("id = 5").collect()[0].payload is None
+
+    def test_merge_and_compact_preserve_nested_mapping(self, spark, tmp_path):
+        t = self._renamed(spark, tmp_path)
+        src = spark.range(2, 3).select(
+            F.col("id"),
+            F.struct(
+                F.lit(999).cast("long").alias("alpha"),
+                F.lit("merged").alias("b"),
+                F.struct(F.lit(7).cast("long").alias("depth")).alias("inner"),
+            ).alias("payload"),
+        )
+        t.merge(src, ["id"])
+        row = t.read(spark).filter("id = 2").collect()[0]
+        assert row.payload.alpha == 999 and row.payload.b == "merged"
+        t.compact(spark)
+        row = t.read(spark).filter("id = 2").collect()[0]
+        assert row.payload.inner.depth == 7
+        assert t.read(spark).count() == 6
+
+    def test_evolution_adds_mapped_struct_column(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        extra = spark.range(6, 8).select(
+            F.col("id"),
+            F.struct(
+                (F.col("id") * 2).alias("a"),
+                F.lit("x").alias("b"),
+                F.struct((F.col("id") + 100).alias("deep")).alias("inner"),
+            ).alias("s"),
+            F.struct(F.lit(1).cast("long").alias("u")).alias("added"),
+        )
+        t.write(extra, merge_schema=True)
+        import json as _json
+
+        meta, _ = t._snapshot_state(None)
+        fj = next(
+            f
+            for f in _json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "added"
+        )
+        # the new column AND its nested field both got synthetic physical names
+        assert fj["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+        inner = fj["type"]["fields"][0]
+        assert inner["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+        got = t.read(spark)
+        assert got.filter("id = 7").collect()[0].added.u == 1
+        assert got.filter("id = 2").collect()[0].added is None
+
+    def test_rename_through_array_refused(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, 3).select(
+            F.col("id"),
+            F.array(F.struct(F.col("id").alias("v"))).alias("arr"),
+        )
+        t.write(df)
+        t.enable_column_mapping()
+        with pytest.raises(ValueError, match="not a struct"):
+            t.rename_column("arr.v", "w")
+        # renaming the array column itself is fine
+        t.rename_column("arr", "items")
+        row = t.read(spark).filter("id = 1").collect()[0]
+        assert row.items[0].v == 1
+        pdf = t.to_pandas()
+        hit = pdf[pdf["id"] == 1]["items"].iloc[0]
+        assert hit[0]["v"] == 1
