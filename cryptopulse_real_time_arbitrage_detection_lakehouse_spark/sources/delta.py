@@ -1127,6 +1127,103 @@ class DeltaTable:
 
     # -------------------------------------------------------------- writes
 
+    def _stage_files(
+        self,
+        df: DataFrame,
+        *,
+        version: int,
+        partition_by: list[str],
+        mapping: dict[str, str],
+        schema_json: str | None,
+        _data_change: bool = True,
+    ) -> list[dict]:
+        """Stage ``df`` (LOGICAL names) as committed-naming data files
+        under the table root and return their ``add`` payloads (path,
+        partitionValues, size, footer stats) — shared by `write` and
+        `update`; the caller owns the commit that makes them visible.
+
+        Column-mapped tables stage under PHYSICAL names (nested struct
+        fields included, via `_physical_cast`) so both the parquet
+        footers and the hive partition dirs (-> partitionValues keys)
+        match what `read()` resolves — staging logical names here would
+        make any post-rename append read back as NULL."""
+        import pyarrow.parquet as pq
+
+        stage_df = df
+        if mapping:
+            # schemaString fields carry the nested physicalName metadata;
+            # df.schema does not — resolve each staged column through the
+            # table schema so nested struct fields stage physically too
+            table_fields = {}
+            if schema_json is not None:
+                for fj in json.loads(schema_json).get("fields", []):
+                    table_fields[fj["name"]] = T.StructField.fromJson(fj)
+            stage_df = df.select(
+                *[
+                    self._physical_cast(table_fields[c], mapping.get(c, c))
+                    if c in table_fields
+                    else F.col(f"`{c}`").alias(mapping.get(c, c))
+                    for c in df.columns
+                ]
+            )
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        writer = stage_df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*[mapping.get(c, c) for c in partition_by])
+        writer.parquet(stage)
+
+        adds: list[dict] = []
+        now_ms = int(time.time() * 1000)
+        for root, _dirs, files in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            part_values = {}
+            ok = True
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    if "=" not in seg:
+                        ok = False
+                        break
+                    c, raw = seg.split("=", 1)
+                    part_values[c] = (
+                        None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+                    )
+            if not ok:
+                continue
+            for name in files:
+                if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                    continue
+                src = os.path.join(root, name)
+                fname = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+                rel = (
+                    os.path.join(rel_dir, fname) if rel_dir != "." else fname
+                ).replace(os.sep, "/")
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+                adds.append(
+                    {
+                        "path": urllib.parse.quote(rel, safe="/="),
+                        "partitionValues": part_values,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": _data_change,
+                        # numRecords + per-column min/max/nullCount from the
+                        # parquet footer: the data-skipping payload `read
+                        # (where=...)` prunes files with (SURVEY §4.1)
+                        "stats": json.dumps(
+                            _file_stats(pq.ParquetFile(dst).metadata)
+                        ),
+                    }
+                )
+        # clear the now-empty staging tree
+        for root, dirs, _files in os.walk(stage, topdown=False):
+            for d in dirs:
+                os.rmdir(os.path.join(root, d))
+            for leftover in os.listdir(root):
+                os.remove(os.path.join(root, leftover))
+        os.rmdir(stage)
+        return adds
+
     def write(
         self,
         df: DataFrame,
@@ -1252,86 +1349,18 @@ class DeltaTable:
                     )
                     new_schema_json = merged.json()
 
-        # stage with Spark, then move part files under the table root.
-        # Column-mapped tables stage under PHYSICAL names so both the
-        # parquet footers and the hive partition dirs (-> partitionValues
-        # keys) match what `read()` resolves — staging logical names here
-        # would make any post-rename append read back as NULL.
-        stage_df = df
-        if mapping:
-            # schemaString fields carry the nested physicalName metadata;
-            # df.schema does not — resolve each staged column through the
-            # table schema so nested struct fields stage physically too
-            table_fields = {}
-            if prior_meta is not None:
-                for fj in json.loads(
-                    new_schema_json or prior_meta["schemaString"]
-                ).get("fields", []):
-                    table_fields[fj["name"]] = T.StructField.fromJson(fj)
-            stage_df = df.select(
-                *[
-                    self._physical_cast(table_fields[c], mapping.get(c, c))
-                    if c in table_fields
-                    else F.col(f"`{c}`").alias(mapping.get(c, c))
-                    for c in df.columns
-                ]
-            )
-        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        writer = stage_df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*[mapping.get(c, c) for c in partition_by])
-        writer.parquet(stage)
-
-        adds = []
+        adds = self._stage_files(
+            df,
+            version=version,
+            partition_by=partition_by,
+            mapping=mapping,
+            schema_json=(
+                new_schema_json
+                or (prior_meta["schemaString"] if prior_meta else None)
+            ),
+            _data_change=_data_change,
+        )
         now_ms = int(time.time() * 1000)
-        for root, _dirs, files in os.walk(stage):
-            rel_dir = os.path.relpath(root, stage)
-            part_values = {}
-            ok = True
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    if "=" not in seg:
-                        ok = False
-                        break
-                    c, raw = seg.split("=", 1)
-                    part_values[c] = (
-                        None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
-                    )
-            if not ok:
-                continue
-            for name in files:
-                if not name.endswith(".parquet") or name.startswith(("_", ".")):
-                    continue
-                src = os.path.join(root, name)
-                fname = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-                rel = (
-                    os.path.join(rel_dir, fname) if rel_dir != "." else fname
-                ).replace(os.sep, "/")
-                dst = os.path.join(self.path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(src, dst)
-                adds.append(
-                    {
-                        "path": urllib.parse.quote(rel, safe="/="),
-                        "partitionValues": part_values,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": _data_change,
-                        # numRecords + per-column min/max/nullCount from the
-                        # parquet footer: the data-skipping payload `read
-                        # (where=...)` prunes files with (SURVEY §4.1)
-                        "stats": json.dumps(
-                            _file_stats(pq.ParquetFile(dst).metadata)
-                        ),
-                    }
-                )
-        # clear the now-empty staging tree
-        for root, dirs, _files in os.walk(stage, topdown=False):
-            for d in dirs:
-                os.rmdir(os.path.join(root, d))
-            for leftover in os.listdir(root):
-                os.remove(os.path.join(root, leftover))
-        os.rmdir(stage)
 
         actions: list[dict] = []
         if txn is not None:
@@ -1802,6 +1831,16 @@ class DeltaTable:
                 }
             }
         ]
+        actions.extend(self._dv_upgrade_actions(meta, protocol))
+        actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
+
+        return self._publish_or_conflict(base + 1, actions, "DELETE")
+
+    def _dv_upgrade_actions(self, meta: dict, protocol: dict | None) -> list[dict]:
+        """protocol+metaData actions upgrading the table for deletion
+        vectors (reader v3 / writer v7), or [] when already upgraded.
+        Shared by `delete` and `update` (both commit DVs)."""
+        actions: list[dict] = []
         needs_v3 = (protocol or {}).get("minReaderVersion", 1) < 3 or (
             "deletionVectors" not in ((protocol or {}).get("readerFeatures") or [])
         )
@@ -1851,7 +1890,19 @@ class DeltaTable:
             conf["delta.enableDeletionVectors"] = "true"
             new_meta["configuration"] = conf
             actions.append({"metaData": new_meta})
+        return actions
 
+    def _dv_file_actions(
+        self, file_dvs, by_name: dict[str, dict], now_ms: int
+    ) -> list[dict]:
+        """remove + re-add-with-deletionVector actions for each touched
+        file (fully-deleted files are removed outright). ``file_dvs`` are
+        the executor-built `(file, blob, card, n_new)` rows from
+        `_build_file_dvs`; the driver only persists each blob as a
+        sidecar and records its descriptor."""
+        from . import dv as _dv
+
+        actions: list[dict] = []
         for r in sorted(file_dvs, key=lambda r: r["file"]):
             a = by_name[r["file"]]
             prior = a.get("deletionVector")
@@ -1882,8 +1933,106 @@ class DeltaTable:
                 self.path, bytes(r["blob"]), int(r["card"])
             )
             actions.append({"add": new_add})
+        return actions
 
-        return self._publish_or_conflict(base + 1, actions, "DELETE")
+    def update(
+        self,
+        spark: SparkSession,
+        condition,
+        set_exprs: dict,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """UPDATE SET ... WHERE ``condition`` — deletion vectors plus an
+        append, in ONE atomic commit (delta-spark's DV-enabled UPDATE):
+        matched rows are flagged in per-file roaring vectors (built
+        executor-side, O(files) driver transfer — `_build_file_dvs`) and
+        their updated images land as new data files staged from the same
+        snapshot. Untouched rows in matched files are NOT rewritten —
+        at 100 TB an update touching 0.1% of rows costs KBs of bitmap
+        plus the updated rows themselves, not a petabyte rewrite (the
+        `merge` path's copy-on-write is the contrast).
+
+        ``set_exprs`` maps column name -> SQL expression string or
+        Column, evaluated against the matched rows' CURRENT values.
+        Updates may move rows across partitions (the new image restages
+        under its new partition directory). CHECK constraints validate
+        the updated images before anything commits. Returns the
+        committed version; a no-match update still commits (delta-spark
+        semantics), and ``txn`` makes replays no-ops."""
+        if txn is not None:
+            applied = self.last_txn_version(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return self.latest_version()  # already applied: replay no-op
+        base = self.latest_version() or 0
+        meta, adds, protocol = self._snapshot_state_full(None)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        part_cols = meta.get("partitionColumns") or []
+        mapping = self._column_mapping(meta) or {}
+
+        # the updated images, computed from the SAME snapshot the DVs
+        # derive from (staging executes before the commit publishes)
+        matched = self._scan(spark, keep_meta=True).filter(cond).drop(
+            "__file", "__rid"
+        )
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        col_types = {f.name: f.dataType for f in schema.fields}
+        updated = matched
+        for col, expr in sorted(set_exprs.items()):
+            if col not in col_types:
+                raise ValueError(
+                    f"UPDATE SET references unknown column {col!r} "
+                    f"(table has {sorted(col_types)})"
+                )
+            e = F.expr(expr) if isinstance(expr, str) else expr
+            # implicit cast to the column's DECLARED type (delta-spark's
+            # UPDATE semantics): a literal like 0.0 parses as DECIMAL and
+            # would otherwise drift the staged file's type off-schema
+            updated = updated.withColumn(
+                col, e.cast(self._strip_meta(col_types[col]))
+            )
+        self._check_constraints(updated, meta)
+
+        file_dvs = self._build_file_dvs(spark, cond, adds)
+        n_updated = sum(r["n_new"] for r in file_dvs)
+        new_adds = (
+            self._stage_files(
+                updated,
+                version=base + 1,
+                partition_by=part_cols,
+                mapping=mapping,
+                schema_json=meta["schemaString"],
+            )
+            if n_updated
+            else []
+        )
+        now_ms = int(time.time() * 1000)
+        by_name = {
+            os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
+        }
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {},
+                    "operationMetrics": {
+                        "numUpdatedRows": str(n_updated),
+                        "numDvsAdded": str(len(file_dvs)),
+                        "numAddedFiles": str(len(new_adds)),
+                    },
+                }
+            }
+        )
+        actions.extend(self._dv_upgrade_actions(meta, protocol))
+        actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
+        actions.extend({"add": a} for a in new_adds)
+        return self._publish_or_conflict(base + 1, actions, "UPDATE")
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /

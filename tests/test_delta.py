@@ -1446,3 +1446,92 @@ class TestNestedColumnMapping:
         pdf = t.to_pandas()
         hit = pdf[pdf["id"] == 1]["items"].iloc[0]
         assert hit[0]["v"] == 1
+
+
+class TestDvUpdate:
+    """UPDATE via deletion vectors + append: one atomic commit flags the
+    old images in per-file DVs (executor-built blobs) and appends the
+    updated images — no rewrite of untouched rows in matched files."""
+
+    def _table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 100)
+            .select(
+                F.col("id"),
+                (F.col("id") % 7).alias("grp"),
+                (F.col("id") * 10).cast("double").alias("v"),
+            )
+            .repartition(4)
+        )
+        return t
+
+    def test_update_roundtrip_no_rewrite(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        files_before = {
+            f for f in os.listdir(str(tmp_path / "t")) if f.endswith(".parquet")
+        }
+        v = t.update(spark, "grp = 3", {"v": "v + 100000"})
+        assert v == 1
+        got = t.read(spark)
+        assert got.count() == 100  # no rows gained or lost
+        hit = got.filter("grp = 3")
+        assert hit.count() == 100 // 7  # ids 3,10,...,94
+        assert hit.filter("v < 100000").count() == 0
+        assert got.filter("grp != 3").filter("v >= 100000").count() == 0
+        # original files survive untouched; only new appended files + DVs
+        files_after = {
+            f for f in os.listdir(str(tmp_path / "t")) if f.endswith(".parquet")
+        }
+        assert files_before <= files_after
+        # one atomic commit
+        assert t.latest_version() == 1
+
+    def test_update_then_delete_then_update(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.update(spark, "id < 10", {"v": "0.0"})
+        t.delete(spark, "id >= 90")
+        t.update(spark, "v = 0.0", {"v": "1.0"})
+        got = t.read(spark)
+        assert got.count() == 90
+        assert got.filter("v = 1.0").count() == 10
+        assert got.filter("v = 0.0").count() == 0
+
+    def test_update_moves_partition(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, 20).select(
+            F.col("id"),
+            F.when(F.col("id") < 15, F.lit("a")).otherwise(F.lit("b")).alias("part"),
+        )
+        t.write(df, partition_by=["part"])
+        t.update(spark, "id % 5 = 0", {"part": "'moved'"})
+        got = t.read(spark)
+        assert got.count() == 20
+        assert got.filter("part = 'moved'").count() == 4
+        assert {r.id for r in got.filter("part = 'moved'").collect()} == {0, 5, 10, 15}
+        # JVM-free read agrees (partition columns come from the log)
+        pdf = t.to_pandas()
+        assert (pdf["part"] == "moved").sum() == 4
+
+    def test_update_respects_constraints(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.add_check_constraint("v_nonneg", "v >= 0")
+        with pytest.raises(ValueError, match="v_nonneg"):
+            t.update(spark, "grp = 1", {"v": "-1.0"})
+        assert t.read(spark).filter("v < 0").count() == 0
+
+    def test_update_txn_replay_noop(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.update(spark, "grp = 2", {"v": "v + 1"}, txn=("updater", 7))
+        v_after = t.latest_version()
+        t.update(spark, "grp = 2", {"v": "v + 1"}, txn=("updater", 7))
+        assert t.latest_version() == v_after  # replay skipped
+        total = t.read(spark).agg(F.sum("v")).collect()[0][0]
+        base = sum(i * 10 for i in range(100)) + 100 // 7  # +1 per grp-2 row, once
+        assert total == base
+
+    def test_update_no_match_still_commits(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        v = t.update(spark, "id = 12345", {"v": "0.0"})
+        assert v == 1
+        assert t.read(spark).count() == 100

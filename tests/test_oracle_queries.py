@@ -12,10 +12,19 @@ from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import plans
 
 from conftest import SF_ORACLE, assert_oracle_match
 
-ORACLE_SPECS = sorted(plans.all_oracles())
+def _module(name: str) -> str:
+    return plans.get(name).fn.__module__.rsplit(".", 1)[-1]
 
 
-@pytest.mark.parametrize("name", ORACLE_SPECS)
+# ordered and id'd by (plans module, name): failures cluster per module,
+# `-x` stops inside the broken module, and `-k "medallion"` (etc.)
+# re-runs exactly one module's queries during a targeted loop
+ORACLE_SPECS = sorted(plans.all_oracles(), key=lambda n: (_module(n), n))
+
+
+@pytest.mark.parametrize(
+    "name", ORACLE_SPECS, ids=lambda n: f"{_module(n)}--{n}"
+)
 def test_query_matches_oracle(spark, ddb, name):
     spec = plans.get(name)
     df = spec.fn(spark, SF_ORACLE)
