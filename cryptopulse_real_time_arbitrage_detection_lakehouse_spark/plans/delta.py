@@ -479,6 +479,48 @@ def delta_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_shallow_clone_fork",
+    oracle=f"""
+SELECT 'source' AS tbl, event_type, count(*) AS n
+FROM events WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+UNION ALL
+SELECT 'fork' AS tbl, event_type, count(*) AS n
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r} AND NOT (value < 30)
+GROUP BY event_type
+""",
+    doc="SHALLOW CLONE as a dev/test fork: the source lands in Delta, "
+    "clone_to() commits a ZERO-COPY metadata-only table referencing the "
+    "source's files by absolute path (O(files) log write — at 100 TB a "
+    "clone costs the same as at 100 MB), then the FORK deletes cheap "
+    "events via deletion vectors. Both tables are read back: the "
+    "source must be untouched by the fork's delete, the fork must see "
+    "the survivors — independent evolution over shared data files, "
+    "delta-spark's shallow-clone contract. Oracle recomputes both "
+    "states straight from events.",
+    tags=("delta", "clone", "deletion-vectors"),
+)
+def delta_shallow_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _build_delta_table(spark, sf_dir)
+    fork = src.clone_to(src.path + "_fork")
+    fork.delete(spark, "value < 30")
+    source_counts = (
+        src.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tbl", F.lit("source"))
+    )
+    fork_counts = (
+        fork.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tbl", F.lit("fork"))
+    )
+    return source_counts.unionByName(fork_counts).select("tbl", "event_type", "n")
+
+
+@register(
     "pyds_delta_survivors",
     oracle=f"""
 SELECT event_type, count(*) AS n

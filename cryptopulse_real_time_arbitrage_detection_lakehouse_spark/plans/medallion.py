@@ -493,3 +493,105 @@ def symbol_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volatility"),
         )
     )
+
+
+@register(
+    "symbol_return_correlation",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+lagged AS (
+  SELECT symbol, window_start, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS prev_close
+  FROM gold
+), r AS (
+  SELECT symbol, window_start,
+         CAST(CAST(close AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(prev_close AS VARCHAR) AS DOUBLE) - 1.0 AS ret
+  FROM lagged
+  WHERE prev_close IS NOT NULL AND prev_close <> 0
+), p AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         count(*) AS n_overlap,
+         {sql_dsum("a.ret")} AS sx,  {sql_dsum("b.ret")} AS sy,
+         {sql_dsum("a.ret * b.ret")} AS sxy,
+         {sql_dsum("a.ret * a.ret")} AS sxx,
+         {sql_dsum("b.ret * b.ret")} AS syy
+  FROM r a JOIN r b
+    ON a.window_start = b.window_start AND a.symbol < b.symbol
+  GROUP BY 1, 2
+)
+SELECT sym_a, sym_b, n_overlap,
+       CASE WHEN sqrt(CAST(n_overlap AS DOUBLE) * sxx - sx * sx)
+                 * sqrt(CAST(n_overlap AS DOUBLE) * syy - sy * sy) = 0
+            THEN NULL
+            ELSE (CAST(n_overlap AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n_overlap AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n_overlap AS DOUBLE) * syy - sy * sy))
+       END AS correlation
+FROM p WHERE n_overlap >= 2
+""",
+    doc="Pairwise Pearson correlation of 1-minute close-to-close returns "
+    "between symbols — the co-movement matrix an arbitrage desk watches "
+    "next to the spread monitor. Returns ride the chunked-lag rewrite; "
+    "the pair join is an equi-join on the minute (co-partitioned with "
+    "the return computation, symbol<symbol halves the pairs); the "
+    "correlation comes from exact-decimal power/cross sums so both "
+    "engines feed sqrt and the final division BIT-IDENTICAL operands "
+    "(the order_stats_moments discipline extended to cross-moments — a "
+    "naive corr() would differ in the last ulp per accumulation order). "
+    "Zero-variance pairs yield NULL via the same guarded expression in "
+    "both engines. Scale shape: per-minute rows only after the candle "
+    "aggregation; the join key (minute) distributes evenly by "
+    "construction.",
+    tags=("gold", "analytics", "join", "window-function"),
+)
+def symbol_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import dsum
+
+    gold = _gold_table(spark, sf_dir).select("window_start", "symbol", "close")
+    lagged = chunked_lag(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="close",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_close",
+        materialize=False,
+    )
+    ret = (
+        F.col("close").cast("double") / F.col("prev_close").cast("double")
+        - F.lit(1.0)
+    )
+    r = lagged.filter(
+        F.col("prev_close").isNotNull() & (F.col("prev_close") != 0)
+    ).select("symbol", "window_start", ret.alias("ret"))
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.window_start") == F.col("b.window_start"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    )
+    p = pairs.groupBy(
+        F.col("a.symbol").alias("sym_a"), F.col("b.symbol").alias("sym_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        dsum(F.col("a.ret")).alias("sx"),
+        dsum(F.col("b.ret")).alias("sy"),
+        dsum(F.col("a.ret") * F.col("b.ret")).alias("sxy"),
+        dsum(F.col("a.ret") * F.col("a.ret")).alias("sxx"),
+        dsum(F.col("b.ret") * F.col("b.ret")).alias("syy"),
+    )
+    n = F.col("n_overlap").cast("double")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return p.filter(F.col("n_overlap") >= 2).select(
+        "sym_a",
+        "sym_b",
+        "n_overlap",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise((n * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+        .alias("correlation"),
+    )

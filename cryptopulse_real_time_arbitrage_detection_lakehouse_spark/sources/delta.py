@@ -1019,6 +1019,15 @@ class DeltaTable:
         part_cols = meta.get("partitionColumns") or []
         for v in self._commit_versions():
             for action in self._read_commit(v):
+                if "add" in action and urllib.parse.unquote(
+                    action["add"]["path"]
+                ).startswith("/"):
+                    raise NotImplementedError(
+                        "streaming read of a shallow clone is not supported "
+                        "(its data files live outside the table root, which "
+                        "a file-source stream cannot see); use the batch "
+                        "`read` path"
+                    )
                 if "remove" in action:
                     raise NotImplementedError(
                         f"table {self.path} has remove actions (overwrite/"
@@ -2033,6 +2042,90 @@ class DeltaTable:
         actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
         actions.extend({"add": a} for a in new_adds)
         return self._publish_or_conflict(base + 1, actions, "UPDATE")
+
+    def clone_to(
+        self, target_path: str, *, version: int | None = None
+    ) -> "DeltaTable":
+        """SHALLOW CLONE: create a NEW Delta table at ``target_path``
+        whose first commit references this snapshot's data files (and DV
+        sidecars) by ABSOLUTE path — zero bytes of data copied, O(files)
+        metadata written. The dev/test-fork primitive: at 100 TB a clone
+        is a log write, and the fork then evolves independently (appends,
+        deletes, updates, compaction land under the CLONE's root; the
+        source never sees them). ``version`` clones a time-travel
+        snapshot.
+
+        Spec note: ``add.path`` is defined as a relative path OR an
+        absolute URI, which is exactly how delta-spark's shallow clones
+        reference source files. Caveats shared with delta-spark: VACUUM
+        on the SOURCE can delete files a clone still references (vacuum
+        only protects its own snapshot), and a clone is not streamable
+        (its files live outside its root — `read_stream` gates this).
+        """
+        from . import dv as _dv
+
+        meta, adds, protocol = self._snapshot_state_full(version)
+        target = DeltaTable(target_path)
+        if target.latest_version() is not None:
+            raise ValueError(f"clone target already exists: {target_path}")
+        now_ms = int(time.time() * 1000)
+        new_adds: list[dict] = []
+        for a in adds:
+            abs_path = os.path.abspath(
+                os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            )
+            na = dict(a)
+            na["path"] = urllib.parse.quote(abs_path, safe="/=")
+            na["modificationTime"] = now_ms
+            na["dataChange"] = True
+            d = a.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                # 'u' sidecars resolve against the TABLE root; the clone's
+                # root is elsewhere, so pin them to absolute 'p' paths
+                prefix, uid = _dv.split_u_descriptor(d["pathOrInlineDv"])
+                na["deletionVector"] = {
+                    **d,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        os.path.join(
+                            self.path, _dv.dv_sidecar_name(uid, prefix)
+                        )
+                    ),
+                }
+            new_adds.append(na)
+        new_meta = dict(meta)
+        new_meta["id"] = str(uuid.uuid4())
+        new_meta["createdTime"] = now_ms
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": self.path,
+                        "sourceVersion": str(
+                            version
+                            if version is not None
+                            else self.latest_version()
+                        ),
+                        "isShallow": "true",
+                    },
+                    "operationMetrics": {
+                        "sourceNumFiles": str(len(new_adds)),
+                        "numCopiedFiles": "0",
+                    },
+                }
+            },
+            *(
+                [{"protocol": protocol}]
+                if protocol is not None
+                else [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}]
+            ),
+            {"metaData": new_meta},
+            *({"add": a} for a in new_adds),
+        ]
+        target._publish_or_conflict(0, actions, "CLONE")
+        return target
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /

@@ -1535,3 +1535,78 @@ class TestDvUpdate:
         v = t.update(spark, "id = 12345", {"v": "0.0"})
         assert v == 1
         assert t.read(spark).count() == 100
+
+
+class TestShallowClone:
+    """Shallow CLONE: a new table whose commit-0 references the source's
+    files by absolute path — zero data copied, independent evolution."""
+
+    def _src(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "src"))
+        t.write(make_df(spark, 0, 20).coalesce(1), partition_by=["sym"])
+        t.delete(spark, "id < 2")  # clone must carry the DVs too
+        return t
+
+    def test_clone_reads_equal_source(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        clone = src.clone_to(str(tmp_path / "fork"))
+        assert clone.latest_version() == 0
+        s = {tuple(r) for r in src.read(spark).collect()}
+        c = {tuple(r) for r in clone.read(spark).collect()}
+        assert s == c and len(c) == 18
+        # zero data files under the clone root
+        files = [
+            f
+            for f in os.listdir(str(tmp_path / "fork"))
+            if f.endswith(".parquet")
+        ]
+        assert files == []
+        # JVM-free read agrees
+        assert len(clone.to_pandas()) == 18
+
+    def test_clone_evolves_independently(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        clone = src.clone_to(str(tmp_path / "fork"))
+        clone.write(make_df(spark, 100, 5).coalesce(1), partition_by=["sym"])
+        clone.delete(spark, "id = 3")
+        assert clone.read(spark).count() == 18 + 5 - 1
+        assert src.read(spark).count() == 18  # source untouched
+        # the clone's new data files landed under ITS root
+        files = [
+            f
+            for f in os.listdir(str(tmp_path / "fork"))
+            if f.endswith(".parquet")
+        ]
+        assert files == []  # partitioned: files under sym=... dirs
+        assert clone.read(spark).filter("id >= 100").count() == 5
+
+    def test_clone_vacuum_never_touches_source(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        clone = src.clone_to(str(tmp_path / "fork"))
+        # compact materializes local files and drops the absolute refs
+        clone.compact(spark)
+        deleted = clone.vacuum(retention_ms=0)
+        # vacuum removed nothing outside its root; source still reads
+        assert all(not d.startswith("/") for d in deleted)
+        assert src.read(spark).count() == 18
+        assert clone.read(spark).count() == 18
+
+    def test_clone_time_travel_snapshot(self, spark, tmp_path):
+        src = DeltaTable(str(tmp_path / "src"))
+        src.write(make_df(spark, 0, 10).coalesce(1))
+        src.write(make_df(spark, 10, 10).coalesce(1))
+        clone = src.clone_to(str(tmp_path / "fork0"), version=0)
+        assert clone.read(spark).count() == 10
+        assert src.read(spark).count() == 20
+
+    def test_clone_target_exists_refused(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        src.clone_to(str(tmp_path / "fork"))
+        with pytest.raises(ValueError, match="already exists"):
+            src.clone_to(str(tmp_path / "fork"))
+
+    def test_clone_not_streamable(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        clone = src.clone_to(str(tmp_path / "fork"))
+        with pytest.raises(NotImplementedError, match="shallow clone"):
+            clone.read_stream(spark)
