@@ -57,6 +57,28 @@ def _build_delta_table(
     return table
 
 
+#: one shared base table per (session id, sf_dir); queries that only need
+#: the current SNAPSHOT fork it with a zero-copy shallow clone instead of
+#: re-running the 5 Spark writes — the clone primitive doing real work in
+#: the engine's own harness. Queries that exercise the LOG ITSELF
+#: (history, time travel, CDF, streaming tails) still build fresh: a
+#: clone's collapsed history would change what they test.
+_BASE_TABLES: dict[tuple[str, str], str] = {}
+
+
+def _forked_delta_table(spark: SparkSession, sf_dir: str, tag: str) -> DeltaTable:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BASE_TABLES.get(key)
+    if path is None or not os.path.exists(os.path.join(path, "_delta_log")):
+        base = _build_delta_table(spark, sf_dir)
+        _BASE_TABLES[key] = base.path
+    else:
+        base = DeltaTable(path)
+    return base.clone_to(
+        tempfile.mkdtemp(prefix=f"cpfork_{tag}_") + "/events_delta"
+    )
+
+
 @register(
     "delta_history_audit",
     oracle=f"""
@@ -260,7 +282,7 @@ GROUP BY event_type
     tags=("delta", "deletion-vectors", "delete"),
 )
 def delta_deletion_vector_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table = _build_delta_table(spark, sf_dir)
+    table = _forked_delta_table(spark, sf_dir, "dv")
     table.delete(spark, "event_type = 'click' AND value < 50")
     survivors = table.read(spark)
     return survivors.groupBy("event_type").agg(
@@ -327,7 +349,7 @@ GROUP BY event_type
     tags=("delta", "deletion-vectors", "streaming", "gdpr"),
 )
 def delta_gdpr_delete_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table = _build_delta_table(spark, sf_dir)
+    table = _forked_delta_table(spark, sf_dir, "gdpr")
 
     # the deletion-request stream: two bounded micro-batches of user ids
     req_dir = tempfile.mkdtemp(prefix="cpgdpr_req_")
@@ -425,7 +447,7 @@ GROUP BY event_type
     tags=("delta", "update", "deletion-vectors"),
 )
 def delta_update_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table = _build_delta_table(spark, sf_dir)
+    table = _forked_delta_table(spark, sf_dir, "upd")
     table.update(
         spark,
         "event_type = 'purchase' AND value > 50",
@@ -464,7 +486,7 @@ WHERE event_type IN {_BATCH_TYPES!r}
     tags=("delta", "metadata", "detail"),
 )
 def delta_table_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table = _build_delta_table(spark, sf_dir)
+    table = _forked_delta_table(spark, sf_dir, "detail")
     table.delete(spark, "event_type = 'click' AND value < 50")
     d = table.detail(spark)
     return d.select(
@@ -502,7 +524,7 @@ GROUP BY event_type
     tags=("delta", "clone", "deletion-vectors"),
 )
 def delta_shallow_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _build_delta_table(spark, sf_dir)
+    src = _forked_delta_table(spark, sf_dir, "clone")
     fork = src.clone_to(src.path + "_fork")
     fork.delete(spark, "value < 30")
     source_counts = (
@@ -546,7 +568,7 @@ GROUP BY event_type
 def pyds_delta_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pyds
 
-    table = _build_delta_table(spark, sf_dir)
+    table = _forked_delta_table(spark, sf_dir, "pyds")
     table.delete(spark, "event_type = 'view' AND value < 10")
     pyds.register(spark)
     out = (
