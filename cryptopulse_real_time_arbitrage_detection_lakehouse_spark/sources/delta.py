@@ -610,9 +610,6 @@ class DeltaTable:
             # column mapping resolves columns by parquet field id, which
             # a name-matching reader would misread (e.g. Iceberg-compat
             # converts) — gated too.
-            mode = (meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            )
             features = set(protocol.get("readerFeatures") or [])
             unsupported = features - {"columnMapping", "deletionVectors"}
             # v3 REQUIRES an explicit feature list; absent = malformed, and
@@ -620,13 +617,13 @@ class DeltaTable:
             malformed_v3 = (
                 protocol.get("minReaderVersion", 1) >= 3 and not features
             )
-            if mode == "id" or unsupported or malformed_v3:
+            if unsupported or malformed_v3:
                 raise NotImplementedError(
                     f"table requires Delta reader protocol "
                     f"v{protocol['minReaderVersion']} with features "
-                    f"{sorted(features) or ['(none listed)']} and column "
-                    f"mapping mode {mode!r}; this client reads protocol v1 "
-                    f"tables, v2/v3 name-mapped tables, and deletion vectors"
+                    f"{sorted(features) or ['(none listed)']}; this client "
+                    f"reads protocol v1 tables, v2/v3 name- and id-mapped "
+                    f"tables, and deletion vectors"
                 )
         return meta, list(adds.values()), protocol
 
@@ -642,10 +639,12 @@ class DeltaTable:
         recursively (the Spark read/write paths rename nested fields with
         positional struct casts)."""
         mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-        if mode != "name":
-            # 'id' mode never reaches here — the protocol gate in
-            # `_snapshot_state` rejects it (field-id resolution unsupported)
+        if mode not in ("name", "id"):
             return None
+        # 'id' mode ALSO carries physicalName metadata (the spec requires
+        # both); partitionValues are keyed physically in both modes, so
+        # the map serves either — only DATA-column resolution differs
+        # (`_scan` resolves id-mode columns by parquet field id)
         schema = json.loads(meta["schemaString"])
         mapping: dict[str, str] = {}
         for field in schema.get("fields", []):
@@ -717,6 +716,49 @@ class DeltaTable:
                 cls._strip_meta(dt.keyType),
                 cls._strip_meta(dt.valueType),
                 True,
+            )
+        return dt
+
+    @staticmethod
+    def _mapping_mode(meta: dict) -> str:
+        return (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+
+    @classmethod
+    def _fieldid_type(cls, dt: T.DataType) -> T.DataType:
+        """``dt`` with every struct field's ``delta.columnMapping.id``
+        translated to ``parquet.field.id`` metadata (recursively) and the
+        LOGICAL names kept — the read schema for 'id'-mode tables: with
+        ``spark.sql.parquet.fieldId.read.enabled`` Spark resolves each
+        column against the parquet footer's field ids and ignores names
+        entirely, which is exactly what id mode prescribes (file column
+        names are arbitrary — e.g. Iceberg-compat converts)."""
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is None:
+                    raise ValueError(
+                        f"id-mapped table but field {f.name!r} has no "
+                        "delta.columnMapping.id metadata"
+                    )
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        cls._fieldid_type(f.dataType),
+                        f.nullable,
+                        {"parquet.field.id": int(fid)},
+                    )
+                )
+            return T.StructType(fields)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._fieldid_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._fieldid_type(dt.keyType),
+                cls._fieldid_type(dt.valueType),
+                dt.valueContainsNull,
             )
         return dt
 
@@ -817,18 +859,49 @@ class DeltaTable:
                 dv_cardinality += int(desc.get("cardinality") or 0)
         need_meta = keep_meta or bool(dv_blobs)
 
-        data_schema = T.StructType(
-            [
-                T.StructField(phys(f.name), self._phys_type(f.dataType), f.nullable)
+        if self._mapping_mode(meta) == "id":
+            # id mode: request LOGICAL names carrying parquet.field.id
+            # metadata; Spark's field-id resolution matches footer ids and
+            # ignores file column names (nested fields included). The conf
+            # is a no-op for schemas without id metadata, so enabling it
+            # session-wide is safe.
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            data_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        self._fieldid_type(f.dataType),
+                        f.nullable,
+                        {
+                            "parquet.field.id": int(
+                                (f.metadata or {})["delta.columnMapping.id"]
+                            )
+                        },
+                    )
+                    for f in schema.fields
+                    if f.name not in part_cols
+                ]
+            )
+            logical = [
+                F.col(f"`{f.name}`")
                 for f in schema.fields
                 if f.name not in part_cols
             ]
-        )
-        logical = [
-            self._logical_cast(f, phys(f.name))
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
+        else:
+            data_schema = T.StructType(
+                [
+                    T.StructField(
+                        phys(f.name), self._phys_type(f.dataType), f.nullable
+                    )
+                    for f in schema.fields
+                    if f.name not in part_cols
+                ]
+            )
+            logical = [
+                self._logical_cast(f, phys(f.name))
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
         meta_cols = (
             [
                 F.col("_metadata.file_name").alias("__file"),
@@ -932,10 +1005,37 @@ class DeltaTable:
             return raw  # strings, dates, timestamps stay hive-encoded text
 
         types = {f.name: f.dataType for f in schema.fields}
+        mode = self._mapping_mode(meta)
+        field_ids = (
+            {
+                f.name: int((f.metadata or {})["delta.columnMapping.id"])
+                for f in schema.fields
+            }
+            if mode == "id"
+            else {}
+        )
         pieces = []
         for a in adds:
             fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
-            tbl = pq.read_table(fp, columns=[phys(c) for c in data_cols] or None)
+            if mode == "id":
+                # resolve by the footer's parquet field ids (file column
+                # names are arbitrary in id mode)
+                by_id = {}
+                for fld in pq.read_schema(fp):
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = fld.name
+                try:
+                    file_cols = [by_id[field_ids[c]] for c in data_cols]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"id-mapped table: field id {exc} absent from {fp}"
+                    ) from None
+                tbl = pq.read_table(fp, columns=file_cols or None)
+            else:
+                tbl = pq.read_table(
+                    fp, columns=[phys(c) for c in data_cols] or None
+                )
             if mapping:
                 # nested struct fields read under PHYSICAL names; rebuild
                 # positionally to logical (struct-cast twin, arrow-side)
@@ -1010,13 +1110,21 @@ class DeltaTable:
         streaming-source semantics for append-only logs.
         """
         meta, _adds = self._snapshot_state(None)  # validates protocol
-        if self._column_mapping(meta):
+        if self._mapping_mode(meta) == "id":
             raise NotImplementedError(
-                "streaming read of column-mapped tables is not supported "
-                "(the file-source shortcut reads physical parquet names; "
-                "use the batch `read` path, which projects them back)"
+                "streaming read of id-mode column-mapped tables is not "
+                "supported (file streams resolve by name, id mode "
+                "resolves by parquet field id); use the batch read path"
             )
+        mapping = self._column_mapping(meta) or {}
         part_cols = meta.get("partitionColumns") or []
+        if mapping and part_cols:
+            raise NotImplementedError(
+                "streaming read of a column-mapped PARTITIONED table is "
+                "not supported (partition directories hive-encode physical "
+                "names, which the file stream would surface as columns); "
+                "use the batch `read` path"
+            )
         for v in self._commit_versions():
             for action in self._read_commit(v):
                 if "add" in action and urllib.parse.unquote(
@@ -1055,7 +1163,24 @@ class DeltaTable:
                             "express"
                         )
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        return spark.readStream.schema(schema).parquet(self.path)
+        if not mapping:
+            return spark.readStream.schema(schema).parquet(self.path)
+        # column-mapped (unpartitioned): stream under the PHYSICAL file
+        # schema, then project back to logical names — the same
+        # positional-cast rename the batch scan uses, applied on a
+        # streaming relation (transformations this shape are fully
+        # streamable: stateless, row-local)
+        phys = lambda c: mapping.get(c, c)  # noqa: E731
+        phys_schema = T.StructType(
+            [
+                T.StructField(phys(f.name), self._phys_type(f.dataType), f.nullable)
+                for f in schema.fields
+            ]
+        )
+        stream = spark.readStream.schema(phys_schema).parquet(self.path)
+        return stream.select(
+            *[self._logical_cast(f, phys(f.name)) for f in schema.fields]
+        )
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """``TIMESTAMP AS OF`` resolution: the newest version whose commit
@@ -1289,6 +1414,12 @@ class DeltaTable:
         if last is not None:
             prior_meta, prior_adds = self._snapshot_state(None)
             self._check_constraints(df, prior_meta)
+            if self._mapping_mode(prior_meta) == "id":
+                raise NotImplementedError(
+                    "writes to id-mode column-mapped tables are not "
+                    "supported (staged files would need spec-correct "
+                    "parquet field ids on every nested field); reads are"
+                )
             mapping = self._column_mapping(prior_meta) or {}
             if partition_by != (prior_meta.get("partitionColumns") or []):
                 raise ValueError(
@@ -1975,6 +2106,12 @@ class DeltaTable:
                 return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
+        if self._mapping_mode(meta) == "id":
+            raise NotImplementedError(
+                "UPDATE on id-mode column-mapped tables is not supported "
+                "(the updated images would stage without parquet field "
+                "ids); DELETE and reads are"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}

@@ -159,6 +159,14 @@ class PyDeltaReader(DataSourceReader):
         else:
             version = _resolve_version(table, opts)
             meta, adds = table._snapshot_state(version)
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id":
+            raise NotImplementedError(
+                "the pydelta source does not support id-mode column "
+                "mapping (per-file field-id resolution); use "
+                "DeltaTable.read or to_pandas"
+            )
         self._meta = meta
         self._adds = adds
         self._schema = schema

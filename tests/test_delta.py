@@ -490,10 +490,28 @@ class TestColumnMapping:
             ("C", 3.5, "2026-01-02"),
         ]
 
-    def test_stream_of_mapped_table_is_gated(self, spark, tmp_path):
+    def test_stream_of_mapped_table_projects_logical_names(
+        self, spark, tmp_path
+    ):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming.sinks import (
+            drain,
+            start_parquet_stream,
+        )
+
         root = str(tmp_path / "cm3")
         self._write_table(root, partitioned=False)
-        with pytest.raises(NotImplementedError, match="column-mapped"):
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stream = DeltaTable(root).read_stream(spark)
+        assert set(stream.columns) == {"sym", "px"}  # logical, not col-*
+        drain(start_parquet_stream(stream, path=out, checkpoint=ckpt))
+        got = {(r.sym, r.px) for r in spark.read.parquet(out).collect()}
+        assert got == {("A", 1.5), ("B", 2.5), ("C", 3.5)}
+
+    def test_stream_of_mapped_partitioned_table_is_gated(self, spark, tmp_path):
+        root = str(tmp_path / "cm3p")
+        self._write_table(root, partitioned=True)
+        with pytest.raises(NotImplementedError, match="PARTITIONED"):
             DeltaTable(root).read_stream(spark)
 
     def test_v3_unsupported_features_still_gated(self, spark, tmp_path):
@@ -521,23 +539,122 @@ class TestColumnMapping:
         with pytest.raises(NotImplementedError, match="v2Checkpoint"):
             DeltaTable(root).read(spark)
 
-    def test_id_mode_is_gated(self, spark, tmp_path):
-        # 'id' mode resolves columns by parquet field id, which this
-        # client does not implement — name-matching would misread
-        # Iceberg-compat converts, so the protocol gate must refuse.
+    def _write_id_mode_table(self, root) -> None:
+        """An 'id'-mode fixture whose FILE column names are unrelated to
+        both logical and physical names — only the parquet field ids link
+        them (the Iceberg-compat convert shape). A name-matching reader
+        would return all NULLs; only genuine field-id resolution reads
+        this correctly."""
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(root, "_delta_log"))
+        fields = [
+            {
+                "name": "sym",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": self.PHYS["sym"],
+                },
+            },
+            {
+                "name": "px",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": self.PHYS["px"],
+                },
+            },
+        ]
+        arrow_schema = pa.schema(
+            [
+                pa.field("zz_a", pa.string(), metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("zz_b", pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {"zz_a": ["A", "B", "C"], "zz_b": [1.5, 2.5, 3.5]},
+                schema=arrow_schema,
+            ),
+            os.path.join(root, "part-0.parquet"),
+        )
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "idmode-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ]
+        with open(
+            os.path.join(root, "_delta_log", "%020d.json" % 0), "w"
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    def test_id_mode_read_resolves_by_field_id(self, spark, tmp_path):
         root = str(tmp_path / "cm5")
-        self._write_table(root, partitioned=False)
-        log = os.path.join(root, "_delta_log", "00000000000000000000.json")
-        lines = open(log).read().splitlines()
-        patched = []
-        for line in lines:
-            a = json.loads(line)
-            if "metaData" in a:
-                a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
-            patched.append(json.dumps(a))
-        open(log, "w").write("\n".join(patched) + "\n")
-        with pytest.raises(NotImplementedError, match="reader protocol"):
-            DeltaTable(root).read(spark)
+        self._write_id_mode_table(root)
+        t = DeltaTable(root)
+        got = {(r.sym, r.px) for r in t.read(spark).collect()}
+        assert got == {("A", 1.5), ("B", 2.5), ("C", 3.5)}
+
+    def test_id_mode_to_pandas_resolves_by_footer_ids(self, spark, tmp_path):
+        root = str(tmp_path / "cm5b")
+        self._write_id_mode_table(root)
+        pdf = DeltaTable(root).to_pandas()
+        assert sorted(pdf.columns) == ["px", "sym"]
+        assert set(zip(pdf["sym"], pdf["px"])) == {
+            ("A", 1.5),
+            ("B", 2.5),
+            ("C", 3.5),
+        }
+
+    def test_id_mode_writes_and_pyds_stay_gated(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaReader,
+        )
+
+        root = str(tmp_path / "cm5c")
+        self._write_id_mode_table(root)
+        t = DeltaTable(root)
+        df = spark.createDataFrame([("D", 4.5)], "sym string, px double")
+        with pytest.raises(NotImplementedError, match="id-mode"):
+            t.write(df)
+        with pytest.raises(NotImplementedError, match="id-mode"):
+            t.update(spark, "sym = 'A'", {"px": "9.9"})
+        with pytest.raises(NotImplementedError, match="id-mode"):
+            t.read_stream(spark)
+        with pytest.raises(NotImplementedError, match="id-mode"):
+            PyDeltaReader({"path": root}, t.read(spark).schema)
+        # DELETE needs no staging: DVs flag positions, sound in id mode
+        t.delete(spark, "sym = 'B'")
+        assert {r.sym for r in t.read(spark).collect()} == {"A", "C"}
 
 
 class TestColumnMappingWrites:
