@@ -259,6 +259,61 @@ def delta_partitioned_stream_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "pyds_delta_stream_counts",
+    oracle=f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       count(*) AS n
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY 1
+""",
+    doc="The pydelta LOG-TAILING streaming source end to end (S2 as "
+    "delta-spark's DeltaSource shapes it, not the file-stream "
+    "shortcut): offsets are log versions, each micro-batch reads "
+    "exactly the commits in (start, end], and the drain goes through a "
+    "checkpointed parquet sink with availableNow. The table is "
+    "date-PARTITIONED with one commit per event_type — partition "
+    "values ship typed from the log per file, so this streams a layout "
+    "the hive-validating file stream also handles but via offsets that "
+    "survive restarts exactly-once (pytest proves the incremental "
+    "restart; this row proves every commit, partition, and row arrives "
+    "exactly once).",
+    tags=("delta", "streaming", "python-datasource", "partitioned"),
+)
+def pyds_delta_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cppydss_") + "/events_delta")
+    for etype in _BATCH_TYPES:
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select(*_EVENT_COLS)
+            .withColumn("event_date", F.to_date("ts"))
+            .repartition(1),
+            partition_by=["event_date"],
+        )
+    pyds.register(spark)
+    root = tempfile.mkdtemp(prefix="cppydss_out_")
+    out_path = os.path.join(root, "out")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                spark.readStream.format("pydelta")
+                .option("path", table.path)
+                .load(),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="pyds_delta_stream_counts",
+            )
+        )
+    drained = spark.read.parquet(out_path)
+    return drained.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "delta_deletion_vector_survivors",
     oracle=f"""
 SELECT event_type, count(*) AS n,

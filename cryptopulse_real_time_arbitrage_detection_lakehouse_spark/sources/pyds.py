@@ -43,12 +43,14 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
 from . import dv as _dv
 from .delta import (
     DeltaTable,
+    _as_dict,
     _arrow_names_differ,
     _arrow_to_logical_names,
     _file_may_match,
@@ -254,95 +256,219 @@ class PyDeltaReader(DataSourceReader):
     # ---------------------------------------------------------- execution
 
     def read(self, partition: PyDeltaPartition) -> Iterator:
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        if partition is None:
-            # partitions() pruned every file (e.g. a where-option literal
-            # matching nothing): Spark still schedules one task with a
-            # None partition — the correct output is zero batches
-            return
-
-        # schema-directed read: a pre-evolution file lacks columns added
-        # later (merge_schema); request only what the footer has and
-        # null-fill the rest — requesting a missing column would crash
-        # the whole scan (ArrowInvalid), where Delta semantics say NULL
-        # one ParquetFile open serves both the footer schema and the read
-        pf = pq.ParquetFile(partition.file_path)
-        present = set(pf.schema_arrow.names)
-        wanted = [c for c in partition.phys_to_logical if c in present]
-        tbl = pf.read(columns=wanted)
-        tbl = tbl.rename_columns(
-            [partition.phys_to_logical[c] for c in tbl.column_names]
+        yield from _read_partition(
+            partition, self._arrow_types, self._spark_types, self._col_order
         )
-        # nested struct fields still carry PHYSICAL names after the
-        # top-level rename — rebuild positionally to logical (column
-        # mapping; same contract as DeltaTable.to_pandas)
-        for idx, name in enumerate(tbl.column_names):
-            dt = self._spark_types.get(name)
-            if dt is not None and _arrow_names_differ(tbl.column(idx).type, dt):
-                arr = _arrow_to_logical_names(
-                    tbl.column(idx).combine_chunks(), dt
-                )
-                tbl = tbl.set_column(idx, pa.field(name, arr.type), arr)
-        for phys_name, logical in partition.phys_to_logical.items():
-            if phys_name not in present:
-                tbl = tbl.append_column(
-                    logical,
-                    pa.nulls(
-                        tbl.num_rows,
-                        type=self._arrow_types.get(logical) or pa.string(),
-                    ),
-                )
-        if partition.dv_rows:
-            mask = np.ones(tbl.num_rows, dtype=bool)
-            gone = np.asarray(partition.dv_rows, dtype=np.int64)
-            mask[gone[gone < tbl.num_rows]] = False
-            tbl = tbl.filter(pa.array(mask))
-        for name, val in partition.part_values.items():
+
+
+def _read_partition(
+    partition: PyDeltaPartition, arrow_types, spark_types, col_order
+) -> Iterator:
+    """Executor-side read of one data file: schema-directed pyarrow
+    read, physical->logical rename (nested included), DV application by
+    row position, typed partition-value injection, arrow-type conforming,
+    exact conjunct filtering, declared-order output. Shared by the batch
+    reader and the log-tailing STREAM reader (same file semantics; the
+    stream just scopes partitions to a commit range)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if partition is None:
+        # partitions() pruned every file (e.g. a where-option literal
+        # matching nothing): Spark still schedules one task with a
+        # None partition — the correct output is zero batches
+        return
+
+    # schema-directed read: a pre-evolution file lacks columns added
+    # later (merge_schema); request only what the footer has and
+    # null-fill the rest — requesting a missing column would crash
+    # the whole scan (ArrowInvalid), where Delta semantics say NULL
+    # one ParquetFile open serves both the footer schema and the read
+    pf = pq.ParquetFile(partition.file_path)
+    present = set(pf.schema_arrow.names)
+    wanted = [c for c in partition.phys_to_logical if c in present]
+    tbl = pf.read(columns=wanted)
+    tbl = tbl.rename_columns(
+        [partition.phys_to_logical[c] for c in tbl.column_names]
+    )
+    # nested struct fields still carry PHYSICAL names after the
+    # top-level rename — rebuild positionally to logical (column
+    # mapping; same contract as DeltaTable.to_pandas)
+    for idx, name in enumerate(tbl.column_names):
+        dt = spark_types.get(name)
+        if dt is not None and _arrow_names_differ(tbl.column(idx).type, dt):
+            arr = _arrow_to_logical_names(
+                tbl.column(idx).combine_chunks(), dt
+            )
+            tbl = tbl.set_column(idx, pa.field(name, arr.type), arr)
+    for phys_name, logical in partition.phys_to_logical.items():
+        if phys_name not in present:
             tbl = tbl.append_column(
-                name,
-                pa.array(
-                    [val] * tbl.num_rows,
-                    type=self._arrow_types.get(name) or pa.string(),
+                logical,
+                pa.nulls(
+                    tbl.num_rows,
+                    type=arrow_types.get(logical) or pa.string(),
                 ),
             )
-        # conform every column to the Spark schema's arrow types (e.g.
-        # ns->us timestamps); unknown types pass through untouched
-        fields = []
-        changed = False
-        for fld in tbl.schema:
-            want = self._arrow_types.get(fld.name)
-            if want is not None and want != fld.type:
-                fields.append(pa.field(fld.name, want))
-                changed = True
-            else:
-                fields.append(fld)
-        if changed:
-            tbl = tbl.cast(pa.schema(fields))
-        # claimed filters are OURS to enforce exactly (Spark no longer
-        # re-evaluates them): vectorized arrow compute per conjunct
-        if partition.conjuncts:
-            import pyarrow.compute as pc
+    if partition.dv_rows:
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        gone = np.asarray(partition.dv_rows, dtype=np.int64)
+        mask[gone[gone < tbl.num_rows]] = False
+        tbl = tbl.filter(pa.array(mask))
+    for name, val in partition.part_values.items():
+        tbl = tbl.append_column(
+            name,
+            pa.array(
+                [val] * tbl.num_rows,
+                type=arrow_types.get(name) or pa.string(),
+            ),
+        )
+    # conform every column to the Spark schema's arrow types (e.g.
+    # ns->us timestamps); unknown types pass through untouched
+    fields = []
+    changed = False
+    for fld in tbl.schema:
+        want = arrow_types.get(fld.name)
+        if want is not None and want != fld.type:
+            fields.append(pa.field(fld.name, want))
+            changed = True
+        else:
+            fields.append(fld)
+    if changed:
+        tbl = tbl.cast(pa.schema(fields))
+    # claimed filters are OURS to enforce exactly (Spark no longer
+    # re-evaluates them): vectorized arrow compute per conjunct
+    if partition.conjuncts:
+        import pyarrow.compute as pc
 
-            for col, op, val in partition.conjuncts:
-                field = pc.field(col)
-                expr = {
-                    "=": field == val,
-                    "<": field < val,
-                    "<=": field <= val,
-                    ">": field > val,
-                    ">=": field >= val,
-                }[op]
-                tbl = tbl.filter(expr)
-        # Spark consumes these batches POSITIONALLY (the worker validates
-        # names as a set but never reorders): null-filled and partition
-        # columns were appended at the end, so the table MUST be put in
-        # declared-schema order or values silently land in the wrong
-        # columns (reproduced: a middle-column evolution swapped fields)
-        tbl = tbl.select(self._col_order)
-        yield from tbl.to_batches()
+        for col, op, val in partition.conjuncts:
+            field = pc.field(col)
+            expr = {
+                "=": field == val,
+                "<": field < val,
+                "<=": field <= val,
+                ">": field > val,
+                ">=": field >= val,
+            }[op]
+            tbl = tbl.filter(expr)
+    # Spark consumes these batches POSITIONALLY (the worker validates
+    # names as a set but never reorders): null-filled and partition
+    # columns were appended at the end, so the table MUST be put in
+    # declared-schema order or values silently land in the wrong
+    # columns (reproduced: a middle-column evolution swapped fields)
+    tbl = tbl.select(col_order)
+    yield from tbl.to_batches()
+
+class PyDeltaStreamReader(DataSourceStreamReader):
+    """Log-tailing STREAMING source: ``spark.readStream.format("pydelta")``.
+
+    This is the real Delta streaming-source shape (delta-spark's
+    ``DeltaSource``): the OFFSET is the log version, each micro-batch
+    reads exactly the commits in ``(start, end]``, and recovery replays
+    from the checkpointed version — exactly-once across restarts comes
+    from the log's version monotonicity, no file-listing heuristics.
+    Unlike the file-stream twin (`DeltaTable.read_stream`), this source
+    streams PARTITIONED and column-MAPPED tables too, because each
+    partition ships its typed partition values and the physical->logical
+    rename from the log instead of trusting directory layout.
+
+    Append-only contract (delta-spark's default): a commit carrying
+    ``remove`` actions or a DV re-add is refused mid-stream rather than
+    silently resurrecting or double-reading rows. ``startingVersion``
+    (default 0) scopes the tail.
+    """
+
+    def __init__(self, options: dict, schema: T.StructType) -> None:
+        opts = _lower_opts(options)
+        self._root = opts["path"]
+        table = DeltaTable(self._root)
+        meta, _adds = table._snapshot_state(None)  # validates protocol
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id":
+            raise NotImplementedError(
+                "the pydelta source does not support id-mode column "
+                "mapping (per-file field-id resolution); use "
+                "DeltaTable.read or to_pandas"
+            )
+        self._table = table
+        self._schema = schema
+        self._mapping = table._column_mapping(meta) or {}
+        self._part_cols = meta.get("partitionColumns") or []
+        self._start_version = int(opts.get("startingversion", "0"))
+        log_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        self._arrow_types = {
+            f.name: _spark_to_arrow_type(f.dataType) for f in log_schema.fields
+        }
+        self._spark_types = {f.name: f.dataType for f in log_schema.fields}
+        self._col_order = [f.name for f in log_schema.fields]
+
+    # ----------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start_version - 1}
+
+    def latestOffset(self) -> dict:
+        latest = self._table.latest_version()
+        return {"version": latest if latest is not None else -1}
+
+    def partitions(self, start: dict, end: dict):
+        phys = lambda c: self._mapping.get(c, c)  # noqa: E731
+        types = self._spark_types
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for action in self._table._read_commit(v):
+                if "remove" in action:
+                    raise NotImplementedError(
+                        f"commit {v} of {self._root} contains remove "
+                        "actions (overwrite/delete/compaction); the "
+                        "append-only streaming contract refuses them — "
+                        "re-stream from a fresh startingVersion after "
+                        "table rewrites"
+                    )
+                add = action.get("add")
+                if add is None:
+                    continue
+                if add.get("deletionVector"):
+                    raise NotImplementedError(
+                        f"commit {v} adds a deletion vector; streaming "
+                        "would resurrect or double-read rows — use the "
+                        "batch read path"
+                    )
+                pv_raw = _as_dict(add.get("partitionValues"))
+                part_values = {
+                    c: _coerce_partition_value(pv_raw.get(phys(c)), types[c])
+                    for c in self._part_cols
+                }
+                out.append(
+                    PyDeltaPartition(
+                        os.path.join(
+                            self._root, urllib.parse.unquote(add["path"])
+                        ),
+                        {
+                            phys(f.name): f.name
+                            for f in self._schema.fields
+                            if f.name not in self._part_cols
+                        },
+                        part_values,
+                        [],
+                        [],
+                    )
+                )
+        return out
+
+    def commit(self, end: dict) -> None:
+        # offsets are durable in the query checkpoint; the log needs no
+        # acknowledgement (reads are side-effect-free)
+        return
+
+    # ---------------------------------------------------------- execution
+
+    def read(self, partition: PyDeltaPartition) -> Iterator:
+        yield from _read_partition(
+            partition, self._arrow_types, self._spark_types, self._col_order
+        )
 
 
 def register(spark) -> None:
@@ -394,3 +520,7 @@ class PyDeltaDataSource(DataSource):
         # holds the full adds list (linear in table size)
         self._snapshot = None
         return PyDeltaReader(dict(self.options), schema, snapshot=snap)
+
+    def streamReader(self, schema: T.StructType) -> PyDeltaStreamReader:
+        self._snapshot = None  # stream reads tail the log, never a snapshot
+        return PyDeltaStreamReader(dict(self.options), schema)

@@ -196,3 +196,109 @@ class TestPyDeltaWhereSoundness:
             .load()
         )
         assert ok.count() == 0
+
+
+class TestPyDeltaStreamSource:
+    """Log-tailing streaming source: offsets are log versions; each
+    micro-batch reads exactly the commits in (start, end]; recovery
+    replays from the checkpointed version. Streams partitioned AND
+    column-mapped tables (the file-stream twin cannot)."""
+
+    def _drain(self, spark, path, out, extra_opts=None):
+        reader = spark.readStream.format("pydelta").option("path", path)
+        for k, v in (extra_opts or {}).items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out + "/data")
+            .option("checkpointLocation", out + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        err = q.exception()
+        if err:
+            raise err
+        return spark.read.parquet(out + "/data")
+
+    def test_partitioned_stream_and_incremental_restart(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.write(
+                spark.range(i * 10, i * 10 + 10).select(
+                    F.col("id"),
+                    F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias(
+                        "part"
+                    ),
+                ),
+                partition_by=["part"],
+            )
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        df = self._drain(spark, t.path, out)
+        assert df.count() == 30
+        assert {r.id for r in df.collect()} == set(range(30))
+        assert {r.part for r in df.select("part").distinct().collect()} == {
+            "p0",
+            "p1",
+        }
+        # append a commit; re-drain the SAME checkpoint: only new rows land
+        t.write(
+            spark.range(100, 105).select(
+                F.col("id"), F.lit("p0").alias("part")
+            ),
+            partition_by=["part"],
+        )
+        df2 = self._drain(spark, t.path, out)
+        assert df2.count() == 35  # exactly-once across restarts
+
+    def test_mapped_table_streams_logical_names(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [("A", 1.5), ("B", 2.5)], "sym string, px double"
+            )
+        )
+        t.enable_column_mapping()
+        t.rename_column("px", "price")
+        t.write(
+            spark.createDataFrame([("C", 3.5)], "sym string, price double")
+        )
+        pyds.register(spark)
+        df = self._drain(spark, t.path, str(tmp_path / "out"))
+        assert set(df.columns) == {"sym", "price"}
+        assert {(r.sym, r.price) for r in df.collect()} == {
+            ("A", 1.5),
+            ("B", 2.5),
+            ("C", 3.5),
+        }
+
+    def test_starting_version_scopes_the_tail(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.write(spark.range(5, 9).select("id"))
+        pyds.register(spark)
+        df = self._drain(
+            spark,
+            t.path,
+            str(tmp_path / "out"),
+            extra_opts={"startingVersion": "1"},
+        )
+        assert {r.id for r in df.collect()} == {5, 6, 7, 8}
+
+    def test_remove_actions_refuse_midstream(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.write(spark.range(5, 9).select("id"), mode="overwrite")
+        pyds.register(spark)
+        with pytest.raises(Exception, match="remove actions"):
+            self._drain(spark, t.path, str(tmp_path / "out"))
+
+    def test_dv_commits_refuse_midstream(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.delete(spark, "id = 2")
+        pyds.register(spark)
+        with pytest.raises(Exception, match="remove actions|deletion vector"):
+            self._drain(spark, t.path, str(tmp_path / "out"))
