@@ -20,9 +20,19 @@ instead of around it:
   by row position, renames physical->logical columns (column mapping),
   and injects typed partition values.
 
-Options: ``path`` (table root, required), ``versionAsOf`` (time travel),
+The source is four-way: batch read (`PyDeltaReader`), LOG-TAILING
+streaming read (`PyDeltaStreamReader` — offsets are log versions,
+exactly-once recovery from the checkpointed version, streams
+partitioned AND column-mapped tables), batch write (`PyDeltaBatchWriter`
+— executors stage parquet + stats, the driver publishes one atomic
+commit), and a TRANSACTIONAL streaming sink (`PyDeltaStreamWriter` —
+``txn``-keyed micro-batch commits, replays detected in the log).
+
+Options: ``path`` (table root, required); reads: ``versionAsOf``,
 ``timestampAsOf`` (ms epoch), ``where`` (simple-conjunction predicate
-for file pruning + exact row filtering). Register once per session with
+for file pruning + exact row filtering), ``startingVersion``
+(streaming); writes: ``partitionBy`` (comma-separated), ``txnAppId``
+(streaming-sink idempotence key). Register once per session with
 ``pyds.register(spark)``.
 
 Scale notes: the JVM parquet path remains the default for raw scan
@@ -42,15 +52,19 @@ from typing import Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from . import dv as _dv
 from .delta import (
     DeltaTable,
     _as_dict,
+    _file_stats,
     _arrow_names_differ,
     _arrow_to_logical_names,
     _file_may_match,
@@ -471,6 +485,300 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         )
 
 
+# ------------------------------------------------------------------ writes
+
+
+class PyDeltaCommitMessage(WriterCommitMessage):
+    """Per-task result: the add-file payloads this task staged."""
+
+    def __init__(self, adds: list[dict]) -> None:
+        self.adds = adds
+
+
+def _write_task_files(
+    batches, root: str, partition_by: list[str]
+) -> list[dict]:
+    """Executor-side: write this task's arrow batches as parquet data
+    files DIRECTLY under the table root (Delta visibility == log
+    membership, so there is no rename dance — an uncommitted file is
+    invisible and vacuum reaps it) and return their ``add`` payloads.
+    Partitioned tables get one file per partition tuple in this task,
+    under the hive directory layout the batch reader expects."""
+    import json
+    import time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = list(batches)
+    if not batches:
+        return []
+    tbl = pa.Table.from_batches(batches)
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+
+    def write_one(sub, rel_dir: str, part_values: dict) -> None:
+        fname = f"part-{_uuid.uuid4().hex}.parquet"
+        rel = f"{rel_dir}/{fname}" if rel_dir else fname
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        data = sub.drop_columns(partition_by) if partition_by else sub
+        pq.write_table(data, dst)
+        adds.append(
+            {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "partitionValues": part_values,
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": json.dumps(_file_stats(pq.ParquetFile(dst).metadata)),
+            }
+        )
+
+    if not partition_by:
+        write_one(tbl, "", {})
+        return adds
+    cols = [tbl.column(c).to_pylist() for c in partition_by]
+    groups: dict[tuple, list[int]] = {}
+    for i, vals in enumerate(zip(*cols)):
+        groups.setdefault(vals, []).append(i)
+    for vals, idxs in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        sub = tbl.take(pa.array(idxs, type=pa.int64()))
+        segs, pv = [], {}
+        for c, v in zip(partition_by, vals):
+            if v is None:
+                segs.append(f"{c}={_HIVE_NULL}")
+                pv[c] = None
+            else:
+                text = str(v)
+                segs.append(f"{c}={urllib.parse.quote(text, safe='')}")
+                pv[c] = text
+        write_one(sub, "/".join(segs), pv)
+    return adds
+
+
+def _commit_written(
+    root: str,
+    messages,
+    *,
+    schema: T.StructType,
+    partition_by: list[str],
+    overwrite: bool,
+    txn: tuple[str, int] | None,
+) -> None:
+    """Driver-side commit of the adds every task staged. With ``txn``
+    (the streaming sink), a replayed batch is detected IN THE LOG and
+    its staged files are deleted instead of committed — the delta-spark
+    streaming-sink exactly-once protocol. A commit conflict surfaces
+    `ConcurrentWriteError`; the staged files are then orphans that
+    `vacuum` reaps (same recovery story as a crashed writer)."""
+    import json
+    import time
+    import uuid as _uuid
+
+    adds = [a for m in messages if m is not None for a in m.adds]
+    table = DeltaTable(root)
+    last = table.latest_version()
+
+    def discard_staged() -> None:
+        for a in adds:
+            fp = os.path.join(root, urllib.parse.unquote(a["path"]))
+            if os.path.exists(fp):
+                os.remove(fp)
+
+    if txn is not None and last is not None:
+        applied = table.last_txn_version(txn[0])
+        if applied is not None and applied >= txn[1]:
+            discard_staged()  # replayed batch: keep the table unchanged
+            return
+    now_ms = int(time.time() * 1000)
+    version = 0 if last is None else last + 1
+    n_rows = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    actions: list[dict] = []
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite" if overwrite else "Append"
+                },
+                "operationMetrics": {
+                    "numFiles": str(len(adds)),
+                    "numOutputRows": str(n_rows),
+                },
+            }
+        }
+    )
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": _uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if overwrite and last is not None:
+        _meta, prior_adds = table._snapshot_state(None)
+        for a in prior_adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend({"add": a} for a in adds)
+    try:
+        table._publish_or_conflict(version, actions, "WRITE")
+    except Exception:
+        discard_staged()
+        raise
+
+
+def _validate_write_target(
+    root: str, schema: T.StructType, partition_by: list[str]
+) -> None:
+    """Fail fast ON THE DRIVER before any task runs: schema and
+    partitioning must match an existing table exactly (the pydelta write
+    path has no evolution or mapped-staging support — `DeltaTable.write`
+    does), and partition columns must exist in the frame."""
+    for c in partition_by:
+        if c not in schema.fieldNames():
+            raise ValueError(
+                f"partition column {c!r} not in schema {schema.fieldNames()}"
+            )
+    table = DeltaTable(root)
+    if table.latest_version() is None:
+        return
+    meta, _ = table._snapshot_state(None)
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise NotImplementedError(
+            "pydelta writes to column-mapped tables are not supported; "
+            "use DeltaTable.write"
+        )
+    prior = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    strip = DeltaTable._strip_meta
+    if [
+        (f.name, strip(f.dataType)) for f in prior.fields
+    ] != [(f.name, strip(f.dataType)) for f in schema.fields]:
+        raise ValueError(
+            f"schema mismatch: table has {prior.simpleString()}, "
+            f"write has {schema.simpleString()} (pydelta writes do not "
+            "evolve schemas; use DeltaTable.write(merge_schema=True))"
+        )
+    table_parts = meta.get("partitionColumns") or []
+    if partition_by != table_parts:
+        raise ValueError(
+            f"partitionBy {partition_by} != table's {table_parts}"
+        )
+
+
+def _opt_partition_by(opts: dict) -> list[str]:
+    return [c.strip() for c in opts.get("partitionby", "").split(",") if c.strip()]
+
+
+class PyDeltaBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("pydelta")`` — append or overwrite, committed
+    as ONE Delta transaction after every task reports its staged files
+    (all-or-nothing: a failed task aborts and the staged files are
+    removed; readers never observe a partial write)."""
+
+    def __init__(
+        self, options: dict, schema: T.StructType, overwrite: bool
+    ) -> None:
+        opts = _lower_opts(options)
+        self._root = opts["path"]
+        self._overwrite = overwrite
+        self._partition_by = _opt_partition_by(opts)
+        self._schema = schema
+        _validate_write_target(self._root, schema, self._partition_by)
+
+    def write(self, iterator) -> PyDeltaCommitMessage:
+        return PyDeltaCommitMessage(
+            _write_task_files(iterator, self._root, self._partition_by)
+        )
+
+    def commit(self, messages) -> None:
+        _commit_written(
+            self._root,
+            messages,
+            schema=self._schema,
+            partition_by=self._partition_by,
+            overwrite=self._overwrite,
+            txn=None,
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for a in m.adds:
+                fp = os.path.join(self._root, urllib.parse.unquote(a["path"]))
+                if os.path.exists(fp):
+                    os.remove(fp)
+
+
+class PyDeltaStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pydelta")`` — the TRANSACTIONAL Delta
+    streaming sink through the sanctioned API: every micro-batch commits
+    with a ``txn`` action keyed (``txnAppId`` option, batchId), so a
+    batch replayed after a crash between the Delta commit and the
+    streaming checkpoint is detected in the log and skipped —
+    exactly-once without foreachBatch. ``txnAppId`` defaults to a
+    constant; set it per sink when several independent streams append
+    to the same table."""
+
+    def __init__(self, options: dict, schema: T.StructType) -> None:
+        opts = _lower_opts(options)
+        self._root = opts["path"]
+        self._partition_by = _opt_partition_by(opts)
+        self._schema = schema
+        self._app_id = opts.get("txnappid", "pydelta-stream-sink")
+        _validate_write_target(self._root, schema, self._partition_by)
+
+    def write(self, iterator) -> PyDeltaCommitMessage:
+        return PyDeltaCommitMessage(
+            _write_task_files(iterator, self._root, self._partition_by)
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_written(
+            self._root,
+            messages,
+            schema=self._schema,
+            partition_by=self._partition_by,
+            overwrite=False,
+            txn=(self._app_id, batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for a in m.adds:
+                fp = os.path.join(self._root, urllib.parse.unquote(a["path"]))
+                if os.path.exists(fp):
+                    os.remove(fp)
+
+
 def register(spark) -> None:
     """Register the source with a session: ``spark.read.format("pydelta")``.
 
@@ -503,6 +811,12 @@ class PyDeltaDataSource(DataSource):
     def schema(self) -> T.StructType:
         opts = _lower_opts(self.options)
         table = DeltaTable(opts["path"])
+        if table.latest_version() is None:
+            # a WRITE target that does not exist yet: the framework still
+            # asks for a schema, but the writer takes the frame's own —
+            # report empty rather than failing the whole write plan
+            self._snapshot = None
+            return T.StructType([])
         # resolve at the TRAVELED version: a schema-evolved table read at
         # an old version must expose that version's columns (the latest
         # schema would send executors after columns the old files lack)
@@ -524,3 +838,13 @@ class PyDeltaDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> PyDeltaStreamReader:
         self._snapshot = None  # stream reads tail the log, never a snapshot
         return PyDeltaStreamReader(dict(self.options), schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> PyDeltaBatchWriter:
+        self._snapshot = None
+        return PyDeltaBatchWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> PyDeltaStreamWriter:
+        self._snapshot = None
+        return PyDeltaStreamWriter(dict(self.options), schema)

@@ -302,3 +302,147 @@ class TestPyDeltaStreamSource:
         pyds.register(spark)
         with pytest.raises(Exception, match="remove actions|deletion vector"):
             self._drain(spark, t.path, str(tmp_path / "out"))
+
+
+class TestPyDeltaWriters:
+    """pydelta WRITE paths: batch append/overwrite as one atomic Delta
+    commit; streaming sink with txn-keyed exactly-once per micro-batch."""
+
+    def test_batch_write_partitioned_roundtrip(self, spark, tmp_path):
+        pyds.register(spark)
+        root = str(tmp_path / "t")
+        df = spark.range(0, 60).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+        )
+        df.write.format("pydelta").option("path", root).option(
+            "partitionBy", "g"
+        ).mode("append").save()
+        t = DeltaTable(root)
+        assert t.latest_version() == 0
+        got = t.read(spark)
+        assert got.count() == 60
+        assert {r.g for r in got.select("g").distinct().collect()} == {
+            "0", "1", "2"
+        }
+        assert got.filter("g = '1'").count() == 20
+        # the same table reads through the pydelta READER too
+        back = spark.read.format("pydelta").option("path", root).load()
+        assert back.count() == 60
+        # append then overwrite
+        spark.range(60, 70).select(
+            F.col("id"), F.lit("9").alias("g")
+        ).write.format("pydelta").option("path", root).option(
+            "partitionBy", "g"
+        ).mode("append").save()
+        assert t.read(spark).count() == 70
+        spark.range(0, 5).select(
+            F.col("id"), F.lit("0").alias("g")
+        ).write.format("pydelta").option("path", root).option(
+            "partitionBy", "g"
+        ).mode("overwrite").save()
+        assert t.read(spark).count() == 5
+
+    def test_batch_write_validations(self, spark, tmp_path):
+        pyds.register(spark)
+        root = str(tmp_path / "t")
+        spark.range(0, 5).select("id").write.format("pydelta").option(
+            "path", root
+        ).mode("append").save()
+        # schema mismatch refused on the driver before any task runs
+        with pytest.raises(Exception, match="schema mismatch"):
+            spark.range(0, 5).select(
+                F.col("id"), F.lit("x").alias("extra")
+            ).write.format("pydelta").option("path", root).mode(
+                "append"
+            ).save()
+        # partitionBy mismatch refused
+        with pytest.raises(Exception, match="partitionBy"):
+            spark.range(0, 5).select("id").write.format("pydelta").option(
+                "path", root
+            ).option("partitionBy", "id").mode("append").save()
+        # column-mapped target refused (DeltaTable.write handles those)
+        t = DeltaTable(root)
+        t.enable_column_mapping()
+        with pytest.raises(Exception, match="column-mapped"):
+            spark.range(0, 5).select("id").write.format("pydelta").option(
+                "path", root
+            ).mode("append").save()
+
+    def test_stream_sink_exactly_once(self, spark, tmp_path):
+        pyds.register(spark)
+        src = str(tmp_path / "src")
+        ck = str(tmp_path / "ckpt")
+        sroot = str(tmp_path / "t")
+        spark.range(0, 50).select(
+            F.col("id"), F.lit("s").alias("g")
+        ).coalesce(1).write.parquet(src)
+
+        def drain():
+            q = (
+                spark.readStream.schema("id long, g string")
+                .parquet(src)
+                .writeStream.format("pydelta")
+                .option("path", sroot)
+                .option("partitionBy", "g")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            err = q.exception()
+            if err:
+                raise err
+
+        drain()
+        t = DeltaTable(sroot)
+        assert t.read(spark).count() == 50
+        # same checkpoint, no new data: nothing double-applies
+        drain()
+        assert t.read(spark).count() == 50
+        # new data: only the delta lands
+        spark.range(100, 110).select(
+            F.col("id"), F.lit("s").alias("g")
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()
+        assert t.read(spark).count() == 60
+
+    def test_commit_replay_is_log_detected(self, spark, tmp_path):
+        # the crash-between-sink-commit-and-checkpoint window: the same
+        # (appId, batchId) commits twice; the second must be a no-op and
+        # its staged files must be removed
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaCommitMessage,
+            _commit_written,
+            _write_task_files,
+        )
+
+        root = str(tmp_path / "t")
+        schema = spark.range(1).select(F.col("id")).schema
+        batch = (
+            spark.range(0, 10).select("id").toArrow().to_batches()
+        )
+        adds1 = _write_task_files(iter(batch), root, [])
+        _commit_written(
+            root, [PyDeltaCommitMessage(adds1)], schema=schema,
+            partition_by=[], overwrite=False, txn=("sink", 0),
+        )
+        t = DeltaTable(root)
+        assert t.read(spark).count() == 10
+        # replay: stage again, commit with the SAME txn slot
+        adds2 = _write_task_files(
+            iter(spark.range(0, 10).select("id").toArrow().to_batches()),
+            root, [],
+        )
+        staged = [a["path"] for a in adds2]
+        _commit_written(
+            root, [PyDeltaCommitMessage(adds2)], schema=schema,
+            partition_by=[], overwrite=False, txn=("sink", 0),
+        )
+        assert t.read(spark).count() == 10  # unchanged
+        import os as _os
+        import urllib.parse as _up
+
+        for rel in staged:  # orphaned files were cleaned, not left to vacuum
+            assert not _os.path.exists(
+                _os.path.join(root, _up.unquote(rel))
+            )
