@@ -70,6 +70,18 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--parts", type=int, default=None)
     dl = dsub.add_parser("delete", help="DELETE WHERE via deletion vectors")
     dl.add_argument("predicate")
+    up = dsub.add_parser(
+        "update", help="UPDATE SET col=expr[,col=expr] WHERE predicate"
+    )
+    up.add_argument("predicate")
+    up.add_argument(
+        "assignments", help="comma-separated col=SQL-expr assignments"
+    )
+    cl = dsub.add_parser(
+        "clone", help="shallow clone (zero-copy fork) to a new path"
+    )
+    cl.add_argument("target")
+    cl.add_argument("--version", type=int, default=None)
     return p
 
 
@@ -136,6 +148,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             elif args.delta_cmd == "delete":
                 v = t.delete(spark, args.predicate)
                 print(f"DELETE committed version {v}")
+            elif args.delta_cmd == "update":
+                sets = {}
+                for part in args.assignments.split(","):
+                    col, _, expr = part.partition("=")
+                    if not _ or not col.strip() or not expr.strip():
+                        print(
+                            f"bad assignment {part!r} (want col=expr)",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    sets[col.strip()] = expr.strip()
+                v = t.update(spark, args.predicate, sets)
+                print(f"UPDATE committed version {v}")
+            elif args.delta_cmd == "clone":
+                c = t.clone_to(args.target, version=args.version)
+                print(f"cloned to {c.path} at version 0")
             return 0
 
         if args.cmd == "pipeline":

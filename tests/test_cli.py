@@ -90,3 +90,40 @@ class TestDeltaMaintenanceCli:
         out = capsys.readouterr().out
         assert "OPTIMIZE" in out and "DELETE" in out
         assert t.read(spark).count() == 30 - 8
+
+
+class TestCliUpdateAndClone:
+    def test_update_and_clone_verbs(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import main
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / "t")
+        t = DeltaTable(root)
+        t.write(
+            spark.range(0, 20).select(
+                F.col("id"), (F.col("id") * 1.0).alias("v")
+            )
+        )
+        rc = main(
+            ["delta", "--path", root, "update", "id < 5", "v=v + 100"],
+            spark=spark,
+        )
+        assert rc == 0
+        assert "UPDATE committed version 1" in capsys.readouterr().out
+        assert t.read(spark).filter("v >= 100").count() == 5
+
+        fork = str(tmp_path / "fork")
+        rc = main(["delta", "--path", root, "clone", fork], spark=spark)
+        assert rc == 0
+        assert "cloned to" in capsys.readouterr().out
+        assert DeltaTable(fork).read(spark).count() == 20
+
+        rc = main(
+            ["delta", "--path", root, "update", "id < 5", "nonsense"],
+            spark=spark,
+        )
+        assert rc == 2
