@@ -2083,3 +2083,93 @@ def doc_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n.cast("double")
         ).alias("dup_involvement_rate"),
     )
+
+
+@register(
+    "doc_exact_substring_dups",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - 39)) AS p,
+         text
+  FROM documents
+  WHERE length(text) >= 40
+), grams AS (
+  SELECT doc_id, substr(text, p, 40) AS g FROM pos
+), df AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         count(CASE WHEN df.n_docs >= 2 THEN 1 END) AS n_dup_grams
+  FROM grams gr JOIN df ON gr.g = df.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction
+FROM per_doc
+WHERE n_dup_grams > 0
+""",
+    doc="CHAR-level exact-substring duplication audit (the ExactSubstr "
+    "dedup signal of Lee et al., 'Deduplicating Training Data Makes "
+    "Language Models Better', arXiv:2107.06499 — suffix-array exact "
+    "dedup re-expressed relationally): every 40-char window of every "
+    "document, position-exact, scored by how many windows also occur "
+    "in ANOTHER document. Per-doc output = window count, cross-doc "
+    "duplicated-window count, duplicated fraction — the removal signal "
+    "char-exact dedup acts on, at finer grain than token-shingle "
+    "Jaccard (catches verbatim spans inside otherwise-distinct "
+    "boilerplate pages). Spark shape: the window explode "
+    "(`transform(sequence(...))`, JVM-side, no Python) runs ONCE; the "
+    "raw gram stream immediately collapses to distinct (gram, doc) "
+    "rows with multiplicities (map-side partial agg shrinks the "
+    "shuffle), the cross-doc count is a per-gram window over that "
+    "deduped frame, and the final per-doc regroup shuffles only "
+    "(gram, doc) rows — a naive freq-join formulation would explode "
+    "and shuffle the full gram stream twice (no exchange reuse: the "
+    "aggregate's partial stage makes the branches canonically "
+    "unequal). At 100 TB you would shuffle an 8-byte xxhash64 of each "
+    "window instead of its 40 chars (5x narrower; collision-tolerant "
+    "for a removal signal) and collapse bit-identical documents to "
+    "digest representatives first — the oracle needs the exact "
+    "strings, so this registered form keeps them.",
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def doc_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Spark's sequence(a, b) runs DESCENDING when a > b: the short-doc
+    # guard is semantics, not just speed
+    grams = docs.filter(F.length("text") >= 40).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 39),"
+                " p -> substring(text, p, 40))"
+            )
+        ).alias("g"),
+    )
+    gd = grams.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    per = gd.withColumn(
+        "n_docs", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt"))), F.lit(0)
+            ).alias("n_dup_grams"),
+        )
+        .filter(F.col("n_dup_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
