@@ -358,6 +358,71 @@ def pyds_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_cdf_stream_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN {_BATCH_TYPES!r}
+), ins AS (
+  SELECT event_type,
+         count(*) + count(CASE WHEN event_type = 'purchase' AND value > 50
+                               THEN 1 END) AS n
+  FROM base GROUP BY event_type
+), del AS (
+  SELECT event_type,
+         count(CASE WHEN (event_type = 'click' AND value < 50)
+                      OR (event_type = 'purchase' AND value > 50)
+                    THEN 1 END) AS n
+  FROM base GROUP BY event_type
+)
+SELECT 'insert' AS change_type, event_type, n FROM ins
+UNION ALL
+SELECT 'delete' AS change_type, event_type, n FROM del WHERE n > 0
+""",
+    doc="STREAMING change data feed through the pydelta source "
+    "(readChangeFeed=true): the table takes a load commit, a DV DELETE "
+    "(cheap clicks), and a DV UPDATE (expensive purchases halved — "
+    "delete+insert pairs), then the CDF stream drains through a "
+    "checkpointed sink and the change rows are audited per "
+    "(change_type, event_type). This is what makes DV'd and rewritten "
+    "tables STREAMABLE: instead of refusing removes, the stream emits "
+    "deletes as tagged rows with per-commit versions — the downstream "
+    "materialized-view maintenance shape. Oracle reconstructs the "
+    "exact change counts from events: inserts = the load plus the "
+    "update's re-inserts; deletes = the erased clicks plus the "
+    "updated purchases' old images.",
+    tags=("delta", "streaming", "cdf", "python-datasource"),
+)
+def pyds_cdf_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    table = _forked_delta_table(spark, sf_dir, "cdf")
+    table.delete(spark, "event_type = 'click' AND value < 50")
+    table.update(
+        spark, "event_type = 'purchase' AND value > 50", {"value": "value * 0.5"}
+    )
+    pyds.register(spark)
+    root = tempfile.mkdtemp(prefix="cpcdfstream_")
+    out_path = os.path.join(root, "out")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                spark.readStream.format("pydelta")
+                .option("path", table.path)
+                .option("readChangeFeed", "true")
+                .load(),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="pyds_cdf_stream_audit",
+            )
+        )
+    drained = spark.read.parquet(out_path)
+    return drained.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "delta_deletion_vector_survivors",
     oracle=f"""
 SELECT event_type, count(*) AS n,

@@ -74,7 +74,10 @@ from .delta import (
 
 
 class PyDeltaPartition(InputPartition):
-    """One active data file: everything an executor needs, pickled."""
+    """One data file read task: everything an executor needs, pickled.
+    ``dv_rows`` EXCLUDES positions (deletion vectors); ``keep_rows``,
+    when set, RESTRICTS to positions (change-feed delete deltas);
+    ``change_type``/``commit_version`` tag change-feed rows."""
 
     def __init__(
         self,
@@ -83,12 +86,18 @@ class PyDeltaPartition(InputPartition):
         part_values: dict[str, object],
         dv_rows: list[int],
         conjuncts: list[tuple[str, str, object]],
+        keep_rows: list[int] | None = None,
+        change_type: str | None = None,
+        commit_version: int | None = None,
     ) -> None:
         self.file_path = file_path
         self.phys_to_logical = phys_to_logical
         self.part_values = part_values
         self.dv_rows = dv_rows
         self.conjuncts = conjuncts
+        self.keep_rows = keep_rows
+        self.change_type = change_type
+        self.commit_version = commit_version
 
 
 def _coerce_partition_value(raw, dt: T.DataType):
@@ -330,6 +339,11 @@ def _read_partition(
         gone = np.asarray(partition.dv_rows, dtype=np.int64)
         mask[gone[gone < tbl.num_rows]] = False
         tbl = tbl.filter(pa.array(mask))
+    if getattr(partition, "keep_rows", None) is not None:
+        mask = np.zeros(tbl.num_rows, dtype=bool)
+        kp = np.asarray(partition.keep_rows, dtype=np.int64)
+        mask[kp[kp < tbl.num_rows]] = True
+        tbl = tbl.filter(pa.array(mask))
     for name, val in partition.part_values.items():
         tbl = tbl.append_column(
             name,
@@ -351,6 +365,17 @@ def _read_partition(
             fields.append(fld)
     if changed:
         tbl = tbl.cast(pa.schema(fields))
+    if getattr(partition, "change_type", None) is not None:
+        tbl = tbl.append_column(
+            "_change_type",
+            pa.array([partition.change_type] * tbl.num_rows, type=pa.string()),
+        )
+        tbl = tbl.append_column(
+            "_commit_version",
+            pa.array(
+                [partition.commit_version] * tbl.num_rows, type=pa.int64()
+            ),
+        )
     # claimed filters are OURS to enforce exactly (Spark no longer
     # re-evaluates them): vectorized arrow compute per conjunct
     if partition.conjuncts:
@@ -411,12 +436,19 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
         self._start_version = int(opts.get("startingversion", "0"))
+        self._cdf = str(opts.get("readchangefeed", "")).lower() == "true"
         log_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         self._arrow_types = {
             f.name: _spark_to_arrow_type(f.dataType) for f in log_schema.fields
         }
         self._spark_types = {f.name: f.dataType for f in log_schema.fields}
         self._col_order = [f.name for f in log_schema.fields]
+        if self._cdf:
+            import pyarrow as pa
+
+            self._arrow_types["_change_type"] = pa.string()
+            self._arrow_types["_commit_version"] = pa.int64()
+            self._col_order += ["_change_type", "_commit_version"]
 
     # ----------------------------------------------------------- offsets
 
@@ -427,9 +459,102 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         latest = self._table.latest_version()
         return {"version": latest if latest is not None else -1}
 
-    def partitions(self, start: dict, end: dict):
+    def _data_cols_map(self) -> dict[str, str]:
         phys = lambda c: self._mapping.get(c, c)  # noqa: E731
-        types = self._spark_types
+        return {
+            phys(f.name): f.name
+            for f in self._schema.fields
+            if f.name not in self._part_cols
+            and f.name not in ("_change_type", "_commit_version")
+        }
+
+    def _part_values_of(self, add: dict) -> dict:
+        phys = lambda c: self._mapping.get(c, c)  # noqa: E731
+        pv_raw = _as_dict(add.get("partitionValues"))
+        return {
+            c: _coerce_partition_value(pv_raw.get(phys(c)), self._spark_types[c])
+            for c in self._part_cols
+        }
+
+    def _cdf_partitions(self, start: dict, end: dict):
+        """Change-feed micro-batch plan: per version in (start, end],
+        the SAME diff semantics as `DeltaTable.read_changes` — adds are
+        inserts minus their own DV, a DV-carrying re-add of a live path
+        emits only the newly-dead positions as deletes, a remove without
+        re-add emits the file's then-live rows as deletes, and
+        ``dataChange=false`` (OPTIMIZE) commits emit nothing. This is
+        how DV'd and rewritten tables become STREAMABLE: the stream sees
+        deletes as tagged change rows instead of being refused.
+
+        Per-path prior state replays from version 0 each batch — O(log
+        tail) driver-side JSON; a long-lived production stream would
+        cache the live-set per checkpointed offset."""
+        live: dict[str, dict] = {}
+        for v in self._table._commit_versions():
+            if v > start["version"]:
+                break
+            for action in self._table._read_commit(v):
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+
+        def dv_rows(a: dict) -> set[int]:
+            d = a.get("deletionVector")
+            return set(_dv.resolve_dv_rows(self._root, d)) if d else set()
+
+        cols = self._data_cols_map()
+        out = []
+
+        def part(add, v, change, keep=None, drop=()):
+            out.append(
+                PyDeltaPartition(
+                    os.path.join(
+                        self._root, urllib.parse.unquote(add["path"])
+                    ),
+                    cols,
+                    self._part_values_of(add),
+                    sorted(drop),
+                    [],
+                    keep_rows=sorted(keep) if keep is not None else None,
+                    change_type=change,
+                    commit_version=v,
+                )
+            )
+
+        for v in range(start["version"] + 1, end["version"] + 1):
+            removed: dict[str, dict] = {}
+            actions_v = self._table._read_commit(v)
+            for action in actions_v:
+                if "remove" in action:
+                    path = action["remove"]["path"]
+                    prior = live.pop(path, None)
+                    if prior is not None and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removed[path] = prior
+            for action in actions_v:
+                if "add" not in action:
+                    continue
+                a = action["add"]
+                prior = removed.pop(a["path"], None)
+                live[a["path"]] = a
+                if not a.get("dataChange", True):
+                    continue
+                new_dead = dv_rows(a)
+                if prior is not None:
+                    delta = new_dead - dv_rows(prior)
+                    if delta:
+                        part(a, v, "delete", keep=delta)
+                else:
+                    part(a, v, "insert", drop=new_dead)
+            for _path, prior in sorted(removed.items()):
+                part(prior, v, "delete", drop=dv_rows(prior))
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        if self._cdf:
+            return self._cdf_partitions(start, end)
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
             for action in self._table._read_commit(v):
@@ -450,22 +575,13 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                         "would resurrect or double-read rows — use the "
                         "batch read path"
                     )
-                pv_raw = _as_dict(add.get("partitionValues"))
-                part_values = {
-                    c: _coerce_partition_value(pv_raw.get(phys(c)), types[c])
-                    for c in self._part_cols
-                }
                 out.append(
                     PyDeltaPartition(
                         os.path.join(
                             self._root, urllib.parse.unquote(add["path"])
                         ),
-                        {
-                            phys(f.name): f.name
-                            for f in self._schema.fields
-                            if f.name not in self._part_cols
-                        },
-                        part_values,
+                        self._data_cols_map(),
+                        self._part_values_of(add),
                         [],
                         [],
                     )
@@ -825,7 +941,16 @@ class PyDeltaDataSource(DataSource):
         # stash the replayed snapshot: reader() (same instance, possibly
         # pickled with this state) can then skip a second log replay
         self._snapshot = (version, meta, adds)
-        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(opts.get("readchangefeed", "")).lower() == "true":
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.LongType(), False),
+                ]
+            )
+        return schema
 
     def reader(self, schema: T.StructType) -> PyDeltaReader:
         snap = getattr(self, "_snapshot", None)

@@ -446,3 +446,72 @@ class TestPyDeltaWriters:
             assert not _os.path.exists(
                 _os.path.join(root, _up.unquote(rel))
             )
+
+
+class TestPyDeltaStreamCdf:
+    """readChangeFeed=true on the streaming source: DV'd and rewritten
+    tables become streamable — deletes arrive as tagged change rows
+    (read_changes' diff semantics, per micro-batch)."""
+
+    def _drain_cdf(self, spark, path, out, ck):
+        q = (
+            spark.readStream.format("pydelta")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        err = q.exception()
+        if err:
+            raise err
+        return spark.read.parquet(out)
+
+    def test_insert_delete_update_changes(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id"))
+        t.delete(spark, "id < 3")
+        t.write(spark.range(10, 15).select("id"))
+        t.update(spark, "id = 12", {"id": "112"})
+        pyds.register(spark)
+        df = self._drain_cdf(
+            spark, t.path, str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        rows = {
+            (r.id, r._change_type, r._commit_version) for r in df.collect()
+        }
+        assert {(i, "insert", 0) for i in range(10)} <= rows
+        assert {(i, "delete", 1) for i in range(3)} <= rows
+        assert {(i, "insert", 2) for i in range(10, 15)} <= rows
+        assert (12, "delete", 3) in rows and (112, "insert", 3) in rows
+        assert len(rows) == 10 + 3 + 5 + 2
+
+    def test_incremental_cdf_restart(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 6).select("id"))
+        pyds.register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        df = self._drain_cdf(spark, t.path, out, ck)
+        assert df.count() == 6
+        # a delete lands AFTER the first drain; only its delta arrives
+        t.delete(spark, "id % 2 = 0")
+        df = self._drain_cdf(spark, t.path, out, ck)
+        got = {(r.id, r._change_type) for r in df.collect()}
+        assert len(got) == 6 + 3
+        assert {(0, "delete"), (2, "delete"), (4, "delete")} <= got
+
+    def test_optimize_emits_nothing(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 8).select("id").repartition(4))
+        t.compact(spark)  # dataChange=false rewrite
+        pyds.register(spark)
+        df = self._drain_cdf(
+            spark, t.path, str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+        assert df.count() == 8
+        assert {r._change_type for r in df.collect()} == {"insert"}
+        assert df.filter("_commit_version = 1").count() == 0
