@@ -358,6 +358,48 @@ def pyds_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_generated_date_partition",
+    oracle=f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       count(*) AS n,
+       count(DISTINCT event_type) AS n_types
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY 1
+""",
+    doc="GENERATED partition column end to end (writer feature "
+    "`generatedColumns`, writer protocol v4 — the delta-spark pattern "
+    "for date-partitioned silver/gold tables): the table declares "
+    "event_date = CAST(ts AS DATE) and the writer OMITS the column "
+    "entirely; the engine computes it, hive-partitions on it, fences "
+    "the protocol so a non-enforcing writer cannot corrupt the "
+    "invariant, and validates any explicitly-supplied values on later "
+    "appends. The read groups by the generated column — whose values "
+    "exist ONLY via the generation expression — and the oracle "
+    "recomputes them straight from ts. Green means compute, layout, "
+    "protocol, and read-back all agree.",
+    tags=("delta", "generated-columns", "partitioned"),
+)
+def delta_generated_date_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_BATCH_TYPES)
+    )
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpgencol_") + "/events_delta")
+    table.write(
+        events.select(*_EVENT_COLS).repartition(2),
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    t = table.read(spark)
+    return t.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
     "pyds_cdf_stream_audit",
     oracle=f"""
 WITH base AS (

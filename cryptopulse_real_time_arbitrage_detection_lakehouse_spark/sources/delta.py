@@ -1366,6 +1366,7 @@ class DeltaTable:
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
+        generated_columns: dict[str, str] | None = None,
         _operation: str = "WRITE",
         _data_change: bool = True,
     ) -> int:
@@ -1412,7 +1413,18 @@ class DeltaTable:
         new_configuration: dict | None = None
         mapping: dict[str, str] = {}
         if last is not None:
+            if generated_columns:
+                raise ValueError(
+                    "generated_columns are declared at table creation; "
+                    "this table already exists"
+                )
             prior_meta, prior_adds = self._snapshot_state(None)
+            gen = self._generation_exprs(prior_meta)
+            if gen:
+                # compute-or-validate BEFORE constraint/schema checks so
+                # an omitted generated column both passes the schema
+                # comparison and lands with correct values
+                df = self._apply_generated(df, gen)
             self._check_constraints(df, prior_meta)
             if self._mapping_mode(prior_meta) == "id":
                 raise NotImplementedError(
@@ -1489,6 +1501,9 @@ class DeltaTable:
                     )
                     new_schema_json = merged.json()
 
+        if last is None and generated_columns:
+            df = self._apply_generated(df, generated_columns)
+
         adds = self._stage_files(
             df,
             version=version,
@@ -1531,14 +1546,29 @@ class DeltaTable:
         )
         if version == 0:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        # generatedColumns is a writer-v4 feature: older
+                        # writers must be fenced off or they would append
+                        # rows violating the generation invariant
+                        "minWriterVersion": 4 if generated_columns else 2,
+                    }
+                }
             )
+            schema_json = json.loads(df.schema.json())
+            for fj in schema_json.get("fields", []):
+                expr = (generated_columns or {}).get(fj["name"])
+                if expr is not None:
+                    md = dict(fj.get("metadata") or {})
+                    md["delta.generationExpression"] = expr
+                    fj["metadata"] = md
             actions.append(
                 {
                     "metaData": {
                         "id": uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": json.dumps(schema_json),
                         "partitionColumns": partition_by,
                         "configuration": {},
                         "createdTime": now_ms,
@@ -1859,6 +1889,44 @@ class DeltaTable:
         new_meta["configuration"] = conf
         return self._metadata_commit("DROP CONSTRAINT", new_meta, base=base)
 
+    @staticmethod
+    def _generation_exprs(meta_or_schema) -> dict[str, str]:
+        """column -> ``delta.generationExpression`` from the schemaString
+        (or a parsed meta dict); {} when the table has none."""
+        if isinstance(meta_or_schema, dict) and "schemaString" in meta_or_schema:
+            schema = json.loads(meta_or_schema["schemaString"])
+        else:
+            schema = meta_or_schema
+        out: dict[str, str] = {}
+        for f in schema.get("fields", []):
+            expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if expr is not None:
+                out[f["name"]] = expr
+        return out
+
+    def _apply_generated(self, df: DataFrame, gen: dict[str, str]) -> DataFrame:
+        """Enforce generated columns on a write batch (the
+        ``generatedColumns`` writer feature): a MISSING generated column
+        is computed from its expression; a PRESENT one is validated
+        value-by-value and the write refused on any mismatch — a
+        non-enforcing writer would silently break every reader's
+        assumption that the column equals its expression (e.g. partition
+        pruning on a generated date)."""
+        for col, expr in sorted(gen.items()):
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                n_bad = df.filter(
+                    ~(F.col(f"`{col}`").eqNullSafe(F.expr(expr)))
+                ).count()
+                if n_bad:
+                    raise ValueError(
+                        f"generated column {col!r} does not match its "
+                        f"expression {expr!r} on {n_bad} row(s); write "
+                        "refused (omit the column to have it computed)"
+                    )
+        return df
+
     def _check_constraints(self, df: DataFrame, meta: dict) -> None:
         """Refuse a write whose batch violates any recorded constraint —
         the writer-side contract every engine honoring ``checkConstraints``
@@ -2001,6 +2069,12 @@ class DeltaTable:
                     writer_feats |= {"appendOnly", "invariants"}
                 if wv >= 3:
                     writer_feats.add("checkConstraints")
+                if wv >= 4:
+                    # spec: v4 implies changeDataFeed + generatedColumns;
+                    # dropping generatedColumns here would let a
+                    # feature-listing writer append rows violating the
+                    # generation invariant
+                    writer_feats |= {"changeDataFeed", "generatedColumns"}
                 if wv >= 5:
                     writer_feats.add("columnMapping")
             # state-derived (belt and braces: a constraint recorded in the
@@ -2137,6 +2211,24 @@ class DeltaTable:
             updated = updated.withColumn(
                 col, e.cast(self._strip_meta(col_types[col]))
             )
+        # generated columns: recompute any not explicitly SET (their
+        # sources may have changed); validate any that were SET directly
+        for col, gexpr in sorted(self._generation_exprs(meta).items()):
+            if col in set_exprs:
+                n_bad = updated.filter(
+                    ~(F.col(f"`{col}`").eqNullSafe(F.expr(gexpr)))
+                ).count()
+                if n_bad:
+                    raise ValueError(
+                        f"UPDATE sets generated column {col!r} to values "
+                        f"violating its expression {gexpr!r} on {n_bad} "
+                        "row(s); omit it to have it recomputed"
+                    )
+            else:
+                updated = updated.withColumn(
+                    col,
+                    F.expr(gexpr).cast(self._strip_meta(col_types[col])),
+                )
         self._check_constraints(updated, meta)
 
         file_dvs = self._build_file_dvs(spark, cond, adds)

@@ -1727,3 +1727,117 @@ class TestShallowClone:
         clone = src.clone_to(str(tmp_path / "fork"))
         with pytest.raises(NotImplementedError, match="shallow clone"):
             clone.read_stream(spark)
+
+
+class TestGeneratedColumns:
+    """Writer feature `generatedColumns` (writer protocol v4): a column
+    declared with delta.generationExpression is computed when omitted,
+    validated when supplied, kept consistent through UPDATE — the
+    date-partition pattern of medallion pipelines."""
+
+    def _table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, 20).select(
+            F.col("id"),
+            (F.col("id") % 2).alias("half"),
+        )
+        # writer OMITS the generated column entirely: it is computed
+        t.write(
+            df,
+            partition_by=["bucket"],
+            generated_columns={"bucket": "CAST(id % 4 AS STRING)"},
+        )
+        return t
+
+    def test_generated_partition_computed_and_pruned(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = t.read(spark)
+        assert set(got.columns) == {"id", "half", "bucket"}
+        assert got.filter("bucket = '3'").count() == 5
+        assert {r.id % 4 for r in got.filter("bucket = '1'").collect()} == {1}
+        # log-level skipping works on the generated partition column
+        pruned = t.read(spark, where="bucket = '2'")
+        assert pruned.count() == 5
+        # protocol fenced at writer v4
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minWriterVersion"] >= 4
+
+    def test_append_computes_and_validates(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        # omitted -> computed
+        t.write(
+            spark.range(100, 104).select(
+                F.col("id"), (F.col("id") % 2).alias("half")
+            ),
+            partition_by=["bucket"],
+        )
+        assert t.read(spark).filter("id >= 100").count() == 4
+        assert (
+            t.read(spark).filter("id = 101").collect()[0].bucket == "1"
+        )
+        # supplied-and-correct -> accepted
+        t.write(
+            spark.range(200, 202).select(
+                F.col("id"),
+                (F.col("id") % 2).alias("half"),
+                (F.col("id") % 4).cast("string").alias("bucket"),
+            ),
+            partition_by=["bucket"],
+        )
+        assert t.read(spark).count() == 26
+        # supplied-and-wrong -> refused
+        with pytest.raises(ValueError, match="generated column"):
+            t.write(
+                spark.range(300, 302).select(
+                    F.col("id"),
+                    (F.col("id") % 2).alias("half"),
+                    F.lit("9").alias("bucket"),
+                ),
+                partition_by=["bucket"],
+            )
+
+    def test_update_recomputes_generated(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        # changing the SOURCE column moves the generated partition value
+        t.update(spark, "id = 3", {"id": "40"})
+        got = t.read(spark)
+        assert got.filter("id = 40").collect()[0].bucket == "0"
+        assert got.filter("bucket = '3'").count() == 4  # 3 left the bucket
+        # setting the generated column inconsistently is refused
+        with pytest.raises(ValueError, match="violating its expression"):
+            t.update(spark, "id = 5", {"bucket": "'2'"})
+
+    def test_declare_on_existing_table_refused(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="table creation"):
+            t.write(
+                spark.range(0, 2).select(
+                    F.col("id"), (F.col("id") % 2).alias("half")
+                ),
+                partition_by=["bucket"],
+                generated_columns={"bucket": "CAST(id % 4 AS STRING)"},
+            )
+
+
+def test_generated_table_dv_upgrade_keeps_feature_fence(spark, tmp_path):
+    # DV delete on a generated-column table upgrades to the v7 feature
+    # list; generatedColumns must survive the translation or any
+    # feature-listing writer could violate the invariant
+    t = DeltaTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 10).select("id"),
+        generated_columns={"b": "CAST(id % 2 AS STRING)"},
+    )
+    t.delete(spark, "id = 3")
+    _m, _a, proto = t._snapshot_state_full(None)
+    assert proto["minWriterVersion"] == 7
+    assert "generatedColumns" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # and the invariant still enforces post-upgrade
+    with pytest.raises(ValueError, match="generated column"):
+        t.write(
+            spark.range(20, 22).select(
+                F.col("id"), F.lit("x").alias("b")
+            )
+        )
+    assert t.read(spark).count() == 9
