@@ -431,6 +431,16 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                 "mapping (per-file field-id resolution); use "
                 "DeltaTable.read or to_pandas"
             )
+        # options that would be SILENTLY ignored must refuse instead:
+        # a stream 'where' that never filters is under-filtering, not a
+        # convenience
+        for bad in ("where", "versionasof", "timestampasof"):
+            if opts.get(bad) is not None:
+                raise NotImplementedError(
+                    f"option {bad!r} is not supported on the pydelta "
+                    "STREAMING source (use startingVersion to scope the "
+                    "tail, or the batch reader for point-in-time reads)"
+                )
         self._table = table
         self._schema = schema
         self._mapping = table._column_mapping(meta) or {}
@@ -789,6 +799,20 @@ def _validate_write_target(
         raise NotImplementedError(
             "pydelta writes to column-mapped tables are not supported; "
             "use DeltaTable.write"
+        )
+    conf = meta.get("configuration") or {}
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise NotImplementedError(
+            "pydelta writes to tables with CHECK constraints are not "
+            "supported (this writer does not validate them, and a "
+            "non-validating write would silently break the table "
+            "invariant); use DeltaTable.write"
+        )
+    if DeltaTable._generation_exprs(meta):
+        raise NotImplementedError(
+            "pydelta writes to tables with GENERATED columns are not "
+            "supported (this writer neither computes nor validates "
+            "generation expressions); use DeltaTable.write"
         )
     prior = T.StructType.fromJson(json.loads(meta["schemaString"]))
     strip = DeltaTable._strip_meta

@@ -515,3 +515,56 @@ class TestPyDeltaStreamCdf:
         assert df.count() == 8
         assert {r._change_type for r in df.collect()} == {"insert"}
         assert df.filter("_commit_version = 1").count() == 0
+
+
+class TestPyDeltaHonestGates:
+    """Options or invariants this source cannot honor must refuse
+    loudly — silent under-filtering / invariant bypass is the bug class
+    these gates exist for."""
+
+    def test_stream_reader_refuses_where_and_travel(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        pyds.register(spark)
+        for opt, val in (
+            ("where", "id > 1"),
+            ("versionAsOf", "0"),
+            ("timestampAsOf", str(10**15)),
+        ):
+            with pytest.raises(Exception, match="STREAMING source"):
+                (
+                    spark.readStream.format("pydelta")
+                    .option("path", t.path)
+                    .option(opt, val)
+                    .load()
+                    .writeStream.format("noop")
+                    .option(
+                        "checkpointLocation", str(tmp_path / f"ck_{opt}")
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination(60)
+                )
+
+    def test_writer_refuses_constraint_and_generated_tables(
+        self, spark, tmp_path
+    ):
+        pyds.register(spark)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.add_check_constraint("id_nonneg", "id >= 0")
+        with pytest.raises(Exception, match="CHECK constraints"):
+            spark.range(5, 8).select("id").write.format("pydelta").option(
+                "path", t.path
+            ).mode("append").save()
+        g = DeltaTable(str(tmp_path / "g"))
+        g.write(
+            spark.range(0, 5).select("id"),
+            generated_columns={"b": "CAST(id % 2 AS STRING)"},
+        )
+        with pytest.raises(Exception, match="GENERATED columns"):
+            spark.range(5, 8).select(
+                F.col("id"), F.lit("1").alias("b")
+            ).write.format("pydelta").option("path", g.path).mode(
+                "append"
+            ).save()
