@@ -192,6 +192,12 @@ class PyDeltaReader(DataSourceReader):
                 "mapping (per-file field-id resolution); use "
                 "DeltaTable.read or to_pandas"
             )
+        if str(opts.get("readchangefeed", "")).lower() == "true":
+            raise NotImplementedError(
+                "readChangeFeed is a STREAMING option on this source "
+                "(spark.readStream); for a batch change feed use "
+                "DeltaTable.read_changes"
+            )
         self._meta = meta
         self._adds = adds
         self._schema = schema

@@ -568,3 +568,12 @@ class TestPyDeltaHonestGates:
             ).write.format("pydelta").option("path", g.path).mode(
                 "append"
             ).save()
+
+    def test_batch_reader_refuses_readchangefeed(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "b"))
+        t.write(spark.range(0, 3).select("id"))
+        pyds.register(spark)
+        with pytest.raises(Exception, match="STREAMING option"):
+            spark.read.format("pydelta").option("path", t.path).option(
+                "readChangeFeed", "true"
+            ).load().collect()
