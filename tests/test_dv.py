@@ -167,3 +167,98 @@ class TestRoaringCodecProperties:
         assert desc["cardinality"] == 4
         assert dv.resolve_dv_rows(str(tmp_path), desc) == sorted(rows)
         assert dv.resolve_dv_blob(str(tmp_path), desc) == blob
+
+
+class TestLifecycleProperty:
+    """Hypothesis-driven write/delete/update lifecycle vs a pandas
+    model: whatever interleaving of mutations the strategy picks, the
+    Delta snapshot must equal the model exactly — DVs, update images,
+    and multi-commit replay included."""
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("write"), st.integers(1, 30), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("delete"), st.integers(0, 6), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("update"), st.integers(0, 6), st.integers(1, 99)
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_mutation_sequence_matches_model(self, ops, spark, tmp_path):
+        import pandas as pd
+        import shutil
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / f"t-{_uuid.uuid4().hex}")
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        t = DeltaTable(root)
+        model = pd.DataFrame(columns=["id", "grp", "v"]).astype(
+            {"id": "int64", "grp": "int64", "v": "int64"}
+        )
+        next_id = 0
+        wrote = False
+        try:
+            for op, a, b in ops:
+                if op == "write":
+                    ids = list(range(next_id, next_id + a))
+                    next_id += a
+                    rows = pd.DataFrame(
+                        {
+                            "id": ids,
+                            "grp": [i % 7 for i in ids],
+                            "v": [i * 10 for i in ids],
+                        }
+                    )
+                    t.write(
+                        spark.createDataFrame(
+                            rows, "id long, grp long, v long"
+                        ).repartition(2)
+                    )
+                    model = pd.concat([model, rows], ignore_index=True)
+                    wrote = True
+                elif op == "delete" and wrote:
+                    t.delete(spark, f"grp = {a} AND v % 7 <= {b}")
+                    model = model[
+                        ~((model.grp == a) & (model.v % 7 <= b))
+                    ].reset_index(drop=True)
+                elif op == "update" and wrote:
+                    t.update(spark, f"grp = {a}", {"v": f"v + {b}"})
+                    model.loc[model.grp == a, "v"] += b
+            if wrote:
+                got = (
+                    t.read(spark)
+                    .orderBy("id")
+                    .toPandas()
+                    .reset_index(drop=True)
+                )
+                want = (
+                    model.sort_values("id")
+                    .reset_index(drop=True)
+                    .astype({"id": "int64", "grp": "int64", "v": "int64"})
+                )
+                pd.testing.assert_frame_equal(
+                    got[["id", "grp", "v"]], want[["id", "grp", "v"]]
+                )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
