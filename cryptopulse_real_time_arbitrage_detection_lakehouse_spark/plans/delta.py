@@ -400,6 +400,53 @@ def delta_generated_date_partition(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "delta_cdc_update_images",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN {_BATCH_TYPES!r}
+), hit AS (
+  SELECT value FROM base WHERE event_type = 'purchase' AND value > 50
+)
+SELECT 'insert' AS change_type, (SELECT count(*) FROM base) AS n,
+       {sql_dsum("value")} AS total_value
+FROM base
+UNION ALL
+SELECT 'update_preimage', (SELECT count(*) FROM hit),
+       {sql_dsum("value")}
+FROM hit
+UNION ALL
+SELECT 'update_postimage', (SELECT count(*) FROM hit),
+       {sql_dsum("value * 0.5")}
+FROM hit
+""",
+    doc="Spec CDC files end to end (delta.enableChangeDataFeed): after "
+    "the property flips, an UPDATE stages its TRUE pre- and post-images "
+    "under _change_data/ as `cdc` actions, and read_changes consumes "
+    "them EXCLUSIVELY for that commit — update_preimage/update_postimage "
+    "rows with exact old and new values, which remove+add synthesis can "
+    "never produce (no row identity in the physical log). The audit "
+    "groups the whole feed by change type with exact-decimal value "
+    "sums; the oracle recomputes all three legs from events (post-image "
+    "values are the halved correction). Green certifies CDC staging, "
+    "the per-commit exclusivity rule, and value fidelity of both "
+    "images.",
+    tags=("delta", "cdf", "cdc", "update"),
+)
+def delta_cdc_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _forked_delta_table(spark, sf_dir, "cdc_img")
+    table.enable_change_data_feed()
+    table.update(
+        spark, "event_type = 'purchase' AND value > 50", {"value": "value * 0.5"}
+    )
+    ch = table.read_changes(spark, starting_version=0)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
     "pyds_cdf_stream_audit",
     oracle=f"""
 WITH base AS (

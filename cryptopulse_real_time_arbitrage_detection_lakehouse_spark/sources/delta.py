@@ -1679,6 +1679,118 @@ class DeltaTable:
 
     # ------------------------------------------------- schema evolution
 
+    def enable_change_data_feed(self) -> int:
+        """ALTER TABLE SET TBLPROPERTIES (delta.enableChangeDataFeed =
+        true): from this commit on, every UPDATE/DELETE also stages CDC
+        files under ``_change_data/`` (spec's "Add CDC File" action) so
+        change-feed readers get TRUE pre/post images instead of the
+        remove+add synthesis — the writer-v4 ``changeDataFeed``
+        feature's contract."""
+        base = self.latest_version() or 0
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        conf = dict(meta.get("configuration") or {})
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            raise ValueError(f"change data feed already enabled: {self.path}")
+        conf["delta.enableChangeDataFeed"] = "true"
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        proto = dict(protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": '{"delta.enableChangeDataFeed":"true"}'
+                    },
+                }
+            }
+        ]
+        if proto.get("writerFeatures") is not None:
+            feats = set(proto["writerFeatures"])
+            feats.add("changeDataFeed")
+            proto["writerFeatures"] = sorted(feats)
+            actions.append({"protocol": proto})
+        elif proto.get("minWriterVersion", 2) < 4:
+            proto["minWriterVersion"] = 4
+            actions.append({"protocol": proto})
+        actions.append({"metaData": new_meta})
+        return self._publish_or_conflict(
+            base + 1, actions, "SET TBLPROPERTIES"
+        )
+
+    def _cdf_enabled(self, meta: dict) -> bool:
+        return (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true"
+
+    def _stage_cdc_files(
+        self,
+        df: DataFrame,
+        *,
+        version: int,
+        meta: dict,
+    ) -> list[dict]:
+        """Stage change rows (table columns + ``_change_type``) as CDC
+        parquet under ``_change_data/`` and return the spec's ``cdc``
+        action payloads. Reuses the data staging machinery (hive
+        partitioning, physical-name mapping), then relocates under the
+        underscore directory — invisible to every normal scan by the
+        same rule that hides ``_delta_log``."""
+        part_cols = meta.get("partitionColumns") or []
+        mapping = self._column_mapping(meta) or {}
+        staged = self._stage_files(
+            df,
+            version=version,
+            partition_by=part_cols,
+            mapping=mapping,
+            schema_json=None if not mapping else self._cdc_schema_json(meta),
+        )
+        cdc_actions: list[dict] = []
+        for a in staged:
+            rel = urllib.parse.unquote(a["path"])
+            new_rel = "_change_data/" + rel
+            dst = os.path.join(self.path, new_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(self.path, rel), dst)
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": urllib.parse.quote(new_rel, safe="/="),
+                        "partitionValues": a["partitionValues"],
+                        "size": a["size"],
+                        "dataChange": False,
+                    }
+                }
+            )
+        # drop now-empty hive dirs left under the root by the relocation
+        for root_dir, dirs, files in os.walk(self.path, topdown=False):
+            if (
+                root_dir != self.path
+                and not dirs
+                and not files
+                and "_change_data" not in root_dir
+                and "_delta_log" not in root_dir
+            ):
+                os.rmdir(root_dir)
+        return cdc_actions
+
+    def _cdc_schema_json(self, meta: dict) -> str:
+        """Table schemaString + the ``_change_type`` field — the staging
+        schema for CDC files on a column-mapped table (the change column
+        itself is never mapped)."""
+        schema = json.loads(meta["schemaString"])
+        fields = list(schema.get("fields", []))
+        fields.append(
+            {
+                "name": "_change_type",
+                "type": "string",
+                "nullable": False,
+                "metadata": {},
+            }
+        )
+        return json.dumps({**schema, "fields": fields})
+
     def enable_column_mapping(self) -> int:
         """Upgrade the table to column mapping (reader protocol v2).
 
@@ -2015,6 +2127,20 @@ class DeltaTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         file_dvs = self._build_file_dvs(spark, cond, adds)
         n_deleted = sum(r["n_new"] for r in file_dvs)
+        cdc_actions: list[dict] = []
+        if n_deleted and self._cdf_enabled(meta):
+            # CDC contract (changeDataFeed writer feature): the deleted
+            # rows land under _change_data/ so change readers get them
+            # without re-deriving the DV delta
+            deleted_rows = (
+                self._scan(spark, keep_meta=True)
+                .filter(cond)
+                .drop("__file", "__rid")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_actions = self._stage_cdc_files(
+                deleted_rows, version=base + 1, meta=meta
+            )
         now_ms = int(time.time() * 1000)
         txn_actions = (
             [{"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}]
@@ -2041,6 +2167,7 @@ class DeltaTable:
         ]
         actions.extend(self._dv_upgrade_actions(meta, protocol))
         actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
+        actions.extend(cdc_actions)
 
         return self._publish_or_conflict(base + 1, actions, "DELETE")
 
@@ -2233,6 +2360,18 @@ class DeltaTable:
 
         file_dvs = self._build_file_dvs(spark, cond, adds)
         n_updated = sum(r["n_new"] for r in file_dvs)
+        cdc_actions: list[dict] = []
+        if n_updated and self._cdf_enabled(meta):
+            # TRUE pre/post images — the thing log synthesis cannot give
+            # (spec change types update_preimage / update_postimage)
+            images = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                updated.withColumn("_change_type", F.lit("update_postimage"))
+            )
+            cdc_actions = self._stage_cdc_files(
+                images, version=base + 1, meta=meta
+            )
         new_adds = (
             self._stage_files(
                 updated,
@@ -2270,6 +2409,7 @@ class DeltaTable:
         actions.extend(self._dv_upgrade_actions(meta, protocol))
         actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
         actions.extend({"add": a} for a in new_adds)
+        actions.extend(cdc_actions)
         return self._publish_or_conflict(base + 1, actions, "UPDATE")
 
     def clone_to(
@@ -2564,9 +2704,13 @@ class DeltaTable:
         delta-spark's CDF shows for non-CDC writers). ``dataChange=
         false`` (OPTIMIZE) commits emit nothing.
 
-        No updates are synthesized (physical log has no row identity);
-        a MERGE shows as delete+insert pairs. Update pre/post images
-        need CDC files — out of scope, stated loudly.
+        Commits carrying spec ``cdc`` actions (tables with
+        ``delta.enableChangeDataFeed=true`` — see
+        `enable_change_data_feed`) are read from their CDC files
+        EXCLUSIVELY, which is how UPDATE pre/post images
+        (``update_preimage``/``update_postimage``) surface. For commits
+        without CDC files, no updates are synthesized (the physical log
+        has no row identity) — a MERGE shows as delete+insert pairs.
         """
         from . import dv as _dv
 
@@ -2654,6 +2798,29 @@ class DeltaTable:
                 "_commit_version", F.lit(v).cast("long")
             )
 
+        cdc_schema = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+
+        def cdc_rows(c: dict, v: int) -> DataFrame:
+            """Rows of one spec `cdc` action file: real change images the
+            writer staged under _change_data/ — including the
+            update_preimage/update_postimage pairs log synthesis cannot
+            produce."""
+            fp = os.path.join(self.path, urllib.parse.unquote(c["path"]))
+            df = spark.read.schema(cdc_schema).parquet(fp).select(
+                *logical, F.col("_change_type")
+            )
+            pv = _as_dict(c.get("partitionValues"))
+            for col in part_cols:
+                raw = pv.get(phys(col))
+                val = None if raw is None or raw == _HIVE_NULL else raw
+                df = df.withColumn(col, F.lit(val).cast(types[col]))
+            return df.select(
+                *[f.name for f in schema.fields], "_change_type"
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+
         for v in self._commit_versions():
             if v < starting_version or v > end:
                 if v > end:
@@ -2661,6 +2828,10 @@ class DeltaTable:
                 continue
             removed_this_commit: dict[str, dict] = {}
             actions_v = self._read_commit(v)  # one read per commit
+            # a commit carrying cdc actions provides its OWN change rows:
+            # per the spec, readers must use them EXCLUSIVELY for that
+            # commit (synthesizing from remove/add too would double-count)
+            cdc_in_commit = [a["cdc"] for a in actions_v if "cdc" in a]
             for action in actions_v:
                 if "remove" in action:
                     path = action["remove"]["path"]
@@ -2676,7 +2847,7 @@ class DeltaTable:
                 path = a["path"]
                 prior = removed_this_commit.pop(path, None)
                 live[path] = a
-                if not a.get("dataChange", True):
+                if cdc_in_commit or not a.get("dataChange", True):
                     continue
                 new_dead = dv_rows(a)
                 if prior is not None:
@@ -2692,6 +2863,10 @@ class DeltaTable:
                     pieces.append(
                         tag(file_rows(a, keep=None, drop=new_dead), "insert", v)
                     )
+            if cdc_in_commit:
+                for c in cdc_in_commit:
+                    pieces.append(cdc_rows(c, v))
+                continue
             for path, prior in sorted(removed_this_commit.items()):
                 # removed without re-add: its then-live rows are deletes
                 pieces.append(

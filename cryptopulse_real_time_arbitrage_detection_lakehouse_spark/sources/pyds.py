@@ -376,6 +376,9 @@ def _read_partition(
             "_change_type",
             pa.array([partition.change_type] * tbl.num_rows, type=pa.string()),
         )
+    if getattr(partition, "commit_version", None) is not None:
+        # decoupled from change_type: a spec CDC file CARRIES its own
+        # _change_type column, but the commit version is always ours
         tbl = tbl.append_column(
             "_commit_version",
             pa.array(
@@ -541,6 +544,10 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             removed: dict[str, dict] = {}
             actions_v = self._table._read_commit(v)
+            # spec cdc actions provide the commit's change rows directly
+            # (incl. update pre/post images); use them EXCLUSIVELY and
+            # only maintain file state from the add/remove actions
+            cdc_in_commit = [a["cdc"] for a in actions_v if "cdc" in a]
             for action in actions_v:
                 if "remove" in action:
                     path = action["remove"]["path"]
@@ -555,7 +562,7 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                 a = action["add"]
                 prior = removed.pop(a["path"], None)
                 live[a["path"]] = a
-                if not a.get("dataChange", True):
+                if cdc_in_commit or not a.get("dataChange", True):
                     continue
                 new_dead = dv_rows(a)
                 if prior is not None:
@@ -564,6 +571,24 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                         part(a, v, "delete", keep=delta)
                 else:
                     part(a, v, "insert", drop=new_dead)
+            if cdc_in_commit:
+                cdc_cols = dict(cols)
+                cdc_cols["_change_type"] = "_change_type"
+                for c in cdc_in_commit:
+                    out.append(
+                        PyDeltaPartition(
+                            os.path.join(
+                                self._root, urllib.parse.unquote(c["path"])
+                            ),
+                            cdc_cols,
+                            self._part_values_of(c),
+                            [],
+                            [],
+                            change_type=None,  # the file carries its own
+                            commit_version=v,
+                        )
+                    )
+                continue
             for _path, prior in sorted(removed.items()):
                 part(prior, v, "delete", drop=dv_rows(prior))
         return out

@@ -1841,3 +1841,115 @@ def test_generated_table_dv_upgrade_keeps_feature_fence(spark, tmp_path):
             )
         )
     assert t.read(spark).count() == 9
+
+
+class TestChangeDataFeedFiles:
+    """Spec `cdc` actions (delta.enableChangeDataFeed): UPDATE/DELETE
+    stage real change images under _change_data/, read_changes uses
+    them exclusively per commit — including the update pre/post images
+    log synthesis cannot produce."""
+
+    def _table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 12).select(
+                F.col("id"), (F.col("id") * 10).alias("v")
+            )
+        )
+        t.enable_change_data_feed()
+        return t
+
+    def test_update_emits_pre_and_post_images(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.update(spark, "id < 3", {"v": "v + 1000"})
+        ch = t.read_changes(spark, starting_version=2).collect()
+        pre = {(r.id, r.v) for r in ch if r._change_type == "update_preimage"}
+        post = {(r.id, r.v) for r in ch if r._change_type == "update_postimage"}
+        assert pre == {(0, 0), (1, 10), (2, 20)}
+        assert post == {(0, 1000), (1, 1010), (2, 1020)}
+        assert len(ch) == 6  # NO synthesized delete+insert alongside
+        assert {r._commit_version for r in ch} == {2}
+
+    def test_delete_emits_cdc_rows_not_synthesis(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete(spark, "id >= 10")
+        ch = t.read_changes(spark, starting_version=2).collect()
+        assert {(r.id, r._change_type) for r in ch} == {
+            (10, "delete"),
+            (11, "delete"),
+        }
+        # the cdc files are invisible to normal reads
+        assert t.read(spark).count() == 10
+        import os as _os
+
+        assert _os.path.isdir(_os.path.join(t.path, "_change_data"))
+
+    def test_pre_enable_commits_still_synthesize(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 6).select("id"))
+        t.delete(spark, "id = 0")  # v1: BEFORE enabling -> synthesized
+        t.enable_change_data_feed()  # v2
+        t.delete(spark, "id = 1")  # v3: real cdc
+        ch = t.read_changes(spark, starting_version=0).collect()
+        by_v = {}
+        for r in ch:
+            by_v.setdefault(r._commit_version, set()).add(
+                (r.id, r._change_type)
+            )
+        assert by_v[1] == {(0, "delete")}
+        assert by_v[3] == {(1, "delete")}
+        assert by_v[0] == {(i, "insert") for i in range(6)}
+
+    def test_partitioned_cdc_roundtrip(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 12).select(
+                F.col("id"),
+                (F.col("id") % 3).cast("string").alias("part"),
+                (F.col("id") * 1.0).alias("v"),
+            ),
+            partition_by=["part"],
+        )
+        t.enable_change_data_feed()
+        t.update(spark, "part = '1'", {"v": "v * -1"})
+        ch = t.read_changes(spark, starting_version=2).collect()
+        assert all(r.part == "1" for r in ch)
+        pre = {r.id for r in ch if r._change_type == "update_preimage"}
+        assert pre == {1, 4, 7, 10}
+        assert {
+            r.v for r in ch if r._change_type == "update_postimage"
+        } == {-1.0, -4.0, -7.0, -10.0}
+
+    def test_pyds_stream_uses_cdc_images(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import (
+            pyds,
+        )
+
+        t = self._table(spark, tmp_path)
+        t.update(spark, "id = 5", {"v": "999"})
+        pyds.register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            spark.readStream.format("pydelta")
+            .option("path", t.path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        err = q.exception()
+        if err:
+            raise err
+        ch = spark.read.parquet(out)
+        got = {
+            (r.id, r.v, r._change_type)
+            for r in ch.filter("_commit_version = 2").collect()
+        }
+        assert got == {
+            (5, 50, "update_preimage"),
+            (5, 999, "update_postimage"),
+        }
