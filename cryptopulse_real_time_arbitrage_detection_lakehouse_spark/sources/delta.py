@@ -1186,20 +1186,23 @@ class DeltaTable:
         """``TIMESTAMP AS OF`` resolution: the newest version whose commit
         timestamp is <= ``ts_ms`` (delta-spark semantics — a timestamp
         before the first commit is an error, one after the last resolves
-        to the latest). Commit timestamps come from each version's
-        ``commitInfo``; with none recorded the commit file's mtime is the
-        spec fallback."""
+        to the latest). Resolution prefers ``inCommitTimestamp``
+        (monotonic by construction — `enable_in_commit_timestamps`),
+        then ``commitInfo.timestamp``, then the commit file's mtime (the
+        spec fallback)."""
         best: int | None = None
         for v in self._commit_versions():
             info = next(
                 (a["commitInfo"] for a in self._read_commit(v) if "commitInfo" in a),
                 None,
             )
-            commit_ts = (
-                info.get("timestamp")
-                if info and info.get("timestamp") is not None
-                else int(os.path.getmtime(_commit_path(self._log_dir, v)) * 1000)
-            )
+            commit_ts = None
+            if info is not None:
+                commit_ts = info.get("inCommitTimestamp") or info.get("timestamp")
+            if commit_ts is None:
+                commit_ts = int(
+                    os.path.getmtime(_commit_path(self._log_dir, v)) * 1000
+                )
             if commit_ts <= ts_ms:
                 best = v
         if best is None:
@@ -1604,7 +1607,9 @@ class DeltaTable:
         # next version; file names are uuid-unique so nothing collides.
         for _attempt in range(20):
             try:
-                self._write_commit(version, actions)
+                self._write_commit(
+                    version, self._maybe_stamp_ict(version, actions)
+                )
                 return version
             except CommitConflict:
                 if mode != "append" or new_schema_json is not None:
@@ -1669,7 +1674,7 @@ class DeltaTable:
         validated/derived from is stale) — surfaced, never retried
         blindly."""
         try:
-            self._write_commit(version, actions)
+            self._write_commit(version, self._maybe_stamp_ict(version, actions))
         except CommitConflict:
             raise ConcurrentWriteError(
                 f"{operation} on {self.path} conflicts with a concurrent "
@@ -1678,6 +1683,124 @@ class DeltaTable:
         return version
 
     # ------------------------------------------------- schema evolution
+
+    @staticmethod
+    def _implied_writer_features(proto: dict) -> set[str]:
+        """Writer features a versioned (pre-feature-list) protocol
+        implies — what an upgrade to the v7 feature list must carry so
+        no capability fence is lost."""
+        feats = set(proto.get("writerFeatures") or [])
+        if feats:
+            return feats
+        wv = proto.get("minWriterVersion", 2)
+        if wv >= 2:
+            feats |= {"appendOnly", "invariants"}
+        if wv >= 3:
+            feats.add("checkConstraints")
+        if wv >= 4:
+            feats |= {"changeDataFeed", "generatedColumns"}
+        if wv >= 5:
+            feats.add("columnMapping")
+        return feats
+
+    def enable_in_commit_timestamps(self) -> int:
+        """Writer feature ``inCommitTimestamp`` (spec: monotonic commit
+        timestamps INSIDE commitInfo): once enabled, every commit stamps
+        ``inCommitTimestamp = max(wall clock, prior + 1)`` and
+        ``TIMESTAMP AS OF`` resolves against it — immune to the
+        file-mtime clock skew (log copies, backfills, NTP steps) that
+        makes mtime-ordered time travel lie. Upgrades the writer
+        protocol to the v7 feature list, carrying all implied
+        features."""
+        base = self.latest_version() or 0
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        conf = dict(meta.get("configuration") or {})
+        if conf.get("delta.enableInCommitTimestamps") == "true":
+            raise ValueError(
+                f"in-commit timestamps already enabled: {self.path}"
+            )
+        conf["delta.enableInCommitTimestamps"] = "true"
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        proto = dict(protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+        feats = self._implied_writer_features(proto)
+        feats.add("inCommitTimestamp")
+        new_proto = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            **(
+                {"readerFeatures": proto["readerFeatures"]}
+                if proto.get("readerFeatures") is not None
+                else {}
+            ),
+            "writerFeatures": sorted(feats),
+        }
+        return self._publish_or_conflict(
+            base + 1,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "properties": '{"delta.enableInCommitTimestamps":"true"}'
+                        },
+                    }
+                },
+                {"protocol": new_proto},
+                {"metaData": new_meta},
+            ],
+            "SET TBLPROPERTIES",
+        )
+
+    def _maybe_stamp_ict(self, version: int, actions: list[dict]) -> list[dict]:
+        """Stamp ``inCommitTimestamp`` (monotonic vs the prior commit)
+        into the commit's commitInfo — and move that commitInfo FIRST,
+        as the spec requires for ICT commits — when the table property
+        is enabled. The enable commit itself carries the property in its
+        own metaData action, so it is stamped too."""
+        conf = None
+        for a in actions:
+            if "metaData" in a:
+                conf = a["metaData"].get("configuration") or {}
+                break
+        if conf is None:
+            if version == 0:
+                return actions
+            try:
+                meta, _ = self._snapshot_state(None)
+            except (ValueError, NotImplementedError):
+                return actions
+            conf = meta.get("configuration") or {}
+        if conf.get("delta.enableInCommitTimestamps") != "true":
+            return actions
+        prior_ict = 0
+        if version > 0:
+            for a in self._read_commit(version - 1):
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    prior_ict = (
+                        ci.get("inCommitTimestamp") or ci.get("timestamp") or 0
+                    )
+                    break
+        ict = max(int(time.time() * 1000), prior_ict + 1)
+        head: dict | None = None
+        rest: list[dict] = []
+        for a in actions:
+            if "commitInfo" in a and head is None:
+                head = {"commitInfo": {**a["commitInfo"], "inCommitTimestamp": ict}}
+            else:
+                rest.append(a)
+        if head is None:
+            head = {
+                "commitInfo": {
+                    "timestamp": ict,
+                    "inCommitTimestamp": ict,
+                    "operation": "WRITE",
+                    "operationParameters": {},
+                }
+            }
+        return [head, *rest]
 
     def enable_change_data_feed(self) -> int:
         """ALTER TABLE SET TBLPROPERTIES (delta.enableChangeDataFeed =
@@ -2189,21 +2312,7 @@ class DeltaTable:
             reader_feats = set(proto.get("readerFeatures") or [])
             if not reader_feats and proto.get("minReaderVersion", 1) >= 2:
                 reader_feats = {"columnMapping"}
-            writer_feats = set(proto.get("writerFeatures") or [])
-            if not writer_feats:
-                wv = proto.get("minWriterVersion", 2)
-                if wv >= 2:
-                    writer_feats |= {"appendOnly", "invariants"}
-                if wv >= 3:
-                    writer_feats.add("checkConstraints")
-                if wv >= 4:
-                    # spec: v4 implies changeDataFeed + generatedColumns;
-                    # dropping generatedColumns here would let a
-                    # feature-listing writer append rows violating the
-                    # generation invariant
-                    writer_feats |= {"changeDataFeed", "generatedColumns"}
-                if wv >= 5:
-                    writer_feats.add("columnMapping")
+            writer_feats = self._implied_writer_features(proto)
             # state-derived (belt and braces: a constraint recorded in the
             # configuration must be listed regardless of the prior version)
             if any(

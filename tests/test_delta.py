@@ -1953,3 +1953,72 @@ class TestChangeDataFeedFiles:
             (5, 50, "update_preimage"),
             (5, 999, "update_postimage"),
         }
+
+
+class TestInCommitTimestamps:
+    """Writer feature inCommitTimestamp: monotonic timestamps INSIDE
+    commitInfo; TIMESTAMP AS OF resolves against them — immune to
+    file-mtime skew."""
+
+    def test_stamps_are_monotonic_and_resolve_travel(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 4).select("id"))
+        t.enable_in_commit_timestamps()
+        t.write(spark.range(4, 8).select("id"))
+        t.delete(spark, "id = 0")
+        log = _os.path.join(t.path, "_delta_log")
+        icts = {}
+        for v in (1, 2, 3):
+            for line in open(
+                _os.path.join(log, "%020d.json" % v)
+            ).read().splitlines():
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    icts[v] = a["commitInfo"].get("inCommitTimestamp")
+        assert all(icts[v] is not None for v in (1, 2, 3))
+        assert icts[1] < icts[2] < icts[3]
+        # spec: commitInfo is the FIRST action of an ICT commit
+        first = _json.loads(
+            open(_os.path.join(log, "%020d.json" % 3)).readline()
+        )
+        assert "commitInfo" in first
+        # protocol fenced: v7 feature list carries the feature + implied
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minWriterVersion"] == 7
+        assert "inCommitTimestamp" in proto["writerFeatures"]
+        assert "appendOnly" in proto["writerFeatures"]
+        # travel by ICT: version 2's stamp resolves to version 2 even if
+        # commit-file mtimes are shuffled (skew simulation)
+        for v in (1, 2, 3):
+            _os.utime(_os.path.join(log, "%020d.json" % v), (1, 1))
+        assert t.version_at_timestamp(icts[2]) == 2
+        assert t.read_at_timestamp(spark, icts[2]).count() == 8
+
+    def test_monotonic_under_clock_stall(self, spark, tmp_path, monkeypatch):
+        # same wall-clock millisecond for two commits: the second must
+        # still stamp prior+1
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 2).select("id"))
+        t.enable_in_commit_timestamps()
+        import cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta as dmod
+
+        frozen = 1_700_000_000_000 / 1000.0
+        monkeypatch.setattr(dmod.time, "time", lambda: frozen)
+        t.write(spark.range(2, 4).select("id"))
+        t.write(spark.range(4, 6).select("id"))
+        import json as _json
+        import os as _os
+
+        log = _os.path.join(t.path, "_delta_log")
+        icts = []
+        for v in (2, 3):
+            for line in open(
+                _os.path.join(log, "%020d.json" % v)
+            ).read().splitlines():
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    icts.append(a["commitInfo"]["inCommitTimestamp"])
+        assert icts[1] == icts[0] + 1  # strictly increasing despite stall
