@@ -366,6 +366,17 @@ def _arrow_to_logical_names(arr, dt: T.DataType):
     if isinstance(dt, T.StructType) and pa.types.is_struct(arr.type):
         children, fields = [], []
         for i, f in enumerate(dt.fields):
+            if i >= arr.type.num_fields:
+                # older file written before this nested field was added:
+                # null-fill, matching the top-level missing-column path
+                # (positional mapping makes missing fields a TRAILING
+                # suffix — rename_column never reorders)
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                child = pa.nulls(len(arr), type=to_arrow_type(f.dataType))
+                children.append(child)
+                fields.append(pa.field(f.name, child.type, nullable=True))
+                continue
             child = _arrow_to_logical_names(arr.field(i), f.dataType)
             children.append(child)
             fields.append(
@@ -1186,25 +1197,43 @@ class DeltaTable:
         """``TIMESTAMP AS OF`` resolution: the newest version whose commit
         timestamp is <= ``ts_ms`` (delta-spark semantics — a timestamp
         before the first commit is an error, one after the last resolves
-        to the latest). Resolution prefers ``inCommitTimestamp``
-        (monotonic by construction — `enable_in_commit_timestamps`),
-        then ``commitInfo.timestamp``, then the commit file's mtime (the
-        spec fallback)."""
-        best: int | None = None
+        to the latest). On an ICT table resolution is TWO-REGIME (the
+        spec's semantics): at/after the first ICT commit only
+        ``inCommitTimestamp`` is consulted — never mixed with the
+        mtime/commitInfo fallbacks, whose wall-clock values can exceed
+        later ICTs across the enablement boundary and would make
+        resolution non-monotonic there. A timestamp below the first ICT
+        falls back to the pre-enablement commits (legacy ordering:
+        ``commitInfo.timestamp``, then commit-file mtime)."""
+        ict_commits: list[tuple[int, int]] = []  # (version, ict)
+        legacy: list[tuple[int, int]] = []  # pre-enablement (version, ts)
         for v in self._commit_versions():
             info = next(
                 (a["commitInfo"] for a in self._read_commit(v) if "commitInfo" in a),
                 None,
             )
-            commit_ts = None
-            if info is not None:
-                commit_ts = info.get("inCommitTimestamp") or info.get("timestamp")
+            ict = info.get("inCommitTimestamp") if info is not None else None
+            if ict is not None or ict_commits:
+                if ict is None:
+                    # post-enablement commit missing its stamp (foreign
+                    # writer bug) — keep the regime, best-effort fallback
+                    ict = info.get("timestamp") if info is not None else None
+                    if ict is None:
+                        ict = int(
+                            os.path.getmtime(_commit_path(self._log_dir, v))
+                            * 1000
+                        )
+                ict_commits.append((v, int(ict)))
+                continue
+            commit_ts = info.get("timestamp") if info is not None else None
             if commit_ts is None:
                 commit_ts = int(
                     os.path.getmtime(_commit_path(self._log_dir, v)) * 1000
                 )
-            if commit_ts <= ts_ms:
-                best = v
+            legacy.append((v, int(commit_ts)))
+        if ict_commits and ts_ms >= ict_commits[0][1]:
+            return max(v for v, t in ict_commits if t <= ts_ms)
+        best = max((v for v, t in legacy if t <= ts_ms), default=None)
         if best is None:
             raise ValueError(
                 f"timestamp {ts_ms} predates the first commit of {self.path}"
@@ -1775,10 +1804,12 @@ class DeltaTable:
         if conf.get("delta.enableInCommitTimestamps") != "true":
             return actions
         prior_ict = 0
+        prior_had_ict = False
         if version > 0:
             for a in self._read_commit(version - 1):
                 if "commitInfo" in a:
                     ci = a["commitInfo"]
+                    prior_had_ict = bool(ci.get("inCommitTimestamp"))
                     prior_ict = (
                         ci.get("inCommitTimestamp") or ci.get("timestamp") or 0
                     )
@@ -1800,7 +1831,36 @@ class DeltaTable:
                     "operationParameters": {},
                 }
             }
-        return [head, *rest]
+        out = [head, *rest]
+        # Spec: enabling ICT on an EXISTING table must record provenance —
+        # delta.inCommitTimestampEnablementVersion / -Timestamp — so
+        # readers know where the ICT sequence starts (TIMESTAMP AS OF
+        # switches resolution modes at exactly this boundary; delta-spark
+        # expects the properties on such tables). Stamped here, not in
+        # enable_in_commit_timestamps, so the recorded timestamp is THE
+        # ict of the enabling commit and a conflict-retry at a different
+        # version re-stamps correctly. Creation-time enablement (version
+        # 0) needs no provenance — ICT covers the whole history.
+        if version > 0 and not prior_had_ict:
+            for i, a in enumerate(out):
+                if "metaData" not in a:
+                    continue
+                conf_m = dict(a["metaData"].get("configuration") or {})
+                if (
+                    conf_m.get("delta.enableInCommitTimestamps") == "true"
+                    and "delta.inCommitTimestampEnablementVersion" not in conf_m
+                ):
+                    conf_m["delta.inCommitTimestampEnablementVersion"] = str(
+                        version
+                    )
+                    conf_m["delta.inCommitTimestampEnablementTimestamp"] = str(
+                        ict
+                    )
+                    out[i] = {
+                        "metaData": {**a["metaData"], "configuration": conf_m}
+                    }
+                break
+        return out
 
     def enable_change_data_feed(self) -> int:
         """ALTER TABLE SET TBLPROPERTIES (delta.enableChangeDataFeed =
@@ -2433,7 +2493,7 @@ class DeltaTable:
         )
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
-        updated = matched
+        set_cols: dict = {}
         for col, expr in sorted(set_exprs.items()):
             if col not in col_types:
                 raise ValueError(
@@ -2444,9 +2504,18 @@ class DeltaTable:
             # implicit cast to the column's DECLARED type (delta-spark's
             # UPDATE semantics): a literal like 0.0 parses as DECIMAL and
             # would otherwise drift the staged file's type off-schema
-            updated = updated.withColumn(
-                col, e.cast(self._strip_meta(col_types[col]))
-            )
+            set_cols[col] = e.cast(self._strip_meta(col_types[col]))
+        # ONE projection so every RHS sees the PRE-update row: SQL UPDATE
+        # evaluates all SET expressions simultaneously (SET a=b, b=a
+        # swaps; a chained withColumn would copy instead)
+        updated = matched.select(
+            *[
+                set_cols[f.name].alias(f.name)
+                if f.name in set_cols
+                else F.col(f"`{f.name}`")
+                for f in schema.fields
+            ]
+        )
         # generated columns: recompute any not explicitly SET (their
         # sources may have changed); validate any that were SET directly
         for col, gexpr in sorted(self._generation_exprs(meta).items()):

@@ -44,6 +44,7 @@ dominated by Python anyway, or testing reader semantics in-process.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import urllib.parse
@@ -192,17 +193,12 @@ class PyDeltaReader(DataSourceReader):
                 "mapping (per-file field-id resolution); use "
                 "DeltaTable.read or to_pandas"
             )
-        if str(opts.get("readchangefeed", "")).lower() == "true":
-            raise NotImplementedError(
-                "readChangeFeed is a STREAMING option on this source "
-                "(spark.readStream); for a batch change feed use "
-                "DeltaTable.read_changes"
-            )
         self._meta = meta
         self._adds = adds
         self._schema = schema
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
+        self._cdf = str(opts.get("readchangefeed", "")).lower() == "true"
         where = opts.get("where")
         # STRICT parse: this reader's row filtering IS the conjunct list
         # (nothing re-applies the predicate above the scan), so a
@@ -219,6 +215,79 @@ class PyDeltaReader(DataSourceReader):
         }
         self._spark_types = {f.name: f.dataType for f in log_schema.fields}
         self._col_order = [f.name for f in log_schema.fields]
+        self._cdf_parts: list | None = None
+        if self._cdf:
+            # batch change feed (delta-spark's
+            # .option("readChangeFeed", true).option("startingVersion", N)
+            # [.option("endingVersion", M)]): one bounded range of the
+            # same diff plan the streaming CDF source runs per
+            # micro-batch (`_plan_cdf_partitions`)
+            if opts.get("versionasof") is not None or opts.get(
+                "timestampasof"
+            ) is not None:
+                raise ValueError(
+                    "readChangeFeed cannot be combined with versionAsOf/"
+                    "timestampAsOf; scope the feed with startingVersion/"
+                    "endingVersion"
+                )
+            if where:
+                raise NotImplementedError(
+                    "the 'where' option is not supported with "
+                    "readChangeFeed (change partitions carry no file "
+                    "stats to prune on); filter the returned DataFrame"
+                )
+            start_opt = opts.get("startingversion")
+            if start_opt is None:
+                raise ValueError(
+                    "readChangeFeed requires startingVersion (delta-spark "
+                    "semantics: an unbounded start would replay the whole "
+                    "history implicitly)"
+                )
+            start_v = int(start_opt)
+            latest = table.latest_version()
+            end_v = int(opts.get("endingversion", latest))
+            if start_v > latest:
+                raise ValueError(
+                    f"startingVersion {start_v} is after the latest "
+                    f"commit {latest} of {self._root}"
+                )
+            if end_v < start_v or end_v > latest:
+                raise ValueError(
+                    f"endingVersion {end_v} out of range "
+                    f"[{start_v}, {latest}]"
+                )
+            import pyarrow as pa
+
+            self._arrow_types["_change_type"] = pa.string()
+            self._arrow_types["_commit_version"] = pa.int64()
+            self._col_order += ["_change_type", "_commit_version"]
+            phys = lambda c: self._mapping.get(c, c)  # noqa: E731
+            data_cols = {
+                phys(f.name): f.name
+                for f in schema.fields
+                if f.name not in self._part_cols
+                and f.name not in ("_change_type", "_commit_version")
+            }
+            spark_types = self._spark_types
+
+            def part_values_of(add: dict) -> dict:
+                pv_raw = _as_dict(add.get("partitionValues"))
+                return {
+                    c: _coerce_partition_value(pv_raw.get(phys(c)), spark_types[c])
+                    for c in self._part_cols
+                }
+
+            # planned eagerly (driver-side, like partitions()); the range
+            # is [startingVersion, endingVersion] INCLUSIVE of the start —
+            # the shared planner's half-open contract takes start-1
+            self._cdf_parts = _plan_cdf_partitions(
+                table,
+                self._root,
+                data_cols,
+                part_values_of,
+                start_v - 1,
+                end_v,
+            )
 
     # ----------------------------------------------------------- planning
 
@@ -235,6 +304,12 @@ class PyDeltaReader(DataSourceReader):
     # so the scan it plans is scoped to it by construction).
 
     def partitions(self):
+        if self._cdf_parts is not None:
+            out = self._cdf_parts
+            self._cdf_parts = None
+            self._adds = []
+            self._meta = {}
+            return out
         phys = lambda c: self._mapping.get(c, c)  # noqa: E731
         adds = self._adds
         conjuncts = self._conjuncts
@@ -408,6 +483,111 @@ def _read_partition(
     tbl = tbl.select(col_order)
     yield from tbl.to_batches()
 
+
+def _plan_cdf_partitions(
+    table: DeltaTable,
+    root: str,
+    data_cols: dict[str, str],
+    part_values_of,
+    start_version: int,
+    end_version: int,
+) -> list:
+    """Change-feed read plan for versions in (start_version,
+    end_version]: the SAME diff semantics as `DeltaTable.read_changes` —
+    adds are inserts minus their own DV, a DV-carrying re-add of a live
+    path emits only the newly-dead positions as deletes, a remove
+    without re-add emits the file's then-live rows as deletes, and
+    ``dataChange=false`` (OPTIMIZE) commits emit nothing. Commits that
+    staged spec ``cdc`` actions are consumed EXCLUSIVELY from their
+    ``_change_data/`` files (true update pre/post images). Shared by the
+    streaming CDF source (per micro-batch) and the batch
+    ``readChangeFeed`` reader (one [startingVersion, endingVersion]
+    range).
+
+    Per-path prior state replays from version 0 — O(log tail)
+    driver-side JSON; a long-lived production stream would cache the
+    live-set per checkpointed offset."""
+    live: dict[str, dict] = {}
+    for v in table._commit_versions():
+        if v > start_version:
+            break
+        for action in table._read_commit(v):
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+
+    def dv_rows(a: dict) -> set[int]:
+        d = a.get("deletionVector")
+        return set(_dv.resolve_dv_rows(root, d)) if d else set()
+
+    out: list = []
+
+    def part(add, v, change, keep=None, drop=()):
+        out.append(
+            PyDeltaPartition(
+                os.path.join(root, urllib.parse.unquote(add["path"])),
+                data_cols,
+                part_values_of(add),
+                sorted(drop),
+                [],
+                keep_rows=sorted(keep) if keep is not None else None,
+                change_type=change,
+                commit_version=v,
+            )
+        )
+
+    for v in range(start_version + 1, end_version + 1):
+        removed: dict[str, dict] = {}
+        actions_v = table._read_commit(v)
+        # spec cdc actions provide the commit's change rows directly
+        # (incl. update pre/post images); use them EXCLUSIVELY and
+        # only maintain file state from the add/remove actions
+        cdc_in_commit = [a["cdc"] for a in actions_v if "cdc" in a]
+        for action in actions_v:
+            if "remove" in action:
+                path = action["remove"]["path"]
+                prior = live.pop(path, None)
+                if prior is not None and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removed[path] = prior
+        for action in actions_v:
+            if "add" not in action:
+                continue
+            a = action["add"]
+            prior = removed.pop(a["path"], None)
+            live[a["path"]] = a
+            if cdc_in_commit or not a.get("dataChange", True):
+                continue
+            new_dead = dv_rows(a)
+            if prior is not None:
+                delta = new_dead - dv_rows(prior)
+                if delta:
+                    part(a, v, "delete", keep=delta)
+            else:
+                part(a, v, "insert", drop=new_dead)
+        if cdc_in_commit:
+            cdc_cols = dict(data_cols)
+            cdc_cols["_change_type"] = "_change_type"
+            for c in cdc_in_commit:
+                out.append(
+                    PyDeltaPartition(
+                        os.path.join(root, urllib.parse.unquote(c["path"])),
+                        cdc_cols,
+                        part_values_of(c),
+                        [],
+                        [],
+                        change_type=None,  # the file carries its own
+                        commit_version=v,
+                    )
+                )
+            continue
+        for _path, prior in sorted(removed.items()):
+            part(prior, v, "delete", drop=dv_rows(prior))
+    return out
+
+
 class PyDeltaStreamReader(DataSourceStreamReader):
     """Log-tailing STREAMING source: ``spark.readStream.format("pydelta")``.
 
@@ -496,102 +676,17 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         }
 
     def _cdf_partitions(self, start: dict, end: dict):
-        """Change-feed micro-batch plan: per version in (start, end],
-        the SAME diff semantics as `DeltaTable.read_changes` — adds are
-        inserts minus their own DV, a DV-carrying re-add of a live path
-        emits only the newly-dead positions as deletes, a remove without
-        re-add emits the file's then-live rows as deletes, and
-        ``dataChange=false`` (OPTIMIZE) commits emit nothing. This is
-        how DV'd and rewritten tables become STREAMABLE: the stream sees
-        deletes as tagged change rows instead of being refused.
-
-        Per-path prior state replays from version 0 each batch — O(log
-        tail) driver-side JSON; a long-lived production stream would
-        cache the live-set per checkpointed offset."""
-        live: dict[str, dict] = {}
-        for v in self._table._commit_versions():
-            if v > start["version"]:
-                break
-            for action in self._table._read_commit(v):
-                if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-
-        def dv_rows(a: dict) -> set[int]:
-            d = a.get("deletionVector")
-            return set(_dv.resolve_dv_rows(self._root, d)) if d else set()
-
-        cols = self._data_cols_map()
-        out = []
-
-        def part(add, v, change, keep=None, drop=()):
-            out.append(
-                PyDeltaPartition(
-                    os.path.join(
-                        self._root, urllib.parse.unquote(add["path"])
-                    ),
-                    cols,
-                    self._part_values_of(add),
-                    sorted(drop),
-                    [],
-                    keep_rows=sorted(keep) if keep is not None else None,
-                    change_type=change,
-                    commit_version=v,
-                )
-            )
-
-        for v in range(start["version"] + 1, end["version"] + 1):
-            removed: dict[str, dict] = {}
-            actions_v = self._table._read_commit(v)
-            # spec cdc actions provide the commit's change rows directly
-            # (incl. update pre/post images); use them EXCLUSIVELY and
-            # only maintain file state from the add/remove actions
-            cdc_in_commit = [a["cdc"] for a in actions_v if "cdc" in a]
-            for action in actions_v:
-                if "remove" in action:
-                    path = action["remove"]["path"]
-                    prior = live.pop(path, None)
-                    if prior is not None and action["remove"].get(
-                        "dataChange", True
-                    ):
-                        removed[path] = prior
-            for action in actions_v:
-                if "add" not in action:
-                    continue
-                a = action["add"]
-                prior = removed.pop(a["path"], None)
-                live[a["path"]] = a
-                if cdc_in_commit or not a.get("dataChange", True):
-                    continue
-                new_dead = dv_rows(a)
-                if prior is not None:
-                    delta = new_dead - dv_rows(prior)
-                    if delta:
-                        part(a, v, "delete", keep=delta)
-                else:
-                    part(a, v, "insert", drop=new_dead)
-            if cdc_in_commit:
-                cdc_cols = dict(cols)
-                cdc_cols["_change_type"] = "_change_type"
-                for c in cdc_in_commit:
-                    out.append(
-                        PyDeltaPartition(
-                            os.path.join(
-                                self._root, urllib.parse.unquote(c["path"])
-                            ),
-                            cdc_cols,
-                            self._part_values_of(c),
-                            [],
-                            [],
-                            change_type=None,  # the file carries its own
-                            commit_version=v,
-                        )
-                    )
-                continue
-            for _path, prior in sorted(removed.items()):
-                part(prior, v, "delete", drop=dv_rows(prior))
-        return out
+        """Change-feed micro-batch plan for versions (start, end] —
+        shared diff semantics in `_plan_cdf_partitions` (the batch CDF
+        reader plans through the same function)."""
+        return _plan_cdf_partitions(
+            self._table,
+            self._root,
+            self._data_cols_map(),
+            self._part_values_of,
+            start["version"],
+            end["version"],
+        )
 
     def partitions(self, start: dict, end: dict):
         if self._cdf:
@@ -913,16 +1008,34 @@ class PyDeltaStreamWriter(DataSourceStreamArrowWriter):
     with a ``txn`` action keyed (``txnAppId`` option, batchId), so a
     batch replayed after a crash between the Delta commit and the
     streaming checkpoint is detected in the log and skipped —
-    exactly-once without foreachBatch. ``txnAppId`` defaults to a
-    constant; set it per sink when several independent streams append
-    to the same table."""
+    exactly-once without foreachBatch. ``txnAppId`` defaults to a value
+    DERIVED FROM THE CHECKPOINT LOCATION (delta-spark's sink keys on the
+    per-query checkpoint the same way): a shared constant default would
+    make two independent streams appending to the same table share the
+    (appId, batchId) dedupe key, so whichever stream's batchId lagged
+    would see its commits skipped as replays — silent data loss. With no
+    checkpoint in the options either, the option is required."""
 
     def __init__(self, options: dict, schema: T.StructType) -> None:
         opts = _lower_opts(options)
         self._root = opts["path"]
         self._partition_by = _opt_partition_by(opts)
         self._schema = schema
-        self._app_id = opts.get("txnappid", "pydelta-stream-sink")
+        app_id = opts.get("txnappid")
+        if app_id is None:
+            ckpt = opts.get("checkpointlocation")
+            if ckpt:
+                app_id = "pydelta-stream-" + hashlib.sha256(
+                    os.path.abspath(ckpt).encode("utf-8")
+                ).hexdigest()[:16]
+            else:
+                raise ValueError(
+                    "pydelta streaming sink needs an idempotence key "
+                    "unique to this query: set .option('txnAppId', ...) "
+                    "(no checkpointLocation option was visible to derive "
+                    "one from)"
+                )
+        self._app_id = app_id
         _validate_write_target(self._root, schema, self._partition_by)
 
     def write(self, iterator) -> PyDeltaCommitMessage:

@@ -1653,6 +1653,25 @@ class TestDvUpdate:
         assert v == 1
         assert t.read(spark).count() == 100
 
+    def test_update_set_swap_semantics(self, spark, tmp_path):
+        # SQL UPDATE evaluates every SET RHS against the PRE-update row
+        # (one simultaneous projection): SET a=b, b=a must SWAP — a
+        # chained withColumn would copy b into both
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 10).select(
+                F.col("id"),
+                (F.col("id") + 100).alias("a"),
+                (F.col("id") + 200).alias("b"),
+            )
+        )
+        t.update(spark, "id < 5", {"a": "b", "b": "a"})
+        got = {r.id: (r.a, r.b) for r in t.read(spark).collect()}
+        for i in range(5):
+            assert got[i] == (i + 200, i + 100)  # swapped
+        for i in range(5, 10):
+            assert got[i] == (i + 100, i + 200)  # untouched
+
 
 class TestShallowClone:
     """Shallow CLONE: a new table whose commit-0 references the source's
@@ -2022,3 +2041,129 @@ class TestInCommitTimestamps:
                 if "commitInfo" in a:
                     icts.append(a["commitInfo"]["inCommitTimestamp"])
         assert icts[1] == icts[0] + 1  # strictly increasing despite stall
+
+    def test_enablement_provenance_and_two_regime_travel(self, spark, tmp_path):
+        """Enabling ICT on an EXISTING table stamps the spec's provenance
+        properties (enablementVersion/-Timestamp == the enabling commit's
+        own ict), and TIMESTAMP AS OF is two-regime: at/after the first
+        ict only inCommitTimestamps are consulted, so a pre-enablement
+        commit with a skewed-huge legacy timestamp cannot shadow later
+        versions."""
+        import json as _json
+        import os as _os
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 2).select("id"))   # v0 (legacy)
+        t.write(spark.range(2, 4).select("id"))   # v1 (legacy)
+        t.enable_in_commit_timestamps()           # v2 = enabling commit
+        t.write(spark.range(4, 6).select("id"))   # v3 (ict)
+        log = _os.path.join(t.path, "_delta_log")
+
+        def _actions(v):
+            with open(_os.path.join(log, "%020d.json" % v)) as fh:
+                return [_json.loads(x) for x in fh.read().splitlines()]
+
+        ict2 = next(
+            a["commitInfo"]["inCommitTimestamp"]
+            for a in _actions(2)
+            if "commitInfo" in a
+        )
+        conf = next(
+            a["metaData"]["configuration"]
+            for a in _actions(2)
+            if "metaData" in a
+        )
+        assert conf["delta.inCommitTimestampEnablementVersion"] == "2"
+        assert conf["delta.inCommitTimestampEnablementTimestamp"] == str(ict2)
+
+        # skew simulation: v0 gets a tiny known legacy timestamp, v1 a
+        # HUGE one (mtime/NTP lies); rewrite the commit files in place
+        for v, ts in ((0, 1_000), (1, ict2 + 10_000_000)):
+            path = _os.path.join(log, "%020d.json" % v)
+            out = []
+            for a in _actions(v):
+                if "commitInfo" in a:
+                    a = {"commitInfo": {**a["commitInfo"], "timestamp": ts}}
+                out.append(_json.dumps(a))
+            with open(path, "w") as fh:
+                fh.write("\n".join(out) + "\n")
+
+        ict3 = next(
+            a["commitInfo"]["inCommitTimestamp"]
+            for a in _actions(3)
+            if "commitInfo" in a
+        )
+        # ict regime: v1's huge legacy ts is IGNORED at/after the boundary
+        assert t.version_at_timestamp(ict2) == 2
+        assert t.version_at_timestamp(ict3) == 3
+        assert t.version_at_timestamp(ict3 + 10_000_000_000) == 3
+        # legacy regime below the boundary: only pre-enablement commits,
+        # and v1's skewed ts keeps it out of range here too
+        assert t.version_at_timestamp(ict2 - 1) == 0
+        assert t.version_at_timestamp(1_000) == 0
+        with pytest.raises(ValueError, match="predates"):
+            t.version_at_timestamp(999)
+        # reads agree with resolution across the boundary
+        assert t.read_at_timestamp(spark, ict2).count() == 4
+        assert t.read_at_timestamp(spark, ict3).count() == 6
+
+class TestArrowNullFillOlderNestedFiles:
+    """A column-mapped table whose older files predate a nested
+    struct-field addition (foreign-writer schema evolution): the
+    pure-python readers must null-fill the trailing missing fields —
+    matching the top-level missing-column handling — instead of
+    crashing with IndexError."""
+
+    def test_arrow_to_logical_names_null_fills_trailing(self):
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            _arrow_to_logical_names,
+        )
+
+        # file struct has 1 field (physical name), logical schema has 2
+        arr = pa.array(
+            [{"col-a": 1}, {"col-a": 2}, None],
+            type=pa.struct([pa.field("col-a", pa.int64())]),
+        )
+        dt = T.StructType(
+            [
+                T.StructField("alpha", T.LongType()),
+                T.StructField("beta", T.StringType()),
+            ]
+        )
+        got = _arrow_to_logical_names(arr, dt)
+        assert got.type.num_fields == 2
+        assert got.type.field(0).name == "alpha"
+        assert got.type.field(1).name == "beta"
+        assert got.to_pylist() == [
+            {"alpha": 1, "beta": None},
+            {"alpha": 2, "beta": None},
+            None,
+        ]
+
+    def test_arrow_to_logical_names_null_fills_nested_struct(self):
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            _arrow_to_logical_names,
+        )
+
+        # the missing trailing field is itself a struct
+        arr = pa.array(
+            [{"col-a": 7}],
+            type=pa.struct([pa.field("col-a", pa.int64())]),
+        )
+        dt = T.StructType(
+            [
+                T.StructField("alpha", T.LongType()),
+                T.StructField(
+                    "inner",
+                    T.StructType([T.StructField("deep", T.LongType())]),
+                ),
+            ]
+        )
+        got = _arrow_to_logical_names(arr, dt)
+        assert got.to_pylist() == [{"alpha": 7, "inner": None}]

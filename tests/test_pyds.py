@@ -447,6 +447,55 @@ class TestPyDeltaWriters:
                 _os.path.join(root, _up.unquote(rel))
             )
 
+    def test_two_independent_streams_same_table(self, spark, tmp_path):
+        """Two streams with their OWN checkpoints appending to one table:
+        the default txnAppId derives from the checkpoint location, so
+        their (appId, batchId) dedupe keys never collide — a shared
+        constant default made the second stream's batch 0 look like a
+        replay of the first's and silently dropped it."""
+        pyds.register(spark)
+        sroot = str(tmp_path / "t")
+
+        def drain(name, lo, hi):
+            src = str(tmp_path / f"src_{name}")
+            spark.range(lo, hi).select("id").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                spark.readStream.schema("id long")
+                .parquet(src)
+                .writeStream.format("pydelta")
+                .option("path", sroot)
+                .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            err = q.exception()
+            if err:
+                raise err
+
+        drain("one", 0, 10)     # stream 1, batchId 0
+        drain("two", 100, 110)  # stream 2, ALSO batchId 0
+        t = DeltaTable(sroot)
+        got = t.read(spark)
+        assert got.count() == 20  # second stream must not be "replayed" away
+        assert got.filter("id >= 100").count() == 10
+        # and the log carries two DISTINCT app ids
+        import json as _json
+        import os
+
+        apps = set()
+        log = os.path.join(sroot, "_delta_log")
+        for f in sorted(os.listdir(log)):
+            if not f.endswith(".json"):
+                continue
+            for line in open(os.path.join(log, f)):
+                a = _json.loads(line)
+                if "txn" in a:
+                    apps.add(a["txn"]["appId"])
+        assert len(apps) == 2
+
 
 class TestPyDeltaStreamCdf:
     """readChangeFeed=true on the streaming source: DV'd and rewritten
@@ -569,11 +618,115 @@ class TestPyDeltaHonestGates:
                 "append"
             ).save()
 
-    def test_batch_reader_refuses_readchangefeed(self, spark, tmp_path):
+    def test_batch_cdf_requires_starting_version(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "b"))
         t.write(spark.range(0, 3).select("id"))
         pyds.register(spark)
-        with pytest.raises(Exception, match="STREAMING option"):
+        with pytest.raises(Exception, match="startingVersion"):
             spark.read.format("pydelta").option("path", t.path).option(
                 "readChangeFeed", "true"
             ).load().collect()
+
+
+class TestPyDeltaBatchCdf:
+    """Batch readChangeFeed on the pydelta source (delta-spark's
+    .option("readChangeFeed", true).option("startingVersion", N)
+    [.option("endingVersion", M)]): one bounded range through the same
+    diff planner the streaming CDF source uses per micro-batch."""
+
+    def _table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id").coalesce(1))  # v0
+        t.delete(spark, "id < 3")                             # v1
+        t.write(spark.range(10, 15).select("id").coalesce(1))  # v2
+        pyds.register(spark)
+        return t
+
+    def _load(self, spark, path, start, end=None):
+        r = (
+            spark.read.format("pydelta")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(start))
+        )
+        if end is not None:
+            r = r.option("endingVersion", str(end))
+        return r.load()
+
+    def test_full_history(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = self._load(spark, t.path, 0)
+        by = {
+            (r["_change_type"], r["_commit_version"]): r["n"]
+            for r in got.groupBy("_change_type", "_commit_version")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert by == {
+            ("insert", 0): 10,
+            ("delete", 1): 3,
+            ("insert", 2): 5,
+        }
+        # deleted row IDENTITY, not just counts
+        assert {
+            r.id for r in got.filter("_change_type = 'delete'").collect()
+        } == {0, 1, 2}
+
+    def test_range_is_inclusive_of_start_and_end(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = self._load(spark, t.path, 1, end=1)
+        assert {
+            (r["_change_type"], r["_commit_version"])
+            for r in got.select("_change_type", "_commit_version")
+            .distinct()
+            .collect()
+        } == {("delete", 1)}
+        assert got.count() == 3
+
+    def test_update_images_via_cdc_files(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "u"))
+        t.write(
+            spark.range(0, 6)
+            .select(F.col("id"), (F.col("id") * 10).alias("v"))
+            .coalesce(1)
+        )
+        t.enable_change_data_feed()  # v1
+        t.update(spark, "id = 2", {"v": "v + 1"})  # v2: cdc pre/post
+        pyds.register(spark)
+        got = self._load(spark, t.path, 2).filter("id = 2")
+        rows = {r["_change_type"]: r["v"] for r in got.collect()}
+        assert rows == {"update_preimage": 20, "update_postimage": 21}
+
+    def test_out_of_range_versions_refused(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(Exception, match="after the latest"):
+            self._load(spark, t.path, 99).collect()
+        with pytest.raises(Exception, match="out of range"):
+            self._load(spark, t.path, 1, end=99).collect()
+
+    def test_cdf_refuses_time_travel_combo(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(Exception, match="versionAsOf"):
+            (
+                spark.read.format("pydelta")
+                .option("path", t.path)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", "0")
+                .option("versionAsOf", "1")
+                .load()
+                .collect()
+            )
+
+    def test_batch_cdf_agrees_with_read_changes(self, spark, tmp_path):
+        # same table, same range: the batch pydelta feed must match the
+        # JVM-path DeltaTable.read_changes row-for-row
+        t = self._table(spark, tmp_path)
+        mine = {
+            (r.id, r["_change_type"], r["_commit_version"])
+            for r in self._load(spark, t.path, 0).collect()
+        }
+        jvm = {
+            (r.id, r["_change_type"], r["_commit_version"])
+            for r in t.read_changes(spark, starting_version=0).collect()
+        }
+        assert mine == jvm
