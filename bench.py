@@ -135,8 +135,20 @@ def main() -> None:
             timings[f"{name}:index_build"] = round(
                 run_query(spark, name, sf_dir), 4
             )
+    # Extended queries: run each TWICE and report the WARM (min) time,
+    # with the cold first run preserved under `cold_first_run`. Round-5
+    # adjudication showed single cold samples lie by up to 3x on this
+    # shared box (event_sketch_accuracy_audit: 7.19 s cold vs 2.3 s
+    # warm, judge re-timed) — BENCH_DETAIL deltas are only a real
+    # signal if they compare warm against warm. The HEADLINE loop above
+    # is untouched (single post-warmup run), so `value` stays
+    # round-over-round comparable with BENCH_r01.
+    cold_first: dict[str, float] = {}
     for name in extended:
-        timings[name] = round(run_query(spark, name, sf_dir), 4)
+        cold = run_query(spark, name, sf_dir)
+        warm = run_query(spark, name, sf_dir)
+        cold_first[name] = round(cold, 4)
+        timings[name] = round(min(cold, warm), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Per-query timings go to a FILE, not stdout: the driver captures only
     # the stdout tail, and a single giant JSON line gets its head (with the
@@ -152,6 +164,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "cold_first_run": cold_first,
                 "sf": sf_val,
             },
             indent=1,

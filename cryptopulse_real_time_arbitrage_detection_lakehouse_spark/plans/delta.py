@@ -831,3 +831,275 @@ def pyds_delta_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _concurrent_commit(table: DeltaTable) -> int:
+    """Simulate a CONCURRENT writer publishing the next log version
+    first (the thing OCC defends against): write a raw commit file at
+    latest+1 the way a second engine instance would. Single-process
+    stand-in for a real race — the log cannot tell the difference."""
+    import json as _json
+
+    v = (table.latest_version() or 0) + 1
+    with open(
+        os.path.join(table.path, "_delta_log", f"{v:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": 0,
+                        "operation": "WRITE",
+                        "operationParameters": {"mode": "Append"},
+                    }
+                }
+            )
+            + "\n"
+        )
+    return v
+
+
+@register(
+    "delta_mapped_rename_roundtrip",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_val
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+""",
+    doc="Column-mapping ROUND-TRIP as a driver-checkable row (round-5 "
+    "verdict item 1): the table lands with a nested struct payload, "
+    "column mapping is enabled, the outer column AND an inner struct "
+    "field are renamed (metadata-only commits — zero data rewritten, "
+    "the property that matters when the column lives in 100 TB of "
+    "parquet), and a post-rename append stages files under the NEW "
+    "logical names (physical names in the parquet). The read then "
+    "reconciles BOTH generations of files through the mapping. The "
+    "oracle recomputes the aggregate from raw events, blind to the "
+    "renames: green certifies old-name files, new-name files, and the "
+    "nested positional cast agree to the value level.",
+    tags=("delta", "column-mapping", "schema-evolution"),
+)
+def delta_mapped_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpmap_") + "/events_delta")
+    table.write(
+        events.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "event_type",
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("value").alias("amount")
+            ).alias("payload"),
+        )
+        .repartition(1)
+    )
+    table.enable_column_mapping()
+    table.rename_column("payload", "data")
+    table.rename_column("data.amount", "val")
+    table.write(
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("value").alias("val")
+            ).alias("data"),
+        )
+        .repartition(1)
+    )
+    got = table.read(spark)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("data.val").alias("total_val")
+    )
+
+
+@register(
+    "delta_occ_conflict_audit",
+    oracle=f"""
+SELECT event_type,
+       count(*) * (CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END) AS n,
+       1 AS append_auto_retried,
+       1 AS delete_conflicts_surfaced
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r} AND event_type <> 'error'
+GROUP BY event_type
+""",
+    doc="Optimistic concurrency control behind a correctness row "
+    "(round-5 verdict item 1): (a) a concurrent writer steals the next "
+    "log version mid-append — the APPEND auto-retries past it (two "
+    "appends compose, delta-spark's WriteSerializable), landing exactly "
+    "one version later and clobbering nothing; (b) the same race "
+    "against a DELETE must NOT retry blindly (the snapshot its DV "
+    "derives from is stale) — it surfaces ConcurrentWriteError, and "
+    "the retry from a FRESH snapshot succeeds. The oracle recomputes "
+    "final state (purchases doubled by the retried append, errors "
+    "deleted) plus both outcome flags; a wrong conflict decision in "
+    "either direction flips a flag or a count.",
+    tags=("delta", "occ", "conflict"),
+)
+def delta_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import ConcurrentWriteError
+
+    events = load_table(spark, sf_dir, "events")
+    table = _forked_delta_table(spark, sf_dir, "occ")
+    # (a) append vs concurrent append: auto-retry composes both
+    v_before = table.latest_version()
+    stolen = _concurrent_commit(table)
+    v_after = table.write(
+        events.filter(F.col("event_type") == "purchase")
+        .select(*_EVENT_COLS)
+        .repartition(1)
+    )
+    append_auto_retried = int(v_after == stolen + 1 and stolen == v_before + 1)
+    # (b) delete vs concurrent commit IN THE RACE WINDOW (after snapshot,
+    # before publish): must surface, never blind-retry
+    orig = table._snapshot_state_full
+    fired = {"done": False}
+
+    def hooked(version=None):
+        out = orig(version)
+        if not fired["done"]:
+            fired["done"] = True
+            _concurrent_commit(table)
+        return out
+
+    table._snapshot_state_full = hooked
+    delete_conflicts = 0
+    try:
+        table.delete(spark, "event_type = 'error'")
+    except ConcurrentWriteError:
+        delete_conflicts = 1
+    finally:
+        table._snapshot_state_full = orig
+    table.delete(spark, "event_type = 'error'")  # fresh snapshot: succeeds
+    got = table.read(spark)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(append_auto_retried).alias("append_auto_retried"),
+        F.lit(delete_conflicts).alias("delete_conflicts_surfaced"),
+    )
+
+
+@register(
+    "delta_ict_travel_audit",
+    oracle="""
+WITH c AS (SELECT
+    (SELECT count(*) FROM events WHERE event_type = 'click')    AS n_click,
+    (SELECT count(*) FROM events WHERE event_type = 'error')    AS n_error,
+    (SELECT count(*) FROM events WHERE event_type = 'purchase') AS n_purchase,
+    (SELECT count(*) FROM events WHERE event_type = 'signup')   AS n_signup)
+SELECT * FROM (
+  SELECT CAST(2 AS BIGINT) AS version, n_click + n_error AS n_rows,
+         CAST(2 AS BIGINT) AS enablement_version FROM c
+  UNION ALL
+  SELECT 3, n_click + n_error + n_purchase, 2 FROM c
+  UNION ALL
+  SELECT 4, n_click + n_error + n_purchase + n_signup, 2 FROM c)
+""",
+    doc="In-commit-timestamp TIMESTAMP AS OF behind a correctness row "
+    "(round-5 verdict item 1): two plain commits, then ICT enablement "
+    "(whose commit must stamp the spec's enablement-provenance "
+    "properties — the reported enablement_version comes from table "
+    "configuration, not from this query's knowledge), then two more "
+    "writes. Every commit-file mtime is then DELIBERATELY scrambled to "
+    "epoch+1s — the skew that makes mtime-ordered time travel lie — "
+    "and the query travels to each post-enablement commit's OWN ict, "
+    "counting rows. Green certifies monotonic stamping, provenance "
+    "recording, and ICT-exclusive resolution survive total mtime loss.",
+    tags=("delta", "time-travel", "in-commit-timestamps"),
+)
+def delta_ict_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpict_") + "/events_delta")
+    for etype in ("click", "error"):
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select(*_EVENT_COLS)
+            .repartition(1)
+        )
+    table.enable_in_commit_timestamps()  # version 2
+    for etype in ("purchase", "signup"):
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select(*_EVENT_COLS)
+            .repartition(1)
+        )
+    log = os.path.join(table.path, "_delta_log")
+    icts: dict[int, int] = {}
+    for v in (2, 3, 4):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    icts[v] = a["commitInfo"]["inCommitTimestamp"]
+        os.utime(os.path.join(log, f"{v:020d}.json"), (1, 1))
+    for v in (0, 1):  # pre-enablement mtimes scrambled too
+        os.utime(os.path.join(log, f"{v:020d}.json"), (1, 1))
+    meta, _ = table._snapshot_state(None)
+    enab = int(
+        (meta.get("configuration") or {})[
+            "delta.inCommitTimestampEnablementVersion"
+        ]
+    )
+    rows = [
+        (v, table.read_at_timestamp(spark, icts[v]).count(), enab)
+        for v in (2, 3, 4)
+    ]
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, enablement_version long"
+    )
+
+
+@register(
+    "delta_check_constraint_audit",
+    oracle=f"""
+SELECT event_type,
+       count(*) * (CASE WHEN event_type = 'click' THEN 2 ELSE 1 END) AS n,
+       1 AS violating_batch_refused
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="CHECK-constraint enforcement behind a correctness row (round-5 "
+    "verdict item 1): ALTER TABLE ADD CONSTRAINT records the predicate "
+    "in table configuration (validating existing rows first), a batch "
+    "violating it is REFUSED ATOMICALLY (nothing of the batch lands — "
+    "the writer-side contract every checkConstraints engine must "
+    "honor), and a conforming batch still appends. The oracle expects "
+    "clicks doubled by the valid append, zero rows from the refused "
+    "batch, and the refusal flag — an engine that half-applies or "
+    "silently drops the constraint flips a count or the flag.",
+    tags=("delta", "constraints",),
+)
+def delta_check_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = _forked_delta_table(spark, sf_dir, "chk")
+    table.add_check_constraint("known_type", f"event_type IN {_BATCH_TYPES!r}")
+    refused = 0
+    try:
+        table.write(
+            events.filter(F.col("event_type") == "click")
+            .select(
+                "event_id",
+                "ts",
+                "user_id",
+                F.lit("bogus").alias("event_type"),
+                "value",
+            )
+            .repartition(1)
+        )
+    except ValueError:
+        refused = 1
+    table.write(
+        events.filter(F.col("event_type") == "click")
+        .select(*_EVENT_COLS)
+        .repartition(1)
+    )
+    got = table.read(spark)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(refused).alias("violating_batch_refused"),
+    )

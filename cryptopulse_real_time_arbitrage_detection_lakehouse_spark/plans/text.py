@@ -2173,3 +2173,82 @@ def doc_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "doc_exact_substring_hashed",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - 39)) AS p,
+         text
+  FROM documents
+  WHERE length(text) >= 40
+), grams AS (
+  SELECT doc_id, substr(text, p, 40) AS g FROM pos
+), df AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g
+), per_doc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         count(CASE WHEN df.n_docs >= 2 THEN 1 END) AS n_dup_grams
+  FROM grams gr JOIN df ON gr.g = df.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction
+FROM per_doc
+WHERE n_dup_grams > 0
+""",
+    doc="The 100 TB form of `doc_exact_substring_dups` (round-5 verdict "
+    "item 3), now EXECUTABLE rather than only documented: each 40-char "
+    "window is collapsed to xxhash64 INSIDE the explode lambda, so the "
+    "string never leaves the scan stage — every downstream shuffle "
+    "(the (gram, doc) distinct-collapse and the per-gram cross-doc "
+    "window) moves an 8-byte key instead of 40 chars, 5x narrower "
+    "exactly where gram volume is the bottleneck. A 64-bit collision "
+    "can only OVERCOUNT a duplicated window (union of two gram "
+    "classes), acceptable for a removal signal: P(any collision) ~ "
+    "n^2/2^65, ~1e-7 even at 1e9 distinct grams. The oracle computes "
+    "the same counts on EXACT strings (collisions negligible at this "
+    "sf, and the value-hash compare pins every count); "
+    "tests/test_plan_quality.py asserts the shuffled payload is the "
+    "bigint hash, not the string.",
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def doc_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.filter(F.length("text") >= 40).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 39),"
+                " p -> xxhash64(substring(text, p, 40)))"
+            )
+        ).alias("h"),
+    )
+    gd = grams.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    per = gd.withColumn(
+        "n_docs", F.count(F.lit(1)).over(W.partitionBy("h"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") >= 2, F.col("cnt"))), F.lit(0)
+            ).alias("n_dup_grams"),
+        )
+        .filter(F.col("n_dup_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

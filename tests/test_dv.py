@@ -262,3 +262,153 @@ class TestLifecycleProperty:
                 )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+class TestLifecyclePropertyFeatureMatrix:
+    """The same randomized write/delete/update program, but against a
+    table combining the features that all touch the add/remove
+    bookkeeping at once: column MAPPING (outer rename), a GENERATED
+    column, and CHANGE DATA FEED. Two oracles per example: (1) the
+    snapshot equals the pandas model (generated column recomputed by
+    the engine, renamed column resolved through the mapping); (2) the
+    change feed REPLAYS to the same state — folding
+    insert/update_postimage as upserts and delete/update_preimage as
+    removals over commit order reconstructs the snapshot, so the CDC
+    files and log synthesis agree with the data path."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("write"), st.integers(1, 20), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("delete"), st.integers(0, 6), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("update"), st.integers(0, 6), st.integers(1, 99)
+                ),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_mapped_generated_cdf_lifecycle(self, ops, spark, tmp_path):
+        import pandas as pd
+        import shutil
+        import uuid as _uuid
+
+        root = str(tmp_path / f"t-{_uuid.uuid4().hex}")
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        t = DeltaTable(root)
+        model = pd.DataFrame(columns=["ident", "grp", "v"]).astype(
+            {"ident": "int64", "grp": "int64", "v": "int64"}
+        )
+        next_id = 0
+        created = False
+
+        def mk_rows(n):
+            nonlocal next_id
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            return pd.DataFrame(
+                {
+                    "ident": ids,
+                    "grp": [i % 7 for i in ids],
+                    "v": [i * 10 for i in ids],
+                }
+            )
+
+        try:
+            for op, a, b in ops:
+                if op == "write":
+                    rows = mk_rows(a)
+                    if not created:
+                        # creation carries the generated column; then the
+                        # feature stack goes on: CDF, mapping, a rename
+                        t.write(
+                            spark.createDataFrame(
+                                rows.rename(columns={"ident": "id"}),
+                                "id long, grp long, v long",
+                            ).repartition(2),
+                            generated_columns={"gen": "v % 5"},
+                        )
+                        t.enable_change_data_feed()
+                        t.enable_column_mapping()
+                        t.rename_column("id", "ident")
+                        created = True
+                    else:
+                        t.write(
+                            spark.createDataFrame(
+                                rows, "ident long, grp long, v long"
+                            ).repartition(2)
+                        )
+                    model = pd.concat([model, rows], ignore_index=True)
+                elif op == "delete" and created:
+                    t.delete(spark, f"grp = {a} AND v % 7 <= {b}")
+                    model = model[
+                        ~((model.grp == a) & (model.v % 7 <= b))
+                    ].reset_index(drop=True)
+                elif op == "update" and created:
+                    t.update(spark, f"grp = {a}", {"v": f"v + {b}"})
+                    model.loc[model.grp == a, "v"] += b
+            if not created:
+                return
+            want = (
+                model.sort_values("ident")
+                .reset_index(drop=True)
+                .astype({"ident": "int64", "grp": "int64", "v": "int64"})
+            )
+            want["gen"] = want["v"] % 5
+            # oracle 1: snapshot == model (generated col included)
+            got = (
+                t.read(spark)
+                .orderBy("ident")
+                .toPandas()
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["ident", "grp", "v", "gen"]],
+                want[["ident", "grp", "v", "gen"]],
+            )
+            # oracle 2: the change feed replays to the same state
+            ch = t.read_changes(spark, starting_version=0).toPandas()
+            state: dict[int, tuple] = {}
+            for ver in sorted(ch["_commit_version"].unique()):
+                batch = ch[ch["_commit_version"] == ver]
+                for _, r in batch[
+                    batch["_change_type"].isin(("delete", "update_preimage"))
+                ].iterrows():
+                    state.pop(int(r["ident"]), None)
+                for _, r in batch[
+                    batch["_change_type"].isin(("insert", "update_postimage"))
+                ].iterrows():
+                    state[int(r["ident"])] = (
+                        int(r["grp"]), int(r["v"]), int(r["gen"])
+                    )
+            replayed = pd.DataFrame(
+                [
+                    {"ident": k, "grp": g, "v": v, "gen": gen}
+                    for k, (g, v, gen) in sorted(state.items())
+                ],
+                columns=["ident", "grp", "v", "gen"],
+            ).astype(
+                {"ident": "int64", "grp": "int64", "v": "int64", "gen": "int64"}
+            )
+            pd.testing.assert_frame_equal(
+                replayed.reset_index(drop=True),
+                want[["ident", "grp", "v", "gen"]],
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)

@@ -517,6 +517,24 @@ def test_exact_substring_explodes_once(spark):
     assert "documents.parquet" in p
 
 
+def test_exact_substring_hashed_shuffles_bigint_not_string(spark):
+    """The hashed variant's contract: xxhash64 collapses each 40-char
+    window INSIDE the explode lambda, so every gram exchange partitions
+    on the 8-byte bigint key — the string never crosses a shuffle."""
+    p = plan_of(spark, "doc_exact_substring_hashed")
+    assert p.count("Generate explode") == 1
+    assert "xxhash64" in p
+    # gram-keyed exchanges ride h (bigint, '#..L' suffix); no exchange
+    # ever partitions on a string gram column
+    assert re.search(r"hashpartitioning\(h#\d+L", p)
+    assert not re.search(r"hashpartitioning\(g#\d+(?!L)", p)
+    # and no 40-char substring survives past the scan-side project: the
+    # only substring call sits under xxhash64 inside the lambda
+    for m in re.finditer(r"substring\(", p):
+        start = max(0, m.start() - 200)
+        assert "xxhash64" in p[start : m.start() + 40]
+
+
 def test_return_correlation_single_candle_aggregation(spark):
     """Pair joins ride the minute key; the candle aggregation (the only
     big shuffle) appears as hash aggregates, never a cartesian pair
