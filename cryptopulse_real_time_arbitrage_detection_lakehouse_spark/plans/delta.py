@@ -1103,3 +1103,47 @@ def delta_check_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.lit(refused).alias("violating_batch_refused"),
     )
+
+
+@register(
+    "delta_reorg_purge_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       0 AS dvs_after,
+       1 AS untouched_files_preserved
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'click' AND value < 50)
+GROUP BY event_type
+""",
+    doc="REORG TABLE ... APPLY (PURGE) behind a correctness row: a DV "
+    "DELETE flags cheap clicks, then the purge rewrites ONLY the "
+    "DV-carrying file — materializing its survivors, dropping the dead "
+    "rows — in a dataChange=false commit, while every clean file stays "
+    "the SAME physical file (asserted from the log and reported as a "
+    "flag). This is the maintenance half of deletion vectors at "
+    "100 TB: the delete stays O(bitmap) on the hot path and the "
+    "tombstones are paid down off the query path at O(DV'd-file "
+    "bytes), never a full-table rewrite. The oracle recomputes the "
+    "post-delete contents from events plus both invariant flags; a "
+    "purge that resurrected rows, lost survivors, or rewrote clean "
+    "files flips a count or a flag.",
+    tags=("delta", "reorg", "deletion-vectors"),
+)
+def delta_reorg_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _forked_delta_table(spark, sf_dir, "reorg")
+    table.delete(spark, "event_type = 'click' AND value < 50")
+    _m, adds = table._snapshot_state(None)
+    dvd = {a["path"] for a in adds if a.get("deletionVector")}
+    clean = {a["path"] for a in adds} - dvd
+    table.reorg_purge(spark)
+    _m2, adds2 = table._snapshot_state(None)
+    paths_after = {a["path"] for a in adds2}
+    dvs_after = sum(1 for a in adds2 if a.get("deletionVector"))
+    untouched = int(clean <= paths_after and dvd.isdisjoint(paths_after))
+    got = table.read(spark)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(dvs_after).alias("dvs_after"),
+        F.lit(untouched).alias("untouched_files_preserved"),
+    )

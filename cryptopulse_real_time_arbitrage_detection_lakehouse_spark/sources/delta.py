@@ -3106,6 +3106,114 @@ class DeltaTable:
             _data_change=False,
         )
 
+    def _rewrite_subset(
+        self,
+        spark: SparkSession,
+        victims: list[dict],
+        *,
+        operation: str,
+        target_files: int | None = None,
+    ) -> int | None:
+        """Rewrite ONLY ``victims`` (add payloads from the current
+        snapshot) into fresh files in one ``dataChange=false`` commit —
+        the layout-change shape that scales: cost is O(victim bytes),
+        untouched files are never read, rewritten, or even listed in
+        the commit. Returns the committed version, or None when there
+        is nothing to rewrite. A concurrent commit between snapshot and
+        publish surfaces as ConcurrentWriteError (the victim set could
+        be stale)."""
+        if not victims:
+            return None
+        base = self.latest_version() or 0
+        meta, _adds, _protocol = self._snapshot_state_full(None)
+        part_cols = meta.get("partitionColumns") or []
+        mapping = self._column_mapping(meta) or {}
+        names = [
+            os.path.basename(urllib.parse.unquote(a["path"])) for a in victims
+        ]
+        df = (
+            self._scan(spark, keep_meta=True)
+            .filter(F.col("__file").isin(names))
+            .drop("__file", "__rid")
+        )
+        if target_files is not None:
+            df = (
+                df.repartition(target_files, *[F.col(c) for c in part_cols])
+                if part_cols
+                else df.repartition(target_files)
+            )
+        new_adds = self._stage_files(
+            df,
+            version=base + 1,
+            partition_by=part_cols,
+            mapping=mapping,
+            schema_json=meta["schemaString"],
+            _data_change=False,
+        )
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": operation,
+                    "operationParameters": {},
+                    "operationMetrics": {
+                        "numRemovedFiles": str(len(victims)),
+                        "numAddedFiles": str(len(new_adds)),
+                    },
+                }
+            }
+        ]
+        for a in victims:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in new_adds)
+        return self._publish_or_conflict(base + 1, actions, operation)
+
+    def reorg_purge(self, spark: SparkSession) -> int | None:
+        """``REORG TABLE ... APPLY (PURGE)`` twin (delta-spark's DV
+        garbage collection): rewrite ONLY the files carrying deletion
+        vectors, materializing their survivors and dropping the dead
+        rows; DV-free files are untouched. Committed ``dataChange=
+        false`` — readers see identical rows before and after, and
+        streaming readers of the log skip it. This is the maintenance
+        half of the DV story at 100 TB: deletes stay O(bitmap) on the
+        hot path, and the accumulated tombstones are paid down file-by-
+        file here, off the query path, without the full-table rewrite
+        `compact()` would do. Returns the committed version (None if no
+        file carries a DV)."""
+        _meta, adds = self._snapshot_state(None)
+        victims = [a for a in adds if a.get("deletionVector")]
+        return self._rewrite_subset(spark, victims, operation="REORG")
+
+    def compact_small_files(
+        self, spark: SparkSession, *, min_file_bytes: int, target_files: int = 1
+    ) -> int | None:
+        """Selective OPTIMIZE (delta-spark's bin-packing semantics):
+        coalesce only the files SMALLER than ``min_file_bytes`` into
+        ``target_files`` per commit, leaving full-size files alone —
+        `compact()`'s whole-table rewrite is the wrong shape once the
+        table holds petabytes of already-well-sized files and the
+        problem is the tail of per-trigger streaming appends. Returns
+        the committed version (None when no file is under the
+        threshold)."""
+        _meta, adds = self._snapshot_state(None)
+        victims = [a for a in adds if int(a.get("size", 0)) < min_file_bytes]
+        if len(victims) < 2 and not any(
+            a.get("deletionVector") for a in victims
+        ):
+            return None  # nothing to coalesce
+        return self._rewrite_subset(
+            spark, victims, operation="OPTIMIZE", target_files=target_files
+        )
+
     def checkpoint(self, spark: SparkSession, *, parts: int | None = None) -> int:
         """Write a parquet checkpoint at the latest version.
 

@@ -2167,3 +2167,96 @@ class TestArrowNullFillOlderNestedFiles:
         )
         got = _arrow_to_logical_names(arr, dt)
         assert got.to_pylist() == [{"alpha": 7, "inner": None}]
+
+
+class TestReorgAndSelectiveCompact:
+    """REORG ... APPLY (PURGE) and selective OPTIMIZE: layout
+    maintenance that touches ONLY the files needing it — DV'd files
+    (purge) or under-sized files (bin-packing) — committed
+    dataChange=false."""
+
+    def _active(self, t):
+        _m, adds = t._snapshot_state(None)
+        return {os.path.basename(a["path"]): a for a in adds}
+
+    def test_reorg_purge_rewrites_only_dvd_files(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id").coalesce(1))   # file A
+        t.write(spark.range(10, 20).select("id").coalesce(1))  # file B
+        t.delete(spark, "id < 5")  # DV on file A only
+        before = self._active(t)
+        dvd = {n for n, a in before.items() if a.get("deletionVector")}
+        clean = set(before) - dvd
+        assert len(dvd) == 1 and len(clean) == 1
+        v = t.reorg_purge(spark)
+        assert v == t.latest_version()
+        after = self._active(t)
+        # no DV survives; the clean file is the SAME physical file
+        assert not any(a.get("deletionVector") for a in after.values())
+        assert clean <= set(after)
+        assert dvd.isdisjoint(set(after))
+        # rows identical; the purged rewrite holds only survivors
+        assert sorted(r.id for r in t.read(spark).collect()) == list(range(5, 20))
+        new_name = next(iter(set(after) - clean))
+        import pyarrow.parquet as pq
+
+        assert pq.ParquetFile(
+            os.path.join(t.path, new_name)
+        ).metadata.num_rows == 5
+        # the commit is pure layout: every add/remove dataChange=false
+        for a in t._read_commit(v):
+            if "add" in a:
+                assert a["add"]["dataChange"] is False
+            if "remove" in a:
+                assert a["remove"]["dataChange"] is False
+
+    def test_reorg_purge_noop_without_dvs(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        v_before = t.latest_version()
+        assert t.reorg_purge(spark) is None
+        assert t.latest_version() == v_before
+
+    def test_reorg_purge_partitioned_mapped(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        df = spark.range(0, 20).select(
+            F.col("id"),
+            F.when(F.col("id") < 10, "a").otherwise("b").alias("part"),
+        )
+        t.write(df.repartition(1), partition_by=["part"])
+        t.enable_column_mapping()
+        t.rename_column("id", "ident")
+        t.delete(spark, "ident % 2 = 0 AND part = 'a'")
+        v = t.reorg_purge(spark)
+        assert v is not None
+        after = self._active(t)
+        assert not any(a.get("deletionVector") for a in after.values())
+        got = t.read(spark)
+        assert got.count() == 15
+        assert got.filter("part = 'a'").count() == 5
+        # JVM-free read agrees post-purge
+        assert len(t.to_pandas()) == 15
+
+    def test_compact_small_files_leaves_big_ones(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 20000).select("id").coalesce(1))  # big file
+        for i in range(4):  # streaming-append tail of tiny files
+            t.write(spark.range(20000 + i, 20001 + i).select("id").coalesce(1))
+        before = self._active(t)
+        big = {n for n, a in before.items() if int(a["size"]) >= 5000}
+        small = set(before) - big
+        assert len(big) == 1 and len(small) == 4
+        v = t.compact_small_files(spark, min_file_bytes=5000)
+        assert v == t.latest_version()
+        after = self._active(t)
+        assert big <= set(after)            # untouched
+        assert small.isdisjoint(set(after))  # coalesced away
+        assert len(after) == 2               # big + one packed file
+        assert t.read(spark).count() == 20004
+
+    def test_compact_small_files_noop_when_nothing_small(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 20000).select("id").coalesce(1))
+        v_before = t.latest_version()
+        assert t.compact_small_files(spark, min_file_bytes=100) is None
+        assert t.latest_version() == v_before
