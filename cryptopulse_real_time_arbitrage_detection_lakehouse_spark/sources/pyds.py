@@ -90,6 +90,7 @@ class PyDeltaPartition(InputPartition):
         keep_rows: list[int] | None = None,
         change_type: str | None = None,
         commit_version: int | None = None,
+        field_ids: dict[str, int] | None = None,
     ) -> None:
         self.file_path = file_path
         self.phys_to_logical = phys_to_logical
@@ -99,6 +100,10 @@ class PyDeltaPartition(InputPartition):
         self.keep_rows = keep_rows
         self.change_type = change_type
         self.commit_version = commit_version
+        # id-mode column mapping: logical data column -> parquet field
+        # id; the executor resolves each file's ARBITRARY column names
+        # through its own footer ids (names match nothing in id mode)
+        self.field_ids = field_ids
 
 
 def _coerce_partition_value(raw, dt: T.DataType):
@@ -185,20 +190,27 @@ class PyDeltaReader(DataSourceReader):
         else:
             version = _resolve_version(table, opts)
             meta, adds = table._snapshot_state(version)
-        if (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        ) == "id":
-            raise NotImplementedError(
-                "the pydelta source does not support id-mode column "
-                "mapping (per-file field-id resolution); use "
-                "DeltaTable.read or to_pandas"
-            )
         self._meta = meta
         self._adds = adds
         self._schema = schema
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
         self._cdf = str(opts.get("readchangefeed", "")).lower() == "true"
+        # id-mode column mapping: ship (logical -> field id) to every
+        # partition; executors resolve THEIR file's arbitrary column
+        # names through its footer ids (`_read_partition`)
+        self._field_ids: dict[str, int] | None = None
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        ) == "id":
+            log_schema_ids = T.StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+            self._field_ids = {
+                f.name: int((f.metadata or {})["delta.columnMapping.id"])
+                for f in log_schema_ids.fields
+                if f.name not in self._part_cols
+            }
         where = opts.get("where")
         # STRICT parse: this reader's row filtering IS the conjunct list
         # (nothing re-applies the predicate above the scan), so a
@@ -347,6 +359,7 @@ class PyDeltaReader(DataSourceReader):
                     part_values,
                     dv_rows,
                     conjuncts,
+                    field_ids=self._field_ids,
                 )
             )
         # the planner pickles (partitions, read function) for executors
@@ -390,11 +403,37 @@ def _read_partition(
     # the whole scan (ArrowInvalid), where Delta semantics say NULL
     # one ParquetFile open serves both the footer schema and the read
     pf = pq.ParquetFile(partition.file_path)
-    present = set(pf.schema_arrow.names)
-    wanted = [c for c in partition.phys_to_logical if c in present]
-    tbl = pf.read(columns=wanted)
+    if getattr(partition, "field_ids", None):
+        # id mode: the file's column NAMES are arbitrary — resolve each
+        # logical column through the footer's PARQUET:field_id metadata
+        # (Spark's fieldId.read twin); an id absent from this footer is
+        # a pre-evolution file -> null-fill like a missing column
+        by_id: dict[int, str] = {}
+        for fld in pf.schema_arrow:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fld.name
+        file_to_logical = {}
+        missing = []
+        for logical, fid in partition.field_ids.items():
+            fc = by_id.get(fid)
+            if fc is None:
+                missing.append(logical)
+            else:
+                file_to_logical[fc] = logical
+    else:
+        present = set(pf.schema_arrow.names)
+        file_to_logical = {
+            p: l for p, l in partition.phys_to_logical.items() if p in present
+        }
+        missing = [
+            l
+            for p, l in partition.phys_to_logical.items()
+            if p not in present
+        ]
+    tbl = pf.read(columns=list(file_to_logical))
     tbl = tbl.rename_columns(
-        [partition.phys_to_logical[c] for c in tbl.column_names]
+        [file_to_logical[c] for c in tbl.column_names]
     )
     # nested struct fields still carry PHYSICAL names after the
     # top-level rename — rebuild positionally to logical (column
@@ -406,15 +445,14 @@ def _read_partition(
                 tbl.column(idx).combine_chunks(), dt
             )
             tbl = tbl.set_column(idx, pa.field(name, arr.type), arr)
-    for phys_name, logical in partition.phys_to_logical.items():
-        if phys_name not in present:
-            tbl = tbl.append_column(
-                logical,
-                pa.nulls(
-                    tbl.num_rows,
-                    type=arrow_types.get(logical) or pa.string(),
-                ),
-            )
+    for logical in missing:
+        tbl = tbl.append_column(
+            logical,
+            pa.nulls(
+                tbl.num_rows,
+                type=arrow_types.get(logical) or pa.string(),
+            ),
+        )
     if partition.dv_rows:
         mask = np.ones(tbl.num_rows, dtype=bool)
         gone = np.asarray(partition.dv_rows, dtype=np.int64)

@@ -635,11 +635,7 @@ class TestColumnMapping:
             ("C", 3.5),
         }
 
-    def test_id_mode_writes_and_pyds_stay_gated(self, spark, tmp_path):
-        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
-            PyDeltaReader,
-        )
-
+    def test_id_mode_writes_and_stream_stay_gated(self, spark, tmp_path):
         root = str(tmp_path / "cm5c")
         self._write_id_mode_table(root)
         t = DeltaTable(root)
@@ -650,11 +646,36 @@ class TestColumnMapping:
             t.update(spark, "sym = 'A'", {"px": "9.9"})
         with pytest.raises(NotImplementedError, match="id-mode"):
             t.read_stream(spark)
-        with pytest.raises(NotImplementedError, match="id-mode"):
-            PyDeltaReader({"path": root}, t.read(spark).schema)
         # DELETE needs no staging: DVs flag positions, sound in id mode
         t.delete(spark, "sym = 'B'")
         assert {r.sym for r in t.read(spark).collect()} == {"A", "C"}
+
+    def test_id_mode_pyds_batch_read_resolves_by_footer_ids(
+        self, spark, tmp_path
+    ):
+        # the registered source resolves each file's ARBITRARY column
+        # names through parquet field ids on the executor; a DV applies
+        # by row position on top
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        root = str(tmp_path / "cm5d")
+        self._write_id_mode_table(root)
+        t = DeltaTable(root)
+        t.delete(spark, "sym = 'B'")
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", root).load()
+        assert {(r.sym, r.px) for r in out.collect()} == {
+            ("A", 1.5),
+            ("C", 3.5),
+        }
+        # id-mode STREAMING through pyds stays gated (the reader is
+        # constructed lazily at stream start, so gate-check it directly)
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaStreamReader,
+        )
+
+        with pytest.raises(NotImplementedError, match="id-mode"):
+            PyDeltaStreamReader({"path": root}, out.schema)
 
 
 class TestColumnMappingWrites:
