@@ -1147,3 +1147,55 @@ def delta_reorg_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dvs_after).alias("dvs_after"),
         F.lit(untouched).alias("untouched_files_preserved"),
     )
+
+
+@register(
+    "delta_idmode_roundtrip",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
+       1 AS footer_ids_complete
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+    doc="Id-mode column mapping END TO END behind a correctness row: "
+    "the table is CREATED id-mapped (DeltaTable.create — the shape "
+    "delta-spark can only produce at creation, Iceberg-compat), every "
+    "append stages parquet whose column NAMES are fresh col-<uuid> "
+    "synthetics but whose footers carry parquet.field.id on every "
+    "field (verified file-by-file and reported as a flag), and the "
+    "read goes through the REGISTERED pydelta source, whose executors "
+    "resolve each file's arbitrary names through its own footer ids. "
+    "A name-matching reader would return all NULLs here; the oracle "
+    "recomputes the aggregate from raw events, so green certifies "
+    "field-id staging and per-file id resolution agree to the value "
+    "level.",
+    tags=("delta", "column-mapping", "id-mode", "python-datasource"),
+)
+def delta_idmode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..sources import pyds
+
+    events = load_table(spark, sf_dir, "events")
+    sel = events.select(*_EVENT_COLS)
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpidm_") + "/events_delta")
+    table.create(sel.schema, mapping_mode="id")
+    for etype in ("click", "purchase"):
+        table.write(
+            sel.filter(F.col("event_type") == etype).repartition(1)
+        )
+    complete = 1
+    for name in os.listdir(table.path):
+        if not name.endswith(".parquet"):
+            continue
+        for fld in pq.read_schema(os.path.join(table.path, name)):
+            if (fld.metadata or {}).get(b"PARQUET:field_id") is None:
+                complete = 0
+    pyds.register(spark)
+    got = spark.read.format("pydelta").option("path", table.path).load()
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+        F.lit(complete).alias("footer_ids_complete"),
+    )

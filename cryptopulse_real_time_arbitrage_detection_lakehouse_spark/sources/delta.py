@@ -787,6 +787,53 @@ class DeltaTable:
             F.col(f"`{f.name}`").cast(cls._strip_meta(cls._phys_type(f.dataType))).alias(phys)
         )
 
+    @classmethod
+    def _force_nullable(cls, dt: T.DataType) -> T.DataType:
+        """``dt`` with every nested slot forced NULLABLE but field
+        METADATA KEPT — the id-mode staging cast target (`_strip_meta`'s
+        nullability fix without dropping the ``parquet.field.id``
+        metadata the parquet writer must see)."""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(
+                        f.name, cls._force_nullable(f.dataType), True, f.metadata
+                    )
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._force_nullable(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._force_nullable(dt.keyType),
+                cls._force_nullable(dt.valueType),
+                True,
+            )
+        return dt
+
+    @classmethod
+    def _fieldid_physical_cast(cls, f: T.StructField, phys: str):
+        """Logical input column -> physical staged column CARRYING
+        ``parquet.field.id`` metadata at every level (id-mode write
+        path): the cast's target type embeds the ids for nested fields
+        (a struct cast's output type is the target type, metadata
+        included) and the alias stamps the top-level id — with
+        ``spark.sql.parquet.fieldId.write.enabled`` the parquet writer
+        then records them all in the footer, which is the ONLY link an
+        id-mode reader uses (file column names are arbitrary)."""
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            # non-table columns in a staging schema (CDC's _change_type)
+            # carry no mapping id — stage them plainly
+            return cls._physical_cast(f, phys)
+        target = cls._force_nullable(cls._fieldid_type(cls._phys_type(f.dataType)))
+        return (
+            F.col(f"`{f.name}`")
+            .cast(target)
+            .alias(phys, metadata={"parquet.field.id": int(fid)})
+        )
+
     # --------------------------------------------------------------- reads
 
     def read(
@@ -1302,6 +1349,7 @@ class DeltaTable:
         mapping: dict[str, str],
         schema_json: str | None,
         _data_change: bool = True,
+        id_mode: bool = False,
     ) -> list[dict]:
         """Stage ``df`` (LOGICAL names) as committed-naming data files
         under the table root and return their ``add`` payloads (path,
@@ -1312,9 +1360,17 @@ class DeltaTable:
         fields included, via `_physical_cast`) so both the parquet
         footers and the hive partition dirs (-> partitionValues keys)
         match what `read()` resolves — staging logical names here would
-        make any post-rename append read back as NULL."""
+        make any post-rename append read back as NULL. ``id_mode=True``
+        additionally stamps ``parquet.field.id`` footer metadata on
+        every field (`_fieldid_physical_cast`) — the spec's id-mode
+        write contract: readers resolve by those ids and ignore the
+        staged names entirely."""
         import pyarrow.parquet as pq
 
+        if id_mode:
+            df.sparkSession.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
         stage_df = df
         if mapping:
             # schemaString fields carry the nested physicalName metadata;
@@ -1324,9 +1380,10 @@ class DeltaTable:
             if schema_json is not None:
                 for fj in json.loads(schema_json).get("fields", []):
                     table_fields[fj["name"]] = T.StructField.fromJson(fj)
+            cast = self._fieldid_physical_cast if id_mode else self._physical_cast
             stage_df = df.select(
                 *[
-                    self._physical_cast(table_fields[c], mapping.get(c, c))
+                    cast(table_fields[c], mapping.get(c, c))
                     if c in table_fields
                     else F.col(f"`{c}`").alias(mapping.get(c, c))
                     for c in df.columns
@@ -1458,12 +1515,6 @@ class DeltaTable:
                 # comparison and lands with correct values
                 df = self._apply_generated(df, gen)
             self._check_constraints(df, prior_meta)
-            if self._mapping_mode(prior_meta) == "id":
-                raise NotImplementedError(
-                    "writes to id-mode column-mapped tables are not "
-                    "supported (staged files would need spec-correct "
-                    "parquet field ids on every nested field); reads are"
-                )
             mapping = self._column_mapping(prior_meta) or {}
             if partition_by != (prior_meta.get("partitionColumns") or []):
                 raise ValueError(
@@ -1546,6 +1597,10 @@ class DeltaTable:
                 or (prior_meta["schemaString"] if prior_meta else None)
             ),
             _data_change=_data_change,
+            id_mode=(
+                prior_meta is not None
+                and self._mapping_mode(prior_meta) == "id"
+            ),
         )
         now_ms = int(time.time() * 1000)
 
@@ -1928,6 +1983,7 @@ class DeltaTable:
             partition_by=part_cols,
             mapping=mapping,
             schema_json=None if not mapping else self._cdc_schema_json(meta),
+            id_mode=self._mapping_mode(meta) == "id",
         )
         cdc_actions: list[dict] = []
         for a in staged:
@@ -1973,6 +2029,85 @@ class DeltaTable:
             }
         )
         return json.dumps({**schema, "fields": fields})
+
+    def create(
+        self,
+        schema: T.StructType,
+        *,
+        partition_by: list[str] | None = None,
+        configuration: dict | None = None,
+        mapping_mode: str | None = None,
+    ) -> int:
+        """CREATE TABLE — a metadata-only commit 0 (delta-spark's
+        ``DeltaTable.create()``): records schema, partitioning, table
+        properties, and protocol before any data lands, so the FIRST
+        append already honors constraints/properties instead of deriving
+        the schema from whatever frame happens to arrive first.
+
+        ``mapping_mode='name' | 'id'`` creates the table column-mapped
+        from birth: every field (nested included) is assigned a fresh
+        ``col-<uuid>`` physical name and a column id. 'id' is the mode
+        delta-spark itself can only get at creation (Iceberg-compat
+        shape — files resolve by parquet field id, names are
+        arbitrary); this client stages id-mode writes with the footer
+        ids readers need (`_fieldid_physical_cast`). Creation-time
+        ``delta.enableInCommitTimestamps`` in ``configuration`` stamps
+        ICT from version 0 with NO enablement-provenance properties —
+        per spec they exist only for mid-life enablement."""
+        if self.latest_version() is not None:
+            raise ValueError(f"table already exists: {self.path}")
+        if mapping_mode not in (None, "name", "id"):
+            raise ValueError(f"unsupported mapping_mode {mapping_mode!r}")
+        partition_by = partition_by or []
+        unknown = [c for c in partition_by if c not in schema.names]
+        if unknown:
+            raise ValueError(f"partition columns {unknown} not in schema")
+        schema_json = json.loads(schema.json())
+        conf = dict(configuration or {})
+        if mapping_mode is not None:
+            schema_json, max_id = _assign_mapping_meta(
+                schema_json, 0, lambda _name: f"col-{uuid.uuid4().hex}"
+            )
+            conf["delta.columnMapping.mode"] = mapping_mode
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        else:
+            protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if conf.get("delta.enableInCommitTimestamps") == "true":
+            # ICT is a writer FEATURE: the creating commit must fence it
+            # in a v7 feature list or foreign writers would skip stamping
+            feats = self._implied_writer_features(protocol)
+            feats.add("inCommitTimestamp")
+            protocol = {
+                "minReaderVersion": protocol["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(feats),
+            }
+        now_ms = int(time.time() * 1000)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CREATE TABLE",
+                    "operationParameters": {
+                        "partitionBy": json.dumps(partition_by)
+                    },
+                }
+            },
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema_json),
+                    "partitionColumns": partition_by,
+                    "configuration": conf,
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        os.makedirs(self._log_dir, exist_ok=True)
+        return self._publish_or_conflict(0, actions, "CREATE TABLE")
 
     def enable_column_mapping(self) -> int:
         """Upgrade the table to column mapping (reader protocol v2).
@@ -2476,12 +2611,6 @@ class DeltaTable:
                 return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
-        if self._mapping_mode(meta) == "id":
-            raise NotImplementedError(
-                "UPDATE on id-mode column-mapped tables is not supported "
-                "(the updated images would stage without parquet field "
-                "ids); DELETE and reads are"
-            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
@@ -2557,6 +2686,7 @@ class DeltaTable:
                 partition_by=part_cols,
                 mapping=mapping,
                 schema_json=meta["schemaString"],
+                id_mode=self._mapping_mode(meta) == "id",
             )
             if n_updated
             else []
@@ -3149,6 +3279,7 @@ class DeltaTable:
             mapping=mapping,
             schema_json=meta["schemaString"],
             _data_change=False,
+            id_mode=self._mapping_mode(meta) == "id",
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [

@@ -635,20 +635,46 @@ class TestColumnMapping:
             ("C", 3.5),
         }
 
-    def test_id_mode_writes_and_stream_stay_gated(self, spark, tmp_path):
+    def test_id_mode_write_update_delete_roundtrip(self, spark, tmp_path):
+        # writes stage with parquet.field.id footer metadata on every
+        # field — the spec's id-mode write contract — so the appended
+        # file resolves by id exactly like the foreign-written fixture
         root = str(tmp_path / "cm5c")
         self._write_id_mode_table(root)
         t = DeltaTable(root)
-        df = spark.createDataFrame([("D", 4.5)], "sym string, px double")
-        with pytest.raises(NotImplementedError, match="id-mode"):
-            t.write(df)
-        with pytest.raises(NotImplementedError, match="id-mode"):
-            t.update(spark, "sym = 'A'", {"px": "9.9"})
+        t.write(spark.createDataFrame([("D", 4.5)], "sym string, px double"))
+        got = {(r.sym, r.px) for r in t.read(spark).collect()}
+        assert got == {("A", 1.5), ("B", 2.5), ("C", 3.5), ("D", 4.5)}
+        # the staged file's footer carries the schema's field ids, under
+        # the table's PHYSICAL column names
+        import pyarrow.parquet as pq
+
+        newest = max(
+            (f for f in os.listdir(root) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(root, f)),
+        )
+        ids = {}
+        for fld in pq.read_schema(os.path.join(root, newest)):
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            ids[fld.name] = int(fid) if fid is not None else None
+        assert ids == {self.PHYS["sym"]: 1, self.PHYS["px"]: 2}
+        # UPDATE stages its images through the same id-stamped path
+        t.update(spark, "sym = 'A'", {"px": "9.9"})
+        # DELETE needs no staging: DVs flag positions
+        t.delete(spark, "sym = 'B'")
+        want = {("A", 9.9), ("C", 3.5), ("D", 4.5)}
+        assert {(r.sym, r.px) for r in t.read(spark).collect()} == want
+        # JVM-free + pyds readers agree (per-file footer-id resolution)
+        pdf = t.to_pandas()
+        assert set(zip(pdf["sym"], pdf["px"])) == want
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", root).load()
+        assert {(r.sym, r.px) for r in out.collect()} == want
+        # id-mode STREAMING stays gated
         with pytest.raises(NotImplementedError, match="id-mode"):
             t.read_stream(spark)
-        # DELETE needs no staging: DVs flag positions, sound in id mode
-        t.delete(spark, "sym = 'B'")
-        assert {r.sym for r in t.read(spark).collect()} == {"A", "C"}
 
     def test_id_mode_pyds_batch_read_resolves_by_footer_ids(
         self, spark, tmp_path
@@ -2281,3 +2307,132 @@ class TestReorgAndSelectiveCompact:
         v_before = t.latest_version()
         assert t.compact_small_files(spark, min_file_bytes=100) is None
         assert t.latest_version() == v_before
+
+
+class TestCreateTable:
+    """DeltaTable.create: metadata-only commit 0 (schema, partitioning,
+    properties, protocol) — delta-spark's CREATE TABLE twin, including
+    the two shapes only creation can produce: id-mode column mapping
+    and creation-time in-commit timestamps."""
+
+    def test_create_then_write_and_schema_enforced(self, spark, tmp_path):
+        import pyspark.sql.types as T
+
+        t = DeltaTable(str(tmp_path / "t"))
+        v = t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("v", T.DoubleType()),
+                ]
+            )
+        )
+        assert v == 0
+        assert t.read(spark).count() == 0  # empty but READABLE
+        t.write(spark.range(3).select(F.col("id"), F.lit(1.5).alias("v")))
+        assert t.read(spark).count() == 3
+        # a frame not matching the declared schema is refused
+        with pytest.raises(ValueError, match="schema"):
+            t.write(spark.range(3).select(F.col("id"), F.lit("x").alias("w")))
+        with pytest.raises(ValueError, match="exists"):
+            t.create(T.StructType([T.StructField("id", T.LongType())]))
+
+    def test_create_name_mapped_stages_physical_from_birth(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import pyspark.sql.types as T
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("v", T.DoubleType()),
+                ]
+            ),
+            mapping_mode="name",
+        )
+        t.write(
+            spark.range(4).select(F.col("id"), F.lit(0.5).alias("v")).coalesce(1)
+        )
+        # files stage under fresh col-uuid physical names, never logical
+        data_file = next(
+            f for f in os.listdir(t.path) if f.endswith(".parquet")
+        )
+        names = pq.read_schema(os.path.join(t.path, data_file)).names
+        assert all(n.startswith("col-") for n in names)
+        # rename is metadata-only and immediate
+        t.rename_column("v", "val")
+        assert t.read(spark).filter("val = 0.5").count() == 4
+
+    def test_create_id_mode_end_to_end(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import pyspark.sql.types as T
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("grp", T.StringType()),
+                ]
+            ),
+            mapping_mode="id",
+        )
+        t.write(
+            spark.range(6)
+            .select(F.col("id"), F.lit("a").alias("grp"))
+            .coalesce(1)
+        )
+        # staged footer carries a field id on every column
+        data_file = next(
+            f for f in os.listdir(t.path) if f.endswith(".parquet")
+        )
+        for fld in pq.read_schema(os.path.join(t.path, data_file)):
+            assert (fld.metadata or {}).get(b"PARQUET:field_id") is not None
+        t.update(spark, "id = 0", {"grp": "'z'"})
+        t.delete(spark, "id = 5")
+        want = {(i, "z" if i == 0 else "a") for i in range(5)}
+        assert {(r.id, r.grp) for r in t.read(spark).collect()} == want
+        assert {
+            (int(r["id"]), r["grp"]) for _, r in t.to_pandas().iterrows()
+        } == want
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        pyds.register(spark)
+        out = spark.read.format("pydelta").option("path", t.path).load()
+        assert {(r.id, r.grp) for r in out.collect()} == want
+
+    def test_create_with_creation_time_ict(self, spark, tmp_path):
+        import json as _json
+        import pyspark.sql.types as T
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType([T.StructField("id", T.LongType())]),
+            configuration={"delta.enableInCommitTimestamps": "true"},
+        )
+        t.write(spark.range(2).select("id"))
+        t.write(spark.range(2, 5).select("id"))
+        log = os.path.join(t.path, "_delta_log")
+        icts = {}
+        for v in (0, 1, 2):
+            for line in open(os.path.join(log, "%020d.json" % v)):
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    icts[v] = a["commitInfo"].get("inCommitTimestamp")
+            os.utime(os.path.join(log, "%020d.json" % v), (1, 1))
+        # ICT covers the WHOLE history from version 0...
+        assert all(icts[v] is not None for v in (0, 1, 2))
+        assert icts[0] < icts[1] < icts[2]
+        # ...so the spec's enablement-provenance properties are absent
+        meta, _ = t._snapshot_state(None)
+        conf = meta.get("configuration") or {}
+        assert "delta.inCommitTimestampEnablementVersion" not in conf
+        # protocol fences the feature for foreign writers
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minWriterVersion"] == 7
+        assert "inCommitTimestamp" in proto["writerFeatures"]
+        # travel by ict despite scrambled mtimes, down to version 0
+        assert t.version_at_timestamp(icts[0]) == 0
+        assert t.version_at_timestamp(icts[1]) == 1
+        assert t.read_at_timestamp(spark, icts[1]).count() == 2
