@@ -143,9 +143,10 @@ GROUP BY event_type
     doc="MERGE upsert through the log client: table built WITHOUT the "
     "'view' batch, then one merge keyed on event_id whose source doubles "
     "every click's value (the UPDATE branch) and carries all view rows "
-    "(the INSERT branch). Oracle recomputes the post-merge state straight "
-    "from events — green means both merge branches and the atomic "
-    "overwrite commit behaved.",
+    "(the INSERT branch). Runs the two-phase FILE-PRUNED merge "
+    "(DeltaMergeBuilder): only files containing fired rows rewrite. "
+    "Oracle recomputes the post-merge state straight from events — "
+    "green means both merge branches and the atomic commit behaved.",
     tags=("delta", "merge", "upsert"),
 )
 def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,4 +1199,151 @@ def delta_idmode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("total_value"),
         F.lit(complete).alias("footer_ids_complete"),
+    )
+
+
+@register(
+    "delta_merge_clauses_audit",
+    oracle=f"""
+WITH tgt AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE event_type IN ('click', 'view')
+), src AS (
+  SELECT event_id, user_id, value * 2 AS value FROM events
+  WHERE event_type IN ('view', 'purchase')
+), m AS (
+  SELECT t.user_id, t.value AS tv, s.value AS sv,
+         s.event_id IS NOT NULL AS matched
+  FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+), kept AS (
+  SELECT user_id,
+         CASE WHEN matched AND sv > 1.0 THEN sv
+              WHEN NOT matched AND tv < 0.5 THEN tv + 1000
+              ELSE tv END AS value
+  FROM m
+  WHERE NOT (matched AND NOT coalesce(sv > 1.0, FALSE))
+    AND NOT (NOT matched AND NOT coalesce(tv < 0.5, FALSE)
+             AND coalesce(tv > 4.5, FALSE))
+), ins AS (
+  SELECT s.user_id, s.value FROM src s
+  WHERE s.event_id NOT IN (SELECT event_id FROM tgt) AND s.value < 3.0
+), merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM ins
+)
+SELECT user_id % 4 AS bucket, count(*) AS n,
+       {sql_dsum("value")} AS total_value
+FROM merged
+GROUP BY user_id % 4
+""",
+    doc="Full MERGE INTO clause semantics (DeltaMergeBuilder, the "
+    "delta-spark builder twin) behind one correctness row: target = "
+    "click+view events, source = view+purchase with doubled values, and "
+    "FIVE chained clauses — conditional WHEN MATCHED UPDATE, catch-all "
+    "WHEN MATCHED DELETE (first-clause-wins ordering), conditional WHEN "
+    "NOT MATCHED INSERT, and conditional NOT MATCHED BY SOURCE "
+    "UPDATE + DELETE. Runs the two-phase file-pruned merge (only files "
+    "where a clause fires rewrite; cardinality-checked). The oracle "
+    "replays the exact clause lattice in SQL CASE/WHERE form, so green "
+    "certifies clause ordering, NULL-condition semantics, and the "
+    "simultaneous-assignment projection to the value level.",
+    tags=("delta", "merge", "clauses"),
+)
+def delta_merge_clauses_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpmrgcl_") + "/events_delta")
+    table.write(
+        events.filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "user_id", "value")
+        .repartition(4)
+    )
+    source = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "user_id", (F.col("value") * 2).alias("value"))
+    )
+    (
+        table.merge_into(source, "target.event_id = source.event_id")
+        .when_matched_update(
+            set={"value": "source.value"}, condition="source.value > 1.0"
+        )
+        .when_matched_delete()
+        .when_not_matched_insert(condition="source.value < 3.0")
+        .when_not_matched_by_source_update(
+            set={"value": "target.value + 1000"},
+            condition="target.value < 0.5",
+        )
+        .when_not_matched_by_source_delete(condition="target.value > 4.5")
+        .execute(spark)
+    )
+    return (
+        table.read(spark)
+        .groupBy((F.col("user_id") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "delta_replace_where_audit",
+    oracle=f"""
+WITH repl AS (
+  SELECT event_id, user_id, event_type, value * 3 AS value FROM events
+  WHERE event_type = 'click' AND user_id % 2 = 0
+), keep AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_type IN ('view', 'purchase') AND event_type <> 'click'
+), final AS (
+  SELECT * FROM keep UNION ALL SELECT * FROM repl
+)
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
+       1 AS untouched_files_preserved
+FROM final
+GROUP BY event_type
+""",
+    doc="replaceWhere selective overwrite (delta-spark's "
+    "`.option('replaceWhere', pred)`): a table partitioned by "
+    "event_type gets its 'click' slice atomically replaced with a "
+    "thinner, tripled-value frame in ONE commit — matching rows are "
+    "flagged with executor-built deletion vectors (fully-covered files "
+    "drop outright) and the replacement appends; rows outside the "
+    "predicate never restage. The flag pins the scale contract: every "
+    "untouched partition's add entry survives the commit verbatim. "
+    "Oracle recomputes the post-replace state from raw events.",
+    tags=("delta", "replace-where", "deletion-vectors", "partitioned"),
+)
+def delta_replace_where_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cols = ("event_id", "user_id", "event_type", "value")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cprepw_") + "/events_delta")
+    table.write(
+        events.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(*cols)
+        .repartition(2),
+        partition_by=["event_type"],
+    )
+    _, adds_before = table._snapshot_state(None)
+    replacement = (
+        events.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+        )
+        .select(
+            "event_id", "user_id", "event_type",
+            (F.col("value") * 3).alias("value"),
+        )
+    )
+    table.replace_where(replacement, "event_type = 'click'")
+    _, adds_after = table._snapshot_state(None)
+    untouched = {
+        a["path"] for a in adds_before if "event_type=click" not in a["path"]
+    }
+    preserved = int(untouched <= {a["path"] for a in adds_after})
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+            F.lit(preserved).alias("untouched_files_preserved"),
+        )
     )

@@ -2810,29 +2810,166 @@ class DeltaTable:
         reference's lakehouse would use for corrections). Returns the
         committed version.
 
-        Spark-first: new snapshot = current rows anti-joined against the
-        source keys, unioned with the source — one shuffle-free scan plus
-        one join on the key columns, committed as a single atomic
-        overwrite. This is the rewrite-everything strategy; at 100 TB the
-        win is file pruning via add-file min/max stats so only key-range-
-        overlapping files rewrite. The log format already carries per-file
-        stats for that; the planner optimization is deliberately out of
-        scope.
+        Sugar over `merge_into` — runs the two-phase file-pruned merge,
+        so only files containing matched keys rewrite (the untouched
+        files' add entries survive verbatim). A source carrying
+        duplicate keys that match the target is refused (the spec's
+        cardinality check); duplicate UNMATCHED keys both insert,
+        matching delta-spark.
         """
-        spark = source.sparkSession
-        meta, _ = self._snapshot_state(None)
+        cond = " AND ".join(
+            f"target.`{k}` <=> source.`{k}`" for k in keys
+        )
+        return (
+            self.merge_into(source, cond)
+            .when_matched_update()
+            .when_not_matched_insert()
+            .execute(source.sparkSession)
+        )
+
+    def merge_into(
+        self, source: DataFrame, condition: str
+    ) -> "DeltaMergeBuilder":
+        """Start a full MERGE INTO — delta-spark's
+        ``DeltaTable.merge(source, condition)``: returns a
+        `DeltaMergeBuilder` whose when_* clause methods chain, then
+        ``execute(spark)`` runs the two-phase file-pruned merge.
+        ``condition`` is SQL over ``target.*`` / ``source.*``."""
+        return DeltaMergeBuilder(self, source, condition)
+
+    def replace_where(
+        self,
+        df: DataFrame,
+        condition: str,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Selective overwrite — delta-spark's ``replaceWhere`` write
+        option (``df.write.format("delta").mode("overwrite")
+        .option("replaceWhere", cond)``): atomically replace exactly the
+        rows matching ``condition`` with ``df``, refusing any row of
+        ``df`` that falls OUTSIDE the predicate (delta-spark's
+        replaceWhere constraint check — the predicate must fully
+        describe the incoming data or the op is ambiguous).
+
+        100 TB shape: instead of copy-on-write rewriting every file that
+        intersects the predicate, matching rows are flagged with
+        executor-built deletion vectors (O(touched files) driver
+        transfer, `_build_file_dvs`) and the replacement rows append as
+        new files — ONE atomic commit; rows outside the predicate are
+        never restaged. A file whose every row matches drops outright
+        (no sidecar). Generated columns recompute, CHECK constraints
+        validate, and CDF tables get true delete+insert change images.
+        ``txn`` makes replays no-ops (streaming foreachBatch upserts)."""
+        spark = df.sparkSession
+        if txn is not None:
+            applied = self.last_txn_version(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return self.latest_version()  # already applied: replay no-op
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(
+                f"replace_where needs an existing table at {self.path}; "
+                "use write() to create one"
+            )
+        meta, adds, protocol = self._snapshot_state_full(None)
+        gen = self._generation_exprs(meta)
+        if gen:
+            df = self._apply_generated(df, gen)
+        self._check_constraints(df, meta)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        prior_types = {f.name: f.dataType for f in schema.fields}
+        for f in df.schema.fields:
+            if f.name not in prior_types:
+                raise ValueError(
+                    f"replace_where frame has unknown column {f.name!r}; "
+                    "replaceWhere never evolves the schema"
+                )
+            if self._strip_meta(f.dataType) != self._strip_meta(
+                prior_types[f.name]
+            ):
+                raise ValueError(
+                    f"column {f.name!r} is {f.dataType.simpleString()} but "
+                    f"table has {prior_types[f.name].simpleString()}"
+                )
+        missing = [n for n in prior_types if n not in df.columns]
+        if missing:
+            raise ValueError(f"replace_where frame lacks columns {missing}")
+        cond = F.expr(condition)
+        n_outside = df.filter(~cond.eqNullSafe(F.lit(True))).count()
+        if n_outside:
+            raise ValueError(
+                f"{n_outside} row(s) of the replacement frame do not "
+                f"satisfy the replaceWhere predicate {condition!r} "
+                "(NULL predicates count as non-matching)"
+            )
         part_cols = meta.get("partitionColumns") or []
-        current = self.read(spark)
-        kept = current.join(
-            source.select(*keys).distinct(), on=keys, how="left_anti"
+        mapping = self._column_mapping(meta) or {}
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(meta):
+            # true images: commits carrying cdc actions are read
+            # EXCLUSIVELY from them, so both sides must be present
+            removed_rows = (
+                self._scan(spark, keep_meta=True)
+                .filter(cond)
+                .drop("__file", "__rid")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            images = removed_rows.unionByName(
+                df.select(*[f.name for f in schema.fields]).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+            cdc_actions = self._stage_cdc_files(
+                images, version=base + 1, meta=meta
+            )
+        file_dvs = self._build_file_dvs(spark, cond, adds)
+        n_replaced = sum(r["n_new"] for r in file_dvs)
+        new_adds = self._stage_files(
+            df.select(*[f.name for f in schema.fields]),
+            version=base + 1,
+            partition_by=part_cols,
+            mapping=mapping,
+            schema_json=meta["schemaString"],
+            id_mode=self._mapping_mode(meta) == "id",
         )
-        merged = kept.unionByName(source.select(*current.columns))
-        return self.write(
-            merged,
-            mode="overwrite",
-            partition_by=part_cols or None,
-            _operation="MERGE",
+        now_ms = int(time.time() * 1000)
+        by_name = {
+            os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
+        }
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Overwrite",
+                        "predicate": condition,
+                    },
+                    "operationMetrics": {
+                        "numDeletedRows": str(n_replaced),
+                        "numDvsAdded": str(len(file_dvs)),
+                        "numAddedFiles": str(len(new_adds)),
+                        "numOutputRows": str(
+                            sum(
+                                json.loads(a["stats"])["numRecords"]
+                                for a in new_adds
+                            )
+                        ),
+                    },
+                }
+            }
         )
+        actions.extend(self._dv_upgrade_actions(meta, protocol))
+        actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
+        actions.extend({"add": a} for a in new_adds)
+        actions.extend(cdc_actions)
+        return self._publish_or_conflict(base + 1, actions, "REPLACE WHERE")
 
     def detail(self, spark: SparkSession) -> DataFrame:
         """``DESCRIBE DETAIL`` twin: one row of table facts from the log
@@ -3548,3 +3685,481 @@ class DeltaTable:
         with open(os.path.join(self._log_dir, "_last_checkpoint"), "w") as f:
             json.dump(last, f)
         return version
+
+
+class DeltaMergeBuilder:
+    """MERGE INTO builder — delta-spark's ``DeltaMergeBuilder`` twin
+    (``delta.tables.DeltaTable.merge(source, cond).whenMatchedUpdate(...)
+    ...execute()``): chainable when_* clauses, each with an optional
+    clause condition; among clauses of the same match class the FIRST
+    whose condition holds wins (delta-spark's documented order
+    semantics), a row no clause claims is copied unchanged.
+
+    Execution is the two-phase copy-on-write merge delta-spark runs:
+
+    Phase 1 — FIND TOUCHED FILES. An inner join of the target scan
+    (carrying ``__file`` provenance) against the source on the merge
+    condition yields the files containing matched rows; when
+    NOT-MATCHED-BY-SOURCE clauses exist, an anti-join adds the files
+    holding rows their conditions would touch. ONLY those files
+    rewrite — at 100 TB a merge against a key-local source restages
+    the overlapped slice, never the table; every untouched file's
+    ``add`` entry survives the commit verbatim (test-pinned). The same
+    join powers the protocol's cardinality check: a target row matched
+    by more than one source row while any matched clause exists is a
+    non-deterministic merge and is refused, exactly as delta-spark's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW error.
+
+    Phase 2 — REWRITE + INSERT. Touched-file rows left-outer-join the
+    source once; a single when-chain classifies every row to the first
+    applicable clause, and ONE projection builds the output image so
+    all assignments see the PRE-merge row (``SET a=b, b=a`` swaps,
+    like UPDATE). Source rows matching no target row anti-join in and
+    run the not-matched clause chain; rows no insert clause claims are
+    dropped. Both legs stage in one pass; CHECK constraints validate
+    the final images, generated columns recompute (explicitly
+    assigning one is refused — delta-spark recomputes them too), and
+    CDF tables get TRUE change images (update_preimage/update_postimage
+    pairs, deletes, inserts — copies excluded) in the same atomic
+    commit. Works on column-mapped (name and id mode) and partitioned
+    tables; rows may move partitions.
+    """
+
+    _BY_SOURCE_BASE = 1000  # action ids ≥ this are by-source clauses
+
+    def __init__(self, table: DeltaTable, source: DataFrame, condition: str):
+        self._t = table
+        self._source = source
+        self._cond = condition
+        # (kind, clause condition SQL|None, assignments|None); assignments
+        # None on update/insert means star (every column from source)
+        self._matched: list[tuple[str, str | None, dict | None]] = []
+        self._not_matched: list[tuple[str | None, dict | None]] = []
+        self._by_source: list[tuple[str, str | None, dict | None]] = []
+
+    # ------------------------------------------------------- clause API
+
+    def when_matched_update(
+        self, set: dict | None = None, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        """WHEN MATCHED [AND cond] THEN UPDATE SET ... (``set=None`` =
+        ``UPDATE SET *``). Values/conditions see ``target.*`` and
+        ``source.*``."""
+        self._matched.append(("update", condition, set))
+        return self
+
+    def when_matched_delete(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        self._matched.append(("delete", condition, None))
+        return self
+
+    def when_not_matched_insert(
+        self, values: dict | None = None, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        """WHEN NOT MATCHED [AND cond] THEN INSERT ... (``values=None``
+        = ``INSERT *``; with a dict, unassigned columns become NULL —
+        delta-spark's rule). Sees ``source.*`` only."""
+        self._not_matched.append((condition, values))
+        return self
+
+    def when_not_matched_by_source_update(
+        self, set: dict, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        """WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE — sees
+        ``target.*`` only (there is no source row)."""
+        self._by_source.append(("update", condition, set))
+        return self
+
+    def when_not_matched_by_source_delete(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        self._by_source.append(("delete", condition, None))
+        return self
+
+    # ------------------------------------------------------- execution
+
+    def _validate(self, col_types: dict, gen: dict, source_cols: list[str]):
+        for kind, _c, assigns in self._matched + self._by_source:
+            if kind == "update" and assigns is None:
+                missing = [c for c in col_types if c not in source_cols]
+                if missing:
+                    raise ValueError(
+                        f"UPDATE SET * needs every table column in the "
+                        f"source; missing {missing}"
+                    )
+            for c in assigns or {}:
+                if c not in col_types:
+                    raise ValueError(
+                        f"MERGE assigns unknown column {c!r} "
+                        f"(table has {sorted(col_types)})"
+                    )
+                if c in gen:
+                    raise ValueError(
+                        f"MERGE must not assign generated column {c!r}; "
+                        "it is recomputed from its expression"
+                    )
+        for _c, values in self._not_matched:
+            if values is None:
+                missing = [c for c in col_types if c not in source_cols]
+                if missing:
+                    raise ValueError(
+                        f"INSERT * needs every table column in the "
+                        f"source; missing {missing}"
+                    )
+            for c in values or {}:
+                if c not in col_types:
+                    raise ValueError(
+                        f"MERGE inserts unknown column {c!r} "
+                        f"(table has {sorted(col_types)})"
+                    )
+                if c in gen:
+                    raise ValueError(
+                        f"MERGE must not assign generated column {c!r}; "
+                        "it is recomputed from its expression"
+                    )
+
+    def _image_projection(
+        self, frame: DataFrame, branches, schema: T.StructType, qualify: bool
+    ) -> DataFrame:
+        """ONE simultaneous projection: per output column, a when-chain
+        over the row's ``__action`` picks that clause's assignment
+        (star = the source column; unassigned on update = the target
+        value, on insert = NULL), otherwise the copied target value.
+        ``qualify=False`` is the insert leg (source columns only)."""
+        strip = self._t._strip_meta
+        cols = []
+        for f in schema.fields:
+            copied = (
+                F.col(f"target.`{f.name}`") if qualify else F.lit(None)
+            )
+            chain = None
+            for act_id, kind, assigns in branches:
+                if kind == "delete":
+                    continue
+                if assigns is None:
+                    v = F.col(f"source.`{f.name}`") if qualify else F.col(
+                        f"`{f.name}`"
+                    )
+                elif f.name in assigns:
+                    a = assigns[f.name]
+                    v = F.expr(a) if isinstance(a, str) else a
+                elif kind == "insert":
+                    v = F.lit(None)
+                else:
+                    v = copied
+                v = v.cast(strip(f.dataType))
+                chain = (F.when if chain is None else chain.when)(
+                    F.col("__action") == act_id, v
+                )
+            cols.append(
+                (copied if chain is None else chain.otherwise(copied)).alias(
+                    f.name
+                )
+            )
+        return frame.select(*cols)
+
+    def execute(self, spark: SparkSession) -> int:
+        """Run the merge; returns the committed version. A merge where
+        no clause fires still commits (delta-spark semantics)."""
+        t = self._t
+        if not (self._matched or self._not_matched or self._by_source):
+            raise ValueError("MERGE needs at least one WHEN clause")
+        base = t.latest_version()
+        if base is None:
+            raise ValueError(f"no delta table at {t.path}")
+        meta, adds, protocol = t._snapshot_state_full(None)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        col_types = {f.name: f.dataType for f in schema.fields}
+        gen = t._generation_exprs(meta)
+        self._validate(col_types, gen, self._source.columns)
+        part_cols = meta.get("partitionColumns") or []
+        mapping = t._column_mapping(meta) or {}
+
+        tgt = t._scan(spark, keep_meta=True)
+        src = self._source.withColumn("__src_match", F.lit(True))
+        j_cond = F.expr(self._cond)
+        matches = (
+            tgt.alias("target")
+            .join(src.alias("source"), j_cond, "inner")
+            .select(F.col("target.__file").alias("__file"),
+                    F.col("target.__rid").alias("__rid"))
+        )
+
+        touched: set[str] = set()
+        if self._matched:
+            # one pass does double duty: the cardinality check (any
+            # target row matched twice) AND fire detection — a file
+            # rewrites only if some matched clause actually FIRES on one
+            # of its rows (an all-copies file keeps its add entry; delta
+            # -spark's touched-file accumulator has the same refinement)
+            fired = None
+            for _k, c, _a in self._matched:
+                e = F.expr(c) if c else F.lit(True)
+                fired = e if fired is None else (fired | e)
+            per_file = (
+                tgt.alias("target")
+                .join(src.alias("source"), j_cond, "inner")
+                .select(
+                    F.col("target.__file").alias("__file"),
+                    F.col("target.__rid").alias("__rid"),
+                    F.coalesce(fired.cast("int"), F.lit(0)).alias("__fired"),
+                )
+                .groupBy("__file", "__rid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("__fired").alias("f"),
+                )
+                .groupBy("__file")
+                .agg(F.max("n").alias("mx"), F.max("f").alias("anyf"))
+                .collect()
+            )
+            if any(r["mx"] > 1 for r in per_file):
+                raise ValueError(
+                    "MERGE found a target row matched by multiple source "
+                    "rows with a WHEN MATCHED clause present — the result "
+                    "would be non-deterministic (delta's cardinality "
+                    "check); de-duplicate the source on the merge keys"
+                )
+            touched |= {r["__file"] for r in per_file if r["anyf"]}
+        if self._by_source:
+            bs_any = None
+            for _k, c, _a in self._by_source:
+                e = F.expr(c) if c else F.lit(True)
+                bs_any = e if bs_any is None else (bs_any | e)
+            bs_files = (
+                tgt.alias("target")
+                .join(src.alias("source"), j_cond, "left_anti")
+                .filter(bs_any)
+                .select(F.col("__file"))
+                .distinct()
+                .collect()
+            )
+            touched |= {r["__file"] for r in bs_files}
+
+        touched_list = sorted(touched)
+        classified = None
+        rewritten = None
+        inserts = None
+        n_inserted = 0
+        branches: list[tuple[int, str, dict | None]] = []
+        counts: dict[int, int] = {}
+        try:
+            if touched_list:
+                touched_tgt = tgt.filter(F.col("__file").isin(touched_list))
+                if self._matched:
+                    # cardinality check passed: each target row joins ≤1
+                    # source row, so left-outer cannot fan copies out
+                    joined = touched_tgt.alias("target").join(
+                        src.alias("source"), j_cond, "left_outer"
+                    )
+                    is_m = F.col("source.__src_match").isNotNull()
+                else:
+                    # by-source-only merge: no source columns are
+                    # referenced, and dup matches are legal — mark
+                    # matched rows via their (file, rid) coordinates
+                    marker = matches.distinct().select(
+                        F.col("__file").alias("__mf"),
+                        F.col("__rid").alias("__mr"),
+                        F.lit(True).alias("__src_match"),
+                    )
+                    joined = touched_tgt.alias("target").join(
+                        marker,
+                        (F.col("target.__file") == F.col("__mf"))
+                        & (F.col("target.__rid") == F.col("__mr")),
+                        "left_outer",
+                    )
+                    is_m = F.col("__src_match").isNotNull()
+                chain = None
+                for i, (kind, c, assigns) in enumerate(self._matched):
+                    cnd = is_m & (F.expr(c) if c else F.lit(True))
+                    chain = (F.when if chain is None else chain.when)(
+                        cnd, F.lit(i)
+                    )
+                    branches.append((i, kind, assigns))
+                for j, (kind, c, assigns) in enumerate(self._by_source):
+                    act = self._BY_SOURCE_BASE + j
+                    cnd = (~is_m) & (F.expr(c) if c else F.lit(True))
+                    chain = (F.when if chain is None else chain.when)(
+                        cnd, F.lit(act)
+                    )
+                    branches.append((act, kind, assigns))
+                action = (
+                    F.lit(-1) if chain is None else chain.otherwise(F.lit(-1))
+                )
+                classified = joined.withColumn("__action", action).persist()
+                counts = {
+                    r["__action"]: r["n"]
+                    for r in classified.groupBy("__action")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                delete_ids = {a for a, k, _ in branches if k == "delete"}
+                survivors = classified.filter(
+                    ~F.col("__action").isin(sorted(delete_ids))
+                    if delete_ids
+                    else F.lit(True)
+                )
+                rewritten = self._image_projection(
+                    survivors, branches, schema, qualify=True
+                )
+
+            ins_branches: list[tuple[int, str, dict | None]] = []
+            if self._not_matched:
+                anti = (
+                    src.alias("source")
+                    .join(tgt.alias("target"), j_cond, "left_anti")
+                )
+                chain = None
+                for i, (c, values) in enumerate(self._not_matched):
+                    cnd = F.expr(c) if c else F.lit(True)
+                    chain = (F.when if chain is None else chain.when)(
+                        cnd, F.lit(i)
+                    )
+                    ins_branches.append((i, "insert", values))
+                ins = anti.withColumn(
+                    "__action", chain.otherwise(F.lit(-1))
+                ).filter(F.col("__action") >= 0)
+                inserts = self._image_projection(
+                    ins, ins_branches, schema, qualify=False
+                ).persist()
+                n_inserted = inserts.count()
+
+            upd_ids = {a for a, k, _ in branches if k == "update"}
+            del_ids = {a for a, k, _ in branches if k == "delete"}
+            n_updated = sum(counts.get(a, 0) for a in upd_ids)
+            n_deleted = sum(counts.get(a, 0) for a in del_ids)
+            n_copied = counts.get(-1, 0)
+
+            final = None
+            if rewritten is not None:
+                final = rewritten
+            if inserts is not None and n_inserted:
+                final = (
+                    inserts if final is None else final.unionByName(inserts)
+                )
+            if final is not None:
+                for colname, gexpr in sorted(gen.items()):
+                    final = final.withColumn(
+                        colname,
+                        F.expr(gexpr).cast(t._strip_meta(col_types[colname])),
+                    )
+                t._check_constraints(final, meta)
+
+            cdc_actions: list[dict] = []
+            if t._cdf_enabled(meta) and (n_updated or n_deleted or n_inserted):
+                images = []
+                tcols = [F.col(f"target.`{f.name}`").alias(f.name)
+                         for f in schema.fields]
+                if n_updated:
+                    upd = classified.filter(
+                        F.col("__action").isin(sorted(upd_ids))
+                    )
+                    images.append(
+                        upd.select(*tcols).withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    images.append(
+                        self._image_projection(
+                            upd, branches, schema, qualify=True
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                if n_deleted:
+                    images.append(
+                        classified.filter(
+                            F.col("__action").isin(sorted(del_ids))
+                        )
+                        .select(*tcols)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                if n_inserted:
+                    images.append(
+                        inserts.withColumn("_change_type", F.lit("insert"))
+                    )
+                img = images[0]
+                for p in images[1:]:
+                    img = img.unionByName(p)
+                # post/insert images carry the SAME generated values the
+                # staged data does; pre/delete images keep stored values
+                # (which satisfy the generation invariant by induction)
+                for colname, gexpr in sorted(gen.items()):
+                    img = img.withColumn(
+                        colname,
+                        F.when(
+                            F.col("_change_type").isin(
+                                "update_postimage", "insert"
+                            ),
+                            F.expr(gexpr).cast(
+                                t._strip_meta(col_types[colname])
+                            ),
+                        ).otherwise(F.col(f"`{colname}`")),
+                    )
+                cdc_actions = t._stage_cdc_files(
+                    img, version=base + 1, meta=meta
+                )
+
+            n_staged = n_copied + n_updated + n_inserted
+            # a merge whose clauses fired nothing but still classified
+            # rows would be a pure rearrangement; with fire-refined
+            # touched files that only happens when every surviving row
+            # is a copy — stage those with dataChange intact (the files
+            # ARE replaced) but skip staging entirely when nothing
+            # survives anywhere
+            new_adds = (
+                t._stage_files(
+                    final,
+                    version=base + 1,
+                    partition_by=part_cols,
+                    mapping=mapping,
+                    schema_json=meta["schemaString"],
+                    id_mode=t._mapping_mode(meta) == "id",
+                )
+                if final is not None and n_staged > 0
+                else []
+            )
+        finally:
+            if classified is not None:
+                classified.unpersist()
+            if inserts is not None:
+                inserts.unpersist()
+
+        now_ms = int(time.time() * 1000)
+        by_name = {
+            os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
+        }
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {"predicate": self._cond},
+                    "operationMetrics": {
+                        "numTargetRowsUpdated": str(n_updated),
+                        "numTargetRowsDeleted": str(n_deleted),
+                        "numTargetRowsInserted": str(n_inserted),
+                        "numTargetRowsCopied": str(n_copied),
+                        "numTargetFilesRemoved": str(len(touched_list)),
+                        "numTargetFilesAdded": str(len(new_adds)),
+                    },
+                }
+            }
+        ]
+        for fname in touched_list:
+            a = by_name[fname]
+            prior_dv = a.get("deletionVector")
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        **({"deletionVector": prior_dv} if prior_dv else {}),
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in new_adds)
+        actions.extend(cdc_actions)
+        return t._publish_or_conflict(base + 1, actions, "MERGE")

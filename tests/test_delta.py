@@ -2436,3 +2436,306 @@ class TestCreateTable:
         assert t.version_at_timestamp(icts[0]) == 0
         assert t.version_at_timestamp(icts[1]) == 1
         assert t.read_at_timestamp(spark, icts[1]).count() == 2
+
+
+class TestMergeBuilder:
+    """Full MERGE INTO clause semantics (DeltaMergeBuilder) — the
+    delta-spark builder twin: clause ordering, cardinality check,
+    file pruning, simultaneous assignment, CDF images, generated
+    columns."""
+
+    def _three_files(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 5, 10):
+            t.write(
+                spark.range(lo, lo + 5)
+                .select(F.col("id"), (F.col("id") * 1.0).alias("value"))
+                .coalesce(1)
+            )
+        return t
+
+    def test_clause_matrix_and_ordering(self, spark, tmp_path):
+        t = self._three_files(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, 30.0), (4, -1.0), (5, 0.0), (20, 200.0), (21, -5.0)],
+            "id long, value double",
+        )
+        v = (
+            t.merge_into(src, "target.id = source.id")
+            .when_matched_update(
+                set={"value": "source.value + target.value"},
+                condition="source.value > 0",
+            )
+            .when_matched_delete(condition="source.value <= 0")
+            .when_not_matched_insert(condition="source.value > 0")
+            .execute(spark)
+        )
+        got = {r.id: r.value for r in t.read(spark).collect()}
+        assert got == {
+            0: 0.0, 1: 1.0, 2: 2.0, 3: 33.0,  # 4, 5 deleted
+            6: 6.0, 7: 7.0, 8: 8.0, 9: 9.0,
+            10: 10.0, 11: 11.0, 12: 12.0, 13: 13.0, 14: 14.0,
+            20: 200.0,  # 21 filtered by the insert condition
+        }
+        ops = {r.version: r.operation for r in t.history(spark).collect()}
+        assert ops[v] == "MERGE"
+
+    def test_only_fired_files_rewrite(self, spark, tmp_path):
+        t = self._three_files(spark, tmp_path)
+        _, adds0 = t._snapshot_state(None)
+        src = spark.createDataFrame(
+            [(3, 30.0), (20, 200.0)], "id long, value double"
+        )
+        (
+            t.merge_into(src, "target.id = source.id")
+            .when_matched_update()
+            .when_not_matched_insert()
+            .execute(spark)
+        )
+        _, adds1 = t._snapshot_state(None)
+        n0 = {a["path"] for a in adds0}
+        n1 = {a["path"] for a in adds1}
+        # files 5-9 and 10-14 never restage; file 0-4 (id 3 fired) does
+        assert len(n0 & n1) == 2 and len(n0 - n1) == 1
+        # a merge whose clause fires on NOTHING leaves every file alone
+        (
+            t.merge_into(src, "target.id = source.id")
+            .when_matched_update(condition="source.value < -999")
+            .execute(spark)
+        )
+        _, adds2 = t._snapshot_state(None)
+        assert {a["path"] for a in adds2} == n1
+
+    def test_cardinality_check(self, spark, tmp_path):
+        t = self._three_files(spark, tmp_path)
+        dup = spark.createDataFrame(
+            [(6, 1.0), (6, 2.0)], "id long, value double"
+        )
+        with pytest.raises(ValueError, match="multiple source rows"):
+            t.merge_into(dup, "target.id = source.id").when_matched_update(
+            ).execute(spark)
+        # duplicate UNMATCHED keys are legal and both insert
+        dup2 = spark.createDataFrame(
+            [(50, 1.0), (50, 2.0)], "id long, value double"
+        )
+        t.merge_into(dup2, "target.id = source.id").when_not_matched_insert(
+        ).execute(spark)
+        assert t.read(spark).filter("id = 50").count() == 2
+
+    def test_simultaneous_assignment_swaps(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [(1, 10.0, 20.0)], "id long, a double, b double"
+            )
+        )
+        (
+            t.merge_into(
+                spark.createDataFrame([(1,)], "id long"),
+                "target.id = source.id",
+            )
+            .when_matched_update(set={"a": "target.b", "b": "target.a"})
+            .execute(spark)
+        )
+        r = t.read(spark).collect()[0]
+        assert (r.a, r.b) == (20.0, 10.0)
+
+    def test_by_source_clauses(self, spark, tmp_path):
+        t = self._three_files(spark, tmp_path)
+        src = spark.createDataFrame([(3, 1.0)], "id long, value double")
+        (
+            t.merge_into(src, "target.id = source.id")
+            .when_not_matched_by_source_delete(condition="target.value > 12")
+            .when_not_matched_by_source_update(
+                set={"value": "target.value + 0.5"}, condition="target.id < 2"
+            )
+            .execute(spark)
+        )
+        got = {r.id: r.value for r in t.read(spark).collect()}
+        assert got == {
+            0: 0.5, 1: 1.5, 2: 2.0, 3: 3.0,  # 3 matched -> copied
+            4: 4.0, 5: 5.0, 6: 6.0, 7: 7.0, 8: 8.0, 9: 9.0,
+            10: 10.0, 11: 11.0, 12: 12.0,  # 13, 14 deleted
+        }
+
+    def test_cdf_merge_true_images(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, value double"
+            )
+        )
+        t.enable_change_data_feed()
+        src = spark.createDataFrame(
+            [(1, 100.0), (2, -1.0), (9, 9.0)], "id long, value double"
+        )
+        (
+            t.merge_into(src, "target.id = source.id")
+            .when_matched_update(condition="source.value > 0")
+            .when_matched_delete()
+            .when_not_matched_insert()
+            .execute(spark)
+        )
+        ch = t.read_changes(spark, starting_version=t.latest_version())
+        rows = sorted((r.id, r.value, r._change_type) for r in ch.collect())
+        assert rows == sorted(
+            [
+                (1, 1.0, "update_preimage"),
+                (1, 100.0, "update_postimage"),
+                (2, 2.0, "delete"),
+                (9, 9.0, "insert"),
+            ]
+        )
+
+    def test_generated_columns_recompute_and_refuse_assignment(
+        self, spark, tmp_path
+    ):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame([(1, 2.0)], "id long, v double"),
+            generated_columns={"v2": "v * 2"},
+        )
+        b = t.merge_into(
+            spark.createDataFrame([(1, 7.0)], "id long, v double"),
+            "target.id = source.id",
+        ).when_matched_update(set={"v": "source.v"})
+        b.execute(spark)
+        r = t.read(spark).collect()[0]
+        assert (r.v, r.v2) == (7.0, 14.0)
+        with pytest.raises(ValueError, match="generated"):
+            t.merge_into(
+                spark.createDataFrame([(1, 7.0)], "id long, v double"),
+                "target.id = source.id",
+            ).when_matched_update(set={"v2": "99.0"}).execute(spark)
+
+    def test_validation_errors(self, spark, tmp_path):
+        t = self._three_files(spark, tmp_path)
+        src = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="at least one WHEN"):
+            t.merge_into(src, "target.id = source.id").execute(spark)
+        with pytest.raises(ValueError, match="UPDATE SET \\*"):
+            # star update needs every table column in the source
+            t.merge_into(src, "target.id = source.id").when_matched_update(
+            ).execute(spark)
+        with pytest.raises(ValueError, match="unknown column"):
+            t.merge_into(src, "target.id = source.id").when_matched_update(
+                set={"nope": "1"}
+            ).execute(spark)
+
+    def test_merge_moves_rows_across_partitions(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "b", 2.0)], "id long, grp string, v double"
+            ),
+            partition_by=["grp"],
+        )
+        (
+            t.merge_into(
+                spark.createDataFrame([(1,)], "id long"),
+                "target.id = source.id",
+            )
+            .when_matched_update(set={"grp": "'b'"})
+            .execute(spark)
+        )
+        got = {(r.id, r.grp) for r in t.read(spark).collect()}
+        assert got == {(1, "b"), (2, "b")}
+
+
+class TestReplaceWhere:
+    def _partitioned(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0),
+                 (4, "b", 4.0), (5, "c", 5.0)],
+                "id long, grp string, value double",
+            ).coalesce(1),
+            partition_by=["grp"],
+        )
+        return t
+
+    def test_replace_partition_slice(self, spark, tmp_path):
+        t = self._partitioned(spark, tmp_path)
+        _, adds0 = t._snapshot_state(None)
+        new = spark.createDataFrame(
+            [(10, "b", 10.0)], "id long, grp string, value double"
+        )
+        t.replace_where(new, "grp = 'b'")
+        got = {(r.id, r.grp, r.value) for r in t.read(spark).collect()}
+        assert got == {
+            (1, "a", 1.0), (2, "a", 2.0), (5, "c", 5.0), (10, "b", 10.0)
+        }
+        # untouched partitions' add entries survive verbatim; the fully
+        # covered grp=b file drops outright (DV short-circuit, no sidecar)
+        _, adds1 = t._snapshot_state(None)
+        untouched0 = {a["path"] for a in adds0 if "grp=b" not in a["path"]}
+        assert untouched0 <= {a["path"] for a in adds1}
+        assert not any(
+            a.get("deletionVector")
+            for a in adds1
+            if "grp=b" in a["path"]
+        )
+
+    def test_sub_partition_predicate_uses_dv(self, spark, tmp_path):
+        t = self._partitioned(spark, tmp_path)
+        new = spark.createDataFrame(
+            [(30, "b", 30.0)], "id long, grp string, value double"
+        )
+        t.replace_where(new, "grp = 'b' AND value > 3.5")  # only id=4
+        got = {(r.id, r.value) for r in t.read(spark).collect()}
+        assert got == {(1, 1.0), (2, 2.0), (3, 3.0), (5, 5.0), (30, 30.0)}
+        # the partially covered grp=b file survives WITH a DV
+        _, adds = t._snapshot_state(None)
+        partial = [
+            a for a in adds
+            if "grp=b" in a["path"] and a.get("deletionVector")
+        ]
+        assert len(partial) == 1
+
+    def test_outside_predicate_rows_refused(self, spark, tmp_path):
+        t = self._partitioned(spark, tmp_path)
+        bad = spark.createDataFrame(
+            [(9, "a", 9.0)], "id long, grp string, value double"
+        )
+        with pytest.raises(ValueError, match="do not satisfy"):
+            t.replace_where(bad, "grp = 'b'")
+        # NULL predicate counts as non-matching
+        nullrow = spark.createDataFrame(
+            [(9, "b", None)], "id long, grp string, value double"
+        )
+        with pytest.raises(ValueError, match="do not satisfy"):
+            t.replace_where(nullrow, "value > 0")
+
+    def test_cdf_images_and_txn_idempotence(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0)], "id long, value double"
+            )
+        )
+        t.enable_change_data_feed()
+        new = spark.createDataFrame([(5, 5.0)], "id long, value double")
+        v = t.replace_where(new, "id >= 2", txn=("rw-app", 1))
+        ch = sorted(
+            (r.id, r.value, r._change_type)
+            for r in t.read_changes(spark, starting_version=v).collect()
+        )
+        assert ch == [(2, 2.0, "delete"), (5, 5.0, "insert")]
+        # replay with the same txn key is a no-op
+        assert t.replace_where(new, "id >= 2", txn=("rw-app", 1)) == v
+        assert t.read(spark).count() == 2
+
+    def test_schema_must_match(self, spark, tmp_path):
+        t = self._partitioned(spark, tmp_path)
+        with pytest.raises(ValueError, match="unknown column"):
+            t.replace_where(
+                spark.createDataFrame([(1, "b", 1.0, "x")],
+                                      "id long, grp string, value double, w string"),
+                "grp = 'b'",
+            )
+        with pytest.raises(ValueError, match="lacks columns"):
+            t.replace_where(
+                spark.createDataFrame([(1, "b")], "id long, grp string"),
+                "grp = 'b'",
+            )
