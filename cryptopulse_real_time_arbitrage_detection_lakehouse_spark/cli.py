@@ -64,6 +64,11 @@ def _build_parser() -> argparse.ArgumentParser:
     vac.add_argument(
         "--retention-hours", type=float, default=168.0, help="default 7 days"
     )
+    vac.add_argument(
+        "--force",
+        action="store_true",
+        help="override the table's deletedFileRetentionDuration check",
+    )
     rst = dsub.add_parser("restore", help="roll back to a version")
     rst.add_argument("version", type=int)
     cp = dsub.add_parser("checkpoint", help="write a log checkpoint")
@@ -134,7 +139,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 print(f"OPTIMIZE committed version {v}")
             elif args.delta_cmd == "vacuum":
                 deleted = t.vacuum(
-                    retention_ms=int(args.retention_hours * 3600 * 1000)
+                    retention_ms=int(args.retention_hours * 3600 * 1000),
+                    force=args.force,
                 )
                 print(f"vacuumed {len(deleted)} file(s)")
                 for rel in deleted:

@@ -1508,6 +1508,10 @@ class DeltaTable:
                     "this table already exists"
                 )
             prior_meta, prior_adds = self._snapshot_state(None)
+            if mode == "overwrite" and _data_change:
+                # dataChange=False overwrites (OPTIMIZE/Z-ORDER compaction
+                # routed through here) rearrange bytes, not rows — legal
+                self._refuse_if_append_only(prior_meta, "overwrite WRITE")
             gen = self._generation_exprs(prior_meta)
             if gen:
                 # compute-or-validate BEFORE constraint/schema checks so
@@ -2169,6 +2173,38 @@ class DeltaTable:
             operation,
         )
 
+    @staticmethod
+    def _refuse_if_append_only(meta: dict | None, operation: str) -> None:
+        """delta.appendOnly=true (the writer-v2 appendOnly feature): the
+        table accepts only appends — any operation that deletes or
+        rewrites committed ROWS is refused, delta-spark's exact gate.
+        Metadata commits and dataChange=false rearrangements (OPTIMIZE /
+        REORG / checkpointing) remain legal: they move bytes, not
+        rows."""
+        if meta and (meta.get("configuration") or {}).get(
+            "delta.appendOnly"
+        ) == "true":
+            raise ValueError(
+                f"{operation} is not allowed: table is append-only "
+                "(delta.appendOnly=true)"
+            )
+
+    def set_table_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES — a metadata-only commit merging
+        ``props`` into the table configuration (a None value unsets).
+        The way delta.appendOnly and retention/tuning properties are
+        flipped on an existing table."""
+        meta, _ = self._snapshot_state(None)
+        conf = dict(meta.get("configuration") or {})
+        for k, v in props.items():
+            if v is None:
+                conf.pop(k, None)
+            else:
+                conf[k] = str(v)
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        return self._metadata_commit("SET TBLPROPERTIES", new_meta)
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column without touching any data file — the logical
         name changes in the schema metadata, the physical name stays
@@ -2442,6 +2478,7 @@ class DeltaTable:
                 return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
+        self._refuse_if_append_only(meta, "DELETE")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         file_dvs = self._build_file_dvs(spark, cond, adds)
         n_deleted = sum(r["n_new"] for r in file_dvs)
@@ -2611,6 +2648,7 @@ class DeltaTable:
                 return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
+        self._refuse_if_append_only(meta, "UPDATE")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
@@ -2873,6 +2911,7 @@ class DeltaTable:
                 "use write() to create one"
             )
         meta, adds, protocol = self._snapshot_state_full(None)
+        self._refuse_if_append_only(meta, "REPLACE WHERE")
         gen = self._generation_exprs(meta)
         if gen:
             df = self._apply_generated(df, gen)
@@ -3041,6 +3080,7 @@ class DeltaTable:
         bad schema evolution rolls back too."""
         base = self.latest_version() or 0
         cur_meta, cur_adds, _ = self._snapshot_state_full(None)
+        self._refuse_if_append_only(cur_meta, "RESTORE")
         tgt_meta, tgt_adds, _ = self._snapshot_state_full(version)
         for a in tgt_adds:
             fp = os.path.join(self.path, urllib.parse.unquote(a["path"]))
@@ -3081,16 +3121,65 @@ class DeltaTable:
                 actions.append({"add": a})
         return self._publish_or_conflict(base + 1, actions, "RESTORE")
 
-    def vacuum(self, *, retention_ms: int = 7 * 24 * 3600 * 1000) -> list[str]:
-        """VACUUM: physically delete data files and DV sidecars that the
-        CURRENT snapshot no longer references and whose modification time
-        is older than ``retention_ms``. Returns the deleted relative
-        paths. After a vacuum, time travel to versions that referenced
-        the deleted files fails on read (exactly delta-spark's trade-off;
-        the default 7-day retention is its default too)."""
+    @staticmethod
+    def _parse_interval_ms(text: str) -> int:
+        """``interval N (hour|day|week)[s]`` (the
+        delta.deletedFileRetentionDuration property format) -> ms."""
+        m = re.fullmatch(
+            r"\s*interval\s+(\d+)\s+(hour|day|week|minute|second)s?\s*",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"unparseable interval {text!r}")
+        n = int(m.group(1))
+        unit_ms = {
+            "second": 1000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+            "week": 7 * 86_400_000,
+        }[m.group(2).lower()]
+        return n * unit_ms
+
+    def vacuum(
+        self,
+        *,
+        retention_ms: int = 7 * 24 * 3600 * 1000,
+        force: bool = False,
+    ) -> list[str]:
+        """VACUUM: physically delete data files, DV sidecars, and CDC
+        files (``_change_data/``) that the CURRENT snapshot no longer
+        references and whose modification time is older than
+        ``retention_ms``. Returns the deleted relative paths. After a
+        vacuum, time travel and CDF reads over versions that referenced
+        the deleted files fail (exactly delta-spark's trade-off; the
+        default 7-day retention is its default too).
+
+        A ``retention_ms`` below the table's
+        ``delta.deletedFileRetentionDuration`` (default: the 7-day
+        built-in) is REFUSED unless ``force=True`` — delta-spark's
+        retentionDurationCheck: a too-short retention can delete files a
+        concurrent reader's in-flight snapshot still references."""
         from . import dv as _dv
 
         _meta, adds = self._snapshot_state(None)
+        configured = (_meta.get("configuration") or {}).get(
+            "delta.deletedFileRetentionDuration"
+        )
+        floor_ms = (
+            self._parse_interval_ms(configured)
+            if configured
+            else 7 * 24 * 3600 * 1000
+        )
+        if retention_ms < floor_ms and not force:
+            raise ValueError(
+                f"vacuum retention {retention_ms} ms is below the "
+                f"table's deletedFileRetentionDuration ({floor_ms} ms); "
+                "a concurrent reader's snapshot may still reference the "
+                "files. Pass force=True to override (delta-spark's "
+                "retentionDurationCheck.enabled=false)"
+            )
         referenced: set[str] = set()
         for a in adds:
             referenced.add(
@@ -3105,7 +3194,13 @@ class DeltaTable:
         cutoff = time.time() - retention_ms / 1000.0
         deleted: list[str] = []
         for root, dirs, files in os.walk(self.path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            # _change_data IS vacuumed (delta-spark does): expired CDC
+            # files are unreachable the same way expired data files are
+            dirs[:] = [
+                d
+                for d in dirs
+                if d == "_change_data" or not d.startswith(("_", "."))
+            ]
             for name in files:
                 if not (name.endswith(".parquet") or name.endswith(".bin")):
                     continue
@@ -3869,6 +3964,9 @@ class DeltaMergeBuilder:
         if base is None:
             raise ValueError(f"no delta table at {t.path}")
         meta, adds, protocol = t._snapshot_state_full(None)
+        if self._matched or self._by_source:
+            # an insert-only merge is a pure append and stays legal
+            t._refuse_if_append_only(meta, "MERGE with matched/by-source clauses")
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         gen = t._generation_exprs(meta)

@@ -83,7 +83,11 @@ class TestDeltaMaintenanceCli:
         assert t.read(spark).count() == 30 - 8  # ids 1,5,...29 -> 8 rows? g=id%4==1
         assert main(["delta", "--path", root, "compact", "--target-files", "1"], spark=spark) == 0
         assert main(["delta", "--path", root, "checkpoint"], spark=spark) == 0
-        assert main(["delta", "--path", root, "vacuum", "--retention-hours", "0"], spark=spark) == 0
+        assert main(
+            ["delta", "--path", root, "vacuum", "--retention-hours", "0",
+             "--force"],
+            spark=spark,
+        ) == 0
         out = capsys.readouterr().out
         assert "vacuumed" in out
         assert main(["delta", "--path", root, "history"], spark=spark) == 0

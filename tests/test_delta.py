@@ -1040,7 +1040,7 @@ class TestRestoreVacuumChanges:
         t.write(make_df(spark, 0, 3).coalesce(1), mode="overwrite")  # v2
         # retention window: nothing old enough yet
         assert t.vacuum() == []
-        deleted = t.vacuum(retention_ms=0)
+        deleted = t.vacuum(retention_ms=0, force=True)
         assert len(deleted) == 2  # the two overwritten v0/v1 files
         # current snapshot unaffected; time travel to v1 now fails on read
         assert t.read(spark).count() == 3
@@ -1053,7 +1053,7 @@ class TestRestoreVacuumChanges:
     def test_vacuum_keeps_active_dv_sidecars(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         t.delete(spark, "id < 5")
-        deleted = t.vacuum(retention_ms=0)
+        deleted = t.vacuum(retention_ms=0, force=True)
         assert deleted == []  # data files re-added with DVs; sidecar active
         assert t.read(spark).count() == 15
 
@@ -1768,7 +1768,7 @@ class TestShallowClone:
         clone = src.clone_to(str(tmp_path / "fork"))
         # compact materializes local files and drops the absolute refs
         clone.compact(spark)
-        deleted = clone.vacuum(retention_ms=0)
+        deleted = clone.vacuum(retention_ms=0, force=True)
         # vacuum removed nothing outside its root; source still reads
         assert all(not d.startswith("/") for d in deleted)
         assert src.read(spark).count() == 18
@@ -2739,3 +2739,113 @@ class TestReplaceWhere:
                 spark.createDataFrame([(1, "b")], "id long, grp string"),
                 "grp = 'b'",
             )
+
+
+class TestAppendOnly:
+    """delta.appendOnly=true (writer-v2 appendOnly feature): appends
+    and dataChange=false rearrangements stay legal; anything that
+    deletes or rewrites committed rows is refused."""
+
+    def _table(self, spark, tmp_path, at_creation=True):
+        import pyspark.sql.types as T
+
+        t = DeltaTable(str(tmp_path / "t"))
+        if at_creation:
+            t.create(
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("v", T.DoubleType()),
+                    ]
+                ),
+                configuration={"delta.appendOnly": "true"},
+            )
+        else:
+            t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+            t.set_table_properties({"delta.appendOnly": "true"})
+        t.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+        return t
+
+    def test_appends_and_rearrangements_allowed(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.write(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+        assert t.read(spark).count() == 2
+        # OPTIMIZE is dataChange=false: moves bytes, not rows
+        t.compact(spark)
+        assert t.read(spark).count() == 2
+        # insert-only merge is a pure append
+        (
+            t.merge_into(
+                spark.createDataFrame([(9, 9.0)], "id long, v double"),
+                "target.id = source.id",
+            )
+            .when_not_matched_insert()
+            .execute(spark)
+        )
+        assert t.read(spark).count() == 3
+
+    def test_row_mutations_refused(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        df = spark.createDataFrame([(5, 5.0)], "id long, v double")
+        with pytest.raises(ValueError, match="append-only"):
+            t.delete(spark, "id = 1")
+        with pytest.raises(ValueError, match="append-only"):
+            t.update(spark, "id = 1", {"v": "9.9"})
+        with pytest.raises(ValueError, match="append-only"):
+            t.write(df, mode="overwrite")
+        with pytest.raises(ValueError, match="append-only"):
+            t.replace_where(df, "id = 5")
+        with pytest.raises(ValueError, match="append-only"):
+            t.merge_into(df, "target.id = source.id").when_matched_update(
+            ).when_not_matched_insert().execute(spark)
+        v = t.latest_version()
+        with pytest.raises(ValueError, match="append-only"):
+            t.restore(v - 1)
+
+    def test_property_flipped_later_and_unset(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, at_creation=False)
+        with pytest.raises(ValueError, match="append-only"):
+            t.delete(spark, "id = 1")
+        # unsetting the property re-enables mutations
+        t.set_table_properties({"delta.appendOnly": None})
+        t.delete(spark, "id = 1")
+        assert t.read(spark).filter("id = 1").count() == 0
+
+
+class TestVacuumRetention:
+    """retentionDurationCheck + CDC-file cleanup: vacuum refuses a
+    retention below the table's deletedFileRetentionDuration unless
+    forced, and expired _change_data files ARE vacuumed."""
+
+    def test_short_retention_refused_unless_forced(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        t.write(make_df(spark, 0, 5).coalesce(1), mode="overwrite")
+        with pytest.raises(ValueError, match="deletedFileRetentionDuration"):
+            t.vacuum(retention_ms=0)
+        assert len(t.vacuum(retention_ms=0, force=True)) == 1
+
+    def test_table_property_lowers_the_floor(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        t.set_table_properties(
+            {"delta.deletedFileRetentionDuration": "interval 0 second"}
+        )
+        t.write(make_df(spark, 0, 5).coalesce(1), mode="overwrite")
+        # property floor is 0: no force needed
+        assert len(t.vacuum(retention_ms=0)) == 1
+        with pytest.raises(ValueError, match="unparseable"):
+            DeltaTable._parse_interval_ms("fortnight")
+
+    def test_cdc_files_vacuumed_when_expired(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(1))
+        t.enable_change_data_feed()
+        t.delete(spark, "id < 3")  # stages a CDC file under _change_data/
+        cdc_dir = str(tmp_path / "t" / "_change_data")
+        assert os.path.isdir(cdc_dir) and os.listdir(cdc_dir)
+        deleted = t.vacuum(retention_ms=0, force=True)
+        assert any(rel.startswith("_change_data") for rel in deleted)
+        assert not os.path.isdir(cdc_dir) or not os.listdir(cdc_dir)
+        # the current snapshot still reads fine
+        assert t.read(spark).count() == 7
