@@ -130,7 +130,7 @@ def test_no_broadcast_hint_on_unbounded_relation(spark):
 @pytest.mark.parametrize(
     "name",
     ["doc_near_dup_pairs", "emb_near_dup_pairs", "busy_window_events",
-     "asof_last_click_before_purchase"],
+     "asof_last_click_before_purchase", "emb_threshold_join_exact"],
 )
 def test_candidate_joins_never_nested_loop(spark, name):
     p = plan_of(spark, name)

@@ -92,3 +92,92 @@ class TestEmbNearDupDuplicateHeavy:
         pairs = {(int(a), int(b)) for a, b in zip(l["vec_a"], l["vec_b"])}
         assert {(100, 101), (100, 102), (101, 102), (200, 201)} <= pairs
         assert not any(a >= 300 for a, _ in pairs)  # zero-norm dups dropped
+
+
+class TestExactThresholdJoin:
+    """exact_threshold_join: the cluster bound must PRUNE on clustered
+    data and stay EXACT regardless."""
+
+    def _clustered(self, spark, n_per=12, dim=8):
+        # 4 tight clusters around near-orthogonal directions: members
+        # are the base direction with one coordinate jittered slightly
+        import pyspark.sql.functions as F
+
+        rows = []
+        bases = [
+            [1.0] + [0.0] * (dim - 1),
+            [0.0, 1.0] + [0.0] * (dim - 2),
+            [0.0, 0.0, 1.0] + [0.0] * (dim - 3),
+            [0.0, 0.0, 0.0, 1.0] + [0.0] * (dim - 4),
+        ]
+        # interleave ids so the deterministic init (smallest k vec_ids)
+        # lands one centroid in each cluster
+        for m in range(n_per):
+            for bi, b in enumerate(bases):
+                v = list(b)
+                v[dim - 1] = 0.01 * (m + 1)  # tiny within-cluster spread
+                rows.append((m * len(bases) + bi, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_prunes_and_stays_exact(self, spark):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.similarity import (
+            dot_long,
+            quantized_elements,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.similarity import (
+            exact_threshold_join,
+        )
+
+        emb = self._clustered(spark)
+        out, survived, total = exact_threshold_join(spark, emb, tau=0.95, k=4)
+        got = {(r.vec_a, r.vec_b) for r in out.collect()}
+        # cross-cluster cell pairs are provably below tau: pruned
+        assert survived < total, (survived, total)
+        assert survived <= 4 + 2  # ~diagonal only (radii are tiny)
+        # brute force the ground truth with the same quantized math
+        q = emb.select(
+            "vec_id", quantized_elements(F.col("embedding")).alias("qx")
+        ).withColumn("n2", dot_long(F.col("qx"), F.col("qx")))
+        a = q.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("qx").alias("xa"),
+            F.col("n2").alias("na"),
+        )
+        b = q.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("qx").alias("xb"),
+            F.col("n2").alias("nb"),
+        )
+        cosine = dot_long(F.col("xa"), F.col("xb")).cast("double") / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        )
+        want = {
+            (r.vec_a, r.vec_b)
+            for r in a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= 0.95)
+            .collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_zero_vectors_excluded(self, spark):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.similarity import (
+            exact_threshold_join,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [1.0, 0.0]),
+                (2, [0.0, 0.0]),  # zero norm: cosine undefined, dropped
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out, _s, _t = exact_threshold_join(spark, emb, tau=0.9, k=2)
+        assert {(r.vec_a, r.vec_b) for r in out.collect()} == {(0, 1)}
