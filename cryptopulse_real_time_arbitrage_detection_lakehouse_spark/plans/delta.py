@@ -1347,3 +1347,79 @@ def delta_replace_where_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(preserved).alias("untouched_files_preserved"),
         )
     )
+
+
+@register(
+    "delta_row_tracking_audit",
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT event_id, user_id,
+         CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS row_id,
+         1 AS born
+  FROM c
+  UNION ALL
+  SELECT event_id, user_id,
+         CAST((SELECT count(*) FROM c)
+              + row_number() OVER (ORDER BY event_id) - 1 AS BIGINT),
+         2 AS born
+  FROM p
+)
+SELECT event_id,
+       row_id,
+       CAST(CASE WHEN event_id % 7 = 0 THEN 3 ELSE born END AS BIGINT)
+         AS row_commit_version,
+       CAST(user_id + CASE WHEN event_id % 7 = 0 THEN 1000000 ELSE 0 END
+            AS BIGINT) AS user_id
+FROM ranked
+""",
+    doc="Row tracking end to end (spec: writer feature rowTracking + "
+    "domainMetadata): clicks land in one ordered file, "
+    "enable_row_tracking() BACKFILLS baseRowId ranges (a dataChange="
+    "false metadata re-add per file — no data rewrite even at 100 TB), "
+    "purchases append with fresh ranges above the high-water-mark "
+    "domain, an UPDATE rewrites its matched rows while PRESERVING their "
+    "ids (materialized carrier columns) and bumping their "
+    "_row_commit_version, and OPTIMIZE compaction rewrites every byte "
+    "without moving a single id. The oracle reconstructs each row's "
+    "expected stable id from its position at birth and its commit "
+    "version from whether the update touched it — a hash match proves "
+    "id stability across append+update+compact. Reads derive ids as "
+    "baseRowId + _metadata.row_index joined against an O(files) "
+    "broadcast, so id reconstruction never shuffles data.",
+    tags=("delta", "row-tracking", "update", "metadata"),
+)
+def delta_row_tracking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cols = ("event_id", "user_id")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cprowtrk_") + "/events_delta")
+    # v0: clicks, one file in event_id order -> row ids = rank at birth
+    table.write(
+        events.filter(F.col("event_type") == "click")
+        .select(*cols)
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+    table.enable_row_tracking()  # v1: backfill + hwm domain
+    # v2: purchases append above the high-water mark
+    table.write(
+        events.filter(F.col("event_type") == "purchase")
+        .select(*cols)
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+    # v3: UPDATE preserves ids, bumps versions on matched rows only
+    table.update(spark, "event_id % 7 = 0", {"user_id": "user_id + 1000000"})
+    # v4: OPTIMIZE must move bytes, never ids
+    table.compact(spark, target_files=2)
+    return table.read_with_row_ids(spark).select(
+        "event_id",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+        "user_id",
+    )

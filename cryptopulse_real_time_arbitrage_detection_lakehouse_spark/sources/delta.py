@@ -531,10 +531,15 @@ class DeltaTable:
         return meta, adds
 
     def _snapshot_state_full(
-        self, version: int | None
-    ) -> tuple[dict, list[dict], dict | None]:
+        self, version: int | None, *, with_domains: bool = False
+    ) -> tuple:
         """Replay the log to (metaData, active adds, protocol) at
-        ``version``. Pure Python + pyarrow — no JVM involved."""
+        ``version``. Pure Python + pyarrow — no JVM involved.
+        ``with_domains=True`` appends a fourth element: the live
+        ``domainMetadata`` state (domain -> action dict; latest commit
+        wins, ``removed`` tombstones drop the domain) — the spec's
+        per-table metadata domains (row tracking's high-water mark
+        lives in one)."""
         versions = self._commit_versions()
         if not versions:
             raise ValueError(f"not a Delta table (no commits): {self.path}")
@@ -547,6 +552,7 @@ class DeltaTable:
         adds: dict[str, dict] = {}
         meta: dict | None = None
         protocol: dict | None = None
+        domains: dict[str, dict] = {}
         start = 0
 
         cp = self._last_checkpoint()
@@ -593,6 +599,12 @@ class DeltaTable:
                         )
                 if d.get("protocol"):
                     protocol = d["protocol"]
+                if d.get("domainMetadata"):
+                    dm = d["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm
             start = cp["version"] + 1
 
         replay = [v for v in versions if start <= v <= target]
@@ -608,6 +620,12 @@ class DeltaTable:
                     meta = action["metaData"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm
 
         if meta is None:
             raise ValueError(f"no metaData action in log: {self.path}")
@@ -636,6 +654,8 @@ class DeltaTable:
                     f"reads protocol v1 tables, v2/v3 name- and id-mapped "
                     f"tables, and deletion vectors"
                 )
+        if with_domains:
+            return meta, list(adds.values()), protocol, domains
         return meta, list(adds.values()), protocol
 
     @staticmethod
@@ -880,12 +900,16 @@ class DeltaTable:
         version: int | None = None,
         keep_meta: bool = False,
         where: str | None = None,
+        extra_phys_cols: list[str] | None = None,
     ) -> DataFrame:
         """Build the snapshot DataFrame. ``keep_meta=True`` appends
         ``__file`` (data file name) and ``__rid`` (row index within the
         file) — the physical coordinates `delete()` needs. ``where``
         prunes provably-non-matching files via log stats (the caller
-        still applies the row filter)."""
+        still applies the row filter). ``extra_phys_cols`` additionally
+        reads the named physical LONG columns (null where a file lacks
+        them) — row tracking's materialized-id columns, which live
+        outside the logical schema."""
         meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns") or []
@@ -960,6 +984,15 @@ class DeltaTable:
                 for f in schema.fields
                 if f.name not in part_cols
             ]
+        extra_phys_cols = extra_phys_cols or []
+        if extra_phys_cols:
+            data_schema = T.StructType(
+                list(data_schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in extra_phys_cols]
+            )
+            logical = list(logical) + [
+                F.col(f"`{c}`") for c in extra_phys_cols
+            ]
         meta_cols = (
             [
                 F.col("_metadata.file_name").alias("__file"),
@@ -968,12 +1001,15 @@ class DeltaTable:
             if need_meta
             else []
         )
-        out_cols = [f.name for f in schema.fields] + (
-            ["__file", "__rid"] if need_meta else []
+        out_cols = (
+            [f.name for f in schema.fields]
+            + extra_phys_cols
+            + (["__file", "__rid"] if need_meta else [])
         )
         if not adds:
             empty = T.StructType(
                 list(schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in extra_phys_cols]
                 + (
                     [
                         T.StructField("__file", T.StringType()),
@@ -1498,16 +1534,22 @@ class DeltaTable:
 
         prior_meta: dict | None = None
         prior_adds: list[dict] = []
+        prior_domains: dict[str, dict] = {}
         new_schema_json: str | None = None
         new_configuration: dict | None = None
         mapping: dict[str, str] = {}
+        rt_cols: tuple[str, str] | None = None
         if last is not None:
             if generated_columns:
                 raise ValueError(
                     "generated_columns are declared at table creation; "
                     "this table already exists"
                 )
-            prior_meta, prior_adds = self._snapshot_state(None)
+            prior_meta, prior_adds, _proto, prior_domains = (
+                self._snapshot_state_full(None, with_domains=True)
+            )
+            if self._row_tracking_enabled(prior_meta):
+                rt_cols = self._rt_mat_cols(prior_meta)
             if mode == "overwrite" and _data_change:
                 # dataChange=False overwrites (OPTIMIZE/Z-ORDER compaction
                 # routed through here) rearrange bytes, not rows — legal
@@ -1529,7 +1571,14 @@ class DeltaTable:
                 json.loads(prior_meta["schemaString"])
             )
             prior_types = {f.name: f.dataType for f in prior_schema.fields}
-            extra = [f for f in df.schema.fields if f.name not in prior_types]
+            extra = [
+                f
+                for f in df.schema.fields
+                if f.name not in prior_types
+                # materialized row-id columns ride OUTSIDE the logical
+                # schema (rewrites stage them; they are not evolution)
+                and f.name not in (rt_cols or ())
+            ]
             for f in df.schema.fields:
                 # compare nested-metadata-stripped, nullability-relaxed
                 # types: a mapped table's schemaString carries columnMapping
@@ -1607,6 +1656,12 @@ class DeltaTable:
             ),
         )
         now_ms = int(time.time() * 1000)
+        rt_domain_action: dict | None = None
+        if rt_cols is not None:
+            hwm = self._stamp_fresh_row_ids(
+                adds, self._rt_hwm(prior_domains), version
+            )
+            rt_domain_action = self._rt_domain_action(hwm)
 
         actions: list[dict] = []
         if txn is not None:
@@ -1684,6 +1739,8 @@ class DeltaTable:
                     }
                 )
         actions.extend({"add": a} for a in adds)
+        if rt_domain_action is not None:
+            actions.append(rt_domain_action)
 
         # optimistic concurrency: a blind APPEND whose commit slot was
         # taken retries against the new tail if the interleaved commits
@@ -1707,6 +1764,7 @@ class DeltaTable:
                         "retried; rerun from a fresh snapshot"
                     )
                 latest = self.latest_version()
+                interleaved_hwm = -1
                 for v2 in range(version, latest + 1):
                     for action in self._read_commit(v2):
                         if (
@@ -1719,6 +1777,15 @@ class DeltaTable:
                                 f"concurrent non-append commit at version "
                                 f"{v2}; rerun from a fresh snapshot"
                             )
+                        dm = action.get("domainMetadata")
+                        if dm and dm.get("domain") == self.RT_DOMAIN:
+                            interleaved_hwm = max(
+                                interleaved_hwm,
+                                int(
+                                    json.loads(dm.get("configuration") or "{}")
+                                    .get("rowIdHighWaterMark", -1)
+                                ),
+                            )
                         t = action.get("txn")
                         if (
                             txn is not None
@@ -1730,6 +1797,21 @@ class DeltaTable:
                             # this very batch: idempotent no-op
                             return latest
                 version = latest + 1
+                if rt_domain_action is not None and interleaved_hwm >= 0:
+                    # the interleaved appends allocated row ids past our
+                    # snapshot's high-water mark: re-stamp OUR files above
+                    # theirs (mutating the dicts already inside `actions`)
+                    hwm = self._stamp_fresh_row_ids(
+                        adds, interleaved_hwm, version
+                    )
+                    rt_domain_action["domainMetadata"]["configuration"] = (
+                        json.dumps({"rowIdHighWaterMark": hwm})
+                    )
+                elif rt_domain_action is not None:
+                    # no interleaved allocation; ranges hold, but the
+                    # files now land at the new commit version
+                    for a in adds:
+                        a["defaultRowCommitVersion"] = version
         raise ConcurrentWriteError(
             f"append on {self.path} kept losing the commit race (20 attempts)"
         )
@@ -2087,6 +2169,26 @@ class DeltaTable:
                 "minWriterVersion": 7,
                 "writerFeatures": sorted(feats),
             }
+        rt_domain: dict | None = None
+        if conf.get("delta.enableRowTracking") == "true":
+            # row tracking from birth: materialized-column properties,
+            # feature fence, and the hwm domain seeded empty
+            conf.setdefault(
+                "delta.rowTracking.materializedRowIdColumnName",
+                f"_row-id-col-{uuid.uuid4().hex}",
+            )
+            conf.setdefault(
+                "delta.rowTracking.materializedRowCommitVersionColumnName",
+                f"_row-commit-version-col-{uuid.uuid4().hex}",
+            )
+            feats = self._implied_writer_features(protocol)
+            feats |= {"rowTracking", "domainMetadata"}
+            protocol = {
+                "minReaderVersion": protocol["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(feats),
+            }
+            rt_domain = self._rt_domain_action(-1)
         now_ms = int(time.time() * 1000)
         actions = [
             {
@@ -2109,6 +2211,7 @@ class DeltaTable:
                     "createdTime": now_ms,
                 }
             },
+            *([rt_domain] if rt_domain is not None else []),
         ]
         os.makedirs(self._log_dir, exist_ok=True)
         return self._publish_or_conflict(0, actions, "CREATE TABLE")
@@ -2194,6 +2297,13 @@ class DeltaTable:
         ``props`` into the table configuration (a None value unsets).
         The way delta.appendOnly and retention/tuning properties are
         flipped on an existing table."""
+        if props.get("delta.enableRowTracking") == "true":
+            raise ValueError(
+                "use enable_row_tracking(): enabling row tracking needs "
+                "the protocol feature fence, the per-file baseRowId "
+                "backfill, and the high-water-mark domain — a bare "
+                "property flip would leave files without id ranges"
+            )
         meta, _ = self._snapshot_state(None)
         conf = dict(meta.get("configuration") or {})
         for k, v in props.items():
@@ -2204,6 +2314,295 @@ class DeltaTable:
         new_meta = dict(meta)
         new_meta["configuration"] = conf
         return self._metadata_commit("SET TBLPROPERTIES", new_meta)
+
+    # ------------------------------------------------- domain metadata
+
+    def _upgraded_protocol(
+        self, protocol: dict | None, new_feats: set[str]
+    ) -> dict | None:
+        """v7 feature-list protocol carrying ``new_feats`` on top of the
+        current protocol's implied features — or None when every feature
+        is already present (no protocol action needed)."""
+        proto = dict(protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+        feats = self._implied_writer_features(proto)
+        if new_feats <= feats and proto.get("minWriterVersion") == 7:
+            return None
+        return {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            **(
+                {"readerFeatures": proto["readerFeatures"]}
+                if proto.get("readerFeatures") is not None
+                else {}
+            ),
+            "writerFeatures": sorted(feats | new_feats),
+        }
+
+    def domain_metadata(self, version: int | None = None) -> dict[str, str]:
+        """The table's live metadata domains at ``version``:
+        domain -> configuration string (spec: an arbitrary string,
+        conventionally JSON). Removed domains are absent."""
+        _m, _a, _p, domains = self._snapshot_state_full(
+            version, with_domains=True
+        )
+        return {d: dm.get("configuration") for d, dm in domains.items()}
+
+    def set_domain_metadata(self, domain: str, configuration: str) -> int:
+        """Commit a ``domainMetadata`` action (spec: Domain Metadata) —
+        a named, table-level metadata slot owned by one writer concern;
+        the latest commit per domain wins. ``delta.``-prefixed domains
+        are SYSTEM domains (row tracking's high-water mark, clustering
+        state): each is controlled by its own table feature, so writing
+        one through the generic API is refused — exactly delta-spark's
+        gate. Upgrades the writer protocol to carry the
+        ``domainMetadata`` feature when absent (same commit)."""
+        if domain.startswith("delta."):
+            raise ValueError(
+                f"domain {domain!r} is system-controlled (delta.* domains "
+                "belong to their table features); user domains must not "
+                "use the delta. prefix"
+            )
+        return self._commit_domain(domain, configuration, removed=False)
+
+    def remove_domain_metadata(self, domain: str) -> int:
+        """Tombstone a user domain (``removed=true``): later snapshots no
+        longer surface it."""
+        if domain.startswith("delta."):
+            raise ValueError(f"domain {domain!r} is system-controlled")
+        return self._commit_domain(domain, "", removed=True)
+
+    def _commit_domain(
+        self, domain: str, configuration: str, *, removed: bool
+    ) -> int:
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a Delta table: {self.path}")
+        _meta, _adds, protocol = self._snapshot_state_full(None)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                }
+            }
+        ]
+        new_proto = self._upgraded_protocol(protocol, {"domainMetadata"})
+        if new_proto is not None:
+            actions.append({"protocol": new_proto})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": removed,
+                }
+            }
+        )
+        return self._publish_or_conflict(
+            base + 1, actions, "SET DOMAIN METADATA"
+        )
+
+    # ---------------------------------------------------- row tracking
+
+    #: system domain holding the row-id high-water mark (spec: Row Tracking)
+    RT_DOMAIN = "delta.rowTracking"
+
+    @staticmethod
+    def _row_tracking_enabled(meta: dict | None) -> bool:
+        return bool(meta) and (meta.get("configuration") or {}).get(
+            "delta.enableRowTracking"
+        ) == "true"
+
+    @staticmethod
+    def _rt_mat_cols(meta: dict) -> tuple[str, str]:
+        """The PHYSICAL column names row ids / row commit versions
+        materialize under when a rewrite must preserve them (spec:
+        delta.rowTracking.materialized*ColumnName, stamped at
+        enablement)."""
+        conf = meta.get("configuration") or {}
+        rid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        ver = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        if not rid or not ver:
+            raise ValueError(
+                "row-tracking table is missing its materialized column "
+                "name properties (enablement stamps both)"
+            )
+        return rid, ver
+
+    def _num_records(self, add: dict) -> int:
+        stats = add.get("stats")
+        if stats:
+            n = json.loads(stats).get("numRecords")
+            if n is not None:
+                return int(n)
+        import pyarrow.parquet as pq
+
+        fp = os.path.join(self.path, urllib.parse.unquote(add["path"]))
+        return pq.ParquetFile(fp).metadata.num_rows
+
+    @classmethod
+    def _rt_hwm(cls, domains: dict[str, dict]) -> int:
+        dm = domains.get(cls.RT_DOMAIN)
+        if not dm:
+            return -1
+        return int(
+            json.loads(dm.get("configuration") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+        )
+
+    def _stamp_fresh_row_ids(
+        self, adds: list[dict], hwm: int, commit_version: int
+    ) -> int:
+        """Assign fresh baseRowId ranges (spec: every add on a
+        row-tracking table carries one) and the commit version; returns
+        the new high-water mark. Pure metadata — O(files) driver work,
+        row counts come from the already-computed footer stats."""
+        for a in sorted(adds, key=lambda a: a["path"]):
+            n = self._num_records(a)
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = commit_version
+            hwm += n
+        return hwm
+
+    @classmethod
+    def _rt_domain_action(cls, hwm: int) -> dict:
+        return {
+            "domainMetadata": {
+                "domain": cls.RT_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+
+    def enable_row_tracking(self) -> int:
+        """Writer feature ``rowTracking`` (spec: Row Tracking): every row
+        gets a STABLE id — fresh rows derive theirs as
+        ``baseRowId + position``; rewrites (UPDATE / OPTIMIZE / REORG)
+        preserve ids by materializing them into hidden physical columns.
+        Enablement upgrades the protocol (rowTracking + domainMetadata),
+        stamps the table properties, BACKFILLS every active file with a
+        baseRowId range (one dataChange=false re-add per file — O(files)
+        metadata, no data rewrite even at 100 TB), and seeds the
+        high-water-mark domain. Returns the committed version."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a Delta table: {self.path}")
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            None, with_domains=True
+        )
+        if self._row_tracking_enabled(meta):
+            raise ValueError(f"row tracking already enabled: {self.path}")
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.enableRowTracking"] = "true"
+        conf["delta.rowTracking.materializedRowIdColumnName"] = (
+            f"_row-id-col-{uuid.uuid4().hex}"
+        )
+        conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+            f"_row-commit-version-col-{uuid.uuid4().hex}"
+        )
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        version = base + 1
+        hwm = self._rt_hwm(domains)
+        backfill = []
+        for a in adds:
+            if a.get("baseRowId") is not None:
+                continue  # already carries a range (idempotent backfill)
+            b = dict(a)
+            b["dataChange"] = False
+            backfill.append(b)
+        hwm = self._stamp_fresh_row_ids(backfill, hwm, version)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": '{"delta.enableRowTracking":"true"}'
+                    },
+                }
+            }
+        ]
+        new_proto = self._upgraded_protocol(
+            protocol, {"rowTracking", "domainMetadata"}
+        )
+        if new_proto is not None:
+            actions.append({"protocol": new_proto})
+        actions.append({"metaData": new_meta})
+        actions.append(self._rt_domain_action(hwm))
+        actions.extend({"add": b} for b in backfill)
+        return self._publish_or_conflict(version, actions, "ENABLE ROW TRACKING")
+
+    def _attach_row_ids(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        meta: dict,
+        adds: list[dict],
+    ) -> DataFrame:
+        """Given a scan carrying ``__file``/``__rid`` (and the
+        materialized physical columns), append ``_row_id`` /
+        ``_row_commit_version``: the materialized value when the file
+        has one, else ``baseRowId + row position``. The per-file base
+        table is O(files) and broadcast — row ids never shuffle."""
+        rid_col, ver_col = self._rt_mat_cols(meta)
+        rows = [
+            (
+                os.path.basename(urllib.parse.unquote(a["path"])),
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
+            )
+            for a in adds
+        ]
+        base_df = spark.createDataFrame(
+            rows or [("", None, None)], "__file string, __base long, __dcv long"
+        )
+        return (
+            df.join(F.broadcast(base_df), "__file", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col(f"`{rid_col}`"), F.col("__base") + F.col("__rid")
+                ),
+            )
+            .withColumn(
+                "_row_commit_version",
+                F.coalesce(F.col(f"`{ver_col}`"), F.col("__dcv")),
+            )
+            .drop("__base", "__dcv", rid_col, ver_col)
+        )
+
+    def read_with_row_ids(
+        self, spark: SparkSession, *, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read plus the row-tracking metadata columns
+        ``_row_id`` / ``_row_commit_version`` (delta-spark's
+        ``_metadata.row_id`` / ``row_commit_version``). Ids are stable
+        across UPDATE / OPTIMIZE / REORG and DV deletes; versions move
+        to the updating commit."""
+        meta, adds, _protocol = self._snapshot_state_full(version)
+        if not self._row_tracking_enabled(meta):
+            raise ValueError(
+                f"row tracking is not enabled on {self.path}; call "
+                "enable_row_tracking() first"
+            )
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        df = self._scan(
+            spark,
+            version=version,
+            keep_meta=True,
+            extra_phys_cols=list(self._rt_mat_cols(meta)),
+        )
+        df = self._attach_row_ids(spark, df, meta, adds)
+        return df.select(
+            *[F.col(f"`{f.name}`") for f in schema.fields],
+            "_row_id",
+            "_row_commit_version",
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column without touching any data file — the logical
@@ -2647,17 +3046,34 @@ class DeltaTable:
             if applied is not None and applied >= txn[1]:
                 return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
-        meta, adds, protocol = self._snapshot_state_full(None)
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            None, with_domains=True
+        )
         self._refuse_if_append_only(meta, "UPDATE")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
+        rt = self._row_tracking_enabled(meta)
 
         # the updated images, computed from the SAME snapshot the DVs
-        # derive from (staging executes before the commit publishes)
-        matched = self._scan(spark, keep_meta=True).filter(cond).drop(
-            "__file", "__rid"
-        )
+        # derive from (staging executes before the commit publishes).
+        # Row tracking: carry each matched row's stable id through the
+        # rewrite so the new image PRESERVES it (materialized below)
+        if rt:
+            matched = self._attach_row_ids(
+                spark,
+                self._scan(
+                    spark,
+                    keep_meta=True,
+                    extra_phys_cols=list(self._rt_mat_cols(meta)),
+                ).filter(cond),
+                meta,
+                adds,
+            ).drop("__file", "__rid", "_row_commit_version")
+        else:
+            matched = self._scan(spark, keep_meta=True).filter(cond).drop(
+                "__file", "__rid"
+            )
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         set_cols: dict = {}
@@ -2681,7 +3097,8 @@ class DeltaTable:
                 if f.name in set_cols
                 else F.col(f"`{f.name}`")
                 for f in schema.fields
-            ]
+            ],
+            *([F.col("_row_id")] if rt else []),
         )
         # generated columns: recompute any not explicitly SET (their
         # sources may have changed); validate any that were SET directly
@@ -2706,20 +3123,36 @@ class DeltaTable:
         file_dvs = self._build_file_dvs(spark, cond, adds)
         n_updated = sum(r["n_new"] for r in file_dvs)
         cdc_actions: list[dict] = []
+        schema_cols = [F.col(f"`{f.name}`") for f in schema.fields]
         if n_updated and self._cdf_enabled(meta):
             # TRUE pre/post images — the thing log synthesis cannot give
-            # (spec change types update_preimage / update_postimage)
-            images = matched.withColumn(
+            # (spec change types update_preimage / update_postimage).
+            # Projected to the LOGICAL schema: row-id carrier columns
+            # must not leak into the change feed
+            images = matched.select(*schema_cols).withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
-                updated.withColumn("_change_type", F.lit("update_postimage"))
+                updated.select(*schema_cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
             )
             cdc_actions = self._stage_cdc_files(
                 images, version=base + 1, meta=meta
             )
+        stage_df = updated
+        if rt:
+            # materialize the preserved id and the updating commit's
+            # version into the hidden physical columns (spec: rewrites
+            # keep row ids stable, row commit versions move)
+            rid_col, ver_col = self._rt_mat_cols(meta)
+            stage_df = (
+                updated.withColumn(rid_col, F.col("_row_id"))
+                .withColumn(ver_col, F.lit(base + 1).cast("long"))
+                .drop("_row_id")
+            )
         new_adds = (
             self._stage_files(
-                updated,
+                stage_df,
                 version=base + 1,
                 partition_by=part_cols,
                 mapping=mapping,
@@ -2754,6 +3187,14 @@ class DeltaTable:
         )
         actions.extend(self._dv_upgrade_actions(meta, protocol))
         actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
+        if rt and new_adds:
+            # the rewritten files still need FRESH baseRowId ranges (spec:
+            # every add carries one); the materialized column overrides
+            # them on read, preserving the original ids
+            hwm = self._stamp_fresh_row_ids(
+                new_adds, self._rt_hwm(domains), base + 1
+            )
+            actions.append(self._rt_domain_action(hwm))
         actions.extend({"add": a} for a in new_adds)
         actions.extend(cdc_actions)
         return self._publish_or_conflict(base + 1, actions, "UPDATE")
@@ -2779,7 +3220,9 @@ class DeltaTable:
         """
         from . import dv as _dv
 
-        meta, adds, protocol = self._snapshot_state_full(version)
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            version, with_domains=True
+        )
         target = DeltaTable(target_path)
         if target.latest_version() is not None:
             raise ValueError(f"clone target already exists: {target_path}")
@@ -2837,6 +3280,19 @@ class DeltaTable:
                 else [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}]
             ),
             {"metaData": new_meta},
+            # live metadata domains carry over (spec: CLONE copies domain
+            # metadata) — without this, a row-tracked clone would lose its
+            # high-water mark and re-allocate overlapping row ids
+            *(
+                {
+                    "domainMetadata": {
+                        "domain": dm["domain"],
+                        "configuration": dm.get("configuration"),
+                        "removed": False,
+                    }
+                }
+                for dm in domains.values()
+            ),
             *({"add": a} for a in new_adds),
         ]
         target._publish_or_conflict(0, actions, "CLONE")
@@ -2910,7 +3366,9 @@ class DeltaTable:
                 f"replace_where needs an existing table at {self.path}; "
                 "use write() to create one"
             )
-        meta, adds, protocol = self._snapshot_state_full(None)
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            None, with_domains=True
+        )
         self._refuse_if_append_only(meta, "REPLACE WHERE")
         gen = self._generation_exprs(meta)
         if gen:
@@ -3006,6 +3464,14 @@ class DeltaTable:
         )
         actions.extend(self._dv_upgrade_actions(meta, protocol))
         actions.extend(self._dv_file_actions(file_dvs, by_name, now_ms))
+        if self._row_tracking_enabled(meta) and new_adds:
+            # replaced rows retire their ids with the DV; replacement
+            # rows are NEW rows and get fresh ranges (delta-spark's
+            # replaceWhere semantics — nothing is preserved across it)
+            hwm = self._stamp_fresh_row_ids(
+                new_adds, self._rt_hwm(domains), base + 1
+            )
+            actions.append(self._rt_domain_action(hwm))
         actions.extend({"add": a} for a in new_adds)
         actions.extend(cdc_actions)
         return self._publish_or_conflict(base + 1, actions, "REPLACE WHERE")
@@ -3446,7 +3912,18 @@ class DeltaTable:
         """
         meta, _ = self._snapshot_state(None)
         part_cols = meta.get("partitionColumns") or []
-        df = self.read(spark)
+        if self._row_tracking_enabled(meta):
+            # a layout rewrite preserves BOTH row ids and row commit
+            # versions (the rows don't change): materialize them into
+            # the hidden physical columns of the rewritten files
+            rid_col, ver_col = self._rt_mat_cols(meta)
+            df = (
+                self.read_with_row_ids(spark)
+                .withColumnRenamed("_row_id", rid_col)
+                .withColumnRenamed("_row_commit_version", ver_col)
+            )
+        else:
+            df = self.read(spark)
         if zorder_by is not None:
             from ..operators.zorder import with_zvalue
 
@@ -3487,17 +3964,39 @@ class DeltaTable:
         if not victims:
             return None
         base = self.latest_version() or 0
-        meta, _adds, _protocol = self._snapshot_state_full(None)
+        meta, adds, _protocol, domains = self._snapshot_state_full(
+            None, with_domains=True
+        )
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
+        rt = self._row_tracking_enabled(meta)
         names = [
             os.path.basename(urllib.parse.unquote(a["path"])) for a in victims
         ]
-        df = (
-            self._scan(spark, keep_meta=True)
-            .filter(F.col("__file").isin(names))
-            .drop("__file", "__rid")
-        )
+        if rt:
+            # preserve ids AND commit versions through the rewrite
+            rid_col, ver_col = self._rt_mat_cols(meta)
+            df = (
+                self._attach_row_ids(
+                    spark,
+                    self._scan(
+                        spark,
+                        keep_meta=True,
+                        extra_phys_cols=[rid_col, ver_col],
+                    ).filter(F.col("__file").isin(names)),
+                    meta,
+                    adds,
+                )
+                .drop("__file", "__rid")
+                .withColumnRenamed("_row_id", rid_col)
+                .withColumnRenamed("_row_commit_version", ver_col)
+            )
+        else:
+            df = (
+                self._scan(spark, keep_meta=True)
+                .filter(F.col("__file").isin(names))
+                .drop("__file", "__rid")
+            )
         if target_files is not None:
             df = (
                 df.repartition(target_files, *[F.col(c) for c in part_cols])
@@ -3537,6 +4036,11 @@ class DeltaTable:
                     }
                 }
             )
+        if rt and new_adds:
+            hwm = self._stamp_fresh_row_ids(
+                new_adds, self._rt_hwm(domains), base + 1
+            )
+            actions.append(self._rt_domain_action(hwm))
         actions.extend({"add": a} for a in new_adds)
         return self._publish_or_conflict(base + 1, actions, operation)
 
@@ -3587,7 +4091,9 @@ class DeltaTable:
         version = self.latest_version()
         if version is None:
             raise ValueError(f"empty table: {self.path}")
-        meta, adds, protocol = self._snapshot_state_full(version)
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            version, with_domains=True
+        )
         cp_file = os.path.join(self._log_dir, f"{version:020d}.checkpoint.parquet")
         stage = os.path.join(self._log_dir, f".cp-stage-{uuid.uuid4().hex}")
         # single-file checkpoint written with pyarrow (the state is small
@@ -3640,6 +4146,10 @@ class DeltaTable:
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
                             ("stats", pa.string()),
+                            # row tracking: dropping these would RENUMBER
+                            # every row id after a checkpoint
+                            ("baseRowId", pa.int64()),
+                            ("defaultRowCommitVersion", pa.int64()),
                             # omitting this would silently RESURRECT
                             # deleted rows for checkpoint-based readers
                             (
@@ -3679,6 +4189,18 @@ class DeltaTable:
                             ("appId", pa.string()),
                             ("version", pa.int64()),
                             ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                ),
+                # live metadata domains (row tracking's high-water mark
+                # rides here); removed domains are already replayed out
+                pa.field(
+                    "domainMetadata",
+                    pa.struct(
+                        [
+                            ("domain", pa.string()),
+                            ("configuration", pa.string()),
+                            ("removed", pa.bool_()),
                         ]
                     ),
                 ),
@@ -3734,9 +4256,18 @@ class DeltaTable:
         add_rows = [
             {k: a.get(k) for k in (
                 "path", "partitionValues", "size", "modificationTime",
-                "dataChange", "stats", "deletionVector",
+                "dataChange", "stats", "baseRowId",
+                "defaultRowCommitVersion", "deletionVector",
             )}
             for a in adds
+        ]
+        domain_rows = [
+            {
+                "domain": dm["domain"],
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
+            for dm in domains.values()
         ]
         table = pa.Table.from_pylist(
             [
@@ -3745,6 +4276,7 @@ class DeltaTable:
                 *({"add": a} for a in add_rows),
                 *({"remove": r} for r in tombstones.values()),
                 *({"txn": t} for t in txns.values()),
+                *({"domainMetadata": d} for d in domain_rows),
             ],
             schema=cp_schema,
         )
@@ -3915,13 +4447,19 @@ class DeltaMergeBuilder:
                     )
 
     def _image_projection(
-        self, frame: DataFrame, branches, schema: T.StructType, qualify: bool
+        self,
+        frame: DataFrame,
+        branches,
+        schema: T.StructType,
+        qualify: bool,
+        extra_cols: tuple = (),
     ) -> DataFrame:
         """ONE simultaneous projection: per output column, a when-chain
         over the row's ``__action`` picks that clause's assignment
         (star = the source column; unassigned on update = the target
         value, on insert = NULL), otherwise the copied target value.
-        ``qualify=False`` is the insert leg (source columns only)."""
+        ``qualify=False`` is the insert leg (source columns only).
+        ``extra_cols`` append as-is (row tracking's carrier columns)."""
         strip = self._t._strip_meta
         cols = []
         for f in schema.fields:
@@ -3952,7 +4490,7 @@ class DeltaMergeBuilder:
                     f.name
                 )
             )
-        return frame.select(*cols)
+        return frame.select(*cols, *extra_cols)
 
     def execute(self, spark: SparkSession) -> int:
         """Run the merge; returns the committed version. A merge where
@@ -3963,7 +4501,9 @@ class DeltaMergeBuilder:
         base = t.latest_version()
         if base is None:
             raise ValueError(f"no delta table at {t.path}")
-        meta, adds, protocol = t._snapshot_state_full(None)
+        meta, adds, protocol, domains = t._snapshot_state_full(
+            None, with_domains=True
+        )
         if self._matched or self._by_source:
             # an insert-only merge is a pure append and stays legal
             t._refuse_if_append_only(meta, "MERGE with matched/by-source clauses")
@@ -3973,8 +4513,25 @@ class DeltaMergeBuilder:
         self._validate(col_types, gen, self._source.columns)
         part_cols = meta.get("partitionColumns") or []
         mapping = t._column_mapping(meta) or {}
+        rt = t._row_tracking_enabled(meta)
 
-        tgt = t._scan(spark, keep_meta=True)
+        if rt:
+            # carry each target row's stable id through the rewrite:
+            # copies/updates preserve it (materialized below); inserts
+            # get NULL and derive fresh ids from the new file's
+            # baseRowId — the spec's fallback does the allocation
+            tgt = t._attach_row_ids(
+                spark,
+                t._scan(
+                    spark,
+                    keep_meta=True,
+                    extra_phys_cols=list(t._rt_mat_cols(meta)),
+                ),
+                meta,
+                adds,
+            )
+        else:
+            tgt = t._scan(spark, keep_meta=True)
         src = self._source.withColumn("__src_match", F.lit(True))
         j_cond = F.expr(self._cond)
         matches = (
@@ -4098,8 +4655,28 @@ class DeltaMergeBuilder:
                     if delete_ids
                     else F.lit(True)
                 )
+                rt_extra: tuple = ()
+                if rt:
+                    rid_col, ver_col = t._rt_mat_cols(meta)
+                    upd_acts = sorted(
+                        a for a, k, _ in branches if k == "update"
+                    )
+                    old_ver = F.col("target.`_row_commit_version`")
+                    ver = (
+                        F.when(
+                            F.col("__action").isin(upd_acts),
+                            F.lit(base + 1).cast("long"),
+                        ).otherwise(old_ver)
+                        if upd_acts
+                        else old_ver
+                    )
+                    rt_extra = (
+                        F.col("target.`_row_id`").alias(rid_col),
+                        ver.alias(ver_col),
+                    )
                 rewritten = self._image_projection(
-                    survivors, branches, schema, qualify=True
+                    survivors, branches, schema, qualify=True,
+                    extra_cols=rt_extra,
                 )
 
             ins_branches: list[tuple[int, str, dict | None]] = []
@@ -4118,8 +4695,16 @@ class DeltaMergeBuilder:
                 ins = anti.withColumn(
                     "__action", chain.otherwise(F.lit(-1))
                 ).filter(F.col("__action") >= 0)
+                ins_extra: tuple = ()
+                if rt:
+                    rid_col, ver_col = t._rt_mat_cols(meta)
+                    ins_extra = (
+                        F.lit(None).cast("long").alias(rid_col),
+                        F.lit(None).cast("long").alias(ver_col),
+                    )
                 inserts = self._image_projection(
-                    ins, ins_branches, schema, qualify=False
+                    ins, ins_branches, schema, qualify=False,
+                    extra_cols=ins_extra,
                 ).persist()
                 n_inserted = inserts.count()
 
@@ -4258,6 +4843,14 @@ class DeltaMergeBuilder:
                     }
                 }
             )
+        if rt and new_adds:
+            # fresh ranges for the staged files; the materialized column
+            # overrides them for preserved rows, NULLs (inserted rows)
+            # fall back to baseRowId + position — the spec's allocation
+            hwm = t._stamp_fresh_row_ids(
+                new_adds, t._rt_hwm(domains), base + 1
+            )
+            actions.append(t._rt_domain_action(hwm))
         actions.extend({"add": a} for a in new_adds)
         actions.extend(cdc_actions)
         return t._publish_or_conflict(base + 1, actions, "MERGE")

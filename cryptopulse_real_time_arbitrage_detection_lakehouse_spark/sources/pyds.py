@@ -978,6 +978,13 @@ def _validate_write_target(
             "supported (this writer neither computes nor validates "
             "generation expressions); use DeltaTable.write"
         )
+    if DeltaTable._row_tracking_enabled(meta):
+        raise NotImplementedError(
+            "pydelta writes to row-tracked tables are not supported "
+            "(this writer does not allocate baseRowId ranges or bump "
+            "the high-water-mark domain; an unstamped append would "
+            "break row-id uniqueness); use DeltaTable.write"
+        )
     prior = T.StructType.fromJson(json.loads(meta["schemaString"]))
     strip = DeltaTable._strip_meta
     if [

@@ -1311,8 +1311,8 @@ class TestOptimisticConcurrency:
         orig = t._snapshot_state_full
         fired = {"done": False}
 
-        def hooked(version=None):
-            out = orig(version)
+        def hooked(version=None, **kw):
+            out = orig(version, **kw)
             if not fired["done"]:
                 fired["done"] = True
                 # concurrent OVERWRITE removes a file in the race window
@@ -1344,8 +1344,8 @@ class TestOptimisticConcurrency:
         orig = t._snapshot_state_full
         fired = {"done": False}
 
-        def hooked(version=None):
-            out = orig(version)
+        def hooked(version=None, **kw):
+            out = orig(version, **kw)
             if not fired["done"]:
                 fired["done"] = True
                 self._steal_next_version(t)
@@ -1425,8 +1425,8 @@ class TestTxnRetryBranch:
         orig = t._snapshot_state_full
         fired = {"done": False}
 
-        def hooked(version=None):
-            out = orig(version)
+        def hooked(version=None, **kw):
+            out = orig(version, **kw)
             if not fired["done"]:
                 fired["done"] = True
                 v = t.latest_version() + 1
@@ -2849,3 +2849,273 @@ class TestVacuumRetention:
         assert not os.path.isdir(cdc_dir) or not os.listdir(cdc_dir)
         # the current snapshot still reads fine
         assert t.read(spark).count() == 7
+
+
+class TestDomainMetadata:
+    """domainMetadata actions: latest-wins replay, removal tombstones,
+    system-domain gate, protocol fence, checkpoint round-trip."""
+
+    def test_set_get_remove_roundtrip(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        t.set_domain_metadata("myapp.retention", '{"days": 30}')
+        t.set_domain_metadata("myapp.owner", "team-data")
+        assert t.domain_metadata() == {
+            "myapp.retention": '{"days": 30}',
+            "myapp.owner": "team-data",
+        }
+        # latest commit per domain wins
+        t.set_domain_metadata("myapp.retention", '{"days": 7}')
+        assert t.domain_metadata()["myapp.retention"] == '{"days": 7}'
+        t.remove_domain_metadata("myapp.owner")
+        assert "myapp.owner" not in t.domain_metadata()
+        # time travel sees the old state
+        assert t.domain_metadata(version=2)["myapp.owner"] == "team-data"
+
+    def test_system_domains_refused(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 3))
+        with pytest.raises(ValueError, match="system-controlled"):
+            t.set_domain_metadata("delta.rowTracking", "{}")
+        with pytest.raises(ValueError, match="system-controlled"):
+            t.remove_domain_metadata("delta.rowTracking")
+
+    def test_protocol_fence_added_once(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 3))
+        t.set_domain_metadata("app.a", "1")
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minWriterVersion"] == 7
+        assert "domainMetadata" in proto["writerFeatures"]
+        # second write emits no second protocol action
+        v = t.set_domain_metadata("app.b", "2")
+        acts = t._read_commit(v)
+        assert not any("protocol" in a for a in acts)
+
+    def test_checkpoint_roundtrip(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5))
+        t.set_domain_metadata("app.keep", "yes")
+        t.set_domain_metadata("app.drop", "no")
+        t.remove_domain_metadata("app.drop")
+        t.checkpoint(spark)
+        t.write(make_df(spark, 5, 5))  # replay starts after checkpoint
+        assert t.domain_metadata() == {"app.keep": "yes"}
+
+
+class TestRowTracking:
+    """Row tracking (spec: writer feature rowTracking): stable row ids
+    via baseRowId + position, preserved across DELETE / UPDATE /
+    OPTIMIZE / REORG / MERGE by materialized carrier columns."""
+
+    def _ids(self, t, spark):
+        return {
+            r.id: (r._row_id, r._row_commit_version)
+            for r in t.read_with_row_ids(spark).collect()
+        }
+
+    def test_enable_backfills_existing_files(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(2))
+        t.write(make_df(spark, 10, 6).coalesce(1))
+        t.enable_row_tracking()
+        got = self._ids(t, spark)
+        assert len(got) == 16
+        row_ids = [rid for rid, _v in got.values()]
+        assert sorted(row_ids) == list(range(16))  # contiguous, unique
+        # hwm domain recorded
+        hwm = json.loads(t.domain_metadata()["delta.rowTracking"])
+        assert hwm["rowIdHighWaterMark"] == 15
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert {"rowTracking", "domainMetadata"} <= set(
+            proto["writerFeatures"]
+        )
+
+    def test_appends_allocate_fresh_ranges(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 8).coalesce(1))
+        t.enable_row_tracking()
+        before = self._ids(t, spark)
+        t.write(make_df(spark, 8, 4).coalesce(2))
+        after = self._ids(t, spark)
+        # old rows keep their ids; new rows land strictly above them
+        assert {k: v for k, v in after.items() if k < 8} == before
+        new_ids = [rid for k, (rid, _v) in after.items() if k >= 8]
+        assert sorted(new_ids) == list(range(8, 12))
+        assert all(v == 2 for k, (_r, v) in after.items() if k >= 8)
+
+    def test_dv_delete_preserves_survivor_ids(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(1))
+        t.enable_row_tracking()
+        before = self._ids(t, spark)
+        t.delete(spark, "id % 3 = 0")
+        after = self._ids(t, spark)
+        assert set(after) == {k for k in before if k % 3 != 0}
+        assert all(after[k] == before[k] for k in after)
+
+    def test_update_preserves_ids_bumps_versions(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(1))
+        t.enable_row_tracking()
+        before = self._ids(t, spark)
+        v = t.update(spark, "id >= 7", {"sym": "'UPDATED'"})
+        after = self._ids(t, spark)
+        assert set(after) == set(before)
+        for k in after:
+            assert after[k][0] == before[k][0], "row id must be stable"
+            if k >= 7:
+                assert after[k][1] == v
+            else:
+                assert after[k][1] == before[k][1]
+        syms = {
+            r.id: r.sym for r in t.read_with_row_ids(spark).collect()
+        }
+        assert all(s == "UPDATED" for k, s in syms.items() if k >= 7)
+
+    def test_compact_preserves_ids_and_versions(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 6).coalesce(2))
+        t.enable_row_tracking()
+        t.write(make_df(spark, 6, 6).coalesce(2))
+        t.update(spark, "id = 1", {"sym": "'X'"})
+        before = self._ids(t, spark)
+        t.compact(spark)
+        after = self._ids(t, spark)
+        assert after == before  # ids AND commit versions survive OPTIMIZE
+        # and through a SECOND rewrite (materialized column round-trips)
+        t.compact(spark, target_files=3)
+        assert self._ids(t, spark) == before
+
+    def test_reorg_purge_preserves(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 12).coalesce(2))
+        t.enable_row_tracking()
+        t.delete(spark, "id % 4 = 0")
+        before = self._ids(t, spark)
+        assert t.reorg_purge(spark) is not None
+        assert self._ids(t, spark) == before
+        # DVs are gone but ids survived the materialization
+        _m, adds = t._snapshot_state(None)
+        assert not any(a.get("deletionVector") for a in adds)
+
+    def test_merge_preserves_updates_freshens_inserts(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(1))
+        t.enable_row_tracking()
+        before = self._ids(t, spark)
+        src = spark.createDataFrame(
+            [(5, "M5"), (7, "M7"), (20, "NEW")], "id long, sym string"
+        )
+        v = (
+            t.merge_into(src, "target.id = source.id")
+            .when_matched_update()
+            .when_not_matched_insert()
+            .execute(spark)
+        )
+        after = self._ids(t, spark)
+        assert set(after) == set(range(10)) | {20}
+        for k in range(10):
+            assert after[k][0] == before[k][0], "copied/updated ids stable"
+        assert after[5][1] == v and after[7][1] == v
+        assert after[0][1] == before[0][1]
+        # the inserted row derives a FRESH id above every prior one
+        assert after[20][0] > max(r for r, _ in before.values())
+        assert after[20][1] == v
+        # uniqueness across the whole table
+        ids = [r for r, _ in after.values()]
+        assert len(set(ids)) == len(ids)
+
+    def test_replace_where_retires_and_freshens(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 9).coalesce(1))
+        t.enable_row_tracking()
+        before = self._ids(t, spark)
+        t.replace_where(
+            spark.createDataFrame(
+                [(100, "S1"), (101, "S1")], "id long, sym string"
+            ),
+            "sym = 'S1'",
+        )
+        after = self._ids(t, spark)
+        kept = {k for k in before if k % 3 != 1}
+        assert set(after) == kept | {100, 101}
+        assert all(after[k] == before[k] for k in kept)
+        fresh = {after[100][0], after[101][0]}
+        assert min(fresh) > max(r for r, _ in before.values())
+
+    def test_clone_carries_ids_and_hwm(self, spark, tmp_path):
+        src = DeltaTable(str(tmp_path / "src"))
+        src.write(make_df(spark, 0, 8).coalesce(1))
+        src.enable_row_tracking()
+        before = self._ids(src, spark)
+        clone = src.clone_to(str(tmp_path / "fork"))
+        assert self._ids(clone, spark) == before
+        # the hwm domain came over: new appends cannot collide
+        clone.write(make_df(spark, 8, 3).coalesce(1))
+        ids = [r for r, _ in self._ids(clone, spark).values()]
+        assert len(set(ids)) == len(ids) == 11
+
+    def test_checkpoint_roundtrips_base_row_ids(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(2))
+        t.enable_row_tracking()
+        t.update(spark, "id = 2", {"sym": "'X'"})
+        before = self._ids(t, spark)
+        t.checkpoint(spark)
+        t.write(make_df(spark, 10, 2).coalesce(1))
+        after = self._ids(t, spark)
+        assert {k: v for k, v in after.items() if k < 10} == before
+        ids = [r for r, _ in after.values()]
+        assert len(set(ids)) == len(ids)
+
+    def test_gates(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 3))
+        with pytest.raises(ValueError, match="not enabled"):
+            t.read_with_row_ids(spark)
+        with pytest.raises(ValueError, match="enable_row_tracking"):
+            t.set_table_properties({"delta.enableRowTracking": "true"})
+        t.enable_row_tracking()
+        with pytest.raises(ValueError, match="already enabled"):
+            t.enable_row_tracking()
+
+    def test_create_time_enablement(self, spark, tmp_path):
+        import pyspark.sql.types as T
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+            configuration={"delta.enableRowTracking": "true"},
+        )
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        got = self._ids(t, spark)
+        assert sorted(r for r, _ in got.values()) == list(range(5))
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "rowTracking" in proto["writerFeatures"]
+
+    def test_hidden_columns_stay_hidden(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 6).coalesce(1))
+        t.enable_row_tracking()
+        t.update(spark, "id < 2", {"sym": "'U'"})
+        t.compact(spark)
+        # plain reads (JVM and pure-python) never surface the carriers
+        assert set(t.read(spark).columns) == {"id", "sym"}
+        assert set(t.to_pandas().columns) == {"id", "sym"}
+
+    def test_row_id_join_broadcasts(self, spark, tmp_path):
+        """The per-file (baseRowId, version) table is O(files): its join
+        into the scan must be a broadcast, never a shuffle of the data."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 20).coalesce(2))
+        t.enable_row_tracking()
+        plan = t.read_with_row_ids(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -618,6 +618,16 @@ class TestPyDeltaHonestGates:
                 "append"
             ).save()
 
+    def test_writer_refuses_row_tracked_tables(self, spark, tmp_path):
+        pyds.register(spark)
+        t = DeltaTable(str(tmp_path / "rt"))
+        t.write(spark.range(0, 5).select("id"))
+        t.enable_row_tracking()
+        with pytest.raises(Exception, match="row-tracked"):
+            spark.range(5, 8).select("id").write.format("pydelta").option(
+                "path", t.path
+            ).mode("append").save()
+
     def test_batch_cdf_requires_starting_version(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "b"))
         t.write(spark.range(0, 3).select("id"))
