@@ -881,32 +881,11 @@ def _km_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
-@register(
-    "emb_kmeans_clusters",
-    oracle=f"""
-WITH {_KM_E}
-SELECT cluster, count(*) AS size,
-       ({sql_dsum("cosine")} / CAST(count(*) AS DOUBLE)) AS avg_cosine
-FROM scored GROUP BY cluster
-""",
-    doc="Deterministic spherical k-means over embeddings (K=8, fixed init "
-    "= K smallest vec_ids, one Lloyd update), reporting per-cluster size "
-    "and mean cosine-to-centroid. Everything stays in the quantized-"
-    "integer cosine discipline, so the iterative algorithm is bit-"
-    "identical to a pure-SQL oracle — the repo's showcase that iterative "
-    "ML can be oracle-checked, not just rows-only. Scale: assignment is "
-    "row-local against K inlined centroids (no explode, no shuffle); the "
-    "centroid update is K x DIM map-side partial sums collapsing to K "
-    "rows; the two driver collects are K x DIM constants (the IVF-index "
-    "pattern). Zero-norm vectors are excluded (guarded in both engines); "
-    "per-dimension means floor to the integer grid so re-quantization is "
-    "exact. Integer sums stay exact in doubles below 2^53 — at larger "
-    "corpus sizes the update would switch to decimal sums like the "
-    "determinism kit.",
-    tags=("similarity", "clustering", "kmeans"),
-)
-def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def _km_two_round(emb: DataFrame) -> DataFrame:
+    """Assign -> centroid update -> reassign (the `_KM_E` dataflow),
+    shared by the k-means report and the SemDeDup pipeline. Returns the
+    second-round assignment with ``qx``/``n2x``/``score``/``cluster``.
+    Both driver collects are K x DIM constants."""
     qdf = shared(
         emb.select("vec_id", quantized_elements(F.col("embedding")).alias("qx"))
         .withColumn("n2x", dot_long(F.col("qx"), F.col("qx")))
@@ -933,7 +912,36 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in sums
     )
-    assigned1 = _km_assign(qdf, cents1)
+    return _km_assign(qdf, cents1)
+
+
+@register(
+    "emb_kmeans_clusters",
+    oracle=f"""
+WITH {_KM_E}
+SELECT cluster, count(*) AS size,
+       ({sql_dsum("cosine")} / CAST(count(*) AS DOUBLE)) AS avg_cosine
+FROM scored GROUP BY cluster
+""",
+    doc="Deterministic spherical k-means over embeddings (K=8, fixed init "
+    "= K smallest vec_ids, one Lloyd update), reporting per-cluster size "
+    "and mean cosine-to-centroid. Everything stays in the quantized-"
+    "integer cosine discipline, so the iterative algorithm is bit-"
+    "identical to a pure-SQL oracle — the repo's showcase that iterative "
+    "ML can be oracle-checked, not just rows-only. Scale: assignment is "
+    "row-local against K inlined centroids (no explode, no shuffle); the "
+    "centroid update is K x DIM map-side partial sums collapsing to K "
+    "rows; the two driver collects are K x DIM constants (the IVF-index "
+    "pattern). Zero-norm vectors are excluded (guarded in both engines); "
+    "per-dimension means floor to the integer grid so re-quantization is "
+    "exact. Integer sums stay exact in doubles below 2^53 — at larger "
+    "corpus sizes the update would switch to decimal sums like the "
+    "determinism kit.",
+    tags=("similarity", "clustering", "kmeans"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned1 = _km_two_round(emb)
     cosine = F.when(F.col("score") == F.lit(-2.0), F.lit(-2.0)).otherwise(
         F.col("score") / F.sqrt(F.col("n2x").cast("double"))
     )
@@ -1362,3 +1370,114 @@ def exact_threshold_join(
     )
     n_cells = len(radii)
     return out, len(survive), n_cells * n_cells
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via k-means + within-cluster pruning
+# ---------------------------------------------------------------------------
+
+#: within-cluster cosine above which two examples are SEMANTIC duplicates
+#: (data-calibrated like EXACT_JOIN_TAU: the synthetic corpus is diffuse,
+#: so the threshold sits where the rule actually fires at sf0.01)
+SEMDEDUP_EPS = 0.35
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+WITH {_KM_E},
+m AS (
+  SELECT a1.vec_id, a1.cluster,
+         CASE WHEN a1.score = -2.0 THEN -2.0
+              ELSE a1.score / sqrt(CAST(n.n2 AS DOUBLE)) END AS cosc
+  FROM a1 JOIN n USING (vec_id)
+),
+pair_dots AS (
+  SELECT x.vec_id AS i, y.vec_id AS j,
+         x.cosc AS ci, y.cosc AS cj,
+         CAST(SUM(ex.x * ey.x) AS DOUBLE)
+           / (sqrt(CAST(nx.n2 AS DOUBLE)) * sqrt(CAST(ny.n2 AS DOUBLE)))
+           AS cos_ij
+  FROM m x
+  JOIN m y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id AND ey.pos = ex.pos
+  JOIN n nx ON nx.vec_id = x.vec_id
+  JOIN n ny ON ny.vec_id = y.vec_id
+  GROUP BY 1, 2, 3, 4, nx.n2, ny.n2
+),
+removed AS (
+  SELECT DISTINCT i AS vec_id
+  FROM pair_dots
+  WHERE cos_ij >= {SEMDEDUP_EPS}
+    AND (cj < ci OR (cj = ci AND j < i))
+)
+SELECT m.vec_id, m.cluster, m.cosc AS cos_to_centroid,
+       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id
+""",
+    doc="SemDeDup (arXiv:2303.09540): semantic deduplication for "
+    "pretraining corpora — deterministic spherical k-means partitions "
+    "the embedding space, then ONLY within each cluster are pairwise "
+    "cosines computed; of any pair above eps the example FARTHER from "
+    "its centroid survives (the paper's keeper rule: prototypical "
+    "near-copies go, the outlier stays; vec_id breaks exact ties), "
+    "expressed as a single anti-join — no iteration, no connected "
+    "components. The per-vector verdict frame (vec_id, cluster, "
+    "cos_to_centroid, kept) is hash-compared against a pure-SQL twin "
+    "of the whole pipeline, k-means included. Scale: this is exactly "
+    "why SemDeDup clusters first — pair volume is sum over clusters of "
+    "|c|^2, not n^2; K grows ~n/const at 100 TB so cluster sizes stay "
+    "bounded, the self-join shuffles on cluster id (AQE splits skewed "
+    "cells), and assignment is row-local against K inlined centroids. "
+    "All cosines ride the integer-quantized discipline, so the float "
+    "compare is bit-identical across engines.",
+    tags=("similarity", "dedup", "llm-pipeline", "kmeans", "semdedup"),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = shared(
+        _km_two_round(emb).withColumn(
+            "cosc",
+            F.when(F.col("score") == F.lit(-2.0), F.lit(-2.0)).otherwise(
+                F.col("score") / F.sqrt(F.col("n2x").cast("double"))
+            ),
+        )
+    )
+    x = m.select(
+        F.col("vec_id").alias("i"),
+        "cluster",
+        F.col("qx").alias("xi"),
+        F.col("n2x").alias("ni"),
+        F.col("cosc").alias("ci"),
+    )
+    y = m.select(
+        F.col("vec_id").alias("j"),
+        "cluster",
+        F.col("qx").alias("xj"),
+        F.col("n2x").alias("nj"),
+        F.col("cosc").alias("cj"),
+    )
+    cos_ij = dot_long(F.col("xi"), F.col("xj")).cast("double") / (
+        F.sqrt(F.col("ni").cast("double")) * F.sqrt(F.col("nj").cast("double"))
+    )
+    removed = (
+        x.join(y, ["cluster"])
+        .filter(F.col("i") != F.col("j"))
+        .filter(cos_ij >= F.lit(SEMDEDUP_EPS))
+        .filter(
+            (F.col("cj") < F.col("ci"))
+            | ((F.col("cj") == F.col("ci")) & (F.col("j") < F.col("i")))
+        )
+        .select(F.col("i").alias("rm_id"))
+        .distinct()
+    )
+    return (
+        m.join(removed, m["vec_id"] == removed["rm_id"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("cosc").alias("cos_to_centroid"),
+            F.col("rm_id").isNull().cast("long").alias("kept"),
+        )
+    )

@@ -14,6 +14,7 @@ Two contracts pinned here (round-4 verdict items 1 and 9):
 
 from __future__ import annotations
 
+import json
 import struct
 import sys
 from pathlib import Path
@@ -410,5 +411,138 @@ class TestLifecyclePropertyFeatureMatrix:
                 replayed.reset_index(drop=True),
                 want[["ident", "grp", "v", "gen"]],
             )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+class TestRowTrackingLifecycleProperty:
+    """Randomized write/delete/update/compact programs against a
+    row-tracked table. Invariants checked after EVERY mutation:
+    (1) snapshot values match a pandas model; (2) row ids are unique;
+    (3) every surviving row KEEPS the row id it was born with;
+    (4) _row_commit_version equals the version of the commit that last
+    wrote/updated the row; (5) fresh ids always land above the prior
+    high-water mark (no reuse, ever)."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("write"), st.integers(1, 20), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("delete"), st.integers(0, 6), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("update"), st.integers(0, 6), st.integers(1, 99)
+                ),
+                st.tuples(
+                    st.just("compact"), st.integers(1, 3), st.integers(0, 0)
+                ),
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_row_ids_stable_under_mutation(self, ops, spark, tmp_path):
+        import shutil
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / f"t-{_uuid.uuid4().hex}")
+        t = DeltaTable(root)
+        # model: logical id -> [grp, v, row_id, row_commit_version]
+        model: dict[int, list] = {}
+        next_id = 0
+        created = False
+
+        def snapshot():
+            return {
+                r.id: (r.grp, r.v, r._row_id, r._row_commit_version)
+                for r in t.read_with_row_ids(spark).collect()
+            }
+
+        def check():
+            got = snapshot()
+            assert set(got) == set(model)
+            rids = [rid for _g, _v, rid, _ver in got.values()]
+            assert len(set(rids)) == len(rids), "row ids must be unique"
+            for k, (g, v, rid, ver) in got.items():
+                mg, mv, mrid, mver = model[k]
+                assert (g, v) == (mg, mv)
+                assert rid == mrid, f"row {k} changed id {mrid} -> {rid}"
+                assert ver == mver
+
+        try:
+            for op, a, b in ops:
+                if op == "write":
+                    ids = list(range(next_id, next_id + a))
+                    next_id += a
+                    rows = pd.DataFrame(
+                        {
+                            "id": ids,
+                            "grp": [i % 7 for i in ids],
+                            "v": [i * 10 for i in ids],
+                        }
+                    )
+                    ver = t.write(
+                        spark.createDataFrame(
+                            rows, "id long, grp long, v long"
+                        ).repartition(2)
+                    )
+                    if not created:
+                        ver = t.enable_row_tracking()
+                        created = True
+                    prior_max = max(
+                        (rid for _g, _v, rid, _ver in model.values()),
+                        default=-1,
+                    )
+                    got = snapshot()
+                    for i in ids:
+                        g, v, rid, rver = got[i]
+                        # fresh ranges: never below anything ever issued
+                        assert rid > prior_max or not model
+                        assert rver == ver
+                        model[i] = [g, v, rid, rver]
+                elif op == "delete" and created:
+                    t.delete(spark, f"grp = {a} AND v % 7 <= {b}")
+                    model = {
+                        k: m
+                        for k, m in model.items()
+                        if not (m[0] == a and m[1] % 7 <= b)
+                    }
+                    check()
+                elif op == "update" and created:
+                    ver = t.update(spark, f"grp = {a}", {"v": f"v + {b}"})
+                    for m in model.values():
+                        if m[0] == a:
+                            m[1] += b
+                            m[3] = ver
+                    check()
+                elif op == "compact" and created:
+                    t.compact(spark, target_files=a)
+                    check()  # ids AND versions must survive verbatim
+            if created:
+                check()
+                # hwm never lies below the max issued id
+                hwm = json.loads(
+                    t.domain_metadata()["delta.rowTracking"]
+                )["rowIdHighWaterMark"]
+                assert hwm >= max(
+                    (m[2] for m in model.values()), default=-1
+                )
         finally:
             shutil.rmtree(root, ignore_errors=True)

@@ -181,3 +181,35 @@ class TestExactThresholdJoin:
         )
         out, _s, _t = exact_threshold_join(spark, emb, tau=0.9, k=2)
         assert {(r.vec_a, r.vec_b) for r in out.collect()} == {(0, 1)}
+
+
+class TestSemanticDedup:
+    """SemDeDup keeper rule: among semantic duplicates the example
+    FARTHEST from its centroid survives; exact ties fall to vec_id."""
+
+    def test_identical_vectors_keep_exactly_one(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans import (
+            similarity as S,
+        )
+
+        # 8 base directions seed the centroids (vec_id < K); vecs 100/101
+        # are identical clones of direction 0 -> same cluster, cosine 1.0
+        dim = 64
+        rows = []
+        for k in range(8):
+            v = [0.0] * dim
+            v[k] = 1.0
+            rows.append((k, v))
+        clone = [0.0] * dim
+        clone[0] = 1.0
+        rows += [(100, clone), (101, clone)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        m = S._km_two_round(emb).withColumn(
+            "cosc", F.col("score") / F.sqrt(F.col("n2x").cast("double"))
+        )
+        by_cluster = {
+            int(r.vec_id): int(r.cluster) for r in m.collect()
+        }
+        assert by_cluster[100] == by_cluster[101] == by_cluster[0]
