@@ -1301,19 +1301,41 @@ def exact_threshold_join(
     """Core of `emb_threshold_join_exact`, reusable at any threshold /
     cell count. Returns ``(pairs_df, surviving_cell_pairs,
     total_cell_pairs)`` so tests can pin that the bound actually PRUNES
-    on clusterable data while staying exact."""
-    q = (
+    on clusterable data while staying exact.
+
+    Exact duplicates are COLLAPSED before the quadratic stage (the
+    SCALE.md lesson): every downstream quantity — cell assignment,
+    radius, pairwise cosine — is a function of the quantized vector
+    alone, so quantized-identical vectors share one representative and
+    the candidate volume scales with DISTINCT content (the 10x
+    dup-heavy probe went 232 s -> rep-bound without this). Rep pairs
+    expand back to member pairs afterwards; within-group pairs emit
+    the same ``n2/(sqrt(n2)*sqrt(n2))`` float expression the oracle
+    computes (NOT a 1.0 literal — IEEE sqrt round-trip)."""
+    q_all = (
         emb.select(
             "vec_id", quantized_elements(F.col("embedding")).alias("qx")
         )
         .withColumn("n2", dot_long(F.col("qx"), F.col("qx")))
         .filter(F.col("n2") > 0)
     )
+    members = shared(
+        q_all.select(
+            "vec_id", F.md5(F.to_json(F.col("qx"))).alias("dig")
+        )
+    )
+    rep_ids = members.groupBy("dig").agg(F.min("vec_id").alias("rep_id"))
+    q = shared(
+        q_all.join(members, "vec_id")
+        .join(rep_ids, ["dig"])
+        .filter(F.col("vec_id") == F.col("rep_id"))
+        .select("dig", "vec_id", "qx", "n2")
+    )
     # K x DIM centroid constants (the K smallest vec_ids — the same
     # deterministic init the k-means query uses)
     cents = [
         (int(r["vec_id"]), list(r["qx"]))
-        for r in q.filter(F.col("vec_id") < k)
+        for r in q_all.filter(F.col("vec_id") < k)
         .select("vec_id", "qx")
         .collect()
     ]
@@ -1347,13 +1369,13 @@ def exact_threshold_join(
                 survive.append((i, j))
     pairs = spark.createDataFrame(survive or [(-1, -1)], "ca long, cb long")
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
+        F.col("dig").alias("dig_a"),
         F.col("cluster").alias("ca"),
         F.col("qx").alias("xa"),
         F.col("n2").alias("na"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
+        F.col("dig").alias("dig_b"),
         F.col("cluster").alias("cb"),
         F.col("qx").alias("xb"),
         F.col("n2").alias("nb"),
@@ -1361,13 +1383,43 @@ def exact_threshold_join(
     cosine = dot_long(F.col("xa"), F.col("xb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
-    out = (
+    rep_pairs = (
         a.join(F.broadcast(pairs), "ca")
         .join(b, ["cb"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("dig_a") < F.col("dig_b"))
+        .select("dig_a", "dig_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= tau)
     )
+    # expand rep pairs to member pairs (the rep cosine IS every member
+    # pair's cosine — identical qx inputs, identical float expression)
+    ma = members.select(F.col("dig").alias("dig_a"), F.col("vec_id").alias("va"))
+    mb = members.select(F.col("dig").alias("dig_b"), F.col("vec_id").alias("vb"))
+    cross = (
+        rep_pairs.join(ma, "dig_a")
+        .join(mb, "dig_b")
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+            "cosine",
+        )
+    )
+    self_cos = F.col("n2").cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    m1 = members.select("dig", F.col("vec_id").alias("va"))
+    m2 = members.select("dig", F.col("vec_id").alias("vb"))
+    within = (
+        m1.join(m2, "dig")
+        .filter(F.col("va") < F.col("vb"))
+        .join(q.select("dig", "n2"), "dig")
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            self_cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    out = cross.unionByName(within)
     n_cells = len(radii)
     return out, len(survive), n_cells * n_cells
 
