@@ -1423,3 +1423,70 @@ def delta_row_tracking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_row_commit_version").alias("row_commit_version"),
         "user_id",
     )
+
+
+@register(
+    "delta_liquid_clustering_audit",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       {sql_dsum("value")} AS total_value,
+       'user_id,event_id' AS cluster_cols,
+       CAST(1 AS BIGINT) AS prunes_on_user,
+       CAST(1 AS BIGINT) AS prunes_on_event
+FROM events
+""",
+    doc="Liquid clustering end to end (spec: Clustered Table via the "
+    "delta.clustering metadata domain): CLUSTER BY (user_id, event_id) "
+    "is declared ONCE as domain metadata, events land hash-shuffled "
+    "across 8 files (worst-case layout: every file spans both full key "
+    "ranges), and a BARE compact() — no zorder_by argument — reads the "
+    "domain and executes the declared layout as a Morton-code rewrite. "
+    "The prune flags then assert the point of the feature against the "
+    "real log: a min-key predicate on EITHER clustering column must "
+    "rule out files via per-file min/max stats alone (the same "
+    "_file_may_match path read(where=) uses), which only holds if the "
+    "rewrite actually tiled the 2D key plane. Content (row count, "
+    "distinct users, exact value sum) rides along so the hash compare "
+    "pins the rewrite lost nothing. At 100 TB: the declaration is one "
+    "domain action; OPTIMIZE cost is the rewrite itself, and every "
+    "later scan with a clustering-key filter prunes at FILE "
+    "granularity before Spark ever lists the scan.",
+    tags=("delta", "clustering", "layout", "metadata"),
+)
+def delta_liquid_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..sources.delta import _file_may_match, _parse_conjuncts
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpliquid_") + "/events_delta")
+    table.write(events.repartition(8))
+    table.set_cluster_by(["user_id", "event_id"])
+    table.compact(spark, target_files=8)
+    _meta, adds = table._snapshot_state(None)
+
+    def candidates(pred: str) -> int:
+        conj = _parse_conjuncts(pred)
+        return sum(
+            1 for a in adds if _file_may_match(a, conj, [], lambda c: c)
+        )
+
+    mins = {
+        c: min(_json.loads(a["stats"])["minValues"][c] for a in adds)
+        for c in ("user_id", "event_id")
+    }
+    prunes_user = int(candidates(f"user_id <= {mins['user_id']}") < len(adds))
+    prunes_event = int(
+        candidates(f"event_id <= {mins['event_id']}") < len(adds)
+    )
+    return table.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+        F.lit("user_id,event_id").alias("cluster_cols"),
+        F.lit(prunes_user).cast("long").alias("prunes_on_user"),
+        F.lit(prunes_event).cast("long").alias("prunes_on_event"),
+    )

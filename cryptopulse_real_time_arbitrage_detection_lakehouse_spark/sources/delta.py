@@ -2604,6 +2604,101 @@ class DeltaTable:
             "_row_commit_version",
         )
 
+    # ------------------------------------------------ liquid clustering
+
+    #: system domain holding the clustering columns (spec: Clustered Table)
+    CLUSTERING_DOMAIN = "delta.clustering"
+
+    def set_cluster_by(self, cols: list[str]) -> int:
+        """``ALTER TABLE ... CLUSTER BY (cols)`` — the liquid-clustering
+        twin (delta-spark's ``clusterBy``): records the clustering
+        columns in the ``delta.clustering`` metadata domain (PHYSICAL
+        names, per spec) and fences the protocol with the ``clustering``
+        + ``domainMetadata`` writer features. From then on a bare
+        ``compact()`` clusters on these columns automatically — CLUSTER
+        BY is declarative layout, OPTIMIZE is its executor. 1 or 2
+        columns (the Morton kernel interleaves two; one falls back to a
+        range sort); hive-partitioned tables are refused — the two
+        layouts fight over directory structure, delta-spark refuses
+        too."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a Delta table: {self.path}")
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        if meta.get("partitionColumns"):
+            raise ValueError(
+                "CLUSTER BY on a hive-partitioned table is not allowed "
+                "(partitioning already owns the layout); choose one"
+            )
+        if not 1 <= len(cols) <= 2:
+            raise ValueError(
+                f"CLUSTER BY takes 1 or 2 columns, got {len(cols)} (the "
+                "z-order kernel interleaves two keys)"
+            )
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        unknown = [c for c in cols if c not in schema.names]
+        if unknown:
+            raise ValueError(f"CLUSTER BY columns {unknown} not in schema")
+        mapping = self._column_mapping(meta) or {}
+        phys_paths = [[mapping.get(c, c)] for c in cols]
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {
+                        "clusterBy": json.dumps(cols)
+                    },
+                }
+            }
+        ]
+        new_proto = self._upgraded_protocol(
+            protocol, {"clustering", "domainMetadata"}
+        )
+        if new_proto is not None:
+            actions.append({"protocol": new_proto})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self.CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": phys_paths}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        return self._publish_or_conflict(base + 1, actions, "CLUSTER BY")
+
+    def cluster_by(self) -> list[str]:
+        """The table's clustering columns (LOGICAL names; empty when not
+        a clustered table)."""
+        meta, _a, _p, domains = self._snapshot_state_full(
+            None, with_domains=True
+        )
+        return self._clustering_cols(meta, domains)
+
+    def _clustering_cols(
+        self, meta: dict, domains: dict[str, dict]
+    ) -> list[str]:
+        dm = domains.get(self.CLUSTERING_DOMAIN)
+        if not dm:
+            return []
+        paths = json.loads(dm.get("configuration") or "{}").get(
+            "clusteringColumns", []
+        )
+        mapping = self._column_mapping(meta) or {}
+        logical = {p: l for l, p in mapping.items()}
+        out = []
+        for path in paths:
+            if len(path) != 1:
+                raise NotImplementedError(
+                    f"nested clustering column path {path!r} is not "
+                    "supported by this client"
+                )
+            out.append(logical.get(path[0], path[0]))
+        return out
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column without touching any data file — the logical
         name changes in the schema metadata, the physical name stays
@@ -3909,9 +4004,23 @@ class DeltaTable:
         ``operators.zorder``), so each rewritten file carries narrow
         min/max stats for BOTH — the log's per-file stats then let any
         reader data-skip on either column.
+
+        On a CLUSTERED table (`set_cluster_by`) a bare ``compact()``
+        picks the clustering columns automatically — two cluster on
+        the Morton code, one range-sorts — so OPTIMIZE executes the
+        declared layout without the caller re-stating it.
         """
-        meta, _ = self._snapshot_state(None)
+        meta, _a, _p, domains = self._snapshot_state_full(
+            None, with_domains=True
+        )
         part_cols = meta.get("partitionColumns") or []
+        cluster_sort: list[str] = []
+        if zorder_by is None:
+            cb = self._clustering_cols(meta, domains)
+            if len(cb) == 2:
+                zorder_by = (cb[0], cb[1])
+            elif len(cb) == 1:
+                cluster_sort = cb
         if self._row_tracking_enabled(meta):
             # a layout rewrite preserves BOTH row ids and row commit
             # versions (the rows don't change): materialize them into
@@ -3933,6 +4042,10 @@ class DeltaTable:
                 .sortWithinPartitions("_z")
                 .drop("_z")
             )
+        elif cluster_sort:
+            df = df.repartitionByRange(
+                target_files, F.col(cluster_sort[0])
+            ).sortWithinPartitions(cluster_sort[0])
         elif part_cols:
             df = df.repartition(target_files, *[F.col(c) for c in part_cols])
         else:

@@ -3119,3 +3119,86 @@ class TestRowTracking:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLiquidClustering:
+    """CLUSTER BY via the delta.clustering domain: declarative layout
+    that a bare OPTIMIZE then executes."""
+
+    def _spans(self, t, col_idx):
+        import pyarrow.parquet as pq
+
+        _m, adds = t._snapshot_state(None)
+        spans = []
+        for a in adds:
+            st = json.loads(a["stats"])
+            spans.append(
+                (st["minValues"]["id"], st["maxValues"]["id"])
+                if col_idx == "id"
+                else (st["minValues"][col_idx], st["maxValues"][col_idx])
+            )
+        return spans
+
+    def test_declare_then_optimize_clusters(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        # two interleaved keys, written shuffled across 4 files
+        df = spark.range(0, 400).select(
+            F.col("id"),
+            (F.col("id") * 37 % 400).alias("k2"),
+        )
+        t.write(df.repartition(4))
+        t.set_cluster_by(["id", "k2"])
+        assert t.cluster_by() == ["id", "k2"]
+        t.compact(spark, target_files=4)  # no zorder_by: domain drives it
+        # every output file holds a TILE of the 2D key plane: with 4
+        # files each key's per-file span is ~range/sqrt(4) = 200, far
+        # below the ~400 a hash-shuffled file carries on both keys
+        for col in ("id", "k2"):
+            spans = self._spans(t, col)
+            assert len(spans) == 4
+            assert all(hi - lo <= 260 for lo, hi in spans), (col, spans)
+
+    def test_single_column_range_clusters(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 300).select("id").repartition(3))
+        t.set_cluster_by(["id"])
+        t.compact(spark, target_files=3)
+        spans = sorted(self._spans(t, "id"))
+        # range-sorted: files tile the key space without overlap
+        assert all(
+            spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+        ), spans
+
+    def test_gates(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10), partition_by=["sym"])
+        with pytest.raises(ValueError, match="hive-partitioned"):
+            t.set_cluster_by(["id"])
+        u = DeltaTable(str(tmp_path / "u"))
+        u.write(make_df(spark, 0, 10))
+        with pytest.raises(ValueError, match="not in schema"):
+            u.set_cluster_by(["nope"])
+        with pytest.raises(ValueError, match="1 or 2"):
+            u.set_cluster_by(["id", "sym", "id"])
+        assert u.cluster_by() == []
+
+    def test_cluster_by_survives_checkpoint_and_clone(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 20))
+        t.set_cluster_by(["id"])
+        t.checkpoint(spark)
+        t.write(make_df(spark, 20, 5))
+        assert t.cluster_by() == ["id"]
+        clone = t.clone_to(str(tmp_path / "fork"))
+        assert clone.cluster_by() == ["id"]
+
+    def test_mapped_table_stores_physical_reads_logical(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10))
+        t.enable_column_mapping()
+        t.rename_column("sym", "symbol")
+        t.set_cluster_by(["id", "symbol"])
+        assert t.cluster_by() == ["id", "symbol"]
+        # the domain stores PHYSICAL names (spec) — 'sym' pre-rename
+        cfg = json.loads(t.domain_metadata()["delta.clustering"])
+        assert cfg["clusteringColumns"] == [["id"], ["sym"]]
