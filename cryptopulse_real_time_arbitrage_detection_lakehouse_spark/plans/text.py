@@ -2252,3 +2252,131 @@ def doc_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection for pretraining)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature bucket count for the importance estimator
+DSIR_BUCKETS = 4096
+#: the "target domain" slice importance is estimated toward
+DSIR_TARGET_SOURCE = "src0"
+
+
+@register(
+    "doc_importance_resampling",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({SQL_TOKENS}) AS token FROM documents
+),
+tb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM toks
+),
+cq AS (SELECT b, count(*) AS cq FROM tb GROUP BY b),
+cp AS (
+  SELECT b, count(*) AS cp FROM tb
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+),
+tot AS (
+  SELECT (SELECT count(*) FROM tb) AS nq,
+         (SELECT count(*) FROM tb
+          WHERE source = '{DSIR_TARGET_SOURCE}') AS np
+),
+scored AS (
+  SELECT tb.doc_id,
+         count(*) AS n_tokens,
+         {sql_dsum(
+             "CAST((COALESCE(cp.cp, 0) + 1) * (tot.nq + "
+             + str(DSIR_BUCKETS)
+             + ") AS DOUBLE) / CAST((cq.cq + 1) * (tot.np + "
+             + str(DSIR_BUCKETS)
+             + ") AS DOUBLE)"
+         )} AS ratio_sum
+  FROM tb JOIN cq USING (b) LEFT JOIN cp USING (b), tot
+  GROUP BY tb.doc_id
+),
+thr AS (
+  SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY ratio_sum / n_tokens)
+    AS t
+  FROM scored
+)
+SELECT s.doc_id, s.n_tokens,
+       s.ratio_sum AS ratio_sum,
+       s.ratio_sum / s.n_tokens AS dsir_score,
+       CAST(CASE WHEN s.ratio_sum / s.n_tokens >= thr.t
+            THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM scored s, thr
+""",
+    doc="DSIR-style importance resampling (arXiv:2302.03169): data "
+    "SELECTION toward a target domain via hashed-feature importance "
+    "weights — per token, the add-one-smoothed target/raw probability "
+    "ratio over 4096 md5-hashed unigram buckets; per doc, the "
+    "length-normalized mean ratio; the top quintile (exact "
+    "percentile_disc threshold riding as a broadcast scalar) is the "
+    "selected training slice. Deliberately LOG-FREE (the repo's libm "
+    "rule): each smoothed ratio (cp+1)(Nq+B)/((cq+1)(Np+B)) is a "
+    "quotient of exact integer products (<2^53 here; decimal at real "
+    "scale), summed through the decimal discipline — the true "
+    "product-of-ratios form needs ln() and is noted for production, "
+    "where last-ulp drift has no oracle to disagree with. Scale shape: "
+    "both frequency tables are bounded by B buckets and BROADCAST into "
+    "the token stream (no corpus-keyed shuffle for the estimator); the "
+    "only big shuffle is the per-doc regroup, and the whole estimator "
+    "is two scans regardless of corpus size.",
+    tags=("text", "llm-pipeline", "curation", "sampling", "dsir"),
+)
+def doc_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    B = DSIR_BUCKETS
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tb = shared(
+        toks.select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+                .cast("long")
+                % B
+            ).alias("b"),
+        )
+    )
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    cq = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    cp = tb.filter(is_target).groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    tot = tb.agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.count(F.when(is_target, F.lit(1))).alias("np"),
+    )
+    ratio = (
+        (F.coalesce(F.col("cp"), F.lit(0)) + 1) * (F.col("nq") + B)
+    ).cast("double") / ((F.col("cq") + 1) * (F.col("np") + B)).cast("double")
+    scored = shared(
+        tb.join(F.broadcast(cq), "b")
+        .join(F.broadcast(cp), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum(ratio).alias("ratio_sum"),
+        )
+    )
+    thr = scored.agg(
+        F.expr(
+            "percentile_disc(0.8) WITHIN GROUP "
+            "(ORDER BY ratio_sum / n_tokens)"
+        ).alias("t")
+    )
+    score = F.col("ratio_sum") / F.col("n_tokens")
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "ratio_sum",
+        score.alias("dsir_score"),
+        (score >= F.col("t")).cast("long").alias("selected"),
+    )

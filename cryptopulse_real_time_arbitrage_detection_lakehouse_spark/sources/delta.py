@@ -3781,6 +3781,77 @@ class DeltaTable:
                 os.rmdir(root)
         return sorted(deleted)
 
+    def cleanup_metadata(
+        self,
+        *,
+        retention_ms: int = 30 * 24 * 3600 * 1000,
+        force: bool = False,
+    ) -> list[str]:
+        """Log retention — delta-spark's MetadataCleanup twin
+        (``delta.logRetentionDuration``, default 30 days): physically
+        delete commit JSONs and superseded checkpoint files whose version
+        is BELOW the last checkpoint and whose mtime is older than
+        ``retention_ms``. Returns the deleted ``_delta_log`` file names.
+
+        The checkpoint is what makes the prefix expendable: the snapshot
+        at any version >= the checkpoint replays checkpoint + JSON tail
+        only, so a years-old 10M-commit table plans reads from one
+        parquet state file plus days of tail — O(recent commits), not
+        O(table lifetime). The trade-off is delta-spark's too: time
+        travel, CDF, and incremental streams over expired versions now
+        FAIL LOUDLY ("version N not found") instead of replaying.
+
+        Refused when no checkpoint exists (nothing makes the prefix
+        recoverable). ``force=True`` bypasses the retention floor the
+        same way vacuum's does; the below-checkpoint bound is never
+        bypassed — deleting the tail would corrupt the table.
+        """
+        cp = self._last_checkpoint()
+        if cp is None:
+            raise ValueError(
+                "cleanup_metadata requires a checkpoint: without one the "
+                "log prefix is the only source of table state (run "
+                ".checkpoint(spark) first)"
+            )
+        configured = None
+        try:
+            meta, _ = self._snapshot_state(None)
+            configured = (meta.get("configuration") or {}).get(
+                "delta.logRetentionDuration"
+            )
+        except ValueError:
+            pass
+        floor_ms = (
+            self._parse_interval_ms(configured)
+            if configured
+            else 30 * 24 * 3600 * 1000
+        )
+        if retention_ms < floor_ms and not force:
+            raise ValueError(
+                f"log retention {retention_ms} ms is below the table's "
+                f"logRetentionDuration ({floor_ms} ms); an incremental "
+                "consumer (stream, CDF reader) may still need the "
+                "commits. Pass force=True to override"
+            )
+        cutoff = time.time() - retention_ms / 1000.0
+        deleted: list[str] = []
+        for name in sorted(os.listdir(self._log_dir)):
+            stem = name.split(".", 1)[0]
+            if not stem.isdigit():
+                continue
+            v = int(stem)
+            if v >= cp["version"]:
+                continue
+            if not (name.endswith(".json") or ".checkpoint." in name
+                    or name.endswith(".checkpoint.parquet")):
+                continue
+            fp = os.path.join(self._log_dir, name)
+            if os.path.getmtime(fp) > cutoff:
+                continue
+            os.remove(fp)
+            deleted.append(name)
+        return deleted
+
     def read_changes(
         self,
         spark: SparkSession,
