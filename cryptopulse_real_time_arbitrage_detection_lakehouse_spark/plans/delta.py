@@ -1490,3 +1490,269 @@ def delta_liquid_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(prunes_user).cast("long").alias("prunes_on_user"),
         F.lit(prunes_event).cast("long").alias("prunes_on_event"),
     )
+
+
+@register(
+    "delta_restore_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(1 AS BIGINT) AS restore_is_one_commit,
+       (SELECT count(*) FROM events
+        WHERE event_type IN {_BATCH_TYPES!r}
+          AND NOT (event_type = 'click' AND value < 50))
+         AS rows_at_bad_version
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="RESTORE TABLE ... TO VERSION AS OF behind a correctness row "
+    "(delta-spark's rollback): five clean commits, then a BAD deletion-"
+    "vector DELETE erases cheap clicks, then restore(4) flips the "
+    "snapshot back in ONE new commit — removes/re-adds only the "
+    "differing adds (here: the DV'd click file swaps back to its clean "
+    "add; the four untouched files need no action), never rewriting "
+    "history. Both halves of the contract ride as flags: the restore "
+    "landed as exactly one commit (v6), and time travel to the bad v5 "
+    "STILL sees the deleted state — a restore that truncated or "
+    "rewrote the log would flip rows_at_bad_version. At 100 TB this is "
+    "the operational undo: O(changed files) log actions, zero data "
+    "movement, and the forensic trail stays queryable. The oracle "
+    "recomputes the restored contents and the bad-version count "
+    "straight from events.",
+    tags=("delta", "restore", "time-travel", "deletion-vectors"),
+)
+def delta_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)  # v0..v4
+    table.delete(spark, "event_type = 'click' AND value < 50")  # v5: bad
+    table.restore(4)  # v6: rollback
+    one_commit = int(table.latest_version() == 6)
+    rows_at_bad = table.read(spark, version=5).count()
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(one_commit).cast("long").alias("restore_is_one_commit"),
+        F.lit(rows_at_bad).cast("long").alias("rows_at_bad_version"),
+    )
+
+
+@register(
+    "delta_vacuum_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(5 AS BIGINT) AS n_vacuumed,
+       CAST(1 AS BIGINT) AS refused_below_retention,
+       CAST(1 AS BIGINT) AS expired_travel_fails
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="VACUUM behind a correctness row: five single-file commits, an "
+    "OPTIMIZE compaction that strands all five originals as "
+    "tombstoned (unreferenced) files, then the two-step contract — "
+    "(a) vacuum at retention 0 WITHOUT force is REFUSED (delta-spark's "
+    "retentionDurationCheck: a concurrent reader's in-flight snapshot "
+    "may still reference the files), (b) vacuum(force=True) deletes "
+    "EXACTLY the five originals — the compacted file and the "
+    "transaction log are untouched — and time travel to v1 now fails "
+    "at scan time because its data files are physically gone "
+    "(delta-spark's documented trade-off). The current snapshot "
+    "re-reads in full, proving vacuum only ever removes what no "
+    "active version references. At 100 TB this is the storage-"
+    "reclaim path: the walk is O(files), the deletes are O(stranded "
+    "bytes), and the refusal gate is what stands between routine "
+    "maintenance and corrupting a reader.",
+    tags=("delta", "vacuum", "metadata", "layout"),
+)
+def delta_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)  # v0..v4: 5 files
+    table.compact(spark, target_files=1)  # v5: originals tombstoned
+    try:
+        table.vacuum(retention_ms=0)
+        refused = 0
+    except ValueError:
+        refused = 1
+    n_vacuumed = len(table.vacuum(retention_ms=0, force=True))
+    try:
+        table.read(spark, version=1).count()
+        travel_fails = 0
+    except Exception:
+        travel_fails = 1
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(n_vacuumed).cast("long").alias("n_vacuumed"),
+        F.lit(refused).cast("long").alias("refused_below_retention"),
+        F.lit(travel_fails).cast("long").alias("expired_travel_fails"),
+    )
+
+
+@register(
+    "delta_log_cleanup_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(3 AS BIGINT) AS checkpoint_parts,
+       CAST(4 AS BIGINT) AS n_expired_commits,
+       CAST(1 AS BIGINT) AS refused_below_retention,
+       CAST(4 AS BIGINT) AS min_surviving_version,
+       CAST(1 AS BIGINT) AS expired_travel_fails
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'error' AND value < 25)
+GROUP BY event_type
+""",
+    doc="Log retention end to end (delta-spark's MetadataCleanup + the "
+    "spec's multi-part checkpoint): five commits, a THREE-PART parquet "
+    "checkpoint at v4 (rows round-robin across parts — the spec's "
+    "scale path when the active-file list itself is too big for one "
+    "file), a post-checkpoint DV DELETE at v5, then cleanup_metadata "
+    "— refused at retention 0 without force (an incremental consumer "
+    "may still need the commits), then force-expiring EXACTLY commits "
+    "0..3 (v4 is the checkpoint floor and survives). The re-read must "
+    "now reconstruct state from checkpoint parts + the JSON tail "
+    "alone; time travel to expired v1 fails loudly instead of lying. "
+    "This is what keeps a years-old table's planning O(recent "
+    "commits): a 10M-commit log collapses to one parquet state plus "
+    "days of tail, and the audit proves the collapsed read path "
+    "agrees with raw events to the value level.",
+    tags=("delta", "metadata", "checkpoint", "log-retention",
+          "deletion-vectors"),
+)
+def delta_log_cleanup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _build_delta_table(spark, sf_dir)  # v0..v4
+    table.checkpoint(spark, parts=3)
+    table.delete(spark, "event_type = 'error' AND value < 25")  # v5
+    try:
+        table.cleanup_metadata(retention_ms=0)
+        refused = 0
+    except ValueError:
+        refused = 1
+    expired = table.cleanup_metadata(retention_ms=0, force=True)
+    n_expired = sum(1 for name in expired if name.endswith(".json"))
+    min_v = table._commit_versions()[0]
+    try:
+        table.read(spark, version=1).count()
+        travel_fails = 0
+    except ValueError:
+        travel_fails = 1
+    parts = (table._last_checkpoint() or {}).get("parts") or 0
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(parts).cast("long").alias("checkpoint_parts"),
+        F.lit(n_expired).cast("long").alias("n_expired_commits"),
+        F.lit(refused).cast("long").alias("refused_below_retention"),
+        F.lit(min_v).cast("long").alias("min_surviving_version"),
+        F.lit(travel_fails).cast("long").alias("expired_travel_fails"),
+    )
+
+
+@register(
+    "delta_append_only_audit",
+    oracle=f"""
+SELECT event_type,
+       count(*) * CASE WHEN event_type = 'view' THEN 2 ELSE 1 END AS n,
+       CAST(1 AS BIGINT) AS delete_refused,
+       CAST(1 AS BIGINT) AS update_refused,
+       CAST(1 AS BIGINT) AS overwrite_refused
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="delta.appendOnly enforcement behind a correctness row (writer "
+    "protocol v2's appendOnly feature): the property lands as one "
+    "metadata commit, then DELETE, UPDATE, and overwrite-WRITE are "
+    "each REFUSED LOUDLY — the delta-spark gate protecting immutable "
+    "audit/compliance tables — while a plain append (the view slice "
+    "re-landed) stays legal and doubles its count. The oracle "
+    "recomputes the doubled contents plus all three refusal flags: an "
+    "engine that half-enforces (refuses the API but rewrites rows, or "
+    "blocks appends too) flips a count or a flag. At 100 TB append-"
+    "only is what makes a regulatory bronze layer trustworthy: the "
+    "gate is one configuration check at commit time, not a scan.",
+    tags=("delta", "append-only", "constraints", "metadata"),
+)
+def delta_append_only_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = _forked_delta_table(spark, sf_dir, "apponly")
+    table.set_table_properties({"delta.appendOnly": "true"})
+
+    def refused(fn) -> int:
+        try:
+            fn()
+            return 0
+        except ValueError as e:
+            return int("append-only" in str(e))
+
+    view_again = (
+        events.filter(F.col("event_type") == "view")
+        .select(*_EVENT_COLS)
+        .repartition(1)
+    )
+    flags = (
+        refused(lambda: table.delete(spark, "value < 10")),
+        refused(
+            lambda: table.update(spark, "value < 10", {"value": "value + 1"})
+        ),
+        refused(lambda: table.write(view_again, mode="overwrite")),
+    )
+    table.write(view_again)  # appends stay legal
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(flags[0]).cast("long").alias("delete_refused"),
+        F.lit(flags[1]).cast("long").alias("update_refused"),
+        F.lit(flags[2]).cast("long").alias("overwrite_refused"),
+    )
+
+
+@register(
+    "pyds_batch_cdf_audit",
+    oracle=f"""
+WITH versions AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+           AS version,
+         count(*) AS n
+  FROM events
+  WHERE event_type IN {_BATCH_TYPES!r}
+  GROUP BY event_type
+)
+SELECT 'insert' AS change_type, version AS commit_version, event_type, n
+FROM versions WHERE version >= 1
+UNION ALL
+SELECT 'delete' AS change_type, CAST(5 AS BIGINT) AS commit_version,
+       'click' AS event_type, count(*) AS n
+FROM events WHERE event_type = 'click' AND value < 50
+""",
+    doc="BATCH change-data-feed through the registered pydelta source "
+    "(delta-spark's .option('readChangeFeed', true)"
+    ".option('startingVersion', 1) — X150 made driver-checkable): five "
+    "insert commits, then a deletion-vector DELETE of cheap clicks, "
+    "read back as one bounded version range [1, latest] through "
+    "spark.read.format('pydelta'). The start bound EXCLUDES v0's click "
+    "inserts (inclusive-start semantics pinned by the oracle's "
+    "version >= 1), each insert carries its own _commit_version, and "
+    "the DV commit surfaces as delete rows for exactly the erased "
+    "positions — the executor-side diff planner recomputes the DV "
+    "delta against the prior file state, never a rewrite. The oracle "
+    "reconstructs the full expected feed from raw events. This is the "
+    "incremental-consumer contract at 100 TB: a downstream job asks "
+    "for 'everything since my last sync version' and gets changes, "
+    "not snapshots.",
+    tags=("delta", "cdf", "python-datasource", "deletion-vectors",
+          "batch"),
+)
+def pyds_batch_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    table = _build_delta_table(spark, sf_dir)  # v0..v4
+    table.delete(spark, "event_type = 'click' AND value < 50")  # v5: DV
+    pyds.register(spark)
+    feed = (
+        spark.read.format("pydelta")
+        .option("path", table.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))

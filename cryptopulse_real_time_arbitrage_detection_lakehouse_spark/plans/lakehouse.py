@@ -119,3 +119,70 @@ def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return with_zvalue(li, ("l_partkey", "l_suppkey"), out="zval")
+
+
+from ..functions.determinism import dsum as _dsum  # noqa: E402
+from ..functions.determinism import sql_dsum as _sql_dsum  # noqa: E402
+from ..operators.partitioning import write_bucketed  # noqa: E402
+
+
+@register(
+    "bucketed_join_audit",
+    oracle=f"""
+SELECT o.o_orderpriority, count(*) AS n,
+       {_sql_dsum("l.l_extendedprice")} AS revenue,
+       CAST(1 AS BIGINT) AS join_has_no_exchange,
+       CAST(1 AS BIGINT) AS scan_is_bucketed
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="Bucketed co-located fact-fact join behind a correctness row "
+    "(X40 made driver-checkable): lineitem and orders are persisted as "
+    "catalog tables hash-bucketed on their join key (8 buckets, one "
+    "file per bucket), and the join plan is then AUDITED — with "
+    "broadcast disabled it must be a SortMergeJoin with ZERO Exchange "
+    "(bucket i zips with bucket i; the only surviving sort is the "
+    "per-task in-memory one) over scans reporting 'Bucketed: true' "
+    "with all 8 buckets selected. Both plan facts ride as flags next "
+    "to the joined content, which the oracle recomputes from the raw "
+    "tables — so green certifies the bucketed layout changed the PLAN "
+    "without changing one row of the ANSWER. At 100 TB this is the "
+    "pay-shuffle-once contract: two fact tables bucketed at write "
+    "time join with zero network movement on every later query, the "
+    "single biggest shuffle a warehouse saves.",
+    tags=("join", "bucketing", "layout", "relational", "tpch"),
+)
+def bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    db = f"bkt_{_uuid.uuid4().hex[:10]}"
+    loc = tempfile.mkdtemp(prefix="cpbkt_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    write_bucketed(li, f"{db}.li_b", key="l_orderkey", buckets=8)
+    write_bucketed(orders, f"{db}.orders_b", key="o_orderkey", buckets=8)
+    a = spark.table(f"{db}.li_b")
+    b = spark.table(f"{db}.orders_b")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    no_exchange = int("SortMergeJoin" in plan and "Exchange" not in plan)
+    bucketed = int(
+        "Bucketed: true" in plan
+        and plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_extendedprice").alias("revenue"),
+        F.lit(no_exchange).cast("long").alias("join_has_no_exchange"),
+        F.lit(bucketed).cast("long").alias("scan_is_bucketed"),
+    )

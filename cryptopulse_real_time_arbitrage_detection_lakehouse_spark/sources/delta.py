@@ -3890,6 +3890,20 @@ class DeltaTable:
         if last is None:
             raise ValueError(f"empty table: {self.path}")
         end = last if ending_version is None else ending_version
+        # CDF needs every commit JSON from 0 through the window's end:
+        # the window's own commits supply the changes, and the prefix
+        # supplies the per-path file state DV-deltas diff against. A
+        # prefix expired by cleanup_metadata must fail LOUDLY here —
+        # silently replaying from a hole would emit a partial feed a
+        # downstream consumer has no way to detect (delta-spark raises
+        # the same way when startingVersion predates log retention).
+        missing = sorted(set(range(end + 1)) - set(self._commit_versions()))
+        if missing:
+            raise ValueError(
+                f"change feed over versions 0..{end} needs every commit "
+                f"JSON, but {missing[:5]}{'...' if len(missing) > 5 else ''} "
+                "are not in the log (expired by cleanup_metadata?)"
+            )
 
         # replay to just before the window, tracking per-path state
         live: dict[str, dict] = {}

@@ -3202,3 +3202,63 @@ class TestLiquidClustering:
         # the domain stores PHYSICAL names (spec) — 'sym' pre-rename
         cfg = json.loads(t.domain_metadata()["delta.clustering"])
         assert cfg["clusteringColumns"] == [["id"], ["sym"]]
+
+
+class TestLogCleanup:
+    """cleanup_metadata (delta-spark's MetadataCleanup twin): checkpoint
+    prerequisite, retention floor, exact below-checkpoint deletion set,
+    checkpoint-only replay afterward, loud expired-version failures."""
+
+    def test_requires_a_checkpoint(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        with pytest.raises(ValueError, match="requires a checkpoint"):
+            t.cleanup_metadata(retention_ms=0, force=True)
+
+    def test_retention_floor_and_property(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        t.checkpoint(spark)
+        with pytest.raises(ValueError, match="logRetentionDuration"):
+            t.cleanup_metadata(retention_ms=0)
+        t.set_table_properties(
+            {"delta.logRetentionDuration": "interval 0 second"}
+        )
+        t.checkpoint(spark)
+        # property floor is 0: no force needed
+        assert t.cleanup_metadata(retention_ms=0) != []
+
+    def test_expires_exactly_the_sub_checkpoint_prefix(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(4):
+            t.write(make_df(spark, 10 * i, 5).coalesce(1))  # v0..v3
+        t.checkpoint(spark)  # at v3
+        t.write(make_df(spark, 100, 5).coalesce(1))  # v4 tail
+        t.checkpoint(spark)  # at v4: supersedes the v3 checkpoint
+        deleted = t.cleanup_metadata(retention_ms=0, force=True)
+        # commits 0..3 and the superseded v3 checkpoint — never v4+
+        assert [n for n in deleted if n.endswith(".json")] == [
+            f"{v:020d}.json" for v in range(4)
+        ]
+        assert any(".checkpoint" in n and n.startswith(f"{3:020d}")
+                   for n in deleted)
+        assert t._commit_versions() == [4]
+        # state reconstructs from checkpoint + (empty) tail
+        assert t.read(spark).count() == 25
+        assert t.latest_version() == 4
+        # append still works after cleanup (versions keep counting)
+        t.write(make_df(spark, 200, 5).coalesce(1))
+        assert t.read(spark).count() == 30
+
+    def test_expired_versions_fail_loudly(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.write(make_df(spark, 10 * i, 5).coalesce(1))  # v0..v2
+        t.checkpoint(spark, parts=2)
+        t.cleanup_metadata(retention_ms=0, force=True)
+        with pytest.raises(ValueError, match="not found"):
+            t.read(spark, version=1)
+        with pytest.raises(ValueError):
+            t.read_changes(spark, starting_version=0, ending_version=1)
+        # the checkpointed version itself still time-travels
+        assert t.read(spark, version=2).count() == 15
