@@ -643,6 +643,28 @@ class PyDeltaStreamReader(DataSourceStreamReader):
     ``remove`` actions or a DV re-add is refused mid-stream rather than
     silently resurrecting or double-reading rows. ``startingVersion``
     (default 0) scopes the tail.
+
+    Rate limiting (delta-spark's ``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger``): each micro-batch admits whole commits until
+    the file/byte budget is hit, always at least one commit (commit
+    atomicity — a version never splits across batches, so a batch is
+    still an exactly-once unit). This is the admission control that
+    keeps steady-state tailing from ballooning: a burst of commits
+    drains as several bounded batches instead of one huge one whose
+    shuffle/state must fit in memory at once. Scope, documented rather
+    than hidden (traced against Spark 4.1's runner): the Python
+    DataSource API hands ``latestOffset`` no start offset and calls it
+    BEFORE ``initialOffset``, so the admission cursor is only known
+    from the second micro-batch of a run onward — the FIRST batch of
+    every run (fresh or restart) is unbounded, and a
+    ``trigger(availableNow=True)`` drain is a single unbounded batch
+    (Spark's wrapper captures one end offset up front). Bounding the
+    unknown-cursor case from ``startingVersion`` instead would be
+    WRONG, not just weaker: on a restart it can emit an offset behind
+    the checkpoint, and the next batch would replay committed rows.
+    delta-spark's JVM source bounds every batch via ReadLimit — an API
+    surface the Python DS lacks; semantics here are identical
+    (exactly-once, no loss) with coarser admission.
     """
 
     def __init__(self, options: dict, schema: T.StructType) -> None:
@@ -674,6 +696,17 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         self._part_cols = meta.get("partitionColumns") or []
         self._start_version = int(opts.get("startingversion", "0"))
         self._cdf = str(opts.get("readchangefeed", "")).lower() == "true"
+        mft = opts.get("maxfilespertrigger")
+        mbt = opts.get("maxbytespertrigger")
+        self._max_files = int(mft) if mft is not None else None
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        #: admission cursor: highest version already returned by
+        #: latestOffset or planned by partitions (None until learned)
+        self._pos: int | None = None
         log_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         self._arrow_types = {
             f.name: _spark_to_arrow_type(f.dataType) for f in log_schema.fields
@@ -690,11 +723,45 @@ class PyDeltaStreamReader(DataSourceStreamReader):
     # ----------------------------------------------------------- offsets
 
     def initialOffset(self) -> dict:
+        self._pos = self._start_version - 1
         return {"version": self._start_version - 1}
 
     def latestOffset(self) -> dict:
         latest = self._table.latest_version()
-        return {"version": latest if latest is not None else -1}
+        if latest is None:
+            return {"version": -1}
+        if (
+            (self._max_files is None and self._max_bytes is None)
+            or self._pos is None  # restart: cursor unknown (see class doc)
+            or self._pos >= latest
+        ):
+            self._pos = max(self._pos or -1, latest)
+            return {"version": latest}
+        # admit whole commits until the budget is spent; always >= 1
+        files = bytes_ = 0
+        end = self._pos
+        for v in range(self._pos + 1, latest + 1):
+            n = sz = 0
+            for action in self._table._read_commit(v):
+                add = action.get("add")
+                if add is not None:
+                    n += 1
+                    sz += int(add.get("size") or 0)
+            if v > self._pos + 1 and (
+                (self._max_files is not None and files + n > self._max_files)
+                or (self._max_bytes is not None
+                    and bytes_ + sz > self._max_bytes)
+            ):
+                break
+            files += n
+            bytes_ += sz
+            end = v
+            if (self._max_files is not None and files >= self._max_files) or (
+                self._max_bytes is not None and bytes_ >= self._max_bytes
+            ):
+                break
+        self._pos = end
+        return {"version": end}
 
     def _data_cols_map(self) -> dict[str, str]:
         phys = lambda c: self._mapping.get(c, c)  # noqa: E731
@@ -727,6 +794,10 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         )
 
     def partitions(self, start: dict, end: dict):
+        # learn the cursor from the planned range (covers checkpoint
+        # restarts, where initialOffset is never consulted)
+        self._pos = max(self._pos if self._pos is not None else -1,
+                        end["version"])
         if self._cdf:
             return self._cdf_partitions(start, end)
         out = []

@@ -740,3 +740,130 @@ class TestPyDeltaBatchCdf:
             for r in t.read_changes(spark, starting_version=0).collect()
         }
         assert mine == jvm
+
+
+class TestPyDeltaRateLimiting:
+    """maxFilesPerTrigger / maxBytesPerTrigger admission control: whole
+    commits per micro-batch up to the budget, always at least one; the
+    first batch of a run is unbounded (the Python DS API calls
+    latestOffset before initialOffset — see the reader docstring), every
+    later batch of the run is bounded; exactly-once is never traded."""
+
+    def _start(self, spark, path, out, opts):
+        reader = spark.readStream.format("pydelta").option("path", path)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out + "/data")
+            .option("checkpointLocation", out + "/ckpt")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    def _wait_rows(self, spark, out, target, timeout=90):
+        import time as _time
+
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out + "/data").count() >= target:
+                    return
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        raise AssertionError(f"sink never reached {target} rows")
+
+    def test_max_files_bounds_batches_after_the_first(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id").coalesce(1))  # v0
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        q = self._start(spark, t.path, out, {"maxFilesPerTrigger": "2"})
+        try:
+            self._wait_rows(spark, out, 10)  # first (unbounded) batch done
+            for i in range(1, 5):  # v1..v4, one file each
+                t.write(
+                    spark.range(i * 10, i * 10 + 10).select("id").coalesce(1)
+                )
+            self._wait_rows(spark, out, 50)
+            batches = [
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+        assert sum(batches) == 50
+        # every batch after the first admits at most 2 one-file commits
+        assert all(b <= 20 for b in batches[1:]), batches
+        assert len(batches) >= 3, batches
+        got = spark.read.parquet(out + "/data")
+        assert got.count() == 50
+        assert {r.id for r in got.collect()} == set(range(50))
+
+    def test_max_bytes_admits_at_least_one_commit(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id").coalesce(1))
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        # 1-byte budget: every commit exceeds it, so each batch admits
+        # exactly one commit (the >=1 floor) — never zero, never stuck
+        q = self._start(spark, t.path, out, {"maxBytesPerTrigger": "1"})
+        try:
+            self._wait_rows(spark, out, 10)
+            for i in range(1, 4):  # v1..v3
+                t.write(
+                    spark.range(i * 10, i * 10 + 10).select("id").coalesce(1)
+                )
+            self._wait_rows(spark, out, 40)
+            batches = [
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+        assert sum(batches) == 40
+        assert all(b == 10 for b in batches[1:]), batches
+
+    def test_exactly_once_across_restart_with_rate_limit(
+        self, spark, tmp_path
+    ):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.write(spark.range(i * 10, i * 10 + 10).select("id").coalesce(1))
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        q = self._start(spark, t.path, out, {"maxFilesPerTrigger": "1"})
+        try:
+            self._wait_rows(spark, out, 30)
+        finally:
+            q.stop()
+        t.write(spark.range(100, 105).select("id").coalesce(1))
+        q2 = self._start(spark, t.path, out, {"maxFilesPerTrigger": "1"})
+        try:
+            self._wait_rows(spark, out, 35)
+        finally:
+            q2.stop()
+        got = spark.read.parquet(out + "/data")
+        assert got.count() == 35  # nothing lost, nothing replayed
+        assert got.select("id").distinct().count() == 35
+
+    def test_invalid_budgets_refused(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id").coalesce(1))
+        pyds.register(spark)
+        with pytest.raises(Exception, match="maxFilesPerTrigger"):
+            (
+                spark.readStream.format("pydelta")
+                .option("path", t.path)
+                .option("maxFilesPerTrigger", "0")
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / "c"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )
