@@ -1756,3 +1756,228 @@ def pyds_batch_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").alias("commit_version"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "delta_type_widening_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       max(user_id) AS max_user,
+       {sql_dsum("CAST(CAST(value AS REAL) AS DOUBLE)")} AS total_value,
+       CAST(1 AS BIGINT) AS files_untouched,
+       CAST(1 AS BIGINT) AS reader_feature_fenced
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+UNION ALL
+SELECT 'view_wide' AS event_type, count(*) AS n,
+       max(user_id + 5000000000) AS max_user,
+       {sql_dsum("CAST(CAST(value AS REAL) AS DOUBLE) * 2")} AS total_value,
+       CAST(1 AS BIGINT) AS files_untouched,
+       CAST(1 AS BIGINT) AS reader_feature_fenced
+FROM events WHERE event_type = 'view'
+""",
+    doc="Type widening end to end (spec reader-writer feature "
+    "typeWidening): events land with user_id declared INT and value "
+    "declared FLOAT (one commit per event_type), then ALTER COLUMN "
+    "widens user_id -> LONG and value -> DOUBLE in metadata-only "
+    "commits — the flag pins that every pre-widen physical file is "
+    "STILL the same untouched file — and a post-widen append lands "
+    "values only the wide types can hold (user ids past 2^31). The "
+    "read reconciles both generations: Spark's parquet reader upcasts "
+    "the narrow files at scan time, so int32 and int64 files serve "
+    "one BIGINT column. Protocol is fenced on BOTH sides (reader v3 + "
+    "typeWidening, flag-checked) because a reader matching physical "
+    "types blindly would crash or misread the mixed-width table. The "
+    "oracle recomputes everything from raw events with the same "
+    "float32 rounding (value::REAL::DOUBLE) — green certifies the "
+    "widened reads agree to the last bit. At 100 TB this is an int "
+    "column outgrowing 2^31 costing ONE log commit, not a rewrite of "
+    "every file that carries it.",
+    tags=("delta", "type-widening", "schema-evolution", "metadata"),
+)
+def delta_type_widening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    narrow = events.select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+        F.col("value").cast("float").alias("value"),
+    )
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpwiden_") + "/events_delta")
+    for etype in _BATCH_TYPES:
+        table.write(
+            narrow.filter(F.col("event_type") == etype).repartition(1)
+        )
+    _m, adds_before = table._snapshot_state(None)
+    table.widen_column_type("user_id", "long")
+    table.widen_column_type("value", "double")
+    meta, adds_after, proto = table._snapshot_state_full(None)
+    untouched = int(
+        {a["path"] for a in adds_before} == {a["path"] for a in adds_after}
+    )
+    fenced = int(
+        proto["minReaderVersion"] == 3
+        and "typeWidening" in (proto.get("readerFeatures") or [])
+        and "typeWidening" in (proto.get("writerFeatures") or [])
+    )
+    table.write(
+        narrow.filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            (F.col("user_id").cast("long") + 5000000000).alias("user_id"),
+            F.lit("view_wide").alias("event_type"),
+            (F.col("value").cast("double") * 2).alias("value"),
+        )
+        .repartition(1)
+    )
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("user_id").alias("max_user"),
+        dsum("value").alias("total_value"),
+        F.lit(untouched).cast("long").alias("files_untouched"),
+        F.lit(fenced).cast("long").alias("reader_feature_fenced"),
+    )
+
+
+@register(
+    "delta_merge_schema_evolution_audit",
+    oracle=f"""
+WITH merged AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'view'
+              THEN 'ch' || CAST(user_id % 3 AS VARCHAR) END AS channel,
+         CASE WHEN event_type = 'view' THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_type IN {_BATCH_TYPES!r}
+  UNION ALL
+  SELECT 'purchase_new' AS event_type,
+         'ch' || CAST(user_id % 3 AS VARCHAR) AS channel,
+         value * 3 AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_type, channel, count(*) AS n,
+       {sql_dsum("value")} AS total_value
+FROM merged GROUP BY event_type, channel
+""",
+    doc="MERGE with schema evolution behind a correctness row "
+    "(delta-spark's withSchemaEvolution): the source carries a column "
+    "the target never had ('channel'), and ONE merge commit both "
+    "evolves the schema (a metaData action riding the MERGE itself — "
+    "no separate ALTER) and runs the clause lattice: WHEN MATCHED "
+    "UPDATE * doubles every view's value and lands its channel, WHEN "
+    "NOT MATCHED INSERT * adds purchase-derived rows under fresh ids "
+    "with tripled values. Every pre-evolution row — untouched files "
+    "AND copied rows inside rewritten files — reads NULL for the new "
+    "column (the files predate it; the schema-directed scan "
+    "null-fills, nothing rewrites beyond the merge's own touch set). "
+    "The oracle replays the exact lattice from raw events; the NULL "
+    "channel groups pin the null-fill to the value level. At 100 TB "
+    "this is how a pipeline absorbs an upstream schema change "
+    "mid-merge: one commit, O(touched files) data movement, zero "
+    "backfill.",
+    tags=("delta", "merge", "schema-evolution", "clauses"),
+)
+def delta_merge_schema_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = _forked_delta_table(spark, sf_dir, "mergevo")
+    events = load_table(spark, sf_dir, "events")
+    channel = F.concat(
+        F.lit("ch"), (F.col("user_id") % 3).cast("string")
+    ).alias("channel")
+    view = events.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+        channel,
+    )
+    fresh = events.filter(F.col("event_type") == "purchase").select(
+        (F.col("event_id") + 10**9).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("purchase_new").alias("event_type"),
+        (F.col("value") * 3).alias("value"),
+        channel,
+    )
+    (
+        table.merge_into(
+            view.unionByName(fresh), "target.event_id = source.event_id"
+        )
+        .when_matched_update()
+        .when_not_matched_insert()
+        .with_schema_evolution()
+        .execute(spark)
+    )
+    return table.read(spark).groupBy("event_type", "channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "delta_variant_events_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS total_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(1 AS BIGINT) AS reader_fenced
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'click'
+           AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 10)
+GROUP BY event_type
+""",
+    doc="VARIANT columns end to end (spec reader-writer feature "
+    "variantType; Spark 4's open-ended semi-structured type): the raw "
+    "Kafka-style JSON payload (events.props) lands as a real VARIANT "
+    "column via parse_json — no schema declared up front, unlike the "
+    "silver layer's from_json struct — and the commit fences BOTH "
+    "protocol sides (reader v3 + variantType, flag-checked) because "
+    "the parquet VARIANT logical type is unreadable to a plain-column "
+    "client; this engine's own pyarrow surfaces (to_pandas, pydelta) "
+    "refuse it loudly and per-file stats honestly degrade to "
+    "numRecords-only (pyarrow cannot even open such footers — counted "
+    "Spark-side instead, so metrics stay exact). A deletion-vector "
+    "DELETE then filters ON the variant payload "
+    "(variant_get(v,'$.k') < 10), and the read aggregates extracted "
+    "fields per type. The oracle replays everything from the raw JSON "
+    "strings with DuckDB's json functions — green certifies encode, "
+    "fence, DV-on-variant, and typed extraction agree to the value "
+    "level. At 100 TB variant is the bronze-layer shape for payloads "
+    "whose schema drifts weekly: ingest never breaks, extraction is "
+    "typed per query, and shredding stays an optimization, not a "
+    "prerequisite.",
+    tags=("delta", "variant", "semi-structured", "deletion-vectors",
+          "parse"),
+)
+def delta_variant_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpvariant_") + "/events_delta")
+    table.write(
+        events.select(
+            "event_id",
+            "event_type",
+            F.parse_json(F.col("props")).alias("payload"),
+        ).repartition(2)
+    )
+    table.delete(
+        spark,
+        "event_type = 'click' AND "
+        "variant_get(payload, '$.k', 'long') < 10",
+    )
+    _m, _a, proto = table._snapshot_state_full(None)
+    fenced = int(
+        proto["minReaderVersion"] == 3
+        and "variantType" in (proto.get("readerFeatures") or [])
+        and "variantType" in (proto.get("writerFeatures") or [])
+    )
+    k = F.try_variant_get(F.col("payload"), "$.k", "long")
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("total_k"),
+        F.max(k).alias("max_k"),
+        F.lit(fenced).cast("long").alias("reader_fenced"),
+    )

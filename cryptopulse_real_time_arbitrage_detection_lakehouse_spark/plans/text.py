@@ -2380,3 +2380,142 @@ def doc_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("dsir_score"),
         (score >= F.col("t")).cast("long").alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: today's batch against the indexed corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_incremental_dedup_audit",
+    oracle=f"""
+WITH {_SQL_NEAR_DUP_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE jaccard >= {NEAR_DUP_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION ALL
+  SELECT doc_b AS x, doc_a AS y FROM pairs
+),
+flags AS (
+  SELECT d.doc_id,
+         COALESCE(max(CASE WHEN s.y % 10 != 0 THEN 1 ELSE 0 END), 0)
+           AS dup_of_corpus,
+         COALESCE(max(CASE WHEN s.y % 10 = 0 AND s.y < d.doc_id
+                           THEN 1 ELSE 0 END), 0) AS dup_in_batch
+  FROM documents d LEFT JOIN sym s ON s.x = d.doc_id
+  WHERE d.doc_id % 10 = 0
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(dup_of_corpus AS BIGINT) AS dup_of_corpus,
+       CAST(dup_in_batch AS BIGINT) AS dup_in_batch,
+       CAST(CASE WHEN dup_of_corpus = 0 AND dup_in_batch = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS admitted
+FROM flags
+""",
+    doc="INCREMENTAL near-dedup — the production shape where a daily "
+    "crawl batch (doc_id % 10 = 0 here) is admitted against an "
+    "already-indexed corpus instead of re-deduping the world: the "
+    "batch's MinHash bands PROBE the corpus band index (equi-join on "
+    "(band, band_sig)) plus an earlier-id probe within the batch "
+    "itself, candidates verify by exact hashed-shingle Jaccard, and "
+    "each new doc reports dup_of_corpus / dup_in_batch / admitted. "
+    "Same signature family as doc_near_dup_pairs, so the oracle "
+    "reuses the verified all-pairs CTE chain and derives the flags "
+    "relationally — green certifies the asymmetric probe finds "
+    "EXACTLY the pairs the symmetric join would. The 100 TB shape: "
+    "the corpus side is a materialized band index (one-time build, "
+    "like the ANN indexes); a day's batch shuffles only its own "
+    "bands plus matched candidates — incremental cost is O(batch + "
+    "matches), never O(corpus), and admitted docs' bands append to "
+    "the index for tomorrow.",
+    tags=("text", "dedup", "minhash", "lsh", "llm-pipeline",
+          "incremental"),
+)
+def doc_incremental_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    xs_df = shared(
+        d.select(
+            "doc_id",
+            bind(
+                tokens("text"),
+                lambda t: F.array_distinct(minhash_base(shingles(t))),
+            ).alias("xs"),
+        )
+    )
+    sig = xs_df.select(
+        "doc_id", minhash_signature(F.col("xs"), N_HASHES).alias("mh")
+    )
+    band_idx = F.explode(
+        F.array(*[F.lit(b) for b in range(N_BANDS)])
+    ).alias("band")
+    banded = shared(
+        sig.select("doc_id", band_idx, "mh").select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(
+                        F.col("mh"), F.col("band") * ROWS_PER_BAND + j + 1
+                    )
+                    for j in range(ROWS_PER_BAND)
+                ],
+            ).alias("band_sig"),
+        )
+    )
+    is_new = F.col("doc_id") % 10 == 0
+    probe = banded.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "band_sig"
+    )
+    index = banded.select(
+        F.col("doc_id").alias("old_id"), "band", "band_sig"
+    )
+    # the probe join: batch bands against the full index; an index row
+    # is eligible if it is corpus, or an EARLIER batch member
+    cand = (
+        probe.join(index, ["band", "band_sig"])
+        .filter(
+            (F.col("old_id") % 10 != 0)
+            | (F.col("old_id") < F.col("new_id"))
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    xa = xs_df.select(F.col("doc_id").alias("new_id"), F.col("xs").alias("xa"))
+    xb = xs_df.select(F.col("doc_id").alias("old_id"), F.col("xs").alias("xb"))
+    inter = F.size(F.array_intersect(F.col("xa"), F.col("xb")))
+    union = F.size(F.array_distinct(F.concat(F.col("xa"), F.col("xb"))))
+    verified = (
+        cand.join(xa, "new_id")
+        .join(xb, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+    )
+    flags = verified.groupBy("new_id").agg(
+        F.max((F.col("old_id") % 10 != 0).cast("long")).alias("dup_of_corpus"),
+        F.max(
+            ((F.col("old_id") % 10 == 0) & (F.col("old_id") < F.col("new_id")))
+            .cast("long")
+        ).alias("dup_in_batch"),
+    )
+    batch = d.filter(is_new).select("doc_id")
+    out = batch.join(
+        flags.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+    )
+    c = F.coalesce(F.col("dup_of_corpus"), F.lit(0))
+    b = F.coalesce(F.col("dup_in_batch"), F.lit(0))
+    return out.select(
+        "doc_id",
+        c.alias("dup_of_corpus"),
+        b.alias("dup_in_batch"),
+        ((c == 0) & (b == 0)).cast("long").alias("admitted"),
+    )

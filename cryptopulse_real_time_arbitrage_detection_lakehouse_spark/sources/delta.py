@@ -640,7 +640,18 @@ class DeltaTable:
             # a name-matching reader would misread (e.g. Iceberg-compat
             # converts) — gated too.
             features = set(protocol.get("readerFeatures") or [])
-            unsupported = features - {"columnMapping", "deletionVectors"}
+            # typeWidening is readable because EVERY read path casts the
+            # file's physical type to the declared logical type: Spark's
+            # parquet reader upcasts natively, and the pyarrow readers
+            # conform each batch to the declared arrow schema
+            # variantType is readable on the SPARK path (the engine's
+            # parquet reader decodes the VARIANT logical type); the
+            # pure-python readers refuse it at their own entry points
+            # (pyarrow cannot even open such footers)
+            unsupported = features - {
+                "columnMapping", "deletionVectors", "typeWidening",
+                "variantType",
+            }
             # v3 REQUIRES an explicit feature list; absent = malformed, and
             # guessing what such a table needs would risk a silent misread
             malformed_v3 = (
@@ -1081,6 +1092,12 @@ class DeltaTable:
 
         meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if self._has_variant(schema):
+            raise NotImplementedError(
+                "to_pandas cannot read VARIANT columns (pyarrow does not "
+                "recognize the parquet VARIANT logical type); use the "
+                "Spark read path"
+            )
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
         phys = lambda c: mapping.get(c, c)  # noqa: E731
@@ -1127,9 +1144,35 @@ class DeltaTable:
                     ) from None
                 tbl = pq.read_table(fp, columns=file_cols or None)
             else:
+                # a pre-evolution file lacks columns added later
+                # (merge_schema / MERGE with_schema_evolution): request
+                # only what the footer has and NULL-fill the rest —
+                # requesting a missing column crashes the read, where
+                # Delta semantics say NULL (same contract as the pyds
+                # kernel)
+                present = set(pq.read_schema(fp).names)
                 tbl = pq.read_table(
-                    fp, columns=[phys(c) for c in data_cols] or None
+                    fp,
+                    columns=[c for c in (phys(c) for c in data_cols)
+                             if c in present] or None,
                 )
+                absent = [c for c in data_cols if phys(c) not in present]
+                if absent:
+                    import pyarrow as pa
+                    from pyspark.sql.pandas.types import to_arrow_type
+
+                    for c in absent:
+                        tbl = tbl.append_column(
+                            phys(c),
+                            pa.nulls(
+                                tbl.num_rows,
+                                type=to_arrow_type(
+                                    self._strip_meta(types[c])
+                                ),
+                            ),
+                        )
+                    # restore declared order (absents appended at the end)
+                    tbl = tbl.select([phys(c) for c in data_cols])
             if mapping:
                 # nested struct fields read under PHYSICAL names; rebuild
                 # positionally to logical (struct-cast twin, arrow-side)
@@ -1142,6 +1185,27 @@ class DeltaTable:
                             col.combine_chunks(), types[c]
                         )
                         tbl = tbl.set_column(i, pa.field(c, arr.type), arr)
+            widened = {
+                f.name
+                for f in schema.fields
+                if (f.metadata or {}).get("delta.typeChanges")
+            }
+            if widened:
+                # typeWidening: files predating the widen carry the
+                # NARROW physical type; conform to the declared logical
+                # type so every piece concatenates at the same width
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                for i, c in enumerate(data_cols):
+                    if c in widened:
+                        want = to_arrow_type(types[c])
+                        if tbl.column(i).type != want:
+                            tbl = tbl.set_column(
+                                i,
+                                pa.field(c, want),
+                                tbl.column(i).cast(want),
+                            )
             pdf = tbl.to_pandas()
             pdf.columns = data_cols if data_cols else pdf.columns
             if a.get("deletionVector"):
@@ -1469,9 +1533,7 @@ class DeltaTable:
                         # numRecords + per-column min/max/nullCount from the
                         # parquet footer: the data-skipping payload `read
                         # (where=...)` prunes files with (SURVEY §4.1)
-                        "stats": json.dumps(
-                            _file_stats(pq.ParquetFile(dst).metadata)
-                        ),
+                        "stats": json.dumps(self._staged_stats(df, dst)),
                     }
                 )
         # clear the now-empty staging tree
@@ -1482,6 +1544,39 @@ class DeltaTable:
                 os.remove(os.path.join(root, leftover))
         os.rmdir(stage)
         return adds
+
+    @staticmethod
+    def _staged_stats(df: DataFrame, dst: str) -> dict:
+        """Per-file stats for one staged parquet. Normal path: footer
+        min/max via pyarrow. Files carrying a parquet VARIANT column
+        cannot be OPENED by pyarrow at all (unrecognized Thrift
+        LogicalType), so they degrade to numRecords-only stats counted
+        Spark-side — data skipping then never prunes on them (absent
+        stats mean "may match", the sound direction), while numRecords
+        keeps operationMetrics, DESCRIBE DETAIL, and row tracking
+        exact."""
+        import pyarrow.parquet as pq
+
+        try:
+            return _file_stats(pq.ParquetFile(dst).metadata)
+        except OSError:
+            return {
+                "numRecords": df.sparkSession.read.parquet(dst).count()
+            }
+
+    @staticmethod
+    def _has_variant(dt: T.DataType) -> bool:
+        if isinstance(dt, T.VariantType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(DeltaTable._has_variant(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return DeltaTable._has_variant(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return DeltaTable._has_variant(dt.keyType) or DeltaTable._has_variant(
+                dt.valueType
+            )
+        return False
 
     def write(
         self,
@@ -1597,45 +1692,9 @@ class DeltaTable:
                         f"schema mismatch (new columns {[f.name for f in extra]}); "
                         "pass merge_schema=True to evolve the table schema"
                     )
-                if mapping:
-                    # On a column-mapped table every field must carry a
-                    # physicalName — new fields get a fresh synthetic one
-                    # (delta-spark uses col-<uuid>) and the next column id,
-                    # so the staged parquet and future reads agree.
-                    conf = dict(prior_meta.get("configuration") or {})
-                    next_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
-                    schema_json = json.loads(prior_meta["schemaString"])
-                    for f in extra:
-                        # nested struct fields of a NEW column get their own
-                        # synthetic physical names too (delta-spark's shape)
-                        inner_type, next_id = _assign_mapping_meta(
-                            json.loads(f.dataType.json()),
-                            next_id,
-                            lambda _name: f"col-{uuid.uuid4().hex}",
-                        )
-                        next_id += 1
-                        phys_name = f"col-{uuid.uuid4().hex}"
-                        mapping[f.name] = phys_name
-                        schema_json["fields"].append(
-                            {
-                                "name": f.name,
-                                "type": inner_type,
-                                "nullable": True,
-                                "metadata": {
-                                    "delta.columnMapping.id": next_id,
-                                    "delta.columnMapping.physicalName": phys_name,
-                                },
-                            }
-                        )
-                    conf["delta.columnMapping.maxColumnId"] = str(next_id)
-                    new_configuration = conf
-                    new_schema_json = json.dumps(schema_json)
-                else:
-                    merged = T.StructType(
-                        list(prior_schema.fields)
-                        + [T.StructField(f.name, f.dataType, True) for f in extra]
-                    )
-                    new_schema_json = merged.json()
+                new_schema_json, new_configuration = self._evolved_schema(
+                    prior_meta, mapping, extra
+                )
 
         if last is None and generated_columns:
             df = self._apply_generated(df, generated_columns)
@@ -1691,17 +1750,40 @@ class DeltaTable:
             }
         )
         if version == 0:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 1,
-                        # generatedColumns is a writer-v4 feature: older
-                        # writers must be fenced off or they would append
-                        # rows violating the generation invariant
-                        "minWriterVersion": 4 if generated_columns else 2,
+            if self._has_variant(df.schema):
+                # variantType is a READER-writer feature: the physical
+                # encoding (parquet VARIANT logical type over
+                # metadata/value binaries) is unreadable to a client
+                # that expects plain columns, so both sides fence
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["variantType"],
+                            "writerFeatures": sorted(
+                                {"appendOnly", "invariants", "variantType"}
+                                | (
+                                    {"generatedColumns"}
+                                    if generated_columns
+                                    else set()
+                                )
+                            ),
+                        }
                     }
-                }
-            )
+                )
+            else:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            # generatedColumns is a writer-v4 feature: older
+                            # writers must be fenced off or they would append
+                            # rows violating the generation invariant
+                            "minWriterVersion": 4 if generated_columns else 2,
+                        }
+                    }
+                )
             schema_json = json.loads(df.schema.json())
             for fj in schema_json.get("fields", []):
                 expr = (generated_columns or {}).get(fj["name"])
@@ -1726,6 +1808,34 @@ class DeltaTable:
             evolved["schemaString"] = new_schema_json
             if new_configuration is not None:
                 evolved["configuration"] = new_configuration
+            if self._has_variant(
+                T.StructType.fromJson(json.loads(new_schema_json))
+            ):
+                _m2, _a2, prior_proto = self._snapshot_state_full(None)
+                if "variantType" not in (
+                    (prior_proto or {}).get("readerFeatures") or []
+                ):
+                    reader_feats = set(
+                        (prior_proto or {}).get("readerFeatures") or []
+                    )
+                    if (prior_proto or {}).get("minReaderVersion", 1) >= 2:
+                        reader_feats.add("columnMapping")
+                    reader_feats.add("variantType")
+                    actions.append(
+                        {
+                            "protocol": {
+                                "minReaderVersion": 3,
+                                "minWriterVersion": 7,
+                                "readerFeatures": sorted(reader_feats),
+                                "writerFeatures": sorted(
+                                    self._implied_writer_features(
+                                        prior_proto or {}
+                                    )
+                                    | {"variantType"}
+                                ),
+                            }
+                        }
+                    )
             actions.append({"metaData": evolved})
         if mode == "overwrite":
             for a in prior_adds:
@@ -2257,6 +2367,53 @@ class DeltaTable:
             "UPGRADE COLUMN MAPPING",
         )
 
+    def _evolved_schema(
+        self, prior_meta: dict, mapping: dict, extra: list
+    ) -> tuple[str, dict | None]:
+        """Schema evolution shared by append-time ``merge_schema`` and
+        MERGE ``with_schema_evolution``: append ``extra`` StructFields
+        (nullable) to the table schema. Returns (new schemaString, new
+        configuration or None). On a column-mapped table every new field
+        gets a fresh synthetic physicalName (delta-spark's col-<uuid>)
+        and the next column id — ``mapping`` is updated IN PLACE so the
+        caller's staging writes physical names immediately."""
+        if mapping:
+            conf = dict(prior_meta.get("configuration") or {})
+            next_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
+            schema_json = json.loads(prior_meta["schemaString"])
+            for f in extra:
+                # nested struct fields of a NEW column get their own
+                # synthetic physical names too (delta-spark's shape)
+                inner_type, next_id = _assign_mapping_meta(
+                    json.loads(f.dataType.json()),
+                    next_id,
+                    lambda _name: f"col-{uuid.uuid4().hex}",
+                )
+                next_id += 1
+                phys_name = f"col-{uuid.uuid4().hex}"
+                mapping[f.name] = phys_name
+                schema_json["fields"].append(
+                    {
+                        "name": f.name,
+                        "type": inner_type,
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": next_id,
+                            "delta.columnMapping.physicalName": phys_name,
+                        },
+                    }
+                )
+            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+            return json.dumps(schema_json), conf
+        prior_schema = T.StructType.fromJson(
+            json.loads(prior_meta["schemaString"])
+        )
+        merged = T.StructType(
+            list(prior_schema.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in extra]
+        )
+        return merged.json(), None
+
     def _metadata_commit(
         self, operation: str, new_meta: dict, base: int | None = None
     ) -> int:
@@ -2777,6 +2934,137 @@ class DeltaTable:
         new_meta = dict(meta)
         new_meta["schemaString"] = json.dumps(schema)
         return self._metadata_commit("DROP COLUMN", new_meta, base=base)
+
+    #: spec Type Widening: fromType -> allowed toTypes, all changes an
+    #: engine can serve by CASTING at read time with zero information
+    #: loss (every widening verified against Spark 4.1's parquet reader,
+    #: which upcasts the narrow physical type natively)
+    _WIDENINGS = {
+        "byte": {"short", "integer", "long", "double"},
+        "short": {"integer", "long", "double"},
+        "integer": {"long", "double"},
+        "float": {"double"},
+        "date": {"timestamp_ntz"},
+    }
+    #: integer -> decimal needs enough integral digits for every value
+    #: the narrow type can hold (spec table: Byte/Short/Int need 10,
+    #: Long needs 20)
+    _INT_DECIMAL_DIGITS = {"byte": 10, "short": 10, "integer": 10, "long": 20}
+
+    @classmethod
+    def _widening_allowed(cls, from_t: str, to_t: str) -> bool:
+        if to_t in cls._WIDENINGS.get(from_t, ()):
+            return True
+        m_to = re.fullmatch(r"decimal\((\d+),(\d+)\)", to_t)
+        if not m_to:
+            return False
+        p2, s2 = int(m_to.group(1)), int(m_to.group(2))
+        m_from = re.fullmatch(r"decimal\((\d+),(\d+)\)", from_t)
+        if m_from:
+            p1, s1 = int(m_from.group(1)), int(m_from.group(2))
+            # scale and integral digits must both be non-decreasing,
+            # and SOMETHING must actually widen
+            return s2 >= s1 and (p2 - s2) >= (p1 - s1) and (p2, s2) != (p1, s1)
+        need = cls._INT_DECIMAL_DIGITS.get(from_t)
+        return need is not None and (p2 - s2) >= need
+
+    def widen_column_type(self, column: str, new_type: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN ... TYPE — the spec's
+        ``typeWidening`` reader-writer feature: change a TOP-LEVEL
+        column's type to a strictly wider one in a metadata-only commit.
+        Zero data files are rewritten — old files keep their narrow
+        physical type and every reader CASTS at scan time (Spark 4.1's
+        parquet reader upcasts natively; the pure-python readers conform
+        each batch to the declared arrow type). At 100 TB this is the
+        difference between an int column outgrowing 2^31 costing one
+        log commit versus a full-table rewrite.
+
+        Records the change in the field's ``delta.typeChanges`` metadata
+        (the spec's provenance list — what lets a reader know which
+        files may carry the narrow type), stamps
+        ``delta.enableTypeWidening=true``, and fences BOTH protocol
+        sides: reader v3 + ``typeWidening`` in readerFeatures (a reader
+        that matched physical types blindly would crash or misread
+        mixed-width files) and writer v7 + the feature. Narrowings and
+        unrelated changes are refused; partition columns are refused
+        (their values live as strings in directory layout keyed by the
+        declared type)."""
+        base = self.latest_version() or 0
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        if column in (meta.get("partitionColumns") or []):
+            raise ValueError(f"cannot widen partition column {column!r}")
+        schema = json.loads(meta["schemaString"])
+        hit = next(
+            (f for f in schema["fields"] if f["name"] == column), None
+        )
+        if hit is None:
+            raise ValueError(
+                f"no column {column!r} in "
+                f"{[f['name'] for f in schema['fields']]}"
+            )
+        from_t = hit["type"]
+        if not isinstance(from_t, str):
+            raise ValueError(
+                f"column {column!r} is a {from_t.get('type')} — only "
+                "primitive top-level columns can be widened"
+            )
+        new_type = new_type.strip().lower().replace(" ", "")
+        if new_type == "timestampntz":
+            new_type = "timestamp_ntz"
+        if not self._widening_allowed(from_t, new_type):
+            raise ValueError(
+                f"{from_t} -> {new_type} is not a supported widening "
+                "(spec typeWidening: byte/short/integer -> wider "
+                "integers/long/double/decimal, float -> double, "
+                "date -> timestamp_ntz, decimal -> wider decimal)"
+            )
+        md = dict(hit.get("metadata") or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({"fromType": from_t, "toType": new_type})
+        md["delta.typeChanges"] = changes
+        hit["metadata"] = md
+        hit["type"] = new_type
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.enableTypeWidening"] = "true"
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema)
+        new_meta["configuration"] = conf
+        proto = dict(protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+        reader_feats = set(proto.get("readerFeatures") or [])
+        if not reader_feats:
+            # implied by the versioned protocol: v2 = column mapping,
+            # v3 without a list = malformed (gated at read)
+            if proto.get("minReaderVersion", 1) >= 2:
+                reader_feats.add("columnMapping")
+        reader_feats.add("typeWidening")
+        writer_feats = self._implied_writer_features(proto)
+        writer_feats.add("typeWidening")
+        new_proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(writer_feats),
+        }
+        now_ms = int(time.time() * 1000)
+        return self._publish_or_conflict(
+            base + 1,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "CHANGE COLUMN",
+                        "operationParameters": {
+                            "column": column,
+                            "fromType": from_t,
+                            "toType": new_type,
+                        },
+                    }
+                },
+                {"protocol": new_proto},
+                {"metaData": new_meta},
+            ],
+            "CHANGE COLUMN",
+        )
 
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT twin (writer feature
@@ -4561,6 +4849,7 @@ class DeltaMergeBuilder:
         self._matched: list[tuple[str, str | None, dict | None]] = []
         self._not_matched: list[tuple[str | None, dict | None]] = []
         self._by_source: list[tuple[str, str | None, dict | None]] = []
+        self._evolve = False
 
     # ------------------------------------------------------- clause API
 
@@ -4600,6 +4889,19 @@ class DeltaMergeBuilder:
         self, condition: str | None = None
     ) -> "DeltaMergeBuilder":
         self._by_source.append(("delete", condition, None))
+        return self
+
+    def with_schema_evolution(self) -> "DeltaMergeBuilder":
+        """delta-spark's ``withSchemaEvolution()``: source columns absent
+        from the target are ADDED to the table schema in the merge's own
+        commit (one metaData action — no separate ALTER). Star clauses
+        (``UPDATE SET *`` / ``INSERT *``) then carry the new columns;
+        pre-existing target rows read NULL for them (the files predate
+        the column, the schema-directed scan null-fills — zero rewrite
+        beyond the files the merge touches anyway). Without this call a
+        wider source keeps today's behavior: extra source columns are
+        ignored."""
+        self._evolve = True
         return self
 
     # ------------------------------------------------------- execution
@@ -4708,10 +5010,31 @@ class DeltaMergeBuilder:
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         gen = t._generation_exprs(meta)
-        self._validate(col_types, gen, self._source.columns)
         part_cols = meta.get("partitionColumns") or []
         mapping = t._column_mapping(meta) or {}
         rt = t._row_tracking_enabled(meta)
+        evolved_fields: list[T.StructField] = []
+        if self._evolve:
+            evolved_fields = [
+                f
+                for f in self._source.schema.fields
+                if f.name not in col_types
+            ]
+            if evolved_fields:
+                # the merge commit CARRIES the evolution (delta-spark's
+                # withSchemaEvolution: one metaData action, no separate
+                # ALTER); staging below writes the evolved schema, and
+                # mapped tables get physical names for the new columns
+                new_schema_json, new_conf = t._evolved_schema(
+                    meta, mapping, evolved_fields
+                )
+                meta = dict(meta)
+                meta["schemaString"] = new_schema_json
+                if new_conf is not None:
+                    meta["configuration"] = new_conf
+                schema = T.StructType.fromJson(json.loads(new_schema_json))
+                col_types = {f.name: f.dataType for f in schema.fields}
+        self._validate(col_types, gen, self._source.columns)
 
         if rt:
             # carry each target row's stable id through the rewrite:
@@ -4730,6 +5053,11 @@ class DeltaMergeBuilder:
             )
         else:
             tgt = t._scan(spark, keep_meta=True)
+        for f in evolved_fields:
+            # pre-evolution target rows read NULL for the new columns
+            tgt = tgt.withColumn(
+                f.name, F.lit(None).cast(t._strip_meta(f.dataType))
+            )
         src = self._source.withColumn("__src_match", F.lit(True))
         j_cond = F.expr(self._cond)
         matches = (
@@ -5028,6 +5356,8 @@ class DeltaMergeBuilder:
                 }
             }
         ]
+        if evolved_fields:
+            actions.append({"metaData": meta})
         for fname in touched_list:
             a = by_name[fname]
             prior_dv = a.get("deletionVector")

@@ -193,6 +193,12 @@ class PyDeltaReader(DataSourceReader):
         self._meta = meta
         self._adds = adds
         self._schema = schema
+        if DeltaTable._has_variant(schema):
+            raise NotImplementedError(
+                "the pydelta source cannot read VARIANT columns (pyarrow "
+                "does not recognize the parquet VARIANT logical type); "
+                "use the Spark read path"
+            )
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
         self._cdf = str(opts.get("readchangefeed", "")).lower() == "true"
@@ -692,6 +698,12 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                 )
         self._table = table
         self._schema = schema
+        if DeltaTable._has_variant(schema):
+            raise NotImplementedError(
+                "the pydelta source cannot stream VARIANT columns "
+                "(pyarrow does not recognize the parquet VARIANT logical "
+                "type); use the Spark read path"
+            )
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
         self._start_version = int(opts.get("startingversion", "0"))
@@ -1019,6 +1031,11 @@ def _validate_write_target(
     partitioning must match an existing table exactly (the pydelta write
     path has no evolution or mapped-staging support — `DeltaTable.write`
     does), and partition columns must exist in the frame."""
+    if DeltaTable._has_variant(schema):
+        raise NotImplementedError(
+            "the pydelta writers cannot stage VARIANT columns (pyarrow "
+            "has no parquet VARIANT encoder); use DeltaTable.write"
+        )
     for c in partition_by:
         if c not in schema.fieldNames():
             raise ValueError(

@@ -3262,3 +3262,311 @@ class TestLogCleanup:
             t.read_changes(spark, starting_version=0, ending_version=1)
         # the checkpointed version itself still time-travels
         assert t.read(spark, version=2).count() == 15
+
+
+class TestTypeWidening:
+    """typeWidening reader-writer feature: metadata-only ALTER COLUMN
+    TYPE; old files keep the narrow physical type and every read path
+    casts; provenance in delta.typeChanges; both protocol sides fenced."""
+
+    def _int_table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 10)
+            .select(F.col("id").cast("int").alias("v"), F.col("id").alias("k"))
+            .coalesce(1)
+        )
+        return t
+
+    def test_int_to_long_roundtrip_zero_rewrite(self, spark, tmp_path):
+        t = self._int_table(spark, tmp_path)
+        _m, adds_before = t._snapshot_state(None)
+        t.widen_column_type("v", "long")
+        _m2, adds_after = t._snapshot_state(None)
+        # metadata-only: the SAME physical file, untouched
+        assert {a["path"] for a in adds_before} == {
+            a["path"] for a in adds_after
+        }
+        # post-widen appends land wide; values beyond int32 work
+        t.write(
+            spark.createDataFrame(
+                [(2**40, 100), (2**40 + 1, 101)], "v long, k long"
+            ).coalesce(1)
+        )
+        got = t.read(spark)
+        assert dict(got.dtypes)["v"] == "bigint"
+        assert got.count() == 12
+        assert got.agg(F.max("v")).first()[0] == 2**40 + 1
+        assert got.filter("v < 10").count() == 10  # narrow files readable
+        # pure-python readers conform the narrow files too
+        pdf = t.to_pandas()
+        assert str(pdf["v"].dtype) == "int64"
+        assert int(pdf["v"].max()) == 2**40 + 1
+
+    def test_provenance_property_and_protocol(self, spark, tmp_path):
+        t = self._int_table(spark, tmp_path)
+        t.widen_column_type("v", "long")
+        meta, _adds, proto = t._snapshot_state_full(None)
+        fld = next(
+            f
+            for f in __import__("json").loads(meta["schemaString"])["fields"]
+            if f["name"] == "v"
+        )
+        assert fld["type"] == "long"
+        assert fld["metadata"]["delta.typeChanges"] == [
+            {"fromType": "integer", "toType": "long"}
+        ]
+        assert meta["configuration"]["delta.enableTypeWidening"] == "true"
+        assert proto["minReaderVersion"] == 3
+        assert "typeWidening" in proto["readerFeatures"]
+        assert proto["minWriterVersion"] == 7
+        assert "typeWidening" in proto["writerFeatures"]
+        # a second widen on the same column appends to the provenance
+        t.widen_column_type("v", "decimal(22,1)")
+        meta2, _ = t._snapshot_state(None)
+        fld2 = next(
+            f
+            for f in __import__("json").loads(meta2["schemaString"])["fields"]
+            if f["name"] == "v"
+        )
+        assert [c["toType"] for c in fld2["metadata"]["delta.typeChanges"]] == [
+            "long",
+            "decimal(22,1)",
+        ]
+
+    def test_float_decimal_date_widenings_read_back(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 5)
+            .select(
+                F.col("id").cast("float").alias("f"),
+                F.col("id").cast("decimal(5,2)").alias("d"),
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+                ).alias("dt"),
+            )
+            .coalesce(1)
+        )
+        t.widen_column_type("f", "double")
+        t.widen_column_type("d", "decimal(10,2)")
+        t.widen_column_type("dt", "timestamp_ntz")
+        got = t.read(spark)
+        assert dict(got.dtypes) == {
+            "f": "double",
+            "d": "decimal(10,2)",
+            "dt": "timestamp_ntz",
+        }
+        row = got.orderBy("f").collect()[4]
+        assert row.f == 4.0 and str(row.d) == "4.00"
+        assert row.dt.isoformat() == "2024-01-05T00:00:00"
+
+    def test_refusals(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 5)
+            .select(
+                F.col("id").alias("v"),
+                (F.col("id") % 2).cast("string").alias("p"),
+            ),
+            partition_by=["p"],
+        )
+        with pytest.raises(ValueError, match="not a supported widening"):
+            t.widen_column_type("v", "integer")  # narrowing
+        with pytest.raises(ValueError, match="partition column"):
+            t.widen_column_type("p", "timestamp_ntz")
+        with pytest.raises(ValueError, match="no column"):
+            t.widen_column_type("nope", "long")
+        with pytest.raises(ValueError, match="not a supported widening"):
+            t.widen_column_type("v", "decimal(10,2)")  # 8 int digits < 20
+        assert t._widening_allowed("long", "decimal(22,2)")
+        assert not t._widening_allowed("decimal(10,2)", "decimal(11,4)")
+        assert t._widening_allowed("decimal(10,2)", "decimal(12,4)")
+
+    def test_checkpoint_and_log_cleanup_preserve_widening(
+        self, spark, tmp_path
+    ):
+        t = self._int_table(spark, tmp_path)
+        t.widen_column_type("v", "long")
+        t.write(
+            spark.createDataFrame([(2**35, 7)], "v long, k long").coalesce(1)
+        )
+        t.checkpoint(spark)
+        t.cleanup_metadata(retention_ms=0, force=True)
+        got = t.read(spark)  # checkpoint-only replay
+        assert dict(got.dtypes)["v"] == "bigint"
+        assert got.count() == 11 and got.agg(F.max("v")).first()[0] == 2**35
+        # pydelta source reads the mixed-width table through the feature
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        pyds.register(spark)
+        got2 = spark.read.format("pydelta").option("path", t.path).load()
+        assert dict(got2.dtypes)["v"] == "bigint"
+        assert got2.count() == 11
+
+
+class TestMergeSchemaEvolution:
+    """with_schema_evolution(): source-only columns join the table
+    schema inside the merge's own commit; star clauses carry them;
+    pre-evolution rows read NULL; mapped tables get physical names."""
+
+    def _target(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 5):
+            t.write(
+                spark.range(lo, lo + 5)
+                .select(F.col("id"), (F.col("id") * 1.0).alias("value"))
+                .coalesce(1)
+            )
+        return t
+
+    def test_star_upsert_evolves_schema(self, spark, tmp_path):
+        t = self._target(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, 30.0, "hot"), (20, 200.0, "new")],
+            "id long, value double, note string",
+        )
+        t.merge_into(src, "target.id = source.id") \
+            .when_matched_update() \
+            .when_not_matched_insert() \
+            .with_schema_evolution() \
+            .execute(spark)
+        got = t.read(spark)
+        assert dict(got.dtypes)["note"] == "string"
+        by_id = {r.id: (r.value, r.note) for r in got.collect()}
+        assert by_id[3] == (30.0, "hot")      # updated, note from source
+        assert by_id[20] == (200.0, "new")    # inserted with note
+        assert by_id[4] == (4.0, None)        # copied row in touched file
+        assert by_id[7] == (7.0, None)        # untouched file, null-filled
+        assert len(by_id) == 11
+        # the evolution rode the MERGE commit itself, not a separate one
+        hist = {r.version: r.operation for r in t.history(spark).collect()}
+        assert hist[t.latest_version()] == "MERGE"
+
+    def test_without_evolution_extra_columns_ignored(self, spark, tmp_path):
+        t = self._target(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, 30.0, "hot")], "id long, value double, note string"
+        )
+        t.merge_into(src, "target.id = source.id") \
+            .when_matched_update(set={"value": "source.value"}) \
+            .execute(spark)
+        got = t.read(spark)
+        assert "note" not in got.columns
+        assert {r.value for r in got.filter("id = 3").collect()} == {30.0}
+
+    def test_explicit_assignment_to_new_column(self, spark, tmp_path):
+        t = self._target(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "x"), (4, "y")], "id long, tag string"
+        )
+        t.merge_into(src, "target.id = source.id") \
+            .when_matched_update(set={"tag": "upper(source.tag)"}) \
+            .with_schema_evolution() \
+            .execute(spark)
+        got = {r.id: r.tag for r in t.read(spark).collect()}
+        assert got[3] == "X" and got[4] == "Y"
+        assert got[0] is None and got[7] is None
+
+    def test_mapped_table_evolution_gets_physical_names(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        t = self._target(spark, tmp_path)
+        t.enable_column_mapping()
+        src = spark.createDataFrame(
+            [(3, 30.0, "hot"), (20, 200.0, "new")],
+            "id long, value double, note string",
+        )
+        t.merge_into(src, "target.id = source.id") \
+            .when_matched_update() \
+            .when_not_matched_insert() \
+            .with_schema_evolution() \
+            .execute(spark)
+        meta, _ = t._snapshot_state(None)
+        fld = next(
+            f
+            for f in _json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "note"
+        )
+        phys = fld["metadata"]["delta.columnMapping.physicalName"]
+        assert phys.startswith("col-")
+        got = t.read(spark)
+        assert {r.note for r in got.filter("id IN (3, 20)").collect()} == {
+            "hot",
+            "new",
+        }
+        # the pure-python reader resolves the new physical name too
+        pdf = t.to_pandas()
+        assert set(pdf[pdf["id"].isin([3, 20])]["note"]) == {"hot", "new"}
+
+
+class TestVariantType:
+    """variantType reader-writer feature: Spark-path round-trip, dual
+    protocol fence at creation and at evolution, numRecords-only stats
+    fallback (pyarrow cannot open VARIANT footers), loud gates on every
+    pure-python surface."""
+
+    def _vdf(self, spark, lo=0):
+        return (
+            spark.range(lo, lo + 5)
+            .select(
+                F.col("id"),
+                F.parse_json(
+                    F.concat(F.lit('{"k": '), F.col("id"), F.lit("}"))
+                ).alias("v"),
+            )
+            .coalesce(1)
+        )
+
+    def test_roundtrip_protocol_and_stats(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(self._vdf(spark))
+        t.write(self._vdf(spark, 10))
+        got = t.read(spark)
+        assert dict(got.dtypes)["v"] == "variant"
+        ks = {
+            r.k
+            for r in got.select(
+                F.try_variant_get(F.col("v"), "$.k", "int").alias("k")
+            ).collect()
+        }
+        assert ks == set(range(5)) | set(range(10, 15))
+        _m, adds, proto = t._snapshot_state_full(None)
+        assert proto["minReaderVersion"] == 3
+        assert proto["readerFeatures"] == ["variantType"]
+        assert "variantType" in proto["writerFeatures"]
+        # stats degraded to numRecords-only, still exact
+        import json as _json
+
+        for a in adds:
+            assert _json.loads(a["stats"]) == {"numRecords": 5}
+        # DV delete with a predicate ON the variant payload
+        t.delete(spark, "variant_get(v, '$.k', 'int') >= 12")
+        assert t.read(spark).count() == 7
+        t.checkpoint(spark)
+        assert t.read(spark).count() == 7  # checkpoint replay unaffected
+
+    def test_evolution_upgrades_protocol(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id").coalesce(1))
+        _m, _a, p0 = t._snapshot_state_full(None)
+        assert (p0 or {}).get("minReaderVersion", 1) == 1
+        t.write(self._vdf(spark, 20), merge_schema=True)
+        _m2, _a2, p1 = t._snapshot_state_full(None)
+        assert p1["minReaderVersion"] == 3
+        assert "variantType" in p1["readerFeatures"]
+        got = t.read(spark)
+        assert got.count() == 10
+        assert got.filter("v IS NULL").count() == 5  # pre-evolution rows
+
+    def test_pure_python_surfaces_refuse(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(self._vdf(spark))
+        with pytest.raises(NotImplementedError, match="VARIANT"):
+            t.to_pandas()
+        pyds.register(spark)
+        with pytest.raises(Exception, match="VARIANT"):
+            spark.read.format("pydelta").option("path", t.path).load().collect()
