@@ -1981,3 +1981,202 @@ def delta_variant_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.lit(fenced).cast("long").alias("reader_fenced"),
     )
+
+
+@register(
+    "delta_convert_parquet_audit",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n,
+       {sql_dsum("o_totalprice")} AS total_price,
+       CAST(1 AS BIGINT) AS converted_in_place,
+       CAST(1 AS BIGINT) AS convert_is_v0
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+GROUP BY o_orderpriority
+""",
+    doc="CONVERT TO DELTA behind a correctness row (delta-spark's "
+    "in-place conversion of a legacy parquet lake): the orders table's "
+    "raw parquet is copied into a plain directory, convert_from_parquet "
+    "writes a _delta_log whose v0 commit REFERENCES those exact files "
+    "with footer-derived per-file stats — the flag pins that every "
+    "original file is still there under its original name, zero bytes "
+    "moved — and the converted table immediately lives a native "
+    "afterlife: a deletion-vector DELETE of cheap finished orders "
+    "commits roaring bitmaps against the never-rewritten originals. "
+    "The oracle recomputes the post-delete contents from raw orders. "
+    "At 100 TB this is the migration path: a legacy lake joins ACID "
+    "for one footer read per file, and day-two operations (DELETE, "
+    "OPTIMIZE, time travel) need no rewrite of history.",
+    tags=("delta", "convert", "metadata", "deletion-vectors",
+          "lakehouse"),
+)
+def delta_convert_parquet_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    lake = tempfile.mkdtemp(prefix="cpconvert_") + "/orders_lake"
+    os.makedirs(lake)
+    shutil.copy(
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(lake, "orders.parquet"),
+    )
+    table = DeltaTable.convert_from_parquet(lake)
+    _m, adds = table._snapshot_state(None)
+    in_place = int(
+        {a["path"] for a in adds} == {"orders.parquet"}
+        and os.path.exists(os.path.join(lake, "orders.parquet"))
+    )
+    is_v0 = int(table.latest_version() == 0)
+    table.delete(spark, "o_orderstatus = 'F' AND o_totalprice < 50000")
+    return table.read(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+        F.lit(in_place).cast("long").alias("converted_in_place"),
+        F.lit(is_v0).cast("long").alias("convert_is_v0"),
+    )
+
+
+@register(
+    "delta_v2_checkpoint_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(1 AS BIGINT) AS one_manifest,
+       CAST(3 AS BIGINT) AS n_sidecars,
+       CAST(1 AS BIGINT) AS reader_fenced,
+       CAST(1 AS BIGINT) AS expired_travel_fails
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'error' AND value < 25)
+GROUP BY event_type
+""",
+    doc="V2 checkpoints end to end (spec reader-writer feature "
+    "v2Checkpoints — the scale successor to classic multi-part): five "
+    "commits, then checkpoint(v2=True) auto-fences the protocol "
+    "(flag-checked: a sidecar-unaware reader would see a checkpoint "
+    "with no add rows and silently report an EMPTY table — the exact "
+    "misread the fence exists to prevent) and writes one UUID-named "
+    "MANIFEST carrying checkpointMetadata + protocol/metaData/txn/"
+    "domain state plus sidecar pointers, with the add/remove file "
+    "state sharded round-robin across three _sidecars/ parquet files. "
+    "A post-checkpoint DV DELETE lands in the JSON tail, "
+    "cleanup_metadata expires the pre-checkpoint prefix, and the "
+    "re-read must reconstruct state from manifest + sidecars + tail "
+    "alone; travel to an expired version fails loudly. The oracle "
+    "recomputes the surviving rows from raw events. At 100 TB the "
+    "manifest stays KBs no matter how many million files the table "
+    "holds, sidecars fetch in parallel and are REUSED across "
+    "checkpoints (reference-based GC, test-pinned), and planning cost "
+    "stays O(recent commits).",
+    tags=("delta", "checkpoint", "v2-checkpoints", "metadata",
+          "deletion-vectors"),
+)
+def delta_v2_checkpoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    table = _build_delta_table(spark, sf_dir)  # v0..v4
+    table.checkpoint(spark, v2=True, sidecar_files=3)  # fence v5, cp@5
+    table.delete(spark, "event_type = 'error' AND value < 25")  # v6
+    table.cleanup_metadata(retention_ms=0, force=True)
+    log = os.path.join(table.path, "_delta_log")
+    manifests = _glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    sidecars = [
+        n
+        for n in os.listdir(os.path.join(log, "_sidecars"))
+        if n.endswith(".parquet")
+    ]
+    _m, _a, proto = table._snapshot_state_full(None)
+    fenced = int("v2Checkpoints" in (proto.get("readerFeatures") or []))
+    try:
+        table.read(spark, version=1)
+        travel_fails = 0
+    except ValueError:
+        travel_fails = 1
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(len(manifests)).cast("long").alias("one_manifest"),
+        F.lit(len(sidecars)).cast("long").alias("n_sidecars"),
+        F.lit(fenced).cast("long").alias("reader_fenced"),
+        F.lit(travel_fails).cast("long").alias("expired_travel_fails"),
+    )
+
+
+@register(
+    "delta_identity_column_audit",
+    oracle=f"""
+WITH c AS (SELECT count(*) AS n FROM events WHERE event_type = 'click'),
+     p AS (SELECT count(*) AS n FROM events WHERE event_type = 'purchase')
+SELECT 'click' AS event_type, c.n AS n,
+       CAST(1000 AS BIGINT) AS min_rid,
+       990 + 10 * c.n AS max_rid,
+       CAST(1 AS BIGINT) AS ids_unique,
+       CAST(1 AS BIGINT) AS explicit_refused
+FROM c
+UNION ALL
+SELECT 'purchase' AS event_type, p.n AS n,
+       1000 + 10 * c.n AS min_rid,
+       990 + 10 * (c.n + p.n) AS max_rid,
+       CAST(1 AS BIGINT) AS ids_unique,
+       CAST(1 AS BIGINT) AS explicit_refused
+FROM c, p
+""",
+    doc="Identity columns end to end (spec writer feature "
+    "identityColumns; delta-spark's GENERATED ALWAYS AS IDENTITY): the "
+    "table is created with row_id = IDENTITY(start 1000, step 10) as "
+    "field metadata, two appends OMIT the column entirely and the "
+    "writer allocates values on the hwm + k*step lattice with ZERO "
+    "coordination (monotonic row ids within the job; the new "
+    "highWaterMark is read back from the staged files' own footer "
+    "stats and committed in the SAME metaData action — which also "
+    "makes concurrent identity writes surface ConcurrentWriteError "
+    "instead of blind-retrying into collisions). An explicit insert "
+    "of the column is REFUSED (flag), ids are globally unique (flag), "
+    "and the per-batch min/max land exactly where start/step/counts "
+    "predict — the oracle derives them from raw event counts alone. "
+    "At 100 TB allocation is per-row arithmetic on data already in "
+    "flight: no sequence service, no global ordering, no extra scan.",
+    tags=("delta", "identity", "metadata", "write"),
+)
+def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpident_") + "/events_delta")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("row_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        identity_columns={"row_id": (1000, 10)},
+    )
+    for etype in ("click", "purchase"):
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select("event_id", "event_type", "value")
+            .repartition(1)
+        )
+    try:
+        table.write(
+            events.limit(1).select(
+                F.lit(1).cast("long").alias("row_id"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+        )
+        refused = 0
+    except ValueError:
+        refused = 1
+    got = table.read(spark)
+    n_tot = got.count()
+    n_distinct = got.select("row_id").distinct().count()
+    unique = int(n_tot == n_distinct)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("row_id").alias("min_rid"),
+        F.max("row_id").alias("max_rid"),
+        F.lit(unique).cast("long").alias("ids_unique"),
+        F.lit(refused).cast("long").alias("explicit_refused"),
+    )

@@ -582,8 +582,39 @@ class DeltaTable:
                 rows = [
                     d for pf in part_files for d in pq.read_table(pf).to_pylist()
                 ]
-            else:
+            elif os.path.exists(cp_file):
                 rows = pq.read_table(cp_file).to_pylist()
+            else:
+                # V2 checkpoint: a UUID-named manifest whose sidecar
+                # actions point at _sidecars/ parquet shards holding the
+                # file state (at scale: tiny manifest, parallel sidecar
+                # fetches, shards reusable across checkpoints)
+                import glob as _glob
+
+                manifests = sorted(
+                    _glob.glob(
+                        os.path.join(
+                            self._log_dir,
+                            f"{cp['version']:020d}.checkpoint.*.parquet",
+                        )
+                    )
+                )
+                if not manifests:
+                    raise ValueError(
+                        f"_last_checkpoint names version {cp['version']} "
+                        f"but no checkpoint file exists in {self._log_dir}"
+                    )
+                rows = pq.read_table(manifests[-1]).to_pylist()
+                for d in list(rows):
+                    sc = d.get("sidecar")
+                    if sc:
+                        rows.extend(
+                            pq.read_table(
+                                os.path.join(
+                                    self._log_dir, "_sidecars", sc["path"]
+                                )
+                            ).to_pylist()
+                        )
             for d in rows:
                 if d.get("add"):
                     add = d["add"]
@@ -650,7 +681,7 @@ class DeltaTable:
             # (pyarrow cannot even open such footers)
             unsupported = features - {
                 "columnMapping", "deletionVectors", "typeWidening",
-                "variantType",
+                "variantType", "v2Checkpoints", "timestampNtz",
             }
             # v3 REQUIRES an explicit feature list; absent = malformed, and
             # guessing what such a table needs would risk a silent misread
@@ -1545,6 +1576,118 @@ class DeltaTable:
         os.rmdir(stage)
         return adds
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        path: str,
+        *,
+        partition_schema: dict[str, str] | None = None,
+    ) -> "DeltaTable":
+        """CONVERT TO DELTA — delta-spark's in-place conversion of a
+        plain parquet directory: write a ``_delta_log`` whose v0 commit
+        REFERENCES the existing files (with footer-derived per-file
+        stats), moving ZERO bytes. At 100 TB this is how a legacy
+        parquet lake joins the ACID world: the conversion cost is one
+        footer read per file, not a copy of the lake, and every later
+        write/DELETE/OPTIMIZE goes through the log like any native
+        table.
+
+        ``partition_schema`` maps partition column name -> Spark type
+        simple string (``{"event_date": "date"}``) and is REQUIRED for
+        hive-partitioned directories (the directory layout encodes only
+        strings; delta-spark's ``PARTITIONED BY`` clause exists for the
+        same reason). Files whose footers disagree on schema, or a
+        directory already carrying a ``_delta_log``, are refused."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            raise ValueError(f"already a Delta table: {path}")
+        part_cols = list(partition_schema or {})
+        files: list[tuple[str, dict]] = []  # (rel path, partitionValues)
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in sorted(names):
+                if not name.endswith(".parquet") or name.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), path)
+                pv = cls._path_partition_values(
+                    rel.replace(os.sep, "/"), part_cols
+                )
+                if pv is None:
+                    raise ValueError(
+                        f"file {rel!r} does not sit under exactly the "
+                        f"declared partition columns {part_cols} "
+                        "(pass partition_schema matching the layout)"
+                    )
+                files.append((rel.replace(os.sep, "/"), pv))
+        if not files:
+            raise ValueError(f"no parquet files under {path}")
+        arrow_schema = None
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for rel, pv in files:
+            fp = os.path.join(path, rel)
+            pf = pq.ParquetFile(fp)
+            if arrow_schema is None:
+                arrow_schema = pf.schema_arrow
+            elif pf.schema_arrow != arrow_schema:
+                raise ValueError(
+                    f"schema mismatch: {rel!r} has "
+                    f"{pf.schema_arrow.names}, first file has "
+                    f"{arrow_schema.names} — CONVERT requires one schema"
+                )
+            adds.append(
+                {
+                    "path": urllib.parse.quote(rel, safe="/="),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(fp),
+                    "modificationTime": int(os.path.getmtime(fp) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(_file_stats(pf.metadata)),
+                }
+            )
+        fields = [
+            T.StructField(f.name, from_arrow_type(f.type), True)
+            for f in arrow_schema
+        ] + [
+            T.StructField(c, T._parse_datatype_string(t), True)
+            for c, t in (partition_schema or {}).items()
+        ]
+        schema = T.StructType(fields)
+        table = cls(path)
+        table._publish_or_conflict(
+            0,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "CONVERT",
+                        "operationParameters": {
+                            "numFiles": str(len(adds)),
+                            "partitionedBy": json.dumps(part_cols),
+                        },
+                    }
+                },
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema.json(),
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                },
+                *({"add": a} for a in adds),
+            ],
+            "CONVERT",
+        )
+        return table
+
     @staticmethod
     def _staged_stats(df: DataFrame, dst: str) -> dict:
         """Per-file stats for one staged parquet. Normal path: footer
@@ -1563,6 +1706,42 @@ class DeltaTable:
             return {
                 "numRecords": df.sparkSession.read.parquet(dst).count()
             }
+
+    @staticmethod
+    def _identity_columns(meta: dict) -> dict[str, dict]:
+        """Identity columns (spec writer feature ``identityColumns``)
+        from field metadata: name -> {start, step, highWaterMark,
+        allowExplicitInsert}."""
+        out: dict[str, dict] = {}
+        for fj in json.loads(meta["schemaString"]).get("fields", []):
+            md = fj.get("metadata") or {}
+            if "delta.identity.start" in md:
+                out[fj["name"]] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "highWaterMark": int(md["delta.identity.highWaterMark"]),
+                    "allowExplicitInsert": bool(
+                        md.get("delta.identity.allowExplicitInsert")
+                    ),
+                }
+        return out
+
+    @staticmethod
+    def _has_ntz(dt: T.DataType) -> bool:
+        """TIMESTAMP_NTZ anywhere in ``dt`` — itself a reader-writer
+        feature (spec timestampNtz): a reader unaware of it would
+        surface session-zone-shifted instants."""
+        if isinstance(dt, T.TimestampNTZType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(DeltaTable._has_ntz(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return DeltaTable._has_ntz(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return DeltaTable._has_ntz(dt.keyType) or DeltaTable._has_ntz(
+                dt.valueType
+            )
+        return False
 
     @staticmethod
     def _has_variant(dt: T.DataType) -> bool:
@@ -1643,6 +1822,7 @@ class DeltaTable:
             prior_meta, prior_adds, _proto, prior_domains = (
                 self._snapshot_state_full(None, with_domains=True)
             )
+            self._refuse_unknown_writer_features(_proto, "WRITE")
             if self._row_tracking_enabled(prior_meta):
                 rt_cols = self._rt_mat_cols(prior_meta)
             if mode == "overwrite" and _data_change:
@@ -1699,6 +1879,36 @@ class DeltaTable:
         if last is None and generated_columns:
             df = self._apply_generated(df, generated_columns)
 
+        identity_generated: dict[str, dict] = {}
+        if prior_meta is not None:
+            for col, info in self._identity_columns(prior_meta).items():
+                if col in df.columns:
+                    if not info["allowExplicitInsert"]:
+                        raise ValueError(
+                            f"column {col!r} is GENERATED ALWAYS AS "
+                            "IDENTITY; omit it and the writer assigns "
+                            "values (delta-spark refuses explicit "
+                            "inserts the same way)"
+                        )
+                else:
+                    # distributed allocation with ZERO coordination:
+                    # monotonically_increasing_id is unique per row
+                    # within the job, so hwm + (mono+1)*step stays on
+                    # the identity lattice and above the high-water
+                    # mark. Gaps between partitions are spec-legal
+                    # (delta-spark leaves them on retries too); the new
+                    # hwm is read back from the staged files' OWN
+                    # footer stats — no extra pass over the data.
+                    df = df.withColumn(
+                        col,
+                        (
+                            F.lit(info["highWaterMark"])
+                            + (F.monotonically_increasing_id() + 1)
+                            * F.lit(info["step"])
+                        ).cast("long"),
+                    )
+                    identity_generated[col] = info
+
         adds = self._stage_files(
             df,
             version=version,
@@ -1714,6 +1924,31 @@ class DeltaTable:
                 and self._mapping_mode(prior_meta) == "id"
             ),
         )
+        if identity_generated and adds:
+            # spec writer requirement: an identity write updates the
+            # field's highWaterMark in the SAME commit's metaData —
+            # read back from the staged footers' stats, zero extra scan
+            schema_json = json.loads(
+                new_schema_json or prior_meta["schemaString"]
+            )
+            for col, info in identity_generated.items():
+                ext = max if info["step"] > 0 else min
+                key = "maxValues" if info["step"] > 0 else "minValues"
+                vals = [
+                    json.loads(a["stats"])[key][col]
+                    for a in adds
+                    if col in json.loads(a["stats"]).get(key, {})
+                ]
+                if not vals:
+                    continue
+                fj = next(
+                    f for f in schema_json["fields"] if f["name"] == col
+                )
+                fj["metadata"] = dict(fj.get("metadata") or {})
+                fj["metadata"]["delta.identity.highWaterMark"] = ext(
+                    int(ext(vals)), info["highWaterMark"]
+                )
+            new_schema_json = json.dumps(schema_json)
         now_ms = int(time.time() * 1000)
         rt_domain_action: dict | None = None
         if rt_cols is not None:
@@ -1750,19 +1985,25 @@ class DeltaTable:
             }
         )
         if version == 0:
+            # reader-writer TYPE features the first schema may demand:
+            # variantType (parquet VARIANT is unreadable to a
+            # plain-column client) and timestampNtz (a reader unaware
+            # of it would shift instants into the session zone)
+            type_feats = set()
             if self._has_variant(df.schema):
-                # variantType is a READER-writer feature: the physical
-                # encoding (parquet VARIANT logical type over
-                # metadata/value binaries) is unreadable to a client
-                # that expects plain columns, so both sides fence
+                type_feats.add("variantType")
+            if self._has_ntz(df.schema):
+                type_feats.add("timestampNtz")
+            if type_feats:
                 actions.append(
                     {
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["variantType"],
+                            "readerFeatures": sorted(type_feats),
                             "writerFeatures": sorted(
-                                {"appendOnly", "invariants", "variantType"}
+                                {"appendOnly", "invariants"}
+                                | type_feats
                                 | (
                                     {"generatedColumns"}
                                     if generated_columns
@@ -1808,19 +2049,22 @@ class DeltaTable:
             evolved["schemaString"] = new_schema_json
             if new_configuration is not None:
                 evolved["configuration"] = new_configuration
-            if self._has_variant(
-                T.StructType.fromJson(json.loads(new_schema_json))
-            ):
+            evolved_schema = T.StructType.fromJson(
+                json.loads(new_schema_json)
+            )
+            need = set()
+            if self._has_variant(evolved_schema):
+                need.add("variantType")
+            if self._has_ntz(evolved_schema):
+                need.add("timestampNtz")
+            if need:
                 _m2, _a2, prior_proto = self._snapshot_state_full(None)
-                if "variantType" not in (
-                    (prior_proto or {}).get("readerFeatures") or []
-                ):
-                    reader_feats = set(
-                        (prior_proto or {}).get("readerFeatures") or []
-                    )
+                have = set((prior_proto or {}).get("readerFeatures") or [])
+                if not need <= have:
+                    reader_feats = set(have)
                     if (prior_proto or {}).get("minReaderVersion", 1) >= 2:
                         reader_feats.add("columnMapping")
-                    reader_feats.add("variantType")
+                    reader_feats |= need
                     actions.append(
                         {
                             "protocol": {
@@ -1831,7 +2075,7 @@ class DeltaTable:
                                     self._implied_writer_features(
                                         prior_proto or {}
                                     )
-                                    | {"variantType"}
+                                    | need
                                 ),
                             }
                         }
@@ -2233,6 +2477,7 @@ class DeltaTable:
         partition_by: list[str] | None = None,
         configuration: dict | None = None,
         mapping_mode: str | None = None,
+        identity_columns: dict[str, tuple[int, int]] | None = None,
     ) -> int:
         """CREATE TABLE — a metadata-only commit 0 (delta-spark's
         ``DeltaTable.create()``): records schema, partitioning, table
@@ -2279,6 +2524,58 @@ class DeltaTable:
                 "minWriterVersion": 7,
                 "writerFeatures": sorted(feats),
             }
+        if identity_columns:
+            # GENERATED ALWAYS AS IDENTITY (spec writer feature
+            # identityColumns): start/step/highWaterMark live as FIELD
+            # metadata; every identity write commits an updated
+            # highWaterMark so concurrent-writer allocation never
+            # collides (OCC retries re-read it)
+            for col, (start, step) in identity_columns.items():
+                fj = next(
+                    (f for f in schema_json["fields"] if f["name"] == col),
+                    None,
+                )
+                if fj is None:
+                    raise ValueError(f"identity column {col!r} not in schema")
+                if fj["type"] != "long":
+                    raise ValueError(
+                        f"identity column {col!r} must be long, is "
+                        f"{fj['type']}"
+                    )
+                if step == 0:
+                    raise ValueError("identity step must be non-zero")
+                md = dict(fj.get("metadata") or {})
+                md["delta.identity.start"] = start
+                md["delta.identity.step"] = step
+                md["delta.identity.highWaterMark"] = start - step
+                md["delta.identity.allowExplicitInsert"] = False
+                fj["metadata"] = md
+            feats = self._implied_writer_features(protocol)
+            feats.add("identityColumns")
+            protocol = {
+                "minReaderVersion": protocol["minReaderVersion"],
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(feats),
+            }
+        type_feats = set()
+        if self._has_variant(schema):
+            type_feats.add("variantType")
+        if self._has_ntz(schema):
+            type_feats.add("timestampNtz")
+        if type_feats:
+            # reader-writer TYPE features demanded by the declared schema
+            reader_feats = set(protocol.get("readerFeatures") or [])
+            if not reader_feats and protocol.get("minReaderVersion", 1) >= 2:
+                reader_feats.add("columnMapping")
+            reader_feats |= type_feats
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(reader_feats),
+                "writerFeatures": sorted(
+                    self._implied_writer_features(protocol) | type_feats
+                ),
+            }
         rt_domain: dict | None = None
         if conf.get("delta.enableRowTracking") == "true":
             # row tracking from birth: materialized-column properties,
@@ -2296,6 +2593,14 @@ class DeltaTable:
             protocol = {
                 "minReaderVersion": protocol["minReaderVersion"],
                 "minWriterVersion": 7,
+                # preserve any reader feature list a prior fence (type
+                # features) already demanded — dropping it would leave a
+                # malformed v3 protocol
+                **(
+                    {"readerFeatures": protocol["readerFeatures"]}
+                    if protocol.get("readerFeatures") is not None
+                    else {}
+                ),
                 "writerFeatures": sorted(feats),
             }
             rt_domain = self._rt_domain_action(-1)
@@ -3039,6 +3344,11 @@ class DeltaTable:
         reader_feats.add("typeWidening")
         writer_feats = self._implied_writer_features(proto)
         writer_feats.add("typeWidening")
+        if new_type == "timestamp_ntz":
+            # the widened column INTRODUCES the timestampNtz type, which
+            # is its own reader-writer feature
+            reader_feats.add("timestampNtz")
+            writer_feats.add("timestampNtz")
         new_proto = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
@@ -3175,11 +3485,65 @@ class DeltaTable:
                     )
         return df
 
+    #: writer features this client actually implements — the spec's
+    #: writer contract: a table listing anything else must be REFUSED
+    #: for mutation (writing past an unknown fence corrupts whatever
+    #: invariant that feature maintains for every other engine)
+    SUPPORTED_WRITER_FEATURES = frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+            "deletionVectors",
+            "inCommitTimestamp",
+            "rowTracking",
+            "domainMetadata",
+            "clustering",
+            "identityColumns",
+            "typeWidening",
+            "variantType",
+            "v2Checkpoints",
+            "timestampNtz",
+        }
+    )
+
+    @classmethod
+    def _refuse_unknown_writer_features(
+        cls, protocol: dict | None, operation: str
+    ) -> None:
+        """The spec's writer gate: a v7 feature-list protocol naming a
+        feature this client does not implement refuses EVERY mutation —
+        reading stays legal (reader features gate separately), but a
+        blind write would break the unknown feature's invariant for
+        readers that do honor it."""
+        feats = set((protocol or {}).get("writerFeatures") or [])
+        unknown = feats - cls.SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise NotImplementedError(
+                f"{operation} refused: table requires writer feature(s) "
+                f"{sorted(unknown)} this client does not implement"
+            )
+
     def _check_constraints(self, df: DataFrame, meta: dict) -> None:
         """Refuse a write whose batch violates any recorded constraint —
         the writer-side contract every engine honoring ``checkConstraints``
         must enforce (a non-enforcing writer would silently corrupt the
-        table's invariant for every reader)."""
+        table's invariant for every reader). Also enforces the
+        ``invariants`` feature's NOT NULL contract: a null landing in a
+        column the schema declares non-nullable is exactly the silent
+        corruption the feature fences."""
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        for f in schema.fields:
+            if not f.nullable and f.name in df.columns:
+                n_null = df.filter(F.col(f"`{f.name}`").isNull()).count()
+                if n_null:
+                    raise ValueError(
+                        f"NOT NULL constraint on {f.name!r} violated by "
+                        f"{n_null} row(s); write refused"
+                    )
         conf = meta.get("configuration") or {}
         for key, expr in sorted(conf.items()):
             if not key.startswith("delta.constraints."):
@@ -3260,6 +3624,7 @@ class DeltaTable:
                 return self.latest_version()  # already applied: replay no-op
         base = self.latest_version() or 0
         meta, adds, protocol = self._snapshot_state_full(None)
+        self._refuse_unknown_writer_features(protocol, "DELETE")
         self._refuse_if_append_only(meta, "DELETE")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         file_dvs = self._build_file_dvs(spark, cond, adds)
@@ -3432,6 +3797,7 @@ class DeltaTable:
         meta, adds, protocol, domains = self._snapshot_state_full(
             None, with_domains=True
         )
+        self._refuse_unknown_writer_features(protocol, "UPDATE")
         self._refuse_if_append_only(meta, "UPDATE")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         part_cols = meta.get("partitionColumns") or []
@@ -3460,7 +3826,14 @@ class DeltaTable:
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         set_cols: dict = {}
+        id_cols = self._identity_columns(meta)
         for col, expr in sorted(set_exprs.items()):
+            if col in id_cols:
+                raise ValueError(
+                    f"cannot UPDATE identity column {col!r} "
+                    "(GENERATED ALWAYS AS IDENTITY; delta-spark "
+                    "refuses the same way)"
+                )
             if col not in col_types:
                 raise ValueError(
                     f"UPDATE SET references unknown column {col!r} "
@@ -4138,6 +4511,29 @@ class DeltaTable:
                 continue
             os.remove(fp)
             deleted.append(name)
+        # V2 sidecar GC: a sidecar is expendable once no SURVIVING
+        # checkpoint manifest references it (sidecars are immutable and
+        # shared across checkpoints, so liveness is reference-based)
+        side_dir = os.path.join(self._log_dir, "_sidecars")
+        if os.path.isdir(side_dir):
+            import glob as _glob
+            import pyarrow.parquet as pq
+
+            referenced: set[str] = set()
+            for mf in _glob.glob(
+                os.path.join(self._log_dir, "*.checkpoint.*.parquet")
+            ):
+                for d in pq.read_table(mf, columns=["sidecar"]).to_pylist():
+                    if d.get("sidecar"):
+                        referenced.add(d["sidecar"]["path"])
+            for name in sorted(os.listdir(side_dir)):
+                if not name.endswith(".parquet") or name in referenced:
+                    continue
+                fp = os.path.join(side_dir, name)
+                if os.path.getmtime(fp) > cutoff:
+                    continue
+                os.remove(fp)
+                deleted.append(f"_sidecars/{name}")
         return deleted
 
     def read_changes(
@@ -4567,13 +4963,81 @@ class DeltaTable:
             spark, victims, operation="OPTIMIZE", target_files=target_files
         )
 
-    def checkpoint(self, spark: SparkSession, *, parts: int | None = None) -> int:
+    def _ensure_v2_checkpoint_feature(self) -> None:
+        """Fence the table for V2 checkpoints (reader-writer feature
+        ``v2Checkpoints``) with a protocol-only commit when missing: a
+        reader unaware of sidecars would see a checkpoint with no add
+        rows and silently treat the table as empty."""
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        if "v2Checkpoints" in ((protocol or {}).get("readerFeatures") or []):
+            return
+        base = self.latest_version() or 0
+        proto = dict(protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+        reader_feats = set(proto.get("readerFeatures") or [])
+        if not reader_feats and proto.get("minReaderVersion", 1) >= 2:
+            reader_feats.add("columnMapping")
+        reader_feats.add("v2Checkpoints")
+        self._publish_or_conflict(
+            base + 1,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {"feature": "v2Checkpoints"},
+                    }
+                },
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(reader_feats),
+                        "writerFeatures": sorted(
+                            self._implied_writer_features(proto)
+                            | {"v2Checkpoints"}
+                        ),
+                    }
+                },
+            ],
+            "UPGRADE PROTOCOL",
+        )
+
+    def checkpoint(
+        self,
+        spark: SparkSession,
+        *,
+        parts: int | None = None,
+        v2: bool = False,
+        sidecar_files: int = 2,
+    ) -> int:
         """Write a parquet checkpoint at the latest version.
 
         Collapses the log so later snapshot builds replay only the JSON
         tail — the mechanism that keeps a years-old table's read planning
         O(recent commits). Returns the checkpointed version.
+
+        ``v2=True`` writes the spec's V2 Checkpoint shape (reader-writer
+        feature ``v2Checkpoints``, auto-fenced in a protocol commit when
+        the table lacks it): a UUID-named MANIFEST
+        (``<v>.checkpoint.<uuid>.parquet``) holding checkpointMetadata +
+        the non-file state (protocol/metaData/txn/domainMetadata) plus
+        ``sidecar`` actions pointing at ``_delta_log/_sidecars/`` parquet
+        files that carry the add/remove rows round-robin. This is the
+        shape that scales past classic checkpoints: the manifest stays
+        tiny no matter how many files the table has, sidecars are
+        immutable and REUSABLE across checkpoints, and a reader fetches
+        file state in parallel sidecar reads instead of one giant
+        parquet. ``parts`` (classic multi-part) and ``v2`` are mutually
+        exclusive — they are different spec generations of the same
+        scaling fix.
         """
+        if v2 and parts:
+            raise ValueError(
+                "parts= is the CLASSIC multi-part layout; a v2 "
+                "checkpoint shards through sidecar_files= instead"
+            )
+        if v2:
+            self._ensure_v2_checkpoint_feature()
         version = self.latest_version()
         if version is None:
             raise ValueError(f"empty table: {self.path}")
@@ -4766,6 +5230,83 @@ class DeltaTable:
             ],
             schema=cp_schema,
         )
+        if v2:
+            # V2 checkpoint: sidecars carry the FILE state (add/remove
+            # rows, round-robin), the manifest carries everything else
+            # plus checkpointMetadata and one sidecar pointer per shard.
+            # Sidecars publish (rename) before the manifest, and the
+            # manifest before _last_checkpoint — a reader can never see
+            # a dangling pointer.
+            side_dir = os.path.join(self._log_dir, "_sidecars")
+            os.makedirs(side_dir, exist_ok=True)
+            is_file_row = [
+                d.get("add") is not None or d.get("remove") is not None
+                for d in table.to_pylist()
+            ]
+            file_tbl = table.filter(is_file_row)
+            rest_tbl = table.filter([not x for x in is_file_row])
+            n_side = max(1, min(sidecar_files, max(1, file_tbl.num_rows)))
+            sidecar_rows = []
+            for i in range(n_side):
+                shard = file_tbl.filter(
+                    [r % n_side == i for r in range(file_tbl.num_rows)]
+                )
+                sname = f"{uuid.uuid4().hex}.parquet"
+                sstage = os.path.join(side_dir, f".side-{uuid.uuid4().hex}")
+                pq.write_table(shard, sstage)
+                spath = os.path.join(side_dir, sname)
+                os.rename(sstage, spath)
+                sidecar_rows.append(
+                    {
+                        "path": sname,
+                        "sizeInBytes": os.path.getsize(spath),
+                        "modificationTime": int(
+                            os.path.getmtime(spath) * 1000
+                        ),
+                    }
+                )
+            man_schema = pa.schema(
+                list(cp_schema)
+                + [
+                    pa.field(
+                        "checkpointMetadata",
+                        pa.struct([("version", pa.int64())]),
+                    ),
+                    pa.field(
+                        "sidecar",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("sizeInBytes", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            )
+            manifest = pa.Table.from_pylist(
+                [
+                    {"checkpointMetadata": {"version": version}},
+                    *rest_tbl.to_pylist(),
+                    *({"sidecar": s} for s in sidecar_rows),
+                ],
+                schema=man_schema,
+            )
+            mstage = os.path.join(self._log_dir, f".cp-v2-{uuid.uuid4().hex}")
+            pq.write_table(manifest, mstage)
+            os.rename(
+                mstage,
+                os.path.join(
+                    self._log_dir,
+                    f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+                ),
+            )
+            last = {"version": version, "size": table.num_rows}
+            with open(
+                os.path.join(self._log_dir, "_last_checkpoint"), "w"
+            ) as f:
+                json.dump(last, f)
+            return version
         if parts and parts > 1:
             # multi-part checkpoint (spec scale path): rows round-robin
             # across `%020d.checkpoint.%010d.%010d.parquet` files; action
@@ -5004,9 +5545,29 @@ class DeltaMergeBuilder:
         meta, adds, protocol, domains = t._snapshot_state_full(
             None, with_domains=True
         )
+        t._refuse_unknown_writer_features(protocol, "MERGE")
         if self._matched or self._by_source:
             # an insert-only merge is a pure append and stays legal
             t._refuse_if_append_only(meta, "MERGE with matched/by-source clauses")
+        id_cols = t._identity_columns(meta)
+        if id_cols:
+            # identity allocation lives in write() (hwm bookkeeping in
+            # the same commit); a merge path that inserted or reassigned
+            # identity values would silently break uniqueness — refuse
+            # loudly rather than allocate without the bookkeeping
+            if self._not_matched:
+                raise NotImplementedError(
+                    f"MERGE INSERT into a table with identity columns "
+                    f"{sorted(id_cols)} is not supported (values are "
+                    "GENERATED ALWAYS by the write path); append via "
+                    "write() instead"
+                )
+            for kind, _c, assigns in self._matched + self._by_source:
+                if kind == "update" and assigns and set(assigns) & set(id_cols):
+                    raise ValueError(
+                        "cannot UPDATE identity column(s) "
+                        f"{sorted(set(assigns) & set(id_cols))} in MERGE"
+                    )
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         gen = t._generation_exprs(meta)

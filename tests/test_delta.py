@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
     DeltaTable,
@@ -3570,3 +3571,332 @@ class TestVariantType:
         pyds.register(spark)
         with pytest.raises(Exception, match="VARIANT"):
             spark.read.format("pydelta").option("path", t.path).load().collect()
+
+
+class TestConvertToDelta:
+    """CONVERT TO DELTA: in-place _delta_log over existing parquet —
+    zero bytes move, footer stats land in the adds, and the converted
+    table is a first-class citizen (appends, DV deletes, skipping)."""
+
+    def test_in_place_conversion_and_native_afterlife(self, spark, tmp_path):
+        d = str(tmp_path / "lake")
+        spark.range(0, 100).select(
+            "id", (F.col("id") * 2).alias("v")
+        ).repartition(4).write.parquet(d)
+        before = {
+            n for n in os.listdir(d) if n.endswith(".parquet")
+        }
+        t = DeltaTable.convert_from_parquet(d)
+        assert t.latest_version() == 0
+        # the SAME files, untouched — conversion moved zero bytes
+        _m, adds = t._snapshot_state(None)
+        assert {a["path"] for a in adds} == before
+        assert t.read(spark).count() == 100
+        # footer stats made it in: a contradicted predicate prunes
+        assert t.read(spark, where="v > 1000").count() == 0
+        # native afterlife: append + DV delete through the log
+        t.write(make_df(spark, 500, 5).selectExpr("id", "id AS v").coalesce(1))
+        t.delete(spark, "id < 10")
+        assert t.read(spark).count() == 95
+        hist = {r.version: r.operation for r in t.history(spark).collect()}
+        assert hist[0] == "CONVERT"
+
+    def test_partitioned_conversion(self, spark, tmp_path):
+        d = str(tmp_path / "lake")
+        spark.range(0, 60).select(
+            "id", (F.col("id") % 3).cast("string").alias("p")
+        ).write.partitionBy("p").parquet(d)
+        with pytest.raises(ValueError, match="partition"):
+            DeltaTable.convert_from_parquet(d)  # layout needs the schema
+        # (directory untouched by the refusal)
+        t = DeltaTable.convert_from_parquet(d, partition_schema={"p": "string"})
+        got = t.read(spark)
+        assert got.count() == 60
+        assert {
+            (r.p, r.n)
+            for r in got.groupBy("p").agg(F.count("*").alias("n")).collect()
+        } == {("0", 20), ("1", 20), ("2", 20)}
+        # partition pruning rides the logged partitionValues
+        assert t.read(spark, where="p = '1'").count() == 20
+
+    def test_refusals(self, spark, tmp_path):
+        d = str(tmp_path / "lake")
+        spark.range(0, 5).write.parquet(d)
+        DeltaTable.convert_from_parquet(d)
+        with pytest.raises(ValueError, match="already a Delta table"):
+            DeltaTable.convert_from_parquet(d)
+        d2 = str(tmp_path / "mixed")
+        os.makedirs(d2)
+        spark.range(0, 5).coalesce(1).write.parquet(d2 + "/a")
+        spark.range(0, 5).selectExpr("id", "id AS extra").coalesce(1).write.parquet(d2 + "/b")
+        import shutil
+
+        for sub in ("a", "b"):
+            for n in os.listdir(d2 + "/" + sub):
+                if n.endswith(".parquet"):
+                    shutil.move(f"{d2}/{sub}/{n}", f"{d2}/{sub}_{n}")
+            shutil.rmtree(f"{d2}/{sub}")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            DeltaTable.convert_from_parquet(d2)
+        with pytest.raises(ValueError, match="no parquet files"):
+            DeltaTable.convert_from_parquet(str(tmp_path / "empty_nothere"))
+
+
+class TestV2Checkpoints:
+    """V2 checkpoints (reader-writer feature v2Checkpoints): UUID-named
+    manifest + _sidecars/ shards for the file state; auto protocol
+    fence; checkpoint-only replay; sidecar GC by reference-liveness."""
+
+    def test_write_read_roundtrip_and_fence(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.write(make_df(spark, 10 * i, 5).coalesce(1))  # v0..v2
+        v = t.checkpoint(spark, v2=True, sidecar_files=2)
+        # auto-fence bumped the log by one protocol commit
+        assert v == 3
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "v2Checkpoints" in proto["readerFeatures"]
+        log = str(tmp_path / "t" / "_delta_log")
+        import glob
+
+        manifests = glob.glob(log + "/*.checkpoint.*.parquet")
+        assert len(manifests) == 1
+        sidecars = os.listdir(log + "/_sidecars")
+        assert len(sidecars) == 2
+        # replay from manifest + sidecars ONLY: expire the JSON prefix
+        t.cleanup_metadata(retention_ms=0, force=True)
+        assert t.read(spark).count() == 15
+        # native afterlife continues past the v2 checkpoint
+        t.write(make_df(spark, 100, 5).coalesce(1))
+        assert t.read(spark).count() == 20
+
+    def test_dv_and_domains_survive_v2(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).coalesce(1))
+        t.set_domain_metadata("myapp.owner", "team-x")
+        t.delete(spark, "id < 3")  # DV'd add must survive the sidecar
+        t.checkpoint(spark, v2=True)
+        t.cleanup_metadata(retention_ms=0, force=True)
+        assert t.read(spark).count() == 7
+        assert t.domain_metadata()["myapp.owner"] == "team-x"
+
+    def test_sidecar_gc_is_reference_based(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        t.checkpoint(spark, v2=True)  # fence (v1) + checkpoint at v1
+        t.write(make_df(spark, 10, 5).coalesce(1))  # v2
+        t.checkpoint(spark, v2=True)  # second manifest at v2
+        log = str(tmp_path / "t" / "_delta_log")
+        n_side_before = len(os.listdir(log + "/_sidecars"))
+        deleted = t.cleanup_metadata(retention_ms=0, force=True)
+        # the v1 manifest expired -> its sidecars are unreferenced
+        assert any(".checkpoint." in n for n in deleted)
+        assert any(n.startswith("_sidecars/") for n in deleted)
+        assert len(os.listdir(log + "/_sidecars")) < n_side_before
+        assert t.read(spark).count() == 10
+
+    def test_parts_and_v2_are_exclusive(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        with pytest.raises(ValueError, match="CLASSIC"):
+            t.checkpoint(spark, v2=True, parts=3)
+
+
+class TestIdentityColumns:
+    """GENERATED ALWAYS AS IDENTITY (spec writer feature
+    identityColumns): creation-time field metadata, zero-coordination
+    distributed allocation on the hwm + k*step lattice, highWaterMark
+    updated in the same commit, explicit writes/updates/merge refused."""
+
+    def _table(self, spark, tmp_path, step=1, start=1):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+            identity_columns={"id": (start, step)},
+        )
+        return t
+
+    def test_contiguous_single_partition_appends(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "identityColumns" in proto["writerFeatures"]
+        t.write(make_df(spark, 0, 5).select("sym").coalesce(1))
+        t.write(make_df(spark, 0, 3).select("sym").coalesce(1))
+        ids = sorted(r.id for r in t.read(spark).collect())
+        assert ids == [1, 2, 3, 4, 5, 6, 7, 8]
+        assert t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ] == 8
+
+    def test_multi_partition_unique_on_lattice(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, step=3, start=10)
+        t.write(make_df(spark, 0, 40).select("sym").repartition(4))
+        ids = [r.id for r in t.read(spark).collect()]
+        assert len(ids) == len(set(ids)) == 40
+        assert all((i - 10) % 3 == 0 and i >= 10 for i in ids)
+        hwm = t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ]
+        assert hwm == max(ids)
+        # the next append allocates strictly above the recorded hwm
+        t.write(make_df(spark, 0, 5).select("sym").coalesce(1))
+        ids2 = [r.id for r in t.read(spark).collect()]
+        assert len(ids2) == len(set(ids2)) == 45
+        assert min(set(ids2) - set(ids)) > hwm
+
+    def test_negative_step(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, step=-2, start=0)
+        t.write(make_df(spark, 0, 4).select("sym").coalesce(1))
+        ids = sorted(r.id for r in t.read(spark).collect())
+        assert ids == [-6, -4, -2, 0]  # first value IS the start
+        assert t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ] == -6
+
+    def test_refusals(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.write(make_df(spark, 0, 5).select("sym").coalesce(1))
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            t.write(make_df(spark, 0, 5).coalesce(1))  # explicit id
+        with pytest.raises(ValueError, match="identity column"):
+            t.update(spark, "id = 1", {"id": "99"})
+        src = spark.createDataFrame([(1, "x")], "id long, sym string")
+        with pytest.raises(NotImplementedError, match="identity"):
+            t.merge_into(src, "target.id = source.id") \
+                .when_not_matched_insert() \
+                .execute(spark)
+        with pytest.raises(ValueError, match="identity"):
+            t.merge_into(src, "target.id = source.id") \
+                .when_matched_update(set={"id": "source.id"}) \
+                .execute(spark)
+        # matched update of NON-identity columns stays legal
+        t.merge_into(src, "target.id = source.id") \
+            .when_matched_update(set={"sym": "source.sym"}) \
+            .execute(spark)
+        assert t.read(spark).filter("id = 1").first().sym == "x"
+        with pytest.raises(ValueError, match="must be long"):
+            DeltaTable(str(tmp_path / "u")).create(
+                T.StructType([T.StructField("id", T.IntegerType())]),
+                identity_columns={"id": (1, 1)},
+            )
+
+
+class TestWriterFeatureGate:
+    """The spec's writer contract: mutating a table whose protocol lists
+    a writer feature this client does not implement is REFUSED (reads
+    gate separately); NOT NULL schema fields are enforced at write."""
+
+    def test_unknown_writer_feature_refuses_mutations(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        # a foreign engine fences a feature we do not implement
+        meta, _ = t._snapshot_state(None)
+        t._publish_or_conflict(
+            t.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["appendOnly", "icebergCompatV9"],
+                    }
+                },
+            ],
+            "UPGRADE",
+        )
+        assert t.read(spark).count() == 5  # reading stays legal
+        with pytest.raises(NotImplementedError, match="icebergCompatV9"):
+            t.write(make_df(spark, 10, 5).coalesce(1))
+        with pytest.raises(NotImplementedError, match="icebergCompatV9"):
+            t.delete(spark, "id < 2")
+        with pytest.raises(NotImplementedError, match="icebergCompatV9"):
+            t.update(spark, "id < 2", {"sym": "'x'"})
+        with pytest.raises(NotImplementedError, match="icebergCompatV9"):
+            t.merge_into(
+                spark.createDataFrame([(1, "y")], "id long, sym string"),
+                "target.id = source.id",
+            ).when_matched_update().execute(spark)
+
+    def test_not_null_invariant_enforced(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType(), nullable=False),
+                    T.StructField("sym", T.StringType(), nullable=True),
+                ]
+            )
+        )
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        bad = spark.createDataFrame(
+            [(None, "x"), (7, "y")], "id long, sym string"
+        )
+        with pytest.raises(ValueError, match="NOT NULL"):
+            t.write(bad.coalesce(1))
+        # the refusal was atomic: nothing of the bad batch landed
+        assert t.read(spark).count() == 5
+        # nullable column still accepts nulls
+        t.write(
+            spark.createDataFrame([(9, None)], "id long, sym string")
+        )
+        assert t.read(spark).count() == 6
+
+
+class TestTimestampNtzFeature:
+    """timestampNtz is its own reader-writer feature: any path that
+    introduces a TIMESTAMP_NTZ column (first write, merge_schema
+    evolution, date->timestamp_ntz widening) must fence the protocol."""
+
+    def test_first_write_fences(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 5)
+            .select(
+                "id",
+                F.lit("2024-01-01T12:00:00").cast("timestamp_ntz").alias("ts"),
+            )
+            .coalesce(1)
+        )
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minReaderVersion"] == 3
+        assert "timestampNtz" in proto["readerFeatures"]
+        assert "timestampNtz" in proto["writerFeatures"]
+        got = t.read(spark)
+        assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+        assert got.count() == 5
+
+    def test_widen_to_ntz_fences(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 3)
+            .select(F.lit("2024-01-01").cast("date").alias("d"))
+            .coalesce(1)
+        )
+        t.widen_column_type("d", "timestamp_ntz")
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert {"typeWidening", "timestampNtz"} <= set(
+            proto["readerFeatures"]
+        )
+        assert t.read(spark).first().d.isoformat() == "2024-01-01T00:00:00"
+
+    def test_evolution_fences(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 3).select("id").coalesce(1))
+        t.write(
+            spark.range(3, 6)
+            .select(
+                "id",
+                F.lit("2024-01-01T12:00:00").cast("timestamp_ntz").alias("ts"),
+            )
+            .coalesce(1),
+            merge_schema=True,
+        )
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "timestampNtz" in proto["readerFeatures"]
+        assert t.read(spark).filter("ts IS NULL").count() == 3

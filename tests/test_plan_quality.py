@@ -541,3 +541,11 @@ def test_return_correlation_single_candle_aggregation(spark):
     blowup."""
     p = plan_of(spark, "symbol_return_correlation")
     assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_probe_is_hash_joined(spark):
+    # the batch-vs-index probe must be a (band, band_sig) equi-join —
+    # a nested-loop fallback here would be O(batch x corpus), the exact
+    # thing the incremental shape exists to avoid
+    p = plan_of(spark, "doc_incremental_dedup_audit")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
