@@ -2180,3 +2180,171 @@ def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(unique).cast("long").alias("ids_unique"),
         F.lit(refused).cast("long").alias("explicit_refused"),
     )
+
+
+@register(
+    "delta_default_columns_audit",
+    oracle="""
+WITH c AS (SELECT count(*) AS n FROM events WHERE event_type = 'click'),
+     p AS (SELECT count(*) AS n FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT count(*) AS n FROM events WHERE event_type = 'view'),
+     s AS (SELECT count(*) AS n FROM events WHERE event_type = 'signup')
+SELECT * FROM (
+  SELECT 'pending' AS status, CAST(5 AS BIGINT) AS priority, c.n AS n,
+         CAST(1 AS BIGINT) AS refused_new_col FROM c
+  UNION ALL
+  SELECT 'settled', 1, p.n, 1 FROM p
+  UNION ALL
+  SELECT 'queued', 5, v.n, 1 FROM v
+  UNION ALL
+  SELECT 'queued', -1, s.n, 1 FROM s
+) ORDER BY status, priority
+""",
+    doc="Column DEFAULT values end to end (spec writer feature "
+    "allowColumnDefaults; delta-spark's `col TYPE DEFAULT expr`): the "
+    "table is created with status DEFAULT 'pending' and priority "
+    "DEFAULT 5 as CURRENT_DEFAULT field metadata behind a v7 writer "
+    "fence (a defaults-unaware writer must refuse, not null-fill). An "
+    "insert omitting both columns materializes the defaults into the "
+    "staged files BEFORE constraint checks; an explicit insert wins "
+    "over the default; ALTER COLUMN SET DEFAULT re-points future "
+    "omissions without touching history ('queued' batch); DROP DEFAULT "
+    "reverts omissions to NULL (the -1 coalesce group); and attaching "
+    "a default to a column that does not exist is REFUSED (flag) — "
+    "ADD COLUMN ... DEFAULT would imply backfilling history, which no "
+    "spec writer does. The oracle rebuilds every (status, priority) "
+    "cohort from raw event counts alone. At 100 TB the default is a "
+    "row-local expression evaluated on data already in flight: zero "
+    "extra scans, zero backfill, history immutable.",
+    tags=("delta", "default-columns", "metadata", "write"),
+)
+def delta_default_columns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpdflt_") + "/events_delta")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("priority", T.LongType()),
+            ]
+        ),
+        column_defaults={"status": "'pending'", "priority": "5"},
+    )
+    def batch(etype):
+        return events.filter(F.col("event_type") == etype).select("event_id")
+
+    table.write(batch("click"))  # omits both -> 'pending', 5
+    table.write(
+        batch("purchase").select(
+            "event_id",
+            F.lit("settled").alias("status"),
+            F.lit(1).cast("long").alias("priority"),
+        )
+    )  # explicit values win over the default
+    table.set_column_default("status", "'queued'")
+    table.write(batch("view"))  # omits both -> 'queued', 5
+    table.set_column_default("priority", None)
+    table.write(batch("signup"))  # -> 'queued', NULL priority
+    try:
+        table.set_column_default("severity", "'low'")
+        refused = 0
+    except ValueError:
+        refused = 1
+    return (
+        table.read(spark)
+        .groupBy(
+            "status", F.coalesce("priority", F.lit(-1)).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(refused).cast("long").alias("refused_new_col"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "delta_drop_feature_audit",
+    oracle="""
+SELECT event_type,
+       CASE WHEN event_type = 'purchase' THEN 2 * count(*)
+            ELSE count(*) END AS n,
+       CAST(1 AS BIGINT) AS snapshot_refused,
+       CAST(1 AS BIGINT) AS history_refused,
+       CAST(1 AS BIGINT) AS feature_gone,
+       CAST(1 AS BIGINT) AS reader_demoted,
+       CAST(1 AS BIGINT) AS travel_expired
+FROM events WHERE event_type <> 'error'
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="ALTER TABLE DROP FEATURE end to end (the spec's feature-removal "
+    "contract; delta-spark's two-phase DROP FEATURE ... TRUNCATE "
+    "HISTORY): a DV DELETE of every 'error' event leaves deletion "
+    "vectors in the snapshot, so the drop is REFUSED (flag 1 — a "
+    "feature-unaware writer would resurrect the deleted rows); REORG "
+    "APPLY (PURGE) materializes survivors but HISTORY still holds DV "
+    "commits, so the drop is refused again without truncation (flag 2 — "
+    "a legacy reader replaying the log would misread them); "
+    "truncate_history=True checkpoints the clean snapshot, expires the "
+    "entire log prefix, and commits the downgrade: deletionVectors "
+    "leaves both feature lists (flag 3), minReaderVersion demotes to 1 "
+    "because the last reader feature is gone — legacy readers regain "
+    "the table, the whole point of dropping (flag 4) — and time travel "
+    "to the pre-drop version now fails loudly (flag 5, the price "
+    "TRUNCATE HISTORY charges). A post-drop append (purchases doubled) "
+    "proves the demoted table still lives. The oracle rebuilds the "
+    "final counts from raw events. At 100 TB the drop costs one "
+    "checkpoint write + O(log) JSON deletes — the data files never "
+    "move; only the purge pass touched (and only DV-carrying) files.",
+    tags=("delta", "drop-feature", "deletion-vectors", "metadata",
+          "lakehouse"),
+)
+def delta_drop_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpdropf_") + "/events_delta")
+    table.write(events.select("event_id", "event_type", "value"))
+    table.delete(spark, "event_type = 'error'")
+    try:
+        table.drop_feature("deletionVectors", spark)
+        snap_refused = 0
+    except ValueError:
+        snap_refused = 1
+    table.reorg_purge(spark)
+    try:
+        table.drop_feature("deletionVectors", spark)
+        hist_refused = 0
+    except ValueError:
+        hist_refused = 1
+    table.drop_feature("deletionVectors", spark, truncate_history=True)
+    _m, _a, proto = table._snapshot_state_full(None)
+    feature_gone = int(
+        "deletionVectors" not in (proto.get("writerFeatures") or [])
+        and "deletionVectors" not in (proto.get("readerFeatures") or [])
+    )
+    reader_demoted = int(proto.get("minReaderVersion") == 1)
+    try:
+        table.read(spark, version=1)
+        travel_expired = 0
+    except ValueError:
+        travel_expired = 1
+    table.write(
+        events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "event_type", "value"
+        )
+    )
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(snap_refused).cast("long").alias("snapshot_refused"),
+            F.lit(hist_refused).cast("long").alias("history_refused"),
+            F.lit(feature_gone).cast("long").alias("feature_gone"),
+            F.lit(reader_demoted).cast("long").alias("reader_demoted"),
+            F.lit(travel_expired).cast("long").alias("travel_expired"),
+        )
+        .orderBy("event_type")
+    )

@@ -196,3 +196,124 @@ def streaming_click_purchase_interval_join(
         F.countDistinct("purchase_id").alias("n_purchases"),
         F.countDistinct("click_id").alias("n_clicks"),
     )
+
+
+@register(
+    "streaming_purchase_attribution_left_join",
+    oracle="""
+WITH c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+         - INTERVAL 10 MINUTE AS horizon
+),
+matched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 30 MINUTE
+   AND c.ts <= p.ts
+),
+unmatched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, NULL AS click_id
+  FROM p, wm
+  WHERE p.ts < wm.horizon
+    AND NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        AND c.ts <= p.ts
+    )
+),
+emitted AS (
+  SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+)
+SELECT user_id % 10 AS user_bucket,
+       count(*) AS n_rows,
+       count(click_id) AS n_matched,
+       count(*) - count(click_id) AS n_unattributed,
+       count(DISTINCT purchase_id) AS n_purchases
+FROM emitted
+GROUP BY 1
+""",
+    doc="STREAM-STREAM LEFT OUTER join, physically executed: purchases "
+    "left-joined to clicks on user within a 30-minute attribution "
+    "window, both sides watermarked 10 minutes, drained append-mode "
+    "with trigger(availableNow=True). The outer semantics are the "
+    "streaming-specific part: a match emits immediately, but a "
+    "PURCHASE WITH NO CLICK can only emit null-extended once the "
+    "watermark proves no matching click can still arrive (watermark > "
+    "purchase ts, since clicks up to the purchase instant could match) "
+    "— purchases younger than the final watermark stay in state and "
+    "never emit, which the oracle's horizon predicate reproduces "
+    "exactly (min of both inputs' max event time - 10 min, Spark's "
+    "multi-watermark MIN policy). State is bounded by the interval "
+    "span on both sides — the property that keeps outer attribution "
+    "feasible at 100 TB/day where an unwatermarked outer join would "
+    "buffer the full history. Oracle = batch left join + horizon "
+    "filter on the null side: stream == batch on finalized results, "
+    "the Structured Streaming contract.",
+    tags=("streaming", "join", "outer", "watermark", "interval"),
+)
+def streaming_purchase_attribution_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="cplojoin_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "joined")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("purchase_user"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_user", "purchase_id", "click_id")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                joined,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="purchase_attribution_left_join",
+            )
+        )
+    emitted = spark.read.schema(joined.schema).parquet(out_path)
+    return emitted.groupBy(
+        (F.col("purchase_user") % 10).alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("click_id").alias("n_matched"),
+        (F.count(F.lit(1)) - F.count("click_id")).alias("n_unattributed"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+    )

@@ -1835,6 +1835,26 @@ class DeltaTable:
                 # an omitted generated column both passes the schema
                 # comparison and lands with correct values
                 df = self._apply_generated(df, gen)
+            dflts = self._column_defaults(prior_meta)
+            fill = sorted(c for c in dflts if c not in df.columns)
+            if fill:
+                # spec writer requirement (allowColumnDefaults): an
+                # INSERT that omits a defaulted column materializes
+                # CURRENT_DEFAULT into the staged files — applied BEFORE
+                # constraint checks so defaults must satisfy CHECK / NOT
+                # NULL like any explicit value. Row-local expression,
+                # evaluated executor-side with the batch in flight.
+                types = {
+                    f["name"]: T.StructField.fromJson(f).dataType
+                    for f in json.loads(prior_meta["schemaString"])["fields"]
+                }
+                df = df.select(
+                    *df.columns,
+                    *[
+                        F.expr(dflts[c]).cast(types[c]).alias(c)
+                        for c in fill
+                    ],
+                )
             self._check_constraints(df, prior_meta)
             mapping = self._column_mapping(prior_meta) or {}
             if partition_by != (prior_meta.get("partitionColumns") or []):
@@ -2478,6 +2498,7 @@ class DeltaTable:
         configuration: dict | None = None,
         mapping_mode: str | None = None,
         identity_columns: dict[str, tuple[int, int]] | None = None,
+        column_defaults: dict[str, str] | None = None,
     ) -> int:
         """CREATE TABLE — a metadata-only commit 0 (delta-spark's
         ``DeltaTable.create()``): records schema, partitioning, table
@@ -2555,6 +2576,34 @@ class DeltaTable:
             protocol = {
                 "minReaderVersion": protocol["minReaderVersion"],
                 "minWriterVersion": 7,
+                "writerFeatures": sorted(feats),
+            }
+        if column_defaults:
+            # DEFAULT values (spec writer feature allowColumnDefaults,
+            # delta-spark's `col TYPE DEFAULT expr`): the SQL expression
+            # lives as CURRENT_DEFAULT field metadata; writers fence the
+            # feature so a defaults-unaware writer refuses rather than
+            # silently null-filling omitted inserts
+            for col, expr in column_defaults.items():
+                fj = next(
+                    (f for f in schema_json["fields"] if f["name"] == col),
+                    None,
+                )
+                if fj is None:
+                    raise ValueError(f"default column {col!r} not in schema")
+                md = dict(fj.get("metadata") or {})
+                md["CURRENT_DEFAULT"] = expr
+                fj["metadata"] = md
+            feats = self._implied_writer_features(protocol)
+            feats.add("allowColumnDefaults")
+            protocol = {
+                "minReaderVersion": protocol["minReaderVersion"],
+                "minWriterVersion": 7,
+                **(
+                    {"readerFeatures": protocol["readerFeatures"]}
+                    if protocol.get("readerFeatures") is not None
+                    else {}
+                ),
                 "writerFeatures": sorted(feats),
             }
         type_feats = set()
@@ -3447,6 +3496,255 @@ class DeltaTable:
         new_meta["configuration"] = conf
         return self._metadata_commit("DROP CONSTRAINT", new_meta, base=base)
 
+    def set_column_default(self, col: str, expr: str | None) -> int:
+        """ALTER TABLE ALTER COLUMN SET/DROP DEFAULT (spec writer
+        feature ``allowColumnDefaults``): stamp ``CURRENT_DEFAULT`` on
+        an EXISTING column's field metadata and fence the feature so a
+        defaults-unaware writer refuses instead of null-filling omitted
+        inserts. ``expr=None`` drops the default. Per spec/delta-spark,
+        a default can only ever be attached to a column that already
+        exists — ADD COLUMN ... DEFAULT is refused everywhere (it would
+        imply rewriting history to backfill); rows written while the
+        column was absent from inserts before the default existed keep
+        their NULLs, only subsequent omissions take the new value."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"no such table: {self.path}")
+        meta, _adds, protocol = self._snapshot_state_full(None)
+        schema_json = json.loads(meta["schemaString"])
+        fj = next(
+            (f for f in schema_json["fields"] if f["name"] == col), None
+        )
+        if fj is None:
+            raise ValueError(
+                f"column {col!r} does not exist; defaults attach to "
+                "existing columns only (ADD COLUMN with DEFAULT is not "
+                "supported, matching delta-spark)"
+            )
+        md = dict(fj.get("metadata") or {})
+        if expr is None:
+            if "CURRENT_DEFAULT" not in md:
+                raise ValueError(f"column {col!r} has no default")
+            del md["CURRENT_DEFAULT"]
+        else:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                # plan-time validation: the expression must evaluate and
+                # cast to the column type (one constant row, driver-side)
+                dtype = T.StructField.fromJson(fj).dataType
+                spark.range(1).select(
+                    F.expr(expr).cast(dtype)
+                ).collect()
+            md["CURRENT_DEFAULT"] = expr
+        fj["metadata"] = md
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema_json)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": col,
+                        "default": expr if expr is not None else "DROP",
+                    },
+                }
+            }
+        ]
+        proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        feats = self._implied_writer_features(proto)
+        if expr is not None and "allowColumnDefaults" not in feats:
+            feats.add("allowColumnDefaults")
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": proto.get("minReaderVersion", 1),
+                        "minWriterVersion": 7,
+                        **(
+                            {"readerFeatures": proto["readerFeatures"]}
+                            if proto.get("readerFeatures") is not None
+                            else {}
+                        ),
+                        "writerFeatures": sorted(feats),
+                    }
+                }
+            )
+        actions.append({"metaData": new_meta})
+        return self._publish_or_conflict(base + 1, actions, "CHANGE COLUMN")
+
+    #: features this client can DOWNGRADE out of a protocol. Writer-only
+    #: features downgrade immediately once their metadata trace is gone
+    #: (readers never depended on them); reader-writer features
+    #: additionally require every RETAINED log version to be trace-free,
+    #: i.e. history truncation (delta-spark's DROP FEATURE ... TRUNCATE
+    #: HISTORY).
+    DROPPABLE_WRITER_FEATURES = frozenset(
+        {"checkConstraints", "allowColumnDefaults", "inCommitTimestamp"}
+    )
+    DROPPABLE_READER_WRITER_FEATURES = frozenset({"deletionVectors"})
+
+    def _dv_trace_in_log(self) -> list[int]:
+        """Versions among the RETAINED commit JSONs whose actions still
+        carry a deletionVector descriptor (add or remove side)."""
+        out = []
+        for v in self._commit_versions():
+            for action in self._read_commit(v):
+                payload = action.get("add") or action.get("remove")
+                if payload and payload.get("deletionVector"):
+                    out.append(v)
+                    break
+        return out
+
+    def drop_feature(
+        self,
+        feature: str,
+        spark: SparkSession | None = None,
+        *,
+        truncate_history: bool = False,
+    ) -> int:
+        """ALTER TABLE DROP FEATURE twin: downgrade the protocol out of
+        ``feature`` once the table carries no trace of it, so legacy
+        writers (and for reader-writer features, legacy READERS) can use
+        the table again.
+
+        The spec's removal contract drives the shape (delta-spark's
+        two-phase drop): a feature may leave the protocol only when no
+        RETAINED version of the table depends on it. For writer-only
+        features the trace lives in current metadata (constraints in
+        configuration, CURRENT_DEFAULT in the schema, the ICT property)
+        — remove the trace, then drop. For ``deletionVectors`` the trace
+        is in the data layout and the log: the CURRENT snapshot must be
+        DV-free (run `reorg_purge` first — refused otherwise), and
+        HISTORY still holds DV descriptors in old commits, so the drop
+        additionally demands ``truncate_history=True``, which
+        checkpoints the clean snapshot and expires the entire log prefix
+        (`cleanup_metadata` with zero retention) before the downgrade
+        commit — time travel to pre-drop versions then fails loudly, the
+        price delta-spark's TRUNCATE HISTORY charges too. The downgrade
+        commit also flips the feature's enabling table property off so
+        the next writer does not silently re-introduce it."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"no such table: {self.path}")
+        meta, adds, protocol = self._snapshot_state_full(None)
+        feats = set((protocol or {}).get("writerFeatures") or [])
+        if feature not in feats:
+            raise ValueError(
+                f"feature {feature!r} is not in the writer protocol "
+                f"(present: {sorted(feats) or 'legacy versioned protocol'})"
+            )
+        supported = (
+            self.DROPPABLE_WRITER_FEATURES
+            | self.DROPPABLE_READER_WRITER_FEATURES
+        )
+        if feature not in supported:
+            raise NotImplementedError(
+                f"dropping {feature!r} is not supported by this client "
+                f"(droppable: {sorted(supported)}); type features "
+                "(variantType, timestampNtz) would require a schema "
+                "rewrite and columnMapping/v2Checkpoints a full layout "
+                "rewrite"
+            )
+        conf = dict(meta.get("configuration") or {})
+        if feature == "checkConstraints":
+            names = [k for k in conf if k.startswith("delta.constraints.")]
+            if names:
+                raise ValueError(
+                    f"constraints still defined ({names}); "
+                    "drop_check_constraint them first"
+                )
+        elif feature == "allowColumnDefaults":
+            cols = sorted(self._column_defaults(meta))
+            if cols:
+                raise ValueError(
+                    f"columns {cols} still declare CURRENT_DEFAULT; "
+                    "set_column_default(col, None) them first"
+                )
+        elif feature == "inCommitTimestamp":
+            # the property AND its provenance markers go in the drop
+            # commit itself — they are only meaningful while ICT is on
+            conf.pop("delta.enableInCommitTimestamps", None)
+            conf.pop("delta.inCommitTimestampEnablementVersion", None)
+            conf.pop("delta.inCommitTimestampEnablementTimestamp", None)
+        elif feature == "deletionVectors":
+            dv_files = [a["path"] for a in adds if a.get("deletionVector")]
+            if dv_files:
+                raise ValueError(
+                    f"{len(dv_files)} data files still carry deletion "
+                    "vectors; run reorg_purge(spark) first"
+                )
+            traced = self._dv_trace_in_log()
+            if traced and not truncate_history:
+                raise ValueError(
+                    f"history (versions {traced[:5]}"
+                    f"{'...' if len(traced) > 5 else ''}) still contains "
+                    "deletion-vector commits a feature-unaware reader "
+                    "would misread; pass truncate_history=True to "
+                    "checkpoint the clean snapshot and expire them "
+                    "(delta-spark's DROP FEATURE ... TRUNCATE HISTORY)"
+                )
+            if traced:
+                if spark is None:
+                    raise ValueError(
+                        "truncate_history requires a SparkSession to "
+                        "write the pre-drop checkpoint"
+                    )
+                self.checkpoint(spark)
+                self.cleanup_metadata(retention_ms=0, force=True)
+                remaining = self._dv_trace_in_log()
+                if remaining:
+                    raise RuntimeError(
+                        f"history truncation left DV traces in versions "
+                        f"{remaining}; refusing the downgrade"
+                    )
+                base = self.latest_version()
+            conf["delta.enableDeletionVectors"] = "false"
+        feats.discard(feature)
+        reader_feats = (protocol or {}).get("readerFeatures")
+        new_reader_ver = (protocol or {}).get("minReaderVersion", 1)
+        new_reader_list = (
+            sorted(set(reader_feats) - {feature})
+            if reader_feats is not None
+            else None
+        )
+        if new_reader_list is not None and not new_reader_list:
+            # the dropped feature was the LAST reader feature: a v3
+            # protocol must list features, so demote to the legacy
+            # reader version — this is the payoff of the drop (legacy
+            # readers regain the table)
+            new_reader_list = None
+            new_reader_ver = 1
+        new_proto = {
+            "minReaderVersion": new_reader_ver,
+            "minWriterVersion": 7,
+            **(
+                {"readerFeatures": new_reader_list}
+                if new_reader_list is not None
+                else {}
+            ),
+            "writerFeatures": sorted(feats),
+        }
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        return self._publish_or_conflict(
+            base + 1,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "DROP FEATURE",
+                        "operationParameters": {
+                            "featureName": feature,
+                            "truncateHistory": str(truncate_history).lower(),
+                        },
+                    }
+                },
+                {"protocol": new_proto},
+                {"metaData": new_meta},
+            ],
+            "DROP FEATURE",
+        )
+
     @staticmethod
     def _generation_exprs(meta_or_schema) -> dict[str, str]:
         """column -> ``delta.generationExpression`` from the schemaString
@@ -3458,6 +3756,22 @@ class DeltaTable:
         out: dict[str, str] = {}
         for f in schema.get("fields", []):
             expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if expr is not None:
+                out[f["name"]] = expr
+        return out
+
+    @staticmethod
+    def _column_defaults(meta_or_schema) -> dict[str, str]:
+        """column -> SQL default expression from the schemaString's
+        ``CURRENT_DEFAULT`` field metadata (spec writer feature
+        ``allowColumnDefaults``); {} when the table has none."""
+        if isinstance(meta_or_schema, dict) and "schemaString" in meta_or_schema:
+            schema = json.loads(meta_or_schema["schemaString"])
+        else:
+            schema = meta_or_schema
+        out: dict[str, str] = {}
+        for f in schema.get("fields", []):
+            expr = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
             if expr is not None:
                 out[f["name"]] = expr
         return out
@@ -3507,6 +3821,7 @@ class DeltaTable:
             "variantType",
             "v2Checkpoints",
             "timestampNtz",
+            "allowColumnDefaults",
         }
     )
 

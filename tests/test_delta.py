@@ -3900,3 +3900,198 @@ class TestTimestampNtzFeature:
         _m, _a, proto = t._snapshot_state_full(None)
         assert "timestampNtz" in proto["readerFeatures"]
         assert t.read(spark).filter("ts IS NULL").count() == 3
+
+
+class TestColumnDefaults:
+    """Column DEFAULT values (spec writer feature allowColumnDefaults):
+    CURRENT_DEFAULT field metadata, writer-side materialization of
+    omitted columns, ALTER SET/DROP DEFAULT, interplay with CHECK
+    constraints and column mapping, existing-column-only refusal."""
+
+    def _table(self, spark, tmp_path, **kw):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                    T.StructField("qty", T.LongType()),
+                ]
+            ),
+            column_defaults={"sym": "'NONE'", "qty": "7"},
+            **kw,
+        )
+        return t
+
+    def test_omitted_columns_take_defaults(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "allowColumnDefaults" in proto["writerFeatures"]
+        t.write(spark.range(3).select("id"))
+        rows = {(r.id, r.sym, r.qty) for r in t.read(spark).collect()}
+        assert rows == {(0, "NONE", 7), (1, "NONE", 7), (2, "NONE", 7)}
+
+    def test_explicit_value_wins(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.write(
+            spark.range(1).select(
+                "id", F.lit("X").alias("sym"), F.lit(1).cast("long").alias("qty")
+            )
+        )
+        assert t.read(spark).collect()[0].qty == 1
+
+    def test_default_materialized_in_files_not_scan(self, spark, tmp_path):
+        # the default is written into the parquet bytes: a later DROP
+        # DEFAULT (or change) must never rewrite what already landed
+        t = self._table(spark, tmp_path)
+        t.write(spark.range(2).select("id"))
+        t.set_column_default("qty", "99")
+        t.write(spark.range(2, 4).select("id"))
+        t.set_column_default("qty", None)
+        t.write(spark.range(4, 5).select("id"))
+        got = {(r.id, r.qty) for r in t.read(spark).collect()}
+        assert got == {(0, 7), (1, 7), (2, 99), (3, 99), (4, None)}
+        # JVM-free read path sees the same materialized values
+        pdf = t.to_pandas().sort_values("id")
+        assert pdf["qty"].tolist()[:4] == [7, 7, 99, 99]
+
+    def test_default_must_satisfy_check_constraint(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.add_check_constraint("qty_pos", "qty > 0")
+        t.set_column_default("qty", "-1")
+        with pytest.raises(ValueError, match="qty_pos"):
+            t.write(spark.range(1).select("id"))
+        # atomic refusal: nothing of the batch landed
+        assert t.read(spark).count() == 0
+
+    def test_new_column_default_refused(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="does not exist"):
+            t.set_column_default("made_up", "'x'")
+        with pytest.raises(ValueError, match="not in schema"):
+            DeltaTable(str(tmp_path / "t2")).create(
+                T.StructType([T.StructField("id", T.LongType())]),
+                column_defaults={"ghost": "1"},
+            )
+
+    def test_drop_default_requires_one(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.set_column_default("qty", None)
+        with pytest.raises(ValueError, match="no default"):
+            t.set_column_default("qty", None)
+
+    def test_mapped_table_defaults(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "m"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+            mapping_mode="name",
+            column_defaults={"sym": "concat('d-', 'flt')"},
+        )
+        t.write(spark.range(2).select("id"))
+        assert {r.sym for r in t.read(spark).collect()} == {"d-flt"}
+
+    def test_mid_life_enable_fences_protocol(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "p"))
+        t.write(make_df(spark, 0, 3))
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto.get("writerFeatures") is None
+        t.set_column_default("sym", "'z'")
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "allowColumnDefaults" in proto["writerFeatures"]
+        t.write(spark.range(3, 5).select("id"))
+        assert t.read(spark).filter("sym = 'z'").count() == 2
+
+
+class TestDropFeature:
+    """ALTER TABLE DROP FEATURE (spec feature-removal contract):
+    trace-gated protocol downgrade, history truncation for
+    reader-writer features, reader-version demotion."""
+
+    def _dv_table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 50).repartition(4))
+        t.delete(spark, "id % 5 = 0")
+        return t
+
+    def test_snapshot_trace_refused(self, spark, tmp_path):
+        t = self._dv_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="reorg_purge"):
+            t.drop_feature("deletionVectors", spark)
+
+    def test_history_trace_refused_without_truncate(self, spark, tmp_path):
+        t = self._dv_table(spark, tmp_path)
+        t.reorg_purge(spark)
+        with pytest.raises(ValueError, match="truncate_history"):
+            t.drop_feature("deletionVectors", spark)
+
+    def test_truncate_drop_demotes_and_survives(self, spark, tmp_path):
+        t = self._dv_table(spark, tmp_path)
+        t.reorg_purge(spark)
+        v = t.drop_feature("deletionVectors", spark, truncate_history=True)
+        m, _a, proto = t._snapshot_state_full(None)
+        assert "deletionVectors" not in (proto.get("writerFeatures") or [])
+        assert proto.get("readerFeatures") is None
+        assert proto["minReaderVersion"] == 1
+        assert m["configuration"]["delta.enableDeletionVectors"] == "false"
+        assert t.read(spark).count() == 40
+        assert len(t.to_pandas()) == 40
+        with pytest.raises(ValueError):
+            t.read(spark, version=1)  # history gone
+        t.write(make_df(spark, 100, 5))
+        assert t.read(spark).count() == 45
+        assert t.latest_version() == v + 1
+
+    def test_no_trace_in_retained_log_after_drop(self, spark, tmp_path):
+        t = self._dv_table(spark, tmp_path)
+        t.reorg_purge(spark)
+        t.drop_feature("deletionVectors", spark, truncate_history=True)
+        assert t._dv_trace_in_log() == []
+
+    def test_writer_only_drop_needs_trace_removal(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "d"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("s", T.StringType()),
+                ]
+            ),
+            column_defaults={"s": "'x'"},
+        )
+        with pytest.raises(ValueError, match="CURRENT_DEFAULT"):
+            t.drop_feature("allowColumnDefaults")
+        t.set_column_default("s", None)
+        t.drop_feature("allowColumnDefaults")
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "allowColumnDefaults" not in proto["writerFeatures"]
+
+    def test_ict_drop_removes_provenance(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "i"))
+        t.write(make_df(spark, 0, 3))
+        t.enable_in_commit_timestamps()
+        t.write(make_df(spark, 3, 2))
+        t.drop_feature("inCommitTimestamp")
+        m, _a, proto = t._snapshot_state_full(None)
+        conf = m.get("configuration") or {}
+        assert "delta.enableInCommitTimestamps" not in conf
+        assert "delta.inCommitTimestampEnablementVersion" not in conf
+        assert "inCommitTimestamp" not in proto["writerFeatures"]
+
+    def test_unsupported_and_absent_refused(self, spark, tmp_path):
+        t = self._dv_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="not in the writer protocol"):
+            t.drop_feature("identityColumns")
+        t2 = DeltaTable(str(tmp_path / "m"))
+        t2.create(
+            T.StructType([T.StructField("id", T.LongType())]),
+            mapping_mode="name",
+        )
+        t2.write(spark.range(1).select("id"))
+        t2.delete(spark, "id = 99")  # fences DV alongside mapping
+        with pytest.raises(NotImplementedError, match="columnMapping"):
+            t2.drop_feature("columnMapping")
