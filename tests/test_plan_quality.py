@@ -549,3 +549,11 @@ def test_incremental_dedup_probe_is_hash_joined(spark):
     # thing the incremental shape exists to avoid
     p = plan_of(spark, "doc_incremental_dedup_audit")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pretrain_funnel_joins_stay_hash_based(spark):
+    # 8-stage composite: band-bucket self-join, two anti-joins, gram
+    # membership join — all equi-joins; a cartesian anywhere here would
+    # be quadratic in the corpus
+    p = plan_of(spark, "doc_pretrain_funnel_audit")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -1,0 +1,91 @@
+"""chunked_rolling == plain trailing-frame window (given the dense-chunk
+precondition), across chunk boundaries, partial leading frames, and
+missing chunks in the calendar."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (
+    chunked_rolling,
+)
+
+
+def _naive(df, frame_rows):
+    w = (
+        W.partitionBy("k")
+        .orderBy("pos")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.max("v").over(w).alias("mx"),
+    )
+
+
+def _chunked(df, frame_rows, chunk_size=10):
+    return chunked_rolling(
+        df,
+        key_cols=["k"],
+        order_col="pos",
+        chunk=F.floor(F.col("pos") / chunk_size),
+        frame_rows=frame_rows,
+        cols={
+            "n": lambda w: F.count(F.lit(1)).over(w),
+            "s": lambda w: F.sum("v").over(w),
+            "mx": lambda w: F.max("v").over(w),
+        },
+    )
+
+
+def _cmp(got, expect):
+    g = {(r.k, r.pos): (r.n, r.s, r.mx) for r in got.collect()}
+    e = {(r.k, r.pos): (r.n, r.s, r.mx) for r in expect.collect()}
+    assert g == e
+
+
+def test_matches_plain_window_across_boundaries(spark):
+    # two keys, 35 contiguous positions -> chunks of 10; frame 5 crosses
+    # every boundary and the leading frames are partial
+    rows = [
+        (k, p, (p * 3 + ki) % 17)
+        for ki, k in enumerate(["a", "b"])
+        for p in range(35)
+    ]
+    df = spark.createDataFrame(rows, "k string, pos long, v long")
+    _cmp(_chunked(df, 5), _naive(df, 5))
+
+
+def test_missing_chunks_stay_adjacent(spark):
+    # calendar gap: positions 0-9 then 40-49 (chunks 0 and 4). The dense
+    # chunk index must make chunk 4 the SUCCESSOR of chunk 0, so frames
+    # at positions 40-43 reach back into 6..9 — a naive cidx=chunk+1
+    # carry would strand the rows.
+    rows = [("a", p, p) for p in [*range(10), *range(40, 50)]]
+    df = spark.createDataFrame(rows, "k string, pos long, v long")
+    _cmp(_chunked(df, 5), _naive(df, 5))
+
+
+def test_frame_equals_chunk_size(spark):
+    # frame_rows == chunk row count: carry is the ENTIRE previous chunk
+    rows = [("a", p, p) for p in range(30)]
+    df = spark.createDataFrame(rows, "k string, pos long, v long")
+    _cmp(_chunked(df, 10), _naive(df, 10))
+
+
+def test_refuses_degenerate_frame(spark):
+    df = spark.createDataFrame([("a", 0, 0)], "k string, pos long, v long")
+    with pytest.raises(ValueError, match="frame_rows"):
+        chunked_rolling(
+            df,
+            key_cols=["k"],
+            order_col="pos",
+            chunk=F.lit(0),
+            frame_rows=1,
+            cols={},
+        )
