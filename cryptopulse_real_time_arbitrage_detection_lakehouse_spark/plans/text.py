@@ -2782,3 +2782,65 @@ def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, name, df in stages
     ]
     return reduce(lambda a, b: a.unionByName(b), rows).orderBy("stage")
+
+
+HH_PHI_INV = 5000  # heavy hitter = frequency > n / 5000
+HH_CAPACITY = 8192  # MG capacity; superset guarantee needs >= HH_PHI_INV
+
+
+@register(
+    "doc_heavy_hitter_ngrams",
+    oracle=f"""
+WITH tok AS (SELECT {SQL_TOKENS} AS toks FROM documents),
+g AS (SELECT unnest({sql_shingles_all("toks", 3)}) AS gram FROM tok),
+tot AS (SELECT count(*) AS n FROM g),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+SELECT c.gram, c.cnt, tot.n AS total
+FROM c, tot WHERE c.cnt * {HH_PHI_INV} > tot.n
+""",
+    doc=f"EXACT heavy-hitter 3-grams (frequency > n/{HH_PHI_INV}) via the "
+    "two-pass sketch-then-verify shape that makes the question "
+    "answerable at 100 TB: pass 1 folds each partition's gram stream "
+    "through a Misra-Gries summary of capacity "
+    f"{HH_CAPACITY} (`operators.heavy_hitters`, Arrow-vectorized "
+    "value_counts + canonical subtract-and-drop merge), whose union is "
+    "PROVABLY a superset of every true heavy hitter (an item absent "
+    "from all summaries has global count <= n/(k+1) < n/φ⁻¹); pass 2 "
+    "re-streams the grams joined against the BROADCAST candidate set "
+    "and counts exactly. Only ~k candidates per partition ever shuffle "
+    "— the full gram multiset (the thing a naive groupBy ships) stays "
+    "on the executors — yet the output is EXACT and independent of "
+    "partitioning, which is why a DuckDB oracle can hash-match it: "
+    "the sketch chooses only which false candidates get recounted and "
+    "discarded. This is the boilerplate/template-detection primitive "
+    "of web-corpus pipelines (C4's repeated-line scrubbing, CCNet "
+    "dedup) where the n-gram space is far too large to group-count.",
+    tags=("text", "llm-pipeline", "sketch", "topk", "pandas-udf"),
+)
+def doc_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitter_candidates
+
+    def grams():
+        return (
+            spread(_docs(spark, sf_dir), by="doc_id")
+            .select(
+                F.explode(shingles_all(tokens("text"), 3)).alias("gram")
+            )
+        )
+
+    # pass 1: per-partition MG candidate superset (two passes over the
+    # SOURCE, not a materialization of the gram stream — re-reading the
+    # scan is the 100 TB trade; the gram explode is recomputed, the
+    # shuffle never carries it)
+    cand = heavy_hitter_candidates(grams(), col="gram", capacity=HH_CAPACITY)
+    # pass 2: exact recount of candidates only + the scalar total
+    total = grams().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        grams()
+        .join(F.broadcast(cand), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_PHI_INV > F.col("total"))
+        .select("gram", "cnt", "total")
+    )

@@ -682,6 +682,10 @@ class DeltaTable:
             unsupported = features - {
                 "columnMapping", "deletionVectors", "typeWidening",
                 "variantType", "v2Checkpoints", "timestampNtz",
+                # behavioral-only for readers: it obligates VACUUM (which
+                # this client's vacuum() honors via the writer gate),
+                # plain reads are unchanged
+                "vacuumProtocolCheck",
             }
             # v3 REQUIRES an explicit feature list; absent = malformed, and
             # guessing what such a table needs would risk a silent misread
@@ -2297,6 +2301,53 @@ class DeltaTable:
             "SET TBLPROPERTIES",
         )
 
+    def enable_vacuum_protocol_check(self) -> int:
+        """Reader-writer feature ``vacuumProtocolCheck`` (spec): obligate
+        every VACUUM implementation to consult the WRITER protocol
+        before deleting files — the fence against legacy vacuums that
+        checked only the reader side and could garbage-collect artifacts
+        a writer feature still references. Reads are unchanged; this
+        client's `vacuum` performs the writer-gate check
+        unconditionally, so enabling is purely a protocol commit."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"no such table: {self.path}")
+        _meta, _adds, protocol = self._snapshot_state_full(None)
+        proto = dict(protocol or {"minReaderVersion": 1, "minWriterVersion": 2})
+        wf = self._implied_writer_features(proto)
+        if "vacuumProtocolCheck" in wf:
+            raise ValueError("vacuumProtocolCheck already enabled")
+        wf.add("vacuumProtocolCheck")
+        rf = set(proto.get("readerFeatures") or [])
+        if not rf and proto.get("minReaderVersion", 1) >= 2:
+            # upgrading a legacy v2 (mapped) reader to a v3 feature list:
+            # the list must carry the capability v2 implied
+            rf.add("columnMapping")
+        rf.add("vacuumProtocolCheck")
+        return self._publish_or_conflict(
+            base + 1,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {
+                            "feature": "vacuumProtocolCheck"
+                        },
+                    }
+                },
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf),
+                        "writerFeatures": sorted(wf),
+                    }
+                },
+            ],
+            "UPGRADE PROTOCOL",
+        )
+
     def _maybe_stamp_ict(self, version: int, actions: list[dict]) -> list[dict]:
         """Stamp ``inCommitTimestamp`` (monotonic vs the prior commit)
         into the commit's commitInfo — and move that commitInfo FIRST,
@@ -3579,7 +3630,14 @@ class DeltaTable:
     #: i.e. history truncation (delta-spark's DROP FEATURE ... TRUNCATE
     #: HISTORY).
     DROPPABLE_WRITER_FEATURES = frozenset(
-        {"checkConstraints", "allowColumnDefaults", "inCommitTimestamp"}
+        {
+            "checkConstraints",
+            "allowColumnDefaults",
+            "inCommitTimestamp",
+            # behavioral contract only — no trace ever lands in the log,
+            # so the downgrade needs no purge and no history truncation
+            "vacuumProtocolCheck",
+        }
     )
     DROPPABLE_READER_WRITER_FEATURES = frozenset({"deletionVectors"})
 
@@ -3822,6 +3880,7 @@ class DeltaTable:
             "v2Checkpoints",
             "timestampNtz",
             "allowColumnDefaults",
+            "vacuumProtocolCheck",
         }
     )
 
@@ -4700,7 +4759,13 @@ class DeltaTable:
         concurrent reader's in-flight snapshot still references."""
         from . import dv as _dv
 
-        _meta, adds = self._snapshot_state(None)
+        _meta, adds, _proto = self._snapshot_state_full(None)
+        # spec feature vacuumProtocolCheck exists precisely because
+        # legacy VACUUM implementations only consulted the READER
+        # protocol and could delete files a writer feature still needs
+        # (e.g. un-checkpointed DV sidecars of a foreign extension);
+        # gate every vacuum on the writer list, feature present or not
+        self._refuse_unknown_writer_features(_proto, "VACUUM")
         configured = (_meta.get("configuration") or {}).get(
             "delta.deletedFileRetentionDuration"
         )

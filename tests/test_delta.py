@@ -4095,3 +4095,70 @@ class TestDropFeature:
         t2.delete(spark, "id = 99")  # fences DV alongside mapping
         with pytest.raises(NotImplementedError, match="columnMapping"):
             t2.drop_feature("columnMapping")
+
+
+class TestVacuumProtocolCheck:
+    """Reader-writer feature vacuumProtocolCheck: VACUUM consults the
+    writer protocol; enable/read/vacuum/drop lifecycle."""
+
+    def test_enable_vacuum_and_drop(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 10).repartition(2))
+        t.enable_vacuum_protocol_check()
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minReaderVersion"] == 3
+        assert "vacuumProtocolCheck" in proto["readerFeatures"]
+        assert "vacuumProtocolCheck" in proto["writerFeatures"]
+        # reads, writes, and vacuum all still function under the fence
+        t.write(make_df(spark, 10, 5))
+        assert t.read(spark).count() == 15
+        t.compact(spark)
+        assert t.vacuum(retention_ms=0, force=True)  # superseded files go
+        assert t.read(spark).count() == 15
+        # behavioral feature: no log traces, drop needs no truncation
+        t.drop_feature("vacuumProtocolCheck")
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "vacuumProtocolCheck" not in (proto.get("writerFeatures") or [])
+        assert proto["minReaderVersion"] == 1
+        t.write(make_df(spark, 15, 2))
+        assert t.read(spark).count() == 17
+
+    def test_vacuum_refuses_unknown_writer_feature(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        t = DeltaTable(str(tmp_path / "f"))
+        t.write(make_df(spark, 0, 5))
+        # a foreign engine fences a writer feature this client lacks;
+        # its vacuum obligations are unknown -> VACUUM must refuse
+        with open(_os.path.join(t._log_dir, f"{1:020d}.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 7,
+                            "writerFeatures": [
+                                "appendOnly",
+                                "invariants",
+                                "futureCompactionThing",
+                            ],
+                        }
+                    }
+                )
+                + "\n"
+            )
+        with pytest.raises(NotImplementedError, match="futureCompactionThing"):
+            t.vacuum(retention_ms=0, force=True)
+
+    def test_mapped_table_upgrade_carries_column_mapping(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "m"))
+        t.create(
+            T.StructType([T.StructField("id", T.LongType())]),
+            mapping_mode="name",
+        )
+        t.write(spark.range(3).select("id"))
+        t.enable_vacuum_protocol_check()
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert "columnMapping" in proto["readerFeatures"]
+        assert t.read(spark).count() == 3
