@@ -31,21 +31,29 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-__all__ = ["heavy_hitter_candidates"]
+__all__ = ["heavy_hitter_candidates", "heavy_hitter_summaries"]
 
 
-def heavy_hitter_candidates(
+def heavy_hitter_summaries(
     items: DataFrame, *, col: str, capacity: int
 ) -> DataFrame:
-    """One candidate row per distinct item surviving a per-partition
-    Misra-Gries summary of ``capacity`` counters; superset of all items
-    with global frequency > n/(capacity+1)."""
+    """Per-partition Misra-Gries summaries PLUS the partition's item
+    count, in one pass over ``items``: candidate rows carry the item in
+    ``col`` with ``part_n`` NULL; each partition additionally emits ONE
+    sentinel row (``col`` NULL, ``part_n`` = items seen) so the caller
+    gets the exact global n from the same scan instead of re-reading
+    the source to count it — at 100 TB that third scan is the
+    difference between 2n and 3n bytes read. The union of candidate
+    rows is a superset of every item with global frequency
+    > n/(capacity+1)."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
 
     def mg(batches):
         counters = pd.Series(dtype="int64")
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf[col].value_counts()
             counters = counters.add(vc, fill_value=0)
             if len(counters) > capacity:
@@ -57,6 +65,27 @@ def heavy_hitter_candidates(
                 thresh = counters.nlargest(capacity + 1).iloc[-1]
                 counters = counters - thresh
                 counters = counters[counters > 0]
-        yield pd.DataFrame({col: counters.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                col: list(counters.index.astype(str)) + [None],
+                "part_n": [None] * len(counters) + [n_part],
+            }
+        )
 
-    return items.select(col).mapInPandas(mg, schema=f"{col} string").distinct()
+    return items.select(col).mapInPandas(
+        mg, schema=f"{col} string, part_n long"
+    )
+
+
+def heavy_hitter_candidates(
+    items: DataFrame, *, col: str, capacity: int
+) -> DataFrame:
+    """One candidate row per distinct item surviving a per-partition
+    Misra-Gries summary of ``capacity`` counters; superset of all items
+    with global frequency > n/(capacity+1)."""
+    return (
+        heavy_hitter_summaries(items, col=col, capacity=capacity)
+        .filter(f"{col} IS NOT NULL")
+        .select(col)
+        .distinct()
+    )

@@ -2787,6 +2787,29 @@ def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_PHI_INV = 5000  # heavy hitter = frequency > n / 5000
 HH_CAPACITY = 8192  # MG capacity; superset guarantee needs >= HH_PHI_INV
 
+#: Count-min sketch geometry: depth 4 rows x width 2048 cells. Point
+#: estimate = min over rows; always an OVERcount; E[error] <= n/width
+#: per row, so min-of-4 exceeding 8n/width has probability ~(1/8)^4.
+CMS_DEPTH, CMS_WIDTH, CMS_PROBES = 4, 2048, 12
+
+
+def _cms_cell(tok, d: int):
+    """Row-d CMS cell for a token: first 32 bits of a salted md5, mod
+    width — bit-identical in Spark and DuckDB (`_sql_cms_cell`)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), tok)), 1, 8), 16, 10
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _sql_cms_cell(tok_expr: str, d: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('cms{d}:' || ({tok_expr})), 1, 8)) "
+        f"AS BIGINT) % {CMS_WIDTH}"
+    )
+
 
 @register(
     "doc_heavy_hitter_ngrams",
@@ -2814,11 +2837,14 @@ FROM c, tot WHERE c.cnt * {HH_PHI_INV} > tot.n
     "the sketch chooses only which false candidates get recounted and "
     "discarded. This is the boilerplate/template-detection primitive "
     "of web-corpus pipelines (C4's repeated-line scrubbing, CCNet "
-    "dedup) where the n-gram space is far too large to group-count.",
+    "dedup) where the n-gram space is far too large to group-count. "
+    "EXACTLY TWO source scans: the MG pass also emits one per-partition "
+    "count sentinel, so the global n comes from the (tiny, "
+    "localCheckpointed) summary relation instead of a third re-read.",
     tags=("text", "llm-pipeline", "sketch", "topk", "pandas-udf"),
 )
 def doc_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.heavy_hitters import heavy_hitter_candidates
+    from ..operators.heavy_hitters import heavy_hitter_summaries
 
     def grams():
         return (
@@ -2828,13 +2854,16 @@ def doc_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # pass 1: per-partition MG candidate superset (two passes over the
-    # SOURCE, not a materialization of the gram stream — re-reading the
-    # scan is the 100 TB trade; the gram explode is recomputed, the
-    # shuffle never carries it)
-    cand = heavy_hitter_candidates(grams(), col="gram", capacity=HH_CAPACITY)
-    # pass 2: exact recount of candidates only + the scalar total
-    total = grams().agg(F.count(F.lit(1)).alias("total"))
+    # pass 1: per-partition MG candidate superset + per-partition gram
+    # counts, one scan. The summary is O(partitions * capacity) rows —
+    # localCheckpoint materializes it so deriving BOTH the candidate
+    # set and the exact global total doesn't recompute the scan
+    summ = heavy_hitter_summaries(
+        grams(), col="gram", capacity=HH_CAPACITY
+    ).localCheckpoint()
+    cand = summ.filter(F.col("gram").isNotNull()).select("gram").distinct()
+    total = summ.agg(F.sum("part_n").alias("total"))
+    # pass 2: exact recount of candidates only
     return (
         grams()
         .join(F.broadcast(cand), "gram")
@@ -2843,4 +2872,96 @@ def doc_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * HH_PHI_INV > F.col("total"))
         .select("gram", "cnt", "total")
+    )
+
+
+def _sql_cms_arms(tok_expr: str, src: str) -> str:
+    """UNION ALL of one grouped-count arm per CMS depth (DuckDB side)."""
+    return " UNION ALL ".join(
+        f"SELECT {d} AS d, {_sql_cms_cell(tok_expr, d)} AS cell, "
+        f"count(*) AS c FROM {src} GROUP BY 2"
+        for d in range(CMS_DEPTH)
+    )
+
+
+@register(
+    "doc_token_cms_accuracy_audit",
+    oracle=f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS t FROM documents),
+sketch AS ({_sql_cms_arms('t', 'tok')}),
+probes AS (
+  SELECT t, count(*) AS exact_cnt FROM tok GROUP BY 1
+  ORDER BY exact_cnt DESC, t LIMIT {CMS_PROBES}
+),
+pc AS ({" UNION ALL ".join(
+    f"SELECT t, exact_cnt, {d} AS d, {_sql_cms_cell('t', d)} AS cell "
+    "FROM probes" for d in range(CMS_DEPTH)
+)})
+SELECT pc.t AS token, pc.exact_cnt, min(s.c) AS cms_est,
+       min(s.c) - pc.exact_cnt AS overcount
+FROM pc JOIN sketch s ON s.d = pc.d AND s.cell = pc.cell
+GROUP BY 1, 2
+""",
+    doc=f"Count-min-sketch accuracy audit over the document token "
+    f"stream: builds a depth-{CMS_DEPTH} x width-{CMS_WIDTH} CMS as a "
+    "single grouped aggregation (per-token cells are salted-md5 mod "
+    "width, JVM-side; map-side partial aggregation collapses the "
+    f"shuffle to at most {CMS_DEPTH * CMS_WIDTH} (d,cell) rows "
+    "REGARDLESS of corpus size — the sketch property, expressed as a "
+    "Catalyst plan), then point-estimates the "
+    f"{CMS_PROBES} most frequent tokens (min over depths) against "
+    "their exact counts and reports the signed overcount, which CMS "
+    "theory guarantees is >= 0 and, per depth, <= n/width in "
+    "expectation. The exact probe counts exist only because this is an "
+    "AUDIT — a production 100 TB pipeline feeds a known probe list and "
+    "never runs the exact groupBy. Cell hashing is bit-identical in "
+    "Spark and DuckDB (`_cms_cell` / `_sql_cms_cell`), so the oracle "
+    "hash-matches the estimates themselves, not just row counts.",
+    tags=("text", "llm-pipeline", "sketch", "audit"),
+)
+def doc_token_cms_accuracy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = spread(_docs(spark, sf_dir), by="doc_id").select(
+        F.explode(tokens("text")).alias("t")
+    )
+
+    def depth_cells(tok_col):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_cell(tok_col, d).alias("cell"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("dc")
+
+    sketch = (
+        toks.select(depth_cells(F.col("t")))
+        .select("dc.d", "dc.cell")
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "t")
+        .limit(CMS_PROBES)
+    )
+    pc = probes.select("t", "exact_cnt", depth_cells(F.col("t"))).select(
+        "t", "exact_cnt", "dc.d", "dc.cell"
+    )
+    return (
+        sketch.join(F.broadcast(pc), ["d", "cell"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("t").alias("token"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
     )

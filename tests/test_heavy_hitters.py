@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.heavy_hitters import (
     heavy_hitter_candidates,
+    heavy_hitter_summaries,
 )
 
 
@@ -59,6 +60,19 @@ def test_two_pass_answer_is_exact_and_partition_invariant(spark, parts):
         .collect()
     }
     assert got == {("h0", 400), ("h1", 250)}
+
+
+def test_summaries_carry_exact_partition_counts(spark):
+    """The sentinel rows make the global n derivable from the summary
+    relation — the thing that keeps the pipeline at two source scans."""
+    df = _stream(spark, 5)
+    n = df.count()
+    summ = heavy_hitter_summaries(df, col="item", capacity=64).collect()
+    sentinels = [r.part_n for r in summ if r.item is None]
+    assert len(sentinels) == 5  # one per partition
+    assert sum(sentinels) == n
+    # candidate rows never carry a count; sentinel rows never an item
+    assert all((r.part_n is None) != (r.item is None) for r in summ)
 
 
 def test_capacity_validated(spark):
