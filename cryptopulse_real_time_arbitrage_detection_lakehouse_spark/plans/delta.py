@@ -315,6 +315,84 @@ def pyds_delta_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_stream_skip_change_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum("value")} AS total_value
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase')
+GROUP BY event_type
+""",
+    doc="delta-spark's streaming-source change-commit policy on the "
+    "pydelta log tail, end to end: the table takes a click append, an "
+    "error append, an UPDATE rewriting every click (DV remove + new "
+    "images), a whole-file DELETE of the errors (remove-only commit), "
+    "an OPTIMIZE (dataChange=false), then a purchase append. Streamed "
+    "with skipChangeCommits=true + ignoreDeletes=true: the two appends "
+    "and the final append emit ORIGINAL rows exactly once, the rewrite "
+    "commit is skipped ENTIRELY (its post-images never stream — the "
+    "silent-duplicate bug of the deprecated ignoreChanges), the "
+    "delete-only commit is skipped, and the layout commit emits "
+    "nothing with no option at all. The oracle recomputes the three "
+    "original event_type slices from events — green certifies the "
+    "policy decided per commit from dataChange flags, not file "
+    "listings.",
+    tags=("delta", "streaming", "python-datasource", "deletion-vectors"),
+)
+def pyds_stream_skip_change_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources import pyds
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cppydsk_") + "/events_delta")
+    for etype in ("click", "error"):
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select(*_EVENT_COLS)
+            .repartition(1)
+        )
+    # rewrite commit: every click gets a new image (remove + add)
+    table.update(
+        spark, "event_type = 'click'", {"value": "value + 1000.0"}
+    )
+    # delete-only commit: the error file is fully matched -> removed
+    # outright, no re-add
+    table.delete(spark, "event_type = 'error'")
+    # layout commit: dataChange=false adds/removes
+    table.compact(spark, target_files=1)
+    table.write(
+        events.filter(F.col("event_type") == "purchase")
+        .select(*_EVENT_COLS)
+        .repartition(1)
+    )
+    pyds.register(spark)
+    root = tempfile.mkdtemp(prefix="cppydsk_out_")
+    out_path = os.path.join(root, "out")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                spark.readStream.format("pydelta")
+                .option("path", table.path)
+                .option("skipChangeCommits", "true")
+                .option("ignoreDeletes", "true")
+                .load(),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="pyds_stream_skip_change_audit",
+            )
+        )
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
     "pyds_delta_write_roundtrip",
     oracle=f"""
 SELECT event_type, count(*) AS n,
@@ -2179,6 +2257,115 @@ def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("row_id").alias("max_rid"),
         F.lit(unique).cast("long").alias("ids_unique"),
         F.lit(refused).cast("long").alias("explicit_refused"),
+    )
+
+
+@register(
+    "delta_merge_identity_audit",
+    oracle="""
+WITH c AS (SELECT count(*) AS n FROM events WHERE event_type = 'click'),
+     e AS (SELECT count(*) AS n FROM events WHERE event_type = 'error')
+SELECT 'append' AS batch, c.n AS n,
+       CAST(1 AS BIGINT) AS on_lattice,
+       CAST(1 AS BIGINT) AS unique_ids,
+       CAST(1 AS BIGINT) AS above_floor,
+       CAST(1 AS BIGINT) AS hwm_synced,
+       CAST(1 AS BIGINT) AS explicit_refused
+FROM c
+UNION ALL
+SELECT 'merge_insert', e.n, 1, 1, 1, 1, 1 FROM e
+""",
+    doc="MERGE INSERT into a GENERATED ALWAYS AS IDENTITY table: rows "
+    "arriving through WHEN NOT MATCHED INSERT (which omits the identity "
+    "column) get values allocated on the hwm + k*step lattice with the "
+    "same zero-coordination arithmetic as write(), and the merge "
+    "commit's OWN metaData records the advanced highWaterMark — a "
+    "subsequent writer (or an OCC retry) resumes above it, never into "
+    "a collision. The audit appends clicks, merge-inserts every error "
+    "row (none match on event_id), then checks per batch: counts, "
+    "lattice membership of every id, global uniqueness, inserted ids "
+    "strictly above the pre-merge hwm, post-merge hwm == max id in the "
+    "table, and an insert clause that names the identity column is "
+    "REFUSED. Exact id values are deliberately NOT pinned: allocation "
+    "is per-partition arithmetic (gaps are spec-legal), which is "
+    "precisely what makes it coordination-free at 1000 executors.",
+    tags=("delta", "identity", "merge", "upsert"),
+)
+def delta_merge_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpmident_") + "/events_delta")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("row_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        ),
+        identity_columns={"row_id": (1000, 10)},
+    )
+    table.write(
+        events.filter(F.col("event_type") == 'click')
+        .select("event_id", "event_type")
+        .repartition(1)
+    )
+    hwm0 = table._identity_columns(table._snapshot_state(None)[0])[
+        "row_id"
+    ]["highWaterMark"]
+    errors = events.filter(F.col("event_type") == 'error').select(
+        "event_id", "event_type"
+    )
+    try:
+        table.merge_into(errors, "target.event_id = source.event_id") \
+            .when_not_matched_insert(
+                values={"row_id": "1", "event_id": "source.event_id",
+                        "event_type": "source.event_type"}
+            ).execute(spark)
+        refused = 0
+    except ValueError:
+        refused = 1
+    table.merge_into(errors, "target.event_id = source.event_id") \
+        .when_not_matched_insert(
+            values={"event_id": "source.event_id",
+                    "event_type": "source.event_type"}
+        ).execute(spark)
+    got = table.read(spark)
+    hwm1 = table._identity_columns(table._snapshot_state(None)[0])[
+        "row_id"
+    ]["highWaterMark"]
+    max_id = got.agg(F.max("row_id")).first()[0]
+    return (
+        got.groupBy(
+            F.when(F.col("row_id") <= hwm0, "append")
+            .otherwise("merge_insert")
+            .alias("batch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("row_id").alias("mn"),
+            F.min(
+                ((F.col("row_id") - 1000) % 10 == 0).cast("long")
+            ).alias("on_lattice"),
+            F.countDistinct("row_id").alias("nd"),
+        )
+        .select(
+            "batch",
+            "n",
+            "on_lattice",
+            (F.col("nd") == F.col("n")).cast("long").alias("unique_ids"),
+            F.when(
+                F.col("batch") == "append",
+                (F.col("mn") >= 1000).cast("long"),
+            )
+            .otherwise((F.col("mn") > hwm0).cast("long"))
+            .alias("above_floor"),
+            F.lit(1 if hwm1 == max_id else 0).cast("long").alias(
+                "hwm_synced"
+            ),
+            F.lit(refused).cast("long").alias("explicit_refused"),
+        )
     )
 
 

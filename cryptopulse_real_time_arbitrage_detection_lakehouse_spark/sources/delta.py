@@ -2549,6 +2549,7 @@ class DeltaTable:
         configuration: dict | None = None,
         mapping_mode: str | None = None,
         identity_columns: dict[str, tuple[int, int]] | None = None,
+        allow_explicit_insert: list[str] | None = None,
         column_defaults: dict[str, str] | None = None,
     ) -> int:
         """CREATE TABLE — a metadata-only commit 0 (delta-spark's
@@ -2596,12 +2597,20 @@ class DeltaTable:
                 "minWriterVersion": 7,
                 "writerFeatures": sorted(feats),
             }
+        bad_aei = set(allow_explicit_insert or []) - set(identity_columns or {})
+        if bad_aei:
+            raise ValueError(
+                f"allow_explicit_insert columns {sorted(bad_aei)} are not "
+                "identity columns"
+            )
         if identity_columns:
             # GENERATED ALWAYS AS IDENTITY (spec writer feature
             # identityColumns): start/step/highWaterMark live as FIELD
             # metadata; every identity write commits an updated
             # highWaterMark so concurrent-writer allocation never
-            # collides (OCC retries re-read it)
+            # collides (OCC retries re-read it). Columns listed in
+            # ``allow_explicit_insert`` are GENERATED BY DEFAULT —
+            # callers may supply values, omitted rows still allocate
             for col, (start, step) in identity_columns.items():
                 fj = next(
                     (f for f in schema_json["fields"] if f["name"] == col),
@@ -2620,7 +2629,9 @@ class DeltaTable:
                 md["delta.identity.start"] = start
                 md["delta.identity.step"] = step
                 md["delta.identity.highWaterMark"] = start - step
-                md["delta.identity.allowExplicitInsert"] = False
+                md["delta.identity.allowExplicitInsert"] = col in (
+                    allow_explicit_insert or []
+                )
                 fj["metadata"] = md
             feats = self._implied_writer_features(protocol)
             feats.add("identityColumns")
@@ -5930,24 +5941,38 @@ class DeltaMergeBuilder:
             # an insert-only merge is a pure append and stays legal
             t._refuse_if_append_only(meta, "MERGE with matched/by-source clauses")
         id_cols = t._identity_columns(meta)
+        #: identity col -> insert-clause action ids the merge ALLOCATES
+        #: for (clause omitted the column); explicit values are only
+        #: legal on GENERATED BY DEFAULT columns — write()'s rules
+        id_need_gen: dict[str, list[int]] = {}
         if id_cols:
-            # identity allocation lives in write() (hwm bookkeeping in
-            # the same commit); a merge path that inserted or reassigned
-            # identity values would silently break uniqueness — refuse
-            # loudly rather than allocate without the bookkeeping
-            if self._not_matched:
-                raise NotImplementedError(
-                    f"MERGE INSERT into a table with identity columns "
-                    f"{sorted(id_cols)} is not supported (values are "
-                    "GENERATED ALWAYS by the write path); append via "
-                    "write() instead"
-                )
             for kind, _c, assigns in self._matched + self._by_source:
-                if kind == "update" and assigns and set(assigns) & set(id_cols):
+                if kind != "update":
+                    continue
+                if assigns is None:
+                    raise ValueError(
+                        "MERGE UPDATE SET * on a table with identity "
+                        f"column(s) {sorted(id_cols)} would reassign "
+                        "them from the source; identity columns cannot "
+                        "be updated — list the SET assignments explicitly"
+                    )
+                if set(assigns) & set(id_cols):
                     raise ValueError(
                         "cannot UPDATE identity column(s) "
                         f"{sorted(set(assigns) & set(id_cols))} in MERGE"
                     )
+            for i, (_c, values) in enumerate(self._not_matched):
+                for col, info in id_cols.items():
+                    explicit = values is None or col in values
+                    if explicit and not info["allowExplicitInsert"]:
+                        raise ValueError(
+                            f"column {col!r} is GENERATED ALWAYS AS "
+                            "IDENTITY; omit it from the INSERT clause "
+                            "and the merge allocates values (delta-spark "
+                            "refuses explicit inserts the same way)"
+                        )
+                    if not explicit:
+                        id_need_gen.setdefault(col, []).append(i)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         gen = t._generation_exprs(meta)
@@ -6169,10 +6194,35 @@ class DeltaMergeBuilder:
                         F.lit(None).cast("long").alias(rid_col),
                         F.lit(None).cast("long").alias(ver_col),
                     )
+                if id_need_gen:
+                    ins_extra = ins_extra + (
+                        F.col("__action").alias("__ins_action"),
+                    )
                 inserts = self._image_projection(
                     ins, ins_branches, schema, qualify=False,
                     extra_cols=ins_extra,
-                ).persist()
+                )
+                if id_need_gen:
+                    # same zero-coordination lattice allocation as
+                    # write(): hwm + (mono+1)*step is unique within the
+                    # job and strictly past the high-water mark; applied
+                    # BEFORE persist so staging and CDC images see one
+                    # consistent assignment
+                    for colname, acts in sorted(id_need_gen.items()):
+                        info = id_cols[colname]
+                        alloc = (
+                            F.lit(info["highWaterMark"])
+                            + (F.monotonically_increasing_id() + 1)
+                            * F.lit(info["step"])
+                        ).cast("long")
+                        inserts = inserts.withColumn(
+                            colname,
+                            F.when(
+                                F.col("__ins_action").isin(acts), alloc
+                            ).otherwise(F.col(f"`{colname}`")),
+                        )
+                    inserts = inserts.drop("__ins_action")
+                inserts = inserts.persist()
                 n_inserted = inserts.count()
 
             upd_ids = {a for a, k, _ in branches if k == "update"}
@@ -6276,6 +6326,38 @@ class DeltaMergeBuilder:
             if inserts is not None:
                 inserts.unpersist()
 
+        # spec writer requirement (identityColumns): a commit that wrote
+        # identity values records the advanced highWaterMark in the SAME
+        # commit's metaData — read back from the staged footers' stats
+        # exactly like write() (copied rows are <= the old hwm, so the
+        # ext() clamp keeps them inert; explicit BY DEFAULT inserts past
+        # the hwm advance it too, preventing future collisions)
+        id_meta_updated = False
+        if id_cols and new_adds:
+            schema_json = json.loads(meta["schemaString"])
+            for colname, info in id_cols.items():
+                ext = max if info["step"] > 0 else min
+                key = "maxValues" if info["step"] > 0 else "minValues"
+                vals = [
+                    json.loads(a["stats"])[key][colname]
+                    for a in new_adds
+                    if colname in json.loads(a["stats"]).get(key, {})
+                ]
+                if not vals:
+                    continue
+                new_hwm = ext(int(ext(vals)), info["highWaterMark"])
+                if new_hwm == info["highWaterMark"]:
+                    continue
+                fj = next(
+                    f for f in schema_json["fields"] if f["name"] == colname
+                )
+                fj["metadata"] = dict(fj.get("metadata") or {})
+                fj["metadata"]["delta.identity.highWaterMark"] = new_hwm
+                id_meta_updated = True
+            if id_meta_updated:
+                meta = dict(meta)
+                meta["schemaString"] = json.dumps(schema_json)
+
         now_ms = int(time.time() * 1000)
         by_name = {
             os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
@@ -6297,7 +6379,7 @@ class DeltaMergeBuilder:
                 }
             }
         ]
-        if evolved_fields:
+        if evolved_fields or id_meta_updated:
             actions.append({"metaData": meta})
         for fname in touched_list:
             a = by_name[fname]

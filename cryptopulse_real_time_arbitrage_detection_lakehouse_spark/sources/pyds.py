@@ -646,9 +646,26 @@ class PyDeltaStreamReader(DataSourceStreamReader):
     rename from the log instead of trusting directory layout.
 
     Append-only contract (delta-spark's default): a commit carrying
-    ``remove`` actions or a DV re-add is refused mid-stream rather than
-    silently resurrecting or double-reading rows. ``startingVersion``
-    (default 0) scopes the tail.
+    data-changing ``remove`` actions or a DV re-add is refused
+    mid-stream rather than silently resurrecting or double-reading
+    rows. ``startingVersion`` (default 0) scopes the tail. Three
+    relaxations, all delta-spark streaming-source semantics:
+
+    - **Layout commits are skipped automatically** — a commit whose
+      adds/removes all carry ``dataChange=false`` (OPTIMIZE / Z-ORDER /
+      row-tracking backfill) rearranges bytes, not rows, so the stream
+      emits nothing for it and keeps tailing (no option required;
+      delta-spark's source does the same).
+    - ``ignoreDeletes=true`` skips commits that ONLY delete data
+      (dataChange removes, no dataChange adds — DELETE without DVs,
+      partition drops, GDPR erasure). Rewrite commits still refuse.
+    - ``skipChangeCommits=true`` skips ENTIRE commits that rewrite data
+      (dataChange removes alongside adds — UPDATE/MERGE/DV deletes):
+      their adds are NOT emitted, so downstream never double-reads a
+      row that already streamed. The deprecated delta-spark
+      ``ignoreChanges`` (which re-emits rewritten rows as duplicates)
+      is refused with a pointer here — silent duplicates are the bug
+      that option is deprecated for.
 
     Rate limiting (delta-spark's ``maxFilesPerTrigger`` /
     ``maxBytesPerTrigger``): each micro-batch admits whole commits until
@@ -708,6 +725,19 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         self._part_cols = meta.get("partitionColumns") or []
         self._start_version = int(opts.get("startingversion", "0"))
         self._cdf = str(opts.get("readchangefeed", "")).lower() == "true"
+        self._ignore_deletes = (
+            str(opts.get("ignoredeletes", "")).lower() == "true"
+        )
+        self._skip_change_commits = (
+            str(opts.get("skipchangecommits", "")).lower() == "true"
+        )
+        if opts.get("ignorechanges") is not None:
+            raise NotImplementedError(
+                "ignoreChanges re-emits rewritten rows as silent "
+                "duplicates (the behavior delta-spark deprecated it "
+                "for); use skipChangeCommits=true, which skips rewrite "
+                "commits entirely"
+            )
         mft = opts.get("maxfilespertrigger")
         mbt = opts.get("maxbytespertrigger")
         self._max_files = int(mft) if mft is not None else None
@@ -756,7 +786,9 @@ class PyDeltaStreamReader(DataSourceStreamReader):
             n = sz = 0
             for action in self._table._read_commit(v):
                 add = action.get("add")
-                if add is not None:
+                # layout rewrites (dataChange=false) never emit rows, so
+                # they must not eat the admission budget either
+                if add is not None and add.get("dataChange", True):
                     n += 1
                     sz += int(add.get("size") or 0)
             if v > self._pos + 1 and (
@@ -814,23 +846,46 @@ class PyDeltaStreamReader(DataSourceStreamReader):
             return self._cdf_partitions(start, end)
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            for action in self._table._read_commit(v):
-                if "remove" in action:
-                    raise NotImplementedError(
-                        f"commit {v} of {self._root} contains remove "
-                        "actions (overwrite/delete/compaction); the "
-                        "append-only streaming contract refuses them — "
-                        "re-stream from a fresh startingVersion after "
-                        "table rewrites"
+            actions = list(self._table._read_commit(v))
+            # dataChange=false adds/removes (OPTIMIZE / Z-ORDER /
+            # row-tracking backfill) rearrange bytes, not rows — the
+            # streaming source never emits them (delta-spark semantics)
+            removes_dc = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            adds_dc = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            if removes_dc:
+                if self._skip_change_commits:
+                    continue  # skip the whole commit, adds included
+                if self._ignore_deletes and not adds_dc:
+                    continue  # delete-only commit (no rewritten rows)
+                raise NotImplementedError(
+                    f"commit {v} of {self._root} "
+                    + (
+                        "rewrites data (remove + add in one commit: "
+                        "UPDATE/MERGE/DV delete); set "
+                        "skipChangeCommits=true to skip rewrite commits, "
+                        if adds_dc
+                        else "deletes data; set ignoreDeletes=true to "
+                        "skip delete-only commits, "
                     )
-                add = action.get("add")
-                if add is None:
-                    continue
+                    + "or re-stream from a fresh startingVersion"
+                )
+            for add in adds_dc:
                 if add.get("deletionVector"):
+                    # spec-compliant writers always pair a DV re-add
+                    # with a remove (caught above); a bare one would
+                    # double-read rows, so refuse defensively
                     raise NotImplementedError(
-                        f"commit {v} adds a deletion vector; streaming "
-                        "would resurrect or double-read rows — use the "
-                        "batch read path"
+                        f"commit {v} adds a deletion vector without a "
+                        "paired remove; streaming would double-read "
+                        "rows — use the batch read path"
                     )
                 out.append(
                     PyDeltaPartition(

@@ -3706,7 +3706,9 @@ class TestIdentityColumns:
     """GENERATED ALWAYS AS IDENTITY (spec writer feature
     identityColumns): creation-time field metadata, zero-coordination
     distributed allocation on the hwm + k*step lattice, highWaterMark
-    updated in the same commit, explicit writes/updates/merge refused."""
+    updated in the same commit, explicit writes/updates refused; MERGE
+    INSERT allocates for omitted identity columns with the same
+    bookkeeping."""
 
     def _table(self, spark, tmp_path, step=1, start=1):
         t = DeltaTable(str(tmp_path / "t"))
@@ -3766,13 +3768,25 @@ class TestIdentityColumns:
         with pytest.raises(ValueError, match="identity column"):
             t.update(spark, "id = 1", {"id": "99"})
         src = spark.createDataFrame([(1, "x")], "id long, sym string")
-        with pytest.raises(NotImplementedError, match="identity"):
+        # INSERT * carries the identity column from source = an explicit
+        # insert, refused on GENERATED ALWAYS; so is a values dict that
+        # names it, and UPDATE SET * / an explicit identity SET
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
             t.merge_into(src, "target.id = source.id") \
                 .when_not_matched_insert() \
                 .execute(spark)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            t.merge_into(src, "target.id = source.id") \
+                .when_not_matched_insert(
+                    values={"id": "source.id", "sym": "source.sym"}
+                ).execute(spark)
         with pytest.raises(ValueError, match="identity"):
             t.merge_into(src, "target.id = source.id") \
                 .when_matched_update(set={"id": "source.id"}) \
+                .execute(spark)
+        with pytest.raises(ValueError, match="identity"):
+            t.merge_into(src, "target.id = source.id") \
+                .when_matched_update() \
                 .execute(spark)
         # matched update of NON-identity columns stays legal
         t.merge_into(src, "target.id = source.id") \
@@ -3784,6 +3798,82 @@ class TestIdentityColumns:
                 T.StructType([T.StructField("id", T.IntegerType())]),
                 identity_columns={"id": (1, 1)},
             )
+
+    def test_merge_insert_allocates_and_advances_hwm(self, spark, tmp_path):
+        """MERGE INSERT omitting the identity column allocates fresh
+        lattice values above the hwm and records the advanced hwm in the
+        merge commit's own metaData — write()'s exact bookkeeping."""
+        t = self._table(spark, tmp_path, step=3, start=10)
+        t.write(
+            spark.createDataFrame(
+                [("a",), ("b",), ("c",), ("d",)], "sym string"
+            ).coalesce(1)
+        )
+        before = {r.sym: r.id for r in t.read(spark).collect()}
+        hwm0 = t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ]
+        assert hwm0 == max(before.values())
+        src = spark.createDataFrame(
+            [("b", "updated"), ("new_a", "fresh"), ("new_b", "fresh")],
+            "sym string, tag string",
+        )
+        t.merge_into(src, "target.sym = source.sym") \
+            .when_matched_update(set={"sym": "source.tag"}) \
+            .when_not_matched_insert(values={"sym": "source.sym"}) \
+            .execute(spark)
+        rows = {r.sym: r.id for r in t.read(spark).collect()}
+        # updated row keeps its identity value; copies untouched
+        assert rows["updated"] == before["b"]
+        for s in before:
+            if s != "b":
+                assert rows[s] == before[s]
+        # inserted rows: unique, on the lattice, strictly above old hwm
+        new_ids = [rows["new_a"], rows["new_b"]]
+        assert len(set(new_ids)) == 2
+        assert all(i > hwm0 and (i - 10) % 3 == 0 for i in new_ids)
+        # hwm advanced in the SAME merge commit
+        hwm1 = t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ]
+        assert hwm1 == max(rows.values())
+        # and the next plain append allocates above the merged hwm
+        t.write(make_df(spark, 0, 2).select("sym").coalesce(1))
+        ids2 = [r.id for r in t.read(spark).collect()]
+        assert len(ids2) == len(set(ids2)) == len(rows) + 2
+        assert min(set(ids2) - set(rows.values())) > hwm1
+
+    def test_merge_insert_by_default_explicit_values(self, spark, tmp_path):
+        """GENERATED BY DEFAULT (allowExplicitInsert): an insert clause
+        may name the identity column; explicit values past the hwm
+        advance it so later allocation cannot collide."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+            identity_columns={"id": (1, 1)},
+            allow_explicit_insert=["id"],
+        )
+        t.write(make_df(spark, 0, 3).select("sym").coalesce(1))
+        src = spark.createDataFrame([(500, "xx")], "id long, sym string")
+        t.merge_into(src, "target.sym = source.sym") \
+            .when_not_matched_insert(
+                values={"id": "source.id", "sym": "source.sym"}
+            ).execute(spark)
+        rows = {r.sym: r.id for r in t.read(spark).collect()}
+        assert rows["xx"] == 500
+        hwm = t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ]
+        assert hwm == 500  # explicit insert advanced the watermark
+        t.write(make_df(spark, 3, 2).select("sym").coalesce(1))
+        ids = [r.id for r in t.read(spark).collect()]
+        assert len(ids) == len(set(ids)) == 6
+        assert all(i > 500 for i in ids if i not in (1, 2, 3, 500))
 
 
 class TestWriterFeatureGate:

@@ -292,16 +292,87 @@ class TestPyDeltaStreamSource:
         t.write(spark.range(0, 5).select("id"))
         t.write(spark.range(5, 9).select("id"), mode="overwrite")
         pyds.register(spark)
-        with pytest.raises(Exception, match="remove actions"):
+        with pytest.raises(Exception, match="rewrites data"):
             self._drain(spark, t.path, str(tmp_path / "out"))
 
     def test_dv_commits_refuse_midstream(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
-        t.write(spark.range(0, 5).select("id"))
+        # single file so a 1-row delete is PARTIAL: remove + DV re-add
+        t.write(spark.range(0, 5).coalesce(1).select("id"))
         t.delete(spark, "id = 2")
         pyds.register(spark)
-        with pytest.raises(Exception, match="remove actions|deletion vector"):
+        with pytest.raises(Exception, match="rewrites data|deletion vector"):
             self._drain(spark, t.path, str(tmp_path / "out"))
+
+    def test_optimize_commit_streams_transparently(self, spark, tmp_path):
+        """dataChange=false rearrangements (OPTIMIZE) emit nothing and
+        need no option — the stream neither fails nor double-reads."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.write(spark.range(5, 10).select("id"))
+        t.compact(spark, target_files=1)
+        t.write(spark.range(10, 15).select("id"))
+        pyds.register(spark)
+        df = self._drain(spark, t.path, str(tmp_path / "out"))
+        assert sorted(r.id for r in df.collect()) == list(range(15))
+
+    def test_ignore_deletes_skips_delete_only_commits(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.write(spark.range(5, 10).select("id"))
+        # every row of the first file matches -> whole-file remove, no
+        # add: a delete-ONLY commit (the ignoreDeletes shape)
+        t.delete(spark, "id < 5")
+        t.write(spark.range(10, 12).select("id"))
+        pyds.register(spark)
+        with pytest.raises(Exception, match="ignoreDeletes"):
+            self._drain(spark, t.path, str(tmp_path / "o1"))
+        df = self._drain(
+            spark,
+            t.path,
+            str(tmp_path / "o2"),
+            extra_opts={"ignoreDeletes": "true"},
+        )
+        # the stream tails the LOG: rows appended before the delete were
+        # already emitted when their commit streamed (delta-spark
+        # semantics — ignoreDeletes skips the delete, not history)
+        assert sorted(r.id for r in df.collect()) == list(range(12))
+
+    def test_skip_change_commits_skips_rewrites(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+        t.update(spark, "id = 2", {"id": "id + 100"})
+        t.write(spark.range(5, 8).select("id"))
+        pyds.register(spark)
+        # ignoreDeletes must NOT mask a rewrite commit (it has adds)
+        with pytest.raises(Exception, match="skipChangeCommits"):
+            self._drain(
+                spark,
+                t.path,
+                str(tmp_path / "o1"),
+                extra_opts={"ignoreDeletes": "true"},
+            )
+        df = self._drain(
+            spark,
+            t.path,
+            str(tmp_path / "o2"),
+            extra_opts={"skipChangeCommits": "true"},
+        )
+        # the rewrite commit is skipped ENTIRELY: the post-image 102
+        # never streams (no duplicate of row 2 in any form)
+        assert sorted(r.id for r in df.collect()) == list(range(8))
+
+    def test_ignore_changes_option_refused(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 3).select("id"))
+        pyds.register(spark)
+        with pytest.raises(Exception, match="skipChangeCommits"):
+            self._drain(
+                spark,
+                t.path,
+                str(tmp_path / "out"),
+                extra_opts={"ignoreChanges": "true"},
+            )
 
 
 class TestPyDeltaWriters:
