@@ -924,14 +924,19 @@ class PyDeltaCommitMessage(WriterCommitMessage):
 
 
 def _write_task_files(
-    batches, root: str, partition_by: list[str]
+    batches, root: str, partition_by: list[str],
+    rename: dict[str, str] | None = None,
 ) -> list[dict]:
     """Executor-side: write this task's arrow batches as parquet data
     files DIRECTLY under the table root (Delta visibility == log
     membership, so there is no rename dance — an uncommitted file is
     invisible and vacuum reaps it) and return their ``add`` payloads.
     Partitioned tables get one file per partition tuple in this task,
-    under the hive directory layout the batch reader expects."""
+    under the hive directory layout the batch reader expects.
+    ``rename`` (logical -> physical, column-mapped targets) applies
+    before anything touches disk: file columns, footer stats keys,
+    partitionValues keys, and hive directory segments are all PHYSICAL
+    names — the spec's contract for mapped tables."""
     import json
     import time
     import uuid as _uuid
@@ -943,6 +948,11 @@ def _write_task_files(
     if not batches:
         return []
     tbl = pa.Table.from_batches(batches)
+    if rename:
+        tbl = tbl.rename_columns(
+            [rename.get(c, c) for c in tbl.column_names]
+        )
+        partition_by = [rename.get(c, c) for c in partition_by]
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []
 
@@ -1081,11 +1091,14 @@ def _commit_written(
 
 def _validate_write_target(
     root: str, schema: T.StructType, partition_by: list[str]
-) -> None:
+) -> dict[str, str] | None:
     """Fail fast ON THE DRIVER before any task runs: schema and
     partitioning must match an existing table exactly (the pydelta write
-    path has no evolution or mapped-staging support — `DeltaTable.write`
-    does), and partition columns must exist in the frame."""
+    path has no evolution support — `DeltaTable.write` does), and
+    partition columns must exist in the frame. Returns the
+    logical -> physical rename map for name-mode column-mapped targets
+    (None otherwise); the staging tasks apply it so files, stats, and
+    partitionValues land under physical names."""
     if DeltaTable._has_variant(schema):
         raise NotImplementedError(
             "the pydelta writers cannot stage VARIANT columns (pyarrow "
@@ -1098,15 +1111,31 @@ def _validate_write_target(
             )
     table = DeltaTable(root)
     if table.latest_version() is None:
-        return
+        return None
     meta, _ = table._snapshot_state(None)
-    if (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    ) != "none":
+    rename: dict[str, str] | None = None
+    mode = DeltaTable._mapping_mode(meta)
+    if mode == "id":
         raise NotImplementedError(
-            "pydelta writes to column-mapped tables are not supported; "
-            "use DeltaTable.write"
+            "pydelta writes to id-mode column-mapped tables are not "
+            "supported (staged footers would need parquet field ids on "
+            "every column); use DeltaTable.write"
         )
+    if mode == "name":
+        prior = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if any(
+            isinstance(
+                f.dataType, (T.StructType, T.ArrayType, T.MapType)
+            )
+            for f in prior.fields
+        ):
+            raise NotImplementedError(
+                "pydelta writes to column-mapped tables with NESTED "
+                "columns are not supported (inner fields carry their "
+                "own physical names, which pyarrow staging here does "
+                "not rewrite); use DeltaTable.write"
+            )
+        rename = table._column_mapping(meta) or {}
     conf = meta.get("configuration") or {}
     if any(k.startswith("delta.constraints.") for k in conf):
         raise NotImplementedError(
@@ -1139,10 +1168,19 @@ def _validate_write_target(
             "evolve schemas; use DeltaTable.write(merge_schema=True))"
         )
     table_parts = meta.get("partitionColumns") or []
-    if partition_by != table_parts:
+    logical_parts = (
+        [
+            next((lg for lg, ph in rename.items() if ph == c), c)
+            for c in table_parts
+        ]
+        if rename
+        else table_parts
+    )
+    if partition_by != logical_parts:
         raise ValueError(
-            f"partitionBy {partition_by} != table's {table_parts}"
+            f"partitionBy {partition_by} != table's {logical_parts}"
         )
+    return rename
 
 
 def _opt_partition_by(opts: dict) -> list[str]:
@@ -1163,11 +1201,15 @@ class PyDeltaBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._partition_by = _opt_partition_by(opts)
         self._schema = schema
-        _validate_write_target(self._root, schema, self._partition_by)
+        self._rename = _validate_write_target(
+            self._root, schema, self._partition_by
+        )
 
     def write(self, iterator) -> PyDeltaCommitMessage:
         return PyDeltaCommitMessage(
-            _write_task_files(iterator, self._root, self._partition_by)
+            _write_task_files(
+                iterator, self._root, self._partition_by, self._rename
+            )
         )
 
     def commit(self, messages) -> None:
@@ -1224,11 +1266,15 @@ class PyDeltaStreamWriter(DataSourceStreamArrowWriter):
                     "one from)"
                 )
         self._app_id = app_id
-        _validate_write_target(self._root, schema, self._partition_by)
+        self._rename = _validate_write_target(
+            self._root, schema, self._partition_by
+        )
 
     def write(self, iterator) -> PyDeltaCommitMessage:
         return PyDeltaCommitMessage(
-            _write_task_files(iterator, self._root, self._partition_by)
+            _write_task_files(
+                iterator, self._root, self._partition_by, self._rename
+            )
         )
 
     def commit(self, messages, batchId: int) -> None:

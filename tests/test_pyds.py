@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import (
     pyds,
@@ -431,13 +432,79 @@ class TestPyDeltaWriters:
             spark.range(0, 5).select("id").write.format("pydelta").option(
                 "path", root
             ).option("partitionBy", "id").mode("append").save()
-        # column-mapped target refused (DeltaTable.write handles those)
-        t = DeltaTable(root)
-        t.enable_column_mapping()
-        with pytest.raises(Exception, match="column-mapped"):
+        # id-mode mapped target refused (name-mode is supported below)
+        tid = DeltaTable(str(tmp_path / "tid"))
+        tid.create(
+            T.StructType([T.StructField("id", T.LongType())]),
+            mapping_mode="id",
+        )
+        with pytest.raises(Exception, match="id-mode"):
             spark.range(0, 5).select("id").write.format("pydelta").option(
-                "path", root
+                "path", tid.path
             ).mode("append").save()
+
+    def test_batch_write_to_name_mapped_table(self, spark, tmp_path):
+        """Name-mode column-mapped target: staged files, footer stats,
+        partitionValues, and hive dirs all use PHYSICAL names; logical
+        reads agree across every reader."""
+        pyds.register(spark)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.createDataFrame(
+                [("A", 1.0, "g1"), ("B", 2.0, "g2")],
+                "sym string, px double, grp string",
+            ),
+            partition_by=["grp"],
+        )
+        t.enable_column_mapping()
+        t.rename_column("px", "price")
+        spark.createDataFrame(
+            [("C", 3.0, "g1")], "sym string, price double, grp string"
+        ).write.format("pydelta").option("path", t.path).option(
+            "partitionBy", "grp"
+        ).mode("append").save()
+        got = {
+            (r.sym, r.price, r.grp) for r in t.read(spark).collect()
+        }
+        assert got == {("A", 1.0, "g1"), ("B", 2.0, "g2"), ("C", 3.0, "g1")}
+        # the committed add keys partitionValues by the PHYSICAL name
+        mapping = t._column_mapping(t._snapshot_state(None)[0])
+        phys_grp = mapping["grp"]
+        import json as _json
+
+        last_adds = [
+            a["add"]
+            for a in t._read_commit(t.latest_version())
+            if "add" in a
+        ]
+        assert last_adds and all(
+            phys_grp in (a.get("partitionValues") or {}) for a in last_adds
+        )
+        # footer stats key physical names too (data skipping contract)
+        assert all(
+            mapping["price"] in _json.loads(a["stats"]).get("minValues", {})
+            for a in last_adds
+        )
+        # the pure-python reader agrees with the Spark read
+        back = (
+            spark.read.format("pydelta")
+            .option("path", t.path)
+            .load()
+            .collect()
+        )
+        assert {(r.sym, r.price, r.grp) for r in back} == got
+        # mapped tables with NESTED columns stay gated
+        tn = DeltaTable(str(tmp_path / "tn"))
+        tn.write(
+            spark.createDataFrame([((1, 2), "a")], "s struct<x:int,y:int>, k string")
+        )
+        tn.enable_column_mapping()
+        with pytest.raises(Exception, match="NESTED"):
+            spark.createDataFrame(
+                [((3, 4), "b")], "s struct<x:int,y:int>, k string"
+            ).write.format("pydelta").option("path", tn.path).mode(
+                "append"
+            ).save()
 
     def test_stream_sink_exactly_once(self, spark, tmp_path):
         pyds.register(spark)
