@@ -106,6 +106,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sd.add_argument("column")
     sd.add_argument("expr", help="SQL default expression, or '-' to drop")
+    dsub.add_parser(
+        "sync-identity",
+        help="ALTER TABLE SYNC IDENTITY: recompute identity "
+        "highWaterMarks from the table data",
+    )
     cv = dsub.add_parser(
         "convert",
         help="CONVERT TO DELTA: write a _delta_log over the existing "
@@ -218,6 +223,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 v = t.set_column_default(args.column, expr)
                 verb = "DROP DEFAULT" if expr is None else f"SET DEFAULT {expr}"
                 print(f"ALTER COLUMN {args.column} {verb}: version {v}")
+            elif args.delta_cmd == "sync-identity":
+                v = t.sync_identity(spark)
+                print(f"SYNC IDENTITY committed version {v}")
             elif args.delta_cmd == "convert":
                 ps = None
                 if args.partition_schema:

@@ -3634,6 +3634,62 @@ class DeltaTable:
         actions.append({"metaData": new_meta})
         return self._publish_or_conflict(base + 1, actions, "CHANGE COLUMN")
 
+    def sync_identity(self, spark: SparkSession) -> int:
+        """ALTER TABLE ... SYNC IDENTITY (delta-spark's verb): recompute
+        every identity column's highWaterMark from the TABLE DATA — the
+        repair a GENERATED BY DEFAULT table needs after explicit inserts
+        drifted past (or foreign writers ignored) the recorded mark, so
+        subsequent allocation cannot collide. The scan never collects
+        rows: one grouped max/min per identity column (footer stats
+        alone would under-count on DV'd files, so this reads through the
+        DV-aware scan), committed as a metaData action. An empty table
+        resets each mark to its pre-first-allocation value
+        (start - step, delta-spark's convention). Returns the committed
+        version; a no-drift sync still commits (it IS the audit record).
+        """
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"no such table: {self.path}")
+        meta, _adds, _protocol = self._snapshot_state_full(None)
+        id_cols = self._identity_columns(meta)
+        if not id_cols:
+            raise ValueError(
+                f"table {self.path} has no identity columns to sync"
+            )
+        aggs = [
+            (
+                F.max(f"`{c}`") if info["step"] > 0 else F.min(f"`{c}`")
+            ).alias(c)
+            for c, info in sorted(id_cols.items())
+        ]
+        observed = self.read(spark).agg(*aggs).first()
+        schema_json = json.loads(meta["schemaString"])
+        for c, info in sorted(id_cols.items()):
+            val = observed[c]
+            hwm = (
+                info["start"] - info["step"]
+                if val is None  # empty table: nothing allocated yet
+                else int(val)
+            )
+            fj = next(f for f in schema_json["fields"] if f["name"] == c)
+            fj["metadata"] = dict(fj.get("metadata") or {})
+            fj["metadata"]["delta.identity.highWaterMark"] = hwm
+        new_meta = dict(meta)
+        new_meta["schemaString"] = json.dumps(schema_json)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SYNC IDENTITY",
+                    "operationParameters": {
+                        "columns": ",".join(sorted(id_cols))
+                    },
+                }
+            },
+            {"metaData": new_meta},
+        ]
+        return self._publish_or_conflict(base + 1, actions, "SYNC IDENTITY")
+
     #: features this client can DOWNGRADE out of a protocol. Writer-only
     #: features downgrade immediately once their metadata trace is gone
     #: (readers never depended on them); reader-writer features

@@ -192,3 +192,35 @@ class TestCliFeatureLifecycleVerbs:
         _m, _a, proto = t._snapshot_state_full(None)
         assert "deletionVectors" not in (proto.get("writerFeatures") or [])
         assert t.read(spark).filter("g = 1").count() == 0
+
+    def test_sync_identity_verb(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import main
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / "t")
+        t = DeltaTable(root)
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+            identity_columns={"id": (1, 1)},
+        )
+        t.write(
+            spark.range(0, 4).select(
+                F.col("id").cast("string").alias("sym")
+            ).coalesce(1)
+        )
+        rc = main(["delta", "--path", root, "sync-identity"], spark=spark)
+        assert rc == 0
+        assert "SYNC IDENTITY committed" in capsys.readouterr().out
+        assert t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ] == 4

@@ -3843,6 +3843,52 @@ class TestIdentityColumns:
         assert len(ids2) == len(set(ids2)) == len(rows) + 2
         assert min(set(ids2) - set(rows.values())) > hwm1
 
+    def test_sync_identity_recomputes_hwm(self, spark, tmp_path):
+        """SYNC IDENTITY repairs a drifted highWaterMark from the data:
+        after a DELETE of the top rows the mark stays HIGH (never
+        reissues ids), after a foreign under-recorded mark it climbs."""
+        t = self._table(spark, tmp_path, step=2, start=0)
+        t.write(make_df(spark, 0, 6).select("sym").coalesce(1))
+        hwm = t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ]
+        assert hwm == 10
+        # sabotage the recorded mark (a foreign writer that skipped the
+        # bookkeeping), then sync: the mark must climb back to max(id)
+        meta, _a, _p = t._snapshot_state_full(None)
+        sj = json.loads(meta["schemaString"])
+        fj = next(f for f in sj["fields"] if f["name"] == "id")
+        fj["metadata"]["delta.identity.highWaterMark"] = 2
+        bad = dict(meta)
+        bad["schemaString"] = json.dumps(sj)
+        t._publish_or_conflict(
+            t.latest_version() + 1,
+            [
+                {"commitInfo": {"timestamp": 0, "operation": "FOREIGN"}},
+                {"metaData": bad},
+            ],
+            "FOREIGN",
+        )
+        t.sync_identity(spark)
+        assert t._identity_columns(t._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ] == 10
+        # next append allocates above the synced mark — no collision
+        t.write(make_df(spark, 0, 2).select("sym").coalesce(1))
+        ids = [r.id for r in t.read(spark).collect()]
+        assert len(ids) == len(set(ids)) == 8
+        # empty table resets to start - step
+        t2 = self._table(spark, tmp_path / "e", step=5, start=100)
+        t2.sync_identity(spark)
+        assert t2._identity_columns(t2._snapshot_state(None)[0])["id"][
+            "highWaterMark"
+        ] == 95
+        # no identity columns -> loud refusal
+        t3 = DeltaTable(str(tmp_path / "n"))
+        t3.write(make_df(spark, 0, 2).coalesce(1))
+        with pytest.raises(ValueError, match="no identity"):
+            t3.sync_identity(spark)
+
     def test_merge_insert_by_default_explicit_values(self, spark, tmp_path):
         """GENERATED BY DEFAULT (allowExplicitInsert): an insert clause
         may name the identity column; explicit values past the hwm
