@@ -111,6 +111,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="ALTER TABLE SYNC IDENTITY: recompute identity "
         "highWaterMarks from the table data",
     )
+    fs = dsub.add_parser(
+        "fsck",
+        help="FSCK REPAIR TABLE: drop log entries whose data files "
+        "vanished outside the log",
+    )
+    fs.add_argument(
+        "--dry-run", action="store_true", help="report only, no commit"
+    )
     cv = dsub.add_parser(
         "convert",
         help="CONVERT TO DELTA: write a _delta_log over the existing "
@@ -226,6 +234,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             elif args.delta_cmd == "sync-identity":
                 v = t.sync_identity(spark)
                 print(f"SYNC IDENTITY committed version {v}")
+            elif args.delta_cmd == "fsck":
+                v, missing = t.fsck_repair(dry_run=args.dry_run)
+                if not missing:
+                    print("FSCK: all referenced files present")
+                elif args.dry_run:
+                    print(f"FSCK dry run: {len(missing)} missing file(s)")
+                    for p in missing:
+                        print(f"  {p}")
+                else:
+                    print(
+                        f"FSCK committed version {v}: dropped "
+                        f"{len(missing)} missing file(s)"
+                    )
             elif args.delta_cmd == "convert":
                 ps = None
                 if args.partition_schema:

@@ -2884,6 +2884,137 @@ def _sql_cms_arms(tok_expr: str, src: str) -> str:
     )
 
 
+#: Bloom filter geometry: 65536 bits, 4 salted hashes. With |corpus|
+#: distinct digests n, fill ratio p ~ 1-(1-1/m)^(kn) and FP ~ p^k.
+BF_M, BF_K = 65536, 4
+
+
+def _bf_pos(digest, d: int):
+    """Bit position d for a content digest — salted-md5 mod m,
+    bit-identical in Spark and DuckDB (`_sql_bf_pos`)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{d}:"), digest)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BF_M
+    )
+
+
+def _sql_bf_pos(digest_expr: str, d: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('bf{d}:' || ({digest_expr})), 1, 8)) "
+        f"AS BIGINT) % {BF_M}"
+    )
+
+
+@register(
+    "doc_bloom_dedup_audit",
+    oracle=f"""
+WITH b AS (
+  SELECT md5(lower(trim(text))) AS digest,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket
+  FROM documents
+),
+corpus AS (SELECT DISTINCT digest FROM b WHERE bucket < {SPLIT_TRAIN_LT}),
+batch AS (SELECT digest FROM b WHERE bucket >= {SPLIT_TRAIN_LT}),
+bits AS ({" UNION ".join(
+    f"SELECT DISTINCT {_sql_bf_pos('digest', d)} AS pos FROM corpus"
+    for d in range(BF_K)
+)}),
+probe AS (
+  SELECT digest,
+         {" AND ".join(
+             f"{_sql_bf_pos('digest', d)} IN (SELECT pos FROM bits)"
+             for d in range(BF_K)
+         )} AS bloom_pos,
+         digest IN (SELECT digest FROM corpus) AS exact_dup
+  FROM batch
+)
+SELECT count(*) AS n_batch,
+       CAST(sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+       CAST(sum(CASE WHEN bloom_pos AND NOT exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive,
+       (SELECT count(*) FROM bits) AS bits_set,
+       CAST({BF_M} AS BIGINT) AS m_bits,
+       CAST({BF_K} AS BIGINT) AS k_hashes
+FROM probe
+""",
+    doc="Bloom-filter incremental dedup (the Dolma/CCNet primitive for "
+    "admitting a NEW batch against a corpus too large to digest-join "
+    "every day): the corpus's distinct content digests set k="
+    f"{BF_K} salted-md5 bit positions in an m={BF_M}-bit filter, built "
+    "as explode -> distinct — map-side collapse bounds the shuffle at m "
+    "rows REGARDLESS of corpus size, and the materialized filter is m "
+    "bits, not |corpus| digests. Batch docs probe with a broadcast join "
+    "on position (member = all k set; no shuffle of the batch). The "
+    "audit then computes ground truth (the exact digest semi-join the "
+    "filter exists to avoid) and reports the false-positive count next "
+    "to the filter's fill — Bloom guarantees ZERO false negatives, so "
+    "n_bloom_positive >= n_exact_dup always, and the hash-match pins "
+    "both sides' bit arithmetic. At 100 TB the filter persists across "
+    "daily batches; only rows the filter flags pay the exact recheck.",
+    tags=("text", "llm-pipeline", "dedup", "sketch", "incremental"),
+)
+def doc_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spread(_docs(spark, sf_dir), by="doc_id").select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("long")
+        ).alias("bucket"),
+    )
+    corpus = base.filter(F.col("bucket") < SPLIT_TRAIN_LT).select(
+        "digest"
+    ).distinct()
+    batch = base.filter(F.col("bucket") >= SPLIT_TRAIN_LT).select("digest")
+
+    pos_arr = F.explode(
+        F.array(*[_bf_pos(F.col("digest"), d) for d in range(BF_K)])
+    ).alias("pos")
+    bits = corpus.select(pos_arr).distinct()
+    probe = (
+        batch.withColumn("rid", F.monotonically_increasing_id())
+        .select("digest", "rid", pos_arr)
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))),
+            "pos",
+            "left_outer",
+        )
+        .groupBy("digest", "rid")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("bloom_pos"))
+    )
+    flagged = probe.join(
+        corpus.withColumn("exact", F.lit(1)), "digest", "left_outer"
+    ).select(
+        F.col("bloom_pos"),
+        F.coalesce(F.col("exact"), F.lit(0)).alias("exact_dup"),
+    )
+    bits_set = bits.count()
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("exact_dup").cast("long").alias("n_exact_dup"),
+        F.sum("bloom_pos").cast("long").alias("n_bloom_positive"),
+        F.sum(
+            (F.col("bloom_pos") == 1).cast("int")
+            * (F.col("exact_dup") == 0).cast("int")
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.lit(bits_set).cast("long").alias("bits_set"),
+        F.lit(BF_M).cast("long").alias("m_bits"),
+        F.lit(BF_K).cast("long").alias("k_hashes"),
+    )
+
+
+
 @register(
     "doc_token_cms_accuracy_audit",
     oracle=f"""

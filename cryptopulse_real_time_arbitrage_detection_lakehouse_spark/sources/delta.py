@@ -4784,6 +4784,59 @@ class DeltaTable:
                 actions.append({"add": a})
         return self._publish_or_conflict(base + 1, actions, "RESTORE")
 
+    def fsck_repair(
+        self, *, dry_run: bool = False
+    ) -> tuple[int | None, list[str]]:
+        """FSCK REPAIR TABLE (delta-spark's verb): find data files the
+        snapshot references that no longer exist on disk (deleted or
+        lost OUTSIDE the log — the one corruption a log-first design
+        cannot prevent) and commit ``remove`` actions for them so scans
+        stop failing on the missing files. The rows those files held are
+        gone either way; the repair makes the log agree with reality
+        instead of erroring forever. ``dry_run=True`` only reports.
+        Returns ``(committed version | None, missing paths)`` — None
+        when nothing was missing or on a dry run. Missing DV sidecars
+        are NOT repaired (the base file still exists; dropping it would
+        resurrect deleted rows — that corruption needs RESTORE)."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"no such table: {self.path}")
+        _meta, adds = self._snapshot_state(None)
+        missing = sorted(
+            a["path"]
+            for a in adds
+            if not os.path.exists(
+                # shallow-clone externals decode to absolute paths, and
+                # os.path.join yields them unchanged — both layouts check
+                os.path.join(self.path, urllib.parse.unquote(a["path"]))
+            )
+        )
+        if dry_run or not missing:
+            return None, missing
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "FSCK",
+                    "operationParameters": {
+                        "numRemovedFiles": str(len(missing))
+                    },
+                }
+            }
+        ]
+        for path in missing:
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        return self._publish_or_conflict(base + 1, actions, "FSCK"), missing
+
     @staticmethod
     def _parse_interval_ms(text: str) -> int:
         """``interval N (hour|day|week)[s]`` (the

@@ -193,6 +193,43 @@ class TestCliFeatureLifecycleVerbs:
         assert "deletionVectors" not in (proto.get("writerFeatures") or [])
         assert t.read(spark).filter("g = 1").count() == 0
 
+    def test_fsck_repair_verb(self, spark, tmp_path, capsys):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import main
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / "t")
+        t = DeltaTable(root)
+        t.write(spark.range(0, 5).select("id").coalesce(1))
+        t.write(spark.range(5, 9).select("id").coalesce(1))
+        # healthy table: fsck is a no-op
+        rc = main(["delta", "--path", root, "fsck"], spark=spark)
+        assert rc == 0
+        assert "all referenced files present" in capsys.readouterr().out
+        # simulate external loss of the first commit's file
+        _m, adds = t._snapshot_state(None)
+        victim = sorted(a["path"] for a in adds)[0]
+        os.remove(os.path.join(root, victim))
+        with pytest.raises(Exception):
+            t.read(spark).count()  # scans fail on the missing file
+        rc = main(["delta", "--path", root, "fsck", "--dry-run"], spark=spark)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "dry run: 1 missing" in out and victim in out
+        rc = main(["delta", "--path", root, "fsck"], spark=spark)
+        assert rc == 0
+        assert "dropped 1 missing" in capsys.readouterr().out
+        # the log now agrees with reality: scans work, survivors intact
+        # (paths embed the commit version, so sorted-first = commit 0's
+        # file = rows 0-4)
+        got = sorted(r.id for r in t.read(spark).collect())
+        assert got == [5, 6, 7, 8]
+
     def test_sync_identity_verb(self, spark, tmp_path, capsys):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
