@@ -557,3 +557,21 @@ def test_pretrain_funnel_joins_stay_hash_based(spark):
     # be quadratic in the corpus
     p = plan_of(spark, "doc_pretrain_funnel_audit")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_probe_broadcasts_filter_bits(spark):
+    """The batch probe joins the (<= m rows) bit set as a BROADCAST —
+    the batch side must never shuffle on position; and nothing here may
+    fall back to a nested loop (that would be O(batch x bits))."""
+    p = plan_of(spark, "doc_bloom_dedup_audit")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_cms_sketch_aggregates_partially(spark):
+    """The CMS build must partial-aggregate map-side: a partial_count
+    under the (d, cell) hash aggregate is what bounds the shuffle at
+    DEPTH*WIDTH rows regardless of corpus size."""
+    p = plan_of(spark, "doc_token_cms_accuracy_audit")
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
