@@ -60,6 +60,11 @@ def _build_parser() -> argparse.ArgumentParser:
     comp.add_argument(
         "--zorder-by", default=None, help="two comma-separated columns"
     )
+    comp.add_argument(
+        "--where",
+        default=None,
+        help="partition predicate: OPTIMIZE only the matching partitions",
+    )
     vac = dsub.add_parser("vacuum", help="delete unreferenced old files")
     vac.add_argument(
         "--retention-hours", type=float, default=168.0, help="default 7 days"
@@ -177,8 +182,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                         )
                         return 2
                     z = (cols[0], cols[1])
-                v = t.compact(spark, target_files=args.target_files, zorder_by=z)
-                print(f"OPTIMIZE committed version {v}")
+                v = t.compact(
+                    spark,
+                    target_files=args.target_files,
+                    zorder_by=z,
+                    where=args.where,
+                )
+                print(
+                    f"OPTIMIZE committed version {v}"
+                    if v is not None
+                    else "OPTIMIZE: no partition matches the predicate"
+                )
             elif args.delta_cmd == "vacuum":
                 deleted = t.vacuum(
                     retention_ms=int(args.retention_hours * 3600 * 1000),

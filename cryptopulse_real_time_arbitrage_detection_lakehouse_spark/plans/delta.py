@@ -2261,6 +2261,78 @@ def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_optimize_where_audit",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(CASE WHEN event_type IN ('click', 'view')
+            THEN 1 ELSE 3 END AS BIGINT) AS n_files,
+       CAST(1 AS BIGINT) AS untouched_preserved
+FROM events
+WHERE event_type IN ('click', 'error', 'view')
+GROUP BY event_type
+""",
+    doc="OPTIMIZE ... WHERE (delta-spark's partition-scoped compaction "
+    "— the shape a petabyte table is maintained in: compact "
+    "yesterday's partition, never the archive): each of three "
+    "event_type partitions lands as 3 small files; the predicate "
+    "event_type IN ('click','view') compacts exactly those two to one "
+    "file each, evaluated with FULL SQL semantics over the typed "
+    "distinct partition tuples (never file stats, never a scan of "
+    "non-matching partitions). The audit reports per-partition row "
+    "counts (unchanged — dataChange=false rewrite), the post-OPTIMIZE "
+    "file count per partition (1 for matched, 3 for unmatched), and a "
+    "flag that the unmatched partition's ORIGINAL add entries survived "
+    "byte-identical — untouched partitions are not read, rewritten, or "
+    "even listed in the commit.",
+    tags=("delta", "layout", "partitioned", "metadata"),
+)
+def delta_optimize_where_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpoptw_") + "/events_delta")
+    types = ("click", "error", "view")
+    for etype in types:
+        df = (
+            events.filter(F.col("event_type") == etype)
+            .select(*_EVENT_COLS)
+            .repartition(3)
+        )
+        table.write(df, partition_by=["event_type"])
+    _m, before = table._snapshot_state(None)
+    error_adds_before = {
+        a["path"] for a in before if "event_type=error" in a["path"]
+    }
+    table.compact(
+        spark, where="event_type IN ('click', 'view')", target_files=1
+    )
+    _m, after = table._snapshot_state(None)
+    files_per = {t: 0 for t in types}
+    for a in after:
+        for t in types:
+            if f"event_type={t}" in a["path"]:
+                files_per[t] += 1
+    error_adds_after = {
+        a["path"] for a in after if "event_type=error" in a["path"]
+    }
+    preserved = int(error_adds_before == error_adds_after)
+    files_col = F.create_map(
+        *[x for t in types for x in (F.lit(t), F.lit(files_per[t]))]
+    )
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.element_at(files_col, F.col("event_type"))
+            .cast("long")
+            .alias("n_files"),
+            F.lit(preserved).cast("long").alias("untouched_preserved"),
+        )
+    )
+
+
+@register(
     "delta_merge_identity_audit",
     oracle="""
 WITH c AS (SELECT count(*) AS n FROM events WHERE event_type = 'click'),

@@ -5259,7 +5259,8 @@ class DeltaTable:
         *,
         target_files: int = 1,
         zorder_by: tuple[str, str] | None = None,
-    ) -> int:
+        where: str | None = None,
+    ) -> int | None:
         """OPTIMIZE twin: rewrite the active files into ``target_files``
         per partition, committed with ``dataChange=false`` adds/removes
         (pure layout change — streaming readers of the log would skip it).
@@ -5278,8 +5279,18 @@ class DeltaTable:
         picks the clustering columns automatically — two cluster on
         the Morton code, one range-sorts — so OPTIMIZE executes the
         declared layout without the caller re-stating it.
+
+        ``where`` (delta-spark's ``OPTIMIZE ... WHERE``) scopes the
+        rewrite to the partitions a predicate over PARTITION COLUMNS
+        selects — the shape a petabyte table is actually maintained in
+        (compact yesterday's partition, not the archive). Predicate
+        evaluation is EXACT Spark SQL over the typed distinct partition
+        tuples (never file stats), untouched partitions are not read or
+        listed in the commit, and a predicate referencing a
+        non-partition column is refused loudly. Composes with
+        zorder_by / clustering. Returns None when no partition matches.
         """
-        meta, _a, _p, domains = self._snapshot_state_full(
+        meta, adds, _p, domains = self._snapshot_state_full(
             None, with_domains=True
         )
         part_cols = meta.get("partitionColumns") or []
@@ -5290,6 +5301,85 @@ class DeltaTable:
                 zorder_by = (cb[0], cb[1])
             elif len(cb) == 1:
                 cluster_sort = cb
+        if where is not None:
+            if not part_cols:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE requires a partitioned table "
+                    "(the predicate selects whole partitions; use a bare "
+                    "compact() for unpartitioned tables)"
+                )
+            schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            mapping = self._column_mapping(meta) or {}
+            phys = lambda c: mapping.get(c, c)  # noqa: E731
+            part_fields = [
+                T.StructField(c, self._strip_meta(
+                    next(f.dataType for f in schema.fields if f.name == c)
+                ))
+                for c in part_cols
+            ]
+            raw_of = lambda a: tuple(  # noqa: E731
+                _as_dict(a.get("partitionValues")).get(phys(c))
+                for c in part_cols
+            )
+            distinct = sorted({raw_of(a) for a in adds}, key=str)
+            idx_schema = T.StructType(
+                [T.StructField("__i", T.LongType())]
+                + [T.StructField(c, T.StringType()) for c in part_cols]
+            )
+            typed = spark.createDataFrame(
+                [(i, *tup) for i, tup in enumerate(distinct)], idx_schema
+            ).select(
+                "__i",
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in part_fields
+                ],
+            )
+            try:
+                kept_idx = {
+                    r["__i"]
+                    for r in typed.filter(F.expr(where))
+                    .select("__i")
+                    .collect()
+                }
+            except Exception as exc:
+                raise ValueError(
+                    f"OPTIMIZE WHERE predicate {where!r} must reference "
+                    f"partition columns only ({part_cols}); it failed to "
+                    f"resolve against them: {exc}"
+                ) from None
+            keep_raw = {distinct[i] for i in kept_idx}
+            victims = [a for a in adds if raw_of(a) in keep_raw]
+            layout = None
+            if zorder_by is not None:
+                zb = zorder_by
+
+                def layout(d, _zb=zb, _n=target_files):
+                    from ..operators.zorder import with_zvalue
+
+                    return (
+                        with_zvalue(d, _zb)
+                        .repartitionByRange(_n, F.col("_z"))
+                        .sortWithinPartitions("_z")
+                        .drop("_z")
+                    )
+
+            elif cluster_sort:
+                cs = cluster_sort[0]
+
+                def layout(d, _c=cs, _n=target_files):
+                    return d.repartitionByRange(
+                        _n, F.col(_c)
+                    ).sortWithinPartitions(_c)
+
+            return self._rewrite_subset(
+                spark,
+                victims,
+                operation="OPTIMIZE",
+                target_files=target_files,
+                layout=layout,
+                operation_params={"predicate": where},
+            )
         if self._row_tracking_enabled(meta):
             # a layout rewrite preserves BOTH row ids and row commit
             # versions (the rows don't change): materialize them into
@@ -5334,6 +5424,8 @@ class DeltaTable:
         *,
         operation: str,
         target_files: int | None = None,
+        layout=None,
+        operation_params: dict | None = None,
     ) -> int | None:
         """Rewrite ONLY ``victims`` (add payloads from the current
         snapshot) into fresh files in one ``dataChange=false`` commit —
@@ -5379,7 +5471,11 @@ class DeltaTable:
                 .filter(F.col("__file").isin(names))
                 .drop("__file", "__rid")
             )
-        if target_files is not None:
+        if layout is not None:
+            # caller-declared layout (scoped Z-ORDER / cluster sort);
+            # owns its own repartitioning, so target_files is its concern
+            df = layout(df)
+        elif target_files is not None:
             df = (
                 df.repartition(target_files, *[F.col(c) for c in part_cols])
                 if part_cols
@@ -5400,7 +5496,7 @@ class DeltaTable:
                 "commitInfo": {
                     "timestamp": now_ms,
                     "operation": operation,
-                    "operationParameters": {},
+                    "operationParameters": operation_params or {},
                     "operationMetrics": {
                         "numRemovedFiles": str(len(victims)),
                         "numAddedFiles": str(len(new_adds)),

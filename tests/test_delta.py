@@ -2309,6 +2309,67 @@ class TestReorgAndSelectiveCompact:
         assert t.compact_small_files(spark, min_file_bytes=100) is None
         assert t.latest_version() == v_before
 
+    def test_optimize_where_scopes_to_matching_partitions(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE ... WHERE: only the predicate's partitions rewrite;
+        other partitions' files are untouched and absent from the
+        commit; the predicate evaluates with full SQL semantics over
+        TYPED partition values."""
+        from pyspark.sql import functions as F
+
+        t = DeltaTable(str(tmp_path / "t"))
+        for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+            for k in range(3):  # 3 small files per partition
+                t.write(
+                    spark.range(k * 10, k * 10 + 10)
+                    .select(
+                        "id", F.lit(day).cast("date").alias("day")
+                    )
+                    .coalesce(1),
+                    partition_by=["day"],
+                )
+        before = self._active(t)
+        assert len(before) == 9
+        v = t.compact(
+            spark, where="day >= DATE'2024-01-02'", target_files=1
+        )
+        assert v == t.latest_version()
+        after = self._active(t)
+        jan1 = {n for n in before if "day=2024-01-01" in before[n]["path"]}
+        assert jan1 <= set(after)  # untouched, same add entries
+        # the two matching partitions compacted to 1 file each
+        assert len(after) == len(jan1) + 2
+        assert t.read(spark).count() == 90
+        # per-partition row counts unchanged
+        got = {
+            str(r.day): r.n
+            for r in t.read(spark).groupBy("day").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert got == {
+            "2024-01-01": 30, "2024-01-02": 30, "2024-01-03": 30
+        }
+        # commitInfo records the predicate; removes are dataChange=false
+        acts = list(t._read_commit(v))
+        ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+        assert ci["operationParameters"]["predicate"].startswith("day >=")
+        assert all(
+            not a["remove"].get("dataChange", True)
+            for a in acts
+            if "remove" in a
+        )
+        # no match -> None, no commit
+        assert t.compact(spark, where="day > DATE'2030-01-01'") is None
+        # predicate on a non-partition column refuses loudly
+        with pytest.raises(ValueError, match="partition columns only"):
+            t.compact(spark, where="id > 5")
+        # unpartitioned table refuses the option
+        u = DeltaTable(str(tmp_path / "u"))
+        u.write(spark.range(0, 5).select("id"))
+        with pytest.raises(ValueError, match="partitioned"):
+            u.compact(spark, where="id > 1")
+
 
 class TestCreateTable:
     """DeltaTable.create: metadata-only commit 0 (schema, partitioning,
