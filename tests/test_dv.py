@@ -265,6 +265,134 @@ class TestLifecycleProperty:
             shutil.rmtree(root, ignore_errors=True)
 
 
+class TestLifecyclePropertyWithMerge:
+    """Randomized write / DV-delete / MERGE-upsert programs vs a pandas
+    model. MERGE is the most intricate mutation (two-phase file-pruned
+    rewrite, cardinality check, copy-on-write over DV-carrying files),
+    and interleaving it with DV deletes exercises exactly the
+    bookkeeping a wrong touched-file set would corrupt: a merge must
+    respect prior deletion vectors (never resurrect), and a later
+    delete must land on merge-rewritten files. Duplicate ids are legal
+    (a merge-inserted id re-appended by a later write): one source row
+    then updates EVERY matching target row — the model does the same."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("write"), st.integers(1, 25), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("delete"), st.integers(0, 6), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("merge"), st.integers(0, 12), st.integers(1, 15)
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_merge_upsert_sequence_matches_model(self, ops, spark, tmp_path):
+        import shutil
+        import uuid as _uuid
+
+        import pandas as pd
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / f"t-{_uuid.uuid4().hex}")
+        t = DeltaTable(root)
+        model = pd.DataFrame(columns=["id", "grp", "v"]).astype(
+            {"id": "int64", "grp": "int64", "v": "int64"}
+        )
+        next_id = 0
+        wrote = False
+        try:
+            for op, a, b in ops:
+                if op == "write":
+                    ids = list(range(next_id, next_id + a))
+                    next_id += a
+                    rows = pd.DataFrame(
+                        {
+                            "id": ids,
+                            "grp": [i % 7 for i in ids],
+                            "v": [i * 10 for i in ids],
+                        }
+                    )
+                    t.write(
+                        spark.createDataFrame(
+                            rows, "id long, grp long, v long"
+                        ).repartition(2)
+                    )
+                    model = pd.concat([model, rows], ignore_index=True)
+                    wrote = True
+                elif op == "delete" and wrote:
+                    t.delete(spark, f"grp = {a} AND v % 7 <= {b}")
+                    model = model[
+                        ~((model.grp == a) & (model.v % 7 <= b))
+                    ].reset_index(drop=True)
+                elif op == "merge" and wrote:
+                    ids = list(range(a * 2, a * 2 + b))
+                    src = pd.DataFrame(
+                        {
+                            "id": ids,
+                            "grp": [i % 7 for i in ids],
+                            "v": [i * 100 + a for i in ids],
+                        }
+                    )
+                    t.merge_into(
+                        spark.createDataFrame(
+                            src, "id long, grp long, v long"
+                        ).repartition(2),
+                        "target.id = source.id",
+                    ).when_matched_update(
+                        set={"v": "source.v"}
+                    ).when_not_matched_insert().execute(spark)
+                    new_rows = []
+                    for i in ids:
+                        hit = model.id == i
+                        if hit.any():
+                            model.loc[hit, "v"] = i * 100 + a
+                        else:
+                            new_rows.append(
+                                {"id": i, "grp": i % 7, "v": i * 100 + a}
+                            )
+                    if new_rows:
+                        model = pd.concat(
+                            [model, pd.DataFrame(new_rows)],
+                            ignore_index=True,
+                        )
+            if wrote:
+                cols = ["id", "grp", "v"]
+                got = (
+                    t.read(spark)
+                    .toPandas()[cols]
+                    .astype("int64")
+                    .sort_values(cols)
+                    .reset_index(drop=True)
+                )
+                want = (
+                    model[cols]
+                    .astype("int64")
+                    .sort_values(cols)
+                    .reset_index(drop=True)
+                )
+                pd.testing.assert_frame_equal(got, want)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 class TestLifecyclePropertyFeatureMatrix:
     """The same randomized write/delete/update program, but against a
     table combining the features that all touch the add/remove
