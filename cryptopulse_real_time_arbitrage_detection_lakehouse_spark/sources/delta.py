@@ -52,6 +52,9 @@ import re
 import time
 import urllib.parse
 import uuid
+import warnings
+
+import dataclasses
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -494,6 +497,11 @@ class DeltaTable:
     """A Delta Lake table rooted at ``path`` (no delta-spark required)."""
 
     path: str
+    #: cached ``delta.checkpointInterval`` (0 = unset, None = unknown);
+    #: refreshed by any commit carrying a metaData action
+    _ckpt_interval: int | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def _log_dir(self) -> str:
@@ -2213,6 +2221,50 @@ class DeltaTable:
             raise CommitConflict(version)
         finally:
             os.unlink(tmp)
+        self._maybe_auto_checkpoint(version, actions)
+
+    def _maybe_auto_checkpoint(self, version: int, actions: list[dict]) -> None:
+        """delta-spark's checkpoint policy: with the table property
+        ``delta.checkpointInterval`` set to a positive int, every
+        interval-th commit writes a classic checkpoint right after
+        publishing — snapshot replay stays O(interval) without the
+        owner ever calling checkpoint() by hand. The interval resolves
+        from a metaData action in THIS commit when one rides along
+        (free), else from a once-per-instance snapshot probe (cached;
+        property changes always arrive via a metaData action, which
+        refreshes the cache). Checkpointing is an optimization — a
+        failure here must never unwind the already-published commit,
+        so it degrades to a RuntimeWarning."""
+        def parse(conf: dict) -> int:
+            try:
+                return int(conf.get("delta.checkpointInterval") or 0)
+            except (TypeError, ValueError):
+                return 0  # malformed property: no auto policy
+
+        for a in actions:
+            if "metaData" in a:
+                self._ckpt_interval = parse(
+                    a["metaData"].get("configuration") or {}
+                )
+        if self._ckpt_interval is None:
+            try:
+                meta, _ = self._snapshot_state(None)
+            except (ValueError, NotImplementedError):
+                self._ckpt_interval = 0
+            else:
+                self._ckpt_interval = parse(meta.get("configuration") or {})
+        iv = self._ckpt_interval
+        if version < 1 or iv <= 0 or version % iv:
+            return
+        try:
+            self.checkpoint(None)
+        except Exception as exc:  # noqa: BLE001 — commit already durable
+            warnings.warn(
+                f"auto-checkpoint at version {version} of {self.path} "
+                f"failed: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def _publish_or_conflict(
         self, version: int, actions: list[dict], operation: str

@@ -4359,3 +4359,60 @@ class TestVacuumProtocolCheck:
         _m, _a, proto = t._snapshot_state_full(None)
         assert "columnMapping" in proto["readerFeatures"]
         assert t.read(spark).count() == 3
+
+
+class TestAutoCheckpoint:
+    """delta.checkpointInterval: every interval-th commit auto-writes a
+    classic checkpoint right after publishing — delta-spark's policy,
+    with no explicit checkpoint() calls anywhere in the test."""
+
+    def _checkpoints(self, t):
+        import os
+
+        return sorted(
+            n
+            for n in os.listdir(t._log_dir)
+            if n.endswith(".checkpoint.parquet")
+        )
+
+    def test_interval_checkpoints_every_nth_commit(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))  # v0
+        assert self._checkpoints(t) == []
+        t.set_table_properties({"delta.checkpointInterval": "3"})  # v1
+        t.write(make_df(spark, 5, 5).coalesce(1))  # v2
+        assert self._checkpoints(t) == []
+        t.write(make_df(spark, 10, 5).coalesce(1))  # v3 -> checkpoint
+        assert self._checkpoints(t) == [f"{3:020d}.checkpoint.parquet"]
+        t.write(make_df(spark, 15, 5).coalesce(1))  # v4
+        t.write(make_df(spark, 20, 5).coalesce(1))  # v5
+        t.write(make_df(spark, 25, 5).coalesce(1))  # v6 -> checkpoint
+        assert self._checkpoints(t) == [
+            f"{3:020d}.checkpoint.parquet",
+            f"{6:020d}.checkpoint.parquet",
+        ]
+        # the checkpointed table reads back whole, and a FRESH instance
+        # (cold cache) keeps honoring the property
+        assert t.read(spark).count() == 30
+        t2 = DeltaTable(t.path)
+        t2.write(make_df(spark, 30, 5).coalesce(1))  # v7
+        t2.write(make_df(spark, 35, 5).coalesce(1))  # v8
+        t2.write(make_df(spark, 40, 5).coalesce(1))  # v9 -> checkpoint
+        assert f"{9:020d}.checkpoint.parquet" in self._checkpoints(t2)
+        assert t2.read(spark).count() == 45
+
+    def test_no_property_never_auto_checkpoints(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(4):
+            t.write(make_df(spark, i * 5, 5).coalesce(1))
+        assert self._checkpoints(t) == []
+
+    def test_unset_property_stops_the_policy(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))  # v0
+        t.set_table_properties({"delta.checkpointInterval": "2"})  # v1
+        t.write(make_df(spark, 5, 5).coalesce(1))  # v2 -> checkpoint
+        assert len(self._checkpoints(t)) == 1
+        t.set_table_properties({"delta.checkpointInterval": "0"})  # v3
+        t.write(make_df(spark, 10, 5).coalesce(1))  # v4: no checkpoint
+        assert len(self._checkpoints(t)) == 1
