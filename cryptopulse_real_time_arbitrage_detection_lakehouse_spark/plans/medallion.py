@@ -860,3 +860,48 @@ def candle_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("n") == RSI_WINDOW).select(
         "window_start", "symbol", "close", rsi.alias("rsi")
     )
+
+
+@register(
+    "candle_rollup_1h",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY})
+SELECT substring(window_start, 1, 13) || ':00:00' AS hour_start,
+       symbol,
+       arg_min(open, window_start) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, window_start) AS close,
+       CAST(sum(trade_count) AS BIGINT) AS trade_count,
+       count(*) AS n_minutes
+FROM gold
+GROUP BY 1, 2
+""",
+    doc="Hypertable continuous-aggregate rollup (the TimescaleDB/"
+    "materialized-cascade shape): hourly OHLC candles re-aggregated "
+    "from the MATERIALIZED 1-minute gold table, never from ticks — "
+    "open = earliest minute's open (min_by on the window key, "
+    "deterministic: one row per (symbol, minute)), close = latest "
+    "minute's close, high/low/count associative. At 100 TB this is the "
+    "load-bearing property: each coarser granularity reads O(finer "
+    "summaries), so a year of hourly candles costs minutes-table "
+    "bytes, not tick-table bytes, and the cascade composes (1m -> 1h "
+    "-> 1d reuses the same algebra). VWAP is deliberately absent: it "
+    "is not rollup-able from (open,high,low,close,count) alone — it "
+    "needs the volume-and-notional partial sums, which is exactly why "
+    "production rollup tables carry them; the 1m gold schema here is "
+    "the reference's, so the hourly vwap stays a tick-level query.",
+    tags=("gold", "aggregate", "rollup", "window"),
+)
+def candle_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gold_table(spark, sf_dir)
+    hour = F.concat(F.substring("window_start", 1, 13), F.lit(":00:00"))
+    return g.groupBy(hour.alias("hour_start"), "symbol").agg(
+        F.min_by("open", "window_start").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "window_start").alias("close"),
+        F.sum("trade_count").alias("trade_count"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
