@@ -130,7 +130,11 @@ def main() -> None:
     # extended-loop timing below measures the partition-pruned PROBE —
     # the recurring per-query cost at 100 TB. Build cost stays visible as
     # its own entry instead of silently inflating the probe number.
-    for name in ("sim_cosine_topk_lsh_indexed", "sim_cosine_topk_ivf_indexed"):
+    for name in (
+        "sim_cosine_topk_lsh_indexed",
+        "sim_cosine_topk_ivf_indexed",
+        "doc_bloom_index_probe",
+    ):
         if name in available:
             timings[f"{name}:index_build"] = round(
                 run_query(spark, name, sf_dir), 4

@@ -10,6 +10,8 @@ O(docs x shingles) + O(candidates), not O(docs^2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2889,21 +2891,6 @@ def _sql_cms_arms(tok_expr: str, src: str) -> str:
 BF_M, BF_K = 65536, 4
 
 
-def _bf_pos(digest, d: int):
-    """Bit position d for a content digest — salted-md5 mod m,
-    bit-identical in Spark and DuckDB (`_sql_bf_pos`)."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"bf{d}:"), digest)), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % BF_M
-    )
-
-
 def _sql_bf_pos(digest_expr: str, d: int) -> str:
     return (
         f"CAST(('0x' || substring(md5('bf{d}:' || ({digest_expr})), 1, 8)) "
@@ -2961,6 +2948,8 @@ FROM probe
     tags=("text", "llm-pipeline", "dedup", "sketch", "incremental"),
 )
 def doc_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom_index import bloom_positions, digest_membership
+
     base = spread(_docs(spark, sf_dir), by="doc_id").select(
         F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
         (
@@ -2976,26 +2965,19 @@ def doc_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     batch = base.filter(F.col("bucket") >= SPLIT_TRAIN_LT).select("digest")
 
-    pos_arr = F.explode(
-        F.array(*[_bf_pos(F.col("digest"), d) for d in range(BF_K)])
-    ).alias("pos")
-    bits = corpus.select(pos_arr).distinct()
-    probe = (
-        batch.withColumn("rid", F.monotonically_increasing_id())
-        .select("digest", "rid", pos_arr)
-        .join(
-            F.broadcast(bits.withColumn("hit", F.lit(1))),
-            "pos",
-            "left_outer",
-        )
-        .groupBy("digest", "rid")
-        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("bloom_pos"))
+    bits = (
+        bloom_positions(corpus, "digest", m=BF_M, k=BF_K)
+        .select("pos")
+        .distinct()
     )
-    flagged = probe.join(
-        corpus.withColumn("exact", F.lit(1)), "digest", "left_outer"
-    ).select(
-        F.col("bloom_pos"),
-        F.coalesce(F.col("exact"), F.lit(0)).alias("exact_dup"),
+    member = digest_membership(batch, bits, m=BF_M, k=BF_K)
+    flagged = (
+        batch.join(member, "digest")
+        .join(corpus.withColumn("exact", F.lit(1)), "digest", "left_outer")
+        .select(
+            F.col("bloom_member").alias("bloom_pos"),
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact_dup"),
+        )
     )
     bits_set = bits.count()
     return flagged.agg(
@@ -3011,6 +2993,111 @@ def doc_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bits_set).cast("long").alias("bits_set"),
         F.lit(BF_M).cast("long").alias("m_bits"),
         F.lit(BF_K).cast("long").alias("k_hashes"),
+    )
+
+
+#: materialized Bloom filters are BUILT ONCE per sf_dir and probed many
+#: times — same amortization contract as the ANN indexes (the bench
+#: charges the build to a `:index_build` line, the query line measures
+#: the probe alone).
+_BLOOM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _bloom_bits_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..operators.bloom_index import write_bloom_bits
+
+    key = os.path.abspath(sf_dir)
+    path = _BLOOM_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        corpus = (
+            spread(_docs(spark, sf_dir), by="doc_id")
+            .filter(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                < SPLIT_TRAIN_LT
+            )
+            .select(F.md5(F.lower(F.trim(F.col("text")))).alias("digest"))
+            .distinct()
+        )
+        path = tempfile.mkdtemp(prefix="cpbloom_") + "/bloom_bits"
+        write_bloom_bits(corpus, path, m=BF_M, k=BF_K)
+        _BLOOM_INDEX_CACHE[key] = path
+    return path
+
+
+@register(
+    "doc_bloom_index_probe",
+    oracle=f"""
+WITH b AS (
+  SELECT lang, md5(lower(trim(text))) AS digest,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket
+  FROM documents
+),
+corpus AS (SELECT DISTINCT digest FROM b WHERE bucket < {SPLIT_TRAIN_LT}),
+bits AS ({" UNION ".join(
+    f"SELECT DISTINCT {_sql_bf_pos('digest', d)} AS pos FROM corpus"
+    for d in range(BF_K)
+)}),
+probe AS (
+  SELECT lang,
+         {" AND ".join(
+             f"{_sql_bf_pos('digest', d)} IN (SELECT pos FROM bits)"
+             for d in range(BF_K)
+         )} AS member
+  FROM b WHERE bucket >= {SPLIT_TRAIN_LT}
+)
+SELECT lang, count(*) AS n_batch,
+       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM probe GROUP BY lang
+""",
+    doc="The MATERIALIZED form of the Bloom admission filter "
+    "(`operators/bloom_index.py`): the corpus's bit positions are built "
+    "ONCE and persisted as a single <= m-row parquet file (~KBs however "
+    "big the corpus — the whole index broadcasts); the daily batch then "
+    "probes the STORED bits per distinct digest and joins the verdict "
+    "back onto its rows, reporting flagged counts per language. The "
+    "recurring cost is O(batch) — the corpus is never re-read, which is "
+    "the entire point of persisting a filter instead of re-deriving it "
+    "(`doc_bloom_dedup_audit` is the inline twin and the FP-rate "
+    "ground-truth audit). Same salted-md5 bit rule, hash-matched by the "
+    "oracle, so materialization provably changes no verdict.",
+    tags=("text", "llm-pipeline", "dedup", "sketch", "index",
+          "incremental"),
+)
+def doc_bloom_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom_index import digest_membership, read_bloom_bits
+
+    bits = read_bloom_bits(spark, _bloom_bits_path(spark, sf_dir))
+    batch = (
+        spread(_docs(spark, sf_dir), by="doc_id")
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("long")
+            >= SPLIT_TRAIN_LT
+        )
+        .select(
+            "lang",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
+        )
+    )
+    member = digest_membership(batch, bits, m=BF_M, k=BF_K)
+    return (
+        batch.join(member, "digest")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum("bloom_member").cast("long").alias("n_flagged"),
+        )
     )
 
 

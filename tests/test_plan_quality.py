@@ -575,3 +575,11 @@ def test_cms_sketch_aggregates_partially(spark):
     p = plan_of(spark, "doc_token_cms_accuracy_audit")
     assert "partial_count" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_index_probe_broadcasts_stored_bits(spark):
+    """The materialized-filter probe must broadcast the stored bits and
+    never shuffle or nested-loop the batch side."""
+    p = plan_of(spark, "doc_bloom_index_probe")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
