@@ -923,9 +923,112 @@ class PyDeltaCommitMessage(WriterCommitMessage):
         self.adds = adds
 
 
+def _nested_mapping_in_containers(type_json) -> bool:
+    """True when an array/map ELEMENT type contains mapped struct fields
+    — the one shape the positional rebuild (both directions) gates."""
+    if not isinstance(type_json, dict):
+        return False
+    t = type_json.get("type")
+    if t == "struct":
+        # a struct here is fine at THIS level; the caller decides
+        return any(
+            _nested_mapping_in_containers(f["type"])
+            for f in type_json.get("fields", [])
+        )
+    if t == "array":
+        return _contains_struct(type_json.get("elementType"))
+    if t == "map":
+        return _contains_struct(type_json.get("keyType")) or _contains_struct(
+            type_json.get("valueType")
+        )
+    return False
+
+
+def _contains_struct(type_json) -> bool:
+    if not isinstance(type_json, dict):
+        return False
+    if type_json.get("type") == "struct":
+        return True
+    if type_json.get("type") == "array":
+        return _contains_struct(type_json.get("elementType"))
+    if type_json.get("type") == "map":
+        return _contains_struct(type_json.get("keyType")) or _contains_struct(
+            type_json.get("valueType")
+        )
+    return False
+
+
+def _phys_field_meta(md: dict, id_mode: bool) -> dict | None:
+    if not id_mode:
+        return None
+    fid = md.get("delta.columnMapping.id")
+    return (
+        {b"PARQUET:field_id": str(fid).encode()} if fid is not None else None
+    )
+
+
+def _phys_array(arr, type_json, id_mode: bool):
+    """Rebuild an arrow array with struct fields renamed logical ->
+    PHYSICAL at every depth (and, id mode, parquet field ids stamped) —
+    the write-direction twin of `delta._arrow_to_logical_names`. Struct
+    children resolve BY LOGICAL NAME from the incoming frame (the
+    schema-match validation already pinned names and order); array/map
+    elements containing structs were gated driver-side."""
+    import pyarrow as pa
+
+    if isinstance(type_json, dict) and type_json.get("type") == "struct":
+        children, fields = [], []
+        for f in type_json.get("fields", []):
+            md = f.get("metadata") or {}
+            child = _phys_array(
+                arr.field(f["name"]), f["type"], id_mode
+            )
+            children.append(child)
+            fields.append(
+                pa.field(
+                    md.get("delta.columnMapping.physicalName", f["name"]),
+                    child.type,
+                    nullable=True,
+                    metadata=_phys_field_meta(md, id_mode),
+                )
+            )
+        mask = None
+        if arr.null_count:
+            import pyarrow.compute as pc
+
+            mask = pc.is_null(arr)
+        return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+    return arr
+
+
+def _physical_table(tbl, schema_json: dict, id_mode: bool):
+    """The whole-table form of `_phys_array`: every column lands under
+    its physical name with physical nested fields (+ field ids in id
+    mode), ready for `pq.write_table` — the staged footer then matches
+    what the mapped readers (Spark positional cast, `to_pandas`,
+    pydelta) resolve."""
+    import pyarrow as pa
+
+    cols, fields = [], []
+    for f in schema_json["fields"]:
+        md = f.get("metadata") or {}
+        arr = tbl.column(f["name"]).combine_chunks()
+        out = _phys_array(arr, f["type"], id_mode)
+        cols.append(out)
+        fields.append(
+            pa.field(
+                md.get("delta.columnMapping.physicalName", f["name"]),
+                out.type,
+                nullable=True,
+                metadata=_phys_field_meta(md, id_mode),
+            )
+        )
+    return pa.Table.from_arrays(cols, schema=pa.schema(fields))
+
+
 def _write_task_files(
     batches, root: str, partition_by: list[str],
-    rename: dict[str, str] | None = None,
+    mapping_spec: tuple[str, bool] | None = None,
 ) -> list[dict]:
     """Executor-side: write this task's arrow batches as parquet data
     files DIRECTLY under the table root (Delta visibility == log
@@ -933,10 +1036,11 @@ def _write_task_files(
     invisible and vacuum reaps it) and return their ``add`` payloads.
     Partitioned tables get one file per partition tuple in this task,
     under the hive directory layout the batch reader expects.
-    ``rename`` (logical -> physical, column-mapped targets) applies
-    before anything touches disk: file columns, footer stats keys,
-    partitionValues keys, and hive directory segments are all PHYSICAL
-    names — the spec's contract for mapped tables."""
+    ``mapping_spec`` = (table schemaString, id_mode) for column-mapped
+    targets: applied before anything touches disk, so file columns
+    (nested struct fields included), footer stats keys, partitionValues
+    keys, and hive directory segments are all PHYSICAL names — and in
+    id mode every field carries its parquet field id."""
     import json
     import time
     import uuid as _uuid
@@ -948,10 +1052,15 @@ def _write_task_files(
     if not batches:
         return []
     tbl = pa.Table.from_batches(batches)
-    if rename:
-        tbl = tbl.rename_columns(
-            [rename.get(c, c) for c in tbl.column_names]
-        )
+    if mapping_spec is not None:
+        schema_json = json.loads(mapping_spec[0])
+        tbl = _physical_table(tbl, schema_json, mapping_spec[1])
+        rename = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in schema_json["fields"]
+        }
         partition_by = [rename.get(c, c) for c in partition_by]
     now_ms = int(time.time() * 1000)
     adds: list[dict] = []
@@ -1091,14 +1200,15 @@ def _commit_written(
 
 def _validate_write_target(
     root: str, schema: T.StructType, partition_by: list[str]
-) -> dict[str, str] | None:
+) -> tuple[str, bool] | None:
     """Fail fast ON THE DRIVER before any task runs: schema and
     partitioning must match an existing table exactly (the pydelta write
     path has no evolution support — `DeltaTable.write` does), and
     partition columns must exist in the frame. Returns the
-    logical -> physical rename map for name-mode column-mapped targets
-    (None otherwise); the staging tasks apply it so files, stats, and
-    partitionValues land under physical names."""
+    (schemaString, id_mode) mapping spec for column-mapped targets
+    (None otherwise); the staging tasks apply it so file columns at
+    every struct depth, stats, partitionValues, and hive dirs land
+    under physical names — with parquet field ids in id mode."""
     if DeltaTable._has_variant(schema):
         raise NotImplementedError(
             "the pydelta writers cannot stage VARIANT columns (pyarrow "
@@ -1113,29 +1223,22 @@ def _validate_write_target(
     if table.latest_version() is None:
         return None
     meta, _ = table._snapshot_state(None)
-    rename: dict[str, str] | None = None
+    mapping_spec: tuple[str, bool] | None = None
     mode = DeltaTable._mapping_mode(meta)
-    if mode == "id":
-        raise NotImplementedError(
-            "pydelta writes to id-mode column-mapped tables are not "
-            "supported (staged footers would need parquet field ids on "
-            "every column); use DeltaTable.write"
-        )
-    if mode == "name":
-        prior = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if mode in ("name", "id"):
+        schema_json = json.loads(meta["schemaString"])
         if any(
-            isinstance(
-                f.dataType, (T.StructType, T.ArrayType, T.MapType)
-            )
-            for f in prior.fields
+            _nested_mapping_in_containers(f["type"])
+            for f in schema_json["fields"]
         ):
             raise NotImplementedError(
-                "pydelta writes to column-mapped tables with NESTED "
-                "columns are not supported (inner fields carry their "
-                "own physical names, which pyarrow staging here does "
-                "not rewrite); use DeltaTable.write"
+                "pydelta writes to column-mapped tables with struct "
+                "fields inside ARRAY/MAP elements are not supported "
+                "(the positional rebuild does not reach into container "
+                "elements — same gate as the pure-python readers); use "
+                "DeltaTable.write"
             )
-        rename = table._column_mapping(meta) or {}
+        mapping_spec = (meta["schemaString"], mode == "id")
     conf = meta.get("configuration") or {}
     if any(k.startswith("delta.constraints.") for k in conf):
         raise NotImplementedError(
@@ -1168,19 +1271,11 @@ def _validate_write_target(
             "evolve schemas; use DeltaTable.write(merge_schema=True))"
         )
     table_parts = meta.get("partitionColumns") or []
-    logical_parts = (
-        [
-            next((lg for lg, ph in rename.items() if ph == c), c)
-            for c in table_parts
-        ]
-        if rename
-        else table_parts
-    )
-    if partition_by != logical_parts:
+    if partition_by != table_parts:
         raise ValueError(
-            f"partitionBy {partition_by} != table's {logical_parts}"
+            f"partitionBy {partition_by} != table's {table_parts}"
         )
-    return rename
+    return mapping_spec
 
 
 def _opt_partition_by(opts: dict) -> list[str]:
@@ -1201,14 +1296,14 @@ class PyDeltaBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._partition_by = _opt_partition_by(opts)
         self._schema = schema
-        self._rename = _validate_write_target(
+        self._mapspec = _validate_write_target(
             self._root, schema, self._partition_by
         )
 
     def write(self, iterator) -> PyDeltaCommitMessage:
         return PyDeltaCommitMessage(
             _write_task_files(
-                iterator, self._root, self._partition_by, self._rename
+                iterator, self._root, self._partition_by, self._mapspec
             )
         )
 
@@ -1266,14 +1361,14 @@ class PyDeltaStreamWriter(DataSourceStreamArrowWriter):
                     "one from)"
                 )
         self._app_id = app_id
-        self._rename = _validate_write_target(
+        self._mapspec = _validate_write_target(
             self._root, schema, self._partition_by
         )
 
     def write(self, iterator) -> PyDeltaCommitMessage:
         return PyDeltaCommitMessage(
             _write_task_files(
-                iterator, self._root, self._partition_by, self._rename
+                iterator, self._root, self._partition_by, self._mapspec
             )
         )
 

@@ -432,16 +432,70 @@ class TestPyDeltaWriters:
             spark.range(0, 5).select("id").write.format("pydelta").option(
                 "path", root
             ).option("partitionBy", "id").mode("append").save()
-        # id-mode mapped target refused (name-mode is supported below)
-        tid = DeltaTable(str(tmp_path / "tid"))
-        tid.create(
-            T.StructType([T.StructField("id", T.LongType())]),
+        # struct-inside-array mapped target stays gated (the positional
+        # rebuild does not reach container elements — reader-symmetric)
+        ta = DeltaTable(str(tmp_path / "ta"))
+        ta.write(
+            spark.createDataFrame(
+                [([(1, 2)], "a")],
+                "xs array<struct<x:int,y:int>>, k string",
+            )
+        )
+        ta.enable_column_mapping()
+        with pytest.raises(Exception, match="ARRAY/MAP"):
+            spark.createDataFrame(
+                [([(3, 4)], "b")],
+                "xs array<struct<x:int,y:int>>, k string",
+            ).write.format("pydelta").option("path", ta.path).mode(
+                "append"
+            ).save()
+
+    def test_batch_write_to_id_mapped_table(self, spark, tmp_path):
+        """id-mode target: staged footers carry parquet field ids on
+        every (nested) field, so the field-id-resolving readers see the
+        appended rows."""
+        pyds.register(spark)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField(
+                        "s",
+                        T.StructType(
+                            [
+                                T.StructField("x", T.IntegerType()),
+                                T.StructField("y", T.StringType()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
             mapping_mode="id",
         )
-        with pytest.raises(Exception, match="id-mode"):
-            spark.range(0, 5).select("id").write.format("pydelta").option(
-                "path", tid.path
-            ).mode("append").save()
+        t.write(
+            spark.createDataFrame(
+                [(1, (10, "a"))], "id long, s struct<x:int,y:string>"
+            )
+        )
+        spark.createDataFrame(
+            [(2, (20, "b"))], "id long, s struct<x:int,y:string>"
+        ).write.format("pydelta").option("path", t.path).mode(
+            "append"
+        ).save()
+        got = {(r.id, r.s.x, r.s.y) for r in t.read(spark).collect()}
+        assert got == {(1, 10, "a"), (2, 20, "b")}
+        # the staged file's footer really carries field ids (not names):
+        # the pure-python id-resolving reader agrees
+        pdf = t.to_pandas()
+        assert len(pdf) == 2
+        back = (
+            spark.read.format("pydelta")
+            .option("path", t.path)
+            .load()
+            .collect()
+        )
+        assert {(r.id, r.s.x, r.s.y) for r in back} == got
 
     def test_batch_write_to_name_mapped_table(self, spark, tmp_path):
         """Name-mode column-mapped target: staged files, footer stats,
@@ -493,18 +547,30 @@ class TestPyDeltaWriters:
             .collect()
         )
         assert {(r.sym, r.price, r.grp) for r in back} == got
-        # mapped tables with NESTED columns stay gated
+        # NESTED struct fields rename too — including a nested-field
+        # rename applied after the first write
         tn = DeltaTable(str(tmp_path / "tn"))
         tn.write(
-            spark.createDataFrame([((1, 2), "a")], "s struct<x:int,y:int>, k string")
+            spark.createDataFrame(
+                [((1, 2), "a")], "s struct<x:int,y:int>, k string"
+            )
         )
         tn.enable_column_mapping()
-        with pytest.raises(Exception, match="NESTED"):
-            spark.createDataFrame(
-                [((3, 4), "b")], "s struct<x:int,y:int>, k string"
-            ).write.format("pydelta").option("path", tn.path).mode(
-                "append"
-            ).save()
+        tn.rename_column("s.y", "z")
+        spark.createDataFrame(
+            [((3, 4), "b")], "s struct<x:int,z:int>, k string"
+        ).write.format("pydelta").option("path", tn.path).mode(
+            "append"
+        ).save()
+        rows = {(r.s.x, r.s.z, r.k) for r in tn.read(spark).collect()}
+        assert rows == {(1, 2, "a"), (3, 4, "b")}
+        assert {
+            (r.s.x, r.s.z, r.k)
+            for r in spark.read.format("pydelta")
+            .option("path", tn.path)
+            .load()
+            .collect()
+        } == rows
 
     def test_stream_sink_exactly_once(self, spark, tmp_path):
         pyds.register(spark)
