@@ -305,6 +305,7 @@ class PyDeltaReader(DataSourceReader):
                 part_values_of,
                 start_v - 1,
                 end_v,
+                field_ids=self._field_ids,
             )
 
     # ----------------------------------------------------------- planning
@@ -535,6 +536,7 @@ def _plan_cdf_partitions(
     part_values_of,
     start_version: int,
     end_version: int,
+    field_ids: dict[str, int] | None = None,
 ) -> list:
     """Change-feed read plan for versions in (start_version,
     end_version]: the SAME diff semantics as `DeltaTable.read_changes` —
@@ -578,6 +580,7 @@ def _plan_cdf_partitions(
                 keep_rows=sorted(keep) if keep is not None else None,
                 change_type=change,
                 commit_version=v,
+                field_ids=field_ids,
             )
         )
 
@@ -695,14 +698,21 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         self._root = opts["path"]
         table = DeltaTable(self._root)
         meta, _adds = table._snapshot_state(None)  # validates protocol
+        # id-mode column mapping: same per-file field-id resolution as
+        # the batch reader — ship (logical -> field id) to every
+        # partition, executors resolve through their file's footer
+        self._field_ids: dict[str, int] | None = None
         if (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode"
         ) == "id":
-            raise NotImplementedError(
-                "the pydelta source does not support id-mode column "
-                "mapping (per-file field-id resolution); use "
-                "DeltaTable.read or to_pandas"
-            )
+            part_cols_id = meta.get("partitionColumns") or []
+            self._field_ids = {
+                f.name: int((f.metadata or {})["delta.columnMapping.id"])
+                for f in T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ).fields
+                if f.name not in part_cols_id
+            }
         # options that would be SILENTLY ignored must refuse instead:
         # a stream 'where' that never filters is under-filtering, not a
         # convenience
@@ -835,6 +845,7 @@ class PyDeltaStreamReader(DataSourceStreamReader):
             self._part_values_of,
             start["version"],
             end["version"],
+            field_ids=self._field_ids,
         )
 
     def partitions(self, start: dict, end: dict):
@@ -896,6 +907,7 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                         self._part_values_of(add),
                         [],
                         [],
+                        field_ids=self._field_ids,
                     )
                 )
         return out
@@ -1190,6 +1202,19 @@ def _commit_written(
                     }
                 }
             )
+    if last is not None:
+        meta_rt, _a, _p, domains = table._snapshot_state_full(
+            None, with_domains=True
+        )
+        if DeltaTable._row_tracking_enabled(meta_rt):
+            # spec writer duty on row-tracking tables: every add carries
+            # a fresh baseRowId range and the same commit advances the
+            # high-water-mark domain (stable ids derive as
+            # baseRowId + position — no per-row work, O(files) metadata)
+            hwm = table._stamp_fresh_row_ids(
+                adds, DeltaTable._rt_hwm(domains), version
+            )
+            actions.append(DeltaTable._rt_domain_action(hwm))
     actions.extend({"add": a} for a in adds)
     try:
         table._publish_or_conflict(version, actions, "WRITE")
@@ -1253,13 +1278,9 @@ def _validate_write_target(
             "supported (this writer neither computes nor validates "
             "generation expressions); use DeltaTable.write"
         )
-    if DeltaTable._row_tracking_enabled(meta):
-        raise NotImplementedError(
-            "pydelta writes to row-tracked tables are not supported "
-            "(this writer does not allocate baseRowId ranges or bump "
-            "the high-water-mark domain; an unstamped append would "
-            "break row-id uniqueness); use DeltaTable.write"
-        )
+    # row-tracked targets are supported: _commit_written stamps fresh
+    # baseRowId ranges on the staged adds and bumps the high-water-mark
+    # domain in the same commit (the spec's writer duty)
     prior = T.StructType.fromJson(json.loads(meta["schemaString"]))
     strip = DeltaTable._strip_meta
     if [

@@ -363,6 +363,33 @@ class TestPyDeltaStreamSource:
         # never streams (no duplicate of row 2 in any form)
         assert sorted(r.id for r in df.collect()) == list(range(8))
 
+    def test_id_mode_table_streams_by_field_id(self, spark, tmp_path):
+        """id-mode tables stream: executors resolve each file's columns
+        through the footer's parquet field ids, exactly like the batch
+        reader — commit-by-commit tailing included."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("sym", T.StringType()),
+                ]
+            ),
+            mapping_mode="id",
+        )
+        t.write(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, sym string")
+        )
+        t.write(spark.createDataFrame([(3, "c")], "id long, sym string"))
+        pyds.register(spark)
+        df = self._drain(spark, t.path, str(tmp_path / "out"))
+        assert set(df.columns) == {"id", "sym"}
+        assert {(r.id, r.sym) for r in df.collect()} == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+
     def test_ignore_changes_option_refused(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
         t.write(spark.range(0, 3).select("id"))
@@ -822,15 +849,32 @@ class TestPyDeltaHonestGates:
                 "append"
             ).save()
 
-    def test_writer_refuses_row_tracked_tables(self, spark, tmp_path):
+    def test_writer_stamps_row_tracking(self, spark, tmp_path):
+        """pydelta appends to a row-tracked table allocate fresh
+        baseRowId ranges and advance the hwm domain in the same commit
+        — row ids stay globally unique across mixed JVM/pydelta
+        writers."""
         pyds.register(spark)
         t = DeltaTable(str(tmp_path / "rt"))
         t.write(spark.range(0, 5).select("id"))
         t.enable_row_tracking()
-        with pytest.raises(Exception, match="row-tracked"):
-            spark.range(5, 8).select("id").write.format("pydelta").option(
-                "path", t.path
-            ).mode("append").save()
+        spark.range(5, 8).select("id").write.format("pydelta").option(
+            "path", t.path
+        ).mode("append").save()
+        # every add carries a range; the domain hwm covers all rows
+        _m, adds, _p, domains = t._snapshot_state_full(
+            None, with_domains=True
+        )
+        assert all(a.get("baseRowId") is not None for a in adds)
+        got = t.read_with_row_ids(spark).collect()
+        rids = [r["_row_id"] for r in got]
+        assert len(rids) == len(set(rids)) == 8
+        assert DeltaTable._rt_hwm(domains) >= max(rids)
+        # a subsequent JVM write keeps allocating ABOVE the pydelta hwm
+        t.write(spark.range(8, 10).select("id"))
+        got2 = t.read_with_row_ids(spark).collect()
+        rids2 = [r["_row_id"] for r in got2]
+        assert len(rids2) == len(set(rids2)) == 10
 
     def test_batch_cdf_requires_starting_version(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "b"))
