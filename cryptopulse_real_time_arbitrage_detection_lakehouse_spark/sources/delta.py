@@ -3260,12 +3260,30 @@ class DeltaTable:
                 f"CLUSTER BY takes 1 or 2 columns, got {len(cols)} (the "
                 "z-order kernel interleaves two keys)"
             )
-        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        unknown = [c for c in cols if c not in schema.names]
-        if unknown:
-            raise ValueError(f"CLUSTER BY columns {unknown} not in schema")
-        mapping = self._column_mapping(meta) or {}
-        phys_paths = [[mapping.get(c, c)] for c in cols]
+        # columns may be dotted paths into nested structs ("s.x") —
+        # stored as per-segment PHYSICAL paths per the spec
+        schema_json = json.loads(meta["schemaString"])
+        phys_paths: list[list[str]] = []
+        for c in cols:
+            fields = schema_json.get("fields", [])
+            phys: list[str] = []
+            for seg in c.split("."):
+                fj = next(
+                    (f for f in fields if f["name"] == seg), None
+                )
+                if fj is None:
+                    raise ValueError(
+                        f"CLUSTER BY column {c!r} not in schema "
+                        f"(segment {seg!r})"
+                    )
+                phys.append(
+                    (fj.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", seg
+                    )
+                )
+                t = fj["type"]
+                fields = t.get("fields", []) if isinstance(t, dict) else []
+            phys_paths.append(phys)
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -3306,22 +3324,43 @@ class DeltaTable:
     def _clustering_cols(
         self, meta: dict, domains: dict[str, dict]
     ) -> list[str]:
+        """LOGICAL clustering columns from the domain's PHYSICAL paths —
+        nested paths resolve segment by segment through the schema's
+        struct metadata and come back as dotted names (``s.x``), which
+        every consumer (range sort, Morton kernel) addresses with
+        ``F.col``."""
         dm = domains.get(self.CLUSTERING_DOMAIN)
         if not dm:
             return []
         paths = json.loads(dm.get("configuration") or "{}").get(
             "clusteringColumns", []
         )
-        mapping = self._column_mapping(meta) or {}
-        logical = {p: l for l, p in mapping.items()}
+        schema_json = json.loads(meta["schemaString"])
         out = []
         for path in paths:
-            if len(path) != 1:
-                raise NotImplementedError(
-                    f"nested clustering column path {path!r} is not "
-                    "supported by this client"
+            fields = schema_json.get("fields", [])
+            segs: list[str] = []
+            for seg in path:
+                fj = next(
+                    (
+                        f
+                        for f in fields
+                        if (f.get("metadata") or {}).get(
+                            "delta.columnMapping.physicalName", f["name"]
+                        )
+                        == seg
+                    ),
+                    None,
                 )
-            out.append(logical.get(path[0], path[0]))
+                if fj is None:
+                    raise ValueError(
+                        f"clustering column path {path!r} does not "
+                        f"resolve in the schema (segment {seg!r})"
+                    )
+                segs.append(fj["name"])
+                t = fj["type"]
+                fields = t.get("fields", []) if isinstance(t, dict) else []
+            out.append(".".join(segs))
         return out
 
     def rename_column(self, old: str, new: str) -> int:

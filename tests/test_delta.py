@@ -3265,6 +3265,51 @@ class TestLiquidClustering:
         cfg = json.loads(t.domain_metadata()["delta.clustering"])
         assert cfg["clusteringColumns"] == [["id"], ["sym"]]
 
+    def test_nested_clustering_path(self, spark, tmp_path):
+        """CLUSTER BY on a nested struct field: the domain stores the
+        per-segment PHYSICAL path, cluster_by() resolves it back to the
+        dotted logical name, and a bare OPTIMIZE range-sorts on it."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 100)
+            .select(
+                F.col("id"),
+                F.struct(
+                    (F.col("id") % 10).alias("x"),
+                    F.col("id").cast("string").alias("y"),
+                ).alias("s"),
+            )
+            .repartition(4)
+        )
+        t.enable_column_mapping()
+        t.rename_column("s.x", "bucket")
+        t.set_cluster_by(["s.bucket"])
+        assert t.cluster_by() == ["s.bucket"]
+        cfg = json.loads(t.domain_metadata()["delta.clustering"])
+        # nested path, physical at EVERY segment ('x' pre-rename)
+        assert cfg["clusteringColumns"] == [["s", "x"]]
+        t.compact(spark, target_files=3)
+        # clustered layout: per-file min/max of s.bucket barely overlap
+        import pyarrow.parquet as pq
+
+        _m, adds = t._snapshot_state(None)
+        spans = []
+        for a in adds:
+            import os as _os
+            import urllib.parse as _up
+
+            pf = pq.ParquetFile(
+                _os.path.join(t.path, _up.unquote(a["path"]))
+            )
+            vals = pf.read().column("s").combine_chunks().field(0).to_pylist()
+            spans.append((min(vals), max(vals)))
+        spans.sort()
+        # range-sorted: consecutive files' spans do not interleave
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2 or hi1 - lo2 <= 1  # boundary value may split
+        with pytest.raises(ValueError, match="not in schema"):
+            t.set_cluster_by(["s.nope"])
+
 
 class TestLogCleanup:
     """cleanup_metadata (delta-spark's MetadataCleanup twin): checkpoint
