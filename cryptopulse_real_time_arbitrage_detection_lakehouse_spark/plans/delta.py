@@ -2261,6 +2261,97 @@ def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_maintenance_lifecycle_audit",
+    oracle="""
+WITH c AS (SELECT count(*) AS n FROM events WHERE event_type = 'click'),
+     e AS (SELECT count(*) AS n FROM events WHERE event_type = 'error'),
+     p AS (SELECT count(*) AS n FROM events WHERE event_type = 'purchase')
+SELECT 'rows_after_fsck' AS check_name, e.n + p.n AS value FROM e, p
+UNION ALL
+SELECT 'auto_checkpoints', CAST(2 AS BIGINT)
+UNION ALL
+SELECT 'fsck_dropped_files', CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'identity_hwm_synced', CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'scan_failed_before_fsck', CAST(1 AS BIGINT)
+""",
+    doc="The table-maintenance lifecycle as ONE driver-checked row set: "
+    "(1) delta.checkpointInterval=2 auto-writes classic checkpoints on "
+    "every second commit — the audit counts the checkpoint files the "
+    "policy produced (2 across 5 commits, no explicit checkpoint() "
+    "call anywhere); (2) a data file is deleted OUTSIDE the log "
+    "(simulated external loss), the scan fails loudly, and FSCK REPAIR "
+    "drops exactly the one missing entry so the table reads again with "
+    "the surviving rows; (3) SYNC IDENTITY recomputes the identity "
+    "high-water mark from the post-fsck data and the recorded mark "
+    "equals max(row_id). Oracle pins the surviving row count from raw "
+    "events plus the exact policy/repair counts. This is the "
+    "operational arc a real table owner runs — policy, corruption, "
+    "repair — compressed into one deterministic audit.",
+    tags=("delta", "metadata", "vacuum", "identity", "checkpoint"),
+)
+def delta_maintenance_lifecycle_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpmaint_") + "/events_delta")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("row_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        ),
+        identity_columns={"row_id": (1, 1)},
+    )  # v0
+    table.set_table_properties({"delta.checkpointInterval": "2"})  # v1
+    for etype in ("click", "error", "purchase"):  # v2, v3, v4
+        table.write(
+            events.filter(F.col("event_type") == etype)
+            .select("event_id", "event_type")
+            .repartition(1)
+        )
+    n_ckpts = len(
+        [
+            n
+            for n in os.listdir(os.path.join(table.path, "_delta_log"))
+            if n.endswith(".checkpoint.parquet")
+        ]
+    )  # v2 and v4 -> 2
+    # external loss: the click file vanishes outside the log
+    # (deterministic victim — staged names embed the version, so the
+    # lexicographically-first path is commit v2's = the click batch)
+    _m, adds = table._snapshot_state(None)
+    victim = sorted(a["path"] for a in adds)[0]
+    os.remove(os.path.join(table.path, victim))
+    try:
+        table.read(spark).count()
+        scan_failed = 0
+    except Exception:
+        scan_failed = 1
+    _v, missing = table.fsck_repair()
+    table.sync_identity(spark)
+    got = table.read(spark)
+    n_rows = got.count()
+    hwm = table._identity_columns(table._snapshot_state(None)[0])[
+        "row_id"
+    ]["highWaterMark"]
+    max_id = got.agg(F.max("row_id")).first()[0]
+    rows = [
+        ("rows_after_fsck", n_rows),
+        ("auto_checkpoints", n_ckpts),
+        ("fsck_dropped_files", len(missing)),
+        ("identity_hwm_synced", int(hwm == max_id)),
+        ("scan_failed_before_fsck", scan_failed),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
+@register(
     "delta_optimize_where_audit",
     oracle="""
 SELECT event_type, count(*) AS n,

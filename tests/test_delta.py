@@ -695,14 +695,15 @@ class TestColumnMapping:
             ("A", 1.5),
             ("C", 3.5),
         }
-        # id-mode STREAMING through pyds stays gated (the reader is
-        # constructed lazily at stream start, so gate-check it directly)
+        # id-mode STREAMING is supported too: the reader plans field ids
+        # for every partition (a positive drain is in
+        # tests/test_pyds.py::test_id_mode_table_streams_by_field_id)
         from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
             PyDeltaStreamReader,
         )
 
-        with pytest.raises(NotImplementedError, match="id-mode"):
-            PyDeltaStreamReader({"path": root}, out.schema)
+        r = PyDeltaStreamReader({"path": root}, out.schema)
+        assert r._field_ids and set(r._field_ids) == {"sym", "px"}
 
 
 class TestColumnMappingWrites:
