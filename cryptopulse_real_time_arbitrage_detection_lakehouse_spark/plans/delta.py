@@ -995,26 +995,32 @@ def delta_mapped_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "delta_occ_conflict_audit",
-    oracle=f"""
+    oracle="""
 SELECT event_type,
-       count(*) * (CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END) AS n,
+       count(*) * (CASE WHEN event_type IN ('purchase', 'view')
+                        THEN 2 ELSE 1 END) AS n,
        1 AS append_auto_retried,
-       1 AS delete_conflicts_surfaced
+       1 AS disjoint_append_retried,
+       1 AS matching_append_conflicts
 FROM events
-WHERE event_type IN {_BATCH_TYPES!r} AND event_type <> 'error'
+WHERE event_type IN ('click', 'purchase', 'view')
 GROUP BY event_type
 """,
-    doc="Optimistic concurrency control behind a correctness row "
-    "(round-5 verdict item 1): (a) a concurrent writer steals the next "
-    "log version mid-append — the APPEND auto-retries past it (two "
-    "appends compose, delta-spark's WriteSerializable), landing exactly "
-    "one version later and clobbering nothing; (b) the same race "
-    "against a DELETE must NOT retry blindly (the snapshot its DV "
-    "derives from is stale) — it surfaces ConcurrentWriteError, and "
-    "the retry from a FRESH snapshot succeeds. The oracle recomputes "
-    "final state (purchases doubled by the retried append, errors "
-    "deleted) plus both outcome flags; a wrong conflict decision in "
-    "either direction flips a flag or a count.",
+    doc="Optimistic concurrency control behind a correctness row — the "
+    "full WriteSerializable conflict-checker matrix: (a) a concurrent "
+    "writer steals the next log version mid-append and the APPEND "
+    "auto-retries past it (two appends compose); (b) a DELETE loses "
+    "the race to a REAL concurrent append whose file stats REFUTE its "
+    "predicate (view rows vs event_type='error') — the conflict "
+    "checker proves disjointness from the log stats and retries from "
+    "a fresh snapshot, both effects landing; (c) the same DELETE shape "
+    "against an append that COULD hold matching rows (more signups vs "
+    "event_type='signup') surfaces ConcurrentWriteError — retrying "
+    "would delete rows the caller's snapshot never contained — and a "
+    "clean fresh delete then removes all of them. Oracle recomputes "
+    "final state (purchases and views doubled by the two retried "
+    "races, errors and signups deleted) plus all three outcome flags; "
+    "a wrong conflict decision in EITHER direction flips something.",
     tags=("delta", "occ", "conflict"),
 )
 def delta_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,32 +1037,54 @@ def delta_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
     )
     append_auto_retried = int(v_after == stolen + 1 and stolen == v_before + 1)
-    # (b) delete vs concurrent commit IN THE RACE WINDOW (after snapshot,
-    # before publish): must surface, never blind-retry
-    orig = table._snapshot_state_full
-    fired = {"done": False}
 
-    def hooked(version=None):
-        out = orig(version)
-        if not fired["done"]:
-            fired["done"] = True
-            _concurrent_commit(table)
-        return out
+    def race_real_append(etype: str):
+        """Hook the victim's snapshot: a REAL concurrent append of
+        ``etype`` rows lands in the race window, once."""
+        other = DeltaTable(table.path)
+        orig = table._snapshot_state_full
+        fired = {"done": False}
 
-    table._snapshot_state_full = hooked
-    delete_conflicts = 0
+        def hooked(version=None, **kw):
+            out = orig(version, **kw)
+            if not fired["done"]:
+                fired["done"] = True
+                other.write(
+                    events.filter(F.col("event_type") == etype)
+                    .select(*_EVENT_COLS)
+                    .repartition(1)
+                )
+            return out
+
+        table._snapshot_state_full = hooked
+        return orig
+
+    # (b) delete vs provably-DISJOINT concurrent append: retries, both
+    # effects land (the view rows survive, the error rows die)
+    orig = race_real_append("view")
     try:
         table.delete(spark, "event_type = 'error'")
+        disjoint_retried = 1
     except ConcurrentWriteError:
-        delete_conflicts = 1
+        disjoint_retried = 0
     finally:
         table._snapshot_state_full = orig
-    table.delete(spark, "event_type = 'error'")  # fresh snapshot: succeeds
+    # (c) delete vs an append that COULD match: surfaces, never blind
+    orig = race_real_append("signup")
+    try:
+        table.delete(spark, "event_type = 'signup'")
+        matching_conflicts = 0
+    except ConcurrentWriteError:
+        matching_conflicts = 1
+    finally:
+        table._snapshot_state_full = orig
+    table.delete(spark, "event_type = 'signup'")  # fresh snapshot: all go
     got = table.read(spark)
     return got.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.lit(append_auto_retried).alias("append_auto_retried"),
-        F.lit(delete_conflicts).alias("delete_conflicts_surfaced"),
+        F.lit(disjoint_retried).alias("disjoint_append_retried"),
+        F.lit(matching_conflicts).alias("matching_append_conflicts"),
     )
 
 

@@ -4089,21 +4089,32 @@ class DeltaTable:
                     f"{n_bad} row(s); write refused"
                 )
 
-    def _build_file_dvs(self, spark: SparkSession, cond, adds: list[dict]):
+    def _build_file_dvs(
+        self,
+        spark: SparkSession,
+        cond,
+        adds: list[dict],
+        *,
+        version: int | None = None,
+    ):
         """Distributed deletion-vector construction: group the matched
         coordinates by data file ON THE EXECUTORS and serialize each
         file's union'd roaring bitmap there (``_file_dv_kernel``). Returns
         one collected Row ``(file, blob, card, n_new)`` per touched file —
         the ONLY thing that crosses to the driver, O(files × compressed
         bitmap bytes). Split out so tests can assert the transferred
-        volume directly."""
+        volume directly. ``version`` PINS the scan to the snapshot the
+        caller's ``adds`` came from — without it a commit landing in the
+        race window would make the scan see files the action assembly
+        doesn't know (the publish conflict still protects the log, but
+        the operation must fail as a CONFLICT, not a KeyError)."""
         prior_by_name = {
             os.path.basename(urllib.parse.unquote(a["path"])): a["deletionVector"]
             for a in adds
             if a.get("deletionVector")
         }
         return (
-            self._scan(spark, keep_meta=True)
+            self._scan(spark, version=version, keep_meta=True)
             .filter(cond)
             .select("__file", "__rid")
             .groupBy("__file")
@@ -4114,7 +4125,73 @@ class DeltaTable:
             .collect()
         )
 
+    def _retry_if_disjoint_appends(
+        self,
+        condition,
+        operation: str,
+        attempt_fn,
+        *,
+        attempts: int = 3,
+    ) -> int:
+        """delta-spark's WriteSerializable ConflictChecker, narrowed to
+        the provable case: when a predicate-scoped mutation loses the
+        commit race and every winning commit is a PURE DATA APPEND whose
+        files provably cannot contain rows matching ``condition``
+        (log-stats refutation — the same prover the scan's file pruning
+        uses), the operation re-derives from the fresh snapshot and
+        retries; any other interleaving (removes, metadata/protocol
+        changes, an append whose stats cannot refute the predicate, or
+        an unparseable predicate) surfaces the conflict untouched.
+        Bounded retries: a hot table that keeps losing still errors."""
+        conjuncts: list = []
+        if isinstance(condition, str):
+            try:
+                conjuncts = _parse_conjuncts(condition)
+            except Exception:
+                conjuncts = []
+        for i in range(attempts):
+            base = self.latest_version() or 0
+            try:
+                return attempt_fn()
+            except ConcurrentWriteError:
+                if not conjuncts or i == attempts - 1:
+                    raise
+                meta, _ = self._snapshot_state(None)
+                part_cols = meta.get("partitionColumns") or []
+                mapping = self._column_mapping(meta) or {}
+                phys = lambda c: mapping.get(c, c)  # noqa: E731
+                latest = self.latest_version() or 0
+                for v in range(base + 1, latest + 1):
+                    for action in self._read_commit(v):
+                        if any(
+                            k in action
+                            for k in ("metaData", "protocol", "remove")
+                        ):
+                            raise
+                        add = action.get("add")
+                        if add is not None and _file_may_match(
+                            add, conjuncts, part_cols, phys
+                        ):
+                            raise  # appended rows COULD match: conflict
+                # every winner is an append provably outside the
+                # predicate: re-derive from the fresh snapshot and retry
+        raise AssertionError("unreachable")  # pragma: no cover
+
     def delete(
+        self, spark: SparkSession, condition, *, txn: tuple[str, int] | None = None
+    ) -> int:
+        """DELETE WHERE ``condition`` — see `_delete_attempt` for the
+        mechanics. On a lost commit race, retries automatically iff
+        every winning commit is a pure append whose file stats refute
+        ``condition`` (`_retry_if_disjoint_appends` — delta-spark's
+        WriteSerializable allowance); otherwise ConcurrentWriteError."""
+        return self._retry_if_disjoint_appends(
+            condition,
+            "DELETE",
+            lambda: self._delete_attempt(spark, condition, txn=txn),
+        )
+
+    def _delete_attempt(
         self, spark: SparkSession, condition, *, txn: tuple[str, int] | None = None
     ) -> int:
         """DELETE WHERE ``condition`` via deletion vectors — no data file
@@ -4159,7 +4236,7 @@ class DeltaTable:
         self._refuse_unknown_writer_features(protocol, "DELETE")
         self._refuse_if_append_only(meta, "DELETE")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        file_dvs = self._build_file_dvs(spark, cond, adds)
+        file_dvs = self._build_file_dvs(spark, cond, adds, version=base)
         n_deleted = sum(r["n_new"] for r in file_dvs)
         cdc_actions: list[dict] = []
         if n_deleted and self._cdf_enabled(meta):
@@ -4167,7 +4244,7 @@ class DeltaTable:
             # rows land under _change_data/ so change readers get them
             # without re-deriving the DV delta
             deleted_rows = (
-                self._scan(spark, keep_meta=True)
+                self._scan(spark, version=base, keep_meta=True)
                 .filter(cond)
                 .drop("__file", "__rid")
                 .withColumn("_change_type", F.lit("delete"))
@@ -4304,6 +4381,27 @@ class DeltaTable:
         *,
         txn: tuple[str, int] | None = None,
     ) -> int:
+        """UPDATE SET ... WHERE ``condition`` — see `_update_attempt`.
+        On a lost commit race, retries automatically iff every winning
+        commit is a pure append whose file stats refute ``condition``
+        (`_retry_if_disjoint_appends`); otherwise
+        ConcurrentWriteError."""
+        return self._retry_if_disjoint_appends(
+            condition,
+            "UPDATE",
+            lambda: self._update_attempt(
+                spark, condition, set_exprs, txn=txn
+            ),
+        )
+
+    def _update_attempt(
+        self,
+        spark: SparkSession,
+        condition,
+        set_exprs: dict,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """UPDATE SET ... WHERE ``condition`` — deletion vectors plus an
         append, in ONE atomic commit (delta-spark's DV-enabled UPDATE):
         matched rows are flagged in per-file roaring vectors (built
@@ -4345,6 +4443,7 @@ class DeltaTable:
                 spark,
                 self._scan(
                     spark,
+                    version=base,
                     keep_meta=True,
                     extra_phys_cols=list(self._rt_mat_cols(meta)),
                 ).filter(cond),
@@ -4352,9 +4451,9 @@ class DeltaTable:
                 adds,
             ).drop("__file", "__rid", "_row_commit_version")
         else:
-            matched = self._scan(spark, keep_meta=True).filter(cond).drop(
-                "__file", "__rid"
-            )
+            matched = self._scan(
+                spark, version=base, keep_meta=True
+            ).filter(cond).drop("__file", "__rid")
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         col_types = {f.name: f.dataType for f in schema.fields}
         set_cols: dict = {}
@@ -4408,7 +4507,7 @@ class DeltaTable:
                 )
         self._check_constraints(updated, meta)
 
-        file_dvs = self._build_file_dvs(spark, cond, adds)
+        file_dvs = self._build_file_dvs(spark, cond, adds, version=base)
         n_updated = sum(r["n_new"] for r in file_dvs)
         cdc_actions: list[dict] = []
         schema_cols = [F.col(f"`{f.name}`") for f in schema.fields]
@@ -4695,7 +4794,7 @@ class DeltaTable:
             # true images: commits carrying cdc actions are read
             # EXCLUSIVELY from them, so both sides must be present
             removed_rows = (
-                self._scan(spark, keep_meta=True)
+                self._scan(spark, version=base, keep_meta=True)
                 .filter(cond)
                 .drop("__file", "__rid")
                 .withColumn("_change_type", F.lit("delete"))
@@ -4708,7 +4807,7 @@ class DeltaTable:
             cdc_actions = self._stage_cdc_files(
                 images, version=base + 1, meta=meta
             )
-        file_dvs = self._build_file_dvs(spark, cond, adds)
+        file_dvs = self._build_file_dvs(spark, cond, adds, version=base)
         n_replaced = sum(r["n_new"] for r in file_dvs)
         new_adds = self._stage_files(
             df.select(*[f.name for f in schema.fields]),

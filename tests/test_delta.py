@@ -1368,17 +1368,18 @@ class TestOptimisticConcurrency:
         # the concurrent commit was not clobbered; table state is its view
         assert t.read(spark).count() == 5
 
-    def test_delete_conflict_surfaces(self, spark, tmp_path):
-        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
-            ConcurrentWriteError,
-        )
-
+    def test_delete_retries_past_irrelevant_commit(self, spark, tmp_path):
+        """A DELETE that loses the race to a data-free commit (no adds,
+        no removes, no metadata) retries transparently — the conflict
+        checker proves the winner cannot hold matching rows. Genuine
+        conflicts still surface (TestConflictCheckerRetry)."""
         t = DeltaTable(str(tmp_path / "t"))
         t.write(make_df(spark, 0, 5))
         self._race_after_snapshot(t)
-        with pytest.raises(ConcurrentWriteError, match="DELETE"):
-            t.delete(spark, "id = 1")
-        assert t.read(spark).count() == 5  # nothing half-applied
+        v = t.delete(spark, "id = 1")
+        assert v == t.latest_version()
+        assert t.read(spark).count() == 4
+        assert t.read(spark).filter("id = 1").count() == 0
 
     def test_txn_append_detects_other_instance_applied_batch(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
@@ -4462,3 +4463,106 @@ class TestAutoCheckpoint:
         t.set_table_properties({"delta.checkpointInterval": "0"})  # v3
         t.write(make_df(spark, 10, 5).coalesce(1))  # v4: no checkpoint
         assert len(self._checkpoints(t)) == 1
+
+
+class TestConflictCheckerRetry:
+    """WriteSerializable conflict checking for predicate-scoped
+    mutations: a DELETE/UPDATE that loses the race to a pure append
+    whose file stats REFUTE the predicate retries transparently; an
+    append that could hold matching rows (or any non-append) surfaces
+    ConcurrentWriteError."""
+
+    def _table(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 10)
+            .select(F.col("id"), (F.col("id") % 5).alias("grp"))
+            .coalesce(1)
+        )
+        return t
+
+    def _race_append(self, t, df):
+        """Fire a REAL concurrent append inside the victim's snapshot
+        window (hook the instance's snapshot reader, once)."""
+        other = DeltaTable(t.path)
+        orig = t._snapshot_state_full
+        fired = {"done": False}
+
+        def hooked(version=None, **kw):
+            out = orig(version, **kw)
+            if not fired["done"]:
+                fired["done"] = True
+                other.write(df)
+            return out
+
+        t._snapshot_state_full = hooked
+        return fired
+
+    def test_delete_retries_past_provably_disjoint_append(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        racer = spark.range(100, 103).select(
+            F.col("id"), F.lit(9).cast("long").alias("grp")
+        ).coalesce(1)
+        fired = self._race_append(t, racer)
+        t.delete(spark, "grp = 1")  # must retry, not raise
+        assert fired["done"]
+        got = t.read(spark)
+        assert got.filter("grp = 1").count() == 0
+        assert got.filter("grp = 9").count() == 3  # racer rows intact
+        assert got.count() == 11  # 10 - 2 deleted + 3 appended
+
+    def test_update_retries_past_provably_disjoint_append(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        racer = spark.range(100, 102).select(
+            F.col("id"), F.lit(9).cast("long").alias("grp")
+        ).coalesce(1)
+        self._race_append(t, racer)
+        t.update(spark, "grp = 2", {"id": "id + 1000"})
+        got = {r.id for r in t.read(spark).filter("grp = 2").collect()}
+        assert got == {1002, 1007}
+
+    def test_delete_conflicts_with_possibly_matching_append(
+        self, spark, tmp_path
+    ):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            ConcurrentWriteError,
+        )
+
+        t = self._table(spark, tmp_path)
+        racer = spark.range(200, 203).select(
+            F.col("id"), F.lit(1).cast("long").alias("grp")
+        ).coalesce(1)  # rows the DELETE predicate WOULD match
+        self._race_append(t, racer)
+        with pytest.raises(ConcurrentWriteError):
+            t.delete(spark, "grp = 1")
+
+    def test_delete_conflicts_with_concurrent_remove(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            ConcurrentWriteError,
+        )
+
+        t = self._table(spark, tmp_path)
+        other = DeltaTable(t.path)
+        orig = t._snapshot_state_full
+        fired = {"done": False}
+
+        def hooked(version=None, **kw):
+            out = orig(version, **kw)
+            if not fired["done"]:
+                fired["done"] = True
+                # concurrent overwrite: remove actions — never retried
+                other.write(
+                    spark.range(50, 55)
+                    .select(F.col("id"), (F.col("id") % 5).alias("grp"))
+                    .coalesce(1),
+                    mode="overwrite",
+                )
+            return out
+
+        t._snapshot_state_full = hooked
+        with pytest.raises(ConcurrentWriteError):
+            t.delete(spark, "grp = 3")
