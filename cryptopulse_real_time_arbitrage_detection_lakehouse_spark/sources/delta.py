@@ -4741,7 +4741,23 @@ class DeltaTable:
         never restaged. A file whose every row matches drops outright
         (no sidecar). Generated columns recompute, CHECK constraints
         validate, and CDF tables get true delete+insert change images.
-        ``txn`` makes replays no-ops (streaming foreachBatch upserts)."""
+        ``txn`` makes replays no-ops (streaming foreachBatch upserts).
+        Lost commit races retry automatically iff every winning commit
+        is a pure append whose stats refute ``condition``
+        (`_retry_if_disjoint_appends`)."""
+        return self._retry_if_disjoint_appends(
+            condition,
+            "REPLACE WHERE",
+            lambda: self._replace_where_attempt(df, condition, txn=txn),
+        )
+
+    def _replace_where_attempt(
+        self,
+        df: DataFrame,
+        condition: str,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         spark = df.sparkSession
         if txn is not None:
             applied = self.last_txn_version(txn[0])

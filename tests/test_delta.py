@@ -4525,6 +4525,23 @@ class TestConflictCheckerRetry:
         got = {r.id for r in t.read(spark).filter("grp = 2").collect()}
         assert got == {1002, 1007}
 
+    def test_replace_where_retries_past_disjoint_append(
+        self, spark, tmp_path
+    ):
+        t = self._table(spark, tmp_path)
+        racer = spark.range(100, 102).select(
+            F.col("id"), F.lit(9).cast("long").alias("grp")
+        ).coalesce(1)
+        self._race_append(t, racer)
+        t.replace_where(
+            spark.createDataFrame([(777, 1)], "id long, grp long"),
+            "grp = 1",
+        )
+        got = t.read(spark)
+        assert {r.id for r in got.filter("grp = 1").collect()} == {777}
+        assert got.filter("grp = 9").count() == 2  # racer intact
+        assert got.count() == 11  # 10 - 2 replaced + 1 + 2 appended
+
     def test_delete_conflicts_with_possibly_matching_append(
         self, spark, tmp_path
     ):

@@ -425,6 +425,9 @@ class TestLifecyclePropertyFeatureMatrix:
                 st.tuples(
                     st.just("update"), st.integers(0, 6), st.integers(1, 99)
                 ),
+                st.tuples(
+                    st.just("merge"), st.integers(0, 12), st.integers(1, 10)
+                ),
             ),
             min_size=1,
             max_size=5,
@@ -492,6 +495,51 @@ class TestLifecyclePropertyFeatureMatrix:
                 elif op == "update" and created:
                     t.update(spark, f"grp = {a}", {"v": f"v + {b}"})
                     model.loc[model.grp == a, "v"] += b
+                elif op == "merge" and created:
+                    # upsert through the SAME feature stack: negative
+                    # idents keep the CDF-replay key unique vs writes;
+                    # the one non-negative id ({a}) updates when it
+                    # already exists, inserts otherwise
+                    ids = list(range(-(a * 2 + b), -(a * 2))) + [a]
+                    src_rows = pd.DataFrame(
+                        {
+                            "ident": ids,
+                            "grp": [abs(i) % 7 for i in ids],
+                            "v": [abs(i) * 100 + a for i in ids],
+                        }
+                    )
+                    t.merge_into(
+                        spark.createDataFrame(
+                            src_rows, "ident long, grp long, v long"
+                        ).repartition(2),
+                        "target.ident = source.ident",
+                    ).when_matched_update(
+                        set={"v": "source.v"}
+                    ).when_not_matched_insert(
+                        values={
+                            "ident": "source.ident",
+                            "grp": "source.grp",
+                            "v": "source.v",
+                        }
+                    ).execute(spark)
+                    new_rows = []
+                    for i in ids:
+                        hit = model.ident == i
+                        if hit.any():
+                            model.loc[hit, "v"] = abs(i) * 100 + a
+                        else:
+                            new_rows.append(
+                                {
+                                    "ident": i,
+                                    "grp": abs(i) % 7,
+                                    "v": abs(i) * 100 + a,
+                                }
+                            )
+                    if new_rows:
+                        model = pd.concat(
+                            [model, pd.DataFrame(new_rows)],
+                            ignore_index=True,
+                        )
             if not created:
                 return
             want = (
