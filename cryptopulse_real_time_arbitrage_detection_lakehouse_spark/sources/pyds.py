@@ -63,6 +63,7 @@ from pyspark.sql.datasource import (
 
 from . import dv as _dv
 from .delta import (
+    ConcurrentWriteError,
     DeltaTable,
     _as_dict,
     _file_stats,
@@ -1129,16 +1130,20 @@ def _commit_written(
     """Driver-side commit of the adds every task staged. With ``txn``
     (the streaming sink), a replayed batch is detected IN THE LOG and
     its staged files are deleted instead of committed — the delta-spark
-    streaming-sink exactly-once protocol. A commit conflict surfaces
-    `ConcurrentWriteError`; the staged files are then orphans that
-    `vacuum` reaps (same recovery story as a crashed writer)."""
+    streaming-sink exactly-once protocol. A lost commit race on an
+    APPEND retries against the new tail iff the interleaved commits are
+    themselves pure appends (the JVM write path's blind-append rule —
+    per attempt the version, txn replay check, and row-tracking ranges
+    all re-derive against the fresh tail); overwrites and non-append
+    interleavings surface `ConcurrentWriteError`, and the staged files
+    are then orphans that `vacuum` reaps (same recovery story as a
+    crashed writer)."""
     import json
     import time
     import uuid as _uuid
 
     adds = [a for m in messages if m is not None for a in m.adds]
     table = DeltaTable(root)
-    last = table.latest_version()
 
     def discard_staged() -> None:
         for a in adds:
@@ -1146,81 +1151,113 @@ def _commit_written(
             if os.path.exists(fp):
                 os.remove(fp)
 
-    if txn is not None and last is not None:
-        applied = table.last_txn_version(txn[0])
-        if applied is not None and applied >= txn[1]:
-            discard_staged()  # replayed batch: keep the table unchanged
-            return
-    now_ms = int(time.time() * 1000)
-    version = 0 if last is None else last + 1
     n_rows = sum(json.loads(a["stats"])["numRecords"] for a in adds)
-    actions: list[dict] = []
-    if txn is not None:
-        actions.append(
-            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now_ms}}
-        )
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "WRITE",
-                "operationParameters": {
-                    "mode": "Overwrite" if overwrite else "Append"
-                },
-                "operationMetrics": {
-                    "numFiles": str(len(adds)),
-                    "numOutputRows": str(n_rows),
-                },
-            }
-        }
-    )
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-        actions.append(
-            {
-                "metaData": {
-                    "id": _uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": schema.json(),
-                    "partitionColumns": partition_by,
-                    "configuration": {},
-                    "createdTime": now_ms,
-                }
-            }
-        )
-    if overwrite and last is not None:
-        _meta, prior_adds = table._snapshot_state(None)
-        for a in prior_adds:
+    for _attempt in range(20):
+        last = table.latest_version()
+        if txn is not None and last is not None:
+            applied = table.last_txn_version(txn[0])
+            if applied is not None and applied >= txn[1]:
+                discard_staged()  # replayed batch: table unchanged
+                return
+        now_ms = int(time.time() * 1000)
+        version = 0 if last is None else last + 1
+        actions: list[dict] = []
+        if txn is not None:
             actions.append(
                 {
-                    "remove": {
-                        "path": a["path"],
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
+                    "txn": {
+                        "appId": txn[0],
+                        "version": txn[1],
+                        "lastUpdated": now_ms,
                     }
                 }
             )
-    if last is not None:
-        meta_rt, _a, _p, domains = table._snapshot_state_full(
-            None, with_domains=True
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Overwrite" if overwrite else "Append"
+                    },
+                    "operationMetrics": {
+                        "numFiles": str(len(adds)),
+                        "numOutputRows": str(n_rows),
+                    },
+                }
+            }
         )
-        if DeltaTable._row_tracking_enabled(meta_rt):
-            # spec writer duty on row-tracking tables: every add carries
-            # a fresh baseRowId range and the same commit advances the
-            # high-water-mark domain (stable ids derive as
-            # baseRowId + position — no per-row work, O(files) metadata)
-            hwm = table._stamp_fresh_row_ids(
-                adds, DeltaTable._rt_hwm(domains), version
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-            actions.append(DeltaTable._rt_domain_action(hwm))
-    actions.extend({"add": a} for a in adds)
-    try:
-        table._publish_or_conflict(version, actions, "WRITE")
-    except Exception:
-        discard_staged()
-        raise
+            actions.append(
+                {
+                    "metaData": {
+                        "id": _uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema.json(),
+                        "partitionColumns": partition_by,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        if overwrite and last is not None:
+            _meta, prior_adds = table._snapshot_state(None)
+            for a in prior_adds:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": a["path"],
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        if last is not None:
+            meta_rt, _a, _p, domains = table._snapshot_state_full(
+                None, with_domains=True
+            )
+            if DeltaTable._row_tracking_enabled(meta_rt):
+                # spec writer duty on row-tracking tables: every add
+                # carries a fresh baseRowId range and the same commit
+                # advances the high-water-mark domain (stable ids derive
+                # as baseRowId + position); re-stamped per attempt so a
+                # retry allocates above the WINNER's ranges
+                hwm = table._stamp_fresh_row_ids(
+                    adds, DeltaTable._rt_hwm(domains), version
+                )
+                actions.append(DeltaTable._rt_domain_action(hwm))
+        actions.extend({"add": a} for a in adds)
+        try:
+            table._publish_or_conflict(version, actions, "WRITE")
+            return
+        except ConcurrentWriteError:
+            if overwrite:
+                discard_staged()
+                raise
+            latest = table.latest_version()
+            for v2 in range(version, (latest or 0) + 1):
+                for action in table._read_commit(v2):
+                    if any(
+                        k in action
+                        for k in ("metaData", "protocol", "remove")
+                    ):
+                        discard_staged()
+                        raise ConcurrentWriteError(
+                            f"pydelta append on {root} conflicts with a "
+                            f"concurrent non-append commit at version "
+                            f"{v2}; rerun from a fresh snapshot"
+                        )
+            # pure-append tail: rebuild against it and retry
+        except Exception:
+            discard_staged()
+            raise
+    discard_staged()
+    raise ConcurrentWriteError(
+        f"pydelta append on {root} lost {20} consecutive commit races"
+    )
 
 
 def _validate_write_target(

@@ -849,6 +849,101 @@ class TestPyDeltaHonestGates:
                 "append"
             ).save()
 
+    def test_batch_append_retries_past_concurrent_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A pydelta append that loses the commit race (a concurrent
+        pure append lands IN THE WINDOW between version pick and
+        publish) retries against the new tail — the JVM write path's
+        blind-append rule; a concurrent remove-bearing commit surfaces
+        instead."""
+        import json as _json
+        import os as _os
+
+        pyds.register(spark)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 5).select("id"))
+
+        def steal(path, actions):
+            v = DeltaTable(path).latest_version() + 1
+            with open(
+                _os.path.join(path, "_delta_log", f"{v:020d}.json"), "w"
+            ) as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        orig = DeltaTable._publish_or_conflict
+        state = {"arm": None}
+
+        def racy(self, version, actions, op):
+            if state["arm"] is not None and self.path == t.path:
+                arm, state["arm"] = state["arm"], None
+                steal(t.path, arm)
+            return orig(self, version, actions, op)
+
+        monkeypatch.setattr(DeltaTable, "_publish_or_conflict", racy)
+        # the DS commit() runs in a Python worker, out of monkeypatch
+        # reach — drive the driver-side commit function DIRECTLY (same
+        # code path the worker executes)
+        import pyarrow as pa
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaCommitMessage,
+            _commit_written,
+            _write_task_files,
+        )
+
+        def staged(lo, hi):
+            batches = pa.table(
+                {"id": list(range(lo, hi))}
+            ).to_batches()
+            return [
+                PyDeltaCommitMessage(
+                    _write_task_files(iter(batches), t.path, [])
+                )
+            ]
+
+        id_schema = spark.range(1).select("id").schema
+        # (a) race vs a pure append: retry lands one slot later
+        state["arm"] = [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}}
+        ]
+        before = t.latest_version()
+        _commit_written(
+            t.path, staged(5, 8), schema=id_schema, partition_by=[],
+            overwrite=False, txn=None,
+        )
+        assert t.latest_version() == before + 2  # stolen + retried
+        assert t.read(spark).count() == 8
+        # (b) race vs a remove-bearing commit: surfaces, files discarded
+        _m, adds = t._snapshot_state(None)
+        state["arm"] = [
+            {
+                "remove": {
+                    "path": adds[0]["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        ]
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            ConcurrentWriteError,
+        )
+
+        msgs = staged(8, 9)
+        with pytest.raises(ConcurrentWriteError, match="non-append"):
+            _commit_written(
+                t.path, msgs, schema=id_schema, partition_by=[],
+                overwrite=False, txn=None,
+            )
+        # the orphaned staging was cleaned up
+        import os as _os2
+
+        for a in msgs[0].adds:
+            assert not _os2.path.exists(
+                _os2.path.join(t.path, a["path"])
+            )
+
     def test_writer_stamps_row_tracking(self, spark, tmp_path):
         """pydelta appends to a row-tracked table allocate fresh
         baseRowId ranges and advance the hwm domain in the same commit
