@@ -249,7 +249,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 v = t.sync_identity(spark)
                 print(f"SYNC IDENTITY committed version {v}")
             elif args.delta_cmd == "fsck":
-                v, missing = t.fsck_repair(dry_run=args.dry_run)
+                v, missing = t.fsck_repair(dry_run=args.dry_run, spark=spark)
                 if not missing:
                     print("FSCK: all referenced files present")
                 elif args.dry_run:

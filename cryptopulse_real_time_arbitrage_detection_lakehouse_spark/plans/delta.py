@@ -2361,7 +2361,7 @@ def delta_maintenance_lifecycle_audit(
         scan_failed = 0
     except Exception:
         scan_failed = 1
-    _v, missing = table.fsck_repair()
+    _v, missing = table.fsck_repair(spark=spark)
     table.sync_identity(spark)
     got = table.read(spark)
     n_rows = got.count()

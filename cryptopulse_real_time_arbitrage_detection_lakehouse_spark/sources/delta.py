@@ -4991,7 +4991,7 @@ class DeltaTable:
         return self._publish_or_conflict(base + 1, actions, "RESTORE")
 
     def fsck_repair(
-        self, *, dry_run: bool = False
+        self, *, dry_run: bool = False, spark: SparkSession | None = None
     ) -> tuple[int | None, list[str]]:
         """FSCK REPAIR TABLE (delta-spark's verb): find data files the
         snapshot references that no longer exist on disk (deleted or
@@ -5003,20 +5003,51 @@ class DeltaTable:
         Returns ``(committed version | None, missing paths)`` — None
         when nothing was missing or on a dry run. Missing DV sidecars
         are NOT repaired (the base file still exists; dropping it would
-        resurrect deleted rows — that corruption needs RESTORE)."""
+        resurrect deleted rows — that corruption needs RESTORE).
+
+        With ``spark``, the existence probe DISTRIBUTES (one stat call
+        per file across the executors — a million-file table stats in
+        parallel, the delta-spark FSCK shape); without it, a driver-side
+        loop (fine for maintenance on small/medium tables)."""
         base = self.latest_version()
         if base is None:
             raise ValueError(f"no such table: {self.path}")
         _meta, adds = self._snapshot_state(None)
-        missing = sorted(
-            a["path"]
-            for a in adds
-            if not os.path.exists(
-                # shallow-clone externals decode to absolute paths, and
-                # os.path.join yields them unchanged — both layouts check
-                os.path.join(self.path, urllib.parse.unquote(a["path"]))
-            )
+        # shallow-clone externals decode to absolute paths, and
+        # os.path.join yields them unchanged — both layouts check
+        full_of = lambda rel: os.path.join(  # noqa: E731
+            self.path, urllib.parse.unquote(rel)
         )
+        if spark is not None and adds:
+            def probe(batches):
+                import os as _os
+
+                import pandas as _pd
+
+                for pdf in batches:
+                    gone = [
+                        rel
+                        for rel, full in zip(pdf["rel"], pdf["full"])
+                        if not _os.path.exists(full)
+                    ]
+                    yield _pd.DataFrame({"rel": gone})
+
+            paths_df = spark.createDataFrame(
+                [(a["path"], full_of(a["path"])) for a in adds],
+                "rel string, full string",
+            )
+            missing = sorted(
+                r["rel"]
+                for r in paths_df.repartition(
+                    min(32, max(1, len(adds) // 64 + 1))
+                )
+                .mapInPandas(probe, "rel string")
+                .collect()
+            )
+        else:
+            missing = sorted(
+                a["path"] for a in adds if not os.path.exists(full_of(a["path"]))
+            )
         if dry_run or not missing:
             return None, missing
         now_ms = int(time.time() * 1000)
