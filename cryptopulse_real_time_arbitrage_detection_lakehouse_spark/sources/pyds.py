@@ -1039,9 +1039,35 @@ def _physical_table(tbl, schema_json: dict, id_mode: bool):
     return pa.Table.from_arrays(cols, schema=pa.schema(fields))
 
 
+def _check_constraint_violations(tbl, conjuncts) -> int:
+    """Rows where the ANDed conjuncts evaluate FALSE — SQL CHECK
+    semantics: a NULL comparison passes (Kleene), only a definite
+    False violates."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, val in conjuncts:
+        arr = tbl.column(col)
+        cmp = {
+            "=": pc.equal,
+            "<": pc.less,
+            "<=": pc.less_equal,
+            ">": pc.greater,
+            ">=": pc.greater_equal,
+        }[op](arr, pa.scalar(val))
+        mask = cmp if mask is None else pc.and_kleene(mask, cmp)
+    if mask is None:
+        return 0
+    return pc.sum(
+        pc.fill_null(pc.invert(mask.combine_chunks()), False)
+    ).as_py() or 0
+
+
 def _write_task_files(
     batches, root: str, partition_by: list[str],
     mapping_spec: tuple[str, bool] | None = None,
+    constraints: list[tuple[str, list]] | None = None,
 ) -> list[dict]:
     """Executor-side: write this task's arrow batches as parquet data
     files DIRECTLY under the table root (Delta visibility == log
@@ -1065,6 +1091,14 @@ def _write_task_files(
     if not batches:
         return []
     tbl = pa.Table.from_batches(batches)
+    for cname, conjs in constraints or []:
+        n_bad = _check_constraint_violations(tbl, conjs)
+        if n_bad:
+            raise ValueError(
+                f"CHECK constraint {cname!r} violated by {n_bad} row(s) "
+                "in this write (validated executor-side; nothing was "
+                "committed)"
+            )
     if mapping_spec is not None:
         schema_json = json.loads(mapping_spec[0])
         tbl = _physical_table(tbl, schema_json, mapping_spec[1])
@@ -1262,7 +1296,7 @@ def _commit_written(
 
 def _validate_write_target(
     root: str, schema: T.StructType, partition_by: list[str]
-) -> tuple[str, bool] | None:
+) -> tuple[tuple[str, bool] | None, list[tuple[str, list]]]:
     """Fail fast ON THE DRIVER before any task runs: schema and
     partitioning must match an existing table exactly (the pydelta write
     path has no evolution support — `DeltaTable.write` does), and
@@ -1283,7 +1317,7 @@ def _validate_write_target(
             )
     table = DeltaTable(root)
     if table.latest_version() is None:
-        return None
+        return None, []
     meta, _ = table._snapshot_state(None)
     mapping_spec: tuple[str, bool] | None = None
     mode = DeltaTable._mapping_mode(meta)
@@ -1302,13 +1336,21 @@ def _validate_write_target(
             )
         mapping_spec = (meta["schemaString"], mode == "id")
     conf = meta.get("configuration") or {}
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise NotImplementedError(
-            "pydelta writes to tables with CHECK constraints are not "
-            "supported (this writer does not validate them, and a "
-            "non-validating write would silently break the table "
-            "invariant); use DeltaTable.write"
-        )
+    constraints: list[tuple[str, list]] = []
+    for k in sorted(conf):
+        if not k.startswith("delta.constraints."):
+            continue
+        expr = conf[k]
+        try:
+            conjs = _parse_conjuncts_strict(expr)
+        except Exception:
+            raise NotImplementedError(
+                f"pydelta writes validate only simple-conjunction CHECK "
+                f"constraints (col OP literal AND ...); {k!r} = {expr!r} "
+                "does not decompose — a non-validating write would "
+                "silently break the invariant; use DeltaTable.write"
+            ) from None
+        constraints.append((k[len("delta.constraints."):], conjs))
     if DeltaTable._generation_exprs(meta):
         raise NotImplementedError(
             "pydelta writes to tables with GENERATED columns are not "
@@ -1333,7 +1375,7 @@ def _validate_write_target(
         raise ValueError(
             f"partitionBy {partition_by} != table's {table_parts}"
         )
-    return mapping_spec
+    return mapping_spec, constraints
 
 
 def _opt_partition_by(opts: dict) -> list[str]:
@@ -1354,14 +1396,15 @@ class PyDeltaBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._partition_by = _opt_partition_by(opts)
         self._schema = schema
-        self._mapspec = _validate_write_target(
+        self._mapspec, self._constraints = _validate_write_target(
             self._root, schema, self._partition_by
         )
 
     def write(self, iterator) -> PyDeltaCommitMessage:
         return PyDeltaCommitMessage(
             _write_task_files(
-                iterator, self._root, self._partition_by, self._mapspec
+                iterator, self._root, self._partition_by, self._mapspec,
+                self._constraints,
             )
         )
 
@@ -1419,14 +1462,15 @@ class PyDeltaStreamWriter(DataSourceStreamArrowWriter):
                     "one from)"
                 )
         self._app_id = app_id
-        self._mapspec = _validate_write_target(
+        self._mapspec, self._constraints = _validate_write_target(
             self._root, schema, self._partition_by
         )
 
     def write(self, iterator) -> PyDeltaCommitMessage:
         return PyDeltaCommitMessage(
             _write_task_files(
-                iterator, self._root, self._partition_by, self._mapspec
+                iterator, self._root, self._partition_by, self._mapspec,
+                self._constraints,
             )
         )
 

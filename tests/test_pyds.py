@@ -826,17 +826,43 @@ class TestPyDeltaHonestGates:
                     .awaitTermination(60)
                 )
 
-    def test_writer_refuses_constraint_and_generated_tables(
+    def test_writer_validates_simple_constraints_refuses_complex(
         self, spark, tmp_path
     ):
+        """Simple-conjunction CHECK constraints validate EXECUTOR-side
+        (SQL NULL-passes semantics); a constraint the strict parser
+        cannot decompose refuses up front — never a silent skip."""
         pyds.register(spark)
         t = DeltaTable(str(tmp_path / "t"))
         t.write(spark.range(0, 5).select("id"))
         t.add_check_constraint("id_nonneg", "id >= 0")
-        with pytest.raises(Exception, match="CHECK constraints"):
-            spark.range(5, 8).select("id").write.format("pydelta").option(
-                "path", t.path
+        # satisfying rows write fine (the constraint was CHECKED)
+        spark.range(5, 8).select("id").write.format("pydelta").option(
+            "path", t.path
+        ).mode("append").save()
+        assert t.read(spark).count() == 8
+        # violating rows abort the write atomically
+        with pytest.raises(Exception, match="id_nonneg"):
+            spark.createDataFrame([(-1,)], "id long").write.format(
+                "pydelta"
+            ).option("path", t.path).mode("append").save()
+        assert t.read(spark).count() == 8  # nothing landed
+        # NULL passes CHECK (SQL semantics)
+        spark.createDataFrame([(None,)], "id long").write.format(
+            "pydelta"
+        ).option("path", t.path).mode("append").save()
+        assert t.read(spark).count() == 9
+        # a non-decomposable constraint refuses loudly
+        c = DeltaTable(str(tmp_path / "c"))
+        c.write(spark.range(0, 3).select("id"))
+        c.add_check_constraint("odd_or_small", "id % 2 = 1 OR id < 2")
+        with pytest.raises(Exception, match="does not decompose"):
+            spark.range(3, 4).select("id").write.format("pydelta").option(
+                "path", c.path
             ).mode("append").save()
+
+    def test_writer_refuses_generated_tables(self, spark, tmp_path):
+        pyds.register(spark)
         g = DeltaTable(str(tmp_path / "g"))
         g.write(
             spark.range(0, 5).select("id"),
