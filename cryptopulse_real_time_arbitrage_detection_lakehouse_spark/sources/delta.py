@@ -134,11 +134,14 @@ def _as_dict(pv) -> dict:
 
 def _file_stats(md) -> dict:
     """Delta per-file stats from a parquet footer: numRecords plus
-    min/max/nullCount per top-level column (the data-skipping payload —
-    PROTOCOL.md 'Per-file Statistics'). Columns whose footer stats are
-    absent in any row group, nested, or of a type without a total-order
-    JSON encoding (bytes, decimals) are omitted — skipping must only ever
-    prune files it can PROVE empty for a predicate."""
+    min/max/nullCount per column (the data-skipping payload —
+    PROTOCOL.md 'Per-file Statistics'). NESTED STRUCT fields nest in the
+    stats JSON exactly as the spec prescribes ({"s": {"x": 1}}), so
+    skipping works on clustering keys inside structs; paths through
+    array/map elements and columns whose footer stats are absent in any
+    row group or of a type without a total-order JSON encoding (bytes,
+    decimals) are omitted — skipping must only ever prune files it can
+    PROVE empty for a predicate."""
     import datetime
 
     mins: dict = {}
@@ -163,8 +166,13 @@ def _file_stats(md) -> dict:
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
-            if "." in name or name in bad:
+            if name in bad:
                 continue
+            if "." in name and any(
+                seg in ("list", "element", "key_value", "key", "value")
+                for seg in name.split(".")
+            ):
+                continue  # array/map interior: no stats contract
             st = col.statistics
             if st is None or not st.has_min_max:
                 bad.add(name)
@@ -187,17 +195,32 @@ def _file_stats(md) -> dict:
         mins.pop(name, None)
         maxs.pop(name, None)
         nulls.pop(name, None)
+
+    def nest(flat: dict) -> dict:
+        out: dict = {}
+        for k, v in flat.items():
+            cur = out
+            parts = k.split(".")
+            for seg in parts[:-1]:
+                cur = cur.setdefault(seg, {})
+                if not isinstance(cur, dict):  # pragma: no cover
+                    break
+            else:
+                cur[parts[-1]] = v
+        return out
+
     out: dict = {"numRecords": md.num_rows}
     if mins:
-        out["minValues"] = mins
-        out["maxValues"] = maxs
-        out["nullCount"] = nulls
+        out["minValues"] = nest(mins)
+        out["maxValues"] = nest(maxs)
+        out["nullCount"] = nest(nulls)
     return out
 
 
 #: simple conjunct: `col op literal` — the skippable subset of a WHERE
 _CMP_RE = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)"
+    r"\s*(<=|>=|==|=|<|>)\s*"
     r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
 
@@ -314,9 +337,18 @@ def _file_may_match(
                 lo = hi = raw
         else:
             p = phys(col)
-            if p not in mins or p not in maxs:
+
+            def stat_at(d: dict, dotted: str):
+                cur: object = d
+                for seg in dotted.split("."):
+                    if not isinstance(cur, dict):
+                        return None
+                    cur = cur.get(seg)
+                return None if isinstance(cur, dict) else cur
+
+            lo, hi = stat_at(mins, p), stat_at(maxs, p)
+            if lo is None or hi is None:
                 continue
-            lo, hi = mins[p], maxs[p]
         try:
             if op == "=" and (val < lo or val > hi):
                 return False
@@ -331,6 +363,31 @@ def _file_may_match(
         except TypeError:
             continue  # string literal vs numeric stats etc.: no pruning
     return True
+
+
+def _phys_path_fn(meta: dict):
+    """Logical (possibly dotted) column path -> dotted PHYSICAL path
+    for stats lookup / file pruning; identity for unmapped tables and
+    unknown paths (a miss answers may-match, the sound direction)."""
+    schema_json = json.loads(meta["schemaString"])
+
+    def resolve(col: str) -> str:
+        fields = schema_json.get("fields", [])
+        segs: list[str] = []
+        for seg in col.split("."):
+            fj = next((f for f in fields if f["name"] == seg), None)
+            if fj is None:
+                return col
+            segs.append(
+                (fj.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", seg
+                )
+            )
+            t = fj["type"]
+            fields = t.get("fields", []) if isinstance(t, dict) else []
+        return ".".join(segs)
+
+    return resolve
 
 
 def _arrow_names_differ(pa_type, dt: T.DataType) -> bool:
@@ -973,10 +1030,11 @@ class DeltaTable:
         if where is not None:
             conjuncts = _parse_conjuncts(where)
             if conjuncts:
+                phys_path = _phys_path_fn(meta)
                 adds = [
                     a
                     for a in adds
-                    if _file_may_match(a, conjuncts, part_cols, phys)
+                    if _file_may_match(a, conjuncts, part_cols, phys_path)
                 ]
 
         # deletion vectors: the driver touches only the COMPRESSED blobs

@@ -65,6 +65,7 @@ from . import dv as _dv
 from .delta import (
     ConcurrentWriteError,
     DeltaTable,
+    _phys_path_fn,
     _as_dict,
     _file_stats,
     _arrow_names_differ,
@@ -334,10 +335,11 @@ class PyDeltaReader(DataSourceReader):
         adds = self._adds
         conjuncts = self._conjuncts
         if conjuncts:
+            phys_path = _phys_path_fn(self._meta)
             adds = [
                 a
                 for a in adds
-                if _file_may_match(a, conjuncts, self._part_cols, phys)
+                if _file_may_match(a, conjuncts, self._part_cols, phys_path)
             ]
         out = []
         types = self._spark_types
@@ -512,7 +514,7 @@ def _read_partition(
         import pyarrow.compute as pc
 
         for col, op, val in partition.conjuncts:
-            field = pc.field(col)
+            field = pc.field(*col.split("."))
             expr = {
                 "=": field == val,
                 "<": field < val,

@@ -972,6 +972,59 @@ class TestDataSkipping:
         assert len(both.inputFiles()) == 2
         assert {r.id for r in both.collect()} == set(range(30, 60))
 
+    def test_nested_struct_field_skipping(self, spark, tmp_path):
+        """Stats nest for struct fields (spec shape {"s": {"x": 1}}) and
+        read(where='s.x >= k') prunes files on them — including through
+        a column-mapped nested rename (physical-path stats lookup)."""
+        t = DeltaTable(str(tmp_path / "t"))
+        for lo in (0, 50):  # two range-disjoint files on s.x
+            t.write(
+                spark.range(lo, lo + 50)
+                .select(
+                    F.col("id"),
+                    F.struct(
+                        F.col("id").alias("x"),
+                        F.col("id").cast("string").alias("y"),
+                    ).alias("s"),
+                )
+                .coalesce(1)
+            )
+        _m, adds = t._snapshot_state(None)
+        stats = json.loads(sorted(adds, key=lambda a: a["path"])[0]["stats"])
+        assert stats["minValues"]["s"]["x"] == 0
+        assert stats["maxValues"]["s"]["x"] == 49
+        pruned = t.read(spark, where="s.x >= 60")
+        assert len(pruned.inputFiles()) == 1
+        assert pruned.count() == 40
+        # mapped + nested-renamed: the resolver walks physical segments
+        t.enable_column_mapping()
+        t.rename_column("s.x", "bucket")
+        t.write(
+            spark.range(100, 150)
+            .select(
+                F.col("id"),
+                F.struct(
+                    F.col("id").alias("bucket"),
+                    F.col("id").cast("string").alias("y"),
+                ).alias("s"),
+            )
+            .coalesce(1)
+        )
+        pruned2 = t.read(spark, where="s.bucket >= 110")
+        assert len(pruned2.inputFiles()) == 1  # only the 100-149 file
+        assert pruned2.count() == 40
+        # the pydelta source prunes on the same nested predicate
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources import pyds
+
+        pyds.register(spark)
+        out = (
+            spark.read.format("pydelta")
+            .option("path", t.path)
+            .option("where", "s.bucket >= 110")
+            .load()
+        )
+        assert out.count() == 40
+
     def test_unparseable_predicate_prunes_nothing_but_filters(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
         for lo in (0, 50):
