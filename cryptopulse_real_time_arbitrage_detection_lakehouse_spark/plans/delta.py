@@ -2289,6 +2289,70 @@ def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_nested_skipping_audit",
+    oracle="""
+WITH v AS (SELECT value FROM events WHERE event_type = 'view'),
+     q AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM v),
+     hi AS (SELECT CAST(max(cents) AS DOUBLE) * 0.9 AS cut FROM q)
+SELECT count(*) AS n_rows,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(1 AS BIGINT) AS files_scanned,
+       CAST(1 AS BIGINT) AS stats_nested
+FROM q, hi WHERE q.cents >= hi.cut
+""",
+    doc="Nested data skipping behind a correctness row: view events land "
+    "as struct<cents,label> rows RANGE-SORTED into 3 files on the "
+    "nested field (repartitionByRange — each file carries a narrow "
+    "s.cents span in its NESTED stats, the spec's {\"s\":{\"cents\":..}} "
+    "shape), then read(where='s.cents >= cut') must list EXACTLY the "
+    "one file whose span reaches the top decile — proved via "
+    "inputFiles(), the log-level prune, not parquet row-group "
+    "pruning — and return the exact row count the oracle recomputes "
+    "from raw events. At 100 TB this is why clustering on a nested "
+    "key is worth anything: the stats and the prune follow the key "
+    "into the struct.",
+    tags=("delta", "pushdown", "statistics", "metadata"),
+)
+def delta_nested_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpnest_") + "/events_delta")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.struct(
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("event_type").alias("label"),
+        ).alias("s"),
+        "event_id",
+    )
+    table.write(
+        views.repartitionByRange(3, F.col("s.cents")).sortWithinPartitions(
+            F.col("s.cents")
+        )
+    )
+    _m, adds = table._snapshot_state(None)
+    import json as _json
+
+    stats_nested = int(
+        all(
+            isinstance(
+                _json.loads(a["stats"])["minValues"].get("s"), dict
+            )
+            for a in adds
+        )
+    )
+    cut = float(
+        table.read(spark).agg(F.max("s.cents")).first()[0]
+    ) * 0.9
+    pruned = table.read(spark, where=f"s.cents >= {cut}")
+    files_scanned = len(pruned.inputFiles())
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(adds)).cast("long").alias("files_total"),
+        F.lit(files_scanned).cast("long").alias("files_scanned"),
+        F.lit(stats_nested).cast("long").alias("stats_nested"),
+    )
+
+
+@register(
     "delta_maintenance_lifecycle_audit",
     oracle="""
 WITH c AS (SELECT count(*) AS n FROM events WHERE event_type = 'click'),
