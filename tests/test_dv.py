@@ -498,9 +498,13 @@ class TestLifecyclePropertyFeatureMatrix:
                 elif op == "merge" and created:
                     # upsert through the SAME feature stack: negative
                     # idents keep the CDF-replay key unique vs writes;
-                    # the one non-negative id ({a}) updates when it
-                    # already exists, inserts otherwise
-                    ids = list(range(-(a * 2 + b), -(a * 2))) + [a]
+                    # the one non-negative probe id stays WITHIN the
+                    # already-allocated id space (a never-allocated
+                    # positive id would collide with a later write and
+                    # duplicate the replay key — hypothesis found it)
+                    ids = list(range(-(a * 2 + b), -(a * 2))) + [
+                        a % max(next_id, 1)
+                    ]
                     src_rows = pd.DataFrame(
                         {
                             "ident": ids,
