@@ -116,6 +116,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="ALTER TABLE SYNC IDENTITY: recompute identity "
         "highWaterMarks from the table data",
     )
+    cb = dsub.add_parser(
+        "cluster-by",
+        help="ALTER TABLE CLUSTER BY (liquid clustering): declare 1-2 "
+        "clustering columns (dotted paths reach nested struct fields); "
+        "a later bare `compact` executes the layout",
+    )
+    cb.add_argument(
+        "columns", help="comma-separated column (or s.x path) list"
+    )
     fs = dsub.add_parser(
         "fsck",
         help="FSCK REPAIR TABLE: drop log entries whose data files "
@@ -248,6 +257,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             elif args.delta_cmd == "sync-identity":
                 v = t.sync_identity(spark)
                 print(f"SYNC IDENTITY committed version {v}")
+            elif args.delta_cmd == "cluster-by":
+                cols = [
+                    c.strip() for c in args.columns.split(",") if c.strip()
+                ]
+                v = t.set_cluster_by(cols)
+                print(
+                    f"CLUSTER BY ({', '.join(cols)}) committed version {v}"
+                )
             elif args.delta_cmd == "fsck":
                 v, missing = t.fsck_repair(dry_run=args.dry_run, spark=spark)
                 if not missing:

@@ -230,6 +230,34 @@ class TestCliFeatureLifecycleVerbs:
         got = sorted(r.id for r in t.read(spark).collect())
         assert got == [5, 6, 7, 8]
 
+    def test_cluster_by_verb(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import main
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / "t")
+        t = DeltaTable(root)
+        t.write(
+            spark.range(0, 40)
+            .select(F.col("id"), (F.col("id") % 5).alias("g"))
+            .repartition(4)
+        )
+        rc = main(["delta", "--path", root, "cluster-by", "g"], spark=spark)
+        assert rc == 0
+        assert "CLUSTER BY (g) committed" in capsys.readouterr().out
+        assert t.cluster_by() == ["g"]
+        # a bare compact then executes the declared layout
+        rc = main(
+            ["delta", "--path", root, "compact", "--target-files", "2"],
+            spark=spark,
+        )
+        assert rc == 0
+        assert "OPTIMIZE committed" in capsys.readouterr().out
+        assert t.read(spark).count() == 40
+
     def test_sync_identity_verb(self, spark, tmp_path, capsys):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
