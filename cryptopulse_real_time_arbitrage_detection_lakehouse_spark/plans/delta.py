@@ -2790,3 +2790,319 @@ def delta_drop_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "delta_mapped_stream_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_amount
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+""",
+    doc="STREAMING read of a column-mapped, renamed table as a "
+    "driver-checkable row (round-6 verdict item 3 — X139 was "
+    "tests-only): click+view land, column mapping is enabled, 'value' "
+    "is renamed to 'amount' (metadata-only — zero bytes rewritten, the "
+    "property that matters when the column lives in 100 TB of "
+    "parquet), and a purchase append stages files under the NEW "
+    "logical name. The table is then drained as a checkpointed STREAM "
+    "(S2): the stream schema must surface logical names and reconcile "
+    "BOTH file generations through the mapping, per micro-batch, the "
+    "same cast path the batch reader uses. The oracle recomputes the "
+    "aggregate from raw events, blind to the rename — green certifies "
+    "pre-rename files, post-rename files, and the streaming projection "
+    "agree to the value level.",
+    tags=("delta", "streaming", "column-mapping", "schema-evolution"),
+)
+def delta_mapped_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpmaps_") + "/events_delta")
+    table.write(
+        events.filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "event_type", "value")
+        .repartition(1)
+    )
+    table.enable_column_mapping()
+    table.rename_column("value", "amount")
+    table.write(
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "event_type", F.col("value").alias("amount")
+        )
+        .repartition(1)
+    )
+    root = tempfile.mkdtemp(prefix="cpmaps_out_")
+    out_path = os.path.join(root, "out")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                table.read_stream(spark),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="delta_mapped_stream_audit",
+            )
+        )
+    drained = spark.read.parquet(out_path)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("amount").alias("total_amount")
+    )
+
+
+@register(
+    "pyds_mapped_stream_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_amount
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+""",
+    doc="ID-MODE column mapping through the pydelta LOG-TAILING stream "
+    "source (round-6 verdict item 3 — X140 was tests-only): the table "
+    "is CREATED in id mode (columns resolve by parquet field id, the "
+    "layout Iceberg-compat converts produce — a name-matching reader "
+    "would misread it), takes click+view, renames 'value' to 'amount' "
+    "(field ids are what make this metadata-only), then appends "
+    "purchases under the new logical name. The pydelta stream tails "
+    "the log commit-by-commit; every executor resolves its file's "
+    "columns through the FOOTER field ids, both file generations "
+    "reconciling to logical names per micro-batch. The oracle "
+    "recomputes from raw events, blind to mapping and rename.",
+    tags=("delta", "streaming", "python-datasource", "column-mapping"),
+)
+def pyds_mapped_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources import pyds
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cppydsm_") + "/events_delta")
+    table.create(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        mapping_mode="id",
+    )
+    table.write(
+        events.filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "event_type", "value")
+        .repartition(1)
+    )
+    table.rename_column("value", "amount")
+    table.write(
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "event_type", F.col("value").alias("amount"))
+        .repartition(1)
+    )
+    pyds.register(spark)
+    root = tempfile.mkdtemp(prefix="cppydsm_out_")
+    out_path = os.path.join(root, "out")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                spark.readStream.format("pydelta")
+                .option("path", table.path)
+                .load(),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="pyds_mapped_stream_audit",
+            )
+        )
+    drained = spark.read.parquet(out_path)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("amount").alias("total_amount")
+    )
+
+
+@register(
+    "delta_vacuum_protocol_audit",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       1 AS feature_fenced_mid, 1 AS vacuum_reclaimed,
+       1 AS feature_gone_after_drop, 1 AS reader_demoted
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+""",
+    doc="vacuumProtocolCheck LIFECYCLE as a driver-checkable row "
+    "(round-6 verdict item 3 — X181 was tests-only): click lands, the "
+    "reader-writer feature is enabled (reader v3 + both feature "
+    "lists), view appends and an OPTIMIZE compaction run UNDER the "
+    "fence, VACUUM(0) — which per the feature must consult the WRITER "
+    "protocol before deleting — reclaims the superseded pre-compaction "
+    "files, the behavioral feature is DROPPED (no history truncation "
+    "needed: it leaves no log traces), the protocol demotes to reader "
+    "v1, and purchases append post-drop. Flags assert each lifecycle "
+    "stage; row counts prove no data was harmed at any stage. The "
+    "vacuum-refuses-unknown-writer-feature half of the contract is "
+    "pytest-pinned (a registered query can't commit a foreign "
+    "protocol).",
+    tags=("delta", "protocol-features", "vacuum", "maintenance"),
+)
+def delta_vacuum_protocol_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpvpc_") + "/events_delta")
+    table.write(
+        events.filter(F.col("event_type") == "click")
+        .select("event_id", "event_type", "value")
+        .repartition(2)
+    )
+    table.enable_vacuum_protocol_check()
+    _m, _a, proto = table._snapshot_state_full(None)
+    feature_fenced_mid = int(
+        "vacuumProtocolCheck" in (proto.get("readerFeatures") or [])
+        and "vacuumProtocolCheck" in (proto.get("writerFeatures") or [])
+        and proto.get("minReaderVersion") == 3
+    )
+    table.write(
+        events.filter(F.col("event_type") == "view")
+        .select("event_id", "event_type", "value")
+        .repartition(2)
+    )
+    table.compact(spark)
+    vacuum_reclaimed = int(len(table.vacuum(retention_ms=0, force=True)) > 0)
+    table.drop_feature("vacuumProtocolCheck")
+    _m, _a, proto = table._snapshot_state_full(None)
+    feature_gone = int(
+        "vacuumProtocolCheck" not in (proto.get("writerFeatures") or [])
+        and "vacuumProtocolCheck" not in (proto.get("readerFeatures") or [])
+    )
+    reader_demoted = int(proto.get("minReaderVersion") == 1)
+    table.write(
+        events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "event_type", "value"
+        )
+    )
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(feature_fenced_mid).alias("feature_fenced_mid"),
+            F.lit(vacuum_reclaimed).alias("vacuum_reclaimed"),
+            F.lit(feature_gone).alias("feature_gone_after_drop"),
+            F.lit(reader_demoted).alias("reader_demoted"),
+        )
+    )
+
+
+@register(
+    "pyds_rate_limit_audit",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       1 AS bounded_batches, 1 AS multiple_batches
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+  AND event_id % 4 = 0
+GROUP BY event_type
+""",
+    doc="maxFilesPerTrigger admission control on the pydelta stream "
+    "source, end to end (round-6 verdict item 3 — X163 was "
+    "tests-only): click lands as v0, a continuous stream with "
+    "maxFilesPerTrigger=2 starts and drains it (the FIRST batch of a "
+    "run is unbounded — the Python DS API calls latestOffset before "
+    "initialOffset, documented in the reader), then four more "
+    "single-file commits land. Every later micro-batch may admit at "
+    "most 2 files' worth of whole commits, so the four commits need "
+    ">=2 further batches, and no post-first batch exceeds the two "
+    "largest commits' combined rows — both observed from the live "
+    "query's progress log, not assumed. This is the admission control "
+    "that keeps steady-state tailing from ballooning at 100 TB: a "
+    "burst of commits drains as several bounded batches instead of "
+    "one huge one whose shuffle must fit in memory at once. Row "
+    "counts per type prove exactly-once was never traded for "
+    "admission (event_id % 4 thins the slices so the audit stays "
+    "cheap at every SF).",
+    tags=("delta", "streaming", "python-datasource", "rate-limiting"),
+)
+def pyds_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from ..sources import pyds
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 4 == 0
+    )
+
+    def slice_of(etype: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .select("event_id", "event_type", "value")
+            .repartition(1)
+        )
+
+    counts = {
+        e: slice_of(e).count()
+        for e in ("click", "error", "purchase", "signup", "view")
+    }
+    table = DeltaTable(tempfile.mkdtemp(prefix="cprate_") + "/events_delta")
+    table.write(slice_of("click"))  # v0: consumed by the unbounded batch
+    pyds.register(spark)
+    root = tempfile.mkdtemp(prefix="cprate_out_")
+    out_path = os.path.join(root, "out")
+
+    def rows_in_sink() -> int:
+        try:
+            return spark.read.parquet(out_path).count()
+        except Exception:
+            return 0
+
+    def wait_rows(target: int, timeout: float = 120.0) -> None:
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if rows_in_sink() >= target:
+                return
+            _time.sleep(0.25)
+        raise TimeoutError(
+            f"pydelta sink never reached {target} rows "
+            f"(has {rows_in_sink()})"
+        )
+
+    with scoped_shuffle_partitions(spark):
+        q = (
+            spark.readStream.format("pydelta")
+            .option("path", table.path)
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(processingTime="250 milliseconds")
+            .queryName("pyds_rate_limit_audit")
+            .start()
+        )
+        try:
+            # v0 fully consumed -> the admission cursor is learned;
+            # every batch from here on is budget-bounded
+            wait_rows(counts["click"])
+            for etype in ("error", "purchase", "signup", "view"):
+                table.write(slice_of(etype))  # v1..v4, one file each
+            wait_rows(sum(counts.values()))
+            batch_rows = [
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+    # 4 single-file commits / 2-file budget -> >= 2 bounded batches, and
+    # none may exceed the two largest commits' combined rows
+    post_first = batch_rows[1:]
+    two_largest = sum(
+        sorted((counts[e] for e in ("error", "purchase", "signup", "view")),
+               reverse=True)[:2]
+    )
+    bounded = int(
+        len(post_first) >= 1 and all(n <= two_largest for n in post_first)
+    )
+    multiple = int(len(post_first) >= 2)
+    drained = spark.read.parquet(out_path)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(bounded).alias("bounded_batches"),
+        F.lit(multiple).alias("multiple_batches"),
+    )

@@ -418,9 +418,11 @@ def _arrow_to_logical_names(arr, dt: T.DataType):
     """Rename nested struct fields POSITIONALLY physical -> logical in an
     arrow array — the pure-python (`to_pandas`, ``pydelta``) twin of the
     Spark scan's positional struct cast. Structs at any depth are
-    rebuilt; a renamed field inside array/map ELEMENTS is refused loudly
-    (`rename_column` never creates that shape — only a foreign writer
-    can — and silently misreading it would be worse than the gate)."""
+    rebuilt, INCLUDING inside array/map elements (list and map arrays
+    are rebuilt around their recursively-renamed children, reusing the
+    original validity/offset buffers — zero data copied); an
+    exotic container this rebuild does not reach (fixed-size list,
+    union) is refused loudly rather than silently misread."""
     import pyarrow as pa
 
     if isinstance(dt, T.StructType) and pa.types.is_struct(arr.type):
@@ -448,12 +450,51 @@ def _arrow_to_logical_names(arr, dt: T.DataType):
 
             mask = pc.is_null(arr)
         return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
-    if _arrow_names_differ(arr.type, dt):
-        raise NotImplementedError(
-            "renamed struct fields inside array/map elements cannot be "
-            "projected by the pure-python readers; use the Spark read path"
+    if not _arrow_names_differ(arr.type, dt):
+        return arr
+    if isinstance(dt, T.ArrayType) and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        # rebuild the list around the renamed values child: the
+        # validity+offsets buffers (buffers()[:2] — buffers() is
+        # depth-first, top level leads) are reused verbatim, so slices
+        # and nulls survive and no row data moves
+        values = _arrow_to_logical_names(arr.values, dt.elementType)
+        ef = arr.type.value_field
+        mk = pa.large_list if pa.types.is_large_list(arr.type) else pa.list_
+        new_type = mk(pa.field(ef.name, values.type, nullable=ef.nullable))
+        return pa.Array.from_buffers(
+            new_type,
+            len(arr),
+            arr.buffers()[:2],
+            offset=arr.offset,
+            children=[values],
         )
-    return arr
+    if isinstance(dt, T.MapType) and pa.types.is_map(arr.type):
+        # MapArray is a list<struct<key,value>>: rename inside both
+        # children, rebuild the entries struct, reuse the map's own
+        # validity+offsets
+        keys = _arrow_to_logical_names(arr.keys, dt.keyType)
+        items = _arrow_to_logical_names(arr.items, dt.valueType)
+        new_type = pa.map_(keys.type, items.type)
+        entries = pa.StructArray.from_arrays(
+            [keys, items],
+            fields=[
+                pa.field("key", keys.type, nullable=False),
+                pa.field("value", items.type, nullable=True),
+            ],
+        )
+        return pa.Array.from_buffers(
+            new_type,
+            len(arr),
+            arr.buffers()[:2],
+            offset=arr.offset,
+            children=[entries],
+        )
+    raise NotImplementedError(
+        f"renamed struct fields inside a {arr.type} cannot be projected "
+        "by the pure-python readers; use the Spark read path"
+    )
 
 
 def _assign_mapping_meta(type_json, next_id: int, name_fn):
@@ -595,6 +636,66 @@ class DeltaTable:
         meta, adds, _protocol = self._snapshot_state_full(version)
         return meta, adds
 
+    def _checkpoint_rows(self, cp: dict) -> list[dict]:
+        """All action rows of the checkpoint named by ``cp`` (a
+        ``_last_checkpoint`` dict) — classic single-file, classic
+        multi-part (``parts``), or V2 manifest + sidecars. The
+        checkpoint is the part that scales with table size; read with
+        pyarrow so state reconstruction never needs a JVM (this is
+        driver-side work in Spark too — every Delta client materializes
+        the active-file list to plan the scan). Multi-part reads every
+        part — action order across parts is irrelevant, the state is a
+        set."""
+        import pyarrow.parquet as pq
+
+        cp_file = os.path.join(
+            self._log_dir, f"{cp['version']:020d}.checkpoint.parquet"
+        )
+        n_parts = cp.get("parts")
+        if n_parts:
+            part_files = [
+                os.path.join(
+                    self._log_dir,
+                    f"{cp['version']:020d}.checkpoint."
+                    f"{i + 1:010d}.{n_parts:010d}.parquet",
+                )
+                for i in range(n_parts)
+            ]
+            return [
+                d for pf in part_files for d in pq.read_table(pf).to_pylist()
+            ]
+        if os.path.exists(cp_file):
+            return pq.read_table(cp_file).to_pylist()
+        # V2 checkpoint: a UUID-named manifest whose sidecar actions
+        # point at _sidecars/ parquet shards holding the file state (at
+        # scale: tiny manifest, parallel sidecar fetches, shards
+        # reusable across checkpoints)
+        import glob as _glob
+
+        manifests = sorted(
+            _glob.glob(
+                os.path.join(
+                    self._log_dir,
+                    f"{cp['version']:020d}.checkpoint.*.parquet",
+                )
+            )
+        )
+        if not manifests:
+            raise ValueError(
+                f"_last_checkpoint names version {cp['version']} "
+                f"but no checkpoint file exists in {self._log_dir}"
+            )
+        rows = pq.read_table(manifests[-1]).to_pylist()
+        for d in list(rows):
+            sc = d.get("sidecar")
+            if sc:
+                rows.extend(
+                    pq.read_table(
+                        os.path.join(self._log_dir, "_sidecars", sc["path"])
+                    ).to_pylist()
+                )
+        return rows
+
     def _snapshot_state_full(
         self, version: int | None, *, with_domains: bool = False
     ) -> tuple:
@@ -622,64 +723,7 @@ class DeltaTable:
 
         cp = self._last_checkpoint()
         if cp is not None and cp["version"] <= target:
-            cp_file = os.path.join(
-                self._log_dir, f"{cp['version']:020d}.checkpoint.parquet"
-            )
-            # the checkpoint is the part that scales with table size; read
-            # it with pyarrow so state reconstruction never needs a JVM
-            # (this is driver-side work in Spark too — every Delta client
-            # materializes the active-file list to plan the scan). A
-            # multi-part checkpoint (`parts` in _last_checkpoint; spec's
-            # scale path for huge file lists) reads every part — action
-            # order across parts is irrelevant, the state is a set.
-            import pyarrow.parquet as pq
-
-            n_parts = cp.get("parts")
-            if n_parts:
-                part_files = [
-                    os.path.join(
-                        self._log_dir,
-                        f"{cp['version']:020d}.checkpoint."
-                        f"{i + 1:010d}.{n_parts:010d}.parquet",
-                    )
-                    for i in range(n_parts)
-                ]
-                rows = [
-                    d for pf in part_files for d in pq.read_table(pf).to_pylist()
-                ]
-            elif os.path.exists(cp_file):
-                rows = pq.read_table(cp_file).to_pylist()
-            else:
-                # V2 checkpoint: a UUID-named manifest whose sidecar
-                # actions point at _sidecars/ parquet shards holding the
-                # file state (at scale: tiny manifest, parallel sidecar
-                # fetches, shards reusable across checkpoints)
-                import glob as _glob
-
-                manifests = sorted(
-                    _glob.glob(
-                        os.path.join(
-                            self._log_dir,
-                            f"{cp['version']:020d}.checkpoint.*.parquet",
-                        )
-                    )
-                )
-                if not manifests:
-                    raise ValueError(
-                        f"_last_checkpoint names version {cp['version']} "
-                        f"but no checkpoint file exists in {self._log_dir}"
-                    )
-                rows = pq.read_table(manifests[-1]).to_pylist()
-                for d in list(rows):
-                    sc = d.get("sidecar")
-                    if sc:
-                        rows.extend(
-                            pq.read_table(
-                                os.path.join(
-                                    self._log_dir, "_sidecars", sc["path"]
-                                )
-                            ).to_pylist()
-                        )
+            rows = self._checkpoint_rows(cp)
             for d in rows:
                 if d.get("add"):
                     add = d["add"]
@@ -1506,11 +1550,27 @@ class DeltaTable:
         # long-lived streaming sink checking before every batch must not
         # re-parse the whole log each time (O(total commits) per batch
         # would make log I/O quadratic over the stream's life)
-        for v in reversed(self._commit_versions()):
+        versions = self._commit_versions()
+        for v in reversed(versions):
             for action in self._read_commit(v):
                 t = action.get("txn")
                 if t and t.get("appId") == app_id:
                     return t["version"]
+        # cleanup_metadata (and DROP FEATURE's history truncation) may
+        # have expired the commit JSONs that carried this app's txn; the
+        # checkpoint persists newest-wins txn state precisely so
+        # idempotence survives log cleanup — without this fallback a
+        # replayed streaming batch would see None and re-apply (silent
+        # duplicate rows). Only consulted when the retained log no
+        # longer reaches version 0 (a complete JSON scan is
+        # authoritative on its own).
+        if versions and versions[0] > 0:
+            cp = self._last_checkpoint()
+            if cp is not None:
+                for d in self._checkpoint_rows(cp):
+                    t = d.get("txn")
+                    if t and t.get("appId") == app_id:
+                        return t["version"]
         return None
 
     def history(self, spark: SparkSession) -> DataFrame:
@@ -1973,6 +2033,13 @@ class DeltaTable:
         if prior_meta is not None:
             for col, info in self._identity_columns(prior_meta).items():
                 if col in df.columns:
+                    if not _data_change:
+                        # OPTIMIZE / layout rewrites restage EXISTING
+                        # rows: identity values pass through verbatim
+                        # (reassigning them would corrupt every
+                        # surviving row's identity) and the hwm is
+                        # untouched — bytes move, ids don't
+                        continue
                     if not info["allowExplicitInsert"]:
                         raise ValueError(
                             f"column {col!r} is GENERATED ALWAYS AS "
@@ -1980,6 +2047,10 @@ class DeltaTable:
                             "values (delta-spark refuses explicit "
                             "inserts the same way)"
                         )
+                    # GENERATED BY DEFAULT with explicit values: the
+                    # commit must still extend the high-water mark past
+                    # them, or a later allocation could collide
+                    identity_generated[col] = info
                 else:
                     # distributed allocation with ZERO coordination:
                     # monotonically_increasing_id is unique per row
@@ -2024,10 +2095,15 @@ class DeltaTable:
             for col, info in identity_generated.items():
                 ext = max if info["step"] > 0 else min
                 key = "maxValues" if info["step"] > 0 else "minValues"
+                # staged footers (and their stats) carry PHYSICAL names
+                # on column-mapped tables — a logical-name lookup finds
+                # nothing and the hwm silently never advances, letting
+                # a later writer re-allocate the same ids
+                phys = mapping.get(col, col)
                 vals = [
-                    json.loads(a["stats"])[key][col]
+                    json.loads(a["stats"])[key][phys]
                     for a in adds
-                    if col in json.loads(a["stats"]).get(key, {})
+                    if phys in json.loads(a["stats"]).get(key, {})
                 ]
                 if not vals:
                     continue
@@ -2661,6 +2737,7 @@ class DeltaTable:
         identity_columns: dict[str, tuple[int, int]] | None = None,
         allow_explicit_insert: list[str] | None = None,
         column_defaults: dict[str, str] | None = None,
+        generated_columns: dict[str, str] | None = None,
     ) -> int:
         """CREATE TABLE — a metadata-only commit 0 (delta-spark's
         ``DeltaTable.create()``): records schema, partitioning, table
@@ -2750,6 +2827,42 @@ class DeltaTable:
                 "minWriterVersion": 7,
                 "writerFeatures": sorted(feats),
             }
+        if generated_columns:
+            # GENERATED ALWAYS AS (expr) in CREATE TABLE — delta-spark's
+            # DDL shape; the same field metadata the write-creates-table
+            # path stamps, so _apply_generated/_check recompute and
+            # validate identically whichever way the table was born.
+            # Writer-v4 feature: older writers must be fenced off or
+            # they would append rows violating the generation invariant
+            for col, expr in generated_columns.items():
+                fj = next(
+                    (f for f in schema_json["fields"] if f["name"] == col),
+                    None,
+                )
+                if fj is None:
+                    raise ValueError(f"generated column {col!r} not in schema")
+                if col in (identity_columns or {}):
+                    raise ValueError(
+                        f"column {col!r} cannot be both IDENTITY and "
+                        "GENERATED ALWAYS AS"
+                    )
+                md = dict(fj.get("metadata") or {})
+                md["delta.generationExpression"] = expr
+                fj["metadata"] = md
+            if protocol.get("writerFeatures") is not None:
+                protocol = {
+                    **protocol,
+                    "writerFeatures": sorted(
+                        set(protocol["writerFeatures"]) | {"generatedColumns"}
+                    ),
+                }
+            else:
+                protocol = {
+                    **protocol,
+                    "minWriterVersion": max(
+                        protocol.get("minWriterVersion", 2), 4
+                    ),
+                }
         if column_defaults:
             # DEFAULT values (spec writer feature allowColumnDefaults,
             # delta-spark's `col TYPE DEFAULT expr`): the SQL expression
@@ -3427,11 +3540,14 @@ class DeltaTable:
         bound to the bytes on disk. Requires column mapping.
 
         ``old`` may be a dotted path into nested STRUCTS
-        (``"outer.inner"``); ``new`` is the new leaf name. Paths through
-        array/map elements are refused — Spark reads would handle them
-        (positional struct casts), but the pure-python readers
-        (`to_pandas`, ``pydelta``) rename struct fields only, and a
-        rename this client cannot read back has no business committing."""
+        (``"outer.inner"``), including structs inside ARRAY elements and
+        MAP values (``"tags.label"`` where ``tags`` is
+        ``array<struct<label,...>>`` — a path segment whose type is a
+        container descends into the element/value struct, the shape
+        every list-of-objects JSON ingest produces); ``new`` is the new
+        leaf name. Every read path projects the result: Spark's
+        positional struct cast AND the pure-python readers' arrow
+        rebuild, which recurses through list/map children."""
         base = self.latest_version() or 0
         meta, _ = self._snapshot_state(None)
         if not self._column_mapping(meta):
@@ -3454,10 +3570,20 @@ class DeltaTable:
                     f"{[f['name'] for f in container.get('fields', [])]}"
                 )
             t = hit["type"]
+            # descend through containers to the element/value struct:
+            # array<struct<...>> and map<_, struct<...>> are one rename
+            # hop (map KEYS are never structs in Delta schemas this
+            # client writes; a struct key would need its own syntax)
+            while isinstance(t, dict) and t.get("type") in ("array", "map"):
+                t = (
+                    t["elementType"]
+                    if t["type"] == "array"
+                    else t["valueType"]
+                )
             if not (isinstance(t, dict) and t.get("type") == "struct"):
                 raise ValueError(
-                    f"{seg!r} on path {old!r} is not a struct (renames "
-                    "inside array/map elements are not supported)"
+                    f"{seg!r} on path {old!r} is not a struct (and not "
+                    "an array/map of structs)"
                 )
             container = t
         names = [f["name"] for f in container.get("fields", [])]
@@ -4830,6 +4956,7 @@ class DeltaTable:
         meta, adds, protocol, domains = self._snapshot_state_full(
             None, with_domains=True
         )
+        self._refuse_unknown_writer_features(protocol, "REPLACE WHERE")
         self._refuse_if_append_only(meta, "REPLACE WHERE")
         gen = self._generation_exprs(meta)
         if gen:
@@ -5006,7 +5133,8 @@ class DeltaTable:
         Restoring also re-instates the target's schema/metadata, so a
         bad schema evolution rolls back too."""
         base = self.latest_version() or 0
-        cur_meta, cur_adds, _ = self._snapshot_state_full(None)
+        cur_meta, cur_adds, cur_proto = self._snapshot_state_full(None)
+        self._refuse_unknown_writer_features(cur_proto, "RESTORE")
         self._refuse_if_append_only(cur_meta, "RESTORE")
         tgt_meta, tgt_adds, _ = self._snapshot_state_full(version)
         for a in tgt_adds:
@@ -5318,6 +5446,13 @@ class DeltaTable:
             for mf in _glob.glob(
                 os.path.join(self._log_dir, "*.checkpoint.*.parquet")
             ):
+                # the glob also matches CLASSIC multi-part checkpoint
+                # parts (NNN.checkpoint.0000000001.0000000002.parquet),
+                # whose schema has no 'sidecar' column — reading it
+                # would crash the whole cleanup on any table that ever
+                # wrote both shapes; only V2 manifests carry sidecars
+                if "sidecar" not in pq.read_schema(mf).names:
+                    continue
                 for d in pq.read_table(mf, columns=["sidecar"]).to_pylist():
                     if d.get("sidecar"):
                         referenced.add(d["sidecar"]["path"])
@@ -5736,6 +5871,11 @@ class DeltaTable:
         meta, adds, _protocol, domains = self._snapshot_state_full(
             None, with_domains=True
         )
+        # dataChange=false rearrangements are legal on append-only
+        # tables (bytes move, rows don't) but NOT on tables fenced by a
+        # writer feature this client lacks — matching every other
+        # mutation entry point
+        self._refuse_unknown_writer_features(_protocol, operation)
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
         rt = self._row_tracking_enabled(meta)
@@ -6776,8 +6916,15 @@ class DeltaMergeBuilder:
                         .withColumn("_change_type", F.lit("delete"))
                     )
                 if n_inserted:
+                    # project DOWN to the declared schema: on row-tracked
+                    # tables `inserts` also carries the materialized
+                    # row-id/commit-version columns (a staging detail) —
+                    # change images never include them, and the union
+                    # with the schema-shaped pre/post images would break
                     images.append(
-                        inserts.withColumn("_change_type", F.lit("insert"))
+                        inserts.select(
+                            *[F.col(f"`{f.name}`") for f in schema.fields]
+                        ).withColumn("_change_type", F.lit("insert"))
                     )
                 img = images[0]
                 for p in images[1:]:
@@ -6835,13 +6982,18 @@ class DeltaMergeBuilder:
         id_meta_updated = False
         if id_cols and new_adds:
             schema_json = json.loads(meta["schemaString"])
+            # staged stats carry PHYSICAL names on mapped tables (same
+            # fix as write(): a logical-name lookup silently skips the
+            # hwm advance and later allocations could collide)
+            id_mapping = t._column_mapping(meta) or {}
             for colname, info in id_cols.items():
                 ext = max if info["step"] > 0 else min
                 key = "maxValues" if info["step"] > 0 else "minValues"
+                phys = id_mapping.get(colname, colname)
                 vals = [
-                    json.loads(a["stats"])[key][colname]
+                    json.loads(a["stats"])[key][phys]
                     for a in new_adds
-                    if colname in json.loads(a["stats"]).get(key, {})
+                    if phys in json.loads(a["stats"]).get(key, {})
                 ]
                 if not vals:
                     continue

@@ -250,12 +250,6 @@ class PyDeltaReader(DataSourceReader):
                     "timestampAsOf; scope the feed with startingVersion/"
                     "endingVersion"
                 )
-            if where:
-                raise NotImplementedError(
-                    "the 'where' option is not supported with "
-                    "readChangeFeed (change partitions carry no file "
-                    "stats to prune on); filter the returned DataFrame"
-                )
             start_opt = opts.get("startingversion")
             if start_opt is None:
                 raise ValueError(
@@ -308,6 +302,10 @@ class PyDeltaReader(DataSourceReader):
                 start_v - 1,
                 end_v,
                 field_ids=self._field_ids,
+                # `where` composes with the change feed as ROW filtering
+                # only (change partitions carry no file stats to prune
+                # on; the executor conjunct filter is exact)
+                conjuncts=self._conjuncts,
             )
 
     # ----------------------------------------------------------- planning
@@ -540,6 +538,7 @@ def _plan_cdf_partitions(
     start_version: int,
     end_version: int,
     field_ids: dict[str, int] | None = None,
+    conjuncts: list | None = None,
 ) -> list:
     """Change-feed read plan for versions in (start_version,
     end_version]: the SAME diff semantics as `DeltaTable.read_changes` —
@@ -556,6 +555,23 @@ def _plan_cdf_partitions(
     Per-path prior state replays from version 0 — O(log tail)
     driver-side JSON; a long-lived production stream would cache the
     live-set per checkpointed offset."""
+    # mirror DeltaTable.read_changes: the prior-state replay is only
+    # correct if every commit JSON up to end_version still exists —
+    # after cleanup_metadata expires the prefix, a DV re-add of a
+    # pre-checkpoint file would find prior=None and be emitted as a
+    # full-file insert (double-reading live rows), and a remove of such
+    # a file would emit no delete. A silently wrong feed is worse than
+    # a loud refusal.
+    missing = sorted(
+        set(range(end_version + 1)) - set(table._commit_versions())
+    )
+    if missing:
+        raise ValueError(
+            f"change feed over versions 0..{end_version} needs every "
+            f"commit JSON, but "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} "
+            "are not in the log (expired by cleanup_metadata?)"
+        )
     live: dict[str, dict] = {}
     for v in table._commit_versions():
         if v > start_version:
@@ -579,7 +595,10 @@ def _plan_cdf_partitions(
                 data_cols,
                 part_values_of(add),
                 sorted(drop),
-                [],
+                # row-level conjuncts only: change partitions carry no
+                # file stats, so there is nothing sound to prune on —
+                # the executor filter is exact either way
+                list(conjuncts or []),
                 keep_rows=sorted(keep) if keep is not None else None,
                 change_type=change,
                 commit_version=v,
@@ -627,7 +646,7 @@ def _plan_cdf_partitions(
                         cdc_cols,
                         part_values_of(c),
                         [],
-                        [],
+                        list(conjuncts or []),
                         change_type=None,  # the file carries its own
                         commit_version=v,
                     )
@@ -938,27 +957,6 @@ class PyDeltaCommitMessage(WriterCommitMessage):
         self.adds = adds
 
 
-def _nested_mapping_in_containers(type_json) -> bool:
-    """True when an array/map ELEMENT type contains mapped struct fields
-    — the one shape the positional rebuild (both directions) gates."""
-    if not isinstance(type_json, dict):
-        return False
-    t = type_json.get("type")
-    if t == "struct":
-        # a struct here is fine at THIS level; the caller decides
-        return any(
-            _nested_mapping_in_containers(f["type"])
-            for f in type_json.get("fields", [])
-        )
-    if t == "array":
-        return _contains_struct(type_json.get("elementType"))
-    if t == "map":
-        return _contains_struct(type_json.get("keyType")) or _contains_struct(
-            type_json.get("valueType")
-        )
-    return False
-
-
 def _contains_struct(type_json) -> bool:
     if not isinstance(type_json, dict):
         return False
@@ -987,11 +985,16 @@ def _phys_array(arr, type_json, id_mode: bool):
     PHYSICAL at every depth (and, id mode, parquet field ids stamped) —
     the write-direction twin of `delta._arrow_to_logical_names`. Struct
     children resolve BY LOGICAL NAME from the incoming frame (the
-    schema-match validation already pinned names and order); array/map
-    elements containing structs were gated driver-side."""
+    schema-match validation already pinned names and order); structs
+    inside ARRAY/MAP elements rebuild around the container's own
+    validity/offset buffers, mirroring the read-direction rebuild —
+    zero row data copied."""
     import pyarrow as pa
 
-    if isinstance(type_json, dict) and type_json.get("type") == "struct":
+    if not isinstance(type_json, dict):
+        return arr
+    t = type_json.get("type")
+    if t == "struct":
         children, fields = [], []
         for f in type_json.get("fields", []):
             md = f.get("metadata") or {}
@@ -1013,6 +1016,41 @@ def _phys_array(arr, type_json, id_mode: bool):
 
             mask = pc.is_null(arr)
         return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+    if t == "array" and _contains_struct(type_json.get("elementType")) and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        values = _phys_array(arr.values, type_json["elementType"], id_mode)
+        ef = arr.type.value_field
+        mk = pa.large_list if pa.types.is_large_list(arr.type) else pa.list_
+        new_type = mk(pa.field(ef.name, values.type, nullable=ef.nullable))
+        return pa.Array.from_buffers(
+            new_type,
+            len(arr),
+            arr.buffers()[:2],
+            offset=arr.offset,
+            children=[values],
+        )
+    if t == "map" and pa.types.is_map(arr.type) and (
+        _contains_struct(type_json.get("keyType"))
+        or _contains_struct(type_json.get("valueType"))
+    ):
+        keys = _phys_array(arr.keys, type_json["keyType"], id_mode)
+        items = _phys_array(arr.items, type_json["valueType"], id_mode)
+        new_type = pa.map_(keys.type, items.type)
+        entries = pa.StructArray.from_arrays(
+            [keys, items],
+            fields=[
+                pa.field("key", keys.type, nullable=False),
+                pa.field("value", items.type, nullable=True),
+            ],
+        )
+        return pa.Array.from_buffers(
+            new_type,
+            len(arr),
+            arr.buffers()[:2],
+            offset=arr.offset,
+            children=[entries],
+        )
     return arr
 
 
@@ -1297,12 +1335,17 @@ def _commit_written(
 
 
 def _validate_write_target(
-    root: str, schema: T.StructType, partition_by: list[str]
+    root: str, schema: T.StructType, partition_by: list[str],
+    *, overwrite: bool = False,
 ) -> tuple[tuple[str, bool] | None, list[tuple[str, list]]]:
     """Fail fast ON THE DRIVER before any task runs: schema and
     partitioning must match an existing table exactly (the pydelta write
     path has no evolution support — `DeltaTable.write` does), and
-    partition columns must exist in the frame. Returns the
+    partition columns must exist in the frame. The same protocol gates
+    every DeltaTable mutation enforces apply here too: a table fenced by
+    a writer feature this client does not implement refuses the write,
+    and an overwrite of a delta.appendOnly table is refused (it would
+    silently remove every prior file). Returns the
     (schemaString, id_mode) mapping spec for column-mapped targets
     (None otherwise); the staging tasks apply it so file columns at
     every struct depth, stats, partitionValues, and hive dirs land
@@ -1320,22 +1363,16 @@ def _validate_write_target(
     table = DeltaTable(root)
     if table.latest_version() is None:
         return None, []
-    meta, _ = table._snapshot_state(None)
+    meta, _, protocol = table._snapshot_state_full(None)
+    DeltaTable._refuse_unknown_writer_features(protocol, "pydelta WRITE")
+    if overwrite:
+        DeltaTable._refuse_if_append_only(meta, "pydelta overwrite WRITE")
     mapping_spec: tuple[str, bool] | None = None
     mode = DeltaTable._mapping_mode(meta)
     if mode in ("name", "id"):
-        schema_json = json.loads(meta["schemaString"])
-        if any(
-            _nested_mapping_in_containers(f["type"])
-            for f in schema_json["fields"]
-        ):
-            raise NotImplementedError(
-                "pydelta writes to column-mapped tables with struct "
-                "fields inside ARRAY/MAP elements are not supported "
-                "(the positional rebuild does not reach into container "
-                "elements — same gate as the pure-python readers); use "
-                "DeltaTable.write"
-            )
+        # struct fields inside ARRAY/MAP elements rename too: both
+        # rebuild directions now recurse through list/map children
+        # (delta._arrow_to_logical_names / _phys_array), so no gate
         mapping_spec = (meta["schemaString"], mode == "id")
     conf = meta.get("configuration") or {}
     constraints: list[tuple[str, list]] = []
@@ -1399,7 +1436,7 @@ class PyDeltaBatchWriter(DataSourceArrowWriter):
         self._partition_by = _opt_partition_by(opts)
         self._schema = schema
         self._mapspec, self._constraints = _validate_write_target(
-            self._root, schema, self._partition_by
+            self._root, schema, self._partition_by, overwrite=overwrite
         )
 
     def write(self, iterator) -> PyDeltaCommitMessage:

@@ -459,23 +459,84 @@ class TestPyDeltaWriters:
             spark.range(0, 5).select("id").write.format("pydelta").option(
                 "path", root
             ).option("partitionBy", "id").mode("append").save()
-        # struct-inside-array mapped target stays gated (the positional
-        # rebuild does not reach container elements — reader-symmetric)
+    def test_container_mapped_roundtrip_both_directions(
+        self, spark, tmp_path
+    ):
+        """Round-6 verdict item 5, pydelta side: a column-mapped table
+        whose ARRAY elements and MAP values are structs, with a field
+        renamed INSIDE each container — the pydelta reader projects
+        both file generations to logical names, and a pydelta WRITE
+        stages container-nested physical names that every reader (JVM
+        scan, to_pandas, pydelta) then resolves."""
+        pyds.register(spark)
         ta = DeltaTable(str(tmp_path / "ta"))
         ta.write(
             spark.createDataFrame(
-                [([(1, 2)], "a")],
-                "xs array<struct<x:int,y:int>>, k string",
+                [(1, [(1, 2)], {"k": (10,)})],
+                "id long, xs array<struct<x:int,y:int>>, "
+                "mp map<string,struct<c:int>>",
             )
         )
         ta.enable_column_mapping()
-        with pytest.raises(Exception, match="ARRAY/MAP"):
-            spark.createDataFrame(
-                [([(3, 4)], "b")],
-                "xs array<struct<x:int,y:int>>, k string",
-            ).write.format("pydelta").option("path", ta.path).mode(
-                "append"
-            ).save()
+        ta.rename_column("xs.x", "ex")       # through the array element
+        ta.rename_column("mp.c", "gamma")    # through the map value
+        # pydelta WRITE to the renamed mapped target (was gated)
+        spark.createDataFrame(
+            [(2, [(3, 4)], {"k": (20,)})],
+            "id long, xs array<struct<ex:int,y:int>>, "
+            "mp map<string,struct<gamma:int>>",
+        ).write.format("pydelta").option("path", ta.path).mode(
+            "append"
+        ).save()
+        # pydelta READ: both generations project to logical names
+        got = {
+            r.id: r
+            for r in spark.read.format("pydelta")
+            .option("path", ta.path)
+            .load()
+            .collect()
+        }
+        assert (got[1].xs[0].ex, got[1].xs[0].y) == (1, 2)
+        assert got[1].mp["k"].gamma == 10
+        assert (got[2].xs[0].ex, got[2].xs[0].y) == (3, 4)
+        assert got[2].mp["k"].gamma == 20
+        # JVM scan and to_pandas agree on the pydelta-staged file
+        jvm = ta.read(spark).filter("id = 2").collect()[0]
+        assert (jvm.xs[0].ex, jvm.mp["k"].gamma) == (3, 20)
+        pdf = ta.to_pandas().set_index("id")
+        assert pdf.loc[2, "xs"][0]["ex"] == 3
+        assert dict(pdf.loc[2, "mp"])["k"]["gamma"] == 20
+        # and the staged footer really carries PHYSICAL names inside
+        # the containers (regression: a logical-name footer reads back
+        # all-NULL through the mapping)
+        import pyarrow.parquet as pq
+        import json as _json
+        import os as _os
+        import urllib.parse as _up
+
+        meta, adds = ta._snapshot_state(None)
+        fj = next(
+            f
+            for f in _json.loads(meta["schemaString"])["fields"]
+            if f["name"] == "xs"
+        )
+        phys_ex = fj["type"]["elementType"]["fields"][0]["metadata"][
+            "delta.columnMapping.physicalName"
+        ]
+        assert phys_ex == "x"  # identity at enable time
+        newest = max(adds, key=lambda a: a["modificationTime"])
+        sch = pq.read_schema(
+            _os.path.join(ta.path, _up.unquote(newest["path"]))
+        )
+        xs_field = sch.field(
+            next(
+                i for i, n in enumerate(sch.names)
+                if _json.loads(meta["schemaString"])["fields"][1][
+                    "metadata"
+                ]["delta.columnMapping.physicalName"] == n
+            )
+        )
+        assert xs_field.type.value_type.field(0).name == "x"
 
     def test_batch_write_to_id_mapped_table(self, spark, tmp_path):
         """id-mode target: staged footers carry parquet field ids on
@@ -1095,6 +1156,70 @@ class TestPyDeltaBatchCdf:
                 .load()
                 .collect()
             )
+
+    def test_cdf_where_filters_rows_exactly(self, spark, tmp_path):
+        """Round-6 verdict item 7: `where` composes with readChangeFeed
+        as exact ROW filtering (change partitions carry no file stats,
+        so there is nothing to prune — but the executor conjunct filter
+        applies to inserts, deletes, and cdc images alike)."""
+        t = self._table(spark, tmp_path)
+        got = (
+            spark.read.format("pydelta")
+            .option("path", t.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .option("where", "id <= 1")
+            .load()
+        )
+        rows = {
+            (r.id, r["_change_type"], r["_commit_version"])
+            for r in got.collect()
+        }
+        assert rows == {
+            (0, "insert", 0),
+            (1, "insert", 0),
+            (0, "delete", 1),
+            (1, "delete", 1),
+        }
+        # agrees with client-side filtering of the unfiltered feed
+        unf = {
+            (r.id, r["_change_type"], r["_commit_version"])
+            for r in self._load(spark, t.path, 0).filter("id <= 1").collect()
+        }
+        assert rows == unf
+        # cdc-file commits (true update images) filter too
+        u = DeltaTable(str(tmp_path / "u"))
+        u.write(
+            spark.range(0, 6)
+            .select(F.col("id"), (F.col("id") * 10).alias("v"))
+            .coalesce(1)
+        )
+        u.enable_change_data_feed()  # v1
+        u.update(spark, "id >= 2", {"v": "v + 1"})  # v2 cdc images
+        imgs = (
+            spark.read.format("pydelta")
+            .option("path", u.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "2")
+            .option("where", "id = 3")
+            .load()
+        )
+        assert {
+            (r["_change_type"], r["v"]) for r in imgs.collect()
+        } == {("update_preimage", 30), ("update_postimage", 31)}
+
+    def test_cdf_refuses_expired_commit_prefix(self, spark, tmp_path):
+        """After cleanup_metadata expires the log prefix, the per-path
+        prior-state replay is impossible — a DV re-add of a
+        pre-checkpoint file would be emitted as a full-file insert
+        (double-reading live rows). Must refuse loudly, exactly like
+        DeltaTable.read_changes does."""
+        t = self._table(spark, tmp_path)
+        t.checkpoint(spark)
+        t.cleanup_metadata(retention_ms=0, force=True)
+        start = t._commit_versions()[-1]
+        with pytest.raises(Exception, match="expired|not in the log"):
+            self._load(spark, t.path, start).collect()
 
     def test_batch_cdf_agrees_with_read_changes(self, spark, tmp_path):
         # same table, same range: the batch pydelta feed must match the
