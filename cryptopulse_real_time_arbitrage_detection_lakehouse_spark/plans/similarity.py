@@ -409,6 +409,27 @@ WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    return emb_near_dup_pairs_plan(emb)
+
+
+def emb_near_dup_pairs_plan(
+    emb: DataFrame,
+    *,
+    bands: int = EMB_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    threshold: float = EMB_NEAR_DUP_THRESHOLD,
+) -> DataFrame:
+    """The near-dup pipeline with its LSH parameterization EXPOSED —
+    (bands, band_bits) is the knob a 100 TB deployment must turn: 8-bit
+    bands give only 256 buckets, so on a large DIFFUSE corpus the
+    per-bucket pair mass grows O(n^2/256) even though every true
+    near-dup is found; 16-bit bands (4x16 covers all 64 sign bits) give
+    65536 buckets — candidates drop ~256x while recall for genuine
+    near-dups (cosine -> 1, sign flips only near zero) stays ~1. The
+    registered query keeps the 8-bit default (the oracle mirrors it and
+    small corpora want the recall); the SCALE.md 100x probe measures
+    both settings."""
+    F_bands, F_bits, F_tau = bands, band_bits, threshold
     # SCALE.md lesson, applied: collapse BIT-IDENTICAL vectors before
     # banding. Exact duplicates are the adversarial mass for LSH (k
     # copies of a vector put k identical signatures in every band
@@ -438,10 +459,10 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         sign_bucket(
-                            F.col("embedding"), EMB_BAND_BITS, b * EMB_BAND_BITS
+                            F.col("embedding"), F_bits, b * F_bits
                         ).alias("band_val"),
                     )
-                    for b in range(EMB_BANDS)
+                    for b in range(F_bands)
                 ]
             )
         ).alias("bb"),
@@ -465,7 +486,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_pairs = (
         hits.select("dig_a", "dig_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= F_tau)
         .distinct()
     )
     # expand digest pairs to member pairs (vec order normalized); the
@@ -501,7 +522,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vb").alias("vec_b"),
             self_cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= EMB_NEAR_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= F_tau)
     )
     return cross.unionByName(within)
 
@@ -881,23 +902,86 @@ def _km_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
-def _km_two_round(emb: DataFrame) -> DataFrame:
+def _km_assign_folded(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """`_km_assign` for LARGE K: the per-centroid Column-expression path
+    costs ~2 ms of py4j plan construction per operation (see
+    functions/expr.py) and blows whole-stage codegen past the JVM method
+    limit once K x DIM expressions inline — at K in the hundreds the
+    PLAN would take longer than the job. Instead the centroid set folds
+    into ONE constant array<struct> literal (a single F.expr parse),
+    explodes to (vector, centroid) rows, and a map-side-partial
+    ``max_by`` picks each vector's argmax — the shuffle stays O(N) rows
+    because the partial aggregation collapses the K fan-out before the
+    exchange. Same scoring and tie-break semantics as `_km_assign`
+    (score = dot/sqrt(centroid norm) as double, all-zero centroids score
+    -2.0, smallest cluster wins ties)."""
+    parts = []
+    for cluster, vec in cents:
+        n2c = float(sum(v * v for v in vec))
+        arr = ",".join(f"{v}L" for v in vec)
+        if n2c == 0.0:
+            parts.append(
+                f"struct({cluster}L as cluster, array({arr}) as c, "
+                "cast(0.0 as double) as rn)"
+            )
+        else:
+            parts.append(
+                f"struct({cluster}L as cluster, array({arr}) as c, "
+                f"cast({math.sqrt(n2c)!r} as double) as rn)"
+            )
+    cents_sql = "array(" + ",".join(parts) + ")"
+    exploded = qdf.select(
+        "vec_id", "qx", "n2x", F.explode(F.expr(cents_sql)).alias("cc")
+    )
+    score = F.when(F.col("cc.rn") == 0.0, F.lit(-2.0)).otherwise(
+        dot_long(F.col("qx"), F.col("cc.c")).cast("double") / F.col("cc.rn")
+    )
+    scored = exploded.select(
+        "vec_id",
+        "qx",
+        "n2x",
+        F.struct(
+            score.alias("score"), (-F.col("cc.cluster")).alias("jneg")
+        ).alias("sj"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max("sj").alias("b"),
+        # constant within the group (one vector per vec_id)
+        F.first("qx").alias("qx"),
+        F.first("n2x").alias("n2x"),
+    )
+    return best.select(
+        "vec_id",
+        "qx",
+        "n2x",
+        F.col("b.score").alias("score"),
+        (-F.col("b.jneg")).cast("long").alias("cluster"),
+    )
+
+
+#: above this K the folded-literal assign replaces the inlined-expression
+#: one (both paths implement identical semantics; pytest pins agreement)
+_KM_FOLDED_THRESHOLD = 32
+
+
+def _km_two_round(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
     """Assign -> centroid update -> reassign (the `_KM_E` dataflow),
     shared by the k-means report and the SemDeDup pipeline. Returns the
     second-round assignment with ``qx``/``n2x``/``score``/``cluster``.
     Both driver collects are K x DIM constants."""
+    assign = _km_assign if k <= _KM_FOLDED_THRESHOLD else _km_assign_folded
     qdf = shared(
         emb.select("vec_id", quantized_elements(F.col("embedding")).alias("qx"))
         .withColumn("n2x", dot_long(F.col("qx"), F.col("qx")))
         .filter(F.col("n2x") > 0)
     )
     init_rows = (
-        emb.filter(F.col("vec_id") < KMEANS_K).select("vec_id", "embedding").collect()
+        emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
     )
     cents0 = sorted(
         (int(r["vec_id"]), quantize_vector(list(r["embedding"]))) for r in init_rows
     )
-    assigned0 = _km_assign(qdf, cents0)
+    assigned0 = assign(qdf, cents0)
     sums = assigned0.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("cnt"),
         *[
@@ -912,7 +996,7 @@ def _km_two_round(emb: DataFrame) -> DataFrame:
         )
         for r in sums
     )
-    return _km_assign(qdf, cents1)
+    return assign(qdf, cents1)
 
 
 @register(
@@ -1432,6 +1516,10 @@ def exact_threshold_join(
 #: (data-calibrated like EXACT_JOIN_TAU: the synthetic corpus is diffuse,
 #: so the threshold sits where the rule actually fires at sf0.01)
 SEMDEDUP_EPS = 0.35
+#: SemDeDup cluster-size target: K = max(KMEANS_K, n // this), so pair
+#: volume stays ~n * target as the corpus grows (the paper scales K with
+#: n; a fixed K would make the within-cluster self-join quadratic)
+SEMDEDUP_TARGET_CLUSTER = 300
 
 
 @register(
@@ -1488,8 +1576,16 @@ FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # the paper's scale contract, IMPLEMENTED not just claimed: K grows
+    # ~n/const so cluster sizes stay bounded and pair volume is
+    # O(n * SEMDEDUP_TARGET_CLUSTER), never n^2/K_fixed. At the oracle
+    # scales (<= a few thousand vectors) this resolves to KMEANS_K=8, so
+    # the DuckDB twin's fixed-K pipeline stays bit-identical; the 100x
+    # probe (SCALE.md) is what exercises the scaled branch.
+    n = emb.count()
+    k = max(KMEANS_K, n // SEMDEDUP_TARGET_CLUSTER)
     m = shared(
-        _km_two_round(emb).withColumn(
+        _km_two_round(emb, k=k).withColumn(
             "cosc",
             F.when(F.col("score") == F.lit(-2.0), F.lit(-2.0)).otherwise(
                 F.col("score") / F.sqrt(F.col("n2x").cast("double"))
