@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["chunked_rolling"]
+__all__ = ["chunked_rolling", "chunked_cumsum"]
 
 
 def chunked_rolling(
@@ -88,3 +88,61 @@ def chunked_rolling(
     return out.filter(~F.col("__carry")).drop(
         "__chunk", "__cidx", "__rnd", "__carry"
     )
+
+
+def chunked_cumsum(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    chunk: Column,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Append ``out_col`` = running ``SUM(value_col)`` within ``key_cols``
+    ordered by ``order_col`` — the UNBOUNDED-PRECEDING prefix scan that
+    trailing frames (`chunked_rolling`) cannot express.
+
+    The naive plan (``SUM OVER (PARTITION BY key ORDER BY ord ROWS
+    UNBOUNDED PRECEDING)``) pushes each key's entire history through one
+    task — parallelism = |keys| forever, the same few-distinct-key
+    ceiling `chunked_lag` removes. A prefix sum decomposes exactly where
+    a trailing frame does not: the running total at any row is its
+    chunk-local prefix plus the closed sum of all earlier chunks. So:
+
+    1. local prefix sums run inside (key, chunk) partitions — parallel
+       over keys x chunks;
+    2. per-chunk TOTALS (one row per (key, chunk)) take the sequential
+       pass: an exclusive prefix over the summary, never the data;
+    3. the per-chunk offsets broadcast-join back and add on.
+
+    Exact for integer/decimal values (the callers' quantized-grid
+    discipline); float callers accept the usual reassociation. ``chunk``
+    must be a monotone function of ``order_col``, same contract as
+    `chunked_lag` — and unlike the rolling operator there is NO minimum
+    chunk-population precondition: empty chunks simply contribute zero
+    to later offsets.
+    """
+    d = df.withColumn("__chunk", chunk)
+    w_local = (
+        W.partitionBy(*key_cols, "__chunk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = d.withColumn("__local", F.sum(value_col).over(w_local))
+    totals = local.groupBy(*key_cols, "__chunk").agg(
+        F.sum(value_col).alias("__tot")
+    )
+    w_prior = (
+        W.partitionBy(*key_cols)
+        .orderBy("__chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *key_cols, "__chunk", F.sum("__tot").over(w_prior).alias("__off")
+    )
+    joined = local.join(F.broadcast(offsets), [*key_cols, "__chunk"])
+    zero = F.lit(0).cast(joined.schema["__local"].dataType)
+    return joined.withColumn(
+        out_col, F.col("__local") + F.coalesce(F.col("__off"), zero)
+    ).drop("__chunk", "__local", "__off")

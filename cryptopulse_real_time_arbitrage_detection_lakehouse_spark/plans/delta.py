@@ -3106,3 +3106,82 @@ def pyds_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bounded).alias("bounded_batches"),
         F.lit(multiple).alias("multiple_batches"),
     )
+
+
+@register(
+    "delta_copy_into_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum("value")} AS total_value,
+       CAST(2 AS BIGINT) AS first_ingested,
+       CAST(1 AS BIGINT) AS second_ingested,
+       CAST(2 AS BIGINT) AS second_skipped,
+       CAST(1 AS BIGINT) AS replay_noop,
+       CAST(1 AS BIGINT) AS modified_refused
+FROM events
+GROUP BY event_type
+""",
+    doc="COPY INTO — file-granularity idempotent ingest "
+    "(`DeltaTable.copy_into`): the events table is split into three "
+    "landing files; batch 1 loads two of them, batch 2 lists all three "
+    "and ingests ONLY the new one (flags pin ingested/skipped counts), "
+    "batch 3 is byte-identical and commits NOTHING (the table version "
+    "is pinned unchanged — replay safety without even a no-op commit), "
+    "and a landing file rewritten after load is REFUSED loudly "
+    "(re-ingesting would duplicate its unchanged rows; silently "
+    "skipping would drop the changed ones). The loaded-file ledger "
+    "(path -> size:mtime fingerprint) lives in the "
+    "copyInto.loadedFiles user domain and is committed ATOMICALLY "
+    "with the appended data, so there is no crash window between "
+    "'rows landed' and 'file marked loaded'; racing COPY INTOs "
+    "serialize on a domain-conflict check instead of admitting a file "
+    "twice. The oracle recomputes the final contents from raw events — "
+    "green means exactly-once held through all four batches. At "
+    "100 TB this is the auto-loader contract: ingest cost tracks NEW "
+    "files only, and the ledger is one metadata document, not a "
+    "per-file log scan.",
+    tags=("delta", "copy-into", "ingest", "idempotence", "metadata"),
+)
+def delta_copy_into_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    land = tempfile.mkdtemp(prefix="cpcopy_") + "/landing"
+    os.makedirs(land)
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = src.num_rows
+    cut1, cut2 = n // 3, (2 * n) // 3
+    slices = [(0, cut1), (cut1, cut2 - cut1), (cut2, n - cut2)]
+    files = []
+    for i, (off, ln) in enumerate(slices):
+        p = os.path.join(land, f"batch_{i}.parquet")
+        pq.write_table(src.slice(off, ln), p)
+        files.append(p)
+
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpcopy_") + "/events_delta")
+    table.create(spark.read.parquet(files[0]).schema)
+    r1 = table.copy_into(spark, files[:2])
+    r2 = table.copy_into(spark, files)
+    v_settled = table.latest_version()
+    r3 = table.copy_into(spark, files)
+    replay_noop = int(
+        r3["ingested_files"] == 0
+        and r3["version"] == v_settled
+        and table.latest_version() == v_settled
+    )
+    # rewrite an already-loaded landing file: the fingerprint changes
+    # and the next batch must refuse it loudly, leaving the table as-is
+    pq.write_table(src.slice(cut1, 1), files[1])
+    try:
+        table.copy_into(spark, files)
+        modified_refused = 0
+    except ValueError:
+        modified_refused = int(table.latest_version() == v_settled)
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+        F.lit(r1["ingested_files"]).cast("long").alias("first_ingested"),
+        F.lit(r2["ingested_files"]).cast("long").alias("second_ingested"),
+        F.lit(r2["skipped_files"]).cast("long").alias("second_skipped"),
+        F.lit(replay_noop).cast("long").alias("replay_noop"),
+        F.lit(modified_refused).cast("long").alias("modified_refused"),
+    )

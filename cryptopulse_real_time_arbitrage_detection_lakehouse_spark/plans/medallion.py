@@ -664,6 +664,8 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IND_SCALE = 1 << 20
 BOLL_WINDOW, BOLL_K = 20, 2.0
 RSI_WINDOW = 14
+STOCH_WINDOW, STOCH_D = 14, 3
+ATR_WINDOW = 14
 
 
 @register(
@@ -904,4 +906,307 @@ def candle_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("close", "window_start").alias("close"),
         F.sum("trade_count").alias("trade_count"),
         F.count(F.lit(1)).alias("n_minutes"),
+    )
+
+
+@register(
+    "candle_stochastic_oscillator",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+q AS (
+  SELECT window_start, symbol, close,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS qc,
+         CAST(floor(high  * {float(_IND_SCALE)!r}) AS BIGINT) AS qh,
+         CAST(floor(low   * {float(_IND_SCALE)!r}) AS BIGINT) AS ql
+  FROM gold
+),
+r AS (
+  SELECT window_start, symbol, close, qc,
+         count(*) OVER w AS n,
+         MAX(qh) OVER w AS hh,
+         MIN(ql) OVER w AS llo
+  FROM q
+  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+               ROWS BETWEEN {STOCH_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT window_start, symbol, close,
+         100.0 * CAST(qc - llo AS DOUBLE) / CAST(hh - llo AS DOUBLE)
+           AS pct_k,
+         CAST(floor(100.0 * CAST(qc - llo AS DOUBLE)
+                    / CAST(hh - llo AS DOUBLE)
+                    * {float(_IND_SCALE)!r}) AS BIGINT) AS qk
+  FROM r WHERE n = {STOCH_WINDOW} AND hh > llo
+),
+d AS (
+  SELECT window_start, symbol, close, pct_k,
+         count(*) OVER w AS n2,
+         SUM(qk) OVER w AS sk
+  FROM k
+  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+               ROWS BETWEEN {STOCH_D - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT window_start, symbol, close, pct_k,
+       CAST(CAST(sk AS VARCHAR) AS DOUBLE)
+         / ({float(STOCH_D)!r} * {float(_IND_SCALE)!r}) AS pct_d
+FROM d WHERE n2 = {STOCH_D}
+""",
+    doc=f"Stochastic oscillator (%K-{STOCH_WINDOW}, %D-{STOCH_D}) over "
+    "the 1-minute candles: %K = 100·(close − min low)/(max high − min "
+    "low) over the trailing frame, %D = 3-candle SMA of %K. Both "
+    "rolling extrema and the %D sum ride "
+    "`operators.rolling.chunked_rolling` (parallel over symbol x day "
+    "chunks, no 3-partition ceiling). Determinism discipline: "
+    "close/high/low quantize to the 2^20 grid BEFORE the frame, so "
+    "min/max/differences are exact integers and the single %K division "
+    "takes bit-identical operands in both engines; %D then re-quantizes "
+    "the identical %K double to the grid so its 3-row sum is again an "
+    "exact integer (documented as quantized-%K SMA). Flat frames "
+    "(max high = min low, %K undefined) are filtered in both engines "
+    "before the %D pass; partial leading frames filtered per "
+    "convention.",
+    tags=("gold", "analytics", "window-function", "indicator",
+          "rolling"),
+)
+def candle_stochastic_oscillator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.rolling import chunked_rolling
+
+    gold = _gold_table(spark, sf_dir)
+    scale = F.lit(float(_IND_SCALE))
+    q = gold.select(
+        "window_start",
+        "symbol",
+        "close",
+        F.floor(F.col("close") * scale).cast("long").alias("qc"),
+        F.floor(F.col("high") * scale).cast("long").alias("qh"),
+        F.floor(F.col("low") * scale).cast("long").alias("ql"),
+    )
+    r = chunked_rolling(
+        q,
+        key_cols=["symbol"],
+        order_col="window_start",
+        chunk=F.substring("window_start", 1, 10),
+        frame_rows=STOCH_WINDOW,
+        cols={
+            "n": lambda w: F.count(F.lit(1)).over(w),
+            "hh": lambda w: F.max("qh").over(w),
+            "llo": lambda w: F.min("ql").over(w),
+        },
+    )
+    pct_k = (
+        F.lit(100.0)
+        * (F.col("qc") - F.col("llo")).cast("double")
+        / (F.col("hh") - F.col("llo")).cast("double")
+    )
+    k = r.filter(
+        (F.col("n") == STOCH_WINDOW) & (F.col("hh") > F.col("llo"))
+    ).select(
+        "window_start",
+        "symbol",
+        "close",
+        pct_k.alias("pct_k"),
+        F.floor(pct_k * scale).cast("long").alias("qk"),
+    )
+    d = chunked_rolling(
+        k,
+        key_cols=["symbol"],
+        order_col="window_start",
+        chunk=F.substring("window_start", 1, 10),
+        frame_rows=STOCH_D,
+        cols={
+            "n2": lambda w: F.count(F.lit(1)).over(w),
+            "sk": lambda w: F.sum("qk").over(w),
+        },
+    )
+    return d.filter(F.col("n2") == STOCH_D).select(
+        "window_start",
+        "symbol",
+        "close",
+        "pct_k",
+        (
+            F.col("sk").cast("double")
+            / F.lit(float(STOCH_D) * float(_IND_SCALE))
+        ).alias("pct_d"),
+    )
+
+
+@register(
+    "candle_atr",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+l AS (
+  SELECT window_start, symbol, close, high, low,
+         lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS prev_close
+  FROM gold
+),
+q AS (
+  SELECT window_start, symbol, close,
+         greatest(
+           CAST(floor(high * {float(_IND_SCALE)!r}) AS BIGINT)
+             - CAST(floor(low * {float(_IND_SCALE)!r}) AS BIGINT),
+           abs(CAST(floor(high * {float(_IND_SCALE)!r}) AS BIGINT)
+               - CAST(floor(prev_close * {float(_IND_SCALE)!r}) AS BIGINT)),
+           abs(CAST(floor(low * {float(_IND_SCALE)!r}) AS BIGINT)
+               - CAST(floor(prev_close * {float(_IND_SCALE)!r}) AS BIGINT))
+         ) AS tr
+  FROM l WHERE prev_close IS NOT NULL
+),
+r AS (
+  SELECT window_start, symbol, close,
+         count(*) OVER w AS n,
+         SUM(tr) OVER w AS st
+  FROM q
+  WINDOW w AS (PARTITION BY symbol ORDER BY window_start
+               ROWS BETWEEN {ATR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT window_start, symbol, close,
+       CAST(CAST(st AS VARCHAR) AS DOUBLE)
+         / ({float(ATR_WINDOW)!r} * {float(_IND_SCALE)!r}) AS atr
+FROM r WHERE n = {ATR_WINDOW}
+""",
+    doc=f"Average True Range (SMA-{ATR_WINDOW} form) over the 1-minute "
+    "candles: TR = max(high − low, |high − prev close|, |low − prev "
+    "close|), averaged over the trailing frame — the volatility "
+    "indicator a market-making dashboard pairs with Bollinger/RSI. The "
+    "prev-close lag rides `operators.chunked_lag` and the TR sum rides "
+    "`operators.rolling.chunked_rolling` (parallel over symbol x day "
+    "chunks). Determinism: high/low/prev-close quantize to the 2^20 "
+    "grid FIRST, so TR and its rolling sum are exact integers (TR is "
+    "defined on the grid; floor(h·S)−floor(l·S) differs from "
+    "floor((h−l)·S) by at most one grid step and is identically "
+    "computed in both engines); one final division over bit-identical "
+    "operands. Wilder's EMA smoothing is deliberately NOT used: its "
+    "infinite-history recurrence has no exact finite-window form, so "
+    "the SMA variant is the hash-verifiable contract (same choice as "
+    "Cutler's RSI above).",
+    tags=("gold", "analytics", "window-function", "indicator",
+          "rolling"),
+)
+def candle_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_rolling
+
+    gold = _gold_table(spark, sf_dir).select(
+        "window_start", "symbol", "close", "high", "low"
+    )
+    lagged = chunked_lag(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="close",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_close",
+        materialize=False,
+    )
+    scale = F.lit(float(_IND_SCALE))
+    qh = F.floor(F.col("high") * scale).cast("long")
+    ql = F.floor(F.col("low") * scale).cast("long")
+    qpc = F.floor(F.col("prev_close") * scale).cast("long")
+    tr = F.greatest(qh - ql, F.abs(qh - qpc), F.abs(ql - qpc))
+    q = lagged.filter(F.col("prev_close").isNotNull()).select(
+        "window_start", "symbol", "close", tr.alias("tr")
+    )
+    r = chunked_rolling(
+        q,
+        key_cols=["symbol"],
+        order_col="window_start",
+        chunk=F.substring("window_start", 1, 10),
+        frame_rows=ATR_WINDOW,
+        cols={
+            "n": lambda w: F.count(F.lit(1)).over(w),
+            "st": lambda w: F.sum("tr").over(w),
+        },
+    )
+    return r.filter(F.col("n") == ATR_WINDOW).select(
+        "window_start",
+        "symbol",
+        "close",
+        (
+            F.col("st").cast("double")
+            / F.lit(float(ATR_WINDOW) * float(_IND_SCALE))
+        ).alias("atr"),
+    )
+
+
+@register(
+    "candle_obv",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+l AS (
+  SELECT window_start, symbol, close, trade_count,
+         lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS prev_close
+  FROM gold
+),
+s AS (
+  SELECT window_start, symbol, close,
+         (CASE WHEN close > prev_close THEN 1
+               WHEN close < prev_close THEN -1
+               ELSE 0 END) * trade_count AS signed_vol
+  FROM l
+)
+SELECT window_start, symbol, close,
+       CAST(SUM(signed_vol) OVER (
+         PARTITION BY symbol ORDER BY window_start
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM s
+""",
+    doc="On-Balance Volume over the 1-minute candles: the running total "
+    "of volume signed by the close-to-close direction (trade_count is "
+    "the gold schema's volume measure — the reference's candle schema "
+    "carries no size sum, same note as the rollup query). This is the "
+    "UNBOUNDED-PRECEDING prefix scan no trailing frame can express, "
+    "and the scale story is `operators.rolling.chunked_cumsum`: local "
+    "prefix sums inside (symbol, day) chunks, an exclusive prefix over "
+    "the per-chunk TOTALS summary (the only sequential pass — "
+    "|symbols|x|days| rows, never data), and a broadcast join back — "
+    "versus the naive PARTITION BY symbol scan whose parallelism is "
+    "|symbols| forever. All-integer arithmetic (direction x BIGINT "
+    "count), so the chunk decomposition is exact, not reassociated "
+    "floating point; rows before the first lag (direction 0) "
+    "contribute nothing in both engines by the same CASE/ELSE.",
+    tags=("gold", "analytics", "window-function", "indicator",
+          "scan"),
+)
+def candle_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_cumsum
+
+    gold = _gold_table(spark, sf_dir).select(
+        "window_start", "symbol", "close", "trade_count"
+    )
+    lagged = chunked_lag(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="close",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_close",
+        materialize=False,
+    )
+    direction = (
+        F.when(F.col("close") > F.col("prev_close"), F.lit(1))
+        .when(F.col("close") < F.col("prev_close"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = lagged.select(
+        "window_start",
+        "symbol",
+        "close",
+        (direction * F.col("trade_count")).cast("long").alias("signed_vol"),
+    )
+    out = chunked_cumsum(
+        s,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="signed_vol",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="obv",
+    )
+    return out.select(
+        "window_start", "symbol", "close", F.col("obv").cast("long").alias("obv")
     )

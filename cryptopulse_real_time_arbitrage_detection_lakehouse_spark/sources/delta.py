@@ -1898,6 +1898,8 @@ class DeltaTable:
         generated_columns: dict[str, str] | None = None,
         _operation: str = "WRITE",
         _data_change: bool = True,
+        _domains: dict[str, str] | None = None,
+        _domain_read_version: int | None = None,
     ) -> int:
         """Commit ``df`` as one Delta transaction. Returns the version.
 
@@ -1935,6 +1937,24 @@ class DeltaTable:
         spark = df.sparkSession
         last = self.latest_version()
         version = 0 if last is None else last + 1
+        if _domains and _domain_read_version is not None and last is not None:
+            # the caller derived its _domains update from the snapshot at
+            # _domain_read_version; any commit SINCE then that touched one
+            # of those domains is a lost update our stale derivation would
+            # silently clobber (two COPY INTOs both admitting a file) —
+            # the same logical conflict the OCC retry loop surfaces for
+            # interleaves landing after OUR snapshot, checked here for
+            # the read-to-write gap the retry loop cannot see
+            for v2 in range(_domain_read_version + 1, last + 1):
+                for action in self._read_commit(v2):
+                    dm = action.get("domainMetadata")
+                    if dm and dm.get("domain") in _domains:
+                        raise ConcurrentWriteError(
+                            f"{_operation} on {self.path} conflicts with "
+                            f"a concurrent update of domain "
+                            f"{dm.get('domain')!r} at version {v2}; "
+                            "rerun from a fresh snapshot"
+                        )
 
         prior_meta: dict | None = None
         prior_adds: list[dict] = []
@@ -2261,6 +2281,43 @@ class DeltaTable:
         actions.extend({"add": a} for a in adds)
         if rt_domain_action is not None:
             actions.append(rt_domain_action)
+        if _domains:
+            # user-domain state riding THE SAME commit as the data it
+            # describes (COPY INTO's loaded-file ledger): two commits
+            # would open a crash window where the data landed but the
+            # ledger did not (double ingest on replay) or vice versa
+            # (data loss). Requires an existing table — the version-0
+            # protocol block above predates feature-form protocols.
+            if last is None:
+                raise ValueError(
+                    "_domains requires an existing table (create it "
+                    "first, then commit data+domain atomically)"
+                )
+            upgraded = self._upgraded_protocol(_proto, {"domainMetadata"})
+            if upgraded is not None:
+                existing = next(
+                    (a["protocol"] for a in actions if "protocol" in a), None
+                )
+                if existing is not None:
+                    # the evolution branch already appended a protocol
+                    # action (always feature-form 3/7): fold the domain
+                    # feature into it rather than emitting two protocols
+                    existing["writerFeatures"] = sorted(
+                        set(existing.get("writerFeatures") or [])
+                        | {"domainMetadata"}
+                    )
+                else:
+                    actions.append({"protocol": upgraded})
+            for _dom, _cfg in sorted(_domains.items()):
+                actions.append(
+                    {
+                        "domainMetadata": {
+                            "domain": _dom,
+                            "configuration": _cfg,
+                            "removed": False,
+                        }
+                    }
+                )
 
         # optimistic concurrency: a blind APPEND whose commit slot was
         # taken retries against the new tail if the interleaved commits
@@ -2298,6 +2355,18 @@ class DeltaTable:
                                 f"{v2}; rerun from a fresh snapshot"
                             )
                         dm = action.get("domainMetadata")
+                        if dm and _domains and dm.get("domain") in _domains:
+                            # the interleaved commit rewrote a domain this
+                            # write derived its own update from (e.g. two
+                            # COPY INTOs racing on the loaded-file ledger:
+                            # both may have admitted the same file) — a
+                            # logical conflict, never blind-retried
+                            raise ConcurrentWriteError(
+                                f"{_operation} on {self.path} conflicts "
+                                f"with a concurrent update of domain "
+                                f"{dm.get('domain')!r} at version {v2}; "
+                                "rerun from a fresh snapshot"
+                            )
                         if dm and dm.get("domain") == self.RT_DOMAIN:
                             interleaved_hwm = max(
                                 interleaved_hwm,
@@ -3166,6 +3235,103 @@ class DeltaTable:
         if domain.startswith("delta."):
             raise ValueError(f"domain {domain!r} is system-controlled")
         return self._commit_domain(domain, "", removed=True)
+
+    # -------------------------------------------------------- COPY INTO
+
+    #: user domain holding the loaded-file ledger (path -> fingerprint)
+    COPY_DOMAIN = "copyInto.loadedFiles"
+
+    def copy_into(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        *,
+        force: bool = False,
+    ) -> dict:
+        """File-granularity idempotent ingest — the lakehouse ``COPY
+        INTO`` verb (Databricks SQL ref; delta-rs ``write`` has no twin).
+        Each source parquet file is ingested AT MOST ONCE: a ledger of
+        loaded files (path -> ``size:mtime_ns`` fingerprint) lives in the
+        ``copyInto.loadedFiles`` user domain and is updated in THE SAME
+        commit as the appended data, so a crashed-and-replayed batch can
+        never double-ingest (the crash window a two-commit design would
+        have). Re-running with an unchanged file list is a pure no-op —
+        no commit at all, the table version does not move.
+
+        A listed file whose fingerprint CHANGED since it was loaded is
+        refused loudly (the caller's landing zone mutated history —
+        re-ingesting would duplicate the rows that did not change, and
+        skipping would silently drop the ones that did); ``force=True``
+        re-ingests it wholesale and re-stamps the ledger, the documented
+        escape hatch matching Databricks' ``COPY_OPTIONS('force')``.
+
+        Requires an existing table (same contract as the SQL verb).
+        Concurrency: two racing COPY INTOs are serialized by the domain
+        conflict check in `write` — the loser gets
+        ``ConcurrentWriteError`` instead of admitting a file twice.
+
+        Scale note: the ledger is one JSON document read once per batch —
+        O(loaded files) bytes of metadata, not a per-file log scan. At
+        millions of loaded files a production engine shards this state
+        (Databricks keeps it in a RocksDB sidecar); the domain form is
+        the protocol-native single-writer equivalent and the refusal
+        surface is identical.
+        """
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(
+                f"COPY INTO target {self.path} does not exist; create the "
+                "table first (the SQL verb has the same contract)"
+            )
+        ledger_raw = self.domain_metadata(base).get(self.COPY_DOMAIN)
+        ledger: dict[str, str] = (
+            json.loads(ledger_raw) if ledger_raw else {}
+        )
+
+        def _fp(p: str) -> str:
+            st = os.stat(p)
+            return f"{st.st_size}:{st.st_mtime_ns}"
+
+        new: list[str] = []
+        skipped = 0
+        for p in sorted(os.path.abspath(f) for f in files):
+            fp = _fp(p)
+            prior = ledger.get(p)
+            if prior is None:
+                new.append(p)
+                ledger[p] = fp
+            elif prior == fp:
+                skipped += 1
+            elif force:
+                new.append(p)
+                ledger[p] = fp
+            else:
+                raise ValueError(
+                    f"COPY INTO source {p} changed since it was loaded "
+                    f"(fingerprint {prior} -> {fp}); re-ingesting would "
+                    "duplicate unchanged rows and skipping would drop "
+                    "changed ones — pass force=True to re-ingest it "
+                    "wholesale"
+                )
+        if not new:
+            return {
+                "version": self.latest_version(),
+                "ingested_files": 0,
+                "skipped_files": skipped,
+            }
+        version = self.write(
+            spark.read.parquet(*new),
+            _operation="COPY INTO",
+            _domains={
+                self.COPY_DOMAIN: json.dumps(ledger, sort_keys=True)
+            },
+            _domain_read_version=base,
+        )
+        return {
+            "version": version,
+            "ingested_files": len(new),
+            "skipped_files": skipped,
+        }
 
     def _commit_domain(
         self, domain: str, configuration: str, *, removed: bool

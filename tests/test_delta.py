@@ -4806,3 +4806,117 @@ class TestConflictCheckerRetry:
         t._snapshot_state_full = hooked
         with pytest.raises(ConcurrentWriteError):
             t.delete(spark, "grp = 3")
+
+
+class TestCopyInto:
+    """File-granularity idempotent ingest: the loaded-file ledger rides
+    the data commit atomically, replays commit nothing, modified landing
+    files are refused, and racing batches serialize on the domain."""
+
+    def _landing(self, spark, tmp_path, n_files=3, rows_per=10):
+        land = tmp_path / "landing"
+        land.mkdir()
+        files = []
+        for i in range(n_files):
+            p = str(land / f"b{i}.parquet")
+            make_df(spark, i * rows_per, rows_per).coalesce(1).toPandas().to_parquet(p)
+            files.append(p)
+        return files
+
+    def test_idempotent_batches_and_atomic_ledger(self, spark, tmp_path):
+        files = self._landing(spark, tmp_path)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(spark.read.parquet(files[0]).schema)
+        r1 = t.copy_into(spark, files[:2])
+        assert (r1["ingested_files"], r1["skipped_files"]) == (2, 0)
+        assert t.read(spark).count() == 20
+        r2 = t.copy_into(spark, files)
+        assert (r2["ingested_files"], r2["skipped_files"]) == (1, 2)
+        assert t.read(spark).count() == 30
+        # the ledger landed in the SAME commit as the data
+        acts = list(t._read_commit(r2["version"]))
+        assert any("add" in a for a in acts)
+        assert any(
+            a.get("domainMetadata", {}).get("domain") == t.COPY_DOMAIN
+            for a in acts
+        )
+        # byte-identical replay: no commit at all
+        v = t.latest_version()
+        r3 = t.copy_into(spark, files)
+        assert r3 == {
+            "version": v,
+            "ingested_files": 0,
+            "skipped_files": 3,
+        }
+        assert t.latest_version() == v
+
+    def test_modified_file_refused_then_force(self, spark, tmp_path):
+        files = self._landing(spark, tmp_path)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(spark.read.parquet(files[0]).schema)
+        t.copy_into(spark, files)
+        make_df(spark, 100, 3).coalesce(1).toPandas().to_parquet(files[1])
+        with pytest.raises(ValueError, match="changed since it was loaded"):
+            t.copy_into(spark, files)
+        assert t.read(spark).count() == 30  # untouched by the refusal
+        r = t.copy_into(spark, files, force=True)
+        assert (r["ingested_files"], r["skipped_files"]) == (1, 2)
+        # force re-ingests the rewritten file wholesale (documented:
+        # the original 10 rows it once contributed remain)
+        assert t.read(spark).count() == 33
+
+    def test_requires_existing_table(self, spark, tmp_path):
+        files = self._landing(spark, tmp_path, n_files=1)
+        t = DeltaTable(str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="does not exist"):
+            t.copy_into(spark, files)
+
+    def test_racing_batches_conflict_on_ledger(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            ConcurrentWriteError,
+        )
+
+        files = self._landing(spark, tmp_path)
+        t = DeltaTable(str(tmp_path / "t"))
+        t.create(spark.read.parquet(files[0]).schema)
+        t.copy_into(spark, files[:1])
+
+        # a concurrent COPY INTO publishes the next version (ledger
+        # update admitting files[1]) in the REAL race window — after our
+        # batch reads the ledger, before its write commits. The stale
+        # derivation would clobber that admission (double-ingest on the
+        # next replay), so the domain conflict check must refuse.
+        orig = t.domain_metadata
+        fired = {"done": False}
+
+        def hooked(version=None):
+            out = orig(version)
+            if not fired["done"]:
+                fired["done"] = True
+                v = t.latest_version() + 1
+                with open(
+                    os.path.join(t.path, "_delta_log", f"{v:020d}.json"),
+                    "w",
+                ) as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "domainMetadata": {
+                                    "domain": t.COPY_DOMAIN,
+                                    "configuration": json.dumps(
+                                        {files[1]: "0:0"}
+                                    ),
+                                    "removed": False,
+                                }
+                            }
+                        )
+                        + "\n"
+                    )
+            return out
+
+        t.domain_metadata = hooked
+        with pytest.raises(ConcurrentWriteError, match="copyInto.loadedFiles"):
+            t.copy_into(spark, files)
+        # the winner's ledger was not clobbered and no file re-ingested
+        assert t.read(spark).count() == 10
+        assert json.loads(orig().get(t.COPY_DOMAIN)) == {files[1]: "0:0"}

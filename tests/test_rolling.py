@@ -89,3 +89,59 @@ def test_refuses_degenerate_frame(spark):
             frame_rows=1,
             cols={},
         )
+
+
+class TestChunkedCumsum:
+    """chunked_cumsum == plain UNBOUNDED-PRECEDING window, across chunk
+    boundaries, gaps in the chunk calendar, and negative values."""
+
+    def _naive(self, df):
+        w = (
+            W.partitionBy("k")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return df.select("*", F.sum("v").over(w).alias("c"))
+
+    def _chunked(self, df, chunk_size=10):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (  # noqa: E501
+            chunked_cumsum,
+        )
+
+        return chunked_cumsum(
+            df,
+            key_cols=["k"],
+            order_col="pos",
+            value_col="v",
+            chunk=F.floor(F.col("pos") / chunk_size),
+            out_col="c",
+        )
+
+    def _cmp(self, got, expect):
+        g = {(r.k, r.pos): r.c for r in got.collect()}
+        e = {(r.k, r.pos): r.c for r in expect.collect()}
+        assert g == e
+
+    def test_matches_plain_window(self, spark):
+        rows = [
+            (k, p, ((p * 7 + ki * 3) % 13) - 6)  # signed values
+            for ki, k in enumerate(["a", "b"])
+            for p in range(35)
+        ]
+        df = spark.createDataFrame(rows, "k string, pos long, v long")
+        self._cmp(self._chunked(df), self._naive(df))
+
+    def test_gaps_in_chunk_calendar(self, spark):
+        # positions 0-9 and 40-49: two whole chunks missing between them;
+        # the offset pass must carry the prefix across the gap
+        rows = [
+            ("a", p, p + 1) for p in [*range(10), *range(40, 50)]
+        ]
+        df = spark.createDataFrame(rows, "k string, pos long, v long")
+        self._cmp(self._chunked(df), self._naive(df))
+
+    def test_single_row_chunks(self, spark):
+        df = spark.createDataFrame(
+            [("a", p, 1) for p in range(7)], "k string, pos long, v long"
+        )
+        self._cmp(self._chunked(df, chunk_size=1), self._naive(df))
