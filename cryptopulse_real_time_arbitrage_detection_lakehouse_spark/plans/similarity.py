@@ -357,6 +357,30 @@ def sim_cosine_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_BANDS, EMB_BAND_BITS = 4, 8
 EMB_NEAR_DUP_THRESHOLD = 0.4
 
+#: adaptive banding (round-7 100x probe, SCALE.md): 8-bit bands give only
+#: 256 buckets, so candidate mass grows O(n^2/256) in the DISTINCT-vector
+#: count — measured 550 s at 200k vectors vs 8 s for 16-bit. The
+#: registered query therefore widens bands once expected 8-bit bucket
+#: occupancy n/256 would exceed this bound (n > 64*256 = 16384), the same
+#: count-driven scale contract as SemDeDup's adaptive K below; every
+#: oracle scale (sf0.01/sf0.1: 200-2000 vectors) resolves to 8-bit, so
+#: the static DuckDB twin stays bit-identical, and the 100x probe is what
+#: exercises the 16-bit branch.
+EMB_BAND_OCCUPANCY_BOUND = 64
+EMB_BAND_BITS_SCALE = 16
+
+
+def _near_dup_band_bits(n_distinct: int) -> int:
+    """Band width for `emb_near_dup_pairs` as a function of distinct-vector
+    count: the narrowest width whose expected bucket occupancy
+    ``n / 2^bits`` stays within EMB_BAND_OCCUPANCY_BOUND, in {8, 16} (4
+    bands x 16 bits already consumes all 64 sign bits, so 16 is the cap —
+    beyond ~4M distinct vectors per partition a deployment shards the
+    corpus before banding, not the bands)."""
+    if n_distinct <= EMB_BAND_OCCUPANCY_BOUND * (1 << EMB_BAND_BITS):
+        return EMB_BAND_BITS
+    return EMB_BAND_BITS_SCALE
+
 
 def _sql_pair_qdot(a: str, b: str) -> str:
     """Exact int64 dot of two quantized embedding expressions (DuckDB)."""
@@ -403,13 +427,30 @@ WHERE cosine >= {EMB_NEAR_DUP_THRESHOLD}
     "only candidates. The cosine is computed row-local on the joined rows "
     "(vectors already co-located by the band shuffle) and the final "
     "distinct carries only (vec_a, vec_b, cosine) — O(N) + O(candidates), "
-    "never O(N^2). At 100 TB the table is written partitioned by band_val "
-    "so each band's self-join is partition-local.",
+    "never O(N^2). Band width ADAPTS to the distinct-vector count "
+    "(8-bit bands up to 16k distinct vectors, 16-bit beyond — the "
+    "round-7 100x probe measured 550 s vs 8 s for 200k vectors), the "
+    "same count-driven scale contract as SemDeDup's adaptive K; every "
+    "oracle scale resolves to 8-bit so the static SQL twin stays "
+    "bit-identical. Widening bands trades recall in the low-cosine "
+    "tail (tau..0.9) for tractability; genuine near-dups (cosine -> 1, "
+    "sign flips only near zero coordinates) keep recall ~1 — the "
+    "standard LSH tuning, measured in SCALE.md. At 100 TB the table is "
+    "written partitioned by band_val so each band's self-join is "
+    "partition-local.",
     tags=("similarity", "dedup", "lsh"),
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb_near_dup_pairs_plan(emb)
+    # count DISTINCT vectors, not rows: verbatim copies digest-collapse
+    # inside the plan, so they add zero candidate mass and must not push
+    # the banding off the recall-first 8-bit setting
+    n = (
+        emb.select(F.md5(F.to_json(F.col("embedding"))).alias("dig"))
+        .distinct()
+        .count()
+    )
+    return emb_near_dup_pairs_plan(emb, band_bits=_near_dup_band_bits(n))
 
 
 def emb_near_dup_pairs_plan(

@@ -94,6 +94,75 @@ class TestEmbNearDupDuplicateHeavy:
         assert not any(a >= 300 for a, _ in pairs)  # zero-norm dups dropped
 
 
+class TestAdaptiveBanding:
+    """Round-7 100x probe follow-up: 8-bit bands cost O(n^2/256) in
+    distinct vectors (measured 550 s at 200k vs 8 s for 16-bit), so the
+    registered query widens bands by distinct-vector count."""
+
+    def test_band_bits_by_distinct_count(self):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.similarity import (  # noqa: E501
+            EMB_BAND_BITS,
+            EMB_BAND_BITS_SCALE,
+            EMB_BAND_OCCUPANCY_BOUND,
+            _near_dup_band_bits,
+        )
+
+        edge = EMB_BAND_OCCUPANCY_BOUND * 256  # expected occupancy bound
+        assert _near_dup_band_bits(1) == EMB_BAND_BITS
+        assert _near_dup_band_bits(2000) == EMB_BAND_BITS  # sf0.1 scale
+        assert _near_dup_band_bits(edge) == EMB_BAND_BITS
+        assert _near_dup_band_bits(edge + 1) == EMB_BAND_BITS_SCALE
+        assert _near_dup_band_bits(200_000) == EMB_BAND_BITS_SCALE
+
+    def test_wide_bands_keep_near_dup_recall(self, spark, tmp_path):
+        """The 16-bit branch trades away only the low-cosine tail:
+        genuine near-dups (cosine -> 1; sign flips only where a
+        coordinate sits near zero) must still collide in >=1 band.
+        Distinct-byte near-copies, so digest-collapse cannot fold them."""
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.similarity import (  # noqa: E501
+            emb_near_dup_pairs_plan,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (  # noqa: E501
+            load_table,
+        )
+
+        rnd = random.Random(11)
+        ids, vecs = [], []
+        for g in range(6):  # 6 groups of 3 near-copies, far from zero
+            base = [rnd.choice((-1.0, 1.0)) * rnd.uniform(0.3, 0.9)
+                    for _ in range(64)]
+            for m in range(3):
+                ids.append(g * 10 + m)
+                vecs.append([x + rnd.uniform(-1e-3, 1e-3) for x in base])
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                    "label": pa.array(["g"] * len(ids)),
+                }
+            ),
+            f"{tmp_path}/embeddings.parquet",
+        )
+        emb = load_table(spark, str(tmp_path), "embeddings")
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in emb_near_dup_pairs_plan(emb, band_bits=16).collect()
+        }
+        for g in range(6):
+            want = {
+                (g * 10, g * 10 + 1),
+                (g * 10, g * 10 + 2),
+                (g * 10 + 1, g * 10 + 2),
+            }
+            assert want <= got, f"group {g} lost near-dup pairs at 16-bit"
+
+
 class TestExactThresholdJoin:
     """exact_threshold_join: the cluster bound must PRUNE on clustered
     data and stay EXACT regardless."""
