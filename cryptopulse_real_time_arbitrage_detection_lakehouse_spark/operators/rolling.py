@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["chunked_rolling", "chunked_cumsum"]
+__all__ = ["chunked_rolling", "chunked_cumsum", "chunked_locf"]
 
 
 def chunked_rolling(
@@ -146,3 +146,76 @@ def chunked_cumsum(
     return joined.withColumn(
         out_col, F.col("__local") + F.coalesce(F.col("__off"), zero)
     ).drop("__chunk", "__local", "__off")
+
+
+def chunked_locf(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    chunk: Column,
+    out_col: str = "locf",
+) -> DataFrame:
+    """Append ``out_col`` = last non-null ``value_col`` at or before each
+    row within ``key_cols`` ordered by ``order_col`` — forward fill /
+    last-observation-carried-forward, the gap-filling primitive
+    (TimescaleDB's ``locf``, pandas ``ffill``).
+
+    Same decomposition as `chunked_cumsum`, because LOCF is a prefix
+    scan too (over the "last non-null" monoid instead of +): the filled
+    value at any row is its chunk-local forward fill, or — where the
+    chunk has seen no observation yet — the last observation of any
+    earlier chunk. The naive ``last(value, ignorenulls) OVER (PARTITION
+    BY key ORDER BY ord ROWS UNBOUNDED PRECEDING)`` pushes each key's
+    entire history through one task; here:
+
+    1. chunk-local fill runs inside (key, chunk) partitions — parallel
+       over keys x chunks;
+    2. the per-chunk LAST OBSERVATION summary (one row per observed
+       (key, chunk); ``max_by`` over the non-null rows) takes the
+       sequential pass — a window over the summary, never the data;
+    3. each chunk's carry-in (last observation of any strictly earlier
+       chunk) broadcast-joins back; out = coalesce(local, carry).
+
+    Chunks with zero observations need no special case: they are absent
+    from the summary (contributing nothing to later carries) and their
+    own rows take the carry-in through the coalesce. Rows before the
+    first observation of a key stay NULL — the caller decides the
+    leading-edge policy, exactly like SQL's IGNORE NULLS frame. ``chunk``
+    must be monotone in ``order_col`` and ``order_col`` unique per key
+    (ties would make "last" ambiguous in BOTH the naive window and the
+    max_by summary), the same contract as `chunked_lag`.
+    """
+    d = df.withColumn("__chunk", chunk)
+    w_local = (
+        W.partitionBy(*key_cols, "__chunk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = d.withColumn(
+        "__local", F.last(value_col, ignorenulls=True).over(w_local)
+    )
+    obs = (
+        d.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, "__chunk")
+        .agg(F.max_by(value_col, F.col(order_col)).alias("__last"))
+    )
+    # every chunk present in the DATA (observed or not) needs a carry row,
+    # so the prior-chunk scan runs over the distinct-chunk frame with the
+    # summary left-joined on — both are |keys|x|chunks| rows
+    chunks = d.select(*key_cols, "__chunk").distinct()
+    w_prior = (
+        W.partitionBy(*key_cols)
+        .orderBy("__chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = chunks.join(obs, [*key_cols, "__chunk"], "left").select(
+        *key_cols,
+        "__chunk",
+        F.last("__last", ignorenulls=True).over(w_prior).alias("__carry"),
+    )
+    joined = local.join(F.broadcast(carry), [*key_cols, "__chunk"])
+    return joined.withColumn(
+        out_col, F.coalesce("__local", "__carry")
+    ).drop("__chunk", "__local", "__carry")

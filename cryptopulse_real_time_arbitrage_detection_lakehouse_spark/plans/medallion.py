@@ -1210,3 +1210,243 @@ def candle_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "window_start", "symbol", "close", F.col("obv").cast("long").alias("obv")
     )
+
+
+@register(
+    "candle_gapfill_locf",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+candles AS (
+  SELECT date_trunc('minute', trade_timestamp) AS w, symbol,
+         arg_max(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000
+                 + trade_id) AS close,
+         count(*) AS trade_count
+  FROM ticks GROUP BY 1, 2
+),
+bounds AS (SELECT symbol, min(w) AS mn, max(w) AS mx FROM candles GROUP BY symbol),
+grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS w
+  FROM bounds
+),
+joined AS (
+  SELECT g.symbol, g.w, c.close, coalesce(c.trade_count, 0) AS trade_count
+  FROM grid g LEFT JOIN candles c ON g.symbol = c.symbol AND g.w = c.w
+)
+SELECT {sql_fmt_ts("w")} AS window_start, symbol,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY w
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+       (close IS NULL) AS is_gap,
+       trade_count
+FROM joined
+""",
+    doc="Gap-filled 1-minute close series — TimescaleDB's "
+    "time_bucket_gapfill + locf, the operation every charting/alerting "
+    "consumer needs over a sparse market (a minute with no trades must "
+    "still plot the standing price, and a spread alert comparing venues "
+    "must not miss because one side had a quiet minute). Per symbol the "
+    "full minute grid between its first and last candle is generated, "
+    "real candles left-joined on, and close forward-filled via "
+    "`operators.rolling.chunked_locf` — LOCF is a prefix scan over the "
+    "last-non-null monoid, so it decomposes exactly like chunked_cumsum: "
+    "chunk-local fill parallel over symbol x day chunks, the sequential "
+    "pass over the per-chunk last-observation SUMMARY only, carry-ins "
+    "broadcast back. Grid generation is scale-safe too: days explode "
+    "first (one row per symbol x day, re-shuffled across the cluster), "
+    "then each day expands its <=1440 minutes locally — a single "
+    "sequence(first, last) per symbol would build a multi-year array on "
+    "one task. close is CARRIED, never computed with (decimal all the "
+    "way), so both engines hash identically; is_gap pins which rows were "
+    "synthesized and trade_count coalesces to 0 on them.",
+    tags=("gold", "analytics", "gapfill", "window-function", "interval"),
+)
+def candle_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_locf
+
+    gold = _gold_table(spark, sf_dir).select(
+        "window_start", "symbol", "close", "trade_count"
+    )
+    c = gold.withColumn(
+        "m",
+        (F.unix_timestamp(F.to_timestamp("window_start")) / 60).cast("long"),
+    )
+    bounds = c.groupBy("symbol").agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    # two-level grid: explode DAYS first and re-shuffle so the per-day
+    # minute expansion (<=1440 elements) fans out across the cluster —
+    # sequence(mn, mx) per symbol would materialize a whole year's
+    # minutes as one array on one task
+    days = bounds.select(
+        "symbol",
+        "mn",
+        "mx",
+        F.explode(
+            F.sequence(
+                (F.col("mn") / 1440).cast("long"),
+                (F.col("mx") / 1440).cast("long"),
+            )
+        ).alias("day"),
+    ).repartition("symbol", "day")
+    grid = days.select(
+        "symbol",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("mn"), F.col("day") * 1440),
+                F.least(F.col("mx"), F.col("day") * 1440 + 1439),
+            )
+        ).alias("m"),
+    )
+    j = grid.join(
+        c.select("symbol", "m", "close", "trade_count"), ["symbol", "m"], "left"
+    )
+    filled = chunked_locf(
+        j,
+        key_cols=["symbol"],
+        order_col="m",
+        value_col="close",
+        chunk=(F.col("m") / 1440).cast("long"),
+        out_col="close_filled",
+    )
+    return filled.select(
+        fmt_ts(F.timestamp_seconds(F.col("m") * 60), "window_start"),
+        "symbol",
+        "close_filled",
+        F.col("close").isNull().alias("is_gap"),
+        F.coalesce(F.col("trade_count"), F.lit(0)).alias("trade_count"),
+    )
+
+
+@register(
+    "candle_gapfill_interpolate",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+candles AS (
+  SELECT date_trunc('minute', trade_timestamp) AS w, symbol,
+         arg_max(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000
+                 + trade_id) AS close
+  FROM ticks GROUP BY 1, 2
+),
+bounds AS (SELECT symbol, min(w) AS mn, max(w) AS mx FROM candles GROUP BY symbol),
+grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS w
+  FROM bounds
+),
+joined AS (
+  SELECT g.symbol, g.w, CAST(epoch_us(g.w) / 60000000 AS BIGINT) AS m, c.close
+  FROM grid g LEFT JOIN candles c ON g.symbol = c.symbol AND g.w = c.w
+),
+edged AS (
+  SELECT symbol, w, m, close,
+    last_value(CASE WHEN close IS NOT NULL THEN m END IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY m
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+    last_value(CASE WHEN close IS NOT NULL THEN
+        CAST(CAST(close AS VARCHAR) AS DOUBLE) END IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY m
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+    first_value(CASE WHEN close IS NOT NULL THEN m END IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY m
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm,
+    first_value(CASE WHEN close IS NOT NULL THEN
+        CAST(CAST(close AS VARCHAR) AS DOUBLE) END IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY m
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+  FROM joined
+)
+SELECT {sql_fmt_ts("w")} AS window_start, symbol,
+       CASE WHEN close IS NOT NULL THEN CAST(CAST(close AS VARCHAR) AS DOUBLE)
+            ELSE pc + (nc - pc) * (CAST(m - pm AS DOUBLE)
+                                   / CAST(nm - pm AS DOUBLE))
+       END AS close_interp,
+       (close IS NULL) AS is_gap
+FROM edged
+""",
+    doc="Gap-filled 1-minute close series, LINEAR interpolation form — "
+    "TimescaleDB's time_bucket_gapfill + interpolate, the companion to "
+    "the locf query above for consumers computing returns/volatility "
+    "over gappy series (a flat locf step injects a phantom zero-return "
+    "run; the interpolated path spreads the move across the gap). The "
+    "scale shape is two `chunked_locf` passes over an observation "
+    "struct (minute, close) — forward for the previous observation, "
+    "order-negated for the next (LOCF over the reversed order IS the "
+    "next-observation scan; chunk monotonicity holds because negating "
+    "both order and chunk preserves the contract) — then one row-local "
+    "lerp. Determinism: the lerp runs entirely in IEEE doubles with "
+    "bit-identical operands in both engines — closes cross the "
+    "decimal->double boundary via the VARCHAR-mediated cast on the "
+    "DuckDB side (its direct DECIMAL->DOUBLE cast is not correctly "
+    "rounded; SURVEY 7.4), minute deltas are exact BIGINTs, and the "
+    "expression tree (pc + (nc-pc)*frac) is identical. Gap rows always "
+    "have BOTH neighbors because the grid is bounded by each symbol's "
+    "first/last real candle.",
+    tags=("gold", "analytics", "gapfill", "window-function", "interval"),
+)
+def candle_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_locf
+
+    gold = _gold_table(spark, sf_dir).select("window_start", "symbol", "close")
+    c = gold.withColumn(
+        "m",
+        (F.unix_timestamp(F.to_timestamp("window_start")) / 60).cast("long"),
+    )
+    bounds = c.groupBy("symbol").agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    days = bounds.select(
+        "symbol",
+        "mn",
+        "mx",
+        F.explode(
+            F.sequence(
+                (F.col("mn") / 1440).cast("long"),
+                (F.col("mx") / 1440).cast("long"),
+            )
+        ).alias("day"),
+    ).repartition("symbol", "day")
+    grid = days.select(
+        "symbol",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("mn"), F.col("day") * 1440),
+                F.least(F.col("mx"), F.col("day") * 1440 + 1439),
+            )
+        ).alias("m"),
+    )
+    j = grid.join(c.select("symbol", "m", "close"), ["symbol", "m"], "left")
+    obs = F.when(
+        F.col("close").isNotNull(),
+        F.struct(
+            F.col("m").alias("om"),
+            F.col("close").cast("double").alias("oc"),
+        ),
+    )
+    j = j.withColumn("obs", obs).withColumn("rm", -F.col("m"))
+    fwd = chunked_locf(
+        j,
+        key_cols=["symbol"],
+        order_col="m",
+        value_col="obs",
+        chunk=(F.col("m") / 1440).cast("long"),
+        out_col="prev",
+    )
+    both = chunked_locf(
+        fwd,
+        key_cols=["symbol"],
+        order_col="rm",
+        value_col="obs",
+        chunk=(F.col("rm") / 1440).cast("long"),
+        out_col="nxt",
+    )
+    pm, pc = F.col("prev.om"), F.col("prev.oc")
+    nm, nc = F.col("nxt.om"), F.col("nxt.oc")
+    frac = (F.col("m") - pm).cast("double") / (nm - pm).cast("double")
+    interp = F.when(
+        F.col("close").isNotNull(), F.col("close").cast("double")
+    ).otherwise(pc + (nc - pc) * frac)
+    return both.select(
+        fmt_ts(F.timestamp_seconds(F.col("m") * 60), "window_start"),
+        "symbol",
+        interp.alias("close_interp"),
+        F.col("close").isNull().alias("is_gap"),
+    )

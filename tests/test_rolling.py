@@ -145,3 +145,63 @@ class TestChunkedCumsum:
             [("a", p, 1) for p in range(7)], "k string, pos long, v long"
         )
         self._cmp(self._chunked(df, chunk_size=1), self._naive(df))
+
+
+class TestChunkedLocf:
+    """chunked_locf == plain last(ignorenulls) UNBOUNDED-PRECEDING window,
+    across chunk boundaries, all-null chunks, and leading nulls."""
+
+    def _naive(self, df):
+        w = (
+            W.partitionBy("k")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return df.select(
+            "*", F.last("v", ignorenulls=True).over(w).alias("c")
+        )
+
+    def _chunked(self, df, chunk_size=10):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (  # noqa: E501
+            chunked_locf,
+        )
+
+        return chunked_locf(
+            df,
+            key_cols=["k"],
+            order_col="pos",
+            value_col="v",
+            chunk=F.floor(F.col("pos") / chunk_size),
+            out_col="c",
+        )
+
+    def _cmp(self, got, expect):
+        g = {(r.k, r.pos): r.c for r in got.collect()}
+        e = {(r.k, r.pos): r.c for r in expect.collect()}
+        assert g == e
+
+    def test_matches_plain_window_sparse(self, spark):
+        # observation only every 7th position: most fills cross at least
+        # one value-less stretch; key b leads with nulls (stay null)
+        rows = [
+            (k, p, (p * 3 + ki) if p % 7 == ki else None)
+            for ki, k in enumerate(["a", "b"])
+            for p in range(40)
+        ]
+        df = spark.createDataFrame(rows, "k string, pos long, v long")
+        self._cmp(self._chunked(df), self._naive(df))
+
+    def test_all_null_chunks_carry_through(self, spark):
+        # one observation at pos 3, then three whole chunks of nulls:
+        # every later row must carry the pos-3 value through the empty
+        # chunks (absent from the summary, present in the chunk frame)
+        rows = [("a", p, 42 if p == 3 else None) for p in range(40)]
+        df = spark.createDataFrame(rows, "k string, pos long, v long")
+        self._cmp(self._chunked(df), self._naive(df))
+
+    def test_leading_nulls_stay_null(self, spark):
+        rows = [("a", p, None if p < 25 else p) for p in range(30)]
+        df = spark.createDataFrame(rows, "k string, pos long, v long")
+        got = {r.pos: r.c for r in self._chunked(df).collect()}
+        assert all(got[p] is None for p in range(25))
+        assert all(got[p] == p for p in range(25, 30))
