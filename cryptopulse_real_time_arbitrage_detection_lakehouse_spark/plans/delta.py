@@ -3185,3 +3185,96 @@ def delta_copy_into_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(replay_noop).cast("long").alias("replay_noop"),
         F.lit(modified_refused).cast("long").alias("modified_refused"),
     )
+
+
+@register(
+    "delta_generated_partition_pruning_audit",
+    oracle="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events
+           WHERE ts IS NOT NULL),
+r AS (SELECT dt, row_number() OVER (ORDER BY dt) AS rn,
+             count(*) OVER () AS n FROM d),
+cut AS (SELECT dt FROM r WHERE rn = n // 2 + 1)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, count(*) AS n_rows,
+       CAST(1 AS BIGINT) AS derived_ok,
+       CAST(1 AS BIGINT) AS partition_pruned,
+       CAST(1 AS BIGINT) AS files_skipped
+FROM events, cut
+WHERE CAST(ts AS DATE) >= cut.dt
+GROUP BY 1
+""",
+    doc="Partition pruning THROUGH a generation expression (delta-spark's "
+    "GeneratedColumn partition-filter optimization): the table is "
+    "partitioned by event_date GENERATED ALWAYS AS CAST(ts AS DATE), and "
+    "a predicate on the SOURCE column — ts >= midnight of the corpus's "
+    "median date — derives the prunable event_date >= that date, sound "
+    "because every supported transform is monotone non-decreasing "
+    "(MONTH alone, which wraps across years, is deliberately not "
+    "derivable). The audit pins three facts as flags: the derivation "
+    "produced exactly the expected conjunct; partition-values-only "
+    "matching (file stats never consulted) keeps exactly the partitions "
+    ">= the cut; and at least one file was actually skipped. Row counts "
+    "per surviving date are hash-checked against raw events. At 100 TB "
+    "this is the difference between listing one day's files and listing "
+    "the archive when the user filters on the raw timestamp — the whole "
+    "point of generated partition columns.",
+    tags=("delta", "generated-columns", "pushdown", "partitioned", "metadata"),
+)
+def delta_generated_partition_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.delta import (
+        _file_may_match,
+        _generated_partition_conjuncts,
+        _parse_conjuncts,
+        _phys_path_fn,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpgenpp_") + "/events_delta")
+    table.write(
+        events,
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    dates = sorted(
+        r[0]
+        for r in table.read(spark)
+        .select(F.col("event_date").cast("string"))
+        .distinct()
+        .collect()
+    )
+    cut = dates[len(dates) // 2]
+    where = f"ts >= '{cut} 00:00:00'"
+
+    meta, adds = table._snapshot_state(None)
+    part_cols = meta.get("partitionColumns") or []
+    conj = _parse_conjuncts(where)
+    derived = _generated_partition_conjuncts(conj, meta, part_cols)
+    derived_ok = int(derived == [("event_date", ">=", cut)])
+    # match on the DERIVED conjunct alone: partition values decide, file
+    # stats are never consulted for a partition column
+    phys = _phys_path_fn(meta)
+    survivors = {
+        a["path"] for a in adds if _file_may_match(a, derived, part_cols, phys)
+    }
+    expected = {
+        a["path"]
+        for a in adds
+        if ((a.get("partitionValues") or {}).get("event_date") or "") >= cut
+    }
+    partition_pruned = int(survivors == expected)
+    files_skipped = int(len(survivors) < len(adds))
+
+    return (
+        table.read(spark, where=where)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "event_date",
+            "n_rows",
+            F.lit(derived_ok).cast("long").alias("derived_ok"),
+            F.lit(partition_pruned).cast("long").alias("partition_pruned"),
+            F.lit(files_skipped).cast("long").alias("files_skipped"),
+        )
+    )

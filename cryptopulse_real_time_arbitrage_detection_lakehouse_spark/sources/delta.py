@@ -365,6 +365,86 @@ def _file_may_match(
     return True
 
 
+#: generation-expression shapes a partition predicate can be DERIVED
+#: through (delta-spark's GeneratedColumn partition-filter optimization):
+#: each maps a recognized expression over one source column to a
+#: monotone-non-decreasing literal transform, so `src op L` implies
+#: `part op' g(L)` and pruning on the derived conjunct is sound. Only
+#: monotone forms qualify — MONTH(ts) alone wraps every year and could
+#: prune files that DO match.
+_GEN_PRUNE_FORMS: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"^\s*CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)\s*$", re.I), "date"),
+    (re.compile(r"^\s*DATE\s*\(\s*`?(\w+)`?\s*\)\s*$", re.I), "date"),
+    (re.compile(r"^\s*YEAR\s*\(\s*`?(\w+)`?\s*\)\s*$", re.I), "year"),
+    (
+        re.compile(
+            r"^\s*DATE_FORMAT\s*\(\s*`?(\w+)`?\s*,\s*'yyyy-MM'\s*\)\s*$", re.I
+        ),
+        "yyyymm",
+    ),
+]
+
+
+def _gen_transform(kind: str, lit: object) -> object | None:
+    """g(L) for a recognized generation form; None when the literal is not
+    a 'yyyy-MM-dd[ HH:MM:SS]' timestamp/date string (no derivation — the
+    row filter still decides, so bailing is correctness-neutral)."""
+    if not isinstance(lit, str) or not re.match(r"^\d{4}-\d{2}-\d{2}", lit):
+        return None
+    if kind == "date":
+        return lit[:10]
+    if kind == "year":
+        return int(lit[:4])
+    if kind == "yyyymm":
+        return lit[:7]
+    return None
+
+
+def _generated_partition_conjuncts(
+    conjuncts: list[tuple[str, str, object]],
+    meta: dict,
+    part_cols: list[str],
+) -> list[tuple[str, str, object]]:
+    """Derive partition-column conjuncts from predicates on the SOURCE of
+    a generated partition column — `event_date` generated as
+    ``CAST(ts AS DATE)`` turns ``ts >= '2024-01-02 03:00:00'`` into the
+    prunable ``event_date >= '2024-01-02'``. Because every supported
+    transform g is monotone non-decreasing, ``ts >= L`` implies
+    ``g(ts) >= g(L)`` (and dually for <=/<; equality maps to equality),
+    so a file ruled out by the derived conjunct provably holds no
+    matching row. Strict inequalities relax to inclusive ones (ts >
+    midnight still allows that date); the original row filter is always
+    re-applied by the caller."""
+    gen = {
+        col: expr
+        for col, expr in (meta and DeltaTable._generation_exprs(meta) or {}).items()
+        if col in part_cols
+    }
+    if not gen:
+        return []
+    derived: list[tuple[str, str, object]] = []
+    for part_col, expr in gen.items():
+        for rx, kind in _GEN_PRUNE_FORMS:
+            m = rx.match(expr)
+            if not m:
+                continue
+            src = m.group(1)
+            for col, op, lit in conjuncts:
+                if col != src:
+                    continue
+                g = _gen_transform(kind, lit)
+                if g is None:
+                    continue
+                if op in (">", ">="):
+                    derived.append((part_col, ">=", g))
+                elif op in ("<", "<="):
+                    derived.append((part_col, "<=", g))
+                elif op == "=":
+                    derived.append((part_col, "=", g))
+            break
+    return derived
+
+
 def _phys_path_fn(meta: dict):
     """Logical (possibly dotted) column path -> dotted PHYSICAL path
     for stats lookup / file pruning; identity for unmapped tables and
@@ -1074,6 +1154,12 @@ class DeltaTable:
         if where is not None:
             conjuncts = _parse_conjuncts(where)
             if conjuncts:
+                # predicates on the SOURCE of a generated partition column
+                # prune through the generation expression (ts >= L implies
+                # event_date >= date(L) for monotone forms)
+                conjuncts = conjuncts + _generated_partition_conjuncts(
+                    conjuncts, meta, part_cols
+                )
                 phys_path = _phys_path_fn(meta)
                 adds = [
                     a

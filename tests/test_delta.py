@@ -4920,3 +4920,108 @@ class TestCopyInto:
         # the winner's ledger was not clobbered and no file re-ingested
         assert t.read(spark).count() == 10
         assert json.loads(orig().get(t.COPY_DOMAIN)) == {files[1]: "0:0"}
+
+
+class TestGeneratedPartitionPruning:
+    """_generated_partition_conjuncts: predicates on the SOURCE column of
+    a generated partition column derive prunable partition conjuncts —
+    only through monotone forms, only for date-shaped literals."""
+
+    def _derive(self, expr, conjuncts, part_cols=("d",)):
+        import json
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            _generated_partition_conjuncts,
+        )
+
+        meta = {
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "ts", "type": "timestamp", "nullable": True,
+                         "metadata": {}},
+                        {"name": "d", "type": "date", "nullable": True,
+                         "metadata": {"delta.generationExpression": expr}},
+                    ],
+                }
+            ),
+            "partitionColumns": list(part_cols),
+        }
+        return _generated_partition_conjuncts(conjuncts, meta, list(part_cols))
+
+    def test_cast_as_date_bounds(self):
+        got = self._derive(
+            "CAST(ts AS DATE)",
+            [("ts", ">=", "2024-03-02 03:00:00"), ("ts", "<", "2024-03-05 00:00:00")],
+        )
+        assert got == [("d", ">=", "2024-03-02"), ("d", "<=", "2024-03-05")]
+
+    def test_strict_gt_relaxes_to_gte(self):
+        # ts > midnight still allows rows ON that date: >= is the sound form
+        assert self._derive(
+            "DATE(ts)", [("ts", ">", "2024-03-02 00:00:00")]
+        ) == [("d", ">=", "2024-03-02")]
+
+    def test_equality_maps_to_equality(self):
+        assert self._derive(
+            "CAST(ts AS DATE)", [("ts", "=", "2024-03-02 12:00:00")]
+        ) == [("d", "=", "2024-03-02")]
+
+    def test_year_and_yyyymm_forms(self):
+        assert self._derive(
+            "YEAR(ts)", [("ts", ">=", "2024-03-02 00:00:00")]
+        ) == [("d", ">=", 2024)]
+        assert self._derive(
+            "DATE_FORMAT(ts, 'yyyy-MM')", [("ts", "<=", "2024-03-02 00:00:00")]
+        ) == [("d", "<=", "2024-03")]
+
+    def test_unsupported_form_and_literal_bail(self):
+        # MONTH wraps across years: deriving d >= 3 from ts >= March 2024
+        # would wrongly prune January 2025 files
+        assert self._derive("MONTH(ts)", [("ts", ">=", "2024-03-02")]) == []
+        # numeric literal on the source column: no derivation
+        assert self._derive("CAST(ts AS DATE)", [("ts", ">=", 42)]) == []
+        # predicate on an unrelated column: no derivation
+        assert self._derive(
+            "CAST(ts AS DATE)", [("other", ">=", "2024-03-02")]
+        ) == []
+
+    def test_non_partition_generated_column_ignored(self):
+        assert self._derive(
+            "CAST(ts AS DATE)",
+            [("ts", ">=", "2024-03-02 00:00:00")],
+            part_cols=("other",),
+        ) == []
+
+    def test_scan_prunes_files_end_to_end(self, spark, tmp_path):
+        """read(where=ts-range) on a generated-date-partitioned table must
+        list only the matching partitions' files into the plan."""
+        import pyspark.sql.functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            DeltaTable,
+        )
+
+        df = spark.range(0, 6).select(
+            F.col("id"),
+            F.expr(
+                "timestamp('2024-03-01 00:00:00') + make_interval(0,0,0,id)"
+            ).alias("ts"),
+        )
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            df,
+            partition_by=["d"],
+            generated_columns={"d": "CAST(ts AS DATE)"},
+        )
+        out = t.read(spark, where="ts >= '2024-03-05 00:00:00'")
+        rows = out.select("id").collect()
+        assert {r.id for r in rows} == {4, 5}
+        # the plan must reference only the two surviving partitions' files
+        plan_files = {
+            f for f in out.inputFiles() if "/d=" in f
+        }
+        assert plan_files and all(
+            "d=2024-03-05" in f or "d=2024-03-06" in f for f in plan_files
+        ), plan_files
