@@ -1670,3 +1670,123 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rm_id").isNull().cast("long").alias("kept"),
         )
     )
+
+
+_MATRYOSHKA_PREFIXES = (8, 16, 32, 64)
+
+_MATRYOSHKA_ORACLE = (
+    "WITH e AS (\n"
+    "  SELECT vec_id, r.i AS pos,\n"
+    f"         CAST(floor(embedding[r.i] * {QSCALE!r}) AS BIGINT) AS x\n"
+    f"  FROM embeddings, range(1, {EMB_DIM} + 1) r(i)\n"
+    "),\n"
+    f"q AS (SELECT pos, x AS qx FROM e WHERE vec_id = {QUERY_VEC_ID}),\n"
+    + ",\n".join(
+        f"""d{p} AS (
+  SELECT e.vec_id,
+    CAST(SUM(e.x * q.qx) AS DOUBLE) AS dot,
+    CAST(SUM(e.x * e.x) AS DOUBLE) AS n2,
+    CAST(SUM(q.qx * q.qx) AS DOUBLE) AS qn2
+  FROM e JOIN q USING (pos)
+  WHERE pos <= {p} AND e.vec_id <> {QUERY_VEC_ID}
+  GROUP BY 1
+),
+t{p} AS (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM d{p} ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+)"""
+        for p in _MATRYOSHKA_PREFIXES
+    )
+    + ",\nu AS (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT CAST({p} AS BIGINT) AS prefix_dims, vec_id, cosine AS "
+        "cos_trunc,\n"
+        "         CAST(CASE WHEN vec_id IN (SELECT vec_id FROM t64) "
+        f"THEN 1 ELSE 0 END AS BIGINT) AS in_full_topk\n  FROM t{p}"
+        for p in _MATRYOSHKA_PREFIXES
+    )
+    + "\n)\n"
+    "SELECT prefix_dims, vec_id, cos_trunc, in_full_topk,\n"
+    "       SUM(in_full_topk) OVER (PARTITION BY prefix_dims)\n"
+    f"         / CAST({TOP_K} AS DOUBLE) AS recall_at_k\n"
+    "FROM u"
+)
+
+
+@register(
+    "emb_matryoshka_recall_audit",
+    oracle=_MATRYOSHKA_ORACLE,
+    doc="Matryoshka-prefix retrieval audit (MRL, arXiv:2205.13147): "
+    "top-k by cosine over only the FIRST 8/16/32 coordinates of each "
+    "embedding vs the full 64-dim ground truth (the 64 row is the "
+    "identity check, recall 1.0 by construction). MRL-trained encoders "
+    "front-load information so a prefix is a valid cheap embedding; a "
+    "pipeline uses this audit to pick the shortest prefix whose "
+    "recall@k holds before cutting index bytes 2-8x — on these "
+    "RANDOM synthetic vectors the audit instead demonstrates the "
+    "degradation curve the decision reads. One scan scores every "
+    "prefix (row-local sliced-then-quantized integer cosines against "
+    "inlined query prefixes — slice-then-quantize equals the oracle's "
+    "quantize-then-filter because quantization is per-coordinate); "
+    "each prefix's top-k is its own TakeOrderedAndProject over that "
+    "shared frame; membership tests against the full-dim top-k ids "
+    "(one bounded 10-row collect); recall is a partitioned window "
+    "over the 40-row result — no unpartitioned ordering anywhere.",
+    tags=("similarity", "ann", "evaluation", "topk", "quantization"),
+)
+def emb_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.expr import bind
+
+    qvec = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def trunc_cos(p: int) -> Column:
+        q = quantize_vector(qvec[:p])
+        qn2 = float(sum(x * x for x in q))
+        qarr = F.array(*[F.lit(x).cast("long") for x in q])
+
+        def cos_of(xq: Column) -> Column:
+            dot = dot_long(xq, qarr)
+            n2 = dot_long(xq, xq)
+            return dot.cast("double") / (
+                F.sqrt(n2.cast("double")) * F.sqrt(F.lit(qn2))
+            )
+
+        return bind(
+            quantized_elements(F.slice(F.col("embedding"), 1, p)), cos_of
+        )
+
+    scored = shared(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+            "vec_id",
+            *[trunc_cos(p).alias(f"c{p}") for p in _MATRYOSHKA_PREFIXES],
+        )
+    )
+    full_ids = [
+        r.vec_id
+        for r in scored.orderBy(F.desc("c64"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    ]
+    parts = None
+    for p in _MATRYOSHKA_PREFIXES:
+        top = (
+            scored.orderBy(F.desc(f"c{p}"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select(
+                F.lit(p).cast("long").alias("prefix_dims"),
+                "vec_id",
+                F.col(f"c{p}").alias("cos_trunc"),
+                F.col("vec_id").isin(full_ids).cast("long").alias(
+                    "in_full_topk"
+                ),
+            )
+        )
+        parts = top if parts is None else parts.unionByName(top)
+    return parts.withColumn(
+        "recall_at_k",
+        F.sum("in_full_topk").over(W.partitionBy("prefix_dims"))
+        / F.lit(float(TOP_K)),
+    )

@@ -3183,3 +3183,110 @@ def doc_token_cms_accuracy_audit(
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+@register(
+    "doc_span_dedup_rewrite",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(s.sid AS BIGINT) AS sid,
+         array_to_string(ws[s.sid * 10 + 1 : s.sid * 10 + 10], ' ') AS seg
+  FROM toks,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)))
+                AS sid) s
+),
+v AS (
+  SELECT doc_id, sid, seg,
+         count(*) OVER (PARTITION BY seg) AS df_inst,
+         min(doc_id * 1000000 + sid) OVER (PARTITION BY seg) AS keeper
+  FROM segs
+),
+kept AS (
+  SELECT * FROM v WHERE df_inst < 2 OR doc_id * 1000000 + sid = keeper
+),
+re AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY sid) AS new_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT t.doc_id, t.n_segments,
+       t.n_segments - coalesce(re.n_kept, 0) AS n_dropped,
+       CAST(length(coalesce(re.new_text, '')) AS BIGINT) AS new_len,
+       md5(coalesce(re.new_text, '')) AS new_md5
+FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id
+""",
+    doc="Duplicated-span REMOVAL with document rewrite — C4's 'discard "
+    "any span occurring more than once in the dataset' (arXiv:1910.10683 "
+    "section 2.2, adapted to fixed 10-word spans since this corpus has "
+    "no sentence boundaries; RefinedWeb's line-dedup is the same shape). "
+    "Unlike the audit-style dedup queries, this PRODUCES the cleaned "
+    "corpus: every repeated span instance is dropped except the globally "
+    "first occurrence (min (doc_id, position) — the C4 keeper rule made "
+    "deterministic), and surviving spans reassemble in document order. "
+    "Output is per-doc span counts plus length+md5 of the rewritten text "
+    "(the hash stands in for shipping the full corpus through the "
+    "compare). Scale shape: spans come from array slices of the one "
+    "tokenization (no per-word explode); the repetition census groups on "
+    "16-byte span digests with map-side partial agg — only digests and "
+    "two longs cross that exchange — and only df>=2 verdict rows join "
+    "back; the rewrite's regroup moves each surviving span exactly once "
+    "(any rewrite must move the text it keeps). Keeper encoding "
+    "doc_id*1e6+position documents its <1e6-spans-per-doc contract.",
+    tags=("text", "dedup", "llm-pipeline", "curation", "fingerprint"),
+)
+def doc_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = 10
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    nseg = F.ceil(F.size("t") / w).cast("long")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice("t", i * w + 1, w), " "),
+            )
+        ).alias("sid", "seg"),
+    )
+    inst = segs.select(
+        "doc_id",
+        "sid",
+        "seg",
+        (F.col("doc_id") * 1000000 + F.col("sid")).alias("k"),
+        F.md5("seg").alias("h"),
+    )
+    census = inst.groupBy("h").agg(
+        F.count(F.lit(1)).alias("df_inst"), F.min("k").alias("keeper")
+    )
+    dups = census.filter(F.col("df_inst") >= 2)
+    kept = inst.join(dups, "h", "left").filter(
+        F.col("df_inst").isNull() | (F.col("k") == F.col("keeper"))
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sid", "seg"))),
+                lambda x: x.seg,
+            ),
+            " ",
+        ).alias("new_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = inst.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    new_text = F.coalesce(F.col("new_text"), F.lit(""))
+    return (
+        tot.join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.length(new_text).cast("long").alias("new_len"),
+            F.md5(new_text).alias("new_md5"),
+        )
+    )
