@@ -3278,3 +3278,243 @@ def delta_generated_partition_pruning_audit(
             F.lit(files_skipped).cast("long").alias("files_skipped"),
         )
     )
+
+
+@register(
+    "delta_scd2_merge_audit",
+    oracle="""
+WITH ck AS (SELECT c_custkey AS k FROM customer),
+cohorts AS (
+  SELECT k, CASE WHEN k % 7 = 0 THEN 'updated'
+                 WHEN k % 7 = 1 THEN 'touched' ELSE 'rest' END AS cohort
+  FROM ck
+  UNION ALL
+  SELECT k + 10000000, 'new' FROM ck WHERE k % 13 = 0
+)
+SELECT cohort,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN cohort = 'updated' THEN 2 ELSE 1 END) AS BIGINT)
+         AS history_rows,
+       count(*) AS current_rows,
+       CAST(sum(CASE WHEN cohort = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+         AS closed_rows,
+       CAST(1 AS BIGINT) AS one_current_per_key
+FROM cohorts GROUP BY cohort
+""",
+    doc="Slowly-changing-dimension TYPE 2 maintenance through one MERGE — "
+    "the canonical lakehouse dimension pattern (Kimball SCD2 as "
+    "delta-spark's documented single-merge recipe): the customer "
+    "dimension loads with (eff_from, eff_to, is_current) housekeeping, "
+    "then a change batch applies as a source UNION of (a) every change "
+    "keyed by merge_key = business key — matching CURRENT rows whose "
+    "attributes differ get CLOSED (is_current=false, eff_to stamped), "
+    "brand-new keys insert — and (b) the changed rows again with "
+    "merge_key = NULL, which can never match and therefore inserts the "
+    "NEW VERSION; both the close and the open land in the SAME atomic "
+    "commit, so no reader ever sees a key with zero or two current "
+    "rows. The 'touched' cohort (rows re-sent with UNCHANGED "
+    "attributes) pins the no-op discipline: the matched clause's "
+    "attribute-differs condition leaves them alone — no spurious "
+    "versions, the failure mode naive SCD2 loads suffer. Cohort "
+    "expectations (updated: 2 history/1 closed; touched/rest/new: 1/0) "
+    "are recomputed from raw customer by the oracle; "
+    "one_current_per_key aggregates a per-key current-row count. At "
+    "100 TB the merge restages only files holding matched keys "
+    "(two-phase file-pruned rewrite) and the change batch is "
+    "key-local — the archive of closed versions is never rewritten.",
+    tags=("delta", "merge", "upsert", "lakehouse", "metadata"),
+)
+def delta_scd2_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpscd2_") + "/dim_customer")
+    table.write(
+        cust.select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit(1).cast("long").alias("eff_from"),
+            F.lit(None).cast("long").alias("eff_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    touch = cust.filter(F.col("c_custkey") % 7 == 1)
+    new = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"), "c_acctbal"
+    )
+    changes = upd.unionByName(touch).unionByName(new)
+    current = table.read(spark).filter("is_current")
+    changed = (
+        changes.alias("s")
+        .join(
+            current.alias("t"),
+            F.col("s.c_custkey") == F.col("t.c_custkey"),
+        )
+        .filter(F.col("s.c_acctbal") != F.col("t.c_acctbal"))
+        .select("s.c_custkey", "s.c_acctbal")
+    )
+    source = changes.withColumn(
+        "merge_key", F.col("c_custkey")
+    ).unionByName(
+        changed.withColumn("merge_key", F.lit(None).cast("long"))
+    )
+    (
+        table.merge_into(
+            source,
+            "target.c_custkey = source.merge_key AND target.is_current",
+        )
+        .when_matched_update(
+            set={"is_current": "false", "eff_to": "2"},
+            condition="target.c_acctbal <> source.c_acctbal",
+        )
+        .when_not_matched_insert(
+            values={
+                "c_custkey": "source.c_custkey",
+                "c_acctbal": "source.c_acctbal",
+                "eff_from": "2",
+                "is_current": "true",
+            }
+        )
+        .execute(spark)
+    )
+    per_key = (
+        table.read(spark)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("hist"),
+            F.sum(F.col("is_current").cast("long")).alias("cur"),
+            F.sum(
+                F.when(F.col("eff_to") == 2, 1).otherwise(0)
+            ).alias("closed"),
+        )
+    )
+    cohort = (
+        F.when(F.col("c_custkey") >= 10000000, F.lit("new"))
+        .when(F.col("c_custkey") % 7 == 0, F.lit("updated"))
+        .when(F.col("c_custkey") % 7 == 1, F.lit("touched"))
+        .otherwise(F.lit("rest"))
+    )
+    return (
+        per_key.groupBy(cohort.alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("hist").cast("long").alias("history_rows"),
+            F.sum("cur").cast("long").alias("current_rows"),
+            F.sum("closed").cast("long").alias("closed_rows"),
+            ((F.min("cur") == 1) & (F.max("cur") == 1))
+            .cast("long")
+            .alias("one_current_per_key"),
+        )
+    )
+
+
+@register(
+    "delta_incremental_mv_refresh_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total,
+       CAST(1 AS BIGINT) AS incremental_equals_full
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'error')
+  AND user_id % 10 <> 0
+GROUP BY event_type
+""",
+    doc="Incremental MATERIALIZED-VIEW maintenance through the change "
+    "feed — the aggregate-MV refresh loop a lakehouse runs instead of "
+    "full recomputes (Databricks MV / DBSQL REFRESH incremental path): "
+    "a per-event_type count+sum MV is computed once, the base table "
+    "then takes an append AND a DV delete, and the refresh reads ONLY "
+    "the change feed since the MV's last version — inserts contribute "
+    "+1/+value, deletes -1/-value (update pre/post images would "
+    "contribute as delete+insert) — and MERGEs the per-key deltas into "
+    "the MV: matched keys adjust in place, unseen keys insert. Refresh "
+    "cost is O(changed rows + touched MV keys), never O(base table); "
+    "commutativity needs exact arithmetic, so the MV stores the sum as "
+    "DECIMAL(25,10) (dsum's grid) and adjustments add decimals — "
+    "bit-identical to a full recompute by construction, which the "
+    "audit VERIFIES by recomputing the MV from the full base table and "
+    "diffing (incremental_equals_full pins zero mismatches, exact "
+    "decimal equality). The double cast happens only in the final "
+    "projection, oracle-mirrored via the VARCHAR-mediated cast.",
+    tags=("delta", "cdf", "refresh", "incremental", "lakehouse", "merge"),
+)
+def delta_incremental_mv_refresh_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    root = tempfile.mkdtemp(prefix="cpmvr_")
+    base = DeltaTable(root + "/base")
+    mv = DeltaTable(root + "/mv")
+    dec = "decimal(25,10)"
+
+    base.write(events.filter(F.col("event_type").isin("click", "view")))
+    v0 = base.latest_version()
+    mv.write(
+        base.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(dec)).cast(dec).alias("total_dec"),
+        )
+    )
+
+    base.write(events.filter(F.col("event_type").isin("purchase", "error")))
+    base.delete(spark, "user_id % 10 = 0")
+
+    ch = base.read_changes(spark, starting_version=v0 + 1)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = ch.groupBy("event_type").agg(
+        F.sum(sign).cast("long").alias("dn"),
+        F.sum(sign.cast(dec) * F.col("value").cast(dec))
+        .cast(dec)
+        .alias("dtotal"),
+    )
+    (
+        mv.merge_into(deltas, "target.event_type = source.event_type")
+        .when_matched_update(
+            set={
+                "n": "target.n + source.dn",
+                "total_dec": f"CAST(target.total_dec + source.dtotal AS {dec})",
+            }
+        )
+        .when_not_matched_insert(
+            values={
+                "event_type": "source.event_type",
+                "n": "source.dn",
+                "total_dec": "source.dtotal",
+            }
+        )
+        .execute(spark)
+    )
+
+    refreshed = mv.read(spark)
+    full = (
+        base.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("fn"),
+            F.sum(F.col("value").cast(dec)).cast(dec).alias("ftotal"),
+        )
+    )
+    mismatches = (
+        refreshed.join(full, "event_type", "full_outer")
+        .filter(
+            ~(
+                F.col("n").eqNullSafe(F.col("fn"))
+                & F.col("total_dec").eqNullSafe(F.col("ftotal"))
+            )
+        )
+        .count()
+    )
+    return refreshed.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        F.lit(int(mismatches == 0))
+        .cast("long")
+        .alias("incremental_equals_full"),
+    )
