@@ -3518,3 +3518,99 @@ def delta_incremental_mv_refresh_audit(
         .cast("long")
         .alias("incremental_equals_full"),
     )
+
+
+@register(
+    "pipeline_expectations_audit",
+    oracle="""
+WITH t AS (
+  SELECT *,
+    (event_type IN ('click', 'view', 'purchase', 'signup')) AS ok_type,
+    (value <= 400.0) AS ok_range,
+    (value <= 250.0) AS ok_small,
+    (value > 0.0) AS ok_pos
+  FROM events
+),
+tot AS (
+  SELECT CAST(count(*) FILTER (ok_type AND ok_range AND ok_pos) AS BIGINT)
+           AS kept,
+         CAST(count(*) FILTER (NOT (ok_type AND ok_range AND ok_pos))
+              AS BIGINT) AS quarantined
+  FROM t
+)
+SELECT r.rule, r.action, r.n_pass,
+       (SELECT count(*) FROM t) - r.n_pass AS n_fail,
+       tot.kept AS kept_rows, tot.quarantined AS quarantined_rows,
+       CAST(1 AS BIGINT) AS totals_consistent
+FROM (
+  SELECT 'known_type' AS rule, 'drop' AS action,
+         CAST(count(*) FILTER (ok_type) AS BIGINT) AS n_pass FROM t
+  UNION ALL
+  SELECT 'value_in_range', 'drop',
+         CAST(count(*) FILTER (ok_range) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'value_small', 'warn',
+         CAST(count(*) FILTER (ok_small) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'value_positive', 'fail',
+         CAST(count(*) FILTER (ok_pos) AS BIGINT) FROM t
+) r, tot
+""",
+    doc="Declarative data-quality expectations with quarantine — DLT's "
+    "@expect / @expect_or_drop / @expect_or_fail contract in batch form "
+    "(`operators.expectations.apply_expectations`): four rules over the "
+    "raw events ingest — a drop rule on the event-type whitelist (error "
+    "rows quarantine), a drop rule on the value range, a WARN rule that "
+    "counts but never removes (the clean table still contains its "
+    "violators — pinned by the counts), and a FAIL rule that holds "
+    "(its violation path raises, unit-tested separately). All "
+    "predicates evaluate row-local in one projection; the metrics agg "
+    "ships 2xrules longs per map partition; clean rows land in the "
+    "curated Delta table and quarantined rows — annotated with every "
+    "drop-rule they failed — land in a quarantine Delta table in the "
+    "same job, the triage loop DLT documents. kept+quarantined "
+    "reconciling to the input count is pinned (totals_consistent, "
+    "verified against the two tables' actual committed counts).",
+    tags=("delta", "quality", "lakehouse", "curation", "audit"),
+)
+def pipeline_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import Expectation, apply_expectations
+
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    rules = [
+        Expectation(
+            "known_type",
+            "event_type IN ('click', 'view', 'purchase', 'signup')",
+            "drop",
+        ),
+        Expectation("value_in_range", "value <= 400.0", "drop"),
+        Expectation("value_small", "value <= 250.0", "warn"),
+        Expectation("value_positive", "value > 0.0", "fail"),
+    ]
+    clean, quarantine, stats = apply_expectations(events, rules)
+    root = tempfile.mkdtemp(prefix="cpexp_")
+    curated = DeltaTable(root + "/curated")
+    quar = DeltaTable(root + "/quarantine")
+    curated.write(clean)
+    quar.write(quarantine)
+    kept = curated.read(spark).count()
+    quarantined = quar.read(spark).count()
+    total = kept + quarantined
+    consistent = int(total == events.count())
+    rows = [
+        (
+            s["rule"],
+            s["action"],
+            s["n_pass"],
+            s["n_fail"],
+            kept,
+            quarantined,
+            consistent,
+        )
+        for s in stats
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule string, action string, n_pass long, n_fail long, "
+        "kept_rows long, quarantined_rows long, totals_consistent long",
+    )
