@@ -3618,3 +3618,101 @@ def pipeline_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule string, action string, n_pass long, n_fail long, "
         "kept_rows long, quarantined_rows long, totals_consistent long",
     )
+
+
+@register(
+    "delta_stats_recompute_audit",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(1 AS BIGINT) AS stats_restored,
+       CAST(1 AS BIGINT) AS pruned_after,
+       CAST(1 AS BIGINT) AS rows_stable
+FROM events WHERE value < 50.0
+GROUP BY event_type
+""",
+    doc="Stats recompute for stats-less files — ANALYZE ... COMPUTE "
+    "DELTA STATISTICS (`DeltaTable.recompute_stats`): several minimal "
+    "Delta writers ship no per-file stats, leaving every file opaque to "
+    "data skipping, so a predicate read lists the whole table. The "
+    "audit writes three value-range-disjoint files, SIMULATES the "
+    "foreign writer by re-adding every file without stats (a "
+    "dataChange=false metadata rewrite — the rows never move), "
+    "verifies a value predicate then lists ALL files (skipping "
+    "disarmed), runs the recompute — one footer read per stats-less "
+    "file, CONVERT's cost model, committed as remove+re-add with "
+    "dataChange=false so streams skip it — and verifies the same "
+    "predicate now PRUNES files while returning identical rows. "
+    "stats_restored / pruned_after / rows_stable pin all three as "
+    "flags; per-type counts hash against raw events. At 100 TB this is "
+    "the difference between inheriting a petabyte of foreign-written "
+    "files as a full-scan liability and re-arming skipping for one "
+    "footer-read pass.",
+    tags=("delta", "statistics", "pushdown", "maintenance", "metadata"),
+)
+def delta_stats_recompute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpstats_") + "/events_delta")
+    for lo, hi in ((0.0, 50.0), (50.0, 200.0), (200.0, 1e12)):
+        table.write(
+            events.filter(
+                (F.col("value") >= lo) & (F.col("value") < hi)
+            ).coalesce(1)
+        )
+
+    # simulate the stats-less foreign writer: same files, stats dropped
+    meta, adds = table._snapshot_state(None)
+    now_ms = int(_time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "FOREIGN STATLESS REWRITE",
+                "operationParameters": {},
+            }
+        }
+    ]
+    for a in adds:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                }
+            }
+        )
+        stripped = {k: v for k, v in a.items() if k != "stats"}
+        stripped["dataChange"] = False
+        actions.append({"add": stripped})
+    table._publish_or_conflict(
+        table.latest_version() + 1, actions, "FOREIGN STATLESS REWRITE"
+    )
+
+    where = "value < 50.0"
+    before = table.read(spark, where=where)
+    files_before = len(set(before.inputFiles()))
+    n_before = before.count()
+
+    res = table.recompute_stats()
+    after = table.read(spark, where=where)
+    files_after = len(set(after.inputFiles()))
+    n_after = after.count()
+
+    stats_restored = int(res["updated_files"] == len(adds))
+    pruned_after = int(files_after < files_before)
+    rows_stable = int(n_before == n_after)
+    return (
+        after.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.lit(stats_restored).cast("long").alias("stats_restored"),
+            F.lit(pruned_after).cast("long").alias("pruned_after"),
+            F.lit(rows_stable).cast("long").alias("rows_stable"),
+        )
+    )

@@ -1904,6 +1904,73 @@ class DeltaTable:
         )
         return table
 
+    def recompute_stats(self, *, force: bool = False) -> dict:
+        """``ANALYZE TABLE ... COMPUTE DELTA STATISTICS`` — re-derive
+        per-file min/max/nullCount stats from the parquet footers for
+        every live add entry MISSING stats (all of them with
+        ``force=True``, the re-index knob after a
+        ``dataSkippingNumIndexedCols``-style policy change).
+
+        This client writes stats on every path of its own, so the
+        consumers here are FOREIGN-written tables: a stats-less writer
+        (several minimal Delta clients ship one) leaves every file
+        opaque to data skipping — ``where=`` reads the whole table.
+        One footer read per stats-less file (CONVERT's own cost model)
+        re-arms skipping; the refresh commits as remove+re-add of the
+        same paths with ``dataChange=false`` — readers see identical
+        rows, concurrent OPTIMIZE-class conflicts surface through the
+        snapshot-pinned publish, streams skip it as a no-data commit.
+        DV-carrying adds keep their deletionVector verbatim (stats stay
+        PHYSICAL, counting DV'd rows, exactly like write-path stats);
+        column-mapped tables need no translation — footer stats are
+        keyed by physical names, which is what skipping looks up."""
+        import pyarrow.parquet as pq
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a Delta table: {self.path}")
+        meta, adds, protocol = self._snapshot_state_full(None)
+        self._refuse_unknown_writer_features(protocol, "COMPUTE STATISTICS")
+        targets = [a for a in adds if force or not a.get("stats")]
+        if not targets:
+            return {"version": base, "updated_files": 0}
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "COMPUTE STATISTICS",
+                    "operationParameters": {
+                        "numFiles": str(len(targets)),
+                        "force": json.dumps(force),
+                    },
+                }
+            }
+        ]
+        for a in targets:
+            fp = os.path.join(
+                self.path, urllib.parse.unquote(a["path"]).replace("/", os.sep)
+            )
+            stats = _file_stats(pq.ParquetFile(fp).metadata)
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": _as_dict(a.get("partitionValues")),
+                        "size": a.get("size"),
+                    }
+                }
+            )
+            re_add = dict(a)
+            re_add["stats"] = json.dumps(stats)
+            re_add["dataChange"] = False
+            re_add["modificationTime"] = now_ms
+            actions.append({"add": re_add})
+        self._publish_or_conflict(base + 1, actions, "COMPUTE STATISTICS")
+        return {"version": base + 1, "updated_files": len(targets)}
+
     @staticmethod
     def _staged_stats(df: DataFrame, dst: str) -> dict:
         """Per-file stats for one staged parquet. Normal path: footer

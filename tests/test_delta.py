@@ -5025,3 +5025,98 @@ class TestGeneratedPartitionPruning:
         assert plan_files and all(
             "d=2024-03-05" in f or "d=2024-03-06" in f for f in plan_files
         ), plan_files
+
+
+class TestRecomputeStats:
+    """recompute_stats: footer-derived stats for stats-less adds,
+    dataChange=false commit, DVs and rows preserved."""
+
+    def _strip_stats(self, table):
+        import time as _time
+
+        meta, adds = table._snapshot_state(None)
+        now_ms = int(_time.time() * 1000)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "FOREIGN STATLESS REWRITE",
+                    "operationParameters": {},
+                }
+            }
+        ]
+        for a in adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": a.get("partitionValues") or {},
+                        "size": a.get("size"),
+                    }
+                }
+            )
+            stripped = {k: v for k, v in a.items() if k != "stats"}
+            stripped["dataChange"] = False
+            actions.append({"add": stripped})
+        table._publish_or_conflict(
+            table.latest_version() + 1, actions, "FOREIGN"
+        )
+
+    def test_restores_stats_and_noop_when_present(self, spark, tmp_path):
+        import json
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            DeltaTable,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 100).selectExpr("id", "id * 2 AS v"))
+        # stats already present everywhere: recompute is a pure no-op
+        # (no commit — the table version must not move)
+        v = t.latest_version()
+        assert t.recompute_stats() == {"version": v, "updated_files": 0}
+        assert t.latest_version() == v
+
+        self._strip_stats(t)
+        res = t.recompute_stats()
+        assert res["updated_files"] >= 1
+        _m, adds = t._snapshot_state(None)
+        assert all(a.get("stats") for a in adds)
+        s = json.loads(adds[0]["stats"])
+        assert s["numRecords"] >= 1 and "v" in (s.get("minValues") or {})
+        # dataChange=false: a change-feed read over the recompute commit
+        # must emit nothing
+        ch = t.read_changes(
+            spark, starting_version=res["version"],
+            ending_version=res["version"],
+        )
+        assert ch.count() == 0
+
+    def test_preserves_deletion_vectors(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            DeltaTable,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 50).selectExpr("id", "id * 3 AS v"))
+        t.delete(spark, "id % 5 = 0")
+        self._strip_stats(t)
+        t.recompute_stats()
+        _m, adds = t._snapshot_state(None)
+        assert any(a.get("deletionVector") for a in adds)
+        got = {r.id for r in t.read(spark).select("id").collect()}
+        assert got == {i for i in range(50) if i % 5 != 0}
+
+    def test_force_recomputes_everything(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            DeltaTable,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).selectExpr("id"))
+        t.write(spark.range(10, 20).selectExpr("id"))
+        _m, adds = t._snapshot_state(None)
+        res = t.recompute_stats(force=True)
+        assert res["updated_files"] == len(adds)
