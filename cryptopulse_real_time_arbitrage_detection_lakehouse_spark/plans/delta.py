@@ -3467,12 +3467,18 @@ def delta_incremental_mv_refresh_audit(
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    deltas = ch.groupBy("event_type").agg(
+    # materialize the per-key deltas ONCE: the merge's two phases (and
+    # anything else consuming the source) would otherwise re-derive the
+    # whole change feed per use — measured 3-4 re-derivations at 10x
+    # (SCALE.md round-7 additions); the materialized frame is O(keys)
+    deltas_path = root + "/deltas"
+    ch.groupBy("event_type").agg(
         F.sum(sign).cast("long").alias("dn"),
         F.sum(sign.cast(dec) * F.col("value").cast(dec))
         .cast(dec)
         .alias("dtotal"),
-    )
+    ).write.parquet(deltas_path)
+    deltas = spark.read.parquet(deltas_path)
     (
         mv.merge_into(deltas, "target.event_type = source.event_type")
         .when_matched_update(
