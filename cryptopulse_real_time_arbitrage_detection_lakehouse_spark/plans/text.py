@@ -3290,3 +3290,111 @@ def doc_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(new_text).alias("new_md5"),
         )
     )
+
+
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "doc_epoch_shuffle_audit",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS r1,
+    CAST(('0x' || substring(md5('e2:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS r2
+  FROM documents
+),
+s AS (
+  SELECT doc_id, r1, r2, r1 % {EPOCH_SHUFFLE_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY r1 % {EPOCH_SHUFFLE_SHARDS}
+                            ORDER BY r1, doc_id) AS pos1
+  FROM ranked
+),
+sizes AS (
+  SELECT CAST(max(n) AS DOUBLE) / CAST(min(n) AS DOUBLE) AS imbalance
+  FROM (SELECT count(*) AS n FROM s GROUP BY shard)
+),
+differ AS (
+  SELECT CAST(count(*) > 0 AS BIGINT) AS epochs_differ
+  FROM ranked WHERE r1 % {EPOCH_SHUFFLE_SHARDS} <> r2 % {EPOCH_SHUFFLE_SHARDS}
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(doc_id * pos1) AS BIGINT) AS order_fingerprint,
+       CAST((SELECT imbalance FROM sizes) < 2.0 AS BIGINT) AS balanced,
+       (SELECT epochs_differ FROM differ) AS epochs_differ
+FROM s GROUP BY shard
+""",
+    doc="Deterministic training-epoch shuffle + sharding audit — the "
+    "data-order reproducibility contract a pretraining run needs (re-run "
+    "epoch 1 after a crash and every worker must read the same docs in "
+    "the same order, no stored permutation): rank = md5(epoch_salt || "
+    "doc_id) gives a keyed pseudorandom total order, shard = rank mod "
+    "N_WORKERS gives the worker assignment, and within-shard position "
+    "is a row_number over the SHARD partition (parallel over shards — "
+    "no global sort, no unpartitioned window; a real run writes each "
+    "shard bucketed by this key and sorts within files). The audit pins "
+    "per-shard counts, an order fingerprint (sum doc_id x position — "
+    "any reorder or migration changes it), shard balance (max/min < 2, "
+    "the hash-uniformity check), and that a different epoch salt "
+    "actually produces a different assignment. Salted-hash ordering is "
+    "the same device DSIR and the split queries use: deterministic, "
+    "engine-agnostic, O(1) state.",
+    tags=("text", "llm-pipeline", "sampling", "curation"),
+)
+def doc_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    rank = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = docs.select(
+        "doc_id", rank("e1:").alias("r1"), rank("e2:").alias("r2")
+    )
+    shard = (F.col("r1") % EPOCH_SHUFFLE_SHARDS).alias("shard")
+    s = d.select("doc_id", "r1", "r2", shard).withColumn(
+        "pos1",
+        F.row_number().over(
+            W.partitionBy("shard").orderBy("r1", "doc_id")
+        ),
+    )
+    sizes = s.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    imb = sizes.agg(
+        (
+            F.max("n").cast("double") / F.min("n").cast("double")
+        ).alias("imbalance")
+    )
+    differ = d.agg(
+        (
+            F.sum(
+                (
+                    (F.col("r1") % EPOCH_SHUFFLE_SHARDS)
+                    != (F.col("r2") % EPOCH_SHUFFLE_SHARDS)
+                ).cast("long")
+            )
+            > 0
+        )
+        .cast("long")
+        .alias("epochs_differ")
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("pos1")).alias(
+                "order_fingerprint"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(imb.select((F.col("imbalance") < 2.0).cast("long").alias("balanced")))
+        )
+        .crossJoin(F.broadcast(differ))
+    )
