@@ -1450,3 +1450,99 @@ def candle_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("close_interp"),
         F.col("close").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "candle_minmax_downsample",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+candles AS (
+  SELECT date_trunc('minute', trade_timestamp) AS w, symbol,
+         max(price) AS high, min(price) AS low
+  FROM ticks GROUP BY 1, 2
+),
+b AS (
+  SELECT symbol, w, high, low,
+         CAST(epoch_us(w) / 60000000 AS BIGINT) // 30 AS bucket,
+         CAST(epoch_us(w) / 60000000 AS BIGINT) % 30 AS mi
+  FROM candles
+),
+picked AS (
+  SELECT symbol, bucket,
+    arg_max(w, CAST(floor(high * 100000000) AS BIGINT) * 32 + (29 - mi))
+      AS w_high,
+    max(high) AS v_high,
+    arg_max(w, (-CAST(floor(low * 100000000) AS BIGINT)) * 32 + (29 - mi))
+      AS w_low,
+    min(low) AS v_low
+  FROM b GROUP BY symbol, bucket
+)
+SELECT symbol, {sql_fmt_ts("to_timestamp(bucket * 1800)")} AS bucket_start,
+       'high' AS kind, {sql_fmt_ts("w_high")} AS window_start, v_high AS price
+FROM picked
+UNION ALL
+SELECT symbol, {sql_fmt_ts("to_timestamp(bucket * 1800)")}, 'low',
+       {sql_fmt_ts("w_low")}, v_low
+FROM picked
+""",
+    doc="Min/max downsampling of the candle series — the lossless-extremes "
+    "chart decimation every time-series dashboard runs before rendering "
+    "(Grafana/VictoriaMetrics's default: a pixel column can show at most "
+    "the bucket's high and low, so ship exactly those and the line "
+    "shape survives any zoom level; mean-downsampling erases spikes — "
+    "the one thing a price chart must not lose). Per (symbol, 30-min "
+    "bucket) the candles holding the bucket's maximum high and minimum "
+    "low are selected with deterministic ties (higher price first, "
+    "then the EARLIER candle, encoded as one sortable BIGINT on the "
+    "exact decimal grid — DuckDB's arg_max has no struct key). One "
+    "grouped aggregation over the shared materialized candles: shuffle "
+    "carries (symbol x buckets) rows, output is 2 rows per bucket "
+    "regardless of input density — a 100 TB tick archive downsamples "
+    "to a dashboard payload in one pass.",
+    tags=("gold", "analytics", "topk", "aggregate"),
+)
+def candle_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold_table(spark, sf_dir).select(
+        "window_start", "symbol", "high", "low"
+    )
+    m = (F.unix_timestamp(F.to_timestamp("window_start")) / 60).cast("long")
+    b = gold.select(
+        "symbol",
+        "window_start",
+        "high",
+        "low",
+        (m / 30).cast("long").alias("bucket"),
+        (m % 30).alias("mi"),
+    )
+    key_high = (
+        F.floor(F.col("high") * 100000000).cast("long") * 32
+        + (F.lit(29) - F.col("mi"))
+    )
+    key_low = (
+        (-F.floor(F.col("low") * 100000000).cast("long")) * 32
+        + (F.lit(29) - F.col("mi"))
+    )
+    picked = b.groupBy("symbol", "bucket").agg(
+        F.max_by("window_start", key_high).alias("w_high"),
+        F.max("high").alias("v_high"),
+        F.max_by("window_start", key_low).alias("w_low"),
+        F.min("low").alias("v_low"),
+    )
+    bucket_start = fmt_ts(
+        F.timestamp_seconds(F.col("bucket") * 1800), "bucket_start"
+    )
+    highs = picked.select(
+        "symbol",
+        bucket_start,
+        F.lit("high").alias("kind"),
+        F.col("w_high").alias("window_start"),
+        F.col("v_high").alias("price"),
+    )
+    lows = picked.select(
+        "symbol",
+        bucket_start,
+        F.lit("low").alias("kind"),
+        F.col("w_low").alias("window_start"),
+        F.col("v_low").alias("price"),
+    )
+    return highs.unionByName(lows)
