@@ -1790,3 +1790,140 @@ def emb_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_full_topk").over(W.partitionBy("prefix_dims"))
         / F.lit(float(TOP_K)),
     )
+
+
+_INT8_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mabs
+  FROM embeddings
+),
+e8 AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(floor(CAST(embedding[r.i] AS DOUBLE) * (127.0 / mabs))
+              AS BIGINT) AS x
+  FROM m, range(1, {EMB_DIM} + 1) r(i)
+  WHERE mabs > 0
+),
+q8 AS (SELECT pos, x AS qx FROM e8 WHERE vec_id = {QUERY_VEC_ID}),
+d8 AS (
+  SELECT e8.vec_id,
+    CAST(SUM(e8.x * q8.qx) AS DOUBLE) AS dot,
+    CAST(SUM(e8.x * e8.x) AS DOUBLE) AS n2,
+    CAST(SUM(q8.qx * q8.qx) AS DOUBLE) AS qn2
+  FROM e8 JOIN q8 USING (pos)
+  WHERE e8.vec_id <> {QUERY_VEC_ID}
+  GROUP BY 1
+),
+c8 AS (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_int8 FROM d8
+),
+{_SQL_EXACT_COSINES.lstrip()},
+top AS (
+  SELECT c8.vec_id, c8.cos_int8, cosines.cosine AS cos_full
+  FROM c8 JOIN cosines USING (vec_id)
+  ORDER BY c8.cos_int8 DESC, c8.vec_id LIMIT {TOP_K}
+),
+tfull AS (
+  SELECT vec_id FROM cosines ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+flagged AS (
+  SELECT t.vec_id, t.cos_int8, t.cos_full,
+         CAST(CASE WHEN t.vec_id IN (SELECT vec_id FROM tfull)
+              THEN 1 ELSE 0 END AS BIGINT) AS in_full_topk
+  FROM top t
+)
+SELECT vec_id, cos_int8, cos_full, in_full_topk,
+       (SELECT SUM(in_full_topk) FROM flagged)
+         / CAST({TOP_K} AS DOUBLE) AS recall_at_k,
+       (SELECT MAX(abs(cos_int8 - cos_full)) FROM flagged) AS max_abs_err
+FROM flagged
+"""
+
+
+@register(
+    "emb_int8_quantization_recall_audit",
+    oracle=_INT8_ORACLE,
+    doc="Scalar int8 quantization audit — the 4x-memory-cut every "
+    "production vector index takes first (FAISS SQ8): each vector "
+    "quantizes to int8 on its own symmetric grid (floor(x * 127/max|x|) "
+    "— floor, not round, so both engines agree bit-for-bit), and "
+    "COSINE of the quantized vectors needs no dequantization because "
+    "the per-vector scale cancels in the ratio: the score is pure "
+    "integer dot/norm math, exactly the trick that makes SQ8 indexes "
+    "score without reconstructing. The audit retrieves top-k under "
+    "int8 scores, reports each hit's int8 and full-precision cosine, "
+    "recall@k against the full-precision top-k, and the max absolute "
+    "cosine error — the three numbers that decide whether SQ8 is safe "
+    "for a corpus before committing the index build. Scale: one scan, "
+    "row-local quantization + scoring, TakeOrderedAndProject top-k; "
+    "recall/error ride the broadcast 1-row-aggregate pattern (no "
+    "unpartitioned window). Zero-norm vectors are excluded in both "
+    "engines (no grid exists for them).",
+    tags=("similarity", "ann", "quantization", "evaluation", "topk"),
+)
+def emb_int8_quantization_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    qvec = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    mabs_q = max(abs(float(x)) for x in qvec)
+    q8 = [math.floor(float(x) * (127.0 / mabs_q)) for x in qvec]
+    qn2 = float(sum(x * x for x in q8))
+    qarr = F.array(*[F.lit(int(x)).cast("long") for x in q8])
+
+    mabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    x8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * (F.lit(127.0) / mabs)),
+    )
+
+    def cos8_of(xq: Column) -> Column:
+        dot = dot_long(xq, qarr)
+        n2 = dot_long(xq, xq)
+        return dot.cast("double") / (
+            F.sqrt(n2.cast("double")) * F.sqrt(F.lit(qn2))
+        )
+
+    from ..functions.expr import bind
+
+    scored = shared(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(mabs > 0)
+        .select(
+            "vec_id",
+            bind(x8, cos8_of).alias("cos_int8"),
+            _cosine_vs_query(qvec).alias("cos_full"),
+        )
+    )
+    full_ids = [
+        r.vec_id
+        for r in scored.orderBy(F.desc("cos_full"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    ]
+    top = (
+        scored.orderBy(F.desc("cos_int8"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            "cos_int8",
+            "cos_full",
+            F.col("vec_id").isin(full_ids).cast("long").alias(
+                "in_full_topk"
+            ),
+        )
+    )
+    summary = top.agg(
+        (F.sum("in_full_topk") / F.lit(float(TOP_K))).alias("recall_at_k"),
+        F.max(F.abs(F.col("cos_int8") - F.col("cos_full"))).alias(
+            "max_abs_err"
+        ),
+    )
+    return top.crossJoin(F.broadcast(summary))
