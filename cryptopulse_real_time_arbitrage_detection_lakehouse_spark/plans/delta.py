@@ -2125,7 +2125,7 @@ def delta_convert_parquet_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "orders.parquet"),
         os.path.join(lake, "orders.parquet"),
     )
-    table = DeltaTable.convert_from_parquet(lake)
+    table = DeltaTable.convert_from_parquet(lake, spark=spark)
     _m, adds = table._snapshot_state(None)
     in_place = int(
         {a["path"] for a in adds} == {"orders.parquet"}
@@ -3703,7 +3703,7 @@ def delta_stats_recompute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_before = len(set(before.inputFiles()))
     n_before = before.count()
 
-    res = table.recompute_stats()
+    res = table.recompute_stats(spark=spark)  # executor-side footer reads
     after = table.read(spark, where=where)
     files_after = len(set(after.inputFiles()))
     n_after = after.count()

@@ -62,17 +62,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import dv as _dv
+from . import footer_stats as _footer_stats
+from .footer_stats import file_stats as _file_stats
 
-# The DV kernels below close over functions from `sources.dv` and run on
-# executors. A foreign driver (the contract driver, a notebook) may have
-# this package only via a sys.path insert the Python workers don't
-# inherit — so register the codec module for BY-VALUE pickling: the
-# closure then carries the code itself instead of an import that fails
-# worker-side. The module is self-contained stdlib, so this is cheap.
+# The DV and footer-stats kernels below close over functions from their
+# modules and run on executors. A foreign driver (the contract driver, a
+# notebook) may have this package only via a sys.path insert the Python
+# workers don't inherit — so register both self-contained modules for
+# BY-VALUE pickling: the closure then carries the code itself instead of
+# an import that fails worker-side. Both are stdlib-only, so this is
+# cheap.
 try:  # pragma: no cover - depends on vendored cloudpickle version
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(_dv)
+    _cloudpickle.register_pickle_by_value(_footer_stats)
 except Exception:  # noqa: BLE001
     pass
 
@@ -132,89 +136,81 @@ def _as_dict(pv) -> dict:
     return dict(pv)
 
 
-def _file_stats(md) -> dict:
-    """Delta per-file stats from a parquet footer: numRecords plus
-    min/max/nullCount per column (the data-skipping payload —
-    PROTOCOL.md 'Per-file Statistics'). NESTED STRUCT fields nest in the
-    stats JSON exactly as the spec prescribes ({"s": {"x": 1}}), so
-    skipping works on clustering keys inside structs; paths through
-    array/map elements and columns whose footer stats are absent in any
-    row group or of a type without a total-order JSON encoding (bytes,
-    decimals) are omitted — skipping must only ever prune files it can
-    PROVE empty for a predicate."""
-    import datetime
+def _distributed_footer_probe(
+    spark: SparkSession,
+    pairs: list[tuple[str, str]],
+    *,
+    schema_ipc: bytes | None = None,
+) -> dict[str, dict]:
+    """Read parquet footers ACROSS THE EXECUTORS — the scale form of the
+    one-footer-per-file cost model `convert_from_parquet` and
+    `recompute_stats` share. ``pairs`` is ``[(key, absolute path)]``;
+    returns ``{key: {"stats": <stats dict>, "size": int, "mtime_ms":
+    int, "schema_names": [..] | None}}``. With ``schema_ipc`` (an Arrow
+    IPC-serialized schema), each file's arrow schema is compared
+    executor-side and ``schema_names`` comes back ONLY for mismatching
+    files — CONVERT's one-schema check without shipping every schema to
+    the driver.
 
-    mins: dict = {}
-    maxs: dict = {}
-    nulls: dict = {}
-    bad: set[str] = set()
+    On a million-file foreign table a driver-side footer loop is hours
+    of serial I/O; this is one `mapInPandas` pass, ~64 files per task,
+    and the driver gets back exactly the per-file stats JSON it needs
+    for the single atomic commit (the commit itself STAYS driver-side —
+    log publication is one put-if-absent, never distributed). Same shape
+    as `fsck_repair`'s distributed existence probe."""
+    stats_fn = _file_stats  # by-value module: workers carry the code
 
-    def enc(v):
-        if isinstance(v, bool) or v is None:
-            return None  # booleans: not worth a skipping entry
-        if isinstance(v, (int, str)):
-            return v
-        if isinstance(v, float):
-            return None if v != v else v  # NaN-poisoned stats: drop
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            # space separator so stats compare lexicographically against
-            # SQL literals ('2026-01-02 03:04:05')
-            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
-        return None
+    def probe(batches):
+        import json as _json
+        import os as _os
 
-    for rg in range(md.num_row_groups):
-        for ci in range(md.num_columns):
-            col = md.row_group(rg).column(ci)
-            name = col.path_in_schema
-            if name in bad:
-                continue
-            if "." in name and any(
-                seg in ("list", "element", "key_value", "key", "value")
-                for seg in name.split(".")
-            ):
-                continue  # array/map interior: no stats contract
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                bad.add(name)
-                continue
-            try:
-                # pyarrow raises for types it cannot cast statistics for
-                # (e.g. decimals) even when has_min_max is true
-                lo, hi = enc(st.min), enc(st.max)
-            except Exception:
-                bad.add(name)
-                continue
-            if lo is None or hi is None:
-                bad.add(name)
-                continue
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-            mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    for name in bad:
-        mins.pop(name, None)
-        maxs.pop(name, None)
-        nulls.pop(name, None)
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
 
-    def nest(flat: dict) -> dict:
-        out: dict = {}
-        for k, v in flat.items():
-            cur = out
-            parts = k.split(".")
-            for seg in parts[:-1]:
-                cur = cur.setdefault(seg, {})
-                if not isinstance(cur, dict):  # pragma: no cover
-                    break
-            else:
-                cur[parts[-1]] = v
-        return out
+        want = (
+            _pa.ipc.read_schema(_pa.BufferReader(schema_ipc))
+            if schema_ipc is not None
+            else None
+        )
+        for pdf in batches:
+            rows = []
+            for key, full in zip(pdf["key"], pdf["full"]):
+                pf = _pq.ParquetFile(full)
+                names = None
+                if want is not None and pf.schema_arrow != want:
+                    names = _json.dumps(pf.schema_arrow.names)
+                rows.append(
+                    (
+                        key,
+                        _json.dumps(stats_fn(pf.metadata)),
+                        _os.path.getsize(full),
+                        int(_os.path.getmtime(full) * 1000),
+                        names,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["key", "stats", "size", "mtime_ms", "bad"]
+            )
 
-    out: dict = {"numRecords": md.num_rows}
-    if mins:
-        out["minValues"] = nest(mins)
-        out["maxValues"] = nest(maxs)
-        out["nullCount"] = nest(nulls)
-    return out
+    out_schema = (
+        "key string, stats string, size long, mtime_ms long, bad string"
+    )
+    rows = (
+        spark.createDataFrame(pairs, "key string, full string")
+        .repartition(min(32, max(1, len(pairs) // 64 + 1)))
+        .mapInPandas(probe, out_schema)
+        .collect()
+    )
+    return {
+        r["key"]: {
+            "stats": json.loads(r["stats"]),
+            "size": r["size"],
+            "mtime_ms": r["mtime_ms"],
+            "schema_names": json.loads(r["bad"]) if r["bad"] else None,
+        }
+        for r in rows
+    }
 
 
 #: simple conjunct: `col op literal` — the skippable subset of a WHERE
@@ -1798,6 +1794,7 @@ class DeltaTable:
         path: str,
         *,
         partition_schema: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
     ) -> "DeltaTable":
         """CONVERT TO DELTA — delta-spark's in-place conversion of a
         plain parquet directory: write a ``_delta_log`` whose v0 commit
@@ -1813,7 +1810,16 @@ class DeltaTable:
         hive-partitioned directories (the directory layout encodes only
         strings; delta-spark's ``PARTITIONED BY`` clause exists for the
         same reason). Files whose footers disagree on schema, or a
-        directory already carrying a ``_delta_log``, are refused."""
+        directory already carrying a ``_delta_log``, are refused.
+
+        With ``spark``, the footer reads DISTRIBUTE across the executors
+        (one `mapInPandas` pass, the `fsck_repair` shape) — at a
+        million files the serial driver loop is hours, the distributed
+        pass is one job; the schema-agreement check rides the same pass
+        (each executor compares against the first file's IPC-shipped
+        schema). The v0 commit itself stays a single driver-side atomic
+        publish either way. Without ``spark``, a driver loop (fine for
+        small/medium directories)."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_type
 
@@ -1841,30 +1847,55 @@ class DeltaTable:
                 files.append((rel.replace(os.sep, "/"), pv))
         if not files:
             raise ValueError(f"no parquet files under {path}")
-        arrow_schema = None
-        adds = []
         now_ms = int(time.time() * 1000)
-        for rel, pv in files:
-            fp = os.path.join(path, rel)
-            pf = pq.ParquetFile(fp)
-            if arrow_schema is None:
-                arrow_schema = pf.schema_arrow
-            elif pf.schema_arrow != arrow_schema:
-                raise ValueError(
-                    f"schema mismatch: {rel!r} has "
-                    f"{pf.schema_arrow.names}, first file has "
-                    f"{arrow_schema.names} — CONVERT requires one schema"
-                )
-            adds.append(
-                {
-                    "path": urllib.parse.quote(rel, safe="/="),
-                    "partitionValues": pv,
-                    "size": os.path.getsize(fp),
-                    "modificationTime": int(os.path.getmtime(fp) * 1000),
-                    "dataChange": True,
-                    "stats": json.dumps(_file_stats(pf.metadata)),
-                }
+        # first footer always reads driver-side: it defines the one
+        # schema every other file must match (and the table schema)
+        arrow_schema = pq.ParquetFile(os.path.join(path, files[0][0])).schema_arrow
+        adds = []
+        if spark is not None and len(files) > 1:
+            probed = _distributed_footer_probe(
+                spark,
+                [(rel, os.path.join(path, rel)) for rel, _pv in files],
+                schema_ipc=arrow_schema.serialize().to_pybytes(),
             )
+            for rel, pv in files:
+                info = probed[rel]
+                if info["schema_names"] is not None:
+                    raise ValueError(
+                        f"schema mismatch: {rel!r} has "
+                        f"{info['schema_names']}, first file has "
+                        f"{arrow_schema.names} — CONVERT requires one schema"
+                    )
+                adds.append(
+                    {
+                        "path": urllib.parse.quote(rel, safe="/="),
+                        "partitionValues": pv,
+                        "size": info["size"],
+                        "modificationTime": info["mtime_ms"],
+                        "dataChange": True,
+                        "stats": json.dumps(info["stats"]),
+                    }
+                )
+        else:
+            for rel, pv in files:
+                fp = os.path.join(path, rel)
+                pf = pq.ParquetFile(fp)
+                if pf.schema_arrow != arrow_schema:
+                    raise ValueError(
+                        f"schema mismatch: {rel!r} has "
+                        f"{pf.schema_arrow.names}, first file has "
+                        f"{arrow_schema.names} — CONVERT requires one schema"
+                    )
+                adds.append(
+                    {
+                        "path": urllib.parse.quote(rel, safe="/="),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(fp),
+                        "modificationTime": int(os.path.getmtime(fp) * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(_file_stats(pf.metadata)),
+                    }
+                )
         fields = [
             T.StructField(f.name, from_arrow_type(f.type), True)
             for f in arrow_schema
@@ -1904,7 +1935,9 @@ class DeltaTable:
         )
         return table
 
-    def recompute_stats(self, *, force: bool = False) -> dict:
+    def recompute_stats(
+        self, *, force: bool = False, spark: SparkSession | None = None
+    ) -> dict:
         """``ANALYZE TABLE ... COMPUTE DELTA STATISTICS`` — re-derive
         per-file min/max/nullCount stats from the parquet footers for
         every live add entry MISSING stats (all of them with
@@ -1923,7 +1956,14 @@ class DeltaTable:
         DV-carrying adds keep their deletionVector verbatim (stats stay
         PHYSICAL, counting DV'd rows, exactly like write-path stats);
         column-mapped tables need no translation — footer stats are
-        keyed by physical names, which is what skipping looks up."""
+        keyed by physical names, which is what skipping looks up.
+
+        With ``spark``, the footer reads DISTRIBUTE across executors
+        (one `mapInPandas` pass over the stats-less paths — the
+        `fsck_repair` shape); the op exists FOR inherited million-file
+        foreign tables, where a serial driver loop is hours and the
+        distributed pass is one job. The remove+re-add commit stays a
+        single driver-side atomic publish either way."""
         import pyarrow.parquet as pq
 
         base = self.latest_version()
@@ -1947,11 +1987,20 @@ class DeltaTable:
                 }
             }
         ]
-        for a in targets:
-            fp = os.path.join(
-                self.path, urllib.parse.unquote(a["path"]).replace("/", os.sep)
+        full_of = lambda rel: os.path.join(  # noqa: E731
+            self.path, urllib.parse.unquote(rel).replace("/", os.sep)
+        )
+        if spark is not None and len(targets) > 1:
+            probed = _distributed_footer_probe(
+                spark, [(a["path"], full_of(a["path"])) for a in targets]
             )
-            stats = _file_stats(pq.ParquetFile(fp).metadata)
+            stats_of = lambda rel: probed[rel]["stats"]  # noqa: E731
+        else:
+            stats_of = lambda rel: _file_stats(  # noqa: E731
+                pq.ParquetFile(full_of(rel)).metadata
+            )
+        for a in targets:
+            stats = stats_of(a["path"])
             actions.append(
                 {
                     "remove": {

@@ -5120,3 +5120,94 @@ class TestRecomputeStats:
         _m, adds = t._snapshot_state(None)
         res = t.recompute_stats(force=True)
         assert res["updated_files"] == len(adds)
+
+
+class TestDistributedFooterProbe:
+    """recompute_stats(spark=) / convert_from_parquet(spark=): the
+    executor-side footer pass must produce byte-identical stats to the
+    serial driver loop (one code path for the payload — the shared
+    footer_stats module — two for the I/O fan-out)."""
+
+    def test_convert_distributed_matches_driver_footers(self, spark, tmp_path):
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.footer_stats import (  # noqa: E501
+            file_stats,
+        )
+
+        d = str(tmp_path / "lake")
+        spark.range(0, 200).selectExpr("id", "id * 2 AS v").repartition(
+            6
+        ).write.parquet(d)
+        t = DeltaTable.convert_from_parquet(d, spark=spark)
+        _m, adds = t._snapshot_state(None)
+        assert len(adds) == 6
+        for a in adds:
+            fp = os.path.join(d, urllib.parse.unquote(a["path"]))
+            assert json.loads(a["stats"]) == file_stats(
+                pq.ParquetFile(fp).metadata
+            )
+            assert a["size"] == os.path.getsize(fp)
+        # skipping armed: a contradicted predicate prunes every file
+        assert t.read(spark, where="v > 1000000").count() == 0
+        assert t.read(spark).count() == 200
+
+    def test_convert_distributed_partitioned_and_mismatch(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "lake")
+        spark.range(0, 60).select(
+            "id", (F.col("id") % 3).cast("string").alias("p")
+        ).write.partitionBy("p").parquet(d)
+        t = DeltaTable.convert_from_parquet(
+            d, partition_schema={"p": "string"}, spark=spark
+        )
+        assert t.read(spark, where="p = '1'").count() == 20
+        # schema disagreement surfaces through the distributed pass too
+        d2 = str(tmp_path / "mixed")
+        os.makedirs(d2)
+        spark.range(0, 5).coalesce(1).write.parquet(d2 + "/a")
+        spark.range(0, 5).selectExpr("id", "id AS extra").coalesce(
+            1
+        ).write.parquet(d2 + "/b")
+        import shutil
+
+        for sub in ("a", "b"):
+            for n in os.listdir(d2 + "/" + sub):
+                if n.endswith(".parquet"):
+                    shutil.move(f"{d2}/{sub}/{n}", f"{d2}/{sub}_{n}")
+            shutil.rmtree(f"{d2}/{sub}")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            DeltaTable.convert_from_parquet(d2, spark=spark)
+
+    def test_recompute_distributed_matches_serial(self, spark, tmp_path):
+        t1 = DeltaTable(str(tmp_path / "t1"))
+        t2 = DeltaTable(str(tmp_path / "t2"))
+        for t in (t1, t2):
+            for lo in (0, 40, 80):
+                t.write(
+                    spark.range(lo, lo + 40)
+                    .selectExpr("id", "id * 7 AS v")
+                    .coalesce(1)
+                )
+            TestRecomputeStats._strip_stats(None, t)
+        r1 = t1.recompute_stats()
+        r2 = t2.recompute_stats(spark=spark)
+        assert r1["updated_files"] == r2["updated_files"] == 3
+        stats1 = {
+            a["path"].rsplit("/", 1)[-1]: json.loads(a["stats"])
+            for a in t1._snapshot_state(None)[1]
+        }
+        stats2 = {
+            a["path"].rsplit("/", 1)[-1]: json.loads(a["stats"])
+            for a in t2._snapshot_state(None)[1]
+        }
+        # file names differ (independent writes) but both tables hold the
+        # same three value ranges — compare the stats payloads as sets
+        canon = lambda d: sorted(  # noqa: E731
+            json.dumps(s, sort_keys=True) for s in d.values()
+        )
+        assert canon(stats1) == canon(stats2)
+        assert t2.read(spark, where="v < 10").count() == 2
