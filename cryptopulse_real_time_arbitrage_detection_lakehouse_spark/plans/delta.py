@@ -393,6 +393,69 @@ def pyds_stream_skip_change_audit(
 
 
 @register(
+    "pyds_stream_where_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       {sql_dsum("value")} AS total_value
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND value >= 50.0 AND value < 200.0
+GROUP BY event_type
+""",
+    doc="The `where` option on the pydelta STREAMING source (the last "
+    "read-path option gap — through round 7 the stream refused it "
+    "loudly): the table is written as value-DISJOINT commits per "
+    "event_type (one file entirely below 50, one spanning the rest), "
+    "then streamed with where='value >= 50.0 AND value < 200.0'. Data "
+    "commits prune whole files by their logged footer stats (the "
+    "below-50 files plan zero partitions — pytest pins the empty plan) "
+    "and filter rows exactly executor-side; the predicate is "
+    "STRICT-parsed so anything the conjunct prover cannot fully "
+    "decompose refuses up front — on a stream, silent under-filtering "
+    "would be wrong rows forever, the failure mode the old gate "
+    "guarded. The oracle recomputes the filtered slice from raw "
+    "events; green certifies pruning never dropped a matching row and "
+    "filtering never leaked a non-matching one, through a checkpointed "
+    "availableNow drain.",
+    tags=("delta", "streaming", "python-datasource", "pushdown"),
+)
+def pyds_stream_where_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cppydsw_") + "/events_delta")
+    for etype in _BATCH_TYPES:
+        sl = events.filter(F.col("event_type") == etype).select(*_EVENT_COLS)
+        # value-disjoint files: the first is provably below the
+        # predicate (stats-pruned whole), the second does real filtering
+        table.write(sl.filter(F.col("value") < 50.0).repartition(1))
+        table.write(sl.filter(F.col("value") >= 50.0).repartition(1))
+    pyds.register(spark)
+    root = tempfile.mkdtemp(prefix="cppydsw_out_")
+    out_path = os.path.join(root, "out")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                spark.readStream.format("pydelta")
+                .option("path", table.path)
+                .option("where", "value >= 50.0 AND value < 200.0")
+                .load(),
+                path=out_path,
+                checkpoint=os.path.join(root, "ckpt"),
+                query_name="pyds_stream_where_audit",
+            )
+        )
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
     "pyds_delta_write_roundtrip",
     oracle=f"""
 SELECT event_type, count(*) AS n,

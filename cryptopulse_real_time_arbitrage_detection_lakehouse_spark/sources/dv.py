@@ -220,6 +220,56 @@ def write_dv_file(path: str, blob: bytes, *, offset: int = 1) -> dict:
     return {"offset": offset, "sizeInBytes": len(blob)}
 
 
+def write_dv_file_packed(path: str, blobs: list[bytes]) -> list[dict]:
+    """Write MANY DV blobs into ONE sidecar file — the reason the spec
+    descriptor carries an ``offset`` at all: a broad DELETE touching a
+    million files must cost the writer one sidecar PUT per COMMIT, not
+    one per file. Entries are back-to-back ``[len:int32be][blob]
+    [crc32:uint32be]`` frames after the 1-byte format version, each
+    descriptor's offset pointing at its length prefix (delta-spark's
+    packed layout; `read_dv_blob` already seeks to any offset).
+    Returns per-blob ``{"offset", "sizeInBytes"}`` in input order."""
+    fields: list[dict] = []
+    with open(path, "wb") as f:
+        f.write(b"\x01")
+        pos = 1
+        for blob in blobs:
+            fields.append({"offset": pos, "sizeInBytes": len(blob)})
+            f.write(struct.pack(">i", len(blob)))
+            f.write(blob)
+            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+            pos += 4 + len(blob) + 4
+    return fields
+
+
+def make_dv_descriptors_packed(
+    table_root: str, entries: list[tuple[bytes, int]], *, prefix: str = ""
+) -> list[dict]:
+    """Persist many already-serialized roaring blobs as ONE 'u'-storage
+    sidecar (one driver write per commit, O(1) files); return the
+    add-file ``deletionVector`` structs in input order. ``entries`` are
+    ``(blob, cardinality)`` pairs from the executor-built DV kernel."""
+    import os
+
+    if not entries:
+        return []
+    uid = _uuid.uuid4()
+    rel = dv_sidecar_name(uid, prefix)
+    fields = write_dv_file_packed(
+        os.path.join(table_root, rel), [b for b, _c in entries]
+    )
+    return [
+        {
+            "storageType": "u",
+            "pathOrInlineDv": prefix + z85_encode(uid.bytes),
+            "offset": fld["offset"],
+            "sizeInBytes": fld["sizeInBytes"],
+            "cardinality": card,
+        }
+        for fld, (_b, card) in zip(fields, entries)
+    ]
+
+
 def read_dv_blob(path: str, offset: int, size_in_bytes: int) -> bytes:
     with open(path, "rb") as f:
         version = f.read(1)

@@ -30,9 +30,11 @@ commit), and a TRANSACTIONAL streaming sink (`PyDeltaStreamWriter` —
 
 Options: ``path`` (table root, required); reads: ``versionAsOf``,
 ``timestampAsOf`` (ms epoch), ``where`` (simple-conjunction predicate
-for file pruning + exact row filtering), ``startingVersion``
-(streaming); writes: ``partitionBy`` (comma-separated), ``txnAppId``
-(streaming-sink idempotence key). Register once per session with
+for file pruning + exact row filtering — batch, batch-CDF, and
+STREAMING, where data commits also stats-prune and CDF batches
+row-filter only), ``startingVersion`` (streaming); writes:
+``partitionBy`` (comma-separated), ``txnAppId`` (streaming-sink
+idempotence key). Register once per session with
 ``pyds.register(spark)``.
 
 Scale notes: the JVM parquet path remains the default for raw scan
@@ -692,6 +694,15 @@ class PyDeltaStreamReader(DataSourceStreamReader):
       is refused with a pointer here — silent duplicates are the bug
       that option is deprecated for.
 
+    ``where`` (simple-conjunction predicate, STRICT-parsed — a
+    predicate that does not fully decompose errors up front, because on
+    a stream silent under-filtering means wrong rows forever): data
+    commits prune whole files by their logged footer stats AND filter
+    rows exactly executor-side, the batch reader's contract; change-feed
+    batches (``readChangeFeed=true``) filter rows only (change files
+    carry no stats contract to prune on). The filter composes AFTER
+    commit admission — skipped/refused-commit semantics are unchanged.
+
     Rate limiting (delta-spark's ``maxFilesPerTrigger`` /
     ``maxBytesPerTrigger``): each micro-batch admits whole commits until
     the file/byte budget is hit, always at least one commit (commit
@@ -735,16 +746,25 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                 ).fields
                 if f.name not in part_cols_id
             }
-        # options that would be SILENTLY ignored must refuse instead:
-        # a stream 'where' that never filters is under-filtering, not a
-        # convenience
-        for bad in ("where", "versionasof", "timestampasof"):
+        # options that would be SILENTLY ignored must refuse instead
+        for bad in ("versionasof", "timestampasof"):
             if opts.get(bad) is not None:
                 raise NotImplementedError(
                     f"option {bad!r} is not supported on the pydelta "
                     "STREAMING source (use startingVersion to scope the "
                     "tail, or the batch reader for point-in-time reads)"
                 )
+        # stream `where`: STRICT conjunct parse (the row filter below IS
+        # the only application — a predicate that does not fully
+        # decompose must error, never silently under-filter, which on a
+        # stream means silently-wrong rows forever). Data commits prune
+        # by file stats AND filter rows exactly; change-feed batches
+        # filter rows only (change files carry no stats contract).
+        where = opts.get("where")
+        self._conjuncts: list[tuple[str, str, object]] = (
+            _parse_conjuncts_strict(where) if where else []
+        )
+        self._phys_path = _phys_path_fn(meta)
         self._table = table
         self._schema = schema
         if DeltaTable._has_variant(schema):
@@ -868,6 +888,11 @@ class PyDeltaStreamReader(DataSourceStreamReader):
             start["version"],
             end["version"],
             field_ids=self._field_ids,
+            # `where` composes with the change feed as ROW filtering
+            # only — same contract as the batch CDF reader (change
+            # partitions carry no file stats to prune on; the executor
+            # conjunct filter is exact)
+            conjuncts=self._conjuncts,
         )
 
     def partitions(self, start: dict, end: dict):
@@ -920,6 +945,13 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                         "paired remove; streaming would double-read "
                         "rows — use the batch read path"
                     )
+                if self._conjuncts and not _file_may_match(
+                    add, self._conjuncts, self._part_cols, self._phys_path
+                ):
+                    # data-commit adds carry full footer stats: pruning
+                    # here is the same soundness as the batch reader
+                    # (a pruned file PROVABLY holds no matching row)
+                    continue
                 out.append(
                     PyDeltaPartition(
                         os.path.join(
@@ -928,7 +960,7 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                         self._data_cols_map(),
                         self._part_values_of(add),
                         [],
-                        [],
+                        self._conjuncts,
                         field_ids=self._field_ids,
                     )
                 )

@@ -5211,3 +5211,65 @@ class TestDistributedFooterProbe:
         )
         assert canon(stats1) == canon(stats2)
         assert t2.read(spark, where="v < 10").count() == 2
+
+
+class TestPackedDVSidecars:
+    """One DELETE/UPDATE commit packs every touched file's DV into ONE
+    sidecar file (the spec's `offset` layout) — a broad delete over a
+    million files costs one driver PUT, not a million."""
+
+    def test_one_sidecar_per_commit(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 4000)
+            .selectExpr("id", "id * 2 AS v")
+            .repartition(8)
+        )
+        t.delete(spark, "id % 10 = 0")  # touches all 8 files
+        sidecars = [
+            f
+            for f in os.listdir(str(tmp_path / "t"))
+            if f.startswith("deletion_vector_")
+        ]
+        assert len(sidecars) == 1, sidecars
+        _m, adds = t._snapshot_state(None)
+        descs = [a["deletionVector"] for a in adds if a.get("deletionVector")]
+        assert len(descs) == 8
+        # all descriptors share the sidecar, at distinct offsets
+        assert len({d["pathOrInlineDv"] for d in descs}) == 1
+        assert len({d["offset"] for d in descs}) == 8
+        assert {r.id for r in t.read(spark).collect()} == {
+            i for i in range(4000) if i % 10 != 0
+        }
+        # a second delete unions into a NEW packed sidecar; reads stay
+        # correct through mixed offsets
+        t.delete(spark, "id % 10 = 1")
+        assert t.read(spark).count() == 3200
+        # vacuum drops the superseded sidecar, keeps the live one
+        dead = t.vacuum(retention_ms=0, force=True)
+        assert any(f.startswith("deletion_vector_") for f in dead)
+        live = [
+            f
+            for f in os.listdir(str(tmp_path / "t"))
+            if f.startswith("deletion_vector_")
+        ]
+        assert len(live) == 1
+        assert t.read(spark).count() == 3200
+
+    def test_update_and_fully_deleted_files_pack(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        # file 0 fully deleted (dropped, no DV), others partially
+        t.write(spark.range(0, 100).selectExpr("id", "id AS v").coalesce(1))
+        t.write(spark.range(100, 300).selectExpr("id", "id AS v").repartition(4))
+        t.delete(spark, "id < 100 OR id % 3 = 0")
+        _m, adds = t._snapshot_state(None)
+        assert all(a.get("deletionVector") for a in adds)
+        got = {r.id for r in t.read(spark).collect()}
+        assert got == {i for i in range(100, 300) if i % 3 != 0}
+        t.update(spark, "id % 3 = 1", {"v": "v + 1000"})
+        upd = t.read(spark)
+        assert upd.filter("id % 3 = 1").count() > 0
+        assert (
+            upd.filter("id % 3 = 1").filter("v = id + 1000").count()
+            == upd.filter("id % 3 = 1").count()
+        )

@@ -288,6 +288,62 @@ class TestPyDeltaStreamSource:
         )
         assert {r.id for r in df.collect()} == {5, 6, 7, 8}
 
+    def test_where_filters_rows_and_survives_restart(self, spark, tmp_path):
+        """Stream `where`: exact row filtering on data commits, file
+        pruning by logged stats, and the filter holds across a
+        checkpoint restart (the composition that must never
+        under-filter)."""
+        t = DeltaTable(str(tmp_path / "t"))
+        # two value-disjoint files per commit: stats can prune one
+        t.write(spark.range(0, 50).selectExpr("id", "id AS v").coalesce(1))
+        t.write(
+            spark.range(50, 100).selectExpr("id", "id AS v").coalesce(1)
+        )
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        df = self._drain(
+            spark, t.path, out, extra_opts={"where": "v >= 60 AND v < 80"}
+        )
+        assert {r.id for r in df.collect()} == set(range(60, 80))
+        # restart with new commits: one prunable (all v < 60), one not
+        t.write(
+            spark.range(100, 120).selectExpr("id", "id - 90 AS v").coalesce(1)
+        )  # v in [10, 30): pruned whole by stats
+        t.write(
+            spark.range(120, 140).selectExpr("id", "id - 50 AS v").coalesce(1)
+        )  # v in [70, 90): 70..79 pass
+        df2 = self._drain(
+            spark, t.path, out, extra_opts={"where": "v >= 60 AND v < 80"}
+        )
+        got = {r.id for r in df2.collect()}
+        assert got == set(range(60, 80)) | set(range(120, 130))
+
+    def test_where_prunes_files_by_stats(self, spark, tmp_path):
+        """A commit whose every file is stats-refuted plans ZERO
+        partitions (the pruning is visible in the plan, not just the
+        row count)."""
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (  # noqa: E501
+            PyDeltaStreamReader,
+        )
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 50).selectExpr("id", "id AS v").coalesce(1))
+        t.write(
+            spark.range(50, 100).selectExpr("id", "id AS v").coalesce(1)
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.LongType()),
+            ]
+        )
+        r = PyDeltaStreamReader({"path": t.path, "where": "v > 200"}, schema)
+        parts = r.partitions({"version": -1}, {"version": t.latest_version()})
+        assert parts == []
+        r2 = PyDeltaStreamReader({"path": t.path, "where": "v > 60"}, schema)
+        parts2 = r2.partitions({"version": -1}, {"version": t.latest_version()})
+        assert len(parts2) == 1  # first file (v in [0,50)) pruned
+
     def test_remove_actions_refuse_midstream(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
         t.write(spark.range(0, 5).select("id"))
@@ -857,18 +913,70 @@ class TestPyDeltaStreamCdf:
         assert {r._change_type for r in df.collect()} == {"insert"}
         assert df.filter("_commit_version = 1").count() == 0
 
+    def test_where_filters_change_rows(self, spark, tmp_path):
+        """Stream CDF + `where`: row filtering applies to insert AND
+        delete change rows (never stats pruning — change files carry no
+        stats), and composes across a restart."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id"))
+        t.delete(spark, "id < 4")
+        pyds.register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+        def drain():
+            q = (
+                spark.readStream.format("pydelta")
+                .option("path", t.path)
+                .option("readChangeFeed", "true")
+                .option("where", "id >= 2 AND id < 8")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            err = q.exception()
+            if err:
+                raise err
+            return spark.read.parquet(out)
+
+        got = {(r.id, r._change_type) for r in drain().collect()}
+        assert got == {(i, "insert") for i in range(2, 8)} | {
+            (2, "delete"),
+            (3, "delete"),
+        }
+        t.delete(spark, "id = 7 OR id = 9")
+        got2 = {(r.id, r._change_type) for r in drain().collect()}
+        assert got2 == got | {(7, "delete")}  # 9 filtered out
+
 
 class TestPyDeltaHonestGates:
     """Options or invariants this source cannot honor must refuse
     loudly — silent under-filtering / invariant bypass is the bug class
     these gates exist for."""
 
-    def test_stream_reader_refuses_where_and_travel(self, spark, tmp_path):
+    def test_stream_reader_refuses_travel_and_bad_where(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
         t.write(spark.range(0, 5).select("id"))
         pyds.register(spark)
+        # a `where` the strict parser cannot fully decompose must error
+        # up front — on a stream, silent under-filtering is wrong rows
+        # forever
+        with pytest.raises(Exception, match="(?i)conjunct|predicate|parse"):
+            (
+                spark.readStream.format("pydelta")
+                .option("path", t.path)
+                .option("where", "id > 1 OR id < 0")
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / "ck_badwhere"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )
         for opt, val in (
-            ("where", "id > 1"),
             ("versionAsOf", "0"),
             ("timestampAsOf", str(10**15)),
         ):
