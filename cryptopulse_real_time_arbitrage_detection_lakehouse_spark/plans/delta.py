@@ -3590,6 +3590,74 @@ def delta_incremental_mv_refresh_audit(
 
 
 @register(
+    "delta_txn_cleanup_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
+       CAST(1 AS BIGINT) AS prefix_expired,
+       CAST(1 AS BIGINT) AS replay_noop,
+       CAST(1 AS BIGINT) AS new_batch_applied
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY event_type
+""",
+    doc="Exactly-once SURVIVES log cleanup — the checkpoint-txn "
+    "fallback behind a driver-visible row (round-7 verdict item 7; "
+    "guards the worst failure class, silent duplicate rows): two "
+    "batches land through the txn-keyed sink path (setTransaction "
+    "actions, the streaming foreachBatch idempotence contract), a "
+    "dataChange=false stats recompute bumps the version past them, "
+    "checkpoint() persists newest-wins txn state, and "
+    "cleanup_metadata() physically EXPIRES every commit JSON that "
+    "carried the txn actions (prefix_expired pins the truncation). A "
+    "REPLAYED batch (same appId, same version) must then be detected "
+    "from the checkpoint's txn rows — last_txn_version falls back to "
+    "checkpoint state when the retained log no longer reaches v0 — "
+    "and become a no-op (replay_noop); a genuinely NEW batch version "
+    "still applies (new_batch_applied). Without the fallback the "
+    "replay would see None and re-apply: the oracle's exactly-once "
+    "counts from raw events would catch the duplicates as a hash "
+    "mismatch. At 100 TB log retention ALWAYS eventually truncates "
+    "history under a long-lived streaming sink — idempotence must not "
+    "depend on commit JSONs outliving the retention window.",
+    tags=("delta", "streaming", "exactly-once", "maintenance",
+          "checkpoint"),
+)
+def delta_txn_cleanup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    table = DeltaTable(tempfile.mkdtemp(prefix="cptxncl_") + "/events_delta")
+    app = "cp-ingest"
+    sl = lambda et: events.filter(  # noqa: E731
+        F.col("event_type") == et
+    ).repartition(1)
+    table.write(sl("click"), txn=(app, 1))  # v0
+    table.write(sl("view"), txn=(app, 2))  # v1
+    # dataChange=false tail: bumps the version past the txn commits so
+    # cleanup can expire BOTH of their JSONs (rows never move)
+    table.recompute_stats(force=True, spark=spark)  # v2
+    table.checkpoint(spark)  # persists newest-wins txn state at v2
+    table.cleanup_metadata(retention_ms=0, force=True)  # expires v0, v1
+    prefix_expired = int(
+        table._commit_versions()[0] > 0
+        and table.last_txn_version(app) == 2  # via checkpoint fallback
+    )
+    before = table.read(spark).count()
+    table.write(sl("view"), txn=(app, 2))  # replayed batch
+    replay_noop = int(table.read(spark).count() == before)
+    table.write(sl("purchase"), txn=(app, 3))  # new batch
+    new_batch_applied = int(
+        table.last_txn_version(app) == 3
+        and table.read(spark).count() > before
+    )
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+        F.lit(prefix_expired).cast("long").alias("prefix_expired"),
+        F.lit(replay_noop).cast("long").alias("replay_noop"),
+        F.lit(new_batch_applied).cast("long").alias("new_batch_applied"),
+    )
+
+
+@register(
     "pipeline_expectations_audit",
     oracle="""
 WITH t AS (
