@@ -827,6 +827,190 @@ class TestLifecyclePropertyFeatureMatrix:
             shutil.rmtree(root, ignore_errors=True)
 
 
+class TestLifecyclePropertyWithIngestAndStats:
+    """Round-7 verdict item 5 (next-round list): COPY INTO's loaded-file
+    ledger and ANALYZE-stats recompute interleaved with the randomized
+    mutation matrix on a mapped + CDF table. Invariants checked at the
+    interleaving points, not just at the end:
+
+    - **ledger idempotence**: re-running copy_into with the full file
+      list after ANY mutation program is a pure no-op — zero files
+      ingested, the table version does not move;
+    - **stats-prune equivalence**: after recompute_stats(force=True)
+      (alternating the serial and distributed spark= forms), a
+      predicate read returns exactly the model's rows (re-derived stats
+      never prune a matching file), and the recompute commit is
+      invisible to the change feed (dataChange=false);
+    - plus the matrix's own oracle: snapshot == pandas model under
+      rename + CDF throughout."""
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        ops=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("write"), st.integers(1, 15), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("delete"), st.integers(0, 6), st.integers(0, 6)
+                ),
+                st.tuples(
+                    st.just("update"), st.integers(0, 6), st.integers(1, 99)
+                ),
+                st.tuples(
+                    st.just("copy"), st.integers(1, 12), st.integers(0, 1)
+                ),
+                st.tuples(
+                    st.just("recompute"), st.integers(0, 6), st.integers(0, 1)
+                ),
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def test_copy_into_and_recompute_interleaved(self, ops, spark, tmp_path):
+        import os
+        import shutil
+        import uuid as _uuid
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            DeltaTable,
+        )
+
+        root = str(tmp_path / f"t-{_uuid.uuid4().hex}")
+        landing = str(tmp_path / f"land-{_uuid.uuid4().hex}")
+        os.makedirs(landing)
+        t = DeltaTable(root)
+        t.create(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("grp", T.LongType()),
+                    T.StructField("v", T.LongType()),
+                ]
+            ),
+            mapping_mode="name",
+        )
+        t.enable_change_data_feed()
+        t.rename_column("id", "ident")
+        model = pd.DataFrame(columns=["ident", "grp", "v"]).astype(
+            {"ident": "int64", "grp": "int64", "v": "int64"}
+        )
+        next_id = 0
+        landed: list[str] = []  # every landing file ever passed in
+
+        def mk_rows(n):
+            nonlocal next_id
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            return pd.DataFrame(
+                {
+                    "ident": ids,
+                    "grp": [i % 7 for i in ids],
+                    "v": [i * 10 for i in ids],
+                }
+            )
+
+        def snapshot_matches():
+            got = (
+                t.read(spark)
+                .orderBy("ident")
+                .toPandas()
+                .reset_index(drop=True)
+            )
+            want = (
+                model.sort_values("ident")
+                .reset_index(drop=True)
+                .astype({"ident": "int64", "grp": "int64", "v": "int64"})
+            )
+            pd.testing.assert_frame_equal(got[["ident", "grp", "v"]], want)
+
+        try:
+            for op, a, b in ops:
+                if op == "write":
+                    rows = mk_rows(a)
+                    t.write(
+                        spark.createDataFrame(
+                            rows, "ident long, grp long, v long"
+                        ).repartition(2)
+                    )
+                    model = pd.concat([model, rows], ignore_index=True)
+                elif op == "delete":
+                    t.delete(spark, f"grp = {a} AND v % 7 <= {b}")
+                    model = model[
+                        ~((model.grp == a) & (model.v % 7 <= b))
+                    ].reset_index(drop=True)
+                elif op == "update":
+                    t.update(spark, f"grp = {a}", {"v": f"v + {b}"})
+                    model.loc[model.grp == a, "v"] += b
+                elif op == "copy":
+                    rows = mk_rows(a)
+                    fp = os.path.join(landing, f"f{len(landed)}.parquet")
+                    spark.createDataFrame(
+                        rows, "ident long, grp long, v long"
+                    ).coalesce(1).toPandas().to_parquet(fp, index=False)
+                    landed.append(fp)
+                    # pass the FULL list: already-loaded files must be
+                    # skipped by the ledger, only the new one ingests
+                    res = t.copy_into(spark, list(landed))
+                    assert res["ingested_files"] == 1
+                    assert res["skipped_files"] == len(landed) - 1
+                    model = pd.concat([model, rows], ignore_index=True)
+                    # LEDGER IDEMPOTENCE: immediate replay of the same
+                    # list is a pure no-op — no commit at all
+                    v_before = t.latest_version()
+                    res2 = t.copy_into(spark, list(landed))
+                    assert res2["ingested_files"] == 0
+                    assert t.latest_version() == v_before
+                elif op == "recompute":
+                    v_before = t.latest_version()
+                    res = t.recompute_stats(
+                        force=True, spark=spark if b else None
+                    )
+                    # rows NEVER move: dataChange=false, CDF-invisible
+                    if res["version"] != v_before:
+                        ch = t.read_changes(
+                            spark,
+                            starting_version=res["version"],
+                            ending_version=res["version"],
+                        )
+                        assert ch.count() == 0
+                    # STATS-PRUNE EQUIVALENCE: the re-derived stats must
+                    # never prune a file that holds a matching row
+                    pred_rows = t.read(spark, where=f"grp = {a}")
+                    assert pred_rows.count() == int(
+                        (model.grp == a).sum()
+                    )
+                    if len(model):
+                        got_ids = {
+                            r.ident for r in pred_rows.select("ident").collect()
+                        }
+                        assert got_ids == set(
+                            model.loc[model.grp == a, "ident"].astype(int)
+                        )
+                snapshot_matches()
+            # end-state ledger idempotence across the WHOLE program
+            if landed:
+                v_before = t.latest_version()
+                res = t.copy_into(spark, list(landed))
+                assert res["ingested_files"] == 0
+                assert res["skipped_files"] == len(landed)
+                assert t.latest_version() == v_before
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(landing, ignore_errors=True)
+
+
 class TestRowTrackingLifecycleProperty:
     """Randomized write/delete/update/compact programs against a
     row-tracked table. Invariants checked after EVERY mutation:
