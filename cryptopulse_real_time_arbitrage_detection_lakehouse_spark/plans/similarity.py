@@ -26,6 +26,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.similarity import (
     QSCALE,
@@ -1000,8 +1001,65 @@ def _km_assign_folded(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> Dat
     )
 
 
-#: above this K the folded-literal assign replaces the inlined-expression
-#: one (both paths implement identical semantics; pytest pins agreement)
+def _km_assign_matmul(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """`_km_assign` for LARGE K, round 3 of the evolution: the folded
+    explode ships N×K rows through a partial ``max_by`` — at the 100×
+    probe (200k vectors × K=666 = 133M rows, twice) that explode was
+    ~100% of SemDeDup's wall (SCALE.md round-8 attribution: k-means
+    157 s of a 144 s total). Assignment is a matrix product, so compute
+    it AS one: an Arrow `mapInPandas` kernel does ``X @ C.T`` per batch
+    in **int64** (exact — dots reach 2^54 with QSCALE=2^24, past
+    float64's 2^53 integer range, so BLAS would round where `dot_long`
+    doesn't) and divides by the same `math.sqrt` norms the literal
+    paths inline. Tie-break preserved: centroids ordered by ascending
+    cluster id, `argmax` returns the FIRST maximum = smallest cluster,
+    exactly the struct-max ``(score, -cluster)`` rule; all-zero
+    centroids score -2.0. The kernel closes over plain numpy arrays
+    (no package references — foreign-driver workers need no import).
+    Semantics pinned equal to `_km_assign_folded` by
+    `tests/test_similarity.py::TestKmeansAssignEquivalence`."""
+    import numpy as np
+
+    ordered = sorted(cents)
+    ids_np = np.asarray([c for c, _ in ordered], dtype=np.int64)
+    cent_mat = np.asarray([v for _, v in ordered], dtype=np.int64)
+    norms = np.asarray(
+        [math.sqrt(float(sum(x * x for x in v))) for _, v in ordered],
+        dtype=np.float64,
+    )
+    safe = np.where(norms == 0.0, 1.0, norms)
+    zero_mask = norms == 0.0
+
+    def kernel(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x_mat = _np.asarray(
+                [_np.asarray(a, dtype=_np.int64) for a in pdf["qx"]]
+            )
+            dots = x_mat @ cent_mat.T  # exact int64
+            scores = dots / safe
+            scores[:, zero_mask] = -2.0
+            best = scores.argmax(axis=1)
+            rows = _np.arange(len(pdf))
+            yield pdf.assign(
+                score=scores[rows, best], cluster=ids_np[best]
+            )
+
+    out_schema = T.StructType(
+        list(qdf.schema.fields)
+        + [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("cluster", T.LongType()),
+        ]
+    )
+    return qdf.mapInPandas(kernel, out_schema)
+
+
+#: above this K the matmul-kernel assign replaces the inlined-expression
+#: one (all paths implement identical semantics; pytest pins agreement)
 _KM_FOLDED_THRESHOLD = 32
 
 
@@ -1010,7 +1068,7 @@ def _km_two_round(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
     shared by the k-means report and the SemDeDup pipeline. Returns the
     second-round assignment with ``qx``/``n2x``/``score``/``cluster``.
     Both driver collects are K x DIM constants."""
-    assign = _km_assign if k <= _KM_FOLDED_THRESHOLD else _km_assign_folded
+    assign = _km_assign if k <= _KM_FOLDED_THRESHOLD else _km_assign_matmul
     qdf = shared(
         emb.select("vec_id", quantized_elements(F.col("embedding")).alias("qx"))
         .withColumn("n2x", dot_long(F.col("qx"), F.col("qx")))
@@ -1610,9 +1668,13 @@ FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id
     "why SemDeDup clusters first — pair volume is sum over clusters of "
     "|c|^2, not n^2; K grows ~n/const at 100 TB so cluster sizes stay "
     "bounded, the self-join shuffles on cluster id (AQE splits skewed "
-    "cells), and assignment is row-local against K inlined centroids. "
-    "All cosines ride the integer-quantized discipline, so the float "
-    "compare is bit-identical across engines.",
+    "cells), and large-K assignment is ONE exact int64 matmul per "
+    "Arrow batch (`_km_assign_matmul` — the round-8 probe attributed "
+    "~100% of the 100x wall to the N*K assignment explode it "
+    "replaced; factor 11.3x -> ~0.7x, SCALE.md). All cosines ride the "
+    "integer-quantized discipline, so the float compare is "
+    "bit-identical across engines — the matmul kernel included, "
+    "pinned by TestKmAssignFoldedEquivalence.",
     tags=("similarity", "dedup", "llm-pipeline", "kmeans", "semdedup"),
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -329,6 +329,14 @@ class TestKmAssignFoldedEquivalence:
             for r in S._km_assign_folded(qdf, cents).collect()
         }
         assert a == b
+        # the matmul kernel (the round-8 large-K path that replaced the
+        # folded explode in _km_two_round) must agree to the bit too —
+        # int64 matmul keeps dots exact where float64 BLAS would round
+        c = {
+            int(r.vec_id): (int(r.cluster), float(r.score))
+            for r in S._km_assign_matmul(qdf, cents).collect()
+        }
+        assert a == c
 
     def test_semantic_dedup_scaled_k_bounds_clusters(self, spark, tmp_path):
         """With n > KMEANS_K * TARGET the pipeline must actually scale K
