@@ -3658,6 +3658,80 @@ def delta_txn_cleanup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_version_checksum_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
+       CAST(1 AS BIGINT) AS checksum_ok,
+       CAST(1 AS BIGINT) AS divergence_detected,
+       CAST(1 AS BIGINT) AS post_optimize_ok
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+  AND NOT (event_type = 'click' AND value < 50)
+GROUP BY event_type
+""",
+    doc="Per-version CHECKSUM files (delta-spark's VersionChecksum, "
+    "written as _delta_log/<v>.crc and consumed by delta-kernel for "
+    "lightweight snapshot validation): after appends and a DV DELETE, "
+    "write_checksum records tableSizeBytes / numFiles / DV counts / "
+    "metadata / protocol for the version, and verify_checksum proves "
+    "the log-reconstructed snapshot matches (checksum_ok — DV "
+    "cardinality included, so the deleted-row count is covered). A "
+    "TAMPERED crc (numFiles and size off by one file — the signature "
+    "of a lost or extra add in a copied/synced _delta_log) is detected "
+    "with the exact mismatching fields named (divergence_detected), "
+    "then the honest checksum is restored. OPTIMIZE rewrites the file "
+    "layout; a fresh checksum at the new version verifies too "
+    "(post_optimize_ok) — aggregates track versions, not history. At "
+    "100 TB this is the cheap integrity gate before trusting a "
+    "replicated or restored table: one small JSON against the "
+    "snapshot, no data-file listing.",
+    tags=("delta", "checksum", "maintenance", "metadata",
+          "deletion-vectors"),
+)
+def delta_version_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpcrc_") + "/events_delta")
+    for etype in _BATCH_TYPES:
+        table.write(
+            events.filter(F.col("event_type") == etype).repartition(1)
+        )
+    table.delete(spark, "event_type = 'click' AND value < 50")
+    v = table.latest_version()
+    payload = table.write_checksum()
+    rep = table.verify_checksum()
+    checksum_ok = int(
+        rep["ok"]
+        and rep["version"] == v
+        and payload["numDeletedRecordsOpt"] > 0  # the DV rows are counted
+    )
+    # tamper: a crc claiming one more file and its bytes — verify must
+    # name exactly the two aggregate fields that diverged
+    bogus = dict(payload)
+    bogus["numFiles"] = payload["numFiles"] + 1
+    bogus["tableSizeBytes"] = payload["tableSizeBytes"] + 12345
+    with open(table._checksum_path(v), "w") as f:
+        _json.dump(bogus, f)
+    bad = table.verify_checksum(v)
+    divergence_detected = int(
+        not bad["ok"]
+        and sorted(bad["mismatches"]) == ["numFiles", "tableSizeBytes"]
+    )
+    table.write_checksum(v)  # restore the honest record
+    table.compact(spark, target_files=2)
+    table.write_checksum()
+    post_optimize_ok = int(table.verify_checksum()["ok"])
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+        F.lit(checksum_ok).cast("long").alias("checksum_ok"),
+        F.lit(divergence_detected).cast("long").alias("divergence_detected"),
+        F.lit(post_optimize_ok).cast("long").alias("post_optimize_ok"),
+    )
+
+
+@register(
     "pipeline_expectations_audit",
     oracle="""
 WITH t AS (

@@ -5805,7 +5805,8 @@ class DeltaTable:
             v = int(stem)
             if v >= cp["version"]:
                 continue
-            if not (name.endswith(".json") or ".checkpoint." in name
+            if not (name.endswith(".json") or name.endswith(".crc")
+                    or ".checkpoint." in name
                     or name.endswith(".checkpoint.parquet")):
                 continue
             fp = os.path.join(self._log_dir, name)
@@ -6533,6 +6534,97 @@ class DeltaTable:
             ],
             "UPGRADE PROTOCOL",
         )
+
+    # ------------------------------------------------- version checksums
+
+    def _checksum_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:020d}.crc")
+
+    def _checksum_payload(self, version: int) -> dict:
+        meta, adds, protocol = self._snapshot_state_full(version)
+        if protocol:
+            # checkpoint-reconstructed protocols carry None for the
+            # nullable feature columns where JSON replay omits the keys
+            # — normalize so the same state checksums identically
+            protocol = {k: v for k, v in protocol.items() if v is not None}
+        return {
+            "tableSizeBytes": sum(int(a.get("size") or 0) for a in adds),
+            "numFiles": len(adds),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "numDeletionVectorsOpt": sum(
+                1 for a in adds if a.get("deletionVector")
+            ),
+            "numDeletedRecordsOpt": sum(
+                int((a.get("deletionVector") or {}).get("cardinality") or 0)
+                for a in adds
+            ),
+            "metadata": meta,
+            "protocol": protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+        }
+
+    def write_checksum(self, version: int | None = None) -> dict:
+        """Write delta-spark's per-version CHECKSUM file
+        (``_delta_log/<v>.crc``, the ``VersionChecksum`` JSON): table-
+        level aggregates — tableSizeBytes, numFiles, DV counts, the
+        exact metadata and protocol — that a reader can validate a
+        reconstructed snapshot against WITHOUT re-listing data files.
+        delta-spark writes one after every commit and delta-kernel
+        consumes them for lightweight snapshot validation; here the
+        write is explicit (a maintenance verb) so tables stay
+        byte-compatible for clients that do not know the file. The
+        ``.crc`` name never collides with commit listing (only
+        ``.json`` stems count as commits) and expired versions' crc
+        files are cleaned by `cleanup_metadata`. Returns the payload."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"not a Delta table: {self.path}")
+        payload = self._checksum_payload(v)
+        tmp = self._checksum_path(v) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+        os.replace(tmp, self._checksum_path(v))  # atomic publish
+        return payload
+
+    def verify_checksum(self, version: int | None = None) -> dict:
+        """Validate the log-reconstructed snapshot at ``version``
+        against its stored ``.crc`` file — the divergence detector for
+        copied/restored/synced `_delta_log` trees (a missing commit or a
+        tampered add list changes numFiles/tableSizeBytes; a schema swap
+        changes the metadata block). Returns ``{"version", "ok",
+        "mismatches": [field, ...]}``; a missing checksum file raises
+        (nothing to verify is not a pass)."""
+        v = self.latest_version() if version is None else version
+        path = self._checksum_path(v)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no checksum file for version {v} of {self.path}; run "
+                "write_checksum() first"
+            )
+        with open(path) as f:
+            stored = json.load(f)
+        actual = self._checksum_payload(v)
+        mismatches = []
+        for k in (
+            "tableSizeBytes",
+            "numFiles",
+            "numDeletionVectorsOpt",
+            "numDeletedRecordsOpt",
+        ):
+            if stored.get(k) != actual[k]:
+                mismatches.append(k)
+        if (stored.get("metadata") or {}).get("schemaString") != actual[
+            "metadata"
+        ].get("schemaString"):
+            mismatches.append("metadata.schemaString")
+        if (stored.get("metadata") or {}).get("id") != actual["metadata"].get(
+            "id"
+        ):
+            mismatches.append("metadata.id")
+        if stored.get("protocol") != actual["protocol"]:
+            mismatches.append("protocol")
+        return {"version": v, "ok": not mismatches, "mismatches": mismatches}
 
     def checkpoint(
         self,

@@ -5273,3 +5273,46 @@ class TestPackedDVSidecars:
             upd.filter("id % 3 = 1").filter("v = id + 1000").count()
             == upd.filter("id % 3 = 1").count()
         )
+
+
+class TestVersionChecksums:
+    """Per-version .crc files (delta-spark's VersionChecksum): write,
+    verify, divergence detection, cleanup expiry, and that the .crc
+    name never perturbs commit listing."""
+
+    def test_write_verify_and_tamper(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 100).selectExpr("id", "id * 2 AS v"))
+        t.delete(spark, "id % 4 = 0")
+        v = t.latest_version()
+        p = t.write_checksum()
+        assert p["numFiles"] >= 1 and p["numDeletedRecordsOpt"] == 25
+        rep = t.verify_checksum()
+        assert rep == {"version": v, "ok": True, "mismatches": []}
+        # .crc files are invisible to commit listing / latest_version
+        assert t.latest_version() == v
+        # tamper: divergent aggregates named precisely
+        bogus = dict(p)
+        bogus["numFiles"] += 1
+        with open(t._checksum_path(v), "w") as f:
+            json.dump(bogus, f)
+        bad = t.verify_checksum(v)
+        assert not bad["ok"] and bad["mismatches"] == ["numFiles"]
+        # checksums are PER version: an older version's crc stays valid
+        t.write_checksum(v)
+        t.write(spark.range(100, 110).selectExpr("id", "id * 2 AS v"))
+        assert t.verify_checksum(v)["ok"]
+        # the NEW version has no crc yet: nothing-to-verify is not a pass
+        with pytest.raises(FileNotFoundError):
+            t.verify_checksum(t.latest_version())
+
+    def test_cleanup_expires_old_crc_files(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(3):
+            t.write(spark.range(i * 10, i * 10 + 10).select("id"))
+            t.write_checksum()
+        t.checkpoint(spark)
+        deleted = t.cleanup_metadata(retention_ms=0, force=True)
+        assert any(n.endswith(".crc") for n in deleted)
+        # the retained version's crc survives and still verifies
+        assert t.verify_checksum(t.latest_version())["ok"]
