@@ -1739,7 +1739,9 @@ def delta_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         refused = 0
     except ValueError:
         refused = 1
-    n_vacuumed = len(table.vacuum(retention_ms=0, force=True))
+    # the distributed form (executor-side listing + deletes) is the
+    # driver-visible path; serial/distributed parity is pinned in pytest
+    n_vacuumed = len(table.vacuum(retention_ms=0, force=True, spark=spark))
     try:
         table.read(spark, version=1).count()
         travel_fails = 0

@@ -5665,6 +5665,7 @@ class DeltaTable:
         *,
         retention_ms: int = 7 * 24 * 3600 * 1000,
         force: bool = False,
+        spark: SparkSession | None = None,
     ) -> list[str]:
         """VACUUM: physically delete data files, DV sidecars, and CDC
         files (``_change_data/``) that the CURRENT snapshot no longer
@@ -5678,7 +5679,13 @@ class DeltaTable:
         ``delta.deletedFileRetentionDuration`` (default: the 7-day
         built-in) is REFUSED unless ``force=True`` — delta-spark's
         retentionDurationCheck: a too-short retention can delete files a
-        concurrent reader's in-flight snapshot still references."""
+        concurrent reader's in-flight snapshot still references.
+
+        With ``spark``, the recursive LISTING fans out per top-level
+        subtree and the DELETES fan out over the condemned list (two
+        `mapInPandas` passes, delta-spark's parallel-vacuum shape) —
+        the driver keeps snapshot/retention logic only. Without it, a
+        driver-side walk (fine for small/medium local tables)."""
         from . import dv as _dv
 
         _meta, adds, _proto = self._snapshot_state_full(None)
@@ -5717,28 +5724,124 @@ class DeltaTable:
                 )
         cutoff = time.time() - retention_ms / 1000.0
         deleted: list[str] = []
-        for root, dirs, files in os.walk(self.path):
-            # _change_data IS vacuumed (delta-spark does): expired CDC
-            # files are unreachable the same way expired data files are
-            dirs[:] = [
+        if spark is not None:
+            # DISTRIBUTED listing + deletion (delta-spark's parallel
+            # VACUUM shape): the driver keeps only the snapshot logic —
+            # each top-level subtree lists on an executor (one os.walk
+            # per partition-value directory), the driver intersects the
+            # candidates with the referenced set, and the condemned list
+            # fans back out for the deletes. A million-file vacuum costs
+            # the driver two bounded exchanges of RELATIVE PATHS, never
+            # a million stat+unlink calls.
+            roots = [""] + [
                 d
-                for d in dirs
-                if d == "_change_data" or not d.startswith(("_", "."))
+                for d in sorted(os.listdir(self.path))
+                if os.path.isdir(os.path.join(self.path, d))
+                and (d == "_change_data" or not d.startswith(("_", ".")))
             ]
-            for name in files:
-                if not (name.endswith(".parquet") or name.endswith(".bin")):
-                    continue
-                if name.startswith(("_", ".")):
-                    continue
-                fp = os.path.join(root, name)
-                rel = os.path.normpath(os.path.relpath(fp, self.path))
-                if rel in referenced:
-                    continue
-                if os.path.getmtime(fp) > cutoff:
-                    continue
-                os.remove(fp)
-                deleted.append(rel)
-        # drop now-empty partition directories
+            table_path = self.path
+
+            def list_kernel(batches):
+                import os as _os
+
+                import pandas as _pd
+
+                for pdf in batches:
+                    rows = []
+                    for sub in pdf["sub"]:
+                        top = _os.path.join(table_path, sub) if sub else table_path
+                        if sub:
+                            walker = _os.walk(top)
+                        else:
+                            # the root itself: immediate files only
+                            # (subtrees are their own tasks)
+                            walker = [(top, [], [
+                                n for n in _os.listdir(top)
+                                if _os.path.isfile(_os.path.join(top, n))
+                            ])]
+                        for r, dirs, files in walker:
+                            dirs[:] = [
+                                d
+                                for d in dirs
+                                if d == "_change_data"
+                                or not d.startswith(("_", "."))
+                            ]
+                            for name in files:
+                                if not name.endswith((".parquet", ".bin")):
+                                    continue
+                                if name.startswith(("_", ".")):
+                                    continue
+                                fp = _os.path.join(r, name)
+                                rows.append(
+                                    (
+                                        _os.path.normpath(
+                                            _os.path.relpath(fp, table_path)
+                                        ),
+                                        _os.path.getmtime(fp),
+                                    )
+                                )
+                    yield _pd.DataFrame(rows, columns=["rel", "mtime"])
+
+            cands = (
+                spark.createDataFrame([(r,) for r in roots], "sub string")
+                .repartition(min(32, len(roots)))
+                .mapInPandas(list_kernel, "rel string, mtime double")
+                .collect()
+            )
+            condemned = sorted(
+                r["rel"]
+                for r in cands
+                if r["rel"] not in referenced and r["mtime"] <= cutoff
+            )
+            if condemned:
+                def delete_kernel(batches):
+                    import os as _os
+
+                    import pandas as _pd
+
+                    for pdf in batches:
+                        gone = []
+                        for rel in pdf["rel"]:
+                            try:
+                                _os.remove(_os.path.join(table_path, rel))
+                                gone.append(rel)
+                            except FileNotFoundError:
+                                pass  # a racing vacuum won; same outcome
+                        yield _pd.DataFrame({"rel": gone})
+
+                deleted = sorted(
+                    r["rel"]
+                    for r in spark.createDataFrame(
+                        [(c,) for c in condemned], "rel string"
+                    )
+                    .repartition(min(32, max(1, len(condemned) // 64 + 1)))
+                    .mapInPandas(delete_kernel, "rel string")
+                    .collect()
+                )
+        else:
+            for root, dirs, files in os.walk(self.path):
+                # _change_data IS vacuumed (delta-spark does): expired CDC
+                # files are unreachable the same way expired data files are
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if d == "_change_data" or not d.startswith(("_", "."))
+                ]
+                for name in files:
+                    if not (name.endswith(".parquet") or name.endswith(".bin")):
+                        continue
+                    if name.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(root, name)
+                    rel = os.path.normpath(os.path.relpath(fp, self.path))
+                    if rel in referenced:
+                        continue
+                    if os.path.getmtime(fp) > cutoff:
+                        continue
+                    os.remove(fp)
+                    deleted.append(rel)
+        # drop now-empty partition directories (dir count ≪ file count:
+        # stays driver-side in both forms)
         for root, dirs, files in os.walk(self.path, topdown=False):
             if root != self.path and not dirs and not files:
                 os.rmdir(root)

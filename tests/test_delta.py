@@ -5316,3 +5316,44 @@ class TestVersionChecksums:
         assert any(n.endswith(".crc") for n in deleted)
         # the retained version's crc survives and still verifies
         assert t.verify_checksum(t.latest_version())["ok"]
+
+
+class TestDistributedVacuum:
+    """vacuum(spark=): executor-side listing + deletes must remove
+    exactly the files the serial walk removes — partitioned layout,
+    packed DV sidecars, and CDC files included."""
+
+    def _build(self, spark, path):
+        t = DeltaTable(path)
+        t.write(
+            spark.range(0, 60).selectExpr(
+                "id", "CAST(id % 3 AS STRING) AS p"
+            ),
+            partition_by=["p"],
+        )
+        t.enable_change_data_feed()
+        t.delete(spark, "id % 5 = 0")  # DV sidecar + CDC files
+        t.compact(spark, target_files=1)  # tombstones originals + sheds DVs
+        return t
+
+    def test_matches_serial_semantics(self, spark, tmp_path):
+        t1 = self._build(spark, str(tmp_path / "t1"))
+        t2 = self._build(spark, str(tmp_path / "t2"))
+        d1 = t1.vacuum(retention_ms=0, force=True)
+        d2 = t2.vacuum(retention_ms=0, force=True, spark=spark)
+        # same CLASSES of removal (file names differ per write)
+        kind = lambda rels: sorted(  # noqa: E731
+            (
+                "dv" if r.startswith("deletion_vector_")
+                else "cdc" if r.startswith("_change_data")
+                else "data/" + (r.split("/", 1)[0] if "/" in r else "root")
+            )
+            for r in rels
+        )
+        assert kind(d1) == kind(d2) and len(d2) > 0
+        # both tables still read identically after their vacuums
+        assert (
+            t1.read(spark).count() == t2.read(spark).count() == 48
+        )
+        # second distributed vacuum: nothing left to remove
+        assert t2.vacuum(retention_ms=0, force=True, spark=spark) == []
