@@ -82,3 +82,17 @@ def write_lsh_index(
 def read_lsh_bucket(spark: SparkSession, path: str, bucket: int) -> DataFrame:
     """Probe: read the query's single bucket partition."""
     return spark.read.parquet(path).filter(F.col("bucket") == bucket)
+
+
+def write_ivfpq_index(coded: DataFrame, path: str) -> None:
+    """Build the IVF-PQ index (FAISS's IndexIVFPQ shape, both halves of
+    the classic recipe at once): ``coded`` holds per-vector PQ code
+    columns (c0..c7, one byte of information each) plus the coarse
+    ``cell`` — and NOT the embedding. That omission is the index: 64
+    float dims collapse to 8 codes (the 64× memory/bandwidth cut), and
+    the hive partition on ``cell`` makes a probe read nprobe/ncentroids
+    of the files. Queries never touch raw vectors; exact re-ranking, if
+    wanted, joins the short list back to the source table by vec_id."""
+    coded.repartition(F.col("cell")).write.mode("errorifexists").partitionBy(
+        "cell"
+    ).parquet(path)

@@ -1209,13 +1209,27 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
+    qq, qn2, csub, adc_dot, cent_n2 = _pq_driver_tables(qvec, cents)
+    coded = _pq_coded(emb.filter(F.col("vec_id") != QUERY_VEC_ID), csub)
+    return (
+        coded.select(
+            "vec_id",
+            "label",
+            _pq_adc_expr(adc_dot, cent_n2, qn2).alias("approx_cosine"),
+        )
+        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
 
-    # driver-side exact-integer codebooks and ADC tables (bounded: 16
-    # centroids x 64 dims of Python ints — plan constants, like literals)
+
+def _pq_driver_tables(qvec, cents):
+    """Driver-side exact-integer codebooks and ADC tables (bounded: 16
+    centroids x 64 dims of Python ints — plan constants, like
+    literals). Returns (qq, qn2, csub, adc_dot, cent_n2)."""
     qq = quantize_vector(qvec)
     qn2 = float(sum(x * x for x in qq))
     csub: dict[int, list[list[int]]] = {}  # s -> [centroid k's subvector]
-    for k, cid in enumerate(sorted(cents)):
+    for _k, cid in enumerate(sorted(cents)):
         cq = quantize_vector(cents[cid])
         for s in range(PQ_S):
             csub.setdefault(s, []).append(
@@ -1227,17 +1241,23 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_S)
     ]
     cent_n2 = [[sum(x * x for x in c) for c in csub[s]] for s in range(PQ_S)]
+    return qq, qn2, csub, adc_dot, cent_n2
 
-    # The whole code-assignment kernel is GENERATED SQL parsed in one
-    # JVM call: building it from ~3000 individual pyspark Column ops
-    # cost 7 s of py4j round trips per plan at 2000 rows (measured) —
-    # the expression is identical, only its construction path differs.
-    # bind()-shape inside the SQL: the quantize transform is a lambda
-    # VALUE (xq), so the 128 unrolled dot terms read it for free.
-    # argmin_k ||sub - c_k||^2 == argmin_k (||c_k||^2 - 2*dot); array_min
-    # over (d, k) structs = smallest distance with cid tie-break, the
-    # same rule as the oracle's row_number ordering.
+
+def _pq_coded(emb: DataFrame, csub, extra_cols: tuple = ()) -> DataFrame:
+    """(vec_id, label, c0..c7 [, *extra_cols]): every vector's PQ
+    codes. The whole
+    code-assignment kernel is GENERATED SQL parsed in one JVM call:
+    building it from ~3000 individual pyspark Column ops cost 7 s of
+    py4j round trips per plan at 2000 rows (measured) — the expression
+    is identical, only its construction path differs. bind()-shape
+    inside the SQL: the quantize transform is a lambda VALUE (xq), so
+    the 128 unrolled dot terms read it for free. argmin_k
+    ||sub - c_k||^2 == argmin_k (||c_k||^2 - 2*dot); array_min over
+    (d, k) structs = smallest distance with cid tie-break, the same
+    rule as the oracle's row_number ordering."""
     quant = f"transform(embedding, x -> CAST(floor(x * {QSCALE!r}) AS BIGINT))"
+    cent_n2 = [[sum(x * x for x in c) for c in csub[s]] for s in range(PQ_S)]
 
     def code_sql(s: int) -> str:
         cands = []
@@ -1257,18 +1277,24 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.expr(
         f"element_at(transform(array({quant}), xq -> named_struct({fields})), 1)"
     )
-    coded = (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    return (
+        emb
         # the codes struct is aliased ONCE and unpacked in a second
         # projection — unpacking getFields off the bind directly would
         # reference it 8 times and re-run the whole 8x16 argmin per field
-        .select("vec_id", "label", codes.alias("cs"))
+        .select("vec_id", "label", *extra_cols, codes.alias("cs"))
         .select(
             "vec_id",
             "label",
+            *extra_cols,
             *[F.col("cs").getField(f"c{s}").alias(f"c{s}") for s in range(PQ_S)],
         )
     )
+
+
+def _pq_adc_expr(adc_dot, cent_n2, qn2: float):
+    """Asymmetric-distance cosine over the c0..c7 code columns: 8 array
+    lookups + adds against inlined 8x16 integer LUTs."""
 
     def lut_sql(table: list[list[int]]) -> str:
         terms = []
@@ -1277,14 +1303,9 @@ def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             terms.append(f"element_at(array({arr}), c{s} + 1)")
         return " + ".join(terms)
 
-    approx = F.expr(
+    return F.expr(
         f"CAST(({lut_sql(adc_dot)}) AS DOUBLE) / "
         f"(SQRT(CAST(({lut_sql(cent_n2)}) AS DOUBLE)) * SQRT({qn2!r}))"
-    )
-    return (
-        coded.select("vec_id", "label", approx.alias("approx_cosine"))
-        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
     )
 
 
@@ -1334,6 +1355,127 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(TOP_K).cast("double")
             ).alias("recall"),
         )
+    )
+
+
+_IVFPQ_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, label, {_SQL_QUANT} AS qx,
+         CAST(list_sum(list_transform({_SQL_QUANT}, v -> v * v)) AS DOUBLE) AS n2
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, qx AS cqx, n2 AS cn2 FROM n
+  WHERE vec_id IN {CENTROID_IDS}
+),
+q AS (SELECT qx AS qqx, n2 AS qn2 FROM n WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             i -> cqx[i] * qqx[i])) AS DOUBLE) / (sqrt(cn2) * sqrt(qn2)) DESC,
+           cid ASC
+  LIMIT {NPROBE}
+),
+assign AS (
+  SELECT a.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+           i -> a.qx[i] * c.cqx[i])) AS DOUBLE)
+           / (sqrt(a.n2) * sqrt(c.cn2)) AS ccos
+  FROM n a, cents c
+),
+cell AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1
+),
+subs AS (
+  SELECT vec_id, s.s AS s,
+         list_slice(qx, s.s * {PQ_SUBDIM} + 1, s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sub
+  FROM n, (SELECT unnest(range(0, {PQ_S})) AS s) s
+),
+csubs AS (
+  SELECT vec_id AS ccid, s, sub AS csub FROM subs WHERE vec_id IN {CENTROID_IDS}
+),
+code AS (
+  SELECT a.vec_id, a.s, c.ccid, c.csub
+  FROM subs a JOIN csubs c USING (s)
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id, a.s
+    ORDER BY list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+              i -> (a.sub[i] - c.csub[i]) * (a.sub[i] - c.csub[i]))), c.ccid
+  ) = 1
+),
+qsub AS (SELECT s, sub FROM subs WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT code.vec_id,
+         SUM(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+             i -> qs.sub[i] * code.csub[i]))) AS adot,
+         SUM(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+             i -> code.csub[i] * code.csub[i]))) AS an2
+  FROM code JOIN qsub qs ON qs.s = code.s
+  GROUP BY 1
+)
+SELECT a.vec_id, n.label,
+       CAST(a.adot AS DOUBLE) / (sqrt(CAST(a.an2 AS DOUBLE)) * sqrt(q.qn2))
+         AS approx_cosine
+FROM adc a JOIN n ON n.vec_id = a.vec_id JOIN cell ON cell.vec_id = a.vec_id, q
+WHERE cell.cid IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY approx_cosine DESC, a.vec_id LIMIT {TOP_K}
+"""
+
+
+@register(
+    "sim_cosine_topk_ivfpq_indexed",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ over a MATERIALIZED index — FAISS's IndexIVFPQ, the "
+    "canonical billion-vector serving shape, composed from this "
+    "engine's two existing halves: the build runs ONCE per table, "
+    "assigning every vector a coarse cell (IVF) and 8 one-byte PQ "
+    "codes, and persists ONLY (vec_id, label, codes) hive-partitioned "
+    "by cell — the raw 64-dim embedding never enters the index, the "
+    "64x memory/bandwidth cut that makes PQ the standard compression "
+    "move. A query probes its nprobe=4 nearest cells (planning-time "
+    "partition pruning: unprobed cells' files are never listed) and "
+    "scores the codes by asymmetric distance — 8 array lookups + adds "
+    "against inlined 8x16 integer LUTs, no shuffle, "
+    "TakeOrderedAndProject top-k. All arithmetic exact int64 on the "
+    "quantization grid, so cells, codes, and ADC scores are "
+    "bit-identical to the DuckDB twin (which re-derives the whole "
+    "pipeline from the raw table). At 100 TB: build = one pass + "
+    "partitioned write; probe = nprobe/ncentroids of a 64x-smaller "
+    "table.",
+    tags=("similarity", "ann", "ivf", "pq", "index", "topk"),
+)
+def sim_cosine_topk_ivfpq_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ann_index import read_ivf_cells, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    _qq, qn2, csub, adc_dot, cent_n2 = _pq_driver_tables(qvec, cents)
+
+    def build(path: str) -> None:
+        # query-independent by construction: codebooks and cells derive
+        # from the table's centroid rows only (qq/ADC enter at probe)
+        coded = _pq_coded(
+            emb.withColumn("cell", ivf_cell_column(cents)), csub,
+            extra_cols=("cell",),
+        )
+        write_ivfpq_index(coded, path)
+
+    index_path = _cached_index_path("ivfpq", sf_dir, build)
+    probed = ivf_probe_cells(cents, qvec, NPROBE)
+    hits = read_ivf_cells(spark, index_path, probed)
+    return (
+        hits.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            _pq_adc_expr(adc_dot, cent_n2, qn2).alias("approx_cosine"),
+        )
+        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
     )
 
 

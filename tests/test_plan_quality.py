@@ -178,6 +178,51 @@ def test_ivf_index_probe_is_partition_pruning(spark, tmp_path):
     ), probe_files
 
 
+def test_ivfpq_index_probe_prunes_and_reads_no_embedding(spark, tmp_path):
+    """IVF-PQ index: the probe scan must (a) partition-prune on cell
+    like the plain IVF index and (b) read a schema WITHOUT any raw
+    embedding column — the codes table IS the 64x memory cut, so an
+    embedding column in the ReadSchema would mean the index silently
+    stored what it exists to discard."""
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.ann_index import (
+        read_ivf_cells,
+        write_ivfpq_index,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.similarity import (
+        ivf_cell_column,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.similarity import (
+        _centroids,
+        _pq_coded,
+        _pq_driver_tables,
+        _query_vector,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = _centroids(spark, SF_SMOKE)
+    _qq, _qn2, csub, _ad, _cn = _pq_driver_tables(
+        _query_vector(spark, SF_SMOKE), cents
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        _pq_coded(
+            emb.withColumn("cell", ivf_cell_column(cents)),
+            csub,
+            extra_cols=("cell",),
+        ),
+        path,
+    )
+    hits = read_ivf_cells(spark, path, [1, 2, 3, 4])
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "embedding" not in m.group(1), plan
+    assert "c0" in m.group(1) and "c7" in m.group(1)
+
+
 def test_text_scans_prune_columns(spark):
     # token stats must not drag the whole documents row through the scan
     p = plan_of(spark, "text_token_stats")
