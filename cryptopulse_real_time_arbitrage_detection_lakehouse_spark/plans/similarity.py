@@ -1480,6 +1480,58 @@ def sim_cosine_topk_ivfpq_indexed(
 
 
 @register(
+    "sim_ivfpq_recall_at_k",
+    oracle=f"""
+WITH {_SQL_EXACT_COSINES},
+topk AS (
+  SELECT vec_id FROM cosines ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+ivfpq AS ({_IVFPQ_ORACLE})
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       (SELECT count(*) FROM topk) AS n_exact,
+       (SELECT count(*) FROM ivfpq) AS n_ivfpq,
+       (SELECT count(*) FROM topk JOIN ivfpq USING (vec_id)) AS n_overlap,
+       CAST((SELECT count(*) FROM topk JOIN ivfpq USING (vec_id)) AS DOUBLE)
+         / CAST({TOP_K} AS DOUBLE) AS recall
+""",
+    doc="IVF-PQ index-quality evaluation: recall@k of the FULL "
+    "compressed path (coarse-cell pruning AND 8x16 ADC scoring "
+    "together) against the exact brute-force top-k. Strictly harder "
+    "than sim_pq_recall_at_k — IVF-PQ loses candidates two ways (a "
+    "true neighbor in an unprobed cell; ADC misranking inside probed "
+    "cells) and this measures their JOINT effect, the number that "
+    "actually sizes nprobe and the re-rank short list before "
+    "committing a billion-vector IndexIVFPQ build. Same composition "
+    "shape as the other recall audits: both strategies as subplans, "
+    "one-row output, integer-exact counts.",
+    tags=("similarity", "evaluation", "ivf", "pq", "topk"),
+)
+def sim_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf_dir).select("vec_id")
+    ivfpq = sim_cosine_topk_ivfpq_indexed(spark, sf_dir).select("vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ivfpq = ivfpq.agg(F.count(F.lit(1)).alias("n_ivfpq"))
+    n_overlap = (
+        exact.join(ivfpq, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_ivfpq))
+        .crossJoin(F.broadcast(n_overlap))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            "n_exact",
+            "n_ivfpq",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.lit(TOP_K).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
     "emb_dimension_stats",
     oracle=f"""
 WITH q AS (
