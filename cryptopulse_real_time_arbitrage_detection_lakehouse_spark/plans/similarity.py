@@ -1358,7 +1358,14 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_ORACLE = f"""
+def _ivfpq_oracle(limit: int) -> str:
+    """The IVF-PQ pipeline as SQL with a parameterized result size —
+    `_IVFPQ_ORACLE` is the top-k form; the reranked query uses a longer
+    ADC short list."""
+    return _IVFPQ_ORACLE_BODY + f"\nORDER BY approx_cosine DESC, a.vec_id LIMIT {limit}"
+
+
+_IVFPQ_ORACLE_BODY = f"""
 WITH n AS (
   SELECT vec_id, label, {_SQL_QUANT} AS qx,
          CAST(list_sum(list_transform({_SQL_QUANT}, v -> v * v)) AS DOUBLE) AS n2
@@ -1418,9 +1425,9 @@ SELECT a.vec_id, n.label,
        CAST(a.adot AS DOUBLE) / (sqrt(CAST(a.an2 AS DOUBLE)) * sqrt(q.qn2))
          AS approx_cosine
 FROM adc a JOIN n ON n.vec_id = a.vec_id JOIN cell ON cell.vec_id = a.vec_id, q
-WHERE cell.cid IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}
-ORDER BY approx_cosine DESC, a.vec_id LIMIT {TOP_K}
-"""
+WHERE cell.cid IN (SELECT cid FROM probe) AND a.vec_id <> {QUERY_VEC_ID}"""
+
+_IVFPQ_ORACLE = _ivfpq_oracle(TOP_K)
 
 
 @register(
@@ -1448,6 +1455,17 @@ ORDER BY approx_cosine DESC, a.vec_id LIMIT {TOP_K}
 def sim_cosine_topk_ivfpq_indexed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return (
+        _ivfpq_adc_hits(spark, sf_dir)
+        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivfpq_adc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, approx_cosine) over the query's probed cells of
+    the cached IVF-PQ index — the candidate-generation half shared by
+    the top-k and reranked serving queries."""
     from ..operators.ann_index import read_ivf_cells, write_ivfpq_index
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1467,15 +1485,10 @@ def sim_cosine_topk_ivfpq_indexed(
     index_path = _cached_index_path("ivfpq", sf_dir, build)
     probed = ivf_probe_cells(cents, qvec, NPROBE)
     hits = read_ivf_cells(spark, index_path, probed)
-    return (
-        hits.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select(
-            "vec_id",
-            "label",
-            _pq_adc_expr(adc_dot, cent_n2, qn2).alias("approx_cosine"),
-        )
-        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
+    return hits.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id",
+        "label",
+        _pq_adc_expr(adc_dot, cent_n2, qn2).alias("approx_cosine"),
     )
 
 
@@ -1528,6 +1541,54 @@ def sim_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(TOP_K).cast("double")
             ).alias("recall"),
         )
+    )
+
+
+#: ADC short-list length for the reranked serving path: long enough to
+#: recover most cell-local misrankings, short enough that the exact
+#: re-score is a broadcast-joined afterthought
+RERANK_R = 50
+
+
+@register(
+    "sim_cosine_topk_ivfpq_reranked",
+    oracle=f"""
+WITH {_SQL_EXACT_COSINES},
+short AS ({_ivfpq_oracle(RERANK_R)})
+SELECT c.vec_id, c.label, c.cosine
+FROM cosines c JOIN short USING (vec_id)
+ORDER BY c.cosine DESC, c.vec_id LIMIT {TOP_K}
+""",
+    doc="The PRODUCTION IVF-PQ serving composition — ADC short list, "
+    "exact re-rank: the compressed index proposes its top-50 by "
+    "asymmetric distance (partition-pruned cells, LUT scoring, raw "
+    "vectors untouched), then ONLY those 50 ids broadcast-semi-join "
+    "back to the source table for exact quantized cosines and the true "
+    "top-10 of the short list. This is how a billion-vector store "
+    "answers queries: the 64x-compressed scan does candidate "
+    "generation, exact math runs on a constant-size list — "
+    "sim_ivfpq_recall_at_k measures what the short list misses, this "
+    "query IS the recovery mechanism it sizes. Cosines ride the "
+    "integer-quantized grid, so short-list membership and final "
+    "ranking are bit-identical across engines.",
+    tags=("similarity", "ann", "ivf", "pq", "rerank", "topk"),
+)
+def sim_cosine_topk_ivfpq_reranked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    short = (
+        _ivfpq_adc_hits(spark, sf_dir)
+        .orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+        .limit(RERANK_R)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(short), "vec_id", "left_semi")
+        .select("vec_id", "label", _cosine_vs_query(qvec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
     )
 
 
