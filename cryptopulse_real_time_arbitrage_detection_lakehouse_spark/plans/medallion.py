@@ -324,6 +324,81 @@ def tick_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tick_twap_1h",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+t AS (
+  SELECT symbol, price, trade_id,
+         epoch_us(trade_timestamp) AS ts_us,
+         {sql_fmt_ts("date_trunc('hour', trade_timestamp)")} AS hour_start,
+         epoch_us(date_trunc('hour', trade_timestamp)) + 3600000000 AS end_us
+  FROM ticks
+),
+w AS (
+  SELECT symbol, hour_start, price,
+         COALESCE(lead(ts_us) OVER (PARTITION BY symbol, hour_start
+                                    ORDER BY ts_us, trade_id), end_us)
+           - ts_us AS w
+  FROM t
+)
+SELECT symbol, hour_start,
+       count(*) AS n_ticks,
+       CAST(SUM(w) AS BIGINT) AS covered_us,
+       (CAST(CAST(SUM(CAST(CAST(price * 100000000 AS BIGINT) AS HUGEINT) * w)
+             AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)) / 100000000.0 AS twap
+FROM w GROUP BY 1, 2
+""",
+    doc="Interval-weighted TWAP per symbol-hour — the execution "
+    "benchmark price (how algo desks cost a fill) that VWAP's "
+    "volume-weighting cannot give on sparse crypto ticks: each price "
+    "HOLDS from its tick until the next tick (the last until hour "
+    "end), so twap = sum(price_i * hold_i) / sum(hold_i) over "
+    "microsecond holds. Every operand is exact until the last "
+    "division: prices land on the 1e-8 integer grid (BIGINT), holds "
+    "are integer microseconds from lead() with (ts, trade_id) "
+    "tie-break, products sum in DECIMAL(38,0)/HUGEINT, and both "
+    "engines divide identical single-rounded doubles. covered_us "
+    "(= hour_end - first_tick) pins the hold accounting. Scale: one "
+    "window over (symbol x hour) partitions — bounded by ticks/hour "
+    "regardless of corpus size — then a grouped agg on the same key; "
+    "no chunked rewrite needed because the partition key is already "
+    "fine-grained (contrast tick_running_vwap's whole-history key).",
+    tags=("gold", "window-function", "finance", "aggregate"),
+)
+def tick_twap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        "price",
+        "trade_id",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        fmt_ts(F.date_trunc("hour", F.col("trade_timestamp")), "hour_start"),
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("trade_timestamp")))
+            + F.lit(3_600_000_000)
+        ).alias("end_us"),
+    )
+    win = W.partitionBy("symbol", "hour_start").orderBy("ts_us", "trade_id")
+    held = t.withColumn(
+        "w",
+        F.coalesce(F.lead("ts_us").over(win), F.col("end_us"))
+        - F.col("ts_us"),
+    )
+    pq_w = (F.col("price") * F.lit(100000000)).cast("decimal(20,0)") * F.col(
+        "w"
+    ).cast("decimal(18,0)")
+    return held.groupBy("symbol", "hour_start").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("w").alias("covered_us"),
+        (
+            F.sum(pq_w.cast("decimal(38,0)")).cast("double")
+            / F.sum("w").cast("double")
+            / F.lit(100000000.0)
+        ).alias("twap"),
+    )
+
+
+@register(
     "symbol_max_drawdown",
     oracle=f"""
 WITH {EVENTS_TICKS_CTE},
