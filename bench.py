@@ -151,6 +151,7 @@ def main() -> None:
     for name in (
         "sim_cosine_topk_lsh_indexed",
         "sim_cosine_topk_ivf_indexed",
+        "sim_cosine_topk_ivfpq_indexed",
         "doc_bloom_index_probe",
     ):
         if name in available:
