@@ -1542,6 +1542,51 @@ class TestPyDeltaRateLimiting:
         assert got.count() == 35  # nothing lost, nothing replayed
         assert got.select("id").distinct().count() == 35
 
+    def test_rate_limit_composes_with_cdf_and_where(self, spark, tmp_path):
+        """maxFilesPerTrigger + readChangeFeed + where together: commits
+        admit whole per budget, change rows are derived per bounded
+        batch, the row filter applies to every change type — and the
+        total is exactly-once."""
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id").coalesce(1))  # v0
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        q = self._start(
+            spark,
+            t.path,
+            out,
+            {
+                "maxFilesPerTrigger": "1",
+                "readChangeFeed": "true",
+                "where": "id < 25",
+            },
+        )
+        try:
+            self._wait_rows(spark, out, 10)  # first unbounded batch
+            t.write(spark.range(10, 20).select("id").coalesce(1))  # v1
+            t.write(spark.range(20, 30).select("id").coalesce(1))  # v2: 20-24 pass
+            t.delete(spark, "id % 10 = 3")  # v3: deletes 3, 13, 23 pass
+            self._wait_rows(spark, out, 10 + 10 + 5 + 3)
+            batches = [
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+        finally:
+            q.stop()
+        got = {
+            (r.id, r._change_type)
+            for r in spark.read.parquet(out + "/data").collect()
+        }
+        assert got == (
+            {(i, "insert") for i in range(25)}
+            | {(3, "delete"), (13, "delete"), (23, "delete")}
+        )
+        assert sum(batches) == 28
+        # post-first batches stay bounded: one commit each (10 inserts,
+        # 5 filtered inserts, 3 filtered deletes — never coalesced)
+        assert all(b <= 10 for b in batches[1:]), batches
+
     def test_invalid_budgets_refused(self, spark, tmp_path):
         t = DeltaTable(str(tmp_path / "t"))
         t.write(spark.range(0, 5).select("id").coalesce(1))
