@@ -28,11 +28,17 @@ Protocol subset (delta.io PROTOCOL.md, public spec):
 
 Partitioned tables: Delta stores partition columns only in
 ``add.partitionValues`` (hive-encoded strings), not in the data files.
-The scan groups active files by partition tuple, reads each group with
-the data schema, injects the partition columns as typed literals, and
-``unionByName``s the groups — correct for the modest partition counts of
-a medallion layout. (A million-partition table would want a file-index
-relation instead of a union; noted, out of scope.)
+When every active file's path IS the hive encoding of its logged
+partitionValues (always true for this writer's layout), the scan is ONE
+parquet relation over the explicit file list with ``basePath`` set —
+Spark derives the typed partition columns from the directory names, so
+the plan stays a single scan node at any partition count (the round-8
+probe measured the old one-union-branch-per-partition-tuple plan at 5×
+on a 200-partition MERGE — plan construction plus a 200-branch union
+the optimizer must carry). Files whose paths do NOT match their logged
+values (foreign layouts, shallow-clone absolute paths) fall back to
+grouped reads with partition columns injected as typed literals,
+``unionByName``ed — correctness never depends on the layout.
 
 Scale notes: the log tail is tiny JSON parsed driver-side (bounded by the
 checkpoint interval); checkpoints — the part that grows with table size —
@@ -1264,6 +1270,49 @@ class DeltaTable:
             out = spark.read.schema(data_schema).parquet(*paths).select(
                 *logical, *meta_cols
             )
+        elif self._hive_layout_consistent(adds, part_cols, phys):
+            # ONE-SCAN fast path: every file sits under the hive
+            # encoding of its logged partitionValues, so Spark's
+            # basePath partition discovery reconstructs the typed
+            # partition columns from the directory names — a single
+            # relation node regardless of partition count (the union
+            # form below builds one plan branch per partition tuple;
+            # the round-8 skew probe measured that at 5× on a
+            # 200-partition MERGE, all plan construction + optimizer
+            # weight). Partition columns read under PHYSICAL names and
+            # rename/cast to logical exactly like data columns.
+            types = {f.name: self._strip_meta(f.dataType) for f in schema.fields}
+            read_schema = T.StructType(
+                list(data_schema.fields)
+                + [
+                    T.StructField(phys(c), types[c], True)
+                    for c in part_cols
+                ]
+            )
+            paths = [
+                os.path.join(self.path, urllib.parse.unquote(a["path"]))
+                for a in adds
+            ]
+            raw = (
+                spark.read.option("basePath", self.path)
+                .schema(read_schema)
+                .parquet(*paths)
+            )
+            # pair each non-partition schema field with its already-built
+            # logical projection (mode-correct: id mode reads logical
+            # names, name mode casts physical->logical)
+            data_fields = [f for f in schema.fields if f.name not in part_cols]
+            data_logical = {
+                f.name: col for f, col in zip(data_fields, logical)
+            }
+            proj = [
+                F.col(f"`{phys(c)}`").cast(types[c]).alias(c)
+                if c in part_cols
+                else data_logical[c]
+                for c in [f.name for f in schema.fields]
+            ]
+            proj += [F.col(f"`{c}`") for c in extra_phys_cols]
+            out = raw.select(*proj, *meta_cols)
         else:
             # group files by partition tuple; inject partition columns as
             # typed literals (Delta keeps them out of the data files)
@@ -1302,6 +1351,38 @@ class DeltaTable:
         elif keep_meta:
             out = out.select(*out_cols)
         return out
+
+    @staticmethod
+    def _hive_layout_consistent(adds, part_cols, phys) -> bool:
+        """True iff EVERY add's relative path encodes exactly its logged
+        partitionValues as hive directory segments — the precondition
+        for the one-scan basePath fast path. Absolute paths (shallow
+        clones), missing/mismatched segments, or values whose hive
+        round-trip is lossy (e.g. empty string, stored as the NULL
+        sentinel on disk) all return False — those tables take the
+        literal-injection union path, which trusts only the log."""
+        for a in adds:
+            rel = urllib.parse.unquote(a["path"])
+            if rel.startswith("/") or rel.startswith("file:"):
+                return False  # external file: not under basePath
+            parsed: dict[str, str | None] = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" not in seg:
+                    return False
+                k, raw = seg.split("=", 1)
+                parsed[k] = (
+                    None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+                )
+            pv = _as_dict(a.get("partitionValues"))
+            for c in part_cols:
+                want = pv.get(phys(c))
+                if want == _HIVE_NULL or want == "":
+                    want = None  # lossy on disk: only the union path is exact
+                    if pv.get(phys(c)) == "":
+                        return False
+                if phys(c) not in parsed or parsed[phys(c)] != want:
+                    return False
+        return True
 
     def to_pandas(self, *, version: int | None = None, columns: list[str] | None = None):
         """JVM-free snapshot read -> pandas (S4: the reference dashboard's
@@ -1693,6 +1774,7 @@ class DeltaTable:
         schema_json: str | None,
         _data_change: bool = True,
         id_mode: bool = False,
+        co_partition: bool = False,
     ) -> list[dict]:
         """Stage ``df`` (LOGICAL names) as committed-naming data files
         under the table root and return their ``add`` payloads (path,
@@ -1733,9 +1815,31 @@ class DeltaTable:
                 ]
             )
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-        writer = stage_df.write.mode("errorifexists")
         if partition_by:
-            writer = writer.partitionBy(*[mapping.get(c, c) for c in partition_by])
+            phys_parts = [mapping.get(c, c) for c in partition_by]
+            if co_partition:
+                # OPTIMIZED WRITE (delta-spark's optimizeWrite shape):
+                # co-partition by the partition columns before the
+                # dynamic-partition insert — without it every input task
+                # writes one file into EVERY hive directory it holds
+                # rows for, tasks × partition-values tiny files (the
+                # round-8 skew probe measured a 200-partition write at
+                # 6× and the follow-on MERGE at 5×, all tiny-file
+                # staging + per-file footer stats; ann_index hit the
+                # same 19× in round 3). ON for the INTERNAL rewrite
+                # paths (merge/update/CDC staging — their volume is
+                # bounded by the touched files' bytes, so one task per
+                # value is safe); OFF by default for user writes, where
+                # a hot partition value would serialize a terabyte into
+                # one task — callers opt in via write(optimize_write=).
+                stage_df = stage_df.repartition(
+                    *[F.col(f"`{c}`") for c in phys_parts]
+                )
+            writer = stage_df.write.mode("errorifexists").partitionBy(
+                *phys_parts
+            )
+        else:
+            writer = stage_df.write.mode("errorifexists")
         writer.parquet(stage)
 
         adds: list[dict] = []
@@ -2098,12 +2202,21 @@ class DeltaTable:
         merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
         generated_columns: dict[str, str] | None = None,
+        optimize_write: bool = False,
         _operation: str = "WRITE",
         _data_change: bool = True,
         _domains: dict[str, str] | None = None,
         _domain_read_version: int | None = None,
     ) -> int:
         """Commit ``df`` as one Delta transaction. Returns the version.
+
+        ``optimize_write=True`` (delta-spark's optimizeWrite) co-groups
+        rows by their partition columns before the partitioned staging
+        write, so each partition value lands as one right-sized file
+        instead of one tiny file per (input task × value) — the right
+        call for many-partition appends; leave it off when one hot
+        partition value carries most of the batch (it would serialize
+        into a single task).
 
         ``append`` adds files; ``overwrite`` additionally emits ``remove``
         actions for every previously-active file — the two write modes the
@@ -2306,6 +2419,7 @@ class DeltaTable:
                 prior_meta is not None
                 and self._mapping_mode(prior_meta) == "id"
             ),
+            co_partition=optimize_write,
         )
         if identity_generated and adds:
             # spec writer requirement: an identity write updates the
@@ -2952,6 +3066,10 @@ class DeltaTable:
             mapping=mapping,
             schema_json=None if not mapping else self._cdc_schema_json(meta),
             id_mode=self._mapping_mode(meta) == "id",
+            # change volume is bounded by the commit's touched rows:
+            # one task per partition value is safe and avoids
+            # tasks × values tiny CDC files
+            co_partition=True,
         )
         cdc_actions: list[dict] = []
         for a in staged:
@@ -5108,6 +5226,8 @@ class DeltaTable:
                 mapping=mapping,
                 schema_json=meta["schemaString"],
                 id_mode=self._mapping_mode(meta) == "id",
+                # rewrite volume bounded by the matched files' bytes
+                co_partition=True,
             )
             if n_updated
             else []
@@ -7659,6 +7779,8 @@ class DeltaMergeBuilder:
                     mapping=mapping,
                     schema_json=meta["schemaString"],
                     id_mode=t._mapping_mode(meta) == "id",
+                    # rewrite volume bounded by the touched files' bytes
+                    co_partition=True,
                 )
                 if final is not None and n_staged > 0
                 else []

@@ -205,14 +205,66 @@ def probe_mv(spark, copies: int) -> None:
     timed(spark, f"mv_refresh[{copies}x]", lambda: fn(spark, big).count())
 
 
+def probe_skew(spark, n_files: int = 200) -> None:
+    """Hot-FILE mutation skew: the table is hive-partitioned (one
+    partition-value directory per file), and a MERGE source of fixed
+    size targets either keys spread uniformly across every file or
+    keys confined to ONE partition — the worst update-locality a
+    CDC-upsert batch presents. Ratio ~1 means the two-phase merge's
+    cost tracks the SOURCE, not which files it lands in; >>1 means the
+    single hot file's rewrite serialized the job."""
+    n = n_files * ROWS_PER_FILE
+
+    def build():
+        t = DeltaTable(tempfile.mkdtemp(prefix="cpmutskew_") + "/t")
+        t.write(
+            spark.range(0, n).selectExpr(
+                "id", "id * 3 AS v", f"CAST(id % {n_files} AS LONG) AS p"
+            ),
+            partition_by=["p"],
+            optimize_write=True,  # one file per partition value
+        )
+        return t
+
+    n_src = n // n_files  # one hot partition's full key set (2000 rows)
+
+    def run_merge(t, src):
+        return (
+            t.merge_into(src, "target.id = source.id AND target.p = source.p")
+            .when_matched_update(set={"v": "source.nv"})
+            .when_not_matched_insert(
+                values={"id": "source.id", "v": "source.nv", "p": "source.p"}
+            )
+            .execute(spark)
+        )
+
+    # both sources: n_src all-MATCHED update keys — only their file
+    # locality differs
+    t_uni = build()
+    src_uni = spark.range(0, n_src).selectExpr(
+        "id", "id AS nv", f"CAST(id % {n_files} AS LONG) AS p"
+    )  # spread: ~n_src/n_files keys per partition
+    timed(spark, f"merge_uniform[{n_files}p]", lambda: run_merge(t_uni, src_uni))
+
+    t_hot = build()
+    src_hot = spark.range(0, n_src).selectExpr(
+        f"id * {n_files} + 7 AS id", "id AS nv", "CAST(7 AS LONG) AS p"
+    )  # every key inside partition p=7: one file rewritten wholesale
+    timed(spark, f"merge_hot_file[{n_files}p]", lambda: run_merge(t_hot, src_hot))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mv", type=int, default=0)
     ap.add_argument("--scales", type=str, default="1,100")
+    ap.add_argument("--skew", action="store_true")
     args = ap.parse_args()
     spark = get_spark("mutation-scale-probe", ui=True)
-    for s in (int(x) for x in args.scales.split(",")):
-        probe_scale(spark, BASE_FILES * s)
+    if args.skew:
+        probe_skew(spark)
+    else:
+        for s in (int(x) for x in args.scales.split(",")):
+            probe_scale(spark, BASE_FILES * s)
     if args.mv:
         probe_mv(spark, args.mv)
     spark.stop()
