@@ -528,6 +528,148 @@ def streaming_user_sessions_stateful(
 
 
 @register(
+    "streaming_mv_refresh_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total,
+       CAST(1 AS BIGINT) AS incremental_equals_full,
+       CAST(1 AS BIGINT) AS exactly_once
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'error')
+  AND user_id % 10 <> 0
+GROUP BY event_type
+""",
+    doc="STREAMING materialized-view maintenance — the production form "
+    "of the batch X213 loop: the base Delta table's CHANGE FEED drains "
+    "through the pydelta log-tailing stream (readChangeFeed=true) into "
+    "foreachBatch, each micro-batch folds its change rows into per-key "
+    "(+n, +sum) deltas — inserts contribute +1/+value, deletes "
+    "-1/-value — and MERGEs them into the MV with the batch id as the "
+    "setTransaction key (the new DeltaMergeBuilder.execute(txn=), "
+    "delta-spark's txnAppId/txnVersion): a crashed-and-replayed "
+    "micro-batch's verbatim re-merge commits NOTHING (exactly_once "
+    "pins it — MV version unchanged). The drain runs TWICE: first "
+    "builds the MV from the initial commits, then the base takes an "
+    "append AND a DV delete and the SAME checkpoint consumes only the "
+    "new commits — refresh cost O(changed rows), never O(base). "
+    "Adjustments add DECIMAL(25,10) exactly, so the audit's in-plan "
+    "diff against a full recompute pins bit-identity "
+    "(incremental_equals_full). At 100 TB this is how dashboards stay "
+    "current: one log-tail stream, per-key decimal deltas, an "
+    "idempotent merge per micro-batch.",
+    tags=("streaming", "delta", "cdf", "refresh", "incremental",
+          "merge", "exactly-once"),
+)
+def streaming_mv_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..sources import pyds
+    from ..sources.delta import DeltaTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="cpsmvr_")
+    base = DeltaTable(os.path.join(root, "base"))
+    mv = DeltaTable(os.path.join(root, "mv"))
+    dec = "decimal(25,10)"
+    base.write(events.filter(F.col("event_type").isin("click", "view")))
+    base.enable_change_data_feed()
+    # MV starts EMPTY: the stream builds it entirely from the feed
+    mv.write(
+        spark.createDataFrame(
+            [], f"event_type string, n long, total_dec {dec}"
+        )
+    )
+    pyds.register(spark)
+    last_batch: dict[str, object] = {}
+
+    def fold_batch(bdf: DataFrame, batch_id: int) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        deltas = bdf.groupBy("event_type").agg(
+            F.sum(sign).cast("long").alias("dn"),
+            F.sum(sign.cast(dec) * F.col("value").cast(dec))
+            .cast(dec)
+            .alias("dtotal"),
+        )
+        (
+            mv.merge_into(deltas, "target.event_type = source.event_type")
+            .when_matched_update(
+                set={
+                    "n": "target.n + source.dn",
+                    "total_dec": f"CAST(target.total_dec + source.dtotal AS {dec})",
+                }
+            )
+            .when_not_matched_insert(
+                values={
+                    "event_type": "source.event_type",
+                    "n": "source.dn",
+                    "total_dec": "source.dtotal",
+                }
+            )
+            .execute(bdf.sparkSession, txn=("mv_refresh", batch_id))
+        )
+        last_batch["df"] = bdf
+        last_batch["id"] = batch_id
+
+    def drain_feed() -> None:
+        with scoped_shuffle_partitions(spark):
+            drain(
+                spark.readStream.format("pydelta")
+                .option("path", base.path)
+                .option("readChangeFeed", "true")
+                .load()
+                .writeStream.foreachBatch(fold_batch)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+    drain_feed()  # MV <- initial click/view commits
+    # the base moves on: an append and a DV delete...
+    base.write(events.filter(F.col("event_type").isin("purchase", "error")))
+    base.delete(spark, "user_id % 10 = 0")
+    drain_feed()  # ...and the SAME checkpoint consumes only the deltas
+
+    # crash-replay twin: verbatim re-merge of the last micro-batch must
+    # commit nothing (txn-keyed merge idempotence)
+    v_mv = mv.latest_version()
+    fold_batch(last_batch["df"], last_batch["id"])
+    exactly_once = int(mv.latest_version() == v_mv)
+
+    refreshed = mv.read(spark).filter(F.col("n") > 0)
+    full = (
+        base.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("fn"),
+            F.sum(F.col("value").cast(dec)).cast(dec).alias("ftotal"),
+        )
+    )
+    mismatches = (
+        refreshed.join(full, "event_type", "full_outer")
+        .filter(
+            ~(
+                F.col("n").eqNullSafe(F.col("fn"))
+                & F.col("total_dec").eqNullSafe(F.col("ftotal"))
+            )
+        )
+        .count()
+    )
+    return refreshed.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        F.lit(int(mismatches == 0))
+        .cast("long")
+        .alias("incremental_equals_full"),
+        F.lit(exactly_once).cast("long").alias("exactly_once"),
+    )
+
+
+@register(
     "streaming_expectations_quarantine",
     oracle="""
 WITH t AS (

@@ -7380,12 +7380,23 @@ class DeltaMergeBuilder:
             )
         return frame.select(*cols, *extra_cols)
 
-    def execute(self, spark: SparkSession) -> int:
+    def execute(
+        self, spark: SparkSession, *, txn: tuple[str, int] | None = None
+    ) -> int:
         """Run the merge; returns the committed version. A merge where
-        no clause fires still commits (delta-spark semantics)."""
+        no clause fires still commits (delta-spark semantics). ``txn``
+        is the setTransaction idempotence key (delta-spark's
+        ``txnAppId``/``txnVersion`` write options): a replayed
+        (appId, version) becomes a no-op — the foreachBatch
+        streaming-upsert contract, where a crashed micro-batch replays
+        its merge verbatim."""
         t = self._t
         if not (self._matched or self._not_matched or self._by_source):
             raise ValueError("MERGE needs at least one WHEN clause")
+        if txn is not None:
+            applied = t.last_txn_version(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return t.latest_version()  # already applied: replay no-op
         base = t.latest_version()
         if base is None:
             raise ValueError(f"no delta table at {t.path}")
@@ -7833,6 +7844,12 @@ class DeltaMergeBuilder:
             os.path.basename(urllib.parse.unquote(a["path"])): a for a in adds
         }
         actions: list[dict] = [
+            *(
+                [{"txn": {"appId": txn[0], "version": txn[1],
+                          "lastUpdated": now_ms}}]
+                if txn is not None
+                else []
+            ),
             {
                 "commitInfo": {
                     "timestamp": now_ms,

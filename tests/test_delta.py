@@ -5357,3 +5357,35 @@ class TestDistributedVacuum:
         )
         # second distributed vacuum: nothing left to remove
         assert t2.vacuum(retention_ms=0, force=True, spark=spark) == []
+
+
+class TestMergeTxnIdempotence:
+    """DeltaMergeBuilder.execute(txn=): a replayed (appId, version)
+    merge is a no-op — the foreachBatch streaming-upsert contract."""
+
+    def test_replayed_merge_commits_nothing(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).selectExpr("id", "id AS v"))
+        src = spark.range(5, 15).selectExpr("id", "id * 100 AS nv")
+
+        def merge(ver):
+            return (
+                t.merge_into(src, "target.id = source.id")
+                .when_matched_update(set={"v": "source.nv"})
+                .when_not_matched_insert(
+                    values={"id": "source.id", "v": "source.nv"}
+                )
+                .execute(spark, txn=("upsert", ver))
+            )
+
+        v1 = merge(1)
+        assert t.read(spark).count() == 15
+        assert t.last_txn_version("upsert") == 1
+        # verbatim replay: no commit, no state change
+        assert merge(1) == v1
+        assert t.latest_version() == v1
+        assert t.read(spark).filter("id = 5").collect()[0].v == 500
+        # a NEW batch version applies
+        v2 = merge(2)
+        assert v2 == v1 + 1
+        assert t.last_txn_version("upsert") == 2
