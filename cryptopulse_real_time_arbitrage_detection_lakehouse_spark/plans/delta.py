@@ -3660,6 +3660,57 @@ def delta_txn_cleanup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_optimized_write_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
+       CAST(1 AS BIGINT) AS one_file_per_partition,
+       CAST(1 AS BIGINT) AS plain_write_fans_out
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="Optimized partitioned writes (delta-spark's optimizeWrite, the "
+    "round-8 skew-probe fix): a 32-task frame written "
+    "partition_by=['event_type'] with optimize_write=True co-groups "
+    "rows by the partition columns first, landing EXACTLY one file per "
+    "partition value (one_file_per_partition) instead of the default's "
+    "one file per (input task × value) — the audit also writes the "
+    "same frame WITHOUT the knob and pins that it really fans out to "
+    "more files (plain_write_fans_out), because tiny-file explosion is "
+    "the failure mode the knob exists for (a 200-partition staging "
+    "write measured 6× slower, SCALE.md round-8; the knob stays opt-in "
+    "for user writes since one hot partition value would serialize "
+    "into a single task). Rows and sums hash against raw events — "
+    "layout changed, content identical. The internal MERGE/UPDATE/CDC "
+    "rewrite paths co-group unconditionally (volume bounded by touched "
+    "files' bytes).",
+    tags=("delta", "layout", "partitioned", "write"),
+)
+def delta_optimized_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(*_EVENT_COLS)
+        .filter(F.col("event_type").isin(*_BATCH_TYPES))
+        .repartition(32)
+    )
+    opt = DeltaTable(tempfile.mkdtemp(prefix="cpoptw8_") + "/opt")
+    plain = DeltaTable(tempfile.mkdtemp(prefix="cpoptw8_") + "/plain")
+    opt.write(events, partition_by=["event_type"], optimize_write=True)
+    plain.write(events, partition_by=["event_type"])
+    n_vals = len(_BATCH_TYPES)
+    n_opt = len(opt._snapshot_state(None)[1])
+    n_plain = len(plain._snapshot_state(None)[1])
+    one_per = int(n_opt == n_vals)
+    fans_out = int(n_plain > n_vals)
+    return opt.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+        F.lit(one_per).cast("long").alias("one_file_per_partition"),
+        F.lit(fans_out).cast("long").alias("plain_write_fans_out"),
+    )
+
+
+@register(
     "delta_version_checksum_audit",
     oracle=f"""
 SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
