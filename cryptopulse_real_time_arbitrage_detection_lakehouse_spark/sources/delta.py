@@ -5407,6 +5407,7 @@ class DeltaTable:
         condition: str,
         *,
         txn: tuple[str, int] | None = None,
+        optimize_write: bool = False,
     ) -> int:
         """Selective overwrite — delta-spark's ``replaceWhere`` write
         option (``df.write.format("delta").mode("overwrite")
@@ -5431,7 +5432,9 @@ class DeltaTable:
         return self._retry_if_disjoint_appends(
             condition,
             "REPLACE WHERE",
-            lambda: self._replace_where_attempt(df, condition, txn=txn),
+            lambda: self._replace_where_attempt(
+                df, condition, txn=txn, optimize_write=optimize_write
+            ),
         )
 
     def _replace_where_attempt(
@@ -5440,6 +5443,7 @@ class DeltaTable:
         condition: str,
         *,
         txn: tuple[str, int] | None = None,
+        optimize_write: bool = False,
     ) -> int:
         spark = df.sparkSession
         if txn is not None:
@@ -5516,6 +5520,7 @@ class DeltaTable:
             mapping=mapping,
             schema_json=meta["schemaString"],
             id_mode=self._mapping_mode(meta) == "id",
+            co_partition=optimize_write,
         )
         now_ms = int(time.time() * 1000)
         by_name = {
