@@ -88,6 +88,12 @@ except Exception:  # noqa: BLE001
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# co-partitioned rewrite staging fans a partition value across
+# ceil(touched_bytes / this) salt buckets — delta-spark's bin-packing
+# target, so a hot value's rewrite parallelizes into the file size
+# OPTIMIZE would produce anyway
+_STAGE_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
 
 class CommitConflict(Exception):
     """Another writer published this commit version first (the
@@ -163,7 +169,16 @@ def _distributed_footer_probe(
     and the driver gets back exactly the per-file stats JSON it needs
     for the single atomic commit (the commit itself STAYS driver-side —
     log publication is one put-if-absent, never distributed). Same shape
-    as `fsck_repair`'s distributed existence probe."""
+    as `fsck_repair`'s distributed existence probe.
+
+    ASSUMES SHARED STORAGE: paths are the DRIVER's filesystem paths and
+    executors must see the same tree (true for local mode, NFS, and
+    fuse-mounted object stores — the deployments a path-based Delta
+    client serves). A missing/corrupt file never surfaces as an opaque
+    executor stack: the kernel catches per-file errors into an ``err``
+    column and the driver raises one ValueError naming every failing
+    path — on a no-shared-fs cluster that is EVERY path, and the error
+    says so."""
     stats_fn = _file_stats  # by-value module: workers carry the code
 
     def probe(batches):
@@ -182,25 +197,34 @@ def _distributed_footer_probe(
         for pdf in batches:
             rows = []
             for key, full in zip(pdf["key"], pdf["full"]):
-                pf = _pq.ParquetFile(full)
-                names = None
-                if want is not None and pf.schema_arrow != want:
-                    names = _json.dumps(pf.schema_arrow.names)
-                rows.append(
-                    (
-                        key,
-                        _json.dumps(stats_fn(pf.metadata)),
-                        _os.path.getsize(full),
-                        int(_os.path.getmtime(full) * 1000),
-                        names,
+                try:
+                    pf = _pq.ParquetFile(full)
+                    names = None
+                    if want is not None and pf.schema_arrow != want:
+                        names = _json.dumps(pf.schema_arrow.names)
+                    rows.append(
+                        (
+                            key,
+                            _json.dumps(stats_fn(pf.metadata)),
+                            _os.path.getsize(full),
+                            int(_os.path.getmtime(full) * 1000),
+                            names,
+                            None,
+                        )
                     )
-                )
+                except Exception as exc:  # noqa: BLE001 — per-file report
+                    rows.append(
+                        (key, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")
+                    )
             yield _pd.DataFrame(
-                rows, columns=["key", "stats", "size", "mtime_ms", "bad"]
+                rows,
+                columns=["key", "stats", "size", "mtime_ms", "bad", "err"],
             )
 
     out_schema = (
-        "key string, stats string, size long, mtime_ms long, bad string"
+        "key string, stats string, size long, mtime_ms long, "
+        "bad string, err string"
     )
     rows = (
         spark.createDataFrame(pairs, "key string, full string")
@@ -208,6 +232,21 @@ def _distributed_footer_probe(
         .mapInPandas(probe, out_schema)
         .collect()
     )
+    failed = sorted((r["key"], r["err"]) for r in rows if r["err"])
+    if failed:
+        shown = "; ".join(f"{k}: {e}" for k, e in failed[:10])
+        more = f" (+{len(failed) - 10} more)" if len(failed) > 10 else ""
+        hint = (
+            " — every probed file failed: if the files exist on the "
+            "driver, the executors do not share its filesystem "
+            "(distributed maintenance requires shared storage)"
+            if len(failed) == len(pairs)
+            else ""
+        )
+        raise ValueError(
+            f"footer probe failed for {len(failed)} of {len(pairs)} "
+            f"file(s): {shown}{more}{hint}"
+        )
     return {
         r["key"]: {
             "stats": json.loads(r["stats"]),
@@ -1360,19 +1399,36 @@ class DeltaTable:
         clones), missing/mismatched segments, or values whose hive
         round-trip is lossy (e.g. empty string, stored as the NULL
         sentinel on disk) all return False — those tables take the
-        literal-injection union path, which trusts only the log."""
+        literal-injection union path, which trusts only the log.
+
+        The gate is deliberately strict about SHAPE, not just values:
+        extra ``k=v`` segments beyond the table's partition columns, or
+        a directory depth that varies across adds, would make Spark's
+        basePath partition discovery either derive phantom columns or
+        raise "conflicting directory structures" — a foreign layout
+        like ``p=1/f1`` + ``p=1/q=2/f2`` must take the union path even
+        though every logged value matches its segment."""
+        want_keys = {phys(c) for c in part_cols}
+        depth = None
         for a in adds:
             rel = urllib.parse.unquote(a["path"])
             if rel.startswith("/") or rel.startswith("file:"):
                 return False  # external file: not under basePath
+            segs = rel.split("/")[:-1]
+            if depth is None:
+                depth = len(segs)
+            elif len(segs) != depth:
+                return False  # mixed depth: discovery would conflict
             parsed: dict[str, str | None] = {}
-            for seg in rel.split("/")[:-1]:
+            for seg in segs:
                 if "=" not in seg:
                     return False
                 k, raw = seg.split("=", 1)
                 parsed[k] = (
                     None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
                 )
+            if set(parsed.keys()) != want_keys:
+                return False  # extra/missing dirs: phantom partition cols
             pv = _as_dict(a.get("partitionValues"))
             for c in part_cols:
                 want = pv.get(phys(c))
@@ -1775,6 +1831,7 @@ class DeltaTable:
         _data_change: bool = True,
         id_mode: bool = False,
         co_partition: bool = False,
+        co_partition_bytes: int | None = None,
     ) -> list[dict]:
         """Stage ``df`` (LOGICAL names) as committed-naming data files
         under the table root and return their ``add`` payloads (path,
@@ -1828,13 +1885,59 @@ class DeltaTable:
                 # staging + per-file footer stats; ann_index hit the
                 # same 19× in round 3). ON for the INTERNAL rewrite
                 # paths (merge/update/CDC staging — their volume is
-                # bounded by the touched files' bytes, so one task per
-                # value is safe); OFF by default for user writes, where
-                # a hot partition value would serialize a terabyte into
-                # one task — callers opt in via write(optimize_write=).
-                stage_df = stage_df.repartition(
-                    *[F.col(f"`{c}`") for c in phys_parts]
+                # bounded by the touched files' bytes); OFF by default
+                # for user writes — callers opt in via
+                # write(optimize_write=). "Bounded" is not "small": a
+                # broad MERGE concentrated in one hot partition value
+                # would still serialize that value's whole rewrite
+                # through a single shuffle task, so callers pass the
+                # touched volume as ``co_partition_bytes`` and values
+                # fan out across ceil(bytes / 128 MiB) salt buckets —
+                # one bucket (today's exact behavior) for the typical
+                # sub-128 MiB rewrite, N ~128 MiB tasks-and-files for a
+                # hot-value terabyte, which is the file size OPTIMIZE
+                # would bin-pack to anyway.
+                salt = (
+                    max(
+                        1,
+                        -(-int(co_partition_bytes) // _STAGE_TARGET_FILE_BYTES),
+                    )
+                    if co_partition_bytes
+                    else 1
                 )
+                if salt > 1:
+                    # EXPLICIT partition count: a column-only
+                    # repartition is AQE-coalescible and collapses this
+                    # small-per-batch-but-hot shuffle back to one task —
+                    # the serialization the salt exists to break. Files
+                    # stay bounded by values × salt (one per non-empty
+                    # combo), not by N.
+                    n_parts = max(
+                        salt,
+                        int(
+                            df.sparkSession.conf.get(
+                                "spark.sql.shuffle.partitions", "200"
+                            )
+                        ),
+                    )
+                    stage_df = (
+                        stage_df.withColumn(
+                            "__stage_salt",
+                            (F.monotonically_increasing_id() % salt).cast(
+                                "int"
+                            ),
+                        )
+                        .repartition(
+                            n_parts,
+                            *[F.col(f"`{c}`") for c in phys_parts],
+                            F.col("__stage_salt"),
+                        )
+                        .drop("__stage_salt")
+                    )
+                else:
+                    stage_df = stage_df.repartition(
+                        *[F.col(f"`{c}`") for c in phys_parts]
+                    )
             writer = stage_df.write.mode("errorifexists").partitionBy(
                 *phys_parts
             )
@@ -3050,6 +3153,7 @@ class DeltaTable:
         *,
         version: int,
         meta: dict,
+        co_partition_bytes: int | None = None,
     ) -> list[dict]:
         """Stage change rows (table columns + ``_change_type``) as CDC
         parquet under ``_change_data/`` and return the spec's ``cdc``
@@ -3066,10 +3170,12 @@ class DeltaTable:
             mapping=mapping,
             schema_json=None if not mapping else self._cdc_schema_json(meta),
             id_mode=self._mapping_mode(meta) == "id",
-            # change volume is bounded by the commit's touched rows:
-            # one task per partition value is safe and avoids
-            # tasks × values tiny CDC files
+            # change volume is bounded by the commit's touched rows —
+            # co-partitioning avoids tasks × values tiny CDC files,
+            # and the caller's bytes hint fans a hot value's images
+            # across multiple tasks
             co_partition=True,
+            co_partition_bytes=co_partition_bytes,
         )
         cdc_actions: list[dict] = []
         for a in staged:
@@ -5190,6 +5296,15 @@ class DeltaTable:
 
         file_dvs = self._build_file_dvs(spark, cond, adds, version=base)
         n_updated = sum(r["n_new"] for r in file_dvs)
+        sz_by_name = {
+            os.path.basename(urllib.parse.unquote(a["path"])): int(
+                a.get("size") or 0
+            )
+            for a in adds
+        }
+        touched_bytes = sum(
+            sz_by_name.get(r["file"], 0) for r in file_dvs if r["n_new"]
+        )
         cdc_actions: list[dict] = []
         schema_cols = [F.col(f"`{f.name}`") for f in schema.fields]
         if n_updated and self._cdf_enabled(meta):
@@ -5205,7 +5320,10 @@ class DeltaTable:
                 )
             )
             cdc_actions = self._stage_cdc_files(
-                images, version=base + 1, meta=meta
+                images,
+                version=base + 1,
+                meta=meta,
+                co_partition_bytes=2 * touched_bytes,
             )
         stage_df = updated
         if rt:
@@ -5226,8 +5344,11 @@ class DeltaTable:
                 mapping=mapping,
                 schema_json=meta["schemaString"],
                 id_mode=self._mapping_mode(meta) == "id",
-                # rewrite volume bounded by the matched files' bytes
+                # rewrite volume bounded by the matched files' bytes —
+                # the salt hint keeps a hot partition value's rewrite
+                # from serializing into one task
                 co_partition=True,
+                co_partition_bytes=touched_bytes,
             )
             if n_updated
             else []
@@ -5810,7 +5931,14 @@ class DeltaTable:
         subtree and the DELETES fan out over the condemned list (two
         `mapInPandas` passes, delta-spark's parallel-vacuum shape) —
         the driver keeps snapshot/retention logic only. Without it, a
-        driver-side walk (fine for small/medium local tables)."""
+        driver-side walk (fine for small/medium local tables).
+
+        The distributed form ASSUMES SHARED STORAGE (executors see the
+        driver's table path — local mode, NFS, fuse-mounted object
+        stores). It never trusts that silently: every log-referenced
+        relative path must come back in the executor listing, so a
+        cluster without a shared filesystem raises instead of
+        reporting a successful no-op vacuum over an invisible tree."""
         from . import dv as _dv
 
         _meta, adds, _proto = self._snapshot_state_full(None)
@@ -5913,6 +6041,26 @@ class DeltaTable:
                 .mapInPandas(list_kernel, "rel string, mtime double")
                 .collect()
             )
+            # shared-storage sanity: the executors' listing must contain
+            # every log-referenced RELATIVE path (they exist under the
+            # root by construction; absolute paths — shallow clones —
+            # live outside the walk and are exempt). An empty or partial
+            # listing means the executors cannot see the driver's tree,
+            # and "vacuumed 0 files" would be a silent lie.
+            seen = {r["rel"] for r in cands}
+            missing = sorted(
+                p for p in referenced if not os.path.isabs(p) and p not in seen
+            )
+            if missing:
+                raise ValueError(
+                    f"distributed vacuum listing is missing "
+                    f"{len(missing)} file(s) the snapshot references "
+                    f"(e.g. {missing[:3]}): either the table is corrupt "
+                    "(run fsck_repair) or the executors do not share "
+                    "the driver's filesystem — distributed vacuum "
+                    "requires shared storage; retry without spark= for "
+                    "a driver-side vacuum"
+                )
             condemned = sorted(
                 r["rel"]
                 for r in cands
@@ -6769,13 +6917,41 @@ class DeltaTable:
         return os.path.join(self._log_dir, f"{version:020d}.crc")
 
     def _checksum_payload(self, version: int) -> dict:
-        meta, adds, protocol = self._snapshot_state_full(version)
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            version, with_domains=True
+        )
         if protocol:
             # checkpoint-reconstructed protocols carry None for the
             # nullable feature columns where JSON replay omits the keys
             # — normalize so the same state checksums identically
             protocol = {k: v for k, v in protocol.items() if v is not None}
-        return {
+        # setTransactions: newest txn row per appId at `version` (spec
+        # SetTransaction semantics — same replay as last_txn_version /
+        # checkpoint). delta-spark's incremental-commit verification
+        # compares these when the crc carries them.
+        txns: dict[str, dict] = {}
+        txn_id = None
+        ict = None
+        for v in self._commit_versions():
+            if v > version:
+                break
+            for action in self._read_commit(v):
+                if "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = {
+                        "appId": t["appId"],
+                        "version": t["version"],
+                        **(
+                            {"lastUpdated": t["lastUpdated"]}
+                            if t.get("lastUpdated") is not None
+                            else {}
+                        ),
+                    }
+                elif v == version and "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    txn_id = ci.get("txnId")
+                    ict = ci.get("inCommitTimestamp")
+        payload = {
             "tableSizeBytes": sum(int(a.get("size") or 0) for a in adds),
             "numFiles": len(adds),
             "numMetadata": 1,
@@ -6787,10 +6963,29 @@ class DeltaTable:
                 int((a.get("deletionVector") or {}).get("cardinality") or 0)
                 for a in adds
             ),
+            "setTransactions": sorted(
+                txns.values(), key=lambda t: t["appId"]
+            ),
+            "domainMetadata": [
+                {
+                    "domain": dm["domain"],
+                    "configuration": dm.get("configuration"),
+                    "removed": False,
+                }
+                for dm in sorted(domains.values(), key=lambda d: d["domain"])
+            ],
             "metadata": meta,
             "protocol": protocol
             or {"minReaderVersion": 1, "minWriterVersion": 2},
         }
+        # Option-typed fields a foreign VersionChecksum reader validates
+        # only when present — emit them when known, omit (never null)
+        # otherwise, matching delta-spark's Jackson NON_ABSENT encoding.
+        if txn_id is not None:
+            payload["txnId"] = txn_id
+        if ict is not None:
+            payload["inCommitTimestampOpt"] = ict
+        return payload
 
     def write_checksum(self, version: int | None = None) -> dict:
         """Write delta-spark's per-version CHECKSUM file
@@ -6801,10 +6996,23 @@ class DeltaTable:
         delta-spark writes one after every commit and delta-kernel
         consumes them for lightweight snapshot validation; here the
         write is explicit (a maintenance verb) so tables stay
-        byte-compatible for clients that do not know the file. The
-        ``.crc`` name never collides with commit listing (only
-        ``.json`` stems count as commits) and expired versions' crc
-        files are cleaned by `cleanup_metadata`. Returns the payload."""
+        byte-compatible for clients that do not know the file.
+
+        Field coverage vs the upstream ``VersionChecksum`` schema: every
+        REQUIRED field is populated (tableSizeBytes, numFiles,
+        numMetadata, numProtocol, metadata, protocol) plus the
+        Option-typed fields this client tracks exactly —
+        setTransactions (full-log replay, newest per appId),
+        domainMetadata (live domains), numDeletionVectorsOpt /
+        numDeletedRecordsOpt, and txnId / inCommitTimestampOpt when the
+        version's commitInfo carries them. The remaining Option fields
+        (histogramOpt, allFiles) are OMITTED — never null — which
+        delta-spark's NON_ABSENT Jackson mapping reads as "not
+        recorded" and skips during validation, the same as its own
+        checksums written with those features disabled. The ``.crc``
+        name never collides with commit listing (only ``.json`` stems
+        count as commits) and expired versions' crc files are cleaned
+        by `cleanup_metadata`. Returns the payload."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"not a Delta table: {self.path}")
@@ -6834,12 +7042,7 @@ class DeltaTable:
             stored = json.load(f)
         actual = self._checksum_payload(v)
         mismatches = []
-        for k in (
-            "tableSizeBytes",
-            "numFiles",
-            "numDeletionVectorsOpt",
-            "numDeletedRecordsOpt",
-        ):
+        for k in ("tableSizeBytes", "numFiles"):
             if stored.get(k) != actual[k]:
                 mismatches.append(k)
         if (stored.get("metadata") or {}).get("schemaString") != actual[
@@ -6852,6 +7055,17 @@ class DeltaTable:
             mismatches.append("metadata.id")
         if stored.get("protocol") != actual["protocol"]:
             mismatches.append("protocol")
+        # Option-typed fields validate only when the stored crc carries
+        # them (delta-spark semantics: absent = not recorded, skip) —
+        # the *Opt-suffixed counts included
+        for k in (
+            "numDeletionVectorsOpt",
+            "numDeletedRecordsOpt",
+            "setTransactions",
+            "domainMetadata",
+        ):
+            if stored.get(k) is not None and stored[k] != actual.get(k):
+                mismatches.append(k)
         return {"version": v, "ok": not mismatches, "mismatches": mismatches}
 
     def checkpoint(
@@ -7718,6 +7932,12 @@ class DeltaMergeBuilder:
                     )
                 t._check_constraints(final, meta)
 
+            touched_bytes = sum(
+                int(a.get("size") or 0)
+                for a in adds
+                if os.path.basename(urllib.parse.unquote(a["path"]))
+                in touched
+            )
             cdc_actions: list[dict] = []
             if t._cdf_enabled(meta) and (n_updated or n_deleted or n_inserted):
                 images = []
@@ -7777,7 +7997,12 @@ class DeltaMergeBuilder:
                         ).otherwise(F.col(f"`{colname}`")),
                     )
                 cdc_actions = t._stage_cdc_files(
-                    img, version=base + 1, meta=meta
+                    img,
+                    version=base + 1,
+                    meta=meta,
+                    # update images are pre+post pairs of the touched
+                    # rows: 2× the touched volume bounds them
+                    co_partition_bytes=2 * touched_bytes,
                 )
 
             n_staged = n_copied + n_updated + n_inserted
@@ -7796,7 +8021,10 @@ class DeltaMergeBuilder:
                     schema_json=meta["schemaString"],
                     id_mode=t._mapping_mode(meta) == "id",
                     # rewrite volume bounded by the touched files' bytes
+                    # — which a hot-value merge can concentrate in one
+                    # partition value, hence the salt hint
                     co_partition=True,
+                    co_partition_bytes=touched_bytes,
                 )
                 if final is not None and n_staged > 0
                 else []

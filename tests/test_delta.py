@@ -5389,3 +5389,216 @@ class TestMergeTxnIdempotence:
         v2 = merge(2)
         assert v2 == v1 + 1
         assert t.last_txn_version("upsert") == 2
+
+
+class TestHiveLayoutGate:
+    """_hive_layout_consistent (the one-scan fast-path precondition)
+    must reject layout SHAPES Spark's basePath discovery chokes on —
+    extra k=v segments and mixed directory depth — not just value
+    mismatches (a foreign layout like `p=1/f1` + `p=1/q=2/f2` raises
+    'conflicting directory structures' in partition discovery even
+    though every logged value matches its segment)."""
+
+    phys = staticmethod(lambda c: c)
+
+    def _add(self, rel, pv):
+        return {"path": rel, "partitionValues": pv}
+
+    def test_consistent_layout_passes(self):
+        adds = [
+            self._add("p=1/a.parquet", {"p": "1"}),
+            self._add("p=2/b.parquet", {"p": "2"}),
+        ]
+        assert DeltaTable._hive_layout_consistent(adds, ["p"], self.phys)
+
+    def test_extra_segment_rejected(self):
+        adds = [
+            self._add("p=1/a.parquet", {"p": "1"}),
+            self._add("p=1/q=2/b.parquet", {"p": "1"}),
+        ]
+        assert not DeltaTable._hive_layout_consistent(adds, ["p"], self.phys)
+
+    def test_duplicate_key_depth_rejected(self):
+        # same key twice: key-SET matches, depth does not
+        adds = [
+            self._add("p=1/a.parquet", {"p": "1"}),
+            self._add("p=1/p=1/b.parquet", {"p": "1"}),
+        ]
+        assert not DeltaTable._hive_layout_consistent(adds, ["p"], self.phys)
+
+    def test_union_path_still_reads_foreign_layout(self, spark, tmp_path):
+        """A table whose adds sit at inconsistent depths must still read
+        correctly through the literal-injection union path."""
+        import shutil
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 20).selectExpr(
+                "id", "CAST(id % 2 AS STRING) AS p"
+            ),
+            partition_by=["p"],
+        )
+        # relocate one file a level deeper (foreign layout), keep the log
+        _m, adds = t._snapshot_state(None)
+        victim = sorted(a["path"] for a in adds)[0]
+        src = os.path.join(t.path, victim)
+        deep_rel = victim.rsplit("/", 1)[0] + "/extra=1/" + victim.rsplit("/", 1)[1]
+        dst = os.path.join(t.path, deep_rel)
+        os.makedirs(os.path.dirname(dst))
+        shutil.move(src, dst)
+        log = os.path.join(t.path, "_delta_log", "00000000000000000000.json")
+        body = open(log).read().replace(victim, deep_rel)
+        with open(log, "w") as f:
+            f.write(body)
+        _m2, adds2 = t._snapshot_state(None)
+        assert not DeltaTable._hive_layout_consistent(
+            adds2, ["p"], lambda c: c
+        )
+        got = t.read(spark)
+        assert got.count() == 20
+        assert got.filter("p = '0'").count() == 10
+
+
+class TestChecksumTxnDomains:
+    """VersionChecksum Option fields this client tracks exactly:
+    setTransactions + domainMetadata ride the .crc, divergence is
+    named, and a minimal foreign crc (options absent) still verifies
+    — delta-spark's NON_ABSENT semantics."""
+
+    def test_payload_carries_txns_and_domains(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id"), txn=("appA", 3))
+        t.set_domain_metadata("com.example.domain", '{"k":"v"}')
+        p = t.write_checksum()
+        assert p["setTransactions"] == [
+            {"appId": "appA", "version": 3,
+             "lastUpdated": p["setTransactions"][0]["lastUpdated"]}
+        ]
+        assert [d["domain"] for d in p["domainMetadata"]] == [
+            "com.example.domain"
+        ]
+        assert t.verify_checksum()["ok"]
+        # newest txn per appId wins (spec SetTransaction replace)
+        t.write(spark.range(10, 20).select("id"), txn=("appA", 4))
+        p2 = t.write_checksum()
+        assert [x["version"] for x in p2["setTransactions"]] == [4]
+
+    def test_txn_divergence_named(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id"), txn=("appA", 1))
+        v = t.latest_version()
+        p = t.write_checksum()
+        bogus = dict(p)
+        bogus["setTransactions"] = [{"appId": "appA", "version": 99}]
+        with open(t._checksum_path(v), "w") as f:
+            json.dump(bogus, f)
+        rep = t.verify_checksum(v)
+        assert not rep["ok"] and "setTransactions" in rep["mismatches"]
+
+    def test_minimal_foreign_crc_skips_absent_options(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).select("id"), txn=("appA", 1))
+        v = t.latest_version()
+        full = t._checksum_payload(v)
+        minimal = {
+            k: full[k]
+            for k in (
+                "tableSizeBytes", "numFiles", "numMetadata", "numProtocol",
+                "metadata", "protocol",
+            )
+        }
+        with open(t._checksum_path(v), "w") as f:
+            json.dump(minimal, f)
+        assert t.verify_checksum(v)["ok"]
+
+
+class TestCoPartitionSalt:
+    """co_partition_bytes: a hot partition value's rewrite staging must
+    fan out across ceil(bytes / 128 MiB) tasks instead of serializing
+    into one — and the sub-128 MiB default stays exactly one file per
+    value (the tiny-file fix co-partitioning exists for)."""
+
+    def _stage(self, spark, tmp_path, name, **kw):
+        t = DeltaTable(str(tmp_path / name))
+        os.makedirs(t.path, exist_ok=True)
+        df = spark.range(0, 10_000).selectExpr(
+            "id", "CAST(id % 2 AS STRING) AS p"
+        ).repartition(8)
+        adds = t._stage_files(
+            df, version=1, partition_by=["p"], mapping={},
+            schema_json=None, co_partition=True, **kw,
+        )
+        by_val = {}
+        for a in adds:
+            by_val.setdefault(a["partitionValues"]["p"], []).append(a)
+        return by_val
+
+    def test_default_one_file_per_value(self, spark, tmp_path):
+        by_val = self._stage(spark, tmp_path, "small")
+        assert {len(v) for v in by_val.values()} == {1}
+
+    def test_bytes_hint_fans_hot_values_out(self, spark, tmp_path):
+        by_val = self._stage(
+            spark, tmp_path, "hot",
+            co_partition_bytes=600 * 1024 * 1024,  # ceil -> 5 buckets
+        )
+        assert all(2 <= len(v) <= 5 for v in by_val.values()), {
+            k: len(v) for k, v in by_val.items()
+        }
+        # row integrity through the salted shuffle
+        total = sum(
+            json.loads(a["stats"])["numRecords"]
+            for v in by_val.values()
+            for a in v
+        )
+        assert total == 10_000
+
+
+class TestDistributedMaintenanceSanity:
+    """The spark= maintenance forms assume shared storage and must FAIL
+    LOUDLY when the executors' view diverges from the log — a silent
+    'vacuumed 0 files' or an opaque executor stack are both wrong."""
+
+    def test_vacuum_raises_on_missing_referenced_file(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 30).selectExpr(
+                "id", "CAST(id % 3 AS STRING) AS p"
+            ),
+            partition_by=["p"],
+        )
+        _m, adds = t._snapshot_state(None)
+        victim = sorted(a["path"] for a in adds)[0]
+        os.remove(os.path.join(t.path, victim))
+        with pytest.raises(ValueError, match="missing"):
+            t.vacuum(retention_ms=0, force=True, spark=spark)
+
+    def test_footer_probe_names_failing_paths(self, spark, tmp_path):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (  # noqa: E501
+            _distributed_footer_probe,
+        )
+
+        good = str(tmp_path / "good.parquet")
+        spark.range(0, 5).coalesce(1).write.parquet(str(tmp_path / "g"))
+        import shutil
+
+        part = [
+            n for n in os.listdir(str(tmp_path / "g"))
+            if n.endswith(".parquet")
+        ][0]
+        shutil.move(os.path.join(str(tmp_path / "g"), part), good)
+        with pytest.raises(ValueError) as ei:
+            _distributed_footer_probe(
+                spark,
+                [("ok", good), ("gone", str(tmp_path / "nope.parquet"))],
+            )
+        msg = str(ei.value)
+        assert "gone" in msg and "1 of 2" in msg
+        # all-failed adds the no-shared-filesystem hint
+        with pytest.raises(ValueError, match="shared"):
+            _distributed_footer_probe(
+                spark, [("gone", str(tmp_path / "nope.parquet"))]
+            )
+        # the happy path still returns stats keyed as given
+        out = _distributed_footer_probe(spark, [("ok", good)])
+        assert out["ok"]["stats"]["numRecords"] == 5
