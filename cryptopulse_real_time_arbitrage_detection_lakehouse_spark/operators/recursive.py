@@ -1,0 +1,114 @@
+"""Exact fixed-point recursive filters: `keyed_exact_macd`.
+
+EMA-family indicators (EMA / MACD / signal) are RECURSIVE —
+``y_t = α·x_t + (1-α)·y_{t-1}`` — which no window frame expresses and,
+unlike `operators.chunked_lag` / `operators.rolling`'s shapes, cannot be
+chunk-stitched either: the per-step floor rounding that makes the
+recursion exactly reproducible across engines also breaks the
+associativity a carry-composition scheme would need (an EMA carried
+across a chunk boundary as ``A·y_in + B`` is only exact in real
+arithmetic; with integer floor at every step the chunk boundary changes
+the rounding pattern). So this operator is honestly sequential PER KEY
+— and that is fine at any corpus scale, because its input is the 1-row-
+per-(key, minute) candle SUMMARY series: the per-key length is bounded
+by wall-clock minutes (a year is ~525 k rows), not by tick volume, and
+keys (symbols) are the parallel unit. 100 TB of ticks and 100 GB of
+ticks produce the same candle series.
+
+Exactness contract (what makes the DuckDB oracle hash-identical):
+every state variable is an INTEGER on the ``1 << 20`` price grid, and
+every step is ``floor((2·x + (n-1)·y) / (n+1))`` evaluated as a DOUBLE
+division + floor in SQL and as Python integer ``//`` here. Those agree
+exactly because all intermediates stay far below 2^53 (inputs are
+``q = floor(price · 2^20)``; with the 2^40 sign-shift the largest
+intermediate is ``2·m + 8·s ≈ 2^44``) and a non-divisible quotient's
+distance to the next integer is ≥ 1/(n+1) ≫ one double ulp (2^-12 at
+these magnitudes), so the double division can never round across the
+floor boundary. MACD can be negative, so its signal-EMA runs on
+``m_t = macd_t + SHIFT`` (SHIFT = 2^40): the recursion is exactly
+shift-equivariant under floor (``floor(v + C) = floor(v) + C`` for
+integer C), and the shift is subtracted once at the end.
+
+Reference parity note: the reference computes indicator series in its
+dashboard layer (`/root/reference/src/dashboard/app.py`); this engine
+treats them as first-class gold-layer queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: price quantization grid, shared with `plans.medallion._IND_SCALE`
+MACD_SCALE = 1 << 20
+#: sign-shift for the signal EMA over (possibly negative) MACD values
+MACD_SHIFT = 1 << 40
+
+FAST, SLOW, SIGNAL = 12, 26, 9
+
+
+def keyed_exact_macd(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    q_col: str,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exact fixed-point MACD(12, 26, 9) over the quantized
+    integer series ``q_col`` ordered by ``order_col``.
+
+    Returns the input keys + ``order_col`` + ``passthrough`` columns
+    plus INTEGER state columns ``e12``, ``e26``, ``macd_q`` (= e12-e26)
+    and ``sig_q`` (signal EMA, already un-shifted) — the caller divides
+    by `MACD_SCALE` exactly once per output column so both engines
+    round each final double from identical integer operands.
+
+    Seeding follows the standard convention: each EMA starts at the
+    series' first value (macd_0 = 0, signal_0 = 0).
+    """
+    passthrough = passthrough or []
+    out_fields = (
+        [df.schema[c] for c in key_cols]
+        + [df.schema[order_col]]
+        + [df.schema[c] for c in passthrough]
+        + [
+            T.StructField("e12", T.LongType()),
+            T.StructField("e26", T.LongType()),
+            T.StructField("macd_q", T.LongType()),
+            T.StructField("sig_q", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(out_fields)
+    cols = key_cols + [order_col] + passthrough + [q_col]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        qs = [int(v) for v in pdf[q_col]]
+        e12 = e26 = None
+        sig = MACD_SHIFT  # m_0 = macd_0 + SHIFT = SHIFT
+        o12, o26, omacd, osig = [], [], [], []
+        for q in qs:
+            if e12 is None:
+                e12, e26 = q, q
+            else:
+                e12 = (2 * q + (FAST - 1) * e12) // (FAST + 1)
+                e26 = (2 * q + (SLOW - 1) * e26) // (SLOW + 1)
+                m = (e12 - e26) + MACD_SHIFT
+                sig = (2 * m + (SIGNAL - 1) * sig) // (SIGNAL + 1)
+            o12.append(e12)
+            o26.append(e26)
+            omacd.append(e12 - e26)
+            osig.append(sig - MACD_SHIFT)
+        out = pdf[key_cols + [order_col] + passthrough].copy()
+        out["e12"] = pd.Series(o12, index=pdf.index, dtype="int64")
+        out["e26"] = pd.Series(o26, index=pdf.index, dtype="int64")
+        out["macd_q"] = pd.Series(omacd, index=pdf.index, dtype="int64")
+        out["sig_q"] = pd.Series(osig, index=pdf.index, dtype="int64")
+        return out
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(
+        kernel, out_schema
+    )

@@ -3980,3 +3980,63 @@ def delta_stats_recompute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rows_stable).cast("long").alias("rows_stable"),
         )
     )
+
+
+@register(
+    "delta_deep_clone_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(1 AS BIGINT) AS relative_adds,
+       CAST(1 AS BIGINT) AS survives_source_removal
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r} AND NOT (value < 30)
+GROUP BY event_type
+""",
+    doc="DEEP CLONE (delta-spark's CLONE ... deep): the base forks "
+    "shallow (absolute-path adds = the lineage a deep clone must cut), "
+    "a DV DELETE drops cheap events on the fork, then deep_clone_to("
+    "spark=) COPIES the referenced files under the clone root with the "
+    "copies fanned across executors and the commit kept driver-atomic, "
+    "re-packing every DV into one fresh sidecar. The audit then "
+    "DELETES THE ENTIRE SOURCE TREE and reads the clone: green means "
+    "full independence — relative adds only (streamable, vacuum-safe) "
+    "and zero references to source bytes. In-plan invariants raise on "
+    "any absolute add or out-of-root DV. At 100 TB the copy is the "
+    "honest price of independence, and it runs at executor fan-out, "
+    "not driver serial.",
+    tags=("delta", "clone", "deletion-vectors", "distributed"),
+)
+def delta_deep_clone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import urllib.parse as _up
+
+    fork = _forked_delta_table(spark, sf_dir, "deepclone")
+    fork.delete(spark, "value < 30")
+    deep = fork.deep_clone_to(
+        tempfile.mkdtemp(prefix="cpdeep_") + "/events_deep", spark=spark
+    )
+    _meta, adds = deep._snapshot_state(None)
+    bad = [
+        a["path"]
+        for a in adds
+        if _up.unquote(a["path"]).startswith(("/", "file:"))
+    ]
+    if bad:
+        raise ValueError(f"deep clone left absolute adds: {bad[:3]}")
+    for a in adds:
+        d = a.get("deletionVector")
+        if d and d.get("storageType") == "p":
+            raise ValueError(f"deep clone left out-of-root DV: {d}")
+    # cut the cord: the immediate source (and its DV sidecars) vanish
+    shutil.rmtree(fork.path)
+    return (
+        deep.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.lit(1).cast("long").alias("relative_adds"),
+            F.lit(1).cast("long").alias("survives_source_removal"),
+        )
+    )

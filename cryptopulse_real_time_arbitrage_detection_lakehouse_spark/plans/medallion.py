@@ -1621,3 +1621,227 @@ def candle_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_low").alias("price"),
     )
     return highs.unionByName(lows)
+
+
+@register(
+    "candle_macd",
+    oracle=f"""
+WITH RECURSIVE {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+ranked AS MATERIALIZED (
+  SELECT symbol, window_start, close,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start)
+           AS rn
+  FROM gold
+),
+rec(symbol, rn, e12, e26, sigs) AS (
+  SELECT symbol, rn, q, q, {1 << 40}::BIGINT
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.symbol, r.rn,
+         CAST(floor((2*r.q + 11*p.e12) / 13.0) AS BIGINT),
+         CAST(floor((2*r.q + 25*p.e26) / 27.0) AS BIGINT),
+         CAST(floor((2*(CAST(floor((2*r.q + 11*p.e12) / 13.0) AS BIGINT)
+                        - CAST(floor((2*r.q + 25*p.e26) / 27.0) AS BIGINT)
+                        + {1 << 40}) + 8*p.sigs) / 10.0) AS BIGINT)
+  FROM ranked r JOIN rec p ON p.symbol = r.symbol AND r.rn = p.rn + 1
+)
+SELECT k.window_start, k.symbol, k.close,
+       CAST(rec.e12 AS DOUBLE) / {float(_IND_SCALE)!r} AS ema12,
+       CAST(rec.e26 AS DOUBLE) / {float(_IND_SCALE)!r} AS ema26,
+       CAST(rec.e12 - rec.e26 AS DOUBLE) / {float(_IND_SCALE)!r} AS macd,
+       CAST(rec.sigs - {1 << 40} AS DOUBLE) / {float(_IND_SCALE)!r}
+         AS signal,
+       CAST((rec.e12 - rec.e26) - (rec.sigs - {1 << 40}) AS DOUBLE)
+         / {float(_IND_SCALE)!r} AS histogram
+FROM rec JOIN ranked k ON k.symbol = rec.symbol AND k.rn = rec.rn
+""",
+    doc="MACD(12, 26, 9) over the 1-minute close series — EMA-family "
+    "indicators are RECURSIVE (y_t = αx_t + (1-α)y_{t-1}), which no "
+    "window frame expresses and chunk-stitching cannot carry either "
+    "(per-step floor rounding breaks the associativity a carry scheme "
+    "needs — see `operators.recursive`). The whole recursion runs in "
+    "EXACT fixed-point: closes quantize to the 2^20 grid, each EMA "
+    "step is floor((2x + (n-1)y)/(n+1)) — Python integer // in the "
+    "Arrow kernel, floor(double division) in the oracle, provably "
+    "equal because every intermediate sits below 2^53 and a "
+    "non-divisible quotient is ≥ 1/(n+1) from the next integer while "
+    "the double ulp at these magnitudes is 2^-12 — and the signal EMA "
+    "runs on sign-shifted (+2^40) MACD values (floor is shift-"
+    "equivariant for integer shifts). Finals are single divisions of "
+    "identical integer operands. Scale: the per-key sequential scan "
+    "is inherent to the recursion but bounded by CALENDAR length "
+    "(1-minute summary rows), not corpus bytes; symbols are the "
+    "parallel unit.",
+    tags=("gold", "analytics", "indicator", "recursive", "arrow-kernel"),
+)
+def candle_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recursive import MACD_SCALE, keyed_exact_macd
+
+    gold = _gold_table(spark, sf_dir).select(
+        "window_start",
+        "symbol",
+        "close",
+        F.floor(F.col("close") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("q"),
+    )
+    state = keyed_exact_macd(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        q_col="q",
+        passthrough=["close"],
+    )
+    s = F.lit(float(MACD_SCALE))
+    return state.select(
+        "window_start",
+        "symbol",
+        "close",
+        (F.col("e12").cast("double") / s).alias("ema12"),
+        (F.col("e26").cast("double") / s).alias("ema26"),
+        (F.col("macd_q").cast("double") / s).alias("macd"),
+        (F.col("sig_q").cast("double") / s).alias("signal"),
+        ((F.col("macd_q") - F.col("sig_q")).cast("double") / s).alias(
+            "histogram"
+        ),
+    )
+
+
+#: MAD outlier gate: |q - median(q)| > MAD_K * MAD(q), on the 2^20 grid
+MAD_K = 5.0
+
+
+@register(
+    "tick_price_outliers_mad",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+q AS (
+  SELECT symbol, trade_id, price,
+         {sql_fmt_ts("trade_timestamp")} AS trade_time,
+         CAST(floor(price * {float(_IND_SCALE)!r}) AS BIGINT) AS qp
+  FROM ticks
+),
+med AS (
+  SELECT symbol, quantile_cont(qp, 0.5) AS med_q FROM q GROUP BY symbol
+),
+dev AS (
+  SELECT q.symbol, q.trade_id, q.price, q.trade_time,
+         abs(q.qp - m.med_q) AS adev, m.med_q
+  FROM q JOIN med m USING (symbol)
+),
+mad AS (
+  SELECT symbol, quantile_cont(adev, 0.5) AS mad_q FROM dev GROUP BY symbol
+)
+SELECT d.symbol, d.trade_id, d.price, d.trade_time,
+       CAST(d.adev / x.mad_q AS DOUBLE) AS mad_ratio
+FROM dev d JOIN mad x USING (symbol)
+WHERE x.mad_q > 0 AND d.adev > {MAD_K!r} * x.mad_q
+""",
+    doc=f"Robust per-symbol price-outlier detection: flag ticks whose "
+    f"absolute deviation from the symbol MEDIAN exceeds {MAD_K}x the "
+    "median absolute deviation — the fat-finger/bad-feed gate a real "
+    "ingest pipeline runs (mean/stddev z-scores are useless here: the "
+    "outliers being hunted inflate both). Float discipline: prices "
+    "quantize to the 2^20 grid FIRST, so both medians interpolate "
+    "between exact integers — every midpoint, difference, and 5x "
+    "threshold is exactly representable and engine-independent "
+    "regardless of each engine's interpolation formula; the one "
+    "rounded double per row is the final adev/MAD ratio. Scale: exact "
+    "per-group medians sort within symbol partitions (two passes); at "
+    "100 TB the drop-in is approx_percentile over the same quantized "
+    "grid — the flag threshold semantics survive because the grid, "
+    "not the estimator, defines the units.",
+    tags=("ticks", "analytics", "quality", "aggregate"),
+)
+def tick_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        "trade_id",
+        "price",
+        fmt_ts("trade_timestamp", "trade_time"),
+        F.floor(F.col("price").cast("double") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("qp"),
+    )
+    med = t.groupBy("symbol").agg(
+        F.percentile("qp", F.lit(0.5)).alias("med_q")
+    )
+    dev = t.join(F.broadcast(med), "symbol").select(
+        "symbol",
+        "trade_id",
+        "price",
+        "trade_time",
+        F.abs(F.col("qp") - F.col("med_q")).alias("adev"),
+    )
+    mad = dev.groupBy("symbol").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_q")
+    )
+    return (
+        dev.join(F.broadcast(mad), "symbol")
+        .filter(
+            (F.col("mad_q") > 0)
+            & (F.col("adev") > F.lit(MAD_K) * F.col("mad_q"))
+        )
+        .select(
+            "symbol",
+            "trade_id",
+            "price",
+            "trade_time",
+            (F.col("adev") / F.col("mad_q")).cast("double").alias("mad_ratio"),
+        )
+    )
+
+
+@register(
+    "tick_hourly_seasonality",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+hourly AS (
+  SELECT symbol, CAST(hour(trade_timestamp) AS BIGINT) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         CAST(sum(CAST(size AS BIGINT)) AS BIGINT) AS volume
+  FROM ticks GROUP BY 1, 2
+),
+tot AS (
+  SELECT symbol, CAST(sum(volume) AS BIGINT) AS total_volume FROM hourly
+  GROUP BY symbol
+)
+SELECT h.symbol, h.hour_of_day, h.n_trades, h.volume,
+       CAST(h.volume AS DOUBLE) / t.total_volume AS volume_share
+FROM hourly h JOIN tot t USING (symbol)
+""",
+    doc="Hour-of-day seasonality profile per symbol: trade count, "
+    "volume, and each hour's share of the symbol's total volume — the "
+    "intraday liquidity curve an execution scheduler samples (VWAP "
+    "slicing follows exactly this histogram). Sizes are integral by "
+    "construction (the tick mapping builds them from k+1), so both "
+    "volume sums aggregate exact BIGINTs and the share is one double "
+    "division of identical operands. Scale: a 24-bucket-per-symbol "
+    "map-side partial aggregate — output cardinality is symbols x 24 "
+    "regardless of corpus bytes, the cheapest query family there is.",
+    tags=("ticks", "analytics", "aggregate", "seasonality"),
+)
+def tick_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        F.hour("trade_timestamp").cast("long").alias("hour_of_day"),
+        F.col("size").cast("long").alias("isize"),
+    )
+    hourly = t.groupBy("symbol", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("isize").alias("volume"),
+    )
+    tot = hourly.groupBy("symbol").agg(
+        F.sum("volume").alias("total_volume")
+    )
+    return hourly.join(F.broadcast(tot), "symbol").select(
+        "symbol",
+        "hour_of_day",
+        "n_trades",
+        "volume",
+        (F.col("volume").cast("double") / F.col("total_volume")).alias(
+            "volume_share"
+        ),
+    )

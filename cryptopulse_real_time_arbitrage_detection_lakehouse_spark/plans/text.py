@@ -3398,3 +3398,211 @@ def doc_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(differ))
     )
+
+
+#: BM25 ranked retrieval: Okapi constants and the fixed benchmark query.
+#: k1/b are the textbook defaults; the terms are mid-df vocabulary words
+#: so idf spread is real. Both engines see the same double literals.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("spark", "join", "filter", "batch")
+BM25_TOP_K = 10
+#: idf quantization grid (1e9) and tf-norm grid (2^20): contributions
+#: become exact BIGINT products, so the per-doc sum is order-free.
+_BM25_IDF_SCALE = 1e9
+_BM25_TF_SCALE = 1 << 20
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS dl, unnest({SQL_TOKENS}) AS term
+  FROM documents
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({SQL_TOKENS})) AS BIGINT) AS sum_dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+  FROM tok
+  WHERE term IN ('spark', 'join', 'filter', 'batch')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfreq FROM tf
+  GROUP BY term
+),
+idf AS (
+  SELECT term,
+         CAST(round(ln(1.0 + (CAST(c.n_docs AS DOUBLE) - dfreq + 0.5)
+                             / (dfreq + 0.5)) * 1e9) AS BIGINT) AS idf_q
+  FROM dfreq, corpus c
+),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf_q
+         * CAST(floor(
+             (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75
+                 + 0.75 * tf.dl
+                   / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))
+             * 1048576.0) AS BIGINT) AS part_q
+  FROM tf JOIN idf USING (term), corpus c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS matched_terms,
+       CAST(sum(part_q) AS DOUBLE) / (1e9 * 1048576.0) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY sum(part_q) DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+""",
+    doc=f"BM25 ranked retrieval (Okapi k1={BM25_K1}, b={BM25_B}) for the "
+    f"fixed query {BM25_TERMS!r}: top-{BM25_TOP_K} documents by exact "
+    "integer score. The postings shape is the scale design: tokenize -> "
+    "explode -> filter to the QUERY'S terms at the scan (predicate on "
+    "the exploded term, so the shuffle carries only (doc_id, term, tf, "
+    "dl) for matching terms — never text), tiny (term, df) and 1-row "
+    "(N, Σdl) aggregates broadcast back. Float discipline: idf "
+    "quantizes ln() output to the 1e9 grid in-engine (verified: Spark "
+    "and DuckDB ln round identically across every possible df at this "
+    "N — both are <1 ulp from exact and the grid is 7 orders coarser), "
+    "tf-norm quantizes to 2^20 after structurally identical double "
+    "arithmetic, so each contribution is an exact BIGINT product and "
+    "the per-doc sum is ORDER-FREE (no pivot/fixed-order trick "
+    "needed). Ranking ties break on doc_id. At 100 TB: cost is "
+    "O(corpus tokens) scan + O(matching postings) shuffle; the same "
+    "plan serves any query by swapping the term literal list.",
+    tags=("text", "search", "ranking", "aggregate"),
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("dfreq") + F.lit(0.5))
+                / (F.col("dfreq") + F.lit(0.5))
+            )
+            * F.lit(_BM25_IDF_SCALE)
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.col("idf_q")
+                * F.floor(
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl)
+                    )
+                    * F.lit(float(_BM25_TF_SCALE))
+                ).cast("long")
+            ).alias("part_q"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("matched_terms"),
+        F.sum("part_q").alias("score_q"),
+    )
+    return (
+        scored.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "matched_terms",
+            (
+                F.col("score_q").cast("double")
+                / F.lit(_BM25_IDF_SCALE * _BM25_TF_SCALE)
+            ).alias("score"),
+        )
+    )
+
+
+@register(
+    "doc_vocab_coverage_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+curve AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+         CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+  FROM counts
+)
+SELECT rank, token, n, cum_n,
+       CAST(cum_n AS DOUBLE) / t.total AS coverage
+FROM curve, tot t
+""",
+    doc="Vocabulary coverage curve: rank every corpus token by "
+    "frequency and report the cumulative share of all token "
+    "occurrences the top-r vocabulary covers — the curve that answers "
+    "'how large must the tokenizer vocabulary be to cover 95% of "
+    "text', the first number a tokenizer design reads off a corpus. "
+    "Exact integer counts, deterministic (count DESC, token ASC) "
+    "ranking, one double division per row. Scale: the heavy stage is "
+    "a map-side-combined token count (shuffle = distinct vocab, not "
+    "corpus tokens); the ranking window is single-partition by NATURE "
+    "but runs over VOCABULARY rows — bounded by distinct words "
+    "(~millions at web scale), independent of corpus bytes, the same "
+    "bounded-output argument as the 24-row seasonality profile.",
+    tags=("text", "tokenizer", "window-function", "aggregate"),
+)
+def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    curve = counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n",
+        F.sum("n")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_n"),
+    )
+    return curve.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "token",
+        "n",
+        "cum_n",
+        (F.col("cum_n").cast("double") / F.col("total")).alias("coverage"),
+    )

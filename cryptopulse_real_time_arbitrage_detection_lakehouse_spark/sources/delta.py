@@ -5489,6 +5489,189 @@ class DeltaTable:
         target._publish_or_conflict(0, actions, "CLONE")
         return target
 
+    def deep_clone_to(
+        self,
+        target_path: str,
+        *,
+        version: int | None = None,
+        spark: SparkSession | None = None,
+    ) -> "DeltaTable":
+        """DEEP CLONE: copy this snapshot's data files (and deletion-
+        vector bitmaps) under ``target_path`` and publish a fresh log
+        referencing them by RELATIVE path — delta-spark's
+        ``CLONE ... (deep)``. Where `clone_to` (shallow) is the
+        zero-copy dev fork, the deep form buys full INDEPENDENCE: the
+        clone survives the source's VACUUM, is streamable (no
+        out-of-root files for `read_stream` to gate), and vacuums /
+        compacts on its own without ever touching source bytes — the
+        promote-to-production half of the clone story.
+
+        Layout: relative adds keep their relative path, so hive
+        partition layout (and the one-scan fast path) carries over
+        byte-for-byte; absolute adds (cloning a shallow clone = lineage
+        cut) land under fresh root-level names and that table reads
+        through the literal-injection union path — correctness is the
+        log's partitionValues either way. DV descriptors are re-packed
+        into ONE fresh sidecar for the whole clone commit (the packed
+        layout, never one file per DV); inline DVs copy verbatim.
+        Stats, baseRowId/defaultRowCommitVersion, protocol, and live
+        metadata domains (row-tracking high-water mark included) carry
+        over; the table id is fresh.
+
+        With ``spark``, the data-file copies fan out across executors
+        (one `mapInPandas` pass over (src, dst) pairs — the same
+        shared-storage contract as `vacuum(spark=)`/`fsck_repair`,
+        with the same per-file error reporting); the log publish stays
+        one driver-side atomic commit. DV re-packing is driver-side in
+        both forms: it moves compressed bitmaps, O(KB per file), not
+        data.
+        """
+        from . import dv as _dv
+
+        meta, adds, protocol, domains = self._snapshot_state_full(
+            version, with_domains=True
+        )
+        target = DeltaTable(target_path)
+        if target.latest_version() is not None:
+            raise ValueError(f"clone target already exists: {target_path}")
+        os.makedirs(target_path, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+
+        copies: list[tuple[str, str]] = []  # (src_abs, dst_rel)
+        new_adds: list[dict] = []
+        dv_jobs: list[tuple[int, bytes, int]] = []  # (add idx, blob, card)
+        for a in sorted(adds, key=lambda x: x["path"]):
+            rel = urllib.parse.unquote(a["path"])
+            if rel.startswith("/") or rel.startswith("file:"):
+                src_abs = rel[len("file:"):] if rel.startswith("file:") else rel
+                dst_rel = f"part-00000-{uuid.uuid4().hex}.parquet"
+            else:
+                src_abs = os.path.join(self.path, rel)
+                dst_rel = rel
+            copies.append((src_abs, dst_rel))
+            na = dict(a)
+            na["path"] = urllib.parse.quote(dst_rel, safe="/=")
+            na["modificationTime"] = now_ms
+            na["dataChange"] = True
+            d = a.get("deletionVector")
+            if d and d.get("storageType") in ("u", "p"):
+                na.pop("deletionVector")
+                dv_jobs.append(
+                    (
+                        len(new_adds),
+                        _dv.resolve_dv_blob(self.path, d),
+                        int(d.get("cardinality") or 0),
+                    )
+                )
+            new_adds.append(na)
+
+        if dv_jobs:
+            uid = uuid.uuid4()
+            sidecar_rel = _dv.dv_sidecar_name(uid)
+            fields = _dv.write_dv_file_packed(
+                os.path.join(target_path, sidecar_rel),
+                [blob for _i, blob, _c in dv_jobs],
+            )
+            for (idx, _blob, card), f in zip(dv_jobs, fields):
+                new_adds[idx]["deletionVector"] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": _dv.z85_encode(uid.bytes),
+                    "offset": f["offset"],
+                    "sizeInBytes": f["sizeInBytes"],
+                    "cardinality": card,
+                }
+
+        if spark is not None and copies:
+            def copy_kernel(batches):
+                import os as _os
+                import shutil as _shutil
+
+                import pandas as _pd
+
+                for pdf in batches:
+                    rows = []
+                    for src, dst in zip(pdf["src"], pdf["dst"]):
+                        try:
+                            _os.makedirs(
+                                _os.path.dirname(dst) or ".", exist_ok=True
+                            )
+                            _shutil.copyfile(src, dst)
+                            rows.append((dst, None))
+                        except Exception as exc:  # noqa: BLE001
+                            rows.append(
+                                (dst, f"{type(exc).__name__}: {exc}")
+                            )
+                    yield _pd.DataFrame(rows, columns=["dst", "err"])
+
+            pairs = [
+                (src, os.path.join(target_path, dst)) for src, dst in copies
+            ]
+            out = (
+                spark.createDataFrame(pairs, "src string, dst string")
+                .repartition(min(32, max(1, len(pairs) // 64 + 1)))
+                .mapInPandas(copy_kernel, "dst string, err string")
+                .collect()
+            )
+            failed = sorted(r["dst"] for r in out if r["err"])
+            if failed:
+                raise ValueError(
+                    f"deep clone copy failed for {len(failed)} of "
+                    f"{len(pairs)} file(s) (e.g. {failed[:3]}): if the "
+                    "sources exist on the driver, the executors do not "
+                    "share its filesystem — retry without spark="
+                )
+        else:
+            import shutil
+
+            for src, dst_rel in copies:
+                dst = os.path.join(target_path, dst_rel)
+                os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+                shutil.copyfile(src, dst)
+
+        new_meta = dict(meta)
+        new_meta["id"] = str(uuid.uuid4())
+        new_meta["createdTime"] = now_ms
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": self.path,
+                        "sourceVersion": str(
+                            version
+                            if version is not None
+                            else self.latest_version()
+                        ),
+                        "isShallow": "false",
+                    },
+                    "operationMetrics": {
+                        "sourceNumFiles": str(len(new_adds)),
+                        "numCopiedFiles": str(len(copies)),
+                    },
+                }
+            },
+            *(
+                [{"protocol": protocol}]
+                if protocol is not None
+                else [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}]
+            ),
+            {"metaData": new_meta},
+            *(
+                {
+                    "domainMetadata": {
+                        "domain": dm["domain"],
+                        "configuration": dm.get("configuration"),
+                        "removed": False,
+                    }
+                }
+                for dm in domains.values()
+            ),
+            *({"add": a} for a in new_adds),
+        ]
+        target._publish_or_conflict(0, actions, "CLONE")
+        return target
+
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """Upsert ``source`` by ``keys``: MERGE WHEN MATCHED UPDATE SET * /
         WHEN NOT MATCHED INSERT * (the delta-spark ``merge`` shape the

@@ -5602,3 +5602,121 @@ class TestDistributedMaintenanceSanity:
         # the happy path still returns stats keyed as given
         out = _distributed_footer_probe(spark, [("ok", good)])
         assert out["ok"]["stats"]["numRecords"] == 5
+
+
+class TestDeepClone:
+    """deep_clone_to: full independence — the clone survives source
+    VACUUM, is streamable, carries DVs/stats/domains, and evolves on
+    its own. Layout: relative adds keep their hive paths; cloning a
+    shallow clone (absolute adds) cuts lineage into root-level files."""
+
+    def _source(self, spark, path):
+        t = DeltaTable(path)
+        t.write(
+            spark.range(0, 60).selectExpr(
+                "id", "CAST(id % 3 AS STRING) AS p"
+            ),
+            partition_by=["p"],
+        )
+        t.delete(spark, "id % 5 = 0")  # DV on every partition's file
+        return t
+
+    def test_deep_clone_reads_and_survives_source_vacuum(
+        self, spark, tmp_path
+    ):
+        src = self._source(spark, str(tmp_path / "src"))
+        clone = src.deep_clone_to(str(tmp_path / "dst"))
+        want = {i for i in range(60) if i % 5 != 0}
+        assert {r.id for r in clone.read(spark).collect()} == want
+        # partition pruning still works on the cloned hive layout
+        assert clone.read(spark, where="p = '1'").count() == len(
+            [i for i in want if i % 3 == 1]
+        )
+        # source compact + vacuum deletes the shared-no-more originals
+        src.compact(spark, target_files=1)
+        src.vacuum(retention_ms=0, force=True)
+        assert {r.id for r in clone.read(spark).collect()} == want
+        # clone is STREAMABLE (shallow clones gate here)
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming.sinks import (  # noqa: E501
+            drain,
+        )
+
+        out = []
+        q = (
+            clone.read_stream(spark)
+            .writeStream.format("memory")
+            .queryName("deep_clone_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        got = spark.sql("SELECT count(*) AS n FROM deep_clone_stream")
+        assert got.collect()[0].n == len(want)
+
+    def test_deep_clone_of_shallow_clone_cuts_lineage(self, spark, tmp_path):
+        src = self._source(spark, str(tmp_path / "src"))
+        shallow = src.clone_to(str(tmp_path / "shallow"))
+        deep = shallow.deep_clone_to(str(tmp_path / "deep"))
+        want = {i for i in range(60) if i % 5 != 0}
+        # nuking BOTH ancestors leaves the deep clone intact
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "src"))
+        shutil.rmtree(str(tmp_path / "shallow"))
+        assert {r.id for r in deep.read(spark).collect()} == want
+        _m, adds = deep._snapshot_state(None)
+        assert all(not a["path"].startswith("/") for a in adds)
+
+    def test_deep_clone_distributed_matches_serial(self, spark, tmp_path):
+        src = self._source(spark, str(tmp_path / "src"))
+        c1 = src.deep_clone_to(str(tmp_path / "d1"))
+        c2 = src.deep_clone_to(str(tmp_path / "d2"), spark=spark)
+        rows1 = {(r.id, r.p) for r in c1.read(spark).collect()}
+        rows2 = {(r.id, r.p) for r in c2.read(spark).collect()}
+        assert rows1 == rows2 and len(rows1) == 48
+
+    def test_deep_clone_repacks_sidecar_dvs(self, spark, tmp_path):
+        # big enough bitmaps to force 'u' sidecars (tiny ones inline)
+        src = DeltaTable(str(tmp_path / "src"))
+        src.write(
+            spark.range(0, 4000)
+            .selectExpr("id", "id * 2 AS v")
+            .repartition(8)
+        )
+        src.delete(spark, "id % 10 = 0")
+        _m, adds = src._snapshot_state(None)
+        assert any(
+            (a.get("deletionVector") or {}).get("storageType") == "u"
+            for a in adds
+        ), "precondition: source should carry sidecar DVs"
+        clone = src.deep_clone_to(str(tmp_path / "dst"), spark=spark)
+        # ONE packed sidecar for the whole clone commit, inside the root
+        sidecars = [
+            f
+            for f in os.listdir(str(tmp_path / "dst"))
+            if f.startswith("deletion_vector_")
+        ]
+        assert len(sidecars) == 1, sidecars
+        want = {i for i in range(4000) if i % 10 != 0}
+        # nuke the source: the clone's DVs must not reference it
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "src"))
+        assert {r.id for r in clone.read(spark).collect()} == want
+
+    def test_deep_clone_carries_domains_and_evolves_independently(
+        self, spark, tmp_path
+    ):
+        src = DeltaTable(str(tmp_path / "src"))
+        src.write(spark.range(0, 10).selectExpr("id", "id AS v"))
+        src.set_domain_metadata("com.example.app", '{"x":"1"}')
+        clone = src.deep_clone_to(str(tmp_path / "dst"))
+        *_rest, domains = clone._snapshot_state_full(None, with_domains=True)
+        assert "com.example.app" in domains
+        # independent histories: writes to one never touch the other
+        clone.write(spark.range(10, 20).selectExpr("id", "id AS v"))
+        assert src.read(spark).count() == 10
+        assert clone.read(spark).count() == 20
+        meta_src, _ = src._snapshot_state(None)
+        meta_dst, _ = clone._snapshot_state(None)
+        assert meta_src["id"] != meta_dst["id"]

@@ -205,3 +205,63 @@ class TestChunkedLocf:
         got = {r.pos: r.c for r in self._chunked(df).collect()}
         assert all(got[p] is None for p in range(25))
         assert all(got[p] == p for p in range(25, 30))
+
+
+class TestKeyedExactMacd:
+    """operators.recursive.keyed_exact_macd: exact fixed-point EMA
+    recursion — kernel output must equal a brute-force Python model,
+    be independent of input row order, and respect the sign-shift
+    equivariance the oracle relies on."""
+
+    def _model(self, qs):
+        e12 = e26 = None
+        SHIFT = 1 << 40
+        sig = SHIFT
+        out = []
+        for q in qs:
+            if e12 is None:
+                e12, e26 = q, q
+            else:
+                e12 = (2 * q + 11 * e12) // 13
+                e26 = (2 * q + 25 * e26) // 27
+                sig = (2 * ((e12 - e26) + SHIFT) + 8 * sig) // 10
+            out.append((e12, e26, e12 - e26, sig - SHIFT))
+        return out
+
+    def test_matches_model_and_order_independent(self, spark):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.recursive import (  # noqa: E501
+            keyed_exact_macd,
+        )
+
+        import random
+
+        rnd = random.Random(7)
+        rows = []
+        series = {}
+        for sym in ("A", "B"):
+            qs = [rnd.randrange(0, 1 << 30) for _ in range(200)]
+            series[sym] = qs
+            rows += [
+                (sym, f"t{idx:04d}", q) for idx, q in enumerate(qs)
+            ]
+        rnd.shuffle(rows)  # kernel must sort per key itself
+        df = spark.createDataFrame(rows, "symbol string, ts string, q long")
+        got = keyed_exact_macd(
+            df.repartition(7),
+            key_cols=["symbol"],
+            order_col="ts",
+            q_col="q",
+        )
+        by_sym = {}
+        for r in got.collect():
+            by_sym.setdefault(r["symbol"], []).append(
+                (r["ts"], r["e12"], r["e26"], r["macd_q"], r["sig_q"])
+            )
+        for sym, qs in series.items():
+            want = self._model(qs)
+            rows_sorted = sorted(by_sym[sym])
+            assert [(t[1], t[2], t[3], t[4]) for t in rows_sorted] == want
+            # negative MACD values occur and survive the sign shift
+        assert any(
+            t[3] < 0 for ts in by_sym.values() for t in ts
+        ), "test series never produced a negative MACD"
