@@ -1845,3 +1845,118 @@ def tick_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_share"
         ),
     )
+
+
+@register(
+    "candle_trend_ols",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+xy AS (
+  SELECT symbol,
+         CAST(row_number() OVER (PARTITION BY symbol ORDER BY window_start)
+              AS BIGINT) AS x,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS y
+  FROM gold
+),
+sums AS (
+  SELECT symbol,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM xy GROUP BY symbol
+),
+pieces AS (
+  SELECT symbol, n,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den_x,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS den_y,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n_d
+  FROM sums
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_candles,
+       num / den_x / {float(_IND_SCALE)!r} AS slope,
+       (sy_d - (num / den_x) * sx_d) / n_d / {float(_IND_SCALE)!r}
+         AS intercept,
+       CASE WHEN den_y = 0 THEN NULL
+            ELSE (num * num) / (den_x * den_y) END AS r2
+FROM pieces
+WHERE den_x > 0
+""",
+    doc="Per-symbol OLS price trend over the 1-minute close series: "
+    "slope (grid units/minute, reported in price units), intercept, "
+    "and r² — computed from the FIVE classic sufficient statistics "
+    "(Σx, Σy, Σxy, Σx², Σy²) in ONE aggregate pass, the way any "
+    "distributed regression must be (never per-point residual "
+    "passes). Exactness: x = minute rank, y = 2^20-grid close, all "
+    "five sums and the normal-equation numerators/denominators are "
+    "EXACT 128-bit integers (DECIMAL(38,0) / HUGEINT — xy terms reach "
+    "2^81 at a year of minutes, far past int64), converted once "
+    "through the VARCHAR-mediated cast (DuckDB's direct "
+    "decimal→double is double-rounded) and finished with identical "
+    "IEEE divisions. Degenerate groups (n<2) drop via den_x > 0; "
+    "constant-price groups yield NULL r² in both engines by the same "
+    "CASE. Scale: map-side partial aggregation; output is one row "
+    "per symbol.",
+    tags=("gold", "analytics", "regression", "aggregate"),
+)
+def candle_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as WW
+
+    g = _gold_table(spark, sf_dir).select("window_start", "symbol", "close")
+    w = WW.partitionBy("symbol").orderBy("window_start")
+    xy = g.select(
+        "symbol",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.floor(F.col("close") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    sums = xy.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        # cast BEFORE multiplying: q^2 reaches 2^73 at BTC-scale prices,
+        # past int64 — the product must happen in 128-bit on both sides
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    pieces = sums.select(
+        "symbol",
+        F.col("n").cast("long").alias("n_candles"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("den_x"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("den_y"),
+        F.col("sx").cast("double").alias("sx_d"),
+        F.col("sy").cast("double").alias("sy_d"),
+        F.col("n").cast("double").alias("n_d"),
+    )
+    s = F.lit(float(_IND_SCALE))
+    return pieces.filter(F.col("den_x") > 0).select(
+        "symbol",
+        "n_candles",
+        (F.col("num") / F.col("den_x") / s).alias("slope"),
+        (
+            (F.col("sy_d") - (F.col("num") / F.col("den_x")) * F.col("sx_d"))
+            / F.col("n_d")
+            / s
+        ).alias("intercept"),
+        F.when(F.col("den_y") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("num") * F.col("num")) / (F.col("den_x") * F.col("den_y"))
+        )
+        .alias("r2"),
+    )

@@ -3606,3 +3606,105 @@ def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_n",
         (F.col("cum_n").cast("double") / F.col("total")).alias("coverage"),
     )
+
+
+@register(
+    "doc_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                            AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS y
+  FROM counts
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM xy
+),
+pieces AS (
+  SELECT CAST(n AS BIGINT) AS vocab_size,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den_x,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS den_y
+  FROM sums
+)
+SELECT vocab_size,
+       num / den_x AS zipf_slope,
+       CASE WHEN den_y = 0 THEN NULL
+            ELSE (num * num) / (den_x * den_y) END AS r2
+FROM pieces
+""",
+    doc="Zipf power-law fit over the corpus rank-frequency curve: OLS "
+    "slope of ln(freq) vs ln(rank) plus r² — the one-number corpus "
+    "health check (natural text sits near slope -1; template spam and "
+    "truncated crawls bend it). Shares the sufficient-statistics OLS "
+    "shape with candle_trend_ols, but both regression coordinates are "
+    "ln() outputs — so each quantizes to the 1e9 grid IN-ENGINE "
+    "(same verified ln-rounding-parity argument as BM25's idf) and "
+    "the five sums run in exact 128-bit integers; the slope is one "
+    "IEEE division of VARCHAR-mediated doubles. Scale: token count "
+    "shuffles distinct vocab only; the regression input is vocabulary-"
+    "sized and the output is ONE row.",
+    tags=("text", "corpus-stats", "regression", "aggregate"),
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    xy = counts.select(
+        F.round(
+            F.log(F.row_number().over(w).cast("double")) * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1e9))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    pieces = sums.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("den_x"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("den_y"),
+    )
+    return pieces.select(
+        "vocab_size",
+        (F.col("num") / F.col("den_x")).alias("zipf_slope"),
+        F.when(F.col("den_y") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("num") * F.col("num")) / (F.col("den_x") * F.col("den_y"))
+        )
+        .alias("r2"),
+    )

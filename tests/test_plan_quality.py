@@ -628,3 +628,45 @@ def test_bloom_index_probe_broadcasts_stored_bits(spark):
     p = plan_of(spark, "doc_bloom_index_probe")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_macd_kernel_is_one_group_exchange(spark):
+    """candle_macd: the recursion reads the MATERIALIZED candle table,
+    groups once by symbol into the Arrow kernel — no extra shuffles,
+    no JVM window stage (the recursion is the kernel's job)."""
+    p = plan_of(spark, "candle_macd")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange") == 1
+    assert "Window" not in p
+
+
+def test_bm25_postings_stay_hash_joined_and_pruned(spark):
+    """doc_bm25_search: the postings join against the tiny idf table
+    must be a broadcast hash join (never sort-merge on exploded
+    tokens), and the documents scan must prune to (doc_id, text)."""
+    p = plan_of(spark, "doc_bm25_search")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
+
+
+def test_trend_ols_partial_aggregates(spark):
+    """candle_trend_ols: the five sufficient statistics must combine
+    map-side (partial aggregation) — a regression that shipped raw
+    (x, y) points through the shuffle would defeat the one-pass
+    design."""
+    p = plan_of(spark, "candle_trend_ols")
+    assert "partial" in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_seasonality_is_two_bounded_aggregates(spark):
+    """tick_hourly_seasonality: hour buckets partial-aggregate map-side
+    and the per-symbol totals come back via broadcast join."""
+    p = plan_of(spark, "tick_hourly_seasonality")
+    assert "partial" in p.lower()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
