@@ -836,3 +836,134 @@ def event_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median_within_5pct_range"
         ),
     )
+
+
+@register(
+    "user_event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs
+  GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n AS DOUBLE) / t.n_from AS p_transition
+FROM pairs p JOIN tot t USING (from_type)
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next = b | current = a) with exact pair counts — "
+    "the product-analytics primitive behind 'what do users do after "
+    "signup'. Sequences order by (ts, event_id) so duplicate "
+    "timestamps cannot make lead() nondeterministic. One double "
+    "division per cell from exact BIGINT operands. Scale: the lead() "
+    "window partitions by user (millions of small partitions — the "
+    "shape Spark's window operator is built for); the matrix itself "
+    "is |event_types|^2 regardless of corpus size.",
+    tags=("events", "analytics", "window-function", "markov"),
+)
+def user_event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as WW
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = WW.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
+    )
+
+
+#: spike gate: minute count vs trailing window mean on the exact grid
+SPIKE_WINDOW_MIN, SPIKE_FACTOR = 60, 3
+
+
+@register(
+    "event_rate_spikes",
+    oracle=f"""
+WITH minutes AS (
+  SELECT date_trunc('minute', ts) AS m, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+roll AS (
+  SELECT m, n,
+         CAST(sum(n) OVER w AS BIGINT) AS win_sum,
+         CAST(count(*) OVER w AS BIGINT) AS win_n
+  FROM minutes
+  WINDOW w AS (ORDER BY m
+               ROWS BETWEEN {SPIKE_WINDOW_MIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(m, '%Y-%m-%d %H:%M:%S') AS minute_start, n,
+       win_sum, win_n,
+       CAST(n * win_n AS DOUBLE) / win_sum AS spike_ratio
+FROM roll
+WHERE win_n = {SPIKE_WINDOW_MIN}
+  AND n * win_n > {SPIKE_FACTOR} * win_sum
+""",
+    doc=f"Ingest-rate spike detector: flag minutes whose event count "
+    f"exceeds {SPIKE_FACTOR}x the trailing {SPIKE_WINDOW_MIN}-minute "
+    "mean — the observability alarm a feed-health monitor runs. The "
+    "comparison is cross-multiplied (n·win_n > k·win_sum) so the gate "
+    "is EXACT integer arithmetic — no division participates in the "
+    "predicate, and the reported ratio is the only rounded double. "
+    "Partial leading windows are excluded (win_n pinned), so a "
+    "mid-stream deployment cannot false-alarm on short history. "
+    "Scale: per-minute pre-aggregation first (map-side combine to a "
+    "calendar-bounded series), then the trailing window runs over "
+    "minutes — `operators.rolling.chunked_rolling` is the drop-in "
+    "when the minute series itself outgrows one partition.",
+    tags=("events", "observability", "window-function", "rolling"),
+)
+def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as WW
+
+    minutes = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        WW.orderBy("m")
+        .rowsBetween(-SPIKE_WINDOW_MIN, -1)
+    )
+    roll = minutes.select(
+        "m",
+        "n",
+        F.sum("n").over(w).alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+    return roll.filter(
+        (F.col("win_n") == SPIKE_WINDOW_MIN)
+        & (F.col("n") * F.col("win_n") > SPIKE_FACTOR * F.col("win_sum"))
+    ).select(
+        fmt_ts("m", "minute_start"),
+        "n",
+        "win_sum",
+        "win_n",
+        ((F.col("n") * F.col("win_n")).cast("double") / F.col("win_sum")).alias(
+            "spike_ratio"
+        ),
+    )

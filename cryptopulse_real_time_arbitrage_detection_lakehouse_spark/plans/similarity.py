@@ -2244,3 +2244,122 @@ def emb_int8_quantization_recall_audit(
         ),
     )
     return top.crossJoin(F.broadcast(summary))
+
+
+def _bin_pack_sql(col: str, lo: int, *, accessor: str = "element_at({c}, {i})") -> str:
+    """SQL that packs 32 sign bits (dims lo+1..lo+32 of ``col``, 1-based
+    element access in both engines) into one BIGINT word — the
+    production binary-quantization layout: 64 dims -> two words ->
+    hamming = popcount(xor) per word. One generated string, not 32
+    Column ops (py4j plan-construction cost). ``accessor`` renders the
+    element access (Spark `element_at`, DuckDB subscript)."""
+    return " + ".join(
+        f"(CASE WHEN {accessor.format(c=col, i=lo + i + 1)} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+
+
+_BIN_ORACLE = f"""
+WITH words AS (
+  SELECT vec_id,
+         {_bin_pack_sql('embedding', 0, accessor='{c}[{i}]')} AS w1,
+         {_bin_pack_sql('embedding', 32, accessor='{c}[{i}]')} AS w2
+  FROM embeddings
+),
+qw AS (SELECT w1 AS qw1, w2 AS qw2 FROM words WHERE vec_id = {QUERY_VEC_ID}),
+ham AS (
+  SELECT w.vec_id,
+         CAST(bit_count(xor(w.w1, q.qw1))
+              + bit_count(xor(w.w2, q.qw2)) AS BIGINT) AS hamming
+  FROM words w, qw q
+  WHERE w.vec_id <> {QUERY_VEC_ID}
+),
+{_SQL_EXACT_COSINES.lstrip()},
+top AS (
+  SELECT h.vec_id, h.hamming, cosines.cosine AS cos_full
+  FROM ham h JOIN cosines USING (vec_id)
+  ORDER BY h.hamming ASC, h.vec_id LIMIT {TOP_K}
+),
+tfull AS (
+  SELECT vec_id FROM cosines ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+flagged AS (
+  SELECT t.vec_id, t.hamming, t.cos_full,
+         CAST(CASE WHEN t.vec_id IN (SELECT vec_id FROM tfull)
+              THEN 1 ELSE 0 END AS BIGINT) AS in_full_topk
+  FROM top t
+)
+SELECT vec_id, hamming, cos_full, in_full_topk,
+       (SELECT SUM(in_full_topk) FROM flagged)
+         / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+FROM flagged
+"""
+
+
+@register(
+    "emb_binary_quantization_recall_audit",
+    oracle=_BIN_ORACLE,
+    doc="Binary (1-bit) quantization audit — the 32x memory cut past "
+    "SQ8 (X220): each dimension collapses to its sign bit, 64 dims "
+    "pack into TWO int64 words, and candidate ranking is "
+    "popcount(xor) hamming — the bit-parallel layout production "
+    "binary indexes (and every 'binary embeddings' API) actually "
+    "store and scan. The packing runs as one generated SQL expression "
+    "per word (32 CASEs, not 32 Column ops — py4j plan cost), and "
+    "every score is an exact integer, so ranking parity is "
+    "structural; ties break on vec_id. The audit retrieves top-k by "
+    "hamming, reports each hit's full-precision cosine and recall@k "
+    "vs the exact top-k — the go/no-go before committing a binary "
+    "index. Scale: one scan, two BIGINTs per vector shuffle-free, "
+    "TakeOrderedAndProject top-k; recall rides the broadcast "
+    "1-row-aggregate pattern.",
+    tags=("similarity", "ann", "quantization", "evaluation", "topk"),
+)
+def emb_binary_quantization_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    qvec = _query_vector(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qw1 = sum(1 << i for i in range(32) if float(qvec[i]) > 0)
+    qw2 = sum(1 << i for i in range(32) if float(qvec[32 + i]) > 0)
+
+    words = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id",
+        F.expr(_bin_pack_sql("embedding", 0)).cast("long").alias("w1"),
+        F.expr(_bin_pack_sql("embedding", 32)).cast("long").alias("w2"),
+        _cosine_vs_query(qvec).alias("cos_full"),
+    )
+    scored = shared(
+        words.select(
+            "vec_id",
+            (
+                F.expr(f"bit_count(w1 ^ {qw1}L) + bit_count(w2 ^ {qw2}L)")
+            )
+            .cast("long")
+            .alias("hamming"),
+            "cos_full",
+        )
+    )
+    full_ids = [
+        r.vec_id
+        for r in scored.orderBy(F.desc("cos_full"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    ]
+    top = (
+        scored.orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            "hamming",
+            "cos_full",
+            F.col("vec_id").isin(full_ids).cast("long").alias(
+                "in_full_topk"
+            ),
+        )
+    )
+    summary = top.agg(
+        (F.sum("in_full_topk") / F.lit(float(TOP_K))).alias("recall_at_k")
+    )
+    return top.crossJoin(F.broadcast(summary))

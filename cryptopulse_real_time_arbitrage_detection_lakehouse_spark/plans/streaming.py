@@ -774,3 +774,71 @@ def streaming_expectations_quarantine(
     return cur.unionByName(quar).withColumn(
         "exactly_once", F.lit(exactly_once).cast("long")
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+GROUP BY 1, 2
+""",
+    doc="STREAM-STATIC enrichment join, physically executed: the event "
+    "stream joins each micro-batch against the static customer "
+    "dimension (market segment lookup) and lands enriched rows in a "
+    "parquet sink via trigger(availableNow=True); the final aggregate "
+    "reads the sink. This is the canonical dimension-enrichment shape "
+    "of every bronze->silver pipeline: the static side is planned "
+    "ONCE, broadcast to each micro-batch, requires NO watermark and "
+    "NO state store (nothing buffers — unlike stream-stream joins), "
+    "and the stream side never shuffles for the join. At 100 TB/day "
+    "the dimension stays broadcast-sized by definition (dimensions "
+    "grow like entities, not like events); a fact-sized 'dimension' "
+    "is a stream-stream join and belongs to the other operator. "
+    "Oracle = the identical batch join.",
+    tags=("streaming", "join", "enrichment", "broadcast"),
+)
+def streaming_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_cust = customer.count()
+    root = tempfile.mkdtemp(prefix="cpenrich_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "enriched")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema)
+    enriched = stream.withColumn(
+        "cust_key", F.col("user_id") % F.lit(n_cust) + 1
+    ).join(
+        F.broadcast(customer),
+        F.col("cust_key") == F.col("c_custkey"),
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                enriched,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="static_enrichment",
+            )
+        )
+    emitted = spark.read.schema(enriched.schema).parquet(out_path)
+    return emitted.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

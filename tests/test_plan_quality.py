@@ -670,3 +670,31 @@ def test_seasonality_is_two_bounded_aggregates(spark):
     assert "partial" in p.lower()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_transition_matrix_single_window_shuffle(spark):
+    """user_event_transition_matrix: one user-partitioned window pass,
+    then bounded aggregates; the totals come back broadcast."""
+    p = plan_of(spark, "user_event_transition_matrix")
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rate_spikes_preaggregate_before_window(spark):
+    """event_rate_spikes: events must collapse to per-minute counts
+    (partial agg) BEFORE the trailing window — the window input is
+    calendar-bounded, never raw events."""
+    p = plan_of(spark, "event_rate_spikes")
+    assert "partial" in p.lower()
+    assert "Window" in p
+
+
+def test_binary_quant_is_scan_local(spark):
+    """emb_binary_quantization_recall_audit: packing + hamming are
+    row-local over one scan; the only join is the broadcast 1-row
+    summary (no shuffle join, no cartesian)."""
+    p = plan_of(spark, "emb_binary_quantization_recall_audit")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
