@@ -870,6 +870,9 @@ class TestLifecyclePropertyWithIngestAndStats:
                 st.tuples(
                     st.just("recompute"), st.integers(0, 6), st.integers(0, 1)
                 ),
+                st.tuples(
+                    st.just("clone"), st.integers(0, 1), st.integers(0, 1)
+                ),
             ),
             min_size=2,
             max_size=6,
@@ -972,6 +975,40 @@ class TestLifecyclePropertyWithIngestAndStats:
                     res2 = t.copy_into(spark, list(landed))
                     assert res2["ingested_files"] == 0
                     assert t.latest_version() == v_before
+                elif op == "clone":
+                    # DEEP CLONE mid-program: the clone must equal the
+                    # model AT THIS POINT (mapping + DVs + ledger state
+                    # all carried), and evolving it must never touch
+                    # the source — full-independence invariant
+                    cpath = str(tmp_path / f"c-{_uuid.uuid4().hex}")
+                    c = t.deep_clone_to(
+                        cpath, spark=spark if b else None
+                    )
+                    got_c = (
+                        c.read(spark)
+                        .orderBy("ident")
+                        .toPandas()
+                        .reset_index(drop=True)
+                    )
+                    want_c = (
+                        model.sort_values("ident")
+                        .reset_index(drop=True)
+                        .astype(
+                            {"ident": "int64", "grp": "int64", "v": "int64"}
+                        )
+                    )
+                    pd.testing.assert_frame_equal(
+                        got_c[["ident", "grp", "v"]], want_c
+                    )
+                    src_v = t.latest_version()
+                    extra = mk_rows(2)
+                    c.write(
+                        spark.createDataFrame(
+                            extra, "ident long, grp long, v long"
+                        )
+                    )
+                    assert t.latest_version() == src_v
+                    assert c.read(spark).count() == len(model) + 2
                 elif op == "recompute":
                     v_before = t.latest_version()
                     res = t.recompute_stats(
