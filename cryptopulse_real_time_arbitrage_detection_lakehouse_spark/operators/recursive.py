@@ -112,3 +112,82 @@ def keyed_exact_macd(
     return df.select(*cols).groupBy(*key_cols).applyInPandas(
         kernel, out_schema
     )
+
+
+def keyed_exact_heikin_ashi(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    q_open: str,
+    q_high: str,
+    q_low: str,
+    q_close: str,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exact fixed-point Heikin-Ashi candles over quantized
+    integer OHLC columns ordered by ``order_col``.
+
+    The smoothing recursion is ``ha_open_t = (ha_open_{t-1} +
+    ha_close_{t-1}) / 2`` (seeded ``(o_0 + c_0) / 2``) — one carried
+    integer, same exactness contract as `keyed_exact_macd`: halving is
+    floor division of positive ints, equal to the oracle's
+    floor(double/2) below 2^53. ``ha_close = floor((o+h+l+c)/4)`` is
+    row-local; ha_high/ha_low are integer max/min — so only ha_open
+    forces the sequential scan, and the per-key length is calendar-
+    bounded summary rows.
+
+    Returns keys + order + passthrough + integer columns ``ha_open_q
+    ha_close_q ha_high_q ha_low_q``; the caller divides by the grid
+    once per output.
+    """
+    passthrough = passthrough or []
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [df.schema[order_col]]
+        + [df.schema[c] for c in passthrough]
+        + [
+            T.StructField("ha_open_q", T.LongType()),
+            T.StructField("ha_close_q", T.LongType()),
+            T.StructField("ha_high_q", T.LongType()),
+            T.StructField("ha_low_q", T.LongType()),
+        ]
+    )
+    cols = key_cols + [order_col] + passthrough + [
+        q_open, q_high, q_low, q_close,
+    ]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        qo = [int(v) for v in pdf[q_open]]
+        qh = [int(v) for v in pdf[q_high]]
+        ql = [int(v) for v in pdf[q_low]]
+        qc = [int(v) for v in pdf[q_close]]
+        ho_prev = hc_prev = None
+        o_out, c_out, h_out, l_out = [], [], [], []
+        for o, h, lo, c in zip(qo, qh, ql, qc):
+            hc = (o + h + lo + c) // 4
+            ho = (
+                (o + c) // 2
+                if ho_prev is None
+                else (ho_prev + hc_prev) // 2
+            )
+            hh = max(h, ho, hc)
+            hl = min(lo, ho, hc)
+            o_out.append(ho)
+            c_out.append(hc)
+            h_out.append(hh)
+            l_out.append(hl)
+            ho_prev, hc_prev = ho, hc
+        out = pdf[key_cols + [order_col] + passthrough].copy()
+        out["ha_open_q"] = pd.Series(o_out, index=pdf.index, dtype="int64")
+        out["ha_close_q"] = pd.Series(c_out, index=pdf.index, dtype="int64")
+        out["ha_high_q"] = pd.Series(h_out, index=pdf.index, dtype="int64")
+        out["ha_low_q"] = pd.Series(l_out, index=pdf.index, dtype="int64")
+        return out
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(
+        kernel, out_schema
+    )

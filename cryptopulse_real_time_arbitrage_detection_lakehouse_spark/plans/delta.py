@@ -4040,3 +4040,71 @@ def delta_deep_clone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("long").alias("survives_source_removal"),
         )
     )
+
+
+@register(
+    "delta_generate_manifest_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n,
+       CAST(1 AS BIGINT) AS manifest_read_matches
+FROM events
+WHERE event_type IN {_BATCH_TYPES!r}
+GROUP BY event_type
+""",
+    doc="GENERATE symlink_format_manifest (delta-spark's Presto/Trino/"
+    "Athena integration verb): the table lands in Delta PARTITIONED by "
+    "event_type, generate_manifest() writes one atomic manifest text "
+    "file per partition directory listing the snapshot's active files "
+    "as absolute file: URIs — and the audit then plays the FOREIGN "
+    "ENGINE: it reads the manifests as plain text, loads exactly those "
+    "parquet files with a vanilla parquet reader (no Delta log "
+    "involved), and compares per-type counts against the Delta "
+    "snapshot read. A stale-manifest bug (files from a superseded "
+    "compaction, a missing partition) breaks the equality. DV'd and "
+    "column-mapped tables are refused exactly like delta-spark — a "
+    "symlink reader would resurrect deleted rows or see physical "
+    "column names.",
+    tags=("delta", "interop", "manifest", "partitioned"),
+)
+def delta_generate_manifest_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    table = DeltaTable(tempfile.mkdtemp(prefix="cpmanif_") + "/t")
+    table.write(
+        events.filter(F.col("event_type").isin(*_BATCH_TYPES)).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        partition_by=["event_type"],
+    )
+    # compaction supersedes files: the manifest must list ONLY the live set
+    table.compact(spark, target_files=1)
+    manifests = table.generate_manifest()
+    assert manifests, "no manifests written"
+    uris: list[str] = []
+    for rel in manifests:
+        with open(os.path.join(table.path, rel)) as f:
+            uris += [ln[len("file:"):] for ln in f.read().splitlines() if ln]
+    # vanilla parquet reader, no Delta log; basePath derives the hive
+    # partition columns from the directory names, the way an external
+    # engine's metastore partition registration would
+    foreign = spark.read.option("basePath", table.path).parquet(*uris)
+    # partition values live in the hive dirs, parsed by the plain reader
+    via_manifest = foreign.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    via_delta = (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_delta"))
+    )
+    return (
+        via_manifest.join(via_delta, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("n") == F.col("n_delta")).cast("long").alias(
+                "manifest_read_matches"
+            ),
+        )
+    )

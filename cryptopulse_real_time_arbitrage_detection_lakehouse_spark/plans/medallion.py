@@ -1960,3 +1960,166 @@ def candle_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+@register(
+    "candle_heikin_ashi",
+    oracle=f"""
+WITH RECURSIVE {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+ranked AS MATERIALIZED (
+  SELECT symbol, window_start,
+         CAST(floor(open * {float(_IND_SCALE)!r}) AS BIGINT) AS qo,
+         CAST(floor(high * {float(_IND_SCALE)!r}) AS BIGINT) AS qh,
+         CAST(floor(low * {float(_IND_SCALE)!r}) AS BIGINT) AS ql,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS qc,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start)
+           AS rn
+  FROM gold
+),
+rec(symbol, rn, ho, hc) AS (
+  SELECT symbol, rn,
+         CAST(floor((qo + qc) / 2.0) AS BIGINT),
+         CAST(floor((qo + qh + ql + qc) / 4.0) AS BIGINT)
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.symbol, r.rn,
+         CAST(floor((p.ho + p.hc) / 2.0) AS BIGINT),
+         CAST(floor((r.qo + r.qh + r.ql + r.qc) / 4.0) AS BIGINT)
+  FROM ranked r JOIN rec p ON p.symbol = r.symbol AND r.rn = p.rn + 1
+)
+SELECT k.window_start, k.symbol,
+       CAST(rec.ho AS DOUBLE) / {float(_IND_SCALE)!r} AS ha_open,
+       CAST(rec.hc AS DOUBLE) / {float(_IND_SCALE)!r} AS ha_close,
+       CAST(greatest(k.qh, rec.ho, rec.hc) AS DOUBLE)
+         / {float(_IND_SCALE)!r} AS ha_high,
+       CAST(least(k.ql, rec.ho, rec.hc) AS DOUBLE)
+         / {float(_IND_SCALE)!r} AS ha_low
+FROM rec JOIN ranked k ON k.symbol = rec.symbol AND k.rn = rec.rn
+""",
+    doc="Heikin-Ashi smoothed candles — the charting industry's "
+    "standard trend-smoothing transform, and the SECOND exact-"
+    "recursive indicator on the `operators.recursive` kernel pattern "
+    "(proving the fixed-point contract generalizes past EMA): "
+    "ha_close = (O+H+L+C)/4 is row-local, but ha_open averages the "
+    "PREVIOUS HA candle — a genuine recursion no window frame "
+    "expresses. All state is integer on the 2^20 grid; halving and "
+    "quartering are floor divisions of positive ints, bit-equal to "
+    "the oracle's floor(double/2) below 2^53; ha_high/ha_low are "
+    "integer max/min. Per-key cost is calendar-bounded (1-minute "
+    "summary rows); symbols parallelize.",
+    tags=("gold", "analytics", "indicator", "recursive", "arrow-kernel"),
+)
+def candle_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recursive import keyed_exact_heikin_ashi
+
+    s = F.lit(float(_IND_SCALE))
+    gold = _gold_table(spark, sf_dir).select(
+        "window_start",
+        "symbol",
+        F.floor(F.col("open") * s).cast("long").alias("qo"),
+        F.floor(F.col("high") * s).cast("long").alias("qh"),
+        F.floor(F.col("low") * s).cast("long").alias("ql"),
+        F.floor(F.col("close") * s).cast("long").alias("qc"),
+    )
+    state = keyed_exact_heikin_ashi(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        q_open="qo",
+        q_high="qh",
+        q_low="ql",
+        q_close="qc",
+    )
+    return state.select(
+        "window_start",
+        "symbol",
+        (F.col("ha_open_q").cast("double") / s).alias("ha_open"),
+        (F.col("ha_close_q").cast("double") / s).alias("ha_close"),
+        (F.col("ha_high_q").cast("double") / s).alias("ha_high"),
+        (F.col("ha_low_q").cast("double") / s).alias("ha_low"),
+    )
+
+
+#: market-profile price bucket width (price units per bucket)
+PROFILE_BUCKET = 10
+
+
+@register(
+    "tick_volume_profile",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+prof AS (
+  SELECT symbol,
+         CAST(floor(price / {PROFILE_BUCKET}) AS BIGINT) AS price_bucket,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         CAST(sum(CAST(size AS BIGINT)) AS BIGINT) AS volume
+  FROM ticks GROUP BY 1, 2
+),
+poc AS (
+  SELECT symbol, min(price_bucket) AS poc_bucket
+  FROM prof p
+  WHERE volume = (SELECT max(volume) FROM prof p2
+                  WHERE p2.symbol = p.symbol)
+  GROUP BY symbol
+)
+SELECT p.symbol, p.price_bucket, p.n_trades, p.volume,
+       CAST(p.volume AS DOUBLE) / t.total_volume AS volume_share,
+       CAST(CASE WHEN p.price_bucket = poc.poc_bucket THEN 1 ELSE 0 END
+            AS BIGINT) AS is_poc
+FROM prof p
+JOIN (SELECT symbol, CAST(sum(volume) AS BIGINT) AS total_volume
+      FROM prof GROUP BY symbol) t USING (symbol)
+JOIN poc USING (symbol)
+""",
+    doc=f"Volume profile (market profile): traded volume per "
+    f"{PROFILE_BUCKET}-unit price bucket per symbol, each bucket's "
+    "share, and the point of control (the highest-volume bucket, "
+    "ties to the lowest price) — the depth-of-liquidity histogram "
+    "execution algos anchor to. Exact integer volumes, one double "
+    "division per row, POC by deterministic (volume DESC, bucket "
+    "ASC) selection. Scale: bucket cardinality is price-range / "
+    "width per symbol regardless of tick count — map-side combine "
+    "collapses everything before the shuffle.",
+    tags=("ticks", "analytics", "aggregate", "histogram"),
+)
+def tick_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        F.floor(F.col("price").cast("double") / F.lit(PROFILE_BUCKET))
+        .cast("long")
+        .alias("price_bucket"),
+        F.col("size").cast("long").alias("isize"),
+    )
+    prof = t.groupBy("symbol", "price_bucket").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("isize").alias("volume"),
+    )
+    tot = prof.groupBy("symbol").agg(
+        F.sum("volume").alias("total_volume"),
+    )
+    poc = prof.groupBy("symbol").agg(
+        F.min_by(
+            "price_bucket",
+            F.struct(
+                (-F.col("volume")).alias("nv"),
+                F.col("price_bucket").alias("pb"),
+            ),
+        ).alias("poc_bucket")
+    )
+    return (
+        prof.join(F.broadcast(tot), "symbol")
+        .join(F.broadcast(poc), "symbol")
+        .select(
+            "symbol",
+            "price_bucket",
+            "n_trades",
+            "volume",
+            (F.col("volume").cast("double") / F.col("total_volume")).alias(
+                "volume_share"
+            ),
+            (F.col("price_bucket") == F.col("poc_bucket"))
+            .cast("long")
+            .alias("is_poc"),
+        )
+    )

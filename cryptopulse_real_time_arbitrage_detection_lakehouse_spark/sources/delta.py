@@ -7094,6 +7094,79 @@ class DeltaTable:
             "UPGRADE PROTOCOL",
         )
 
+    def generate_manifest(self) -> list[str]:
+        """GENERATE symlink_format_manifest (delta-spark's integration
+        verb for Presto / Trino / Athena / Hive): write
+        ``_symlink_format_manifest/<partition dirs...>/manifest`` text
+        files, each listing the ABSOLUTE ``file:`` URIs of the
+        snapshot's active data files for that partition — external
+        engines then read the table as plain parquet through the
+        symlink layout without understanding the Delta log. Returns
+        the manifest relative paths written.
+
+        Correctness gates (delta-spark refuses the same way, because a
+        symlink reader applies NO Delta semantics): tables with live
+        DELETION VECTORS are refused (the reader would resurrect
+        deleted rows) and column-mapped tables are refused (physical
+        parquet names would surface). Stale manifests are replaced
+        atomically per partition (tmp + rename) and manifests for
+        partitions that no longer exist are deleted — a reader never
+        sees a half-written manifest.
+        """
+        meta, adds = self._snapshot_state(None)
+        if any(a.get("deletionVector") for a in adds):
+            raise ValueError(
+                "cannot generate symlink manifest: table has live "
+                "deletion vectors (a symlink reader would resurrect "
+                "deleted rows); run reorg_purge() first"
+            )
+        if self._column_mapping(meta):
+            raise ValueError(
+                "cannot generate symlink manifest: column-mapped table "
+                "(symlink readers see physical parquet column names)"
+            )
+        part_cols = meta.get("partitionColumns") or []
+        phys = lambda c: c  # noqa: E731 — mapping gated above
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        by_dir: dict[str, list[str]] = {}
+        for a in adds:
+            rel = urllib.parse.unquote(a["path"])
+            if rel.startswith("/") or rel.startswith("file:"):
+                abs_path = rel[len("file:"):] if rel.startswith("file:") else rel
+            else:
+                abs_path = os.path.join(self.path, rel)
+            pv = _as_dict(a.get("partitionValues"))
+            segs = [
+                f"{phys(c)}="
+                + (
+                    _HIVE_NULL
+                    if pv.get(phys(c)) is None
+                    else urllib.parse.quote(pv[phys(c)], safe="")
+                )
+                for c in part_cols
+            ]
+            by_dir.setdefault("/".join(segs), []).append(
+                "file:" + os.path.abspath(abs_path)
+            )
+        # drop stale manifests (partitions deleted since the last run)
+        if os.path.isdir(root):
+            import shutil
+
+            shutil.rmtree(root)
+        written: list[str] = []
+        for d, uris in sorted(by_dir.items()):
+            mdir = os.path.join(root, d) if d else root
+            os.makedirs(mdir, exist_ok=True)
+            target = os.path.join(mdir, "manifest")
+            tmp = target + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write("\n".join(sorted(uris)) + "\n")
+            os.replace(tmp, target)
+            written.append(
+                os.path.relpath(target, self.path).replace(os.sep, "/")
+            )
+        return sorted(written)
+
     # ------------------------------------------------- version checksums
 
     def _checksum_path(self, version: int) -> str:

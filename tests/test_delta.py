@@ -5720,3 +5720,60 @@ class TestDeepClone:
         meta_src, _ = src._snapshot_state(None)
         meta_dst, _ = clone._snapshot_state(None)
         assert meta_src["id"] != meta_dst["id"]
+
+
+class TestGenerateManifest:
+    """generate_manifest: symlink_format_manifest layout, staleness
+    replacement, and the DV / column-mapping refusals a symlink reader
+    depends on for correctness."""
+
+    def test_partitioned_layout_and_staleness(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(
+            spark.range(0, 40).selectExpr(
+                "id", "CAST(id % 2 AS STRING) AS p"
+            ),
+            partition_by=["p"],
+        )
+        rels = t.generate_manifest()
+        assert rels == [
+            "_symlink_format_manifest/p=0/manifest",
+            "_symlink_format_manifest/p=1/manifest",
+        ]
+        # every listed URI exists and is an active file
+        _m, adds = t._snapshot_state(None)
+        active = {
+            os.path.basename(a["path"]) for a in adds
+        }
+        import urllib.parse as _up
+
+        listed = []
+        for rel in rels:
+            with open(os.path.join(t.path, rel)) as f:
+                listed += [ln for ln in f.read().splitlines() if ln]
+        assert all(ln.startswith("file:/") for ln in listed)
+        assert {os.path.basename(_up.unquote(u)) for u in listed} == active
+        # compaction supersedes files; regeneration must not list them
+        t.compact(spark, target_files=1)
+        rels2 = t.generate_manifest()
+        listed2 = []
+        for rel in rels2:
+            with open(os.path.join(t.path, rel)) as f:
+                listed2 += [ln for ln in f.read().splitlines() if ln]
+        _m2, adds2 = t._snapshot_state(None)
+        assert {os.path.basename(_up.unquote(u[len("file:"):])) for u in listed2} == {
+            os.path.basename(a["path"]) for a in adds2
+        }
+        assert not (set(listed2) & set(listed)), "stale URIs survived"
+
+    def test_refuses_dv_and_mapped_tables(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "dv"))
+        t.write(spark.range(0, 100).selectExpr("id", "id AS v").coalesce(1))
+        t.delete(spark, "id % 2 = 0")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            t.generate_manifest()
+        m = DeltaTable(str(tmp_path / "mapped"))
+        m.write(spark.range(0, 10).selectExpr("id", "id AS v"))
+        m.enable_column_mapping()
+        with pytest.raises(ValueError, match="column-mapped"):
+            m.generate_manifest()
