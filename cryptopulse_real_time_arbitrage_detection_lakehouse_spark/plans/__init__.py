@@ -20,5 +20,7 @@ from . import windows  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import inspection  # noqa: E402,F401
+from . import olap  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "register", "get", "all_queries", "all_oracles"]

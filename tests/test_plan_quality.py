@@ -698,3 +698,66 @@ def test_binary_quant_is_scan_local(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_grouping_sets_family_single_expand_single_agg_exchange(spark):
+    """ROLLUP/CUBE/GROUPING SETS compile to ONE Expand + ONE hash
+    aggregate (map-side partial before the exchange) — never one job per
+    grouping set. The Expand must sit below the exchange so the shuffle
+    carries |groups| x |sets| partials, not row replicas."""
+    for name in (
+        "order_priority_status_cube",
+        "lineitem_grouping_sets_pricing",
+    ):
+        p = plan_of(spark, name)
+        assert p.count("Expand") == 1, name
+        assert p.count("Exchange") == 1, name
+        assert "partial" in p.lower(), name
+
+
+def test_rollup_join_dims_broadcast(spark):
+    p = plan_of(spark, "revenue_rollup_region_nation")
+    assert p.count("Expand") == 1
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_iterations_truncate_lineage(spark):
+    """part_copurchase_pagerank: each iteration's ranks checkpoint
+    eagerly, so the FINAL plan is a top-k over one ExistingRDD leaf —
+    were lineage kept, the plan would re-derive all 10 iterations (and
+    the edge self-join) per reference and this plan would carry joins,
+    exchanges, and grow O(K^2)."""
+    p = plan_of(spark, "part_copurchase_pagerank")
+    assert "ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p and "Exchange" not in p
+
+
+def test_pagerank_edge_derivation_shape(spark):
+    """One iteration's un-truncated plan: the edge self-join is an
+    equi-join on l_orderkey (shuffle hash/sort-merge, NEVER cartesian —
+    the <> on partkey must stay a residual condition), and the
+    node-count scalar joins back broadcast."""
+    from pyspark.sql import functions as F
+
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    ppo = li.distinct()
+    a, b = ppo.alias("a"), ppo.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    p = edges._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "l_orderkey" in p
