@@ -39,7 +39,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["chunked_rolling", "chunked_cumsum", "chunked_locf"]
+__all__ = [
+    "chunked_rolling",
+    "chunked_cumsum",
+    "chunked_locf",
+    "chunked_range_rolling",
+]
 
 
 def chunked_rolling(
@@ -219,3 +224,61 @@ def chunked_locf(
     return joined.withColumn(
         out_col, F.coalesce("__local", "__carry")
     ).drop("__chunk", "__local", "__carry")
+
+
+def chunked_range_rolling(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    bucket: int,
+    span: int,
+    cols: Mapping[str, Callable[[W], Column]],
+) -> DataFrame:
+    """Append trailing TIME-range windowed columns per key: each row sees
+    every row of its key with ``order_col`` in ``[current - span,
+    current]`` (inclusive both ends, Spark/SQL RANGE semantics — ties
+    are peers regardless of physical order, so the result is
+    deterministic under duplicate timestamps where a ROWS frame is not).
+
+    The scale-safe form of ``RANGE BETWEEN <interval> PRECEDING``: the
+    naive ``PARTITION BY key`` window caps parallelism at |keys| forever
+    (3 symbols = 3 tasks at any corpus size). Here rows partition by
+    (key, order DIV bucket) — parallel over keys x calendar buckets —
+    and exactness is restored by CARRY: every row in the trailing
+    ``span`` of a bucket is replicated into the NEXT calendar bucket
+    (flagged, excluded from output), which is the complete set of
+    foreign rows any frame in that bucket can reach because
+    ``bucket >= span`` guarantees a frame spans at most one boundary.
+    Carry lands in the next CALENDAR bucket, not the next populated
+    one — a frame following an empty bucket correctly sees nothing.
+
+    Carry volume is bounded by span/bucket of the data (e.g. 30 min
+    carried per day ~ 2%); ``order_col`` must be numeric (epoch micros).
+    """
+    if bucket < span:
+        raise ValueError(
+            f"bucket ({bucket}) must be >= span ({span}): a frame may span "
+            "at most one bucket boundary for the carry to be complete"
+        )
+    if span <= 0:
+        raise ValueError("span must be positive")
+    d = df.withColumn(
+        "__b", (F.col(order_col) / F.lit(bucket)).cast("long")
+    ).withColumn("__carry", F.lit(False))
+    carry = (
+        d.filter(
+            F.col(order_col)
+            >= (F.col("__b") + 1) * F.lit(bucket) - F.lit(span)
+        )
+        .withColumn("__b", F.col("__b") + 1)
+        .withColumn("__carry", F.lit(True))
+    )
+    u = d.unionByName(carry)
+    w = (
+        W.partitionBy(*key_cols, "__b")
+        .orderBy(order_col)
+        .rangeBetween(-span, 0)
+    )
+    out = u.select("*", *[fn(w).alias(name) for name, fn in cols.items()])
+    return out.filter(~F.col("__carry")).drop("__b", "__carry")

@@ -2123,3 +2123,180 @@ def tick_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_poc"),
         )
     )
+
+
+_ACF_LAGS = (1, 2, 3, 4, 5)
+
+
+def _acf_oracle() -> str:
+    """DuckDB twin of candle_return_acf, generated per lag."""
+    scale = float(_IND_SCALE)
+    leads = ",\n         ".join(
+        f"lead(x, {k}) OVER w AS x{k}" for k in _ACF_LAGS
+    )
+    sums = ",\n   ".join(
+        f"CAST(sum(CAST(x AS HUGEINT) * x{k}) AS HUGEINT) AS sxy{k},\n"
+        f"   CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x END) AS HUGEINT)"
+        f" AS h{k},\n"
+        f"   CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x{k} END) AS HUGEINT)"
+        f" AS t{k}"
+        for k in _ACF_LAGS
+    )
+    rhos = ",\n       ".join(
+        f"CASE WHEN n * n * sxx - n * sx * sx = 0 THEN NULL ELSE\n"
+        f"  CAST(CAST(n * n * sxy{k} - n * sx * (h{k} + t{k})"
+        f" + (n - {k}) * sx * sx AS VARCHAR) AS DOUBLE)\n"
+        f"  / CAST(CAST(n * n * sxx - n * sx * sx AS VARCHAR) AS DOUBLE)"
+        f" END AS acf_{k}"
+        for k in _ACF_LAGS
+    )
+    return f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+d AS (
+  SELECT symbol, window_start,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS delta
+  FROM gold
+),
+xs AS (
+  SELECT symbol, window_start,
+         CAST(floor(delta * {scale!r}) AS BIGINT) AS x
+  FROM d WHERE delta IS NOT NULL
+),
+l AS (
+  SELECT symbol, x,
+         {leads}
+  FROM xs WINDOW w AS (PARTITION BY symbol ORDER BY window_start)
+),
+s AS (
+  SELECT symbol,
+   CAST(count(*) AS HUGEINT) AS n,
+   CAST(sum(x) AS HUGEINT) AS sx,
+   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+   {sums}
+  FROM l GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_returns,
+       {rhos}
+FROM s
+"""
+
+
+@register(
+    "candle_return_acf",
+    oracle=_acf_oracle(),
+    doc="Per-symbol autocorrelation function of 1-minute returns at lags "
+    "1-5 — the market-microstructure stationarity check (significant "
+    "ACF = momentum/mean-reversion structure; near-zero = efficient "
+    "series; also the honest input to choosing a volatility-model "
+    "order). Exact across engines end-to-end: returns quantize to the "
+    "2^20 grid, the five lagged cross-products and marginal head/tail "
+    "sums are 128-bit integer sufficient statistics, and each rho_k is "
+    "ONE IEEE division of the n^2-cleared numerator/denominator "
+    "(mean-centering done algebraically: n^2*Sxy_k - n*Sx*(H_k+T_k) + "
+    "(n-k)*Sx^2 over n^2*Sxx - n*Sx^2) — no per-row float ever sums. "
+    "The lead() window partitions by symbol over a calendar-bounded "
+    "candle series (the candle_macd scale argument); the aggregate "
+    "output is one row per symbol.",
+    tags=("gold", "analytics", "window-function", "acf", "fixed-point"),
+)
+def candle_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold_table(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("window_start")
+    d = gold.select(
+        "symbol",
+        "window_start",
+        (F.col("close") - F.lag("close").over(w)).alias("delta"),
+    )
+    xs = d.filter(F.col("delta").isNotNull()).select(
+        "symbol",
+        "window_start",
+        F.floor(F.col("delta") * F.lit(float(_IND_SCALE))).cast("long").alias("x"),
+    )
+    lead_cols = [F.lead("x", k).over(w).alias(f"x{k}") for k in _ACF_LAGS]
+    led = xs.select("symbol", "x", *lead_cols)
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    ]
+    for k in _ACF_LAGS:
+        xk = F.col(f"x{k}")
+        aggs.append(F.sum(F.col("x").cast(dec) * xk.cast(dec)).alias(f"sxy{k}"))
+        aggs.append(F.sum(F.when(xk.isNotNull(), F.col("x")).cast(dec)).alias(f"h{k}"))
+        aggs.append(F.sum(xk.cast(dec)).alias(f"t{k}"))
+    s = led.groupBy("symbol").agg(*aggs)
+    den = F.col("n") * F.col("n") * F.col("sxx") - F.col("n") * F.col("sx") * F.col(
+        "sx"
+    )
+    out = [F.col("symbol"), F.col("n").cast("long").alias("n_returns")]
+    for k in _ACF_LAGS:
+        num = (
+            F.col("n") * F.col("n") * F.col(f"sxy{k}")
+            - F.col("n") * F.col("sx") * (F.col(f"h{k}") + F.col(f"t{k}"))
+            + (F.col("n") - F.lit(k)) * F.col("sx") * F.col("sx")
+        )
+        out.append(
+            F.when(den == 0, F.lit(None).cast("double"))
+            .otherwise(num.cast("double") / den.cast("double"))
+            .alias(f"acf_{k}")
+        )
+    return s.select(*out)
+
+
+@register(
+    "tick_rolling_volume_30m",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+t AS (
+  SELECT symbol, trade_id, epoch_us(trade_timestamp) AS ts_us,
+         CAST(floor(size) AS BIGINT) AS qs
+  FROM ticks
+)
+SELECT symbol, trade_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_trades_30m,
+       CAST(sum(qs) OVER w AS BIGINT) AS vol_30m
+FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts_us
+                    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Per-tick trailing 30-minute traded volume — the liquidity "
+    "context every execution algo reads before sizing an order, and a "
+    "TIME-range frame (RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING), "
+    "not a row-count frame: ticks arrive irregularly, so the last-N "
+    "frame measures nothing. Runs on `chunked_range_rolling`: rows "
+    "partition by (symbol, day-bucket of epoch micros) — parallel over "
+    "symbols x days instead of |symbols| tasks forever — and each "
+    "day's trailing 30 minutes replicate into the next calendar bucket "
+    "as flagged carry rows, the complete cross-boundary reach of any "
+    "frame (bucket >= span), bit-identical to the global window. RANGE "
+    "semantics make duplicate timestamps peers, so the result is "
+    "deterministic where a ROWS frame would depend on tie order. "
+    "Volume quantizes to exact longs (sizes are integral by "
+    "construction); count and sum are exact.",
+    tags=("silver", "window-function", "range-frame", "rolling"),
+)
+def tick_rolling_volume_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_range_rolling
+
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        "trade_id",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        F.floor(F.col("size")).cast("long").alias("qs"),
+    )
+    out = chunked_range_rolling(
+        t,
+        key_cols=["symbol"],
+        order_col="ts_us",
+        bucket=86_400_000_000,
+        span=1_800_000_000,
+        cols={
+            "n_trades_30m": lambda w: F.count(F.lit(1)).over(w),
+            "vol_30m": lambda w: F.sum("qs").over(w),
+        },
+    )
+    return out.select(
+        "symbol", "trade_id", "ts_us", "n_trades_30m", "vol_30m"
+    )

@@ -3708,3 +3708,154 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+@register(
+    "doc_unigram_entropy_by_lang",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({SQL_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY lang, token
+),
+totals AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS vocab
+  FROM counts GROUP BY lang
+),
+terms AS (
+  SELECT c.lang, t.t, t.vocab,
+         CAST(c.n AS HUGEINT)
+           * (CAST(round(ln(CAST(t.t AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(round(ln(CAST(c.n AS DOUBLE)) * 1e9) AS BIGINT)) AS term
+  FROM counts c JOIN totals t USING (lang)
+)
+SELECT lang, t AS n_tokens, vocab,
+       CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE)
+         / (CAST(t AS DOUBLE) * 1e9) AS entropy_nats
+FROM terms GROUP BY lang, t, vocab
+""",
+    doc="Shannon entropy of each language's unigram distribution — the "
+    "corpus-diversity dial (low entropy = templated/spammy shard, and "
+    "the quantity a tokenizer's bits-per-token budget is sized "
+    "against). Exact across engines by the ln-grid discipline: "
+    "H = sum(n*(ln T - ln n))/T with each ln() quantized IN-ENGINE to "
+    "the 1e9 grid (BM25's verified ln-rounding parity), so every term "
+    "is an exact integer, the sum runs in 128-bit, and the single "
+    "closing division is IEEE on identical operands. Scale: the "
+    "(lang, token) count shuffles distinct vocab only (map-side "
+    "combine); per-lang totals come back BROADCAST; output is one row "
+    "per language.",
+    tags=("text", "corpus-stats", "entropy", "aggregate"),
+)
+def doc_unigram_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(tokens("text")).alias("token")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("t"), F.count(F.lit(1)).alias("vocab")
+    )
+    y_t = F.round(F.log(F.col("t").cast("double")) * F.lit(1e9)).cast("long")
+    y_n = F.round(F.log(F.col("n").cast("double")) * F.lit(1e9)).cast("long")
+    terms = counts.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "t",
+        "vocab",
+        (F.col("n").cast("decimal(38,0)") * (y_t - y_n).cast("decimal(38,0)")).alias(
+            "term"
+        ),
+    )
+    return terms.groupBy("lang", "t", "vocab").agg(
+        (
+            F.sum("term").cast("double") / (F.col("t").cast("double") * F.lit(1e9))
+        ).alias("entropy_nats")
+    ).select(
+        "lang",
+        F.col("t").alias("n_tokens"),
+        "vocab",
+        "entropy_nats",
+    )
+
+
+@register(
+    "doc_source_kl_divergence",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS token FROM documents
+),
+cs AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n FROM tok
+  GROUP BY source, token
+),
+cc AS (
+  SELECT token, CAST(sum(n) AS BIGINT) AS m FROM cs GROUP BY token
+),
+ts AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS t FROM cs GROUP BY source
+),
+tc AS (
+  SELECT CAST(sum(m) AS BIGINT) AS g FROM cc
+),
+terms AS (
+  SELECT s.source, ts.t,
+         CAST(s.n AS HUGEINT)
+           * ((CAST(round(ln(CAST(s.n AS DOUBLE)) * 1e9) AS BIGINT)
+               - CAST(round(ln(CAST(ts.t AS DOUBLE)) * 1e9) AS BIGINT))
+              - (CAST(round(ln(CAST(c.m AS DOUBLE)) * 1e9) AS BIGINT)
+                 - CAST(round(ln(CAST(tc.g AS DOUBLE)) * 1e9) AS BIGINT)))
+           AS term
+  FROM cs s
+  JOIN cc c USING (token)
+  JOIN ts USING (source)
+  CROSS JOIN tc
+)
+SELECT source, t AS n_tokens,
+       CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE)
+         / (CAST(t AS DOUBLE) * 1e9) AS kl_nats
+FROM terms GROUP BY source, t
+""",
+    doc="KL divergence of each source shard's unigram distribution from "
+    "the whole corpus — the domain-mix drift monitor (a shard whose "
+    "KL jumps between snapshots changed its content mix; the number "
+    "data-mixing recipes like DoReMi weight against). Exactly "
+    "KL(P_s||Q) = sum(n_st*((ln n_st - ln T_s) - (ln m_t - ln G)))/T_s "
+    "with all four ln() values on the 1e9 grid, 128-bit term sums, one "
+    "IEEE close. Every source token exists in the corpus distribution "
+    "by construction, so no smoothing is needed. Scale: (source, "
+    "token) counts collapse map-side; the token-keyed join against "
+    "corpus counts re-uses the token shuffle key; per-source totals "
+    "and the 1-row grand total come back broadcast; output is one row "
+    "per source.",
+    tags=("text", "corpus-stats", "kl-divergence", "aggregate", "join"),
+)
+def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    cs = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    cc = cs.groupBy("token").agg(F.sum("n").cast("long").alias("m"))
+    ts = cs.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    tc = cc.agg(F.sum("m").cast("long").alias("g"))
+    ln9 = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")  # noqa: E731
+    terms = (
+        cs.join(cc, "token")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "source",
+            "t",
+            (
+                F.col("n").cast("decimal(38,0)")
+                * (
+                    (ln9(F.col("n")) - ln9(F.col("t")))
+                    - (ln9(F.col("m")) - ln9(F.col("g")))
+                ).cast("decimal(38,0)")
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source", "t").agg(
+        (F.sum("term").cast("double") / (F.col("t").cast("double") * F.lit(1e9))).alias(
+            "kl_nats"
+        )
+    ).select("source", F.col("t").alias("n_tokens"), "kl_nats")

@@ -265,3 +265,94 @@ class TestKeyedExactMacd:
         assert any(
             t[3] < 0 for ts in by_sym.values() for t in ts
         ), "test series never produced a negative MACD"
+
+
+class TestChunkedRangeRolling:
+    """chunked_range_rolling == plain RANGE-frame window: boundary
+    straddles, duplicate timestamps (peers), empty calendar buckets,
+    and the bucket>=span precondition."""
+
+    def _naive(self, df, span):
+        w = W.partitionBy("k").orderBy("pos").rangeBetween(-span, 0)
+        return df.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("v").over(w).alias("s"),
+        )
+
+    def _chunked(self, df, span, bucket):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (
+            chunked_range_rolling,
+        )
+
+        return chunked_range_rolling(
+            df,
+            key_cols=["k"],
+            order_col="pos",
+            bucket=bucket,
+            span=span,
+            cols={
+                "n": lambda w: F.count(F.lit(1)).over(w),
+                "s": lambda w: F.sum("v").over(w),
+            },
+        )
+
+    def _cmp(self, got, expect):
+        # duplicate (k, pos) rows are peers: compare sorted multisets
+        g = sorted((r.k, r.pos, r.v, r.n, r.s) for r in got.collect())
+        e = sorted((r.k, r.pos, r.v, r.n, r.s) for r in expect.collect())
+        assert g == e
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, pos long, v long")
+
+    def test_matches_plain_range_window(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            ("a" if rng.random() < 0.6 else "b", rng.randrange(0, 97), rng.randrange(-5, 9))
+            for _ in range(400)
+        ]
+        df = self._df(spark, rows)
+        self._cmp(self._chunked(df, span=7, bucket=10), self._naive(df, 7))
+
+    def test_duplicate_timestamps_are_peers(self, spark):
+        # three rows at pos=19 straddling the bucket-20 boundary frame
+        rows = [("a", 19, 1), ("a", 19, 2), ("a", 19, 4), ("a", 21, 8), ("a", 30, 16)]
+        df = self._df(spark, rows)
+        got = {(r.pos, r.v): (r.n, r.s) for r in self._chunked(df, span=5, bucket=10).collect()}
+        # every pos=19 peer sees all three; pos=21 (next bucket) reaches
+        # back across the boundary via carry
+        assert got[(19, 1)] == (3, 7)
+        assert got[(19, 2)] == (3, 7)
+        assert got[(21, 8)] == (4, 15)
+        # pos=30: frame [25,30] — sees nothing from [19..21]
+        assert got[(30, 16)] == (1, 16)
+
+    def test_empty_bucket_blocks_reach(self, spark):
+        # bucket [10,20) empty: pos=20 must NOT see pos=9 even though it
+        # is the previous populated bucket's trailing row
+        rows = [("a", 9, 1), ("a", 20, 2)]
+        df = self._df(spark, rows)
+        got = {r.pos: (r.n, r.s) for r in self._chunked(df, span=5, bucket=10).collect()}
+        assert got[20] == (1, 2)
+
+    def test_exact_span_boundary_inclusive(self, spark):
+        # RANGE includes the row exactly span older, including via carry
+        rows = [("a", 5, 1), ("a", 10, 2)]
+        df = self._df(spark, rows)
+        got = {r.pos: (r.n, r.s) for r in self._chunked(df, span=5, bucket=10).collect()}
+        assert got[10] == (2, 3)
+
+    def test_refuses_bucket_smaller_than_span(self, spark):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (
+            chunked_range_rolling,
+        )
+
+        df = self._df(spark, [("a", 1, 1)])
+        with pytest.raises(ValueError, match="bucket"):
+            chunked_range_rolling(
+                df, key_cols=["k"], order_col="pos", bucket=5, span=6,
+                cols={"n": lambda w: F.count(F.lit(1)).over(w)},
+            )
