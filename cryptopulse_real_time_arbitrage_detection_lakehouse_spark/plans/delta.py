@@ -4108,3 +4108,72 @@ def delta_generate_manifest_audit(
             ),
         )
     )
+
+
+@register(
+    "delta_log_compaction_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_dsum("value")} AS total_value,
+       CAST(1 AS BIGINT) AS state_identical,
+       CAST(1 AS BIGINT) AS survives_json_removal,
+       CAST(1 AS BIGINT) AS tombstone_reconciled
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+""",
+    doc="Minor log compaction (PROTOCOL.md Log Compaction Files, "
+    "delta-spark's `<s>.<e>.compacted.json`): five commits — two "
+    "appends, a DELETE that kills one of them, a property change, a "
+    "third append — compact into one reconciled file; the audit pins "
+    "(1) snapshot state via the compaction is IDENTICAL to replaying "
+    "the JSONs (state_identical — compared as full (meta id, sorted "
+    "add paths, protocol) state, then removes the purged slice from "
+    "the readback), (2) the range's commit JSONs can be physically "
+    "REMOVED and reads still reconstruct (survives_json_removal) — "
+    "the point of the feature: a reader behind a long tail does "
+    "O(compactions) log reads, and (3) a file added then removed "
+    "INSIDE the range appears only as a remove tombstone "
+    "(tombstone_reconciled) — kept, not pruned, because replays "
+    "starting before the range need it. Final counts hash against "
+    "raw events, so a mis-reconciled compaction (ghost add, lost "
+    "delete) is a value mismatch, not just a failed flag. History and "
+    "CDF keep reading per-commit JSONs; compaction never consumes a "
+    "table version.",
+    tags=("delta", "log", "compaction", "maintenance"),
+)
+def delta_log_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    t = DeltaTable(tempfile.mkdtemp(prefix="cplogcmp_") + "/events_delta")
+    sl = lambda et: events.filter(  # noqa: E731
+        F.col("event_type") == et
+    ).repartition(1)
+    t.write(sl("click"))                                   # v0
+    t.write(sl("purchase"))                                # v1
+    t.delete(spark, "event_type = 'purchase'")             # v2: removes v1
+    t.set_table_properties({"delta.appendOnly": "false"})  # v3
+    t.write(sl("view"))                                    # v4
+
+    def state(tbl):
+        meta, adds, proto = tbl._snapshot_state_full(None)
+        return (meta["id"], sorted(a["path"] for a in adds), proto)
+
+    before = state(t)
+    t.compact_log(0, 3)
+    state_identical = int(state(t) == before)
+    actions = t._read_compaction(0, 3)
+    adds = {a["add"]["path"] for a in actions if "add" in a}
+    removes = {a["remove"]["path"] for a in actions if "remove" in a}
+    tombstone_reconciled = int(len(removes) == 1 and not (adds & removes))
+    # the latest commit JSON must survive (it defines the table version;
+    # cleanup_metadata never deletes the tail either) — the compacted
+    # RANGE's JSONs are what becomes expendable
+    for v in range(4):
+        os.remove(os.path.join(t._log_dir, f"{v:020d}.json"))
+    survives = int(state(t) == before)
+    return t.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+        F.lit(state_identical).cast("long").alias("state_identical"),
+        F.lit(survives).cast("long").alias("survives_json_removal"),
+        F.lit(tombstone_reconciled).cast("long").alias("tombstone_reconciled"),
+    )

@@ -2300,3 +2300,120 @@ def tick_rolling_volume_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", "trade_id", "ts_us", "n_trades_30m", "vol_30m"
     )
+
+
+#: moment quantization: coarser than _IND_SCALE because the FOURTH power
+#: must stay inside 128-bit exactly: x = floor(delta * 2^10) bounds
+#: |x| ~ 2^20 for thousand-unit moves, so sum(x^4) <= rows * 2^80 —
+#: safe in decimal(38,0)/HUGEINT to ~10^15 rows. Skewness/kurtosis are
+#: scale-invariant ratios, so the grid cancels and never needs undoing.
+_MOM_SCALE = 1 << 10
+
+
+@register(
+    "candle_return_moments",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+d AS (
+  SELECT symbol,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS delta
+  FROM gold
+),
+xs AS (
+  SELECT symbol, CAST(floor(delta * {float(_MOM_SCALE)!r}) AS BIGINT) AS x
+  FROM d WHERE delta IS NOT NULL
+),
+s AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS nr,
+         CAST(CAST(sum(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS s1d,
+         CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS s2d,
+         CAST(CAST(sum(CAST(x AS HUGEINT) * x * x) AS VARCHAR) AS DOUBLE)
+           AS s3d,
+         CAST(CAST(sum((CAST(x AS HUGEINT) * x) * (CAST(x AS HUGEINT) * x))
+                   AS VARCHAR) AS DOUBLE) AS s4d
+  FROM xs GROUP BY symbol
+),
+p AS (
+  SELECT symbol, nr, s1d, s2d, s3d, s4d,
+         CAST(nr AS DOUBLE) AS nd,
+         s1d / CAST(nr AS DOUBLE) AS meand
+  FROM s
+),
+mu AS (
+  SELECT symbol, nr, nd, meand,
+         s2d / nd - meand * meand AS mu2,
+         s3d / nd - 3.0 * meand * (s2d / nd)
+           + 2.0 * ((meand * meand) * meand) AS mu3,
+         s4d / nd - 4.0 * meand * (s3d / nd)
+           + 6.0 * ((meand * meand) * (s2d / nd))
+           - 3.0 * ((meand * meand) * (meand * meand)) AS mu4
+  FROM p
+)
+SELECT symbol, nr AS n_returns,
+       CASE WHEN mu2 <= 0 THEN NULL
+            ELSE mu3 / (mu2 * sqrt(mu2)) END AS skewness,
+       CASE WHEN mu2 <= 0 THEN NULL
+            ELSE mu4 / (mu2 * mu2) - 3.0 END AS kurtosis_excess
+FROM mu
+""",
+    doc="Per-symbol skewness and excess kurtosis of 1-minute returns — "
+    "the fat-tail report risk models calibrate against (crypto returns "
+    "run kurtosis >> 0; a Gaussian assumption under-margins exactly "
+    "when it matters). Exact cross-engine: returns quantize to a 2^10 "
+    "grid chosen so the FOURTH power sum stays inside 128-bit "
+    "integers; the four power sums are exact, convert once to double "
+    "(correctly rounded on both engines), and the central-moment "
+    "algebra runs in IEEE with an IDENTICAL expression tree on both "
+    "sides — every +,-,*,/ and the one sqrt are correctly-rounded "
+    "single operations, so identical operands give identical bits (no "
+    "pow(), which engines round differently). The grid cancels in "
+    "both ratios (mu3/mu2^1.5, mu4/mu2^2). One aggregate pass; output "
+    "one row per symbol.",
+    tags=("gold", "analytics", "moments", "fixed-point", "aggregate"),
+)
+def candle_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold_table(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("window_start")
+    d = gold.select(
+        "symbol", (F.col("close") - F.lag("close").over(w)).alias("delta")
+    )
+    xs = d.filter(F.col("delta").isNotNull()).select(
+        "symbol",
+        F.floor(F.col("delta") * F.lit(float(_MOM_SCALE))).cast("long").alias("x"),
+    )
+    dec = "decimal(38,0)"
+    xd = F.col("x").cast(dec)
+    s = xs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(xd).cast("double").alias("s1d"),
+        F.sum(xd * F.col("x")).cast("double").alias("s2d"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3d"),
+        F.sum((xd * F.col("x")) * (xd * F.col("x"))).cast("double").alias("s4d"),
+    )
+    nd = F.col("nr").cast("double")
+    meand = F.col("s1d") / nd
+    mu2 = F.col("s2d") / nd - meand * meand
+    mu3 = (
+        F.col("s3d") / nd
+        - F.lit(3.0) * meand * (F.col("s2d") / nd)
+        + F.lit(2.0) * ((meand * meand) * meand)
+    )
+    mu4 = (
+        F.col("s4d") / nd
+        - F.lit(4.0) * meand * (F.col("s3d") / nd)
+        + F.lit(6.0) * ((meand * meand) * (F.col("s2d") / nd))
+        - F.lit(3.0) * ((meand * meand) * (meand * meand))
+    )
+    return s.select(
+        "symbol",
+        F.col("nr").alias("n_returns"),
+        F.when(mu2 <= 0, F.lit(None).cast("double"))
+        .otherwise(mu3 / (mu2 * F.sqrt(mu2)))
+        .alias("skewness"),
+        F.when(mu2 <= 0, F.lit(None).cast("double"))
+        .otherwise(mu4 / (mu2 * mu2) - F.lit(3.0))
+        .alias("kurtosis_excess"),
+    )

@@ -842,3 +842,83 @@ def streaming_static_enrichment(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts) + INTERVAL 4 HOUR) AS session_end_us,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+wm AS (
+  SELECT epoch_us(max(ts) - INTERVAL 10 MINUTE) AS horizon FROM events
+)
+SELECT sess.* FROM sess, wm WHERE sess.session_end_us <= wm.horizon
+""",
+    doc="STATEFUL STREAMING session windows, physically executed: the "
+    "event stream aggregates per-user sessions (4-hour inactivity gap) "
+    "under a 10-minute watermark in APPEND mode and drains to a "
+    "checkpointed parquet sink with trigger(availableNow=True) — the "
+    "hardest stateful-streaming shape after stream-stream joins, "
+    "because session state MERGES windows as late events bridge gaps "
+    "(tumbling state only appends). Emission contract: a session is "
+    "final once the watermark passes its end (last event + gap); the "
+    "oracle is the batch gaps-and-islands rewrite restricted to the "
+    "watermark horizon — stream==batch equivalence for every emitted "
+    "row. State is bounded by ACTIVE sessions per user (watermark "
+    "evicts finals), so a 100 TB/day stream holds |active users| "
+    "session rows, not history.",
+    tags=("streaming", "session", "watermark", "stateful"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    root = tempfile.mkdtemp(prefix="cpsess_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "sessions")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema)
+    sess = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.session_window(F.col("ts"), "4 hours").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                sess,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="session_windows",
+            )
+        )
+    return spark.read.schema(sess.schema).parquet(out_path)

@@ -135,6 +135,15 @@ def _commit_path(log_dir: str, version: int) -> str:
     return os.path.join(log_dir, f"{version:020d}.json")
 
 
+#: minor log-compaction files: `<start>.<end>.compacted.json`
+#: (delta-spark's naming; PROTOCOL.md "Log Compaction Files")
+_COMPACTION_NAME_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _compaction_path(log_dir: str, start: int, end: int) -> str:
+    return os.path.join(log_dir, f"{start:020d}.{end:020d}.compacted.json")
+
+
 def _as_dict(pv) -> dict:
     """Normalize a partitionValues payload to a plain dict: JSON commits
     store a dict, but pyarrow renders the checkpoint's parquet MAP column
@@ -746,6 +755,116 @@ class DeltaTable:
         with open(_commit_path(self._log_dir, version)) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    def _compaction_ranges(self) -> list[tuple[int, int]]:
+        """Sorted (start, end) ranges of the minor log-compaction files
+        present in the log (``<start>.<end>.compacted.json``)."""
+        if not os.path.isdir(self._log_dir):
+            return []
+        out = []
+        for name in os.listdir(self._log_dir):
+            m = _COMPACTION_NAME_RE.match(name)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2))))
+        return sorted(out)
+
+    def _read_compaction(self, start: int, end: int) -> list[dict]:
+        with open(_compaction_path(self._log_dir, start, end)) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def compact_log(
+        self, start: int | None = None, end: int | None = None
+    ) -> str:
+        """Write a minor log-compaction file
+        ``<start>.<end>.compacted.json`` (PROTOCOL.md "Log Compaction
+        Files", delta-spark's minor compaction): the RECONCILED net
+        actions of commits ``start..end`` — per-path latest add OR
+        remove (remove tombstones are KEPT, unlike a naive prune:
+        a replay that starts before ``start`` needs them to delete
+        earlier adds, and vacuum keys retention on them), latest
+        metaData/protocol, newest-wins setTransaction per appId, and
+        latest domainMetadata per domain (``removed`` tombstones kept
+        for the same reason). ``commitInfo`` and ``cdc`` actions are
+        excluded: compactions feed SNAPSHOT replay; history and the
+        change feed keep reading the per-commit JSONs, which compaction
+        never deletes.
+
+        Defaults: ``start`` = first version after the last checkpoint
+        (else the oldest commit), ``end`` = latest — i.e. "compact the
+        JSON tail", the shape that keeps a hot table's read planning
+        O(compactions) between checkpoints. Requires every commit JSON
+        in the range (reconciliation must see the exact action
+        sequence) and a range of at least two commits. The write is
+        atomic (temp + rename) and pure metadata — no table version is
+        consumed, readers without compaction support ignore the file
+        (its stem is not a bare version number).
+        """
+        versions = self._commit_versions()
+        if not versions:
+            raise ValueError(f"not a Delta table (no commits): {self.path}")
+        latest = versions[-1]
+        if end is None:
+            end = latest
+        if start is None:
+            cp = self._last_checkpoint()
+            start = cp["version"] + 1 if cp is not None else versions[0]
+        if end > latest:
+            raise ValueError(f"end {end} is past the latest version {latest}")
+        if start >= end:
+            raise ValueError(
+                f"compaction range [{start}, {end}] must span at least "
+                "two commits"
+            )
+        have = set(versions)
+        missing = [v for v in range(start, end + 1) if v not in have]
+        if missing:
+            raise ValueError(
+                f"commit JSONs missing from compaction range "
+                f"[{start}, {end}]: {missing[:5]} — reconciliation needs "
+                "the exact action sequence"
+            )
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        txns: dict[str, dict] = {}
+        meta: dict | None = None
+        proto: dict | None = None
+        domains: dict[str, dict] = {}
+        for v in range(start, end + 1):
+            for action in self._read_commit(v):
+                if "add" in action:
+                    p = action["add"]["path"]
+                    adds[p] = action["add"]
+                    removes.pop(p, None)
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    removes[p] = action["remove"]
+                    adds.pop(p, None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]
+                elif "domainMetadata" in action:
+                    domains[action["domainMetadata"]["domain"]] = action[
+                        "domainMetadata"
+                    ]
+        out: list[dict] = []
+        if proto is not None:
+            out.append({"protocol": proto})
+        if meta is not None:
+            out.append({"metaData": meta})
+        out.extend({"txn": t} for _, t in sorted(txns.items()))
+        out.extend({"domainMetadata": d} for _, d in sorted(domains.items()))
+        out.extend({"remove": r} for _, r in sorted(removes.items()))
+        out.extend({"add": a} for _, a in sorted(adds.items()))
+        name = f"{start:020d}.{end:020d}.compacted.json"
+        tmp = os.path.join(self._log_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            for action in out:
+                f.write(json.dumps(action, separators=(",", ":")) + "\n")
+        os.replace(tmp, os.path.join(self._log_dir, name))
+        return name
+
     def _last_checkpoint(self) -> dict | None:
         p = os.path.join(self._log_dir, "_last_checkpoint")
         if not os.path.exists(p):
@@ -869,24 +988,56 @@ class DeltaTable:
             start = cp["version"] + 1
 
         replay = [v for v in versions if start <= v <= target]
-        if version is not None and not replay and (cp is None or cp["version"] != target):
+        comps = self._compaction_ranges()
+        comp_cover = [(s, e) for s, e in comps if start <= s and e <= target]
+        if (
+            version is not None
+            and not replay
+            and not comp_cover
+            and (cp is None or cp["version"] != target)
+        ):
             raise ValueError(f"version {version} not found in {self._log_dir}")
-        for v in replay:
-            for action in self._read_commit(v):
-                if "add" in action:
-                    adds[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    meta = action["metaData"]
-                elif "protocol" in action:
-                    protocol = action["protocol"]
-                elif "domainMetadata" in action:
-                    dm = action["domainMetadata"]
-                    if dm.get("removed"):
-                        domains.pop(dm["domain"], None)
-                    else:
-                        domains[dm["domain"]] = dm
+
+        def apply(action: dict) -> None:
+            nonlocal meta, protocol
+            if "add" in action:
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                protocol = action["protocol"]
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm
+
+        # walk the tail preferring minor log-compaction files: a
+        # compacted range [s, e] substitutes for replaying commits s..e
+        # (its actions are the reconciled net effect, by construction at
+        # compact_log time), so a reader behind a long JSON tail does
+        # O(compactions) reads instead of O(commits) — and a range whose
+        # individual JSONs were cleaned up remains reconstructible.
+        versions_set = set(replay)
+        cursor = start
+        while cursor <= target:
+            picked: tuple[int, int] | None = None
+            for s, e in comp_cover:
+                if s == cursor and (picked is None or e > picked[1]):
+                    picked = (s, e)
+            if picked is not None:
+                for action in self._read_compaction(*picked):
+                    apply(action)
+                cursor = picked[1] + 1
+            elif cursor in versions_set:
+                for action in self._read_commit(cursor):
+                    apply(action)
+                cursor += 1
+            else:
+                cursor += 1
 
         if meta is None:
             raise ValueError(f"no metaData action in log: {self.path}")
@@ -6358,6 +6509,20 @@ class DeltaTable:
         cutoff = time.time() - retention_ms / 1000.0
         deleted: list[str] = []
         for name in sorted(os.listdir(self._log_dir)):
+            cm = _COMPACTION_NAME_RE.match(name)
+            if cm:
+                # a compaction is expendable only when its WHOLE range
+                # sits below the checkpoint (keyed on END — the generic
+                # branch below would key on start and delete a still-
+                # useful file straddling the checkpoint)
+                if int(cm.group(2)) >= cp["version"]:
+                    continue
+                fp = os.path.join(self._log_dir, name)
+                if os.path.getmtime(fp) > cutoff:
+                    continue
+                os.remove(fp)
+                deleted.append(name)
+                continue
             stem = name.split(".", 1)[0]
             if not stem.isdigit():
                 continue

@@ -5777,3 +5777,144 @@ class TestGenerateManifest:
         m.enable_column_mapping()
         with pytest.raises(ValueError, match="column-mapped"):
             m.generate_manifest()
+
+
+class TestLogCompaction:
+    """Minor log compaction (`<s>.<e>.compacted.json`): reconciled net
+    actions substitute for the per-commit JSON tail in snapshot replay —
+    bit-identical state, survives commit-JSON cleanup, invisible to
+    history/CDF/pyds, range-validated, GC'd by cleanup keyed on END."""
+
+    def _state(self, t, version=None):
+        meta, adds, proto = t._snapshot_state_full(version)
+        return (
+            meta["id"],
+            sorted((a["path"], a.get("dataChange")) for a in adds),
+            proto,
+        )
+
+    def _build(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1))          # v0
+        t.write(make_df(spark, 10, 5).coalesce(1))         # v1
+        t.delete(spark, "id >= 10")                        # v2: removes v1 file
+        t.set_table_properties({"delta.appendOnly": "false"})  # v3: metaData
+        t.write(make_df(spark, 20, 5).coalesce(1))         # v4
+        return t
+
+    def test_snapshot_via_compaction_is_bit_identical(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        before = self._state(t)
+        rows_before = sorted(r.id for r in t.read(spark).collect())
+        name = t.compact_log(0, 4)
+        assert name == f"{0:020d}.{4:020d}.compacted.json"
+        # the walk now uses the compacted file (loud if it mis-parses)
+        assert t._compaction_ranges() == [(0, 4)]
+        assert self._state(t) == before
+        assert sorted(r.id for r in t.read(spark).collect()) == rows_before
+
+    def test_reconciliation_semantics(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        t.compact_log(0, 4)
+        actions = t._read_compaction(0, 4)
+        adds = [a["add"]["path"] for a in actions if "add" in a]
+        removes = [a["remove"]["path"] for a in actions if "remove" in a]
+        # the v1 file was added then removed inside the range: it must
+        # appear ONLY as a remove tombstone
+        assert not set(adds) & set(removes)
+        assert len(removes) == 1
+        # latest metaData (with the v3 property) and protocol present
+        metas = [a["metaData"] for a in actions if "metaData" in a]
+        assert len(metas) == 1
+        assert metas[0]["configuration"].get("delta.appendOnly") == "false"
+        assert sum(1 for a in actions if "protocol" in a) == 1
+        # no commitInfo / cdc in a compaction
+        assert not any("commitInfo" in a or "cdc" in a for a in actions)
+
+    def test_survives_commit_json_removal(self, spark, tmp_path):
+        """The capability the feature exists for: state reconstructs
+        from the compaction alone when the range's JSONs are gone."""
+        t = self._build(spark, tmp_path)
+        before = self._state(t)
+        t.compact_log(0, 3)
+        for v in range(4):
+            os.remove(os.path.join(t._log_dir, f"{v:020d}.json"))
+        assert self._state(t) == before
+        assert t.read(spark).count() == 10
+        # end-of-range time travel works; mid-range is LOUDLY gone
+        assert self._state(t, 3)[0] == before[0]
+        with pytest.raises(ValueError, match="not found"):
+            t._snapshot_state_full(2)
+
+    def test_partial_tail_compaction_composes_with_json_tail(
+        self, spark, tmp_path
+    ):
+        t = self._build(spark, tmp_path)
+        before = self._state(t)
+        t.compact_log(1, 3)  # mid-range compaction; v0 and v4 stay JSON
+        assert self._state(t) == before
+
+    def test_checkpoint_then_tail_compaction(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        t.checkpoint(spark)                             # at v4
+        t.write(make_df(spark, 30, 5).coalesce(1))      # v5
+        t.write(make_df(spark, 40, 5).coalesce(1))      # v6
+        before = self._state(t)
+        name = t.compact_log()  # defaults: checkpoint+1 .. latest
+        assert name == f"{5:020d}.{6:020d}.compacted.json"
+        assert self._state(t) == before
+        assert t.read(spark).count() == 20
+
+    def test_txn_and_domains_newest_wins(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1), txn=("app", 1))  # v0
+        t.write(make_df(spark, 10, 5).coalesce(1), txn=("app", 7))  # v1
+        t.compact_log(0, 1)
+        txns = [a["txn"] for a in t._read_compaction(0, 1) if "txn" in a]
+        assert txns == [{"appId": "app", "version": 7}] or (
+            len(txns) == 1
+            and txns[0]["appId"] == "app"
+            and txns[0]["version"] == 7
+        )
+
+    def test_range_validation(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        with pytest.raises(ValueError, match="at least"):
+            t.compact_log(2, 2)
+        with pytest.raises(ValueError, match="past the latest"):
+            t.compact_log(0, 99)
+        os.remove(os.path.join(t._log_dir, f"{1:020d}.json"))
+        with pytest.raises(ValueError, match="missing"):
+            t.compact_log(0, 4)
+
+    def test_cleanup_keys_on_end_version(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        t.compact_log(0, 2)   # will sit fully below the checkpoint
+        t.compact_log(0, 4)   # straddles it (end == checkpoint version)
+        t.checkpoint(spark)   # at v4
+        deleted = t.cleanup_metadata(retention_ms=0, force=True)
+        assert f"{0:020d}.{2:020d}.compacted.json" in deleted
+        assert f"{0:020d}.{4:020d}.compacted.json" not in deleted
+        assert t._compaction_ranges() == [(0, 4)]
+
+    def test_compaction_invisible_to_history_and_cdf(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 90, 1).coalesce(1))
+        t.enable_change_data_feed()
+        t.write(make_df(spark, 0, 5).coalesce(1))
+        t.write(make_df(spark, 10, 5).coalesce(1))
+        hist_before = [
+            (r.version, r.operation) for r in t.history(spark).collect()
+        ]
+        cdf_before = sorted(
+            (r.id, r._change_type, r._commit_version)
+            for r in t.read_changes(spark, starting_version=0).collect()
+        )
+        t.compact_log(0, 2)
+        assert [
+            (r.version, r.operation) for r in t.history(spark).collect()
+        ] == hist_before
+        assert sorted(
+            (r.id, r._change_type, r._commit_version)
+            for r in t.read_changes(spark, starting_version=0).collect()
+        ) == cdf_before
