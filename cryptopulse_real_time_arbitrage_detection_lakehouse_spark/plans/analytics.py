@@ -967,3 +967,87 @@ def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spike_ratio"
         ),
     )
+
+
+@register(
+    "event_type_user_chi_square",
+    oracle="""
+WITH o AS (
+  SELECT event_type, user_id % 4 AS cohort, CAST(count(*) AS HUGEINT) AS obs
+  FROM events GROUP BY event_type, user_id % 4
+),
+r AS (SELECT event_type, CAST(sum(obs) AS HUGEINT) AS rt FROM o GROUP BY event_type),
+c AS (SELECT cohort, CAST(sum(obs) AS HUGEINT) AS ct FROM o GROUP BY cohort),
+g AS (SELECT CAST(sum(obs) AS HUGEINT) AS n FROM o),
+terms AS (
+  SELECT CAST(round(
+           CAST(CAST((o.obs * g.n - r.rt * c.ct) * (o.obs * g.n - r.rt * c.ct)
+                     AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(g.n * r.rt * c.ct AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(g.n AS VARCHAR) AS DOUBLE) * 1e10) AS BIGINT) AS tq
+  FROM o JOIN r USING (event_type) JOIN c USING (cohort) CROSS JOIN g
+),
+dims AS (
+  SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM c) AS nc
+)
+SELECT CAST(CAST(sum(tq) AS VARCHAR) AS DOUBLE) / 1e10 AS chi2,
+       CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+       (SELECT CAST(n AS BIGINT) FROM g) AS n_events
+FROM terms, dims GROUP BY dims.nr, dims.nc
+""",
+    doc="Pearson chi-square test of independence between event_type and "
+    "a user cohort (user_id mod 4) — the A/B-bucket sanity check every "
+    "experimentation pipeline runs before trusting assignment (a "
+    "significant chi2 means cohort hashing correlates with behavior, "
+    "i.e. broken randomization). Exact cross-engine: each cell's "
+    "(O*N - R*C)^2 and N*R*C are exact 128-bit integers, the per-cell "
+    "term is two IEEE divisions of correctly-rounded operands — "
+    "written as ((...)/(N*R*C))/N because a single N^2*R*C denominator "
+    "can overflow 128 bits — then QUANTIZED to the 1e10 grid and "
+    "summed exactly (a raw double sum would be shuffle-order-"
+    "dependent). p-values need the incomplete gamma function, which "
+    "engines round differently — consumers test chi2 against their "
+    "own critical table. Scale: one groupBy over events; margins come "
+    "back broadcast; output is one row.",
+    tags=("analytics", "events", "statistics", "aggregate"),
+)
+def event_type_user_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    )
+    o = ev.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast(dec).alias("obs")
+    )
+    r = o.groupBy("event_type").agg(F.sum("obs").cast(dec).alias("rt"))
+    c = o.groupBy("cohort").agg(F.sum("obs").cast(dec).alias("ct"))
+    g = o.agg(F.sum("obs").cast(dec).alias("n"))
+    diff = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    term = (
+        (diff * diff).cast("double")
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "cohort")
+        .crossJoin(F.broadcast(g))
+        .select(F.round(term * F.lit(1e10)).cast("long").alias("tq"))
+    )
+    nr = r.agg(F.count(F.lit(1)).alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        terms.agg(
+            (F.sum(F.col("tq").cast(dec)).cast("double") / F.lit(1e10)).alias(
+                "chi2"
+            )
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )

@@ -169,3 +169,132 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select(F.col("node").alias("part"), F.col("r").alias("rank_scaled"))
     )
+
+
+@register(
+    "part_copurchase_triangles",
+    oracle="""
+WITH ppo AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM ppo a JOIN ppo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e
+  ) GROUP BY n
+), o AS (
+  SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v,
+         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d END AS dv
+  FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n
+), wedge AS (
+  SELECT e1.v AS a, e2.v AS b
+  FROM o e1 JOIN o e2 ON e1.u = e2.u
+   AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+), tri AS (
+  SELECT count(*) AS t FROM wedge w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.a AND o.v = w.b)
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e
+)
+SELECT stats.n_nodes, ne.n_edges, CAST(tri.t AS BIGINT) AS n_triangles,
+       stats.n_wedges,
+       CASE WHEN stats.n_wedges = 0 THEN NULL
+            ELSE 3.0 * CAST(tri.t AS DOUBLE) / CAST(stats.n_wedges AS DOUBLE)
+       END AS global_clustering
+FROM tri, stats, ne
+""",
+    doc="Triangle count + global clustering coefficient of the part "
+    "co-purchase graph, via DEGREE-ORDERED edge orientation — the "
+    "trick that makes distributed triangle counting feasible: every "
+    "edge points from its (degree, id)-smaller endpoint, which bounds "
+    "every node's OUT-degree by O(sqrt(m)) on any graph, so the wedge "
+    "self-join shuffles at most m^1.5 candidate pairs instead of the "
+    "sum-of-squared-degrees a naive neighbor join pays (a single hub "
+    "node would otherwise quadratically explode). Each triangle is "
+    "counted exactly once: its wedge forms at the orientation-minimal "
+    "vertex and closes with the oriented (middle, max) edge, checked "
+    "by a LEFT SEMI join (EXISTS). All counts are exact integers; the "
+    "clustering coefficient 3T/W is one IEEE division. Output is one "
+    "row.",
+    tags=("graph", "triangles", "join", "aggregate"),
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ppo = li.distinct()
+    a, b = ppo.alias("a"), ppo.alias("b")
+    e = shared(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+    deg = shared(
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ej = e.join(dx, "x").join(dy, "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = shared(
+        ej.select(
+            F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+            F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+        )
+    )
+    e1 = o.select(
+        F.col("u").alias("u1"), F.col("v").alias("a_"), F.col("dv").alias("da")
+    )
+    e2 = o.select(
+        F.col("u").alias("u2"), F.col("v").alias("b_"), F.col("dv").alias("db")
+    )
+    wedge = e1.join(e2, F.col("u1") == F.col("u2")).filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a_") < F.col("b_")))
+    )
+    oc = o.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    closed = wedge.join(
+        oc,
+        (F.col("a_") == F.col("cu")) & (F.col("b_") == F.col("cv")),
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            )
+            .alias("global_clustering"),
+        )
+    )
