@@ -78,6 +78,12 @@ def _build_parser() -> argparse.ArgumentParser:
     rst.add_argument("version", type=int)
     cp = dsub.add_parser("checkpoint", help="write a log checkpoint")
     cp.add_argument("--parts", type=int, default=None)
+    lc = dsub.add_parser(
+        "compact-log",
+        help="write a minor log-compaction file (<s>.<e>.compacted.json)",
+    )
+    lc.add_argument("--start", type=int, default=None)
+    lc.add_argument("--end", type=int, default=None)
     dl = dsub.add_parser("delete", help="DELETE WHERE via deletion vectors")
     dl.add_argument("predicate")
     up = dsub.add_parser(
@@ -216,6 +222,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             elif args.delta_cmd == "checkpoint":
                 v = t.checkpoint(spark, parts=args.parts)
                 print(f"checkpointed at version {v}")
+            elif args.delta_cmd == "compact-log":
+                name = t.compact_log(args.start, args.end)
+                print(f"wrote log compaction {name}")
             elif args.delta_cmd == "delete":
                 v = t.delete(spark, args.predicate)
                 print(f"DELETE committed version {v}")

@@ -2417,3 +2417,89 @@ def candle_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(mu4 / (mu2 * mu2) - F.lit(3.0))
         .alias("kurtosis_excess"),
     )
+
+
+@register(
+    "candle_pattern_flags",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+g AS (
+  SELECT symbol, window_start, open, high, low, close,
+         lag(open) OVER w AS p_open,
+         lag(close) OVER w AS p_close
+  FROM gold WINDOW w AS (PARTITION BY symbol ORDER BY window_start)
+),
+f AS (
+  SELECT symbol,
+         CASE WHEN high > low
+               AND abs(close - open) * 10.0 <= (high - low)
+              THEN 1 ELSE 0 END AS is_doji,
+         CASE WHEN high > low
+               AND (least(open, close) - low) >= 2.0 * abs(close - open)
+               AND (high - greatest(open, close)) <= abs(close - open)
+              THEN 1 ELSE 0 END AS is_hammer,
+         CASE WHEN p_open IS NOT NULL
+               AND p_close < p_open AND close > open
+               AND open <= p_close AND close >= p_open
+              THEN 1 ELSE 0 END AS is_bull_engulf
+  FROM g
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_candles,
+       CAST(sum(is_doji) AS BIGINT) AS n_doji,
+       CAST(sum(is_hammer) AS BIGINT) AS n_hammer,
+       CAST(sum(is_bull_engulf) AS BIGINT) AS n_bull_engulf
+FROM f GROUP BY symbol
+""",
+    doc="Classical candlestick pattern screen over the 1-minute gold "
+    "series: doji (body <= 10% of range), hammer (lower shadow >= 2x "
+    "body, upper shadow <= body), and bullish engulfing (green body "
+    "engulfing the prior red body, via lag per symbol) — the "
+    "chart-annotation layer trading dashboards draw over candles. "
+    "Pattern predicates are pure IEEE comparisons of identically-"
+    "shaped double expressions (subtraction, abs, *10/*2 — every "
+    "operand exact-decimal-backed from the gold build), so both "
+    "engines flag identical candles; counts are exact. Row-local "
+    "except one calendar-bounded lag; output one row per symbol.",
+    tags=("gold", "indicator", "pattern", "window-function"),
+)
+def candle_pattern_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold_table(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("window_start")
+    g = gold.select(
+        "symbol",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    body = F.abs(F.col("close") - F.col("open"))
+    rng_ok = F.col("high") > F.col("low")
+    doji = F.when(rng_ok & (body * F.lit(10.0) <= F.col("high") - F.col("low")), 1).otherwise(0)
+    hammer = F.when(
+        rng_ok
+        & (F.least("open", "close") - F.col("low") >= F.lit(2.0) * body)
+        & (F.col("high") - F.greatest("open", "close") <= body),
+        1,
+    ).otherwise(0)
+    engulf = F.when(
+        F.col("p_open").isNotNull()
+        & (F.col("p_close") < F.col("p_open"))
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= F.col("p_close"))
+        & (F.col("close") >= F.col("p_open")),
+        1,
+    ).otherwise(0)
+    return g.select(
+        "symbol",
+        doji.alias("is_doji"),
+        hammer.alias("is_hammer"),
+        engulf.alias("is_bull_engulf"),
+    ).groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_candles"),
+        F.sum("is_doji").cast("long").alias("n_doji"),
+        F.sum("is_hammer").cast("long").alias("n_hammer"),
+        F.sum("is_bull_engulf").cast("long").alias("n_bull_engulf"),
+    )

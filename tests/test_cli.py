@@ -289,3 +289,36 @@ class TestCliFeatureLifecycleVerbs:
         assert t._identity_columns(t._snapshot_state(None)[0])["id"][
             "highWaterMark"
         ] == 4
+
+
+class TestCliCompactLog:
+    def test_compact_log_verb(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.cli import (
+            main,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.delta import (
+            DeltaTable,
+        )
+
+        root = str(tmp_path / "t")
+        t = DeltaTable(root)
+        for i in range(3):
+            t.write(
+                spark.range(i * 10, i * 10 + 10)
+                .select(F.col("id"))
+                .coalesce(1)
+            )
+        assert (
+            main(
+                ["delta", "--path", root, "compact-log", "--start", "0",
+                 "--end", "2"],
+                spark=spark,
+            )
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert "wrote log compaction" in out
+        assert t._compaction_ranges() == [(0, 2)]
+        assert t.read(spark).count() == 30

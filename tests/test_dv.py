@@ -873,6 +873,9 @@ class TestLifecyclePropertyWithIngestAndStats:
                 st.tuples(
                     st.just("clone"), st.integers(0, 1), st.integers(0, 1)
                 ),
+                st.tuples(
+                    st.just("compact"), st.integers(0, 6), st.integers(0, 1)
+                ),
             ),
             min_size=2,
             max_size=6,
@@ -1009,6 +1012,23 @@ class TestLifecyclePropertyWithIngestAndStats:
                     )
                     assert t.latest_version() == src_v
                     assert c.read(spark).count() == len(model) + 2
+                elif op == "compact":
+                    # minor log compaction mid-program: pure metadata —
+                    # version must not move, snapshot (checked below)
+                    # and the domain-held COPY ledger must be identical
+                    # through the compacted walk
+                    latest = t.latest_version()
+                    if latest >= 1:
+                        lo = min(a, latest - 1)
+                        led_before = t.domain_metadata(latest).get(
+                            t.COPY_DOMAIN
+                        )
+                        t.compact_log(lo, latest)
+                        assert t.latest_version() == latest
+                        assert (
+                            t.domain_metadata(latest).get(t.COPY_DOMAIN)
+                            == led_before
+                        )
                 elif op == "recompute":
                     v_before = t.latest_version()
                     res = t.recompute_stats(
@@ -1043,6 +1063,22 @@ class TestLifecyclePropertyWithIngestAndStats:
                 assert res["ingested_files"] == 0
                 assert res["skipped_files"] == len(landed)
                 assert t.latest_version() == v_before
+            # destructive compaction independence: compact the whole
+            # log, REMOVE every covered commit JSON except the latest,
+            # and the snapshot, the mapped read, and the domain-held
+            # COPY ledger must all reconstruct from the compaction alone
+            latest = t.latest_version()
+            if latest >= 1:
+                t.compact_log(0, latest)
+                for v in range(latest):
+                    p = os.path.join(t._log_dir, f"{v:020d}.json")
+                    if os.path.exists(p):
+                        os.remove(p)
+                snapshot_matches()
+                if landed:
+                    res = t.copy_into(spark, list(landed))
+                    assert res["ingested_files"] == 0
+                    assert t.latest_version() == latest
         finally:
             shutil.rmtree(root, ignore_errors=True)
             shutil.rmtree(landing, ignore_errors=True)

@@ -761,3 +761,12 @@ def test_pagerank_edge_derivation_shape(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "l_orderkey" in p
+
+
+def test_triangles_no_cartesian_and_semi_closure(spark):
+    """part_copurchase_triangles: the wedge join and the closing-edge
+    check are equi-joins (u-key, (a,b)-key); a cartesian or nested-loop
+    anywhere means the degree orientation was lost."""
+    p = plan_of(spark, "part_copurchase_triangles")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
