@@ -1051,3 +1051,45 @@ def event_type_user_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "order_value_equidepth_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       {sql_dsum("o_totalprice")} AS bucket_revenue
+FROM b GROUP BY bucket
+""",
+    doc="Equi-DEPTH histogram of order values via NTILE(10) — the "
+    "distribution summary optimizers and dashboards both want (equal "
+    "POPULATION per bucket, so tails get resolution where equi-width "
+    "buckets go empty). NTILE is deterministic only if the ordering "
+    "is total: ties on o_totalprice break on o_orderkey, so both "
+    "engines assign identical bucket membership (both follow the SQL "
+    "rule that the first n%10 buckets take the extra row). Values "
+    "pass through exactly; the per-bucket sum uses the decimal "
+    "discipline. Scale note: a global NTILE is a total sort — correct "
+    "for the summary it is (one pass, output is 10 rows); per-GROUP "
+    "histograms would partition the window instead.",
+    tags=("analytics", "window-function", "histogram", "ntile"),
+)
+def order_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_totalprice", F.ntile(10).over(w).cast("long").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        dsum("o_totalprice").alias("bucket_revenue"),
+    )

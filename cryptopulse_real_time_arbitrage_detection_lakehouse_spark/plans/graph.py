@@ -298,3 +298,86 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+@register(
+    "part_copurchase_lift_topk",
+    oracle="""
+WITH ppo AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pc AS (
+  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n FROM ppo GROUP BY 1
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ppo
+), pairs AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(count(*) AS BIGINT) AS nxy
+  FROM ppo a JOIN ppo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pr.x, pr.y, pr.nxy, px.n AS nx, py.n AS ny,
+       CAST(CAST(pr.nxy * tot.n_orders AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(px.n * py.n AS VARCHAR) AS DOUBLE) AS lift
+FROM pairs pr
+JOIN pc px ON pr.x = px.p
+JOIN pc py ON pr.y = py.p
+CROSS JOIN tot
+WHERE pr.nxy >= 3
+ORDER BY lift DESC, pr.x, pr.y LIMIT 20
+""",
+    doc="'Bought together' association strength: top-20 part pairs by "
+    "LIFT = P(x,y)/(P(x)P(y)) with minimum support 3 — the basket-"
+    "analysis primitive behind every recommender shelf, and the "
+    "numerically honest one (raw co-occurrence counts just rank "
+    "popular items; lift corrects by both marginals). lift = "
+    "(n_xy * N) / (n_x * n_y): both products are exact int64, each "
+    "side converts once (correctly rounded both engines), ONE IEEE "
+    "division — identical doubles, so even the top-k ORDER BY "
+    "compares identical keys (ties break on the pair). Pair counts "
+    "come from the orderkey-co-partitioned self-join (fan-out bounded "
+    "by lineitems/order); marginals join back on the pair's part "
+    "keys; min-support prunes before the top-k. TakeOrderedAndProject, "
+    "no global sort.",
+    tags=("graph", "association", "lift", "join", "topk"),
+)
+def part_copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ppo = shared(li.distinct())
+    pc = ppo.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.broadcast(
+        ppo.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    )
+    a, b = ppo.alias("a"), ppo.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+        .filter(F.col("nxy") >= 3)
+    )
+    px = pc.select(F.col("p").alias("x"), F.col("n").alias("nx"))
+    py = pc.select(F.col("p").alias("y"), F.col("n").alias("ny"))
+    out = (
+        pairs.join(px, "x")
+        .join(py, "y")
+        .crossJoin(tot)
+        .select(
+            "x",
+            "y",
+            "nxy",
+            "nx",
+            "ny",
+            (
+                (F.col("nxy") * F.col("n_orders")).cast("double")
+                / (F.col("nx") * F.col("ny")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "x", "y").limit(20)

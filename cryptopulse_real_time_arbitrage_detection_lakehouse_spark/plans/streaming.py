@@ -922,3 +922,146 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.read.schema(sess.schema).parquet(out_path)
+
+
+@register(
+    "streaming_purchase_attribution_full_outer",
+    oracle="""
+WITH c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+         - INTERVAL 10 MINUTE AS horizon
+),
+matched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL 30 MINUTE
+   AND c.ts <= p.ts
+),
+un_p AS (
+  SELECT p.user_id, p.event_id AS purchase_id, NULL AS click_id
+  FROM p, wm
+  WHERE p.ts < wm.horizon
+    AND NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        AND c.ts <= p.ts
+    )
+),
+un_c AS (
+  SELECT c.user_id, NULL AS purchase_id, c.event_id AS click_id
+  FROM c, wm
+  WHERE c.ts + INTERVAL 30 MINUTE < wm.horizon
+    AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        AND c.ts <= p.ts
+    )
+),
+emitted AS (
+  SELECT user_id, purchase_id, click_id FROM matched
+  UNION ALL SELECT user_id, purchase_id, click_id FROM un_p
+  UNION ALL SELECT user_id, purchase_id, click_id FROM un_c
+)
+SELECT user_id % 10 AS user_bucket,
+       count(*) AS n_rows,
+       count(CASE WHEN purchase_id IS NOT NULL AND click_id IS NOT NULL
+                  THEN 1 END) AS n_matched,
+       count(CASE WHEN click_id IS NULL THEN 1 END)
+         AS n_unattributed_purchases,
+       count(CASE WHEN purchase_id IS NULL THEN 1 END)
+         AS n_unconverted_clicks
+FROM emitted GROUP BY 1
+""",
+    doc="STREAM-STREAM FULL OUTER join, physically executed — the last "
+    "cell of the streaming join-mode matrix (inner and left outer are "
+    "registered separately): purchases and clicks join on user within "
+    "a 30-minute attribution window, both sides watermarked, and BOTH "
+    "unmatched sides must null-emit — each under its OWN eviction "
+    "horizon derived from the join condition: an unmatched purchase "
+    "finalizes when the watermark passes its timestamp (no older "
+    "click can arrive), but an unmatched CLICK must wait 30 minutes "
+    "LONGER (a matching purchase may post-date it by the full window) "
+    "— the asymmetry the oracle's two horizon predicates reproduce "
+    "exactly. State stays interval-bounded on both sides. Oracle = "
+    "batch full outer decomposed into matched + two NOT EXISTS legs "
+    "with per-side horizons; stream == batch on finalized rows.",
+    tags=("streaming", "join", "outer", "watermark", "interval"),
+)
+def streaming_purchase_attribution_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="cpfojoin_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "joined")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_parquet_stream(spark, src, events.schema)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("purchase_user"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        F.coalesce("purchase_user", "click_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                joined,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="purchase_attribution_full_outer",
+            )
+        )
+    emitted = spark.read.schema(joined.schema).parquet(out_path)
+    return emitted.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull(),
+                1,
+            )
+        ).alias("n_matched"),
+        F.count(F.when(F.col("click_id").isNull(), 1)).alias(
+            "n_unattributed_purchases"
+        ),
+        F.count(F.when(F.col("purchase_id").isNull(), 1)).alias(
+            "n_unconverted_clicks"
+        ),
+    )
