@@ -2503,3 +2503,223 @@ def candle_pattern_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_hammer").cast("long").alias("n_hammer"),
         F.sum("is_bull_engulf").cast("long").alias("n_bull_engulf"),
     )
+
+
+@register(
+    "tick_volume_gini",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+h AS (
+  SELECT symbol, CAST(floor(size) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ticks GROUP BY 1, 2
+),
+k AS (
+  SELECT symbol, v, c,
+         CAST(COALESCE(sum(c) OVER (PARTITION BY symbol ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s,
+         CAST(sum(c) OVER (PARTITION BY symbol) AS BIGINT) AS n
+  FROM h
+),
+t AS (
+  SELECT symbol, CAST(max(n) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS sv,
+         CAST(sum(v * (2 * s * c + c * (c + 1) - c * (n + 1)))
+              AS BIGINT) AS num
+  FROM k GROUP BY symbol
+)
+SELECT symbol, n AS n_trades,
+       CASE WHEN sv = 0 THEN NULL
+            ELSE CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+       END AS gini
+FROM t
+""",
+    doc="Gini coefficient of per-symbol trade-size concentration — the "
+    "inequality dial (0 = every trade equal, ->1 = volume concentrated "
+    "in whales); surveillance desks watch it move. Computed WITHOUT "
+    "sorting the trades: G = sum_i((2i-n-1)x_(i)) / (n*sum x) "
+    "collapses by VALUE HISTOGRAM — sizes first aggregate to (symbol, "
+    "size, count), then the rank algebra runs over the tiny histogram "
+    "using the exclusive cumulative count s: a block of c equal values "
+    "v occupying ranks s+1..s+c contributes v*(2*s*c + c*(c+1) - "
+    "c*(n+1)), summed exactly in int64. So the shuffle carries "
+    "DISTINCT sizes per symbol, not trades, and the only window runs "
+    "over histogram rows — the distributed form of an order-statistic "
+    "that naively needs a per-key global sort. One IEEE division "
+    "closes; ties need no break (equal values are one block).",
+    tags=("silver", "analytics", "concentration", "histogram",
+          "aggregate"),
+)
+def tick_volume_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol", F.floor(F.col("size")).cast("long").alias("v")
+    )
+    h = t.groupBy("symbol", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        W.partitionBy("symbol")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("symbol")
+    k = h.select(
+        "symbol",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long").alias("s"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    agg = k.groupBy("symbol").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("sv"),
+        F.sum(
+            (
+                F.col("v")
+                * (
+                    2 * F.col("s") * F.col("c")
+                    + F.col("c") * (F.col("c") + 1)
+                    - F.col("c") * (F.col("n") + 1)
+                )
+            ).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("num"),
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").alias("n_trades"),
+        F.when(F.col("sv") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("sv").cast("double"))
+        )
+        .alias("gini"),
+    )
+
+
+@register(
+    "venue_hhi_per_symbol",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+vv AS (
+  SELECT symbol, venue, CAST(sum(CAST(floor(size) AS BIGINT)) AS BIGINT) AS v
+  FROM ticks GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_venues,
+       CAST(sum(v) AS BIGINT) AS total_volume,
+       CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS VARCHAR) AS DOUBLE)
+         / (CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE)) AS hhi
+FROM vv GROUP BY symbol
+""",
+    doc="Herfindahl-Hirschman index of venue volume concentration per "
+    "symbol — the market-fragmentation metric (1/n_venues = perfectly "
+    "split, 1.0 = single-venue; regulators and SOR routers both read "
+    "it). HHI = sum(v_i^2)/(sum v)^2 with exact integer volume sums "
+    "per (symbol, venue), the squared sum in 128-bit, and one IEEE "
+    "division of correctly-rounded casts. Two groupBys sharing the "
+    "symbol key; output one row per symbol.",
+    tags=("silver", "analytics", "concentration", "aggregate"),
+)
+def venue_hhi_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol", "venue", F.floor(F.col("size")).cast("long").alias("q")
+    )
+    vv = t.groupBy("symbol", "venue").agg(F.sum("q").cast("long").alias("v"))
+    dec = "decimal(38,0)"
+    return vv.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_venues"),
+        F.sum("v").cast("long").alias("total_volume"),
+        (
+            F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).cast("double")
+            / (
+                F.sum("v").cast("long").cast("double")
+                * F.sum("v").cast("long").cast("double")
+            )
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "symbol_trimmed_mean_price",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+h AS (
+  SELECT symbol, CAST(floor(price * {float(_IND_SCALE)!r}) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ticks GROUP BY 1, 2
+),
+k AS (
+  SELECT symbol, v, c,
+         CAST(COALESCE(sum(c) OVER (PARTITION BY symbol ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s,
+         CAST(sum(c) OVER (PARTITION BY symbol) AS BIGINT) AS n
+  FROM h
+),
+kept AS (
+  SELECT symbol, n, n // 10 AS lo,
+         greatest(CAST(0 AS BIGINT),
+                  least(s + c, n - n // 10) - greatest(s, n // 10)) AS kc,
+         v
+  FROM k
+)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_trades,
+       CAST(max(n) - 2 * max(lo) AS BIGINT) AS n_kept,
+       CAST(CAST(sum(CAST(kc AS HUGEINT) * v) AS VARCHAR) AS DOUBLE)
+         / (CAST(max(n) - 2 * max(lo) AS DOUBLE) * {float(_IND_SCALE)!r})
+         AS trimmed_mean
+FROM kept GROUP BY symbol
+""",
+    doc="10%-trimmed mean price per symbol — the robust location "
+    "estimate that survives fat-finger prints the plain mean cannot "
+    "(complements the MAD outlier gate: MAD flags, the trimmed mean "
+    "summarizes). Same value-histogram decomposition as "
+    "tick_volume_gini: prices quantize to the 2^20 grid, collapse to "
+    "(symbol, price, count), and the trim boundaries [n/10+1, n-n/10] "
+    "intersect each equal-value BLOCK arithmetically (kept = "
+    "clamp(min(s+c, n-lo) - max(s, lo))) — no per-trade sort, the "
+    "shuffle carries distinct grid prices, the windows run over "
+    "histogram rows. Kept mass sums exactly in 128-bit; one IEEE "
+    "division and the exact power-of-two descale close.",
+    tags=("silver", "analytics", "robust", "histogram", "aggregate"),
+)
+def symbol_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        F.floor(F.col("price") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("v"),
+    )
+    h = t.groupBy("symbol", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        W.partitionBy("symbol")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("symbol")
+    k = h.select(
+        "symbol",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("long").alias("s"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    lo = F.expr("n DIV 10")
+    kc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("s") + F.col("c"), F.col("n") - lo)
+        - F.greatest(F.col("s"), lo),
+    )
+    kept = k.select("symbol", "n", lo.alias("lo"), kc.alias("kc"), "v")
+    dec = "decimal(38,0)"
+    return kept.groupBy("symbol").agg(
+        F.max("n").cast("long").alias("n_trades"),
+        (F.max("n") - 2 * F.max("lo")).cast("long").alias("n_kept"),
+        (
+            F.sum(F.col("kc").cast(dec) * F.col("v").cast(dec)).cast("double")
+            / (
+                (F.max("n") - 2 * F.max("lo")).cast("double")
+                * F.lit(float(_IND_SCALE))
+            )
+        ).alias("trimmed_mean"),
+    )

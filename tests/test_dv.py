@@ -1075,6 +1075,12 @@ class TestLifecyclePropertyWithIngestAndStats:
                     if os.path.exists(p):
                         os.remove(p)
                 snapshot_matches()
+                # stats-pruned predicate read through the compaction:
+                # the compacted adds carry their stats verbatim, so
+                # pruning must neither drop matching rows nor resurrect
+                # deleted ones
+                pred = t.read(spark, where="grp = 3")
+                assert pred.count() == int((model.grp == 3).sum())
                 if landed:
                     res = t.copy_into(spark, list(landed))
                     assert res["ingested_files"] == 0
