@@ -191,3 +191,82 @@ def keyed_exact_heikin_ashi(
     return df.select(*cols).groupBy(*key_cols).applyInPandas(
         kernel, out_schema
     )
+
+
+#: Holt's linear method smoothing constants as exact rationals:
+#: alpha = 1/HOLT_A (level), beta = 1/HOLT_B (trend).
+HOLT_A, HOLT_B = 5, 10
+#: sign-shift for the (possibly negative) trend state, same algebra as
+#: MACD_SHIFT: floor is shift-equivariant for integer shifts.
+HOLT_SHIFT = 1 << 40
+
+
+def keyed_exact_holt(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    q_col: str,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exact fixed-point Holt linear smoothing (double
+    exponential: level + trend) over the quantized series ``q_col``.
+
+    The TWO-state recursion no window frame or chunk-carry expresses:
+
+        l_t = floor((x_t + (A-1)*(l_{t-1} + b_{t-1})) / A)     (alpha=1/A)
+        b_t = floor(((l_t - l_{t-1}) + (B-1)*b_{t-1}) / B)     (beta=1/B)
+
+    run on ``s = b + HOLT_SHIFT`` so every intermediate stays positive:
+    ``s_t = floor(((l_t - l_{t-1}) + (B-1)*s_{t-1} + HOLT_SHIFT) / B)``
+    (expand ``b = s - SHIFT``: the -(B-1)SHIFT and +B·SHIFT collapse to
+    one +SHIFT inside the floor). Exactness argument is `keyed_exact_
+    macd`'s verbatim: intermediates < 2^44 << 2^53 and a non-divisible
+    quotient sits >= 1/B from the next integer, so the oracle's
+    floor(double division) can never round across the Python ``//``
+    result. Seeding: l_0 = x_0, b_0 = 0.
+
+    Returns keys + order + passthrough + integer ``l_q`` (level),
+    ``b_q`` (trend, un-shifted) and ``f_q`` (= l+b, the one-step-ahead
+    forecast). Sequential per key, bounded by CALENDAR series length.
+    """
+    passthrough = passthrough or []
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [df.schema[order_col]]
+        + [df.schema[c] for c in passthrough]
+        + [
+            T.StructField("l_q", T.LongType()),
+            T.StructField("b_q", T.LongType()),
+            T.StructField("f_q", T.LongType()),
+        ]
+    )
+    cols = key_cols + [order_col] + passthrough + [q_col]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        qs = [int(v) for v in pdf[q_col]]
+        lev = None
+        s = HOLT_SHIFT  # b_0 = 0
+        ol, ob, of = [], [], []
+        for q in qs:
+            if lev is None:
+                lev = q
+            else:
+                prev = lev
+                lev = (q + (HOLT_A - 1) * (prev + s - HOLT_SHIFT)) // HOLT_A
+                s = ((lev - prev) + (HOLT_B - 1) * s + HOLT_SHIFT) // HOLT_B
+            ol.append(lev)
+            ob.append(s - HOLT_SHIFT)
+            of.append(lev + s - HOLT_SHIFT)
+        out = pdf[key_cols + [order_col] + passthrough].copy()
+        out["l_q"] = pd.Series(ol, index=pdf.index, dtype="int64")
+        out["b_q"] = pd.Series(ob, index=pdf.index, dtype="int64")
+        out["f_q"] = pd.Series(of, index=pdf.index, dtype="int64")
+        return out
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(
+        kernel, out_schema
+    )

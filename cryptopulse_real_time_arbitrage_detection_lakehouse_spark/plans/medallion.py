@@ -2723,3 +2723,76 @@ def symbol_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "candle_holt_forecast",
+    oracle=f"""
+WITH RECURSIVE {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+ranked AS MATERIALIZED (
+  SELECT symbol, window_start, close,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start)
+           AS rn
+  FROM gold
+),
+rec(symbol, rn, l, s) AS (
+  SELECT symbol, rn, q, {1 << 40}::BIGINT FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.symbol, r.rn,
+         CAST(floor((r.q + 4*(p.l + p.s - {1 << 40})) / 5.0) AS BIGINT),
+         CAST(floor(((CAST(floor((r.q + 4*(p.l + p.s - {1 << 40})) / 5.0)
+                           AS BIGINT) - p.l)
+                     + 9*p.s + {1 << 40}) / 10.0) AS BIGINT)
+  FROM ranked r JOIN rec p ON p.symbol = r.symbol AND r.rn = p.rn + 1
+)
+SELECT k.window_start, k.symbol, k.close,
+       CAST(rec.l AS DOUBLE) / {float(_IND_SCALE)!r} AS level,
+       CAST(rec.s - {1 << 40} AS DOUBLE) / {float(_IND_SCALE)!r} AS trend,
+       CAST(rec.l + rec.s - {1 << 40} AS DOUBLE) / {float(_IND_SCALE)!r}
+         AS forecast_next
+FROM rec JOIN ranked k ON k.symbol = rec.symbol AND k.rn = rec.rn
+""",
+    doc="Holt linear (double exponential) smoothing over the 1-minute "
+    "close series: level + trend states (alpha=1/5, beta=1/10) and the "
+    "one-step-ahead forecast level+trend — the simplest honest "
+    "forecaster (a single EMA lags a trending series by construction; "
+    "Holt's trend state removes that lag) and a TWO-state recursion "
+    "that neither window frames nor chunk-carry can express. Runs in "
+    "exact fixed-point end-to-end (`operators.recursive."
+    "keyed_exact_holt`): both state updates are integer floor steps, "
+    "the trend state is sign-shifted +2^40, and the oracle's "
+    "recursive-CTE floor(double division) provably equals the "
+    "kernel's Python // (intermediates < 2^44, quotient distance "
+    ">= 1/10 >> ulp). Finals divide identical integers once. "
+    "Sequential per key, calendar-bounded; symbols parallelize.",
+    tags=("gold", "analytics", "forecast", "recursive", "arrow-kernel"),
+)
+def candle_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recursive import MACD_SCALE, keyed_exact_holt
+
+    gold = _gold_table(spark, sf_dir).select(
+        "symbol",
+        "window_start",
+        "close",
+        F.floor(F.col("close") * F.lit(float(MACD_SCALE)))
+        .cast("long")
+        .alias("q"),
+    )
+    state = keyed_exact_holt(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        q_col="q",
+        passthrough=["close"],
+    )
+    scale = F.lit(float(MACD_SCALE))
+    return state.select(
+        "window_start",
+        "symbol",
+        "close",
+        (F.col("l_q").cast("double") / scale).alias("level"),
+        (F.col("b_q").cast("double") / scale).alias("trend"),
+        (F.col("f_q").cast("double") / scale).alias("forecast_next"),
+    )

@@ -356,3 +356,61 @@ class TestChunkedRangeRolling:
                 df, key_cols=["k"], order_col="pos", bucket=5, span=6,
                 cols={"n": lambda w: F.count(F.lit(1)).over(w)},
             )
+
+
+class TestKeyedExactHolt:
+    """operators.recursive.keyed_exact_holt: two-state (level+trend)
+    exact recursion — matches a brute-force model, is input-order
+    independent, and produces negative trends that survive the shift."""
+
+    def _model(self, qs):
+        SHIFT = 1 << 40
+        lev = None
+        s = SHIFT
+        out = []
+        for q in qs:
+            if lev is None:
+                lev = q
+            else:
+                prev = lev
+                lev = (q + 4 * (prev + s - SHIFT)) // 5
+                s = ((lev - prev) + 9 * s + SHIFT) // 10
+            out.append((lev, s - SHIFT, lev + s - SHIFT))
+        return out
+
+    def test_matches_model_and_order_independent(self, spark):
+        import random
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.recursive import (  # noqa: E501
+            keyed_exact_holt,
+        )
+
+        rnd = random.Random(11)
+        rows = []
+        series = {}
+        for sym in ("A", "B"):
+            # trending-then-falling series: guarantees negative trend
+            qs = [i * 1000 + rnd.randrange(0, 500) for i in range(100)]
+            qs += [qs[-1] - i * 2000 for i in range(1, 101)]
+            series[sym] = qs
+            rows += [(sym, f"t{idx:04d}", q) for idx, q in enumerate(qs)]
+        rnd.shuffle(rows)
+        df = spark.createDataFrame(rows, "symbol string, ts string, q long")
+        got = keyed_exact_holt(
+            df.repartition(5),
+            key_cols=["symbol"],
+            order_col="ts",
+            q_col="q",
+        )
+        by_sym = {}
+        for r in got.collect():
+            by_sym.setdefault(r["symbol"], []).append(
+                (r["ts"], r["l_q"], r["b_q"], r["f_q"])
+            )
+        for sym, qs in series.items():
+            want = self._model(qs)
+            rows_sorted = sorted(by_sym[sym])
+            assert [(t[1], t[2], t[3]) for t in rows_sorted] == want
+        assert any(
+            t[2] < 0 for ts in by_sym.values() for t in ts
+        ), "test series never produced a negative trend"
