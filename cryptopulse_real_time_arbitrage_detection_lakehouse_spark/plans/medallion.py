@@ -2796,3 +2796,128 @@ def candle_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_q").cast("double") / scale).alias("trend"),
         (F.col("f_q").cast("double") / scale).alias("forecast_next"),
     )
+
+
+@register(
+    "symbol_pair_hedge_beta",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+q AS (
+  SELECT symbol, window_start,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS qc
+  FROM gold
+),
+pairs AS (
+  SELECT a.symbol AS sym_x, b.symbol AS sym_y, a.qc AS x, b.qc AS y
+  FROM q a JOIN q b
+    ON a.window_start = b.window_start AND a.symbol < b.symbol
+),
+sums AS (
+  SELECT sym_x, sym_y,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY sym_x, sym_y
+),
+pieces AS (
+  SELECT sym_x, sym_y, n,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den_x,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS den_y,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n_d
+  FROM sums
+)
+SELECT sym_x, sym_y, CAST(n AS BIGINT) AS n_minutes,
+       num / den_x AS hedge_beta,
+       (sy_d - (num / den_x) * sx_d) / n_d / {float(_IND_SCALE)!r}
+         AS alpha,
+       CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+            ELSE (num * num) / (den_x * den_y) END AS r2
+FROM pieces
+WHERE den_x > 0
+""",
+    doc="Pairs-trading hedge ratio: OLS of symbol Y's close on symbol "
+    "X's close over time-aligned 1-minute candles — beta is the hedge "
+    "ratio (units of X shorted per unit of Y held), alpha the price "
+    "offset, r² the co-movement strength that decides whether the "
+    "pair is tradeable at all. The grid CANCELS in beta (both "
+    "coordinates share the 2^20 scale) and divides out once in alpha. "
+    "Same five-sufficient-statistics shape as candle_trend_ols but "
+    "CROSS-series: the time-alignment equi-join on window_start runs "
+    "before the one aggregate pass; all sums exact 128-bit, finals "
+    "are IEEE ops on VARCHAR-mediated identical doubles. Output is "
+    "one row per symbol pair.",
+    tags=("gold", "analytics", "regression", "finance", "join"),
+)
+def symbol_pair_hedge_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold_table(spark, sf_dir)
+    q = gold.select(
+        "symbol",
+        "window_start",
+        F.floor(F.col("close") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("qc"),
+    )
+    a = q.select(
+        F.col("symbol").alias("sym_x"),
+        F.col("window_start").alias("ws"),
+        F.col("qc").alias("x"),
+    )
+    b = q.select(
+        F.col("symbol").alias("sym_y"),
+        F.col("window_start").alias("ws"),
+        F.col("qc").alias("y"),
+    )
+    pairs = a.join(b, "ws").filter(F.col("sym_x") < F.col("sym_y"))
+    dec = "decimal(38,0)"
+    sums = pairs.groupBy("sym_x", "sym_y").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    p = sums.select(
+        "sym_x",
+        "sym_y",
+        F.col("n").cast("long").alias("n_minutes"),
+        num.alias("num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        F.col("sx").cast("double").alias("sx_d"),
+        F.col("sy").cast("double").alias("sy_d"),
+        F.col("n").cast("double").alias("n_d"),
+    )
+    return p.filter(F.col("den_x") > 0).select(
+        "sym_x",
+        "sym_y",
+        "n_minutes",
+        (F.col("num") / F.col("den_x")).alias("hedge_beta"),
+        (
+            (F.col("sy_d") - (F.col("num") / F.col("den_x")) * F.col("sx_d"))
+            / F.col("n_d")
+            / F.lit(float(_IND_SCALE))
+        ).alias("alpha"),
+        F.when(
+            (F.col("den_x") == 0) | (F.col("den_y") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (F.col("num") * F.col("num")) / (F.col("den_x") * F.col("den_y"))
+        )
+        .alias("r2"),
+    )

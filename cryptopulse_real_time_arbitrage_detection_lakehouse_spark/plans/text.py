@@ -3859,3 +3859,148 @@ def doc_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nats"
         )
     ).select("source", F.col("t").alias("n_tokens"), "kl_nats")
+
+
+@register(
+    "doc_heaps_law_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+),
+per_doc_toks AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS toks FROM tok GROUP BY doc_id
+),
+firsts AS (
+  SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tok
+  GROUP BY token
+),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS novel
+  FROM firsts GROUP BY first_doc
+),
+cum AS (
+  SELECT d.doc_id,
+         CAST(sum(d.toks) OVER w AS BIGINT) AS nn,
+         CAST(sum(COALESCE(np.novel, 0)) OVER w AS BIGINT) AS vv
+  FROM per_doc_toks d LEFT JOIN new_per_doc np USING (doc_id)
+  WINDOW w AS (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+),
+xy AS (
+  SELECT CAST(round(ln(CAST(nn AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+         CAST(round(ln(CAST(vv AS DOUBLE)) * 1e9) AS BIGINT) AS y
+  FROM cum WHERE nn > 0 AND vv > 0
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM xy
+),
+pieces AS (
+  SELECT CAST(n AS BIGINT) AS n_points,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den_x,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS den_y,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+         CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n_d
+  FROM sums
+)
+SELECT n_points,
+       num / den_x AS heaps_beta,
+       (sy_d - (num / den_x) * sx_d) / n_d / 1e9 AS intercept_ln_k,
+       CASE WHEN den_y = 0 THEN NULL
+            ELSE (num * num) / (den_x * den_y) END AS r2
+FROM pieces
+""",
+    doc="Heaps'-law vocabulary-growth fit: V(N) ~ k*N^beta — OLS of "
+    "ln(cumulative vocabulary) vs ln(cumulative tokens) over the "
+    "corpus in doc_id order. Natural text sits near beta 0.4-0.6; "
+    "beta near 1 means the stream keeps minting tokens (OCR noise, "
+    "random ids — tokenizer poison), near 0 means a closed template "
+    "vocabulary. Distributed shape: first occurrences are min(doc_id) "
+    "per token (one shuffle on token), novelty counts collapse to ONE "
+    "row per doc, and only that doc-level summary enters the "
+    "cumulative window (at extreme doc counts the same prefix sum "
+    "chunks via operators.rolling.chunked_cumsum); both regression "
+    "coordinates quantize in-engine on the 1e9 ln-grid and the five "
+    "sufficient statistics run exact in 128-bit. The intercept is "
+    "reported as ln(k) — exp() rounds differently across engines.",
+    tags=("text", "corpus-stats", "regression", "window-function"),
+)
+def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    novel = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("novel")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("toks").over(w).cast("long").alias("nn"),
+            F.sum(F.coalesce(F.col("novel"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vv"),
+        )
+        .filter((F.col("nn") > 0) & (F.col("vv") > 0))
+    )
+    xy = cum.select(
+        F.round(F.log(F.col("nn").cast("double")) * F.lit(1e9))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("vv").cast("double")) * F.lit(1e9))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    p = sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        num.alias("num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        F.col("sx").cast("double").alias("sx_d"),
+        F.col("sy").cast("double").alias("sy_d"),
+        F.col("n").cast("double").alias("n_d"),
+    )
+    return p.select(
+        "n_points",
+        (F.col("num") / F.col("den_x")).alias("heaps_beta"),
+        (
+            (F.col("sy_d") - (F.col("num") / F.col("den_x")) * F.col("sx_d"))
+            / F.col("n_d")
+            / F.lit(1e9)
+        ).alias("intercept_ln_k"),
+        F.when(F.col("den_y") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("num") * F.col("num")) / (F.col("den_x") * F.col("den_y"))
+        )
+        .alias("r2"),
+    )
