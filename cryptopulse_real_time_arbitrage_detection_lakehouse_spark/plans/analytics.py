@@ -1093,3 +1093,113 @@ def order_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         F.max("o_totalprice").alias("hi"),
         dsum("o_totalprice").alias("bucket_revenue"),
     )
+
+
+@register(
+    "user_event_top_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3 LIMIT 15
+""",
+    doc="Top-15 three-step behavior paths — the path-analysis view that "
+    "generalizes the 1-step Markov matrix (user_event_transition_"
+    "matrix): consecutive event trigrams per user, ordered by "
+    "(ts, event_id) so duplicate timestamps cannot reorder a path. "
+    "One user-partitioned window pass produces both leads, exact "
+    "counts, deterministic top-k ties on the path itself; the result "
+    "is bounded by |event_types|^3 regardless of corpus. "
+    "TakeOrderedAndProject, no global sort.",
+    tags=("analytics", "events", "path", "window-function", "topk"),
+)
+def user_event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH stamped AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         CAST(epoch_us(min(e.ts)) - epoch_us(s.t_view) AS BIGINT) AS us
+  FROM events e JOIN stamped s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND s.t_view IS NOT NULL
+    AND e.ts >= s.t_view
+  GROUP BY e.user_id, s.t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(us) AS BIGINT) AS min_us,
+       CAST(max(us) AS BIGINT) AS max_us,
+       CAST(quantile_disc(us, 0.5) AS BIGINT) AS median_us,
+       CAST(quantile_disc(us, 0.9) AS BIGINT) AS p90_us
+FROM conv
+""",
+    doc="Funnel latency distribution: per converting user, microseconds "
+    "from first view to first purchase AT OR AFTER it, summarized as "
+    "count/min/max plus DISCRETE median and p90 — percentile_disc "
+    "selects an actual element, so both engines pick the identical "
+    "microsecond value with no interpolation arithmetic to disagree "
+    "on (the established exact-quantile discipline). Two passes "
+    "sharing the user_id key: first-view stamp, then earliest "
+    "qualifying purchase; output is one row. The latency histogram "
+    "is what converts a funnel RATE into a funnel SLA.",
+    tags=("analytics", "events", "funnel", "quantile", "aggregate"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    stamped = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(stamped, "user_id")
+        .filter(F.col("t_view").isNotNull() & (F.col("ts") >= F.col("t_view")))
+        .groupBy("user_id", "t_view")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.col("t_view"))
+            ).alias("us")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("us").cast("long").alias("min_us"),
+        F.max("us").cast("long").alias("max_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY us)")
+        .cast("long")
+        .alias("median_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY us)")
+        .cast("long")
+        .alias("p90_us"),
+    )

@@ -381,3 +381,102 @@ def part_copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("lift").desc(), "x", "y").limit(20)
+
+
+_LPA_ROUNDS = 4
+#: packed argmax key: count * 10^10 - label picks (max count, min label)
+#: deterministically in ONE integer — labels are partkeys < 10^10.
+_LPA_PACK = 10_000_000_000
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+WITH ppo AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ppo a JOIN ppo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT u AS node FROM e
+), l0 AS (
+  SELECT node, node AS lab FROM nodes
+)"""
+    ]
+    prev = "l0"
+    for k in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            """, c{k} AS (
+  SELECT e.u AS node, p.lab, CAST(count(*) AS BIGINT) AS cnt
+  FROM e JOIN {prev} p ON e.v = p.node GROUP BY e.u, p.lab
+), l{k} AS (
+  SELECT node, arg_max(lab, cnt * {pack} - lab) AS lab
+  FROM c{k} GROUP BY node
+)""".format(k=k, prev=prev, pack=_LPA_PACK)
+        )
+        prev = f"l{k}"
+    parts.append(
+        f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
+FROM {prev} GROUP BY lab
+ORDER BY size DESC, community LIMIT 15"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "part_copurchase_communities_lpa",
+    oracle=_lpa_oracle(),
+    doc="Label-propagation communities over the co-purchase graph "
+    "(4 synchronous rounds): each node adopts its neighborhood's "
+    "majority label — the third iterative-algorithm shape after "
+    "PageRank (sum semiring) and triangles (join-closure), this one "
+    "an ARGMAX per node made deterministic by packing (count, label) "
+    "into one integer key (cnt * 10^10 - label: max count wins, then "
+    "SMALLEST label — the tie-break that makes synchronous LPA "
+    "reproducible at all; fixed round count sidesteps its known "
+    "oscillation). Each round is one |edges| shuffle into a "
+    "(node, label) count and one argmax aggregate; labels stay "
+    "distributed, lineage truncates per round. Exact integer counts "
+    "and labels end-to-end — the final community sizes hash-match "
+    "with no tolerance.",
+    tags=("graph", "iterative", "community", "join", "aggregate"),
+)
+def part_copurchase_communities_lpa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ppo = li.distinct()
+    a, b = ppo.alias("a"), ppo.alias("b")
+    e = shared(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    nodes = shared(e.select(F.col("u").alias("node")).distinct())
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = e.join(
+            labels.select(F.col("node").alias("v"), "lab"), "v"
+        ).groupBy(F.col("u").alias("node"), "lab").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = shared(
+            nbr.groupBy("node").agg(
+                F.max_by(
+                    "lab", F.col("cnt") * F.lit(_LPA_PACK) - F.col("lab")
+                ).alias("lab")
+            )
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(15)
+    )

@@ -2921,3 +2921,89 @@ def symbol_pair_hedge_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+@register(
+    "tick_price_benford_audit",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+q AS (
+  SELECT CAST(floor(price * {float(_IND_SCALE)!r}) AS BIGINT) AS v
+  FROM ticks
+  WHERE price > 0
+),
+d AS (
+  SELECT v // CAST(pow(10.0, length(CAST(v AS VARCHAR)) - 1) AS BIGINT)
+           AS digit
+  FROM q
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+p AS (
+  SELECT c.digit, c.n, tot.t,
+         CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS observed,
+         CAST(CAST(round(ln(CAST(c.digit + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+              - CAST(round(ln(CAST(c.digit AS DOUBLE)) * 1e9) AS BIGINT)
+              AS DOUBLE)
+           / CAST(CAST(round(ln(10.0) * 1e9) AS BIGINT) AS DOUBLE)
+           AS benford
+  FROM c CROSS JOIN tot
+)
+SELECT digit, n, observed, benford,
+       CAST(round(abs(observed - benford) * 1e12) AS BIGINT) AS abs_dev_q
+FROM p
+""",
+    doc="Benford's-law first-digit audit of quantized prices — the "
+    "fabricated-data forensic (hand-typed or synthesized numbers "
+    "rarely follow the log-uniform leading-digit law; a feed whose "
+    "digit histogram jumps away from Benford changed its generator). "
+    "Digit extraction never touches floating log10: the first digit "
+    "of the 2^20-grid INTEGER is v DIV 10^(len(v)-1), with the power "
+    "an exactly-representable small double cast back to int64 — "
+    "identical in both engines. The Benford expectation is computed "
+    "from INTEGER-argument ln() on the verified 1e9 grid "
+    "(p_d = (ln(d+1)-ln(d))/ln(10) over grid-backed operands), so "
+    "observed and expected shares are identical doubles; the per-"
+    "digit deviation is quantized to 1e12 so downstream sums stay "
+    "order-free. One groupBy over a row-local projection; output is "
+    "nine rows. (The synthetic testdata is uniform, NOT Benford — "
+    "the audit correctly reports large deviations; the operator's "
+    "claim is exact parity, the data's claim is its own.)",
+    tags=("silver", "analytics", "forensics", "aggregate"),
+)
+def tick_price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).filter(F.col("price") > 0)
+    v = F.floor(F.col("price") * F.lit(float(_IND_SCALE))).cast("long")
+    q = t.select(v.alias("v"))
+    digit = F.expr(
+        "v DIV CAST(pow(10.0, length(CAST(v AS STRING)) - 1) AS BIGINT)"
+    )
+    c = q.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.broadcast(c.agg(F.sum("n").cast("long").alias("t")))
+    ln9 = lambda e: F.round(  # noqa: E731
+        F.log(e.cast("double")) * F.lit(1e9)
+    ).cast("long")
+    p = c.crossJoin(tot).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias(
+            "observed"
+        ),
+        (
+            (ln9(F.col("digit") + 1) - ln9(F.col("digit"))).cast("double")
+            / ln9(F.lit(10)).cast("double")
+        ).alias("benford"),
+    )
+    return p.select(
+        "digit",
+        "n",
+        "observed",
+        "benford",
+        F.round(F.abs(F.col("observed") - F.col("benford")) * F.lit(1e12))
+        .cast("long")
+        .alias("abs_dev_q"),
+    )
