@@ -270,3 +270,56 @@ def keyed_exact_holt(
     return df.select(*cols).groupBy(*key_cols).applyInPandas(
         kernel, out_schema
     )
+
+
+def keyed_exact_clamped_cumsum(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    floor_value: int = 0,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Per-key clamped running sum: ``y_t = max(floor_value, y_{t-1} +
+    x_t)`` over integer ``x_col`` ordered by ``order_cols``.
+
+    The canonical NON-ASSOCIATIVE scan: a plain prefix sum decomposes
+    into chunk-local prefixes plus offsets (`rolling.chunked_cumsum`),
+    but the clamp makes each step depend on the clamped PRIOR state —
+    max(0, a+b+c) tells you nothing about max(0, max(0, a+b)+c) — so
+    no chunk-carry scheme is exact and the scan is honestly sequential
+    per key (inventory floors, credit balances, drawdown-reset
+    accumulators all have this shape). Keys are the parallel unit;
+    per-key cost is the key's own history. Pure integer arithmetic —
+    both engines' recursions are exact with no rounding argument
+    needed at all.
+    """
+    passthrough = passthrough or []
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [df.schema[c] for c in order_cols]
+        + [df.schema[c] for c in passthrough]
+        + [
+            T.StructField(x_col, T.LongType()),
+            T.StructField("balance", T.LongType()),
+        ]
+    )
+    cols = key_cols + order_cols + passthrough + [x_col]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        y = floor_value
+        out_y = []
+        for x in pdf[x_col]:
+            y = max(floor_value, y + int(x))
+            out_y.append(y)
+        out = pdf[key_cols + order_cols + passthrough + [x_col]].copy()
+        out["balance"] = pd.Series(out_y, index=pdf.index, dtype="int64")
+        return out
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(
+        kernel, out_schema
+    )

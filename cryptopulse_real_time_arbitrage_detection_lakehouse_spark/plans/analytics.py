@@ -1203,3 +1203,86 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_us"),
     )
+
+
+@register(
+    "user_clamped_balance_stats",
+    oracle="""
+WITH RECURSIVE ranked AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor(value * 100.0) AS BIGINT)
+           * (CASE WHEN event_type IN ('purchase', 'signup')
+                   THEN 1 ELSE -1 END) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+rec(user_id, rn, bal) AS (
+  SELECT user_id, rn, greatest(CAST(0 AS BIGINT), x) FROM ranked
+  WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn, greatest(CAST(0 AS BIGINT), p.bal + r.x)
+  FROM ranked r JOIN rec p ON p.user_id = r.user_id AND r.rn = p.rn + 1
+),
+fin AS (
+  SELECT user_id, max(bal) AS peak,
+         arg_max(bal, rn) AS final_bal,
+         CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_at_floor
+  FROM rec GROUP BY user_id
+)
+SELECT user_id % 10 AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(peak) AS BIGINT) AS total_peak,
+       CAST(sum(final_bal) AS BIGINT) AS total_final,
+       CAST(sum(n_at_floor) AS BIGINT) AS floor_touches
+FROM fin GROUP BY 1
+""",
+    doc="Clamped running balance per user (credits = purchase/signup "
+    "value, debits = everything else, floored at zero — the prepaid-"
+    "wallet / inventory-floor semantics), summarized per user bucket. "
+    "This is the canonical NON-ASSOCIATIVE scan: the zero-clamp makes "
+    "each step depend on the clamped prior state, so neither a window "
+    "frame nor chunked_cumsum's offset composition can express it — "
+    "it runs on `operators.recursive.keyed_exact_clamped_cumsum` "
+    "(sequential per user, users are the parallel unit) against a "
+    "recursive-CTE oracle. Amounts quantize to integer cents; every "
+    "step is integer max/add, so the trajectory is exact with NO "
+    "rounding argument needed. Peak, final, and floor-touch counts "
+    "hash-match bit-for-bit.",
+    tags=("analytics", "events", "recursive", "arrow-kernel",
+          "aggregate"),
+)
+def user_clamped_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recursive import keyed_exact_clamped_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * F.lit(100.0)).cast("long")
+            * F.when(
+                F.col("event_type").isin("purchase", "signup"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias("x"),
+    )
+    bal = keyed_exact_clamped_cumsum(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        x_col="x",
+    )
+    fin = bal.groupBy("user_id").agg(
+        F.max("balance").alias("peak"),
+        F.max_by("balance", F.struct("ts", "event_id")).alias("final_bal"),
+        F.sum(F.when(F.col("balance") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_floor"),
+    )
+    return fin.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("peak").cast("long").alias("total_peak"),
+        F.sum("final_bal").cast("long").alias("total_final"),
+        F.sum("n_at_floor").cast("long").alias("floor_touches"),
+    )

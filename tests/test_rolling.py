@@ -414,3 +414,44 @@ class TestKeyedExactHolt:
         assert any(
             t[2] < 0 for ts in by_sym.values() for t in ts
         ), "test series never produced a negative trend"
+
+
+class TestKeyedExactClampedCumsum:
+    """operators.recursive.keyed_exact_clamped_cumsum: the clamp makes
+    the scan non-associative — kernel must match a sequential model,
+    be input-order independent, and differ from the unclamped prefix
+    sum exactly where the floor binds."""
+
+    def test_matches_model_and_clamps(self, spark):
+        import random
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.recursive import (  # noqa: E501
+            keyed_exact_clamped_cumsum,
+        )
+
+        rnd = random.Random(3)
+        rows, series = [], {}
+        for k in ("a", "b"):
+            xs = [rnd.randrange(-50, 40) for _ in range(300)]
+            series[k] = xs
+            rows += [(k, i, x) for i, x in enumerate(xs)]
+        rnd.shuffle(rows)
+        df = spark.createDataFrame(rows, "k string, pos long, x long")
+        got = keyed_exact_clamped_cumsum(
+            df.repartition(6), key_cols=["k"], order_cols=["pos"], x_col="x"
+        )
+        by_k = {}
+        for r in got.collect():
+            by_k.setdefault(r.k, []).append((r.pos, r.balance))
+        clamped_ever = False
+        for k, xs in series.items():
+            y, want = 0, []
+            run = 0
+            for x in xs:
+                y = max(0, y + x)
+                run += x
+                want.append(y)
+                if y != max(0, run):
+                    clamped_ever = True  # clamp genuinely bound mid-series
+            assert [b for _, b in sorted(by_k[k])] == want
+        assert clamped_ever, "series never exercised the non-associativity"
