@@ -770,3 +770,34 @@ def test_triangles_no_cartesian_and_semi_closure(spark):
     p = plan_of(spark, "part_copurchase_triangles")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
+
+
+def test_hedge_beta_single_aggregate_after_alignment_join(spark):
+    """symbol_pair_hedge_beta: one time-alignment equi-join, then ONE
+    aggregation pass over the five sufficient statistics — never a
+    per-point residual pass; no cartesian."""
+    p = plan_of(spark, "symbol_pair_hedge_beta")
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()
+
+
+def test_benford_is_one_groupby_with_broadcast_total(spark):
+    """tick_price_benford_audit: digit extraction is row-local, the
+    digit histogram is one partial-agg shuffle, and the grand total
+    joins back broadcast — never a second scan of the ticks."""
+    p = plan_of(spark, "tick_price_benford_audit")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()
+
+
+def test_gini_windows_run_over_histogram_not_rows(spark):
+    """tick_volume_gini: the cumulative windows must consume the
+    (symbol, size, count) HISTOGRAM — i.e. an aggregate sits below the
+    Window — never the raw ticks."""
+    p = plan_of(spark, "tick_volume_gini")
+    assert "Window" in p
+    # histogram aggregate (partial + final) below the window
+    head, _, _tail = p.partition("Window")
+    assert "partial_count" in p or "partial" in p.lower()
+    assert _tail.count("HashAggregate") >= 1

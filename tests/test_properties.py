@@ -377,3 +377,51 @@ class TestSkippingProverSoundness:
             return
         n_parts = len(re.split(r"\s+AND\s+", where, flags=re.I))
         assert len(out) == n_parts
+
+
+class TestChunkedRangeRollingEqualsPlainRange:
+    """chunked_range_rolling == plain RANGE window for random data,
+    random span, and random bucket >= span — including duplicate
+    order values (peers) and sparse/empty calendar buckets."""
+
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(0, 120),
+                st.integers(-5, 9),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        span=st.integers(1, 15),
+        extra=st.integers(0, 10),
+    )
+    def test_matches_plain_range_window(self, spark, rows, span, extra):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (  # noqa: E501
+            chunked_range_rolling,
+        )
+
+        bucket = span + extra
+        df = spark.createDataFrame(rows, "k string, pos long, v long")
+        got = chunked_range_rolling(
+            df.repartition(5),
+            key_cols=["k"],
+            order_col="pos",
+            bucket=bucket,
+            span=span,
+            cols={
+                "n": lambda w: F.count(F.lit(1)).over(w),
+                "s": lambda w: F.sum("v").over(w),
+            },
+        )
+        w = W.partitionBy("k").orderBy("pos").rangeBetween(-span, 0)
+        plain = df.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("v").over(w).alias("s"),
+        )
+        lhs = sorted((r.k, r.pos, r.v, r.n, r.s) for r in got.collect())
+        rhs = sorted((r.k, r.pos, r.v, r.n, r.s) for r in plain.collect())
+        assert lhs == rhs
