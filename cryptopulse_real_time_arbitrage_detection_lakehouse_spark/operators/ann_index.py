@@ -96,3 +96,28 @@ def write_ivfpq_index(coded: DataFrame, path: str) -> None:
     coded.repartition(F.col("cell")).write.mode("errorifexists").partitionBy(
         "cell"
     ).parquet(path)
+
+
+def append_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: dict[int, Sequence[float]],
+    *,
+    emb_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index maintenance: assign the NEW vectors their
+    nearest-centroid cells (same exact quantized cosine as the build)
+    and append into the existing hive layout — no rebuild, no touch of
+    resident files (parquet files are immutable; an append adds files
+    inside the affected cell directories only). The physical contract
+    that makes this exact: cell membership is a pure function of
+    (vector, centroids), so build-then-append and build-all-at-once
+    produce identical cell CONTENTS — only file counts differ, which
+    probes never observe. Centroids must be the build's centroids;
+    re-clustering is a rebuild by definition."""
+    indexed = embeddings.withColumn(
+        "cell", ivf_cell_column(centroids, F.col(emb_col))
+    )
+    indexed.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)

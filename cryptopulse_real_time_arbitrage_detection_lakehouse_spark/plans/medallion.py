@@ -3007,3 +3007,163 @@ def tick_price_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abs_dev_q"),
     )
+
+
+_XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+def _xcorr_oracle() -> str:
+    scale = float(_IND_SCALE)
+    lead_cols = ",\n         ".join(
+        f"lead(y, {k}) OVER w AS y_{k}" if k >= 0 else
+        f"lag(y, {-k}) OVER w AS y_m{-k}"
+        for k in _XCORR_LAGS
+    )
+
+    def yc(k):
+        return f"y_{k}" if k >= 0 else f"y_m{-k}"
+
+    sums = ",\n   ".join(
+        f"CAST(sum(CAST(x AS HUGEINT) * {yc(k)}) AS HUGEINT) AS sxy{i},\n"
+        f"   CAST(sum(CASE WHEN {yc(k)} IS NOT NULL THEN x END) AS HUGEINT)"
+        f" AS hx{i},\n"
+        f"   CAST(sum(CASE WHEN {yc(k)} IS NOT NULL THEN {yc(k)} END)"
+        f" AS HUGEINT) AS hy{i},\n"
+        f"   CAST(sum(CASE WHEN {yc(k)} IS NOT NULL THEN"
+        f" CAST(x AS HUGEINT) * x END) AS HUGEINT) AS hxx{i},\n"
+        f"   CAST(sum(CASE WHEN {yc(k)} IS NOT NULL THEN"
+        f" CAST({yc(k)} AS HUGEINT) * {yc(k)} END) AS HUGEINT) AS hyy{i},\n"
+        f"   CAST(count({yc(k)}) AS HUGEINT) AS m{i}"
+        for i, k in enumerate(_XCORR_LAGS)
+    )
+    rhos = ",\n       ".join(
+        f"CASE WHEN (m{i} * hxx{i} - hx{i} * hx{i}) = 0"
+        f" OR (m{i} * hyy{i} - hy{i} * hy{i}) = 0 THEN NULL ELSE\n"
+        f"  CAST(CAST(m{i} * sxy{i} - hx{i} * hy{i} AS VARCHAR) AS DOUBLE)\n"
+        f"  / sqrt(CAST(CAST(m{i} * hxx{i} - hx{i} * hx{i} AS VARCHAR)"
+        f" AS DOUBLE))\n"
+        f"  / sqrt(CAST(CAST(m{i} * hyy{i} - hy{i} * hy{i} AS VARCHAR)"
+        f" AS DOUBLE)) END AS xcorr_lag_{str(k).replace('-', 'm')}"
+        for i, k in enumerate(_XCORR_LAGS)
+    )
+    return f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+d AS (
+  SELECT symbol, window_start,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS delta
+  FROM gold
+),
+q AS (
+  SELECT symbol, window_start,
+         CAST(floor(delta * {scale!r}) AS BIGINT) AS r
+  FROM d WHERE delta IS NOT NULL
+),
+al AS (
+  SELECT a.symbol AS sym_x, b.symbol AS sym_y, a.window_start,
+         a.r AS x, b.r AS y
+  FROM q a JOIN q b
+    ON a.window_start = b.window_start AND a.symbol < b.symbol
+),
+led AS (
+  SELECT sym_x, sym_y, x,
+         {lead_cols}
+  FROM al WINDOW w AS (PARTITION BY sym_x, sym_y ORDER BY window_start)
+),
+s AS (
+  SELECT sym_x, sym_y,
+   {sums}
+  FROM led GROUP BY sym_x, sym_y
+)
+SELECT sym_x, sym_y,
+       {rhos}
+FROM s
+"""
+
+
+@register(
+    "symbol_lead_lag_xcorr",
+    oracle=_xcorr_oracle(),
+    doc="Cross-correlation of return series between symbol pairs at "
+    "lags -3..+3 — the lead-lag discovery tool (a significant "
+    "correlation at lag +k means X's returns predict Y's k minutes "
+    "out; which venue/asset LEADS is the whole signal). Pearson "
+    "correlation per lag over the lag-shifted overlap, with every "
+    "marginal (sums, squares, counts) restricted to the SAME overlap "
+    "rows via conditional aggregates — the subtlety naive "
+    "implementations get wrong. All sufficient statistics exact "
+    "128-bit on the 2^20 return grid; each rho is num/sqrt(dx)/"
+    "sqrt(dy) — three correctly-rounded IEEE ops on identical "
+    "operands. One alignment join + one window pass + one aggregate; "
+    "output one row per pair.",
+    tags=("gold", "analytics", "xcorr", "window-function", "join"),
+)
+def symbol_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _gold_table(spark, sf_dir)
+    w0 = W.partitionBy("symbol").orderBy("window_start")
+    d = gold.select(
+        "symbol",
+        "window_start",
+        (F.col("close") - F.lag("close").over(w0)).alias("delta"),
+    )
+    q = d.filter(F.col("delta").isNotNull()).select(
+        "symbol",
+        "window_start",
+        F.floor(F.col("delta") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("r"),
+    )
+    a = q.select(
+        F.col("symbol").alias("sym_x"),
+        F.col("window_start").alias("ws"),
+        F.col("r").alias("x"),
+    )
+    b = q.select(
+        F.col("symbol").alias("sym_y"),
+        F.col("window_start").alias("ws"),
+        F.col("r").alias("y"),
+    )
+    al = a.join(b, "ws").filter(F.col("sym_x") < F.col("sym_y"))
+    w = W.partitionBy("sym_x", "sym_y").orderBy("ws")
+    led_cols = [
+        (
+            F.lead("y", k).over(w) if k >= 0 else F.lag("y", -k).over(w)
+        ).alias(f"y{i}")
+        for i, k in enumerate(_XCORR_LAGS)
+    ]
+    led = al.select("sym_x", "sym_y", "x", *led_cols)
+    dec = "decimal(38,0)"
+    aggs = []
+    for i in range(len(_XCORR_LAGS)):
+        yk = F.col(f"y{i}")
+        ok = yk.isNotNull()
+        aggs += [
+            F.sum(F.col("x").cast(dec) * yk.cast(dec)).alias(f"sxy{i}"),
+            F.sum(F.when(ok, F.col("x")).cast(dec)).alias(f"hx{i}"),
+            F.sum(yk.cast(dec)).alias(f"hy{i}"),
+            F.sum(
+                F.when(ok, F.col("x").cast(dec) * F.col("x").cast(dec))
+            ).alias(f"hxx{i}"),
+            F.sum(yk.cast(dec) * yk.cast(dec)).alias(f"hyy{i}"),
+            F.count(yk).cast(dec).alias(f"m{i}"),
+        ]
+    s = led.groupBy("sym_x", "sym_y").agg(*aggs)
+    out = [F.col("sym_x"), F.col("sym_y")]
+    for i, k in enumerate(_XCORR_LAGS):
+        m, sxy = F.col(f"m{i}"), F.col(f"sxy{i}")
+        hx, hy = F.col(f"hx{i}"), F.col(f"hy{i}")
+        hxx, hyy = F.col(f"hxx{i}"), F.col(f"hyy{i}")
+        dx = m * hxx - hx * hx
+        dy = m * hyy - hy * hy
+        name = f"xcorr_lag_{str(k).replace('-', 'm')}"
+        out.append(
+            F.when((dx == 0) | (dy == 0), F.lit(None).cast("double"))
+            .otherwise(
+                (m * sxy - hx * hy).cast("double")
+                / F.sqrt(dx.cast("double"))
+                / F.sqrt(dy.cast("double"))
+            )
+            .alias(name)
+        )
+    return s.select(*out)

@@ -2363,3 +2363,47 @@ def emb_binary_quantization_recall_audit(
         (F.sum("in_full_topk") / F.lit(float(TOP_K))).alias("recall_at_k")
     )
     return top.crossJoin(F.broadcast(summary))
+
+
+@register(
+    "sim_ivf_index_incremental_add",
+    oracle=_IVF_ORACLE,
+    doc="INCREMENTAL ANN index maintenance: the IVF index is built on "
+    "half the corpus (even vec_ids), then the other half APPENDS via "
+    "operators.ann_index.append_ivf_index — no rebuild, resident "
+    "parquet files untouched (appends only add files inside affected "
+    "cell directories). The probe over the incrementally-maintained "
+    "index must equal the full-build probe EXACTLY, which the shared "
+    "full-corpus oracle (_IVF_ORACLE, same as sim_cosine_topk_ivf_"
+    "indexed) enforces row-for-row: cell membership is a pure "
+    "function of (vector, centroids), so build-then-append and "
+    "build-all-at-once differ only in file counts, which probes never "
+    "observe. This is the operating mode at 100 TB — daily embedding "
+    "batches append into a standing index; a rebuild-per-batch would "
+    "rewrite the corpus daily. Centroids are pinned to the build's "
+    "(re-clustering is a rebuild by definition).",
+    tags=("similarity", "ann", "ivf", "index", "incremental", "topk"),
+)
+def sim_ivf_index_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.ann_index import (
+        append_ivf_index,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    index_path = _tf.mkdtemp(prefix="cpivfinc_") + "/ivf_inc"
+    write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), index_path, cents)
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), index_path, cents)
+    probed = ivf_probe_cells(cents, qvec, NPROBE)
+    hits = read_ivf_cells(spark, index_path, probed)
+    return (
+        hits.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", _cosine_vs_query(qvec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -4004,3 +4004,59 @@ def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r2"),
     )
+
+
+@register(
+    "doc_simpson_diversity_by_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS token FROM documents
+),
+c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n FROM tok
+  GROUP BY source, token
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       1.0 - CAST(CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS VARCHAR)
+                  AS DOUBLE)
+             / CAST(CAST(CAST(sum(n) AS HUGEINT)
+                         * (CAST(sum(n) AS HUGEINT) - 1) AS VARCHAR)
+                    AS DOUBLE) AS simpson_diversity
+FROM c GROUP BY source
+""",
+    doc="Simpson diversity index per source shard — 1 - sum(n(n-1)) / "
+    "(T(T-1)), the UNBIASED probability that two tokens drawn without "
+    "replacement differ. Complements the entropy dial (X249): entropy "
+    "weights rare tokens logarithmically, Simpson is dominated by the "
+    "head — a shard whose Simpson collapses while entropy holds has a "
+    "few tokens flooding it (boilerplate injection), the exact "
+    "signature entropy smooths over. Entirely exact-integer until ONE "
+    "division of 128-bit operands — no ln() needed at all, so this is "
+    "the cheapest diversity monitor to run per-ingest. Map-side "
+    "combined counts shuffle distinct vocab; output one row per "
+    "source.",
+    tags=("text", "corpus-stats", "diversity", "aggregate"),
+)
+def doc_simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    c = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dec = "decimal(38,0)"
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n").cast(dec) * (F.col("n") - 1)).cast("double")
+            / (
+                F.sum("n").cast(dec) * (F.sum("n").cast(dec) - 1)
+            ).cast("double")
+        ).alias("simpson_diversity"),
+    )

@@ -1603,3 +1603,54 @@ class TestPyDeltaRateLimiting:
                 .start()
                 .awaitTermination(60)
             )
+
+
+class TestStreamVsLogCompaction:
+    """Minor log compaction + cleanup of an already-consumed commit
+    range must be invisible to an incremental pydelta stream: the next
+    drain reads only post-checkpoint commits, which compaction never
+    deletes — and batch reads through the compaction stay identical."""
+
+    def _drain(self, spark, path, out):
+        reader = spark.readStream.format("pydelta").option("path", path)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out + "/data")
+            .option("checkpointLocation", out + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        err = q.exception()
+        if err:
+            raise err
+        return spark.read.parquet(out + "/data")
+
+    def test_compaction_and_cleanup_mid_stream(self, spark, tmp_path):
+        import os
+
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(4):  # v0..v3
+            t.write(spark.range(i * 10, i * 10 + 10).coalesce(1))
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        got = self._drain(spark, t.path, out)
+        assert got.count() == 40
+        # consumed range gets checkpointed, compacted, and EXPIRED
+        t.checkpoint(spark)  # at v3
+        t.write(spark.range(100, 110).coalesce(1))  # v4 (post-checkpoint)
+        t.compact_log(0, 3)
+        t.cleanup_metadata(retention_ms=0, force=True)  # v0..v2 JSONs go
+        assert t._commit_versions()[0] == 3
+        # incremental drain sees exactly the new commit
+        got2 = self._drain(spark, t.path, out)
+        assert got2.count() == 50
+        assert {r.id for r in got2.collect()} == set(range(40)) | set(
+            range(100, 110)
+        )
+        # batch read (pure-python planner) still walks the compaction
+        batch = (
+            spark.read.format("pydelta").option("path", t.path).load()
+        )
+        assert batch.count() == 50
