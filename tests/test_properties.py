@@ -182,6 +182,13 @@ class TestPartitionInvariance:
             "doc_containment_pairs",
             "doc_weighted_sample",
             "doc_near_dup_keepers",
+            # round-9 continuation: the fixed-point iterative trio and
+            # the histogram-decomposed order statistics — shuffle width
+            # must not move a single integer of the trajectory
+            "part_copurchase_pagerank",
+            "part_copurchase_communities_lpa",
+            "tick_volume_gini",
+            "user_clamped_balance_stats",
         ],
     )
     def test_same_result_under_different_parallelism(self, spark, name):
