@@ -64,7 +64,7 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def shared(df: DataFrame) -> DataFrame:
+def shared(df: DataFrame, *, reliable: bool = False) -> DataFrame:
     """Compute ``df`` ONCE when the plan references it from several
     branches (self-joins, signature + verification legs of a dedup
     pipeline).
@@ -92,5 +92,21 @@ def shared(df: DataFrame) -> DataFrame:
     input (signatures, digests, buckets — never raw documents). At 100 TB
     the same node is what a production pipeline writes to a silver table;
     this is the in-session analog.
+
+    ``reliable=True`` swaps the executor-pinned ``localCheckpoint`` for
+    a RELIABLE checkpoint into ``spark.sparkContext.getCheckpointDir()``
+    (set via ``SparkContext.setCheckpointDir``, normally durable
+    storage). The tradeoff: localCheckpoint stores blocks on the
+    executors that computed them — fastest, but an executor LOSS makes
+    the blocks unrecoverable (lineage was truncated), failing any job
+    mid-flight that still references the frame; exactly what a
+    10-iteration PageRank on a 1000-executor cluster must not risk, so
+    the iterative plans (`plans/graph.py`) pass ``reliable=True`` and
+    run reliably WHEN a checkpoint dir is configured. Without one
+    (local mode, tests, the bench) they silently keep the local form —
+    single-JVM executor loss means process death anyway, so paying a
+    distributed-FS round-trip would buy nothing.
     """
+    if reliable and df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -263,8 +263,18 @@ def chunked_range_rolling(
         )
     if span <= 0:
         raise ValueError("span must be positive")
+    # FLOOR division in exact integer arithmetic: `x div b` truncates
+    # toward zero, which for negative order values (pre-epoch
+    # timestamps, signed offsets) would merge bucket -1 into bucket 0
+    # and mis-place carry rows. Subtracting pmod first makes the
+    # numerator an exact multiple of `bucket`, so `div` IS floor — no
+    # double round-trip (epoch micros exceed a double's 2^53 exact
+    # range by round numbers' luck only).
     d = df.withColumn(
-        "__b", (F.col(order_col) / F.lit(bucket)).cast("long")
+        "__b",
+        F.expr(
+            f"(({order_col} - pmod({order_col}, {bucket})) div {bucket})"
+        ).cast("long"),
     ).withColumn("__carry", F.lit(False))
     carry = (
         d.filter(

@@ -1,0 +1,246 @@
+"""Per-module COMBINED audits: one registered query per plan module
+unioning compact fingerprints of that module's cheap member queries —
+``(query, n, isum)`` where ``n`` is the member's row count and ``isum``
+an exact integer checksum (sum of each integral column mod 1e9+7,
+summed across columns; BIGINT-exact in both engines, no float
+formatting in sight).
+
+Why this exists: the driver's per-round correctness run samples ~50 of
+the registered queries, so most of the registry is re-verified only by
+the local oracle suite between driver touches. One sampled combined row
+drives its WHOLE module's member fixtures and plans end-to-end and
+cross-checks their row counts and integer content against the DuckDB
+oracles — raising expected per-round driver coverage by an order of
+magnitude WITHOUT weakening anything: every member keeps its own
+full-value-hash registry entry, and the member lists here are frozen
+literals (a member rename breaks the build, not the coverage).
+
+Member selection is cost-bounded (warm bench time < 1 s at sf0.1 when
+frozen) so a combined row stays a few seconds of work; the checksum
+column list per member was snapshotted from the member oracle's result
+schema (integral columns only — exact in BIGINT arithmetic; float
+columns are already covered by the member's own hash entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import get, register
+
+#: checksum modulus: keeps per-row terms < 1e9 so BIGINT sums cannot
+#: overflow (and wrap silently on the Spark side) at any plausible SF
+_P = 1_000_000_007
+
+#: frozen member spec: module -> [(member query, integral columns)]
+_MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
+    "analytics": [
+        ('customer_null_semantics', ['c_nationkey', 'n_customers', 'n_with_balance', 'n_null_balance', 'n_non_building']),
+        ('customer_order_moving_avg', ['o_custkey', 'o_orderkey']),
+        ('customer_running_revenue', ['o_custkey', 'o_orderkey']),
+        ('emb_vector_ops', ['vec_id', 'label', 'dims', 'n_positive']),
+        ('emb_vector_predicates', ['vec_id', 'label', 'n_positive', 'argmax_pos']),
+        ('event_funnel_conversion', ['n_view', 'n_click_after_view', 'n_purchase_after_click']),
+        ('event_rate_spikes', ['n', 'win_sum', 'win_n']),
+        ('event_type_user_chi_square', ['dof', 'n_events']),
+        ('event_user_distinct_kmv', ['n_exact']),
+        ('funnel_time_to_convert', ['n_converted', 'min_us', 'max_us', 'median_us', 'p90_us']),
+        ('order_date_dimensions', ['o_orderkey', 'yr', 'qtr', 'mth', 'dom', 'iso_dow', 'doy', 'days_to_y2k']),
+        ('order_rank_analytics', ['o_custkey', 'o_orderkey', 'rn', 'rnk', 'drnk', 'quartile']),
+        ('order_value_equidepth_histogram', ['bucket', 'n_orders']),
+        ('order_value_window_kit', ['o_custkey', 'o_orderkey']),
+        ('part_name_string_ops', ['p_partkey', 'name_len', 'brushed_at', 'n_words']),
+        ('symbol_price_quantiles', ['n_trades']),
+        ('text_bpe_token_stats', ['doc_id', 'n_tokens', 'n_word_tokens', 'n_num_tokens', 'n_sym_tokens']),
+        ('user_event_set_ops', ['n_clickers', 'n_buyers', 'n_both', 'n_click_only', 'n_buy_only']),
+        ('user_event_top_paths', ['n']),
+        ('user_event_transition_matrix', ['n']),
+        ('user_retention_cohorts', ['weeks_since', 'n_users']),
+    ],
+    "delta": [
+        ('delta_append_only_audit', ['n', 'delete_refused', 'update_refused', 'overwrite_refused']),
+        ('delta_check_constraint_audit', ['n', 'violating_batch_refused']),
+        ('delta_copy_into_audit', ['n', 'first_ingested', 'second_ingested', 'second_skipped', 'replay_noop', 'modified_refused']),
+        ('delta_default_columns_audit', ['priority', 'n', 'refused_new_col']),
+        ('delta_deletion_vector_survivors', ['n']),
+        ('delta_generate_manifest_audit', ['n', 'manifest_read_matches']),
+        ('delta_generated_partition_pruning_audit', ['n_rows', 'derived_ok', 'partition_pruned', 'files_skipped']),
+        ('delta_identity_column_audit', ['n', 'min_rid', 'max_rid', 'ids_unique', 'explicit_refused']),
+        ('delta_liquid_clustering_audit', ['n_rows', 'n_users', 'prunes_on_user', 'prunes_on_event']),
+        ('delta_mapped_rename_roundtrip', ['n']),
+        ('delta_mapped_stream_audit', ['n']),
+        ('delta_nested_skipping_audit', ['n_rows', 'files_total', 'files_scanned', 'stats_nested']),
+        ('delta_replace_where_audit', ['n', 'untouched_files_preserved']),
+        ('delta_table_detail', ['num_files', 'num_rows', 'num_deletion_vectors', 'min_reader_version', 'min_writer_version']),
+    ],
+    "medallion": [
+        ('candle_bollinger_bands', []),
+        ('candle_heikin_ashi', []),
+        ('candle_holt_forecast', []),
+        ('candle_macd', []),
+        ('candle_minmax_downsample', []),
+        ('candle_obv', ['obv']),
+        ('candle_ohlc_unpivot', []),
+        ('candle_pattern_flags', ['n_candles', 'n_doji', 'n_hammer', 'n_bull_engulf']),
+        ('candle_return_acf', ['n_returns']),
+        ('candle_return_moments', ['n_returns']),
+        ('candle_rollup_1h', ['trade_count', 'n_minutes']),
+        ('candle_trend_ols', ['n_candles']),
+        ('distinct_symbols', []),
+        ('events_freshness', ['n_ticks', 'max_ts_us', 'min_ts_us']),
+        ('gold_latest_candles', ['trade_count']),
+        ('symbol_max_drawdown', ['n_candles']),
+        ('symbol_pair_hedge_beta', ['n_minutes']),
+        ('symbol_return_volatility', ['n_returns']),
+        ('symbol_trimmed_mean_price', ['n_trades', 'n_kept']),
+        ('tick_hourly_seasonality', ['hour_of_day', 'n_trades', 'volume']),
+        ('tick_new_high_alerts', ['ts_us', 'trade_id']),
+        ('tick_price_benford_audit', ['digit', 'n', 'abs_dev_q']),
+        ('tick_rolling_volume_30m', ['trade_id', 'ts_us', 'n_trades_30m', 'vol_30m']),
+        ('tick_twap_1h', ['n_ticks', 'covered_us']),
+        ('tick_volume_gini', ['n_trades']),
+        ('tick_volume_profile', ['price_bucket', 'n_trades', 'volume', 'is_poc']),
+        ('venue_hhi_per_symbol', ['n_venues', 'total_volume']),
+    ],
+    "multimodal": [
+        ('multimodal_audio_stats', ['doc_id', 'n_samples', 'sum_sq', 'peak']),
+        ('multimodal_image_ahash', ['doc_id', 'ahash_lo', 'ahash_hi']),
+        ('multimodal_thumbnail_audit', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum']),
+        ('multimodal_video_frame_sample', ['doc_id', 'slot', 'src_frame', 'n_frames', 'width', 'height', 'pixel_sum']),
+    ],
+    "relational": [
+        ('customer_order_profile', ['c_custkey', 'n_orders']),
+        ('customers_with_orders', ['c_custkey']),
+        ('customers_without_orders', ['c_custkey']),
+        ('nation_market_balance', ['nationkey', 'n_rich_customers', 'n_rich_suppliers']),
+        ('nations_per_region', ['n_nations']),
+        ('part_name_fuzzy_matches', ['n_parts_a', 'n_parts_b', 'distance']),
+        ('top_orders_per_customer', ['o_custkey', 'o_orderkey', 'order_rank']),
+        ('tpch_q10_returned_items', ['c_custkey']),
+        ('tpch_q11_important_parts', ['l_partkey']),
+        ('tpch_q12_shipmode_priority', ['high_line_count', 'low_line_count']),
+        ('tpch_q13_order_histogram', ['c_count', 'custdist']),
+        ('tpch_q14_promo_revenue', []),
+        ('tpch_q15_top_supplier', ['s_suppkey']),
+        ('tpch_q16_supplier_part_types', ['p_size', 'supplier_cnt']),
+        ('tpch_q18_large_volume_orders', ['c_custkey', 'o_orderkey']),
+        ('tpch_q19_disjunctive_revenue', ['n_matched']),
+        ('tpch_q22_idle_customer_balance', ['c_nationkey', 'numcust']),
+        ('tpch_q3_top_urgent_orders', ['l_orderkey']),
+        ('tpch_q4_priority_check', ['order_count']),
+        ('tpch_q5_local_supplier_revenue', []),
+        ('tpch_q6_forecast_revenue', ['n_lineitems']),
+        ('tpch_q7_nation_volume', ['l_year']),
+        ('tpch_q8_market_share', ['o_year']),
+        ('tpch_q9_product_profit', ['o_year']),
+    ],
+    "similarity": [
+        ('emb_binary_quantization_recall_audit', ['vec_id', 'hamming', 'in_full_topk']),
+        ('emb_dimension_stats', ['dim', 'n_vecs']),
+        ('emb_quantization_stats', ['vec_id', 'label', 'n_sat']),
+        ('sim_cosine_topk_fast', ['vec_id', 'label']),
+        ('sim_cosine_topk_ivf_indexed', ['vec_id', 'label']),
+        ('sim_cosine_topk_ivfpq_indexed', ['vec_id', 'label']),
+        ('sim_cosine_topk_ivfpq_reranked', ['vec_id', 'label']),
+        ('sim_cosine_topk_lsh', ['vec_id', 'label', 'bucket']),
+        ('sim_cosine_topk_multi', ['query_id', 'vec_id', 'label', 'rank']),
+        ('sim_ivfpq_recall_at_k', ['k', 'n_exact', 'n_ivfpq', 'n_overlap']),
+        ('sim_lsh_recall_at_k', ['k', 'n_exact', 'n_lsh', 'n_overlap']),
+    ],
+    "text": [
+        ('doc_bloom_index_probe', ['n_batch', 'n_flagged']),
+        ('doc_bm25_search', ['doc_id', 'matched_terms']),
+        ('doc_boilerplate_ngrams', ['doc_id', 'n_shingles', 'n_boiler']),
+        ('doc_bpe_merge_candidates', ['pair_count']),
+        ('doc_dedup_keeper_rows', ['doc_id', 'n_chars']),
+        ('doc_epoch_shuffle_audit', ['shard', 'n_docs', 'order_fingerprint', 'balanced', 'epochs_differ']),
+        ('doc_exact_dedup_survivors', ['keeper_doc_id', 'n_copies']),
+        ('doc_fingerprints', ['doc_id', 'simhash16', 'n_tokens']),
+        ('doc_hash_sample_per_lang', ['doc_id', 'rk']),
+        ('doc_heaps_law_fit', ['n_points']),
+        ('doc_importance_resampling', ['doc_id', 'n_tokens', 'selected']),
+        ('doc_lang_rebalance', ['doc_id', 'copy_id']),
+        ('doc_length_histogram', ['log2_bucket', 'n_docs']),
+        ('doc_pii_redaction_audit', ['doc_id', 'n_url', 'n_email', 'n_ipv4', 'n_phone', 'redacted_len', 'original_len']),
+        ('doc_rag_chunks', ['doc_id', 'chunk_id', 'start_token', 'n_tokens']),
+        ('doc_rarity_scores', ['doc_id', 'n_tokens']),
+        ('doc_sequence_packing', ['pack_id', 'n_docs', 'pack_tokens']),
+        ('doc_simpson_diversity_by_source', ['n_tokens', 'vocab']),
+        ('doc_source_kl_divergence', ['n_tokens']),
+        ('doc_source_scorecard', ['n_docs', 'total_chars', 'n_langs']),
+        ('doc_span_dedup_rewrite', ['doc_id', 'n_segments', 'n_dropped', 'new_len']),
+        ('doc_stratified_sample', ['doc_id', 'n_chars']),
+        ('doc_tfidf_top_terms', ['doc_id', 'tf', 'df', 'term_rank']),
+        ('doc_token_cms_accuracy_audit', ['exact_cnt', 'cms_est', 'overcount']),
+        ('doc_train_val_split', ['n_docs']),
+        ('doc_unigram_entropy_by_lang', ['n_tokens', 'vocab']),
+        ('doc_vocab_coverage_curve', ['rank', 'n', 'cum_n']),
+        ('doc_vocab_stats', ['total_tokens', 'vocab_size']),
+        ('doc_weighted_sample', ['doc_id', 'n_chars']),
+        ('doc_zipf_slope', ['vocab_size']),
+        ('text_langid_confusion', ['n']),
+        ('text_quality_scores', ['doc_id', 'n_tokens']),
+        ('text_token_stats', ['doc_id', 'n_chars', 'n_tokens']),
+    ],
+    "windows": [
+        ('revenue_time_rollup', ['gid', 'n_orders']),
+        ('user_session_stats', ['user_id', 'session_start_us', 'session_end_us', 'n_events']),
+        ('venue_grouping_sets', ['gid', 'n_ticks']),
+        ('venue_side_cube', ['n_trades']),
+        ('venue_symbol_rollup', ['n_trades']),
+    ],
+}
+
+
+def _spark_fingerprint(df: DataFrame, name: str, cols: list[str]) -> DataFrame:
+    isum = (
+        sum(F.sum(F.expr(f"`{c}` % {_P}")).cast("long") for c in cols)
+        if cols
+        else F.lit(None).cast("long")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), isum.alias("isum")
+    ).select(F.lit(name).alias("query"), "n", "isum")
+
+
+def _oracle_fingerprint(oracle: str, name: str, cols: list[str]) -> str:
+    isum = (
+        " + ".join(f"CAST(SUM(\"{c}\" % {_P}) AS BIGINT)" for c in cols)
+        if cols
+        else "CAST(NULL AS BIGINT)"
+    )
+    return (
+        f"SELECT '{name}' AS query, count(*) AS n, {isum} AS isum "
+        f"FROM ({oracle}) __m"
+    )
+
+
+def _make_combined(mod: str, spec: list[tuple[str, list[str]]]) -> None:
+    member_oracles = " UNION ALL ".join(
+        _oracle_fingerprint(get(name).oracle, name, cols)
+        for name, cols in spec
+    )
+
+    def combined(spark: SparkSession, sf_dir: str, _spec=spec) -> DataFrame:
+        out = None
+        for name, cols in _spec:
+            fp = _spark_fingerprint(get(name).fn(spark, sf_dir), name, cols)
+            out = fp if out is None else out.unionByName(fp)
+        return out
+
+    register(
+        f"{mod}_combined_audit",
+        oracle=member_oracles,
+        doc=f"Combined driver-coverage audit for plans/{mod}.py: row "
+        f"count + exact integer checksum per member query "
+        f"({len(spec)} members), each cross-checked against its DuckDB "
+        "oracle in one row. Members keep their own full-value-hash "
+        "entries; this row exists so one driver sample certifies the "
+        "whole module's fixtures and plans end-to-end.",
+        tags=("combined", "coverage", mod),
+    )(combined)
+
+
+for _mod, _spec in sorted(_MEMBERS.items()):
+    _make_combined(_mod, _spec)

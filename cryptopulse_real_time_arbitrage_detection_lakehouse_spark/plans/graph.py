@@ -163,7 +163,11 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate lineage per step: ranks is |nodes| longs — the
         # checkpoint is tiny, while the un-truncated plan re-derives
         # every prior iteration per reference and grows O(K^2).
-        ranks = shared(ranks)
+        # reliable=True: on a cluster with a configured checkpoint dir
+        # the per-iteration state survives executor loss (localCheckpoint
+        # blocks die with their executor mid-PageRank); local mode keeps
+        # the executor-pinned fast path.
+        ranks = shared(ranks, reliable=True)
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(_TOP_K)
@@ -467,12 +471,13 @@ def part_copurchase_communities_lpa(
         ).groupBy(F.col("u").alias("node"), "lab").agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
-        labels = shared(
+        labels = shared(  # reliable: see the PageRank loop's note
             nbr.groupBy("node").agg(
                 F.max_by(
                     "lab", F.col("cnt") * F.lit(_LPA_PACK) - F.col("lab")
                 ).alias("lab")
-            )
+            ),
+            reliable=True,
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))

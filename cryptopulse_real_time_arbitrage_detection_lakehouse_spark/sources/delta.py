@@ -1067,6 +1067,12 @@ class DeltaTable:
                 # this client's vacuum() honors via the writer gate),
                 # plain reads are unchanged
                 "vacuumProtocolCheck",
+                # shredded variant columns (VariantShredding.md layout):
+                # the pydelta source serves caller-declared typed paths
+                # from the typed_value leaves (sources/shredding.py);
+                # residual binaries and non-shredded variant reads keep
+                # their own loud gates at the read entry points
+                "variantShredding",
             }
             # v3 REQUIRES an explicit feature list; absent = malformed, and
             # guessing what such a table needs would risk a silent misread
@@ -1935,9 +1941,29 @@ class DeltaTable:
         # longer reaches version 0 (a complete JSON scan is
         # authoritative on its own).
         if versions and versions[0] > 0:
+            # Both fallback carriers persist newest-wins txn state for
+            # the versions they cover: the checkpoint (state through
+            # cp.version) and minor log-compaction files (reconciled
+            # [s, e] ranges — compact_log keeps newest-wins txn actions
+            # PRECISELY so a compacted range whose commit JSONs were
+            # removed without a checkpoint stays idempotence-complete).
+            # Scan them newest-covered-version first: the first hit is
+            # the app's latest surviving setTransaction.
+            candidates: list[tuple[int, object]] = []
             cp = self._last_checkpoint()
             if cp is not None:
-                for d in self._checkpoint_rows(cp):
+                candidates.append((cp["version"], "cp"))
+            for s, e in self._compaction_ranges():
+                candidates.append((e, (s, e)))
+            for _end, src in sorted(
+                candidates, key=lambda c: c[0], reverse=True
+            ):
+                rows = (
+                    self._checkpoint_rows(cp)
+                    if src == "cp"
+                    else self._read_compaction(*src)
+                )
+                for d in rows:
                     t = d.get("txn")
                     if t and t.get("appId") == app_id:
                         return t["version"]
@@ -5638,6 +5664,111 @@ class DeltaTable:
             *({"add": a} for a in new_adds),
         ]
         target._publish_or_conflict(0, actions, "CLONE")
+        return target
+
+    def fork_with_history(self, target_path: str) -> "DeltaTable":
+        """FULL-HISTORY shallow fork: reproduce EVERY commit JSON of
+        this table at ``target_path`` with data-file references
+        rewritten to absolute paths into the source — zero data bytes
+        copied, O(log) metadata I/O. Where `clone_to` collapses history
+        into one CLONE commit (correct for snapshot forks, useless for
+        log-exercising consumers), the fork's log REPLAYS identically:
+        version numbers, per-commit adds, commitInfo operations and
+        metrics, txn idempotence state, domain metadata. This is the
+        harness primitive behind the history / time-travel / CDF /
+        log-tail fixtures: build the multi-commit base ONCE per
+        session, fork per query for the cost of rewriting a few KB of
+        JSON instead of re-running every Spark write (the round-9
+        bench's `pyds_*_cdf_audit` lines were ~60% fixture build).
+
+        Requires an all-JSON log (no checkpoints or minor compactions
+        yet): those carriers hold reconciled STATE whose embedded
+        relative paths would also need rewriting, and a fork that wants
+        them fresh should create them on the fork — so their presence
+        is a loud error, not a silent partial fork. Same caveats as
+        `clone_to`: VACUUM on the source can delete files forks still
+        reference, and the JVM file-source `read_stream` gates
+        out-of-root files (the pydelta source reads absolute adds
+        fine). The fork gets a fresh table id per metaData rewrite; all
+        other action content is preserved verbatim.
+        """
+        from . import dv as _dv
+
+        versions = self._commit_versions()
+        if not versions:
+            raise ValueError(f"not a Delta table (no commits): {self.path}")
+        if versions != list(range(versions[0], versions[-1] + 1)) or versions[0] != 0:
+            raise ValueError(
+                f"fork_with_history needs the complete JSON log from "
+                f"version 0; {self.path} retains {versions[:3]}..."
+            )
+        if self._last_checkpoint() is not None or self._compaction_ranges():
+            raise ValueError(
+                "fork_with_history requires an all-JSON log (no "
+                "checkpoints / log compactions) — create those on the "
+                "fork instead"
+            )
+        target = DeltaTable(target_path)
+        if target.latest_version() is not None:
+            raise ValueError(f"fork target already exists: {target_path}")
+        os.makedirs(target._log_dir, exist_ok=True)
+        new_table_id = str(uuid.uuid4())
+
+        def rewrite_path(quoted: str) -> str:
+            rel = urllib.parse.unquote(quoted)
+            if rel.startswith("/") or rel.startswith("file:"):
+                return quoted  # already absolute (fork of a fork/clone)
+            return urllib.parse.quote(
+                os.path.abspath(os.path.join(self.path, rel)), safe="/="
+            )
+
+        def rewrite_dv(d: dict | None) -> dict | None:
+            if d and d.get("storageType") == "u":
+                prefix, uid = _dv.split_u_descriptor(d["pathOrInlineDv"])
+                return {
+                    **d,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        os.path.join(
+                            self.path, _dv.dv_sidecar_name(uid, prefix)
+                        )
+                    ),
+                }
+            return d
+
+        for v in versions:
+            out: list[dict] = []
+            for action in self._read_commit(v):
+                if "add" in action:
+                    a = dict(action["add"])
+                    a["path"] = rewrite_path(a["path"])
+                    if a.get("deletionVector"):
+                        a["deletionVector"] = rewrite_dv(a["deletionVector"])
+                    out.append({"add": a})
+                elif "remove" in action:
+                    r = dict(action["remove"])
+                    r["path"] = rewrite_path(r["path"])
+                    if r.get("deletionVector"):
+                        r["deletionVector"] = rewrite_dv(r["deletionVector"])
+                    out.append({"remove": r})
+                elif "cdc" in action:
+                    c = dict(action["cdc"])
+                    c["path"] = rewrite_path(c["path"])
+                    out.append({"cdc": c})
+                elif "metaData" in action:
+                    m = dict(action["metaData"])
+                    m["id"] = new_table_id
+                    out.append({"metaData": m})
+                else:
+                    out.append(action)
+            name = f"{v:020d}.json"
+            tmp = os.path.join(
+                target._log_dir, f".{name}.{uuid.uuid4().hex}.tmp"
+            )
+            with open(tmp, "w") as f:
+                for action in out:
+                    f.write(json.dumps(action, separators=(",", ":")) + "\n")
+            os.replace(tmp, os.path.join(target._log_dir, name))
         return target
 
     def deep_clone_to(

@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
 )
 
 from . import dv as _dv
+from .shredding import _is_shredded_layout, unshred_struct_array
 from .delta import (
     ConcurrentWriteError,
     DeltaTable,
@@ -95,6 +96,7 @@ class PyDeltaPartition(InputPartition):
         change_type: str | None = None,
         commit_version: int | None = None,
         field_ids: dict[str, int] | None = None,
+        size_hint: int = 0,
     ) -> None:
         self.file_path = file_path
         self.phys_to_logical = phys_to_logical
@@ -108,6 +110,64 @@ class PyDeltaPartition(InputPartition):
         # id; the executor resolves each file's ARBITRARY column names
         # through its own footer ids (names match nothing in id mode)
         self.field_ids = field_ids
+        # logged file size, consumed only by the driver-side bin-packer
+        self.size_hint = size_hint
+
+
+class PyDeltaMultiPartition(InputPartition):
+    """Several file-read tasks executed by ONE executor slot: the
+    bin-packed form of `PyDeltaPartition`. Exists because the Python
+    data source pays a worker round-trip per input partition — a
+    many-small-files table (streaming micro-batch appends before
+    OPTIMIZE) planned one-partition-per-file turns into thousands of
+    per-task spin-ups that dwarf the reads. Packing follows Spark's own
+    FileSourceScan policy, so at 100 TB with ~128 MiB files it
+    degenerates to one file per partition (today's plan), while a
+    10k-tiny-file table plans O(bytes), not O(files)."""
+
+    def __init__(self, tasks: list[PyDeltaPartition]) -> None:
+        self.tasks = tasks
+
+
+#: Spark's spark.sql.files.* defaults — the policy this planner mirrors.
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def _pack_partitions(tasks: list, opts: dict) -> list:
+    """Greedy bin-pack of per-file read tasks into executor partitions,
+    mirroring Spark's FilePartition planning: each file costs
+    ``size + openCostInBytes`` and bins close at ``maxSplitBytes =
+    min(maxPartitionBytes, max(openCost, totalCost/defaultParallelism))``
+    — the parallelism floor keeps small tables from collapsing into one
+    task, the byte ceiling keeps partitions executor-memory-sized.
+    Options (lowercased): ``maxpartitionbytes``, ``opencostinbytes``,
+    ``defaultparallelism`` (default 32, the engine's local target; a
+    cluster deployment passes its core count)."""
+    if len(tasks) <= 1:
+        return tasks
+    max_pb = int(opts.get("maxpartitionbytes", _MAX_PARTITION_BYTES))
+    open_cost = int(opts.get("opencostinbytes", _OPEN_COST_BYTES))
+    par = max(1, int(opts.get("defaultparallelism", 32)))
+    costs = [
+        max(0, int(getattr(t, "size_hint", 0) or 0)) + open_cost
+        for t in tasks
+    ]
+    split = min(max_pb, max(open_cost, sum(costs) // par + 1))
+    bins: list[list] = []
+    cur: list = []
+    cur_cost = 0
+    for t, c in zip(tasks, costs):
+        if cur and cur_cost + c > split:
+            bins.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(t)
+        cur_cost += c
+    if cur:
+        bins.append(cur)
+    return [
+        b[0] if len(b) == 1 else PyDeltaMultiPartition(b) for b in bins
+    ]
 
 
 def _coerce_partition_value(raw, dt: T.DataType):
@@ -187,6 +247,7 @@ class PyDeltaReader(DataSourceReader):
         self, options: dict, schema: T.StructType, snapshot=None
     ) -> None:
         opts = _lower_opts(options)
+        self._pack_opts = opts
         self._root = opts["path"]
         table = DeltaTable(self._root)
         if snapshot is not None:
@@ -199,9 +260,13 @@ class PyDeltaReader(DataSourceReader):
         self._schema = schema
         if DeltaTable._has_variant(schema):
             raise NotImplementedError(
-                "the pydelta source cannot read VARIANT columns (pyarrow "
-                "does not recognize the parquet VARIANT logical type); "
-                "use the Spark read path"
+                "the pydelta source cannot read VARIANT columns as "
+                "variants (pyarrow does not recognize the parquet VARIANT "
+                "logical type); use the Spark read path — or, when the "
+                "table is SHREDDED (variantShredding), pass an explicit "
+                ".schema(...) declaring the column as a struct of its "
+                "shredded typed paths and this source serves them from "
+                "the typed_value leaves"
             )
         self._mapping = table._column_mapping(meta) or {}
         self._part_cols = meta.get("partitionColumns") or []
@@ -237,6 +302,16 @@ class PyDeltaReader(DataSourceReader):
         }
         self._spark_types = {f.name: f.dataType for f in log_schema.fields}
         self._col_order = [f.name for f in log_schema.fields]
+        # shredded-variant read mode: the LOG declares VARIANT but the
+        # caller's .schema(...) declares a STRUCT for the column -> the
+        # executor unshreds the files' typed_value leaves into that
+        # struct (sources/shredding.py; residual binaries refuse there)
+        for f in schema.fields:
+            if isinstance(
+                self._spark_types.get(f.name), T.VariantType
+            ) and isinstance(f.dataType, T.StructType):
+                self._spark_types[f.name] = f.dataType
+                self._arrow_types[f.name] = _spark_to_arrow_type(f.dataType)
         self._cdf_parts: list | None = None
         if self._cdf:
             # batch change feed (delta-spark's
@@ -330,7 +405,7 @@ class PyDeltaReader(DataSourceReader):
             self._cdf_parts = None
             self._adds = []
             self._meta = {}
-            return out
+            return _pack_partitions(out, self._pack_opts)
         phys = lambda c: self._mapping.get(c, c)  # noqa: E731
         adds = self._adds
         conjuncts = self._conjuncts
@@ -370,6 +445,7 @@ class PyDeltaReader(DataSourceReader):
                     dv_rows,
                     conjuncts,
                     field_ids=self._field_ids,
+                    size_hint=a.get("size") or 0,
                 )
             )
         # the planner pickles (partitions, read function) for executors
@@ -378,14 +454,20 @@ class PyDeltaReader(DataSourceReader):
         # in table size times task count)
         self._adds = []
         self._meta = {}
-        return out
+        return _pack_partitions(out, self._pack_opts)
 
     # ---------------------------------------------------------- execution
 
-    def read(self, partition: PyDeltaPartition) -> Iterator:
-        yield from _read_partition(
-            partition, self._arrow_types, self._spark_types, self._col_order
+    def read(self, partition) -> Iterator:
+        tasks = (
+            partition.tasks
+            if isinstance(partition, PyDeltaMultiPartition)
+            else [partition]
         )
+        for t in tasks:
+            yield from _read_partition(
+                t, self._arrow_types, self._spark_types, self._col_order
+            )
 
 
 def _read_partition(
@@ -445,6 +527,19 @@ def _read_partition(
     tbl = tbl.rename_columns(
         [file_to_logical[c] for c in tbl.column_names]
     )
+    # shredded variant columns (the reader declared a struct for a
+    # log-VARIANT column): rebuild the struct from the typed_value
+    # leaves BEFORE any name conforming — the file's {metadata, value,
+    # typed_value} group is physical layout, not logical shape
+    for idx, name in enumerate(tbl.column_names):
+        dt = spark_types.get(name)
+        if isinstance(dt, T.StructType) and _is_shredded_layout(
+            tbl.column(idx).type
+        ):
+            arr = unshred_struct_array(
+                tbl.column(idx).combine_chunks(), dt, _spark_to_arrow_type
+            )
+            tbl = tbl.set_column(idx, pa.field(name, arr.type), arr)
     # nested struct fields still carry PHYSICAL names after the
     # top-level rename — rebuild positionally to logical (column
     # mapping; same contract as DeltaTable.to_pandas)
@@ -605,6 +700,7 @@ def _plan_cdf_partitions(
                 change_type=change,
                 commit_version=v,
                 field_ids=field_ids,
+                size_hint=add.get("size") or 0,
             )
         )
 
@@ -651,6 +747,7 @@ def _plan_cdf_partitions(
                         list(conjuncts or []),
                         change_type=None,  # the file carries its own
                         commit_version=v,
+                        size_hint=c.get("size") or 0,
                     )
                 )
             continue
@@ -728,6 +825,7 @@ class PyDeltaStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict, schema: T.StructType) -> None:
         opts = _lower_opts(options)
+        self._pack_opts = opts
         self._root = opts["path"]
         table = DeltaTable(self._root)
         meta, _adds = table._snapshot_state(None)  # validates protocol
@@ -901,7 +999,9 @@ class PyDeltaStreamReader(DataSourceStreamReader):
         self._pos = max(self._pos if self._pos is not None else -1,
                         end["version"])
         if self._cdf:
-            return self._cdf_partitions(start, end)
+            return _pack_partitions(
+                self._cdf_partitions(start, end), self._pack_opts
+            )
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = list(self._table._read_commit(v))
@@ -962,9 +1062,10 @@ class PyDeltaStreamReader(DataSourceStreamReader):
                         [],
                         self._conjuncts,
                         field_ids=self._field_ids,
+                        size_hint=add.get("size") or 0,
                     )
                 )
-        return out
+        return _pack_partitions(out, self._pack_opts)
 
     def commit(self, end: dict) -> None:
         # offsets are durable in the query checkpoint; the log needs no
@@ -973,10 +1074,16 @@ class PyDeltaStreamReader(DataSourceStreamReader):
 
     # ---------------------------------------------------------- execution
 
-    def read(self, partition: PyDeltaPartition) -> Iterator:
-        yield from _read_partition(
-            partition, self._arrow_types, self._spark_types, self._col_order
+    def read(self, partition) -> Iterator:
+        tasks = (
+            partition.tasks
+            if isinstance(partition, PyDeltaMultiPartition)
+            else [partition]
         )
+        for t in tasks:
+            yield from _read_partition(
+                t, self._arrow_types, self._spark_types, self._col_order
+            )
 
 
 # ------------------------------------------------------------------ writes

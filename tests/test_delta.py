@@ -1897,6 +1897,65 @@ class TestShallowClone:
             clone.read_stream(spark)
 
 
+class TestForkWithHistory:
+    """Full-history fork: every commit JSON reproduced with absolute
+    file references — the log-exercising fixture primitive (history /
+    time travel / CDF replay identically; clone_to collapses these)."""
+
+    def _src(self, spark, tmp_path):
+        t = DeltaTable(str(tmp_path / "src"))
+        t.write(make_df(spark, 0, 10).coalesce(1), txn=("app", 1))  # v0
+        t.write(make_df(spark, 10, 10).coalesce(1))  # v1
+        t.delete(spark, "id < 3")  # v2: DV sidecar under src root
+        return t
+
+    def test_history_and_reads_replay_identically(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        fork = src.fork_with_history(str(tmp_path / "fork"))
+        assert fork.latest_version() == 2
+        for v in (0, 1, 2, None):
+            s = {tuple(r) for r in src.read(spark, version=v).collect()}
+            f = {tuple(r) for r in fork.read(spark, version=v).collect()}
+            assert s == f, f"version {v} diverged"
+        sh = [tuple(r) for r in src.history(spark).drop("timestamp").collect()]
+        fh = [tuple(r) for r in fork.history(spark).drop("timestamp").collect()]
+        assert sh == fh
+        assert fork.last_txn_version("app") == 1
+        # change feed replays per-commit (the thing clone_to cannot do)
+        fc = fork.read_changes(spark, starting_version=0)
+        assert fc.filter("_change_type = 'delete'").count() == 3
+
+    def test_fork_evolves_independently(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        n_src = src.read(spark).count()
+        fork = src.fork_with_history(str(tmp_path / "fork"))
+        fork.delete(spark, "id >= 15")  # DV lands under FORK root
+        fork.write(make_df(spark, 100, 5).coalesce(1))
+        assert src.read(spark).count() == n_src
+        assert src.latest_version() == 2
+        assert fork.read(spark).count() == n_src - 5 + 5
+        # fresh table id, same schema
+        src_id = src._snapshot_state(None)[0]["id"]
+        fork_id = fork._snapshot_state(None)[0]["id"]
+        assert src_id != fork_id
+
+    def test_refuses_checkpointed_or_compacted_logs(self, spark, tmp_path):
+        src = self._src(spark, tmp_path)
+        src.compact_log(0, 2)
+        with pytest.raises(ValueError, match="all-JSON"):
+            src.fork_with_history(str(tmp_path / "f1"))
+        t2 = DeltaTable(str(tmp_path / "src2"))
+        t2.write(make_df(spark, 0, 5).coalesce(1))
+        t2.write(make_df(spark, 5, 5).coalesce(1))
+        t2.checkpoint(spark)
+        with pytest.raises(ValueError, match="all-JSON"):
+            t2.fork_with_history(str(tmp_path / "f2"))
+        with pytest.raises(ValueError, match="already exists"):
+            self._src(spark, tmp_path / "s3").fork_with_history(
+                str(tmp_path / "src2")
+            )
+
+
 class TestGeneratedColumns:
     """Writer feature `generatedColumns` (writer protocol v4): a column
     declared with delta.generationExpression is computed when omitted,
@@ -3483,6 +3542,47 @@ class TestLogCleanup:
         # and a genuinely new batch still applies
         t.write(make_df(spark, 40, 5).coalesce(1), txn=("appA", 5))
         assert t.read(spark).count() == before + 5
+
+    def test_txn_idempotence_survives_compacted_json_removal(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: compact_log keeps newest-wins txn actions so a
+        compacted range survives out-of-band commit-JSON removal WITHOUT
+        a checkpoint — last_txn_version must consult the compaction
+        files, else idempotence state silently becomes None and a
+        replayed streaming batch re-applies."""
+        import os
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(make_df(spark, 0, 5).coalesce(1), txn=("appC", 1))  # v0
+        t.write(make_df(spark, 10, 5).coalesce(1), txn=("appC", 2))  # v1
+        t.write(make_df(spark, 20, 5).coalesce(1))  # v2
+        t.compact_log(0, 2)
+        # out-of-band removal of the compacted range's JSONs (the
+        # 'survives_json_removal' capability the feature advertises)
+        for v in (0, 1):
+            os.remove(os.path.join(t._log_dir, f"{v:020d}.json"))
+        assert t._commit_versions() == [2]
+        assert t.last_txn_version("appC") == 2  # from the compaction
+        assert t.last_txn_version("never-seen") is None
+        # newer JSON txn still beats the compaction's state
+        t.write(make_df(spark, 30, 5).coalesce(1), txn=("appC", 3))
+        assert t.last_txn_version("appC") == 3
+        # replay of the compaction-covered version is a no-op
+        before = t.read(spark).count()
+        t.write(make_df(spark, 40, 5).coalesce(1), txn=("appC", 2))
+        assert t.read(spark).count() == before
+        # two overlapping carriers: a checkpoint OLDER than a later
+        # compaction range — the newest-covered carrier must win
+        t2 = DeltaTable(str(tmp_path / "t2"))
+        t2.write(make_df(spark, 0, 5).coalesce(1), txn=("appD", 1))  # v0
+        t2.checkpoint(spark)  # covers through v0: appD=1
+        t2.write(make_df(spark, 10, 5).coalesce(1), txn=("appD", 9))  # v1
+        t2.write(make_df(spark, 20, 5).coalesce(1))  # v2
+        t2.compact_log(1, 2)  # covers v1..v2: appD=9
+        for v in (0, 1):
+            os.remove(os.path.join(t2._log_dir, f"{v:020d}.json"))
+        assert t2.last_txn_version("appD") == 9
 
     def test_txn_fallback_reads_multipart_and_v2_checkpoints(
         self, spark, tmp_path
@@ -5612,10 +5712,17 @@ class TestDeepClone:
 
     def _source(self, spark, path):
         t = DeltaTable(path)
+        # repartition(1) pins the layout to ONE multi-row file per
+        # partition value at ANY worker count: without it, 32-thread
+        # sessions split 60 rows into 1-row files whose deletes remove
+        # whole files (no DVs) while 8-thread sessions produce DV'd
+        # multi-row files — the same test then exercised different
+        # semantics per box (caught when it flipped with
+        # SPARK_GRAFT_CPUS)
         t.write(
-            spark.range(0, 60).selectExpr(
-                "id", "CAST(id % 3 AS STRING) AS p"
-            ),
+            spark.range(0, 60)
+            .selectExpr("id", "CAST(id % 3 AS STRING) AS p")
+            .repartition(1),
             partition_by=["p"],
         )
         t.delete(spark, "id % 5 = 0")  # DV on every partition's file
@@ -5636,14 +5743,27 @@ class TestDeepClone:
         src.compact(spark, target_files=1)
         src.vacuum(retention_ms=0, force=True)
         assert {r.id for r in clone.read(spark).collect()} == want
-        # clone is STREAMABLE (shallow clones gate here)
+        # a DV-carrying clone still refuses the file-source stream
+        # (the shortcut would resurrect deleted rows) — deterministic
+        # now that _source pins multi-row files
+        with pytest.raises(NotImplementedError, match="deletion-vector"):
+            clone.read_stream(spark)
+        # a DV-LESS deep clone is STREAMABLE (shallow clones gate here:
+        # no out-of-root files after the deep copy)
         from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming.sinks import (  # noqa: E501
             drain,
         )
 
-        out = []
+        src2 = DeltaTable(str(tmp_path / "src2"))
+        src2.write(
+            spark.range(0, 40)
+            .selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+            .repartition(1),
+            partition_by=["p"],
+        )
+        clone2 = src2.deep_clone_to(str(tmp_path / "dst2"))
         q = (
-            clone.read_stream(spark)
+            clone2.read_stream(spark)
             .writeStream.format("memory")
             .queryName("deep_clone_stream")
             .trigger(availableNow=True)
@@ -5651,7 +5771,7 @@ class TestDeepClone:
         )
         drain(q)
         got = spark.sql("SELECT count(*) AS n FROM deep_clone_stream")
-        assert got.collect()[0].n == len(want)
+        assert got.collect()[0].n == 40
 
     def test_deep_clone_of_shallow_clone_cuts_lineage(self, spark, tmp_path):
         src = self._source(spark, str(tmp_path / "src"))

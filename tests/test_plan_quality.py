@@ -734,6 +734,49 @@ def test_pagerank_iterations_truncate_lineage(spark):
     assert "Join" not in p and "Exchange" not in p
 
 
+def test_iterative_plans_use_reliable_checkpoint_when_configured(spark):
+    """With a checkpoint dir configured, `shared(reliable=True)` writes
+    a RELIABLE checkpoint (survives executor loss — localCheckpoint
+    blocks die with their executor mid-PageRank on a real cluster) and
+    PageRank/LPA still produce identical results. Without a dir, the
+    executor-pinned local form is kept (single-JVM loss means process
+    death anyway)."""
+    import tempfile
+
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.partitioning import (
+        shared,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans import (
+        registry,
+    )
+
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # test-session default
+    local = shared(spark.range(10), reliable=True)  # no dir -> local
+    # (df.rdd re-wraps for Python, so isLocallyCheckpointed() is not
+    # visible on it — the materialized ExistingRDD leaf is the signal)
+    assert "ExistingRDD" in local._jdf.queryExecution().executedPlan().toString()
+
+    pr = registry.get("part_copurchase_pagerank").fn
+    lpa = registry.get("part_copurchase_communities_lpa").fn
+    before_pr = sorted(map(tuple, pr(spark, SF_SMOKE).collect()))
+    before_lpa = sorted(map(tuple, lpa(spark, SF_SMOKE).collect()))
+
+    # survives the rest of the session (pytest tmp_path would be GC'd
+    # while the session still checkpoints into it)
+    ckpt = tempfile.mkdtemp(prefix="cp_reliable_ckpt_")
+    sc.setCheckpointDir(ckpt)
+    rel = shared(spark.range(10), reliable=True)
+    assert "ExistingRDD" in rel._jdf.queryExecution().executedPlan().toString()
+    # the reliable form wrote RDD blocks into the configured dir
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "no reliable-checkpoint files written"
+    assert sorted(map(tuple, pr(spark, SF_SMOKE).collect())) == before_pr
+    assert sorted(map(tuple, lpa(spark, SF_SMOKE).collect())) == before_lpa
+
+
 def test_pagerank_edge_derivation_shape(spark):
     """One iteration's un-truncated plan: the edge self-join is an
     equi-join on l_orderkey (shuffle hash/sort-merge, NEVER cartesian —

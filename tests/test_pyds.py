@@ -1654,3 +1654,206 @@ class TestStreamVsLogCompaction:
             spark.read.format("pydelta").option("path", t.path).load()
         )
         assert batch.count() == 50
+
+
+class TestPartitionBinPacking:
+    """The planner mirrors Spark's FileSourceScan policy: partitions
+    scale with BYTES, not file count — a many-small-files table packs
+    several files per executor task (one Python-worker round-trip each),
+    while 128 MiB files keep one-file-per-partition."""
+
+    def _mk(self, n, size):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaPartition,
+        )
+
+        return [
+            PyDeltaPartition(f"/x/f{i}.parquet", {}, {}, [], [], size_hint=size)
+            for i in range(n)
+        ]
+
+    def test_small_files_pack_to_parallelism_floor(self):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaMultiPartition,
+            _pack_partitions,
+        )
+
+        tasks = self._mk(150, 100 * 1024)  # 150 x 100 KiB
+        packed = _pack_partitions(tasks, {"defaultparallelism": "32"})
+        # cost = 150 x ~4.1 MiB ~ 615 MiB; split ~ 19 MiB -> ~32 bins
+        assert 20 <= len(packed) <= 40
+        # nothing lost, order preserved
+        flat = [
+            t
+            for p in packed
+            for t in (p.tasks if isinstance(p, PyDeltaMultiPartition) else [p])
+        ]
+        assert [t.file_path for t in flat] == [t.file_path for t in tasks]
+
+    def test_large_files_stay_one_per_partition(self):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            PyDeltaMultiPartition,
+            _pack_partitions,
+        )
+
+        tasks = self._mk(10, 128 * 1024 * 1024)
+        packed = _pack_partitions(tasks, {"defaultparallelism": "4"})
+        assert len(packed) == 10
+        assert not any(isinstance(p, PyDeltaMultiPartition) for p in packed)
+
+    def test_single_task_passthrough(self):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            _pack_partitions,
+        )
+
+        tasks = self._mk(1, 5)
+        assert _pack_partitions(tasks, {}) is tasks
+        assert _pack_partitions([], {}) == []
+
+    def test_option_overrides_bound_partition_bytes(self):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            _pack_partitions,
+        )
+
+        tasks = self._mk(8, 10 * 1024 * 1024)
+        packed = _pack_partitions(
+            tasks,
+            {
+                "maxpartitionbytes": str(16 * 1024 * 1024),
+                "opencostinbytes": "0",
+                "defaultparallelism": "1",
+            },
+        )
+        # 8 x 10 MiB with a 16 MiB ceiling -> pairs would overflow; the
+        # ceiling (not the parallelism floor) governs
+        assert len(packed) == 8
+
+    def test_many_small_files_table_plans_packed(self, spark, tmp_path):
+        """End to end: a 20-tiny-file table reads through packed
+        partitions with identical results."""
+        t = DeltaTable(str(tmp_path / "t"))
+        for i in range(20):
+            t.write(spark.range(i * 5, i * 5 + 5).coalesce(1))
+        pyds.register(spark)
+        df = (
+            spark.read.format("pydelta")
+            .option("path", t.path)
+            .option("defaultparallelism", "4")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() <= 8
+        assert sorted(r.id for r in df.collect()) == list(range(100))
+
+
+class TestVariantShredding:
+    """Shredded-variant reads: typed paths from typed_value leaves;
+    residual binaries, non-primitive leaves, and writer-side residual
+    needs all refuse loudly (sources/shredding.py)."""
+
+    def _table(self, spark, tmp_path, rows, shredded=None):
+        import pyarrow as pa
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.shredding import (
+            write_shredded_variant_table,
+        )
+
+        tbl = pa.table(
+            {
+                "id": pa.array(range(len(rows)), type=pa.int64()),
+                "payload": pa.array(rows, type=pa.string()),
+            }
+        )
+        return write_shredded_variant_table(
+            str(tmp_path / "t"),
+            tbl,
+            "payload",
+            shredded or {"k": "long", "t": "string"},
+            n_files=2,
+        )
+
+    def _read(self, spark, path, ddl):
+        pyds.register(spark)
+        return (
+            spark.read.format("pydelta")
+            .option("path", path)
+            .schema(ddl)
+            .load()
+        )
+
+    def test_typed_paths_and_nulls(self, spark, tmp_path):
+        t = self._table(
+            spark,
+            tmp_path,
+            ['{"k": 7, "t": "a"}', '{"t": "b"}', None, '{"k": 9}'],
+        )
+        got = {
+            r.id: (r.payload.k if r.payload else None,
+                   r.payload.t if r.payload else None)
+            for r in self._read(
+                spark, t.path, "id long, payload struct<k: long, t: string>"
+            ).collect()
+        }
+        assert got == {0: (7, "a"), 1: (None, "b"), 2: (None, None),
+                       3: (9, None)}
+
+    def test_never_shredded_field_reads_null(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, ['{"k": 1}'], {"k": "long"})
+        row = self._read(
+            spark, t.path, "id long, payload struct<k: long, nope: string>"
+        ).collect()[0]
+        assert row.payload.k == 1 and row.payload.nope is None
+
+    def test_protocol_fenced_both_sides(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, ['{"k": 1}'], {"k": "long"})
+        _m, _a, proto = t._snapshot_state_full(None)
+        assert proto["minReaderVersion"] == 3
+        assert "variantShredding" in proto["readerFeatures"]
+        assert "variantShredding" in proto["writerFeatures"]
+
+    def test_unshredded_variant_read_still_gates(self, spark, tmp_path):
+        t = self._table(spark, tmp_path, ['{"k": 1}'], {"k": "long"})
+        pyds.register(spark)
+        with pytest.raises(Exception, match="VARIANT|variant"):
+            # no .schema() -> log schema (variant) -> loud gate
+            spark.read.format("pydelta").option("path", t.path).load().collect()
+
+    def test_residual_binary_value_refuses(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import glob
+        import os
+
+        t = self._table(spark, tmp_path, ['{"k": 1}', '{"k": 2}'],
+                        {"k": "long"})
+        # corrupt one file: give row 0 a residual top-level binary value
+        fp = sorted(glob.glob(os.path.join(t.path, "*.parquet")))[0]
+        tbl = pq.read_table(fp)
+        pay = tbl.column("payload").combine_chunks()
+        mv = pa.StructArray.from_arrays(
+            [
+                pay.field("metadata"),
+                pa.array([b"\x01"] * len(pay), type=pa.binary()),
+                pay.field("typed_value"),
+            ],
+            names=["metadata", "value", "typed_value"],
+        )
+        pq.write_table(
+            tbl.set_column(
+                tbl.column_names.index("payload"),
+                pa.field("payload", mv.type),
+                mv,
+            ),
+            fp,
+        )
+        with pytest.raises(Exception, match="residual"):
+            self._read(
+                spark, t.path, "id long, payload struct<k: long>"
+            ).collect()
+
+    def test_writer_refuses_residual_needs(self, spark, tmp_path):
+        with pytest.raises(NotImplementedError, match="outside the shredding"):
+            self._table(spark, tmp_path, ['{"k": 1, "x": 2}'], {"k": "long"})
+        with pytest.raises(NotImplementedError, match="does not match"):
+            self._table(spark, tmp_path / "b", ['{"k": "s"}'], {"k": "long"})
+        with pytest.raises(NotImplementedError, match="non-object"):
+            self._table(spark, tmp_path / "c", ['[1,2]'], {"k": "long"})

@@ -345,6 +345,26 @@ class TestChunkedRangeRolling:
         got = {r.pos: (r.n, r.s) for r in self._chunked(df, span=5, bucket=10).collect()}
         assert got[10] == (2, 3)
 
+    def test_negative_order_values_floor_not_truncate(self, spark):
+        # ADVICE r9: (pos / bucket).cast(long) truncated toward zero, so
+        # pos=-7 with bucket=10 landed in bucket 0 (with pos 0..9) instead
+        # of bucket -1 — carry rows mis-placed, frames silently wrong.
+        # Floor division must agree with the plain RANGE window across a
+        # sign-straddling domain, including the exact -span boundary.
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (
+                "a" if rng.random() < 0.5 else "b",
+                rng.randrange(-53, 53),
+                rng.randrange(-5, 9),
+            )
+            for _ in range(300)
+        ] + [("a", -10, 1), ("a", -5, 2), ("a", 0, 4)]  # boundary pins
+        df = self._df(spark, rows)
+        self._cmp(self._chunked(df, span=7, bucket=10), self._naive(df, 7))
+
     def test_refuses_bucket_smaller_than_span(self, spark):
         from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.rolling import (
             chunked_range_rolling,
