@@ -12,6 +12,7 @@ from ..functions.determinism import davg, fmt_ts, sql_davg, sql_dsum, sql_fmt_ts
 from ..operators.arbitrage import arbitrage_spreads
 from ..operators.asof import asof_join
 from ..operators.dedup import dedup_exact
+from ..operators.partitioning import shared
 from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
 from ..sources.testdata import load_table
 from .registry import register
@@ -191,3 +192,105 @@ def vwap_pivot_by_venue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("decimal(25,10)")
     ).cast("double")
     return t.groupBy("symbol").pivot("venue", ["coinbase", "binance"]).agg(vwap)
+
+
+@register(
+    "arb_triangular_cycle_1h",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+closes AS (
+  SELECT venue, symbol, date_trunc('hour', trade_timestamp) AS w,
+         arg_max(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000
+                 + trade_id) AS close
+  FROM ticks GROUP BY 1, 2, 3
+),
+piv AS (
+  SELECT venue, w,
+         max(CASE WHEN symbol = 'S0' THEN close END) AS c0,
+         max(CASE WHEN symbol = 'S1' THEN close END) AS c1,
+         max(CASE WHEN symbol = 'S2' THEN close END) AS c2
+  FROM closes GROUP BY 1, 2
+),
+dev AS (
+  SELECT venue, w, c0, c1, c2, c0 * c1 / c2 AS cycle_dev
+  FROM piv
+  WHERE c0 IS NOT NULL AND c1 IS NOT NULL AND c2 IS NOT NULL
+),
+med AS (
+  SELECT venue, quantile_disc(cycle_dev, 0.5) AS med FROM dev GROUP BY 1
+)
+SELECT d.venue, {sql_fmt_ts("d.w")} AS window_start,
+       d.c0, d.c1, d.c2, d.cycle_dev
+FROM dev d JOIN med m ON d.venue = m.venue
+WHERE d.cycle_dev > 2 * m.med OR d.cycle_dev * 2 < m.med
+""",
+    doc="TRIANGULAR arbitrage signal — the cycle check the title "
+    "capability implies but the reference never computes: treating "
+    "S0/S1/S2 as the three legs of a currency triangle (A/B x B/C vs "
+    "A/C), each (venue, hour)'s cycle deviation is c0*c1/c2 over the "
+    "deterministic per-leg closes, and a minute signals when its "
+    "deviation leaves [med/2, 2*med] of the venue's own DISCRETE median "
+    "— self-calibrating, no fixed band to tune (hourly legs: the "
+    "sparser synthetic tape rarely fills all three legs inside one "
+    "minute; real BTC/ETH tapes would run this at 1m). Float discipline: "
+    "closes are exact arg_max selections, the deviation is exactly two "
+    "correctly-rounded IEEE ops in the same association both engines "
+    "parse (c0*c1 then /c2), and the median is a discrete element "
+    "selection — every comparison therefore bit-reproducible against "
+    "DuckDB. Plan shape at 100 TB: ONE tick shuffle into (venue, "
+    "symbol, hour) candles with map-side partials, a second "
+    "candle-sized pivot aggregate, and the per-venue medians broadcast "
+    "back — no tick moves twice, no window function over a 2-key "
+    "partition anywhere.",
+    tags=("arbitrage", "aggregate", "pivot", "median"),
+)
+def arb_triangular_cycle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    closes = t.groupBy(
+        "venue",
+        "symbol",
+        F.date_trunc("hour", F.col("trade_timestamp")).alias("w"),
+    ).agg(
+        F.max_by(
+            "price", F.struct(F.col("trade_timestamp"), F.col("trade_id"))
+        ).alias("close")
+    )
+    piv = closes.groupBy("venue", "w").agg(
+        *[
+            F.max(
+                F.when(F.col("symbol") == f"S{i}", F.col("close"))
+            ).alias(f"c{i}")
+            for i in range(3)
+        ]
+    )
+    # shared(): dev feeds BOTH the median branch and the output join —
+    # without it each branch re-aggregates the full tick table (Catalyst
+    # does not reuse subtrees across branches); dev is candle-sized, the
+    # per-row-reduction shape the shared() contract wants
+    dev = shared(
+        piv.filter(
+            F.col("c0").isNotNull()
+            & F.col("c1").isNotNull()
+            & F.col("c2").isNotNull()
+        ).withColumn("cycle_dev", F.col("c0") * F.col("c1") / F.col("c2"))
+    )
+    med = dev.groupBy("venue").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cycle_dev)"
+        ).alias("med")
+    )
+    return (
+        dev.join(F.broadcast(med), "venue")
+        .filter(
+            (F.col("cycle_dev") > 2 * F.col("med"))
+            | (F.col("cycle_dev") * 2 < F.col("med"))
+        )
+        .select(
+            "venue",
+            fmt_ts("w", "window_start"),
+            "c0",
+            "c1",
+            "c2",
+            "cycle_dev",
+        )
+    )

@@ -3167,3 +3167,280 @@ def symbol_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(name)
         )
     return s.select(*out)
+
+
+@register(
+    "candle_donchian_touches",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+g AS (
+  SELECT symbol, epoch_us(CAST(window_start AS TIMESTAMP)) AS us,
+         high, low FROM gold
+),
+chan AS (
+  SELECT symbol, high, low,
+         max(high) OVER w AS chan_hi,
+         min(low) OVER w AS chan_lo,
+         count(*) OVER w AS n_frame
+  FROM g WINDOW w AS (PARTITION BY symbol ORDER BY us
+                      RANGE BETWEEN 1200000000 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, count(*) AS n_minutes,
+       CAST(sum(CASE WHEN n_frame > 1 AND high = chan_hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_upper_touches,
+       CAST(sum(CASE WHEN n_frame > 1 AND low = chan_lo
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lower_touches,
+       max(chan_hi - chan_lo) AS max_width
+FROM chan GROUP BY symbol
+""",
+    doc="Donchian-channel touches over the gold candles: per minute the "
+    "trailing-20-minute channel [min(low), max(high)] — the classic "
+    "breakout detector's state — and per symbol how often the CURRENT "
+    "minute's extreme IS the channel bound (a fresh 20-minute "
+    "high/low; single-row frames excluded so warmup minutes don't "
+    "count as breakouts). Entirely SELECTION arithmetic: channel "
+    "bounds are min/max picks of existing doubles, touches are "
+    "equality comparisons, width is one correctly-rounded subtract — "
+    "zero float-discipline risk against the oracle. Runs on "
+    "`chunked_range_rolling` (hour buckets >= 20-min span): parallel "
+    "over symbols x hours instead of |symbols| tasks forever, carry "
+    "rows bit-identical to the global RANGE frame.",
+    tags=("gold", "window-function", "range-frame", "rolling"),
+)
+def candle_donchian_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_range_rolling
+
+    g = _gold_table(spark, sf_dir).select(
+        "symbol",
+        F.unix_micros(F.to_timestamp("window_start")).alias("us"),
+        "high",
+        "low",
+    )
+    chan = chunked_range_rolling(
+        g,
+        key_cols=["symbol"],
+        order_col="us",
+        bucket=3_600_000_000,
+        span=1_200_000_000,
+        cols={
+            "chan_hi": lambda w: F.max("high").over(w),
+            "chan_lo": lambda w: F.min("low").over(w),
+            "n_frame": lambda w: F.count(F.lit(1)).over(w),
+        },
+    )
+    touch = F.col("n_frame") > 1
+    return chan.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum(
+            F.when(touch & (F.col("high") == F.col("chan_hi")), 1).otherwise(0)
+        ).alias("n_upper_touches"),
+        F.sum(
+            F.when(touch & (F.col("low") == F.col("chan_lo")), 1).otherwise(0)
+        ).alias("n_lower_touches"),
+        F.max(F.col("chan_hi") - F.col("chan_lo")).alias("max_width"),
+    )
+
+
+@register(
+    "candle_stochastic_k",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+g AS (
+  SELECT symbol, epoch_us(CAST(window_start AS TIMESTAMP)) AS us,
+         high, low, close FROM gold
+),
+st AS (
+  SELECT symbol, close,
+         max(high) OVER w AS hi14,
+         min(low) OVER w AS lo14
+  FROM g WINDOW w AS (PARTITION BY symbol ORDER BY us
+                      RANGE BETWEEN 840000000 PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT symbol, (close - lo14) / (hi14 - lo14) AS k
+  FROM st WHERE hi14 > lo14
+)
+SELECT symbol, count(*) AS n,
+       CAST(sum(CASE WHEN k > 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overbought,
+       CAST(sum(CASE WHEN k < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversold,
+       quantile_disc(k, 0.5) AS med_k
+FROM k GROUP BY symbol
+""",
+    doc="Stochastic oscillator %K over the gold candles: per minute "
+    "k = (close - lo14) / (hi14 - lo14) against the trailing-14-minute "
+    "high/low RANGE frame, then per symbol the overbought (>0.8) / "
+    "oversold (<0.2) minute counts and the DISCRETE median k — the "
+    "mean-reversion dial paired with the Donchian breakout dial. Float "
+    "discipline: hi14/lo14 are selections, k is exactly three "
+    "correctly-rounded IEEE ops in the association both engines parse "
+    "((close - lo14) then (hi14 - lo14) then divide), so every k, "
+    "every threshold comparison, and the discrete median are "
+    "bit-reproducible; degenerate flat frames (hi14 = lo14) are "
+    "excluded rather than papered over with a NaN guard. Same "
+    "chunked_range_rolling decomposition as the Donchian query.",
+    tags=("gold", "window-function", "range-frame", "rolling", "median"),
+)
+def candle_stochastic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_range_rolling
+
+    g = _gold_table(spark, sf_dir).select(
+        "symbol",
+        F.unix_micros(F.to_timestamp("window_start")).alias("us"),
+        "high",
+        "low",
+        "close",
+    )
+    st = chunked_range_rolling(
+        g,
+        key_cols=["symbol"],
+        order_col="us",
+        bucket=3_600_000_000,
+        span=840_000_000,
+        cols={
+            "hi14": lambda w: F.max("high").over(w),
+            "lo14": lambda w: F.min("low").over(w),
+        },
+    )
+    k = st.filter(F.col("hi14") > F.col("lo14")).withColumn(
+        "k",
+        (F.col("close") - F.col("lo14")) / (F.col("hi14") - F.col("lo14")),
+    )
+    return k.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("k") > 0.8, 1).otherwise(0)).alias("n_overbought"),
+        F.sum(F.when(F.col("k") < 0.2, 1).otherwise(0)).alias("n_oversold"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY k)").alias(
+            "med_k"
+        ),
+    )
+
+
+@register(
+    "candle_cusum_drift",
+    oracle=f"""
+WITH RECURSIVE {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+c AS (
+  SELECT symbol, window_start,
+         CAST(floor(close * 100000000.0) AS BIGINT) AS cs
+  FROM gold
+),
+d AS (
+  SELECT symbol, window_start, cs,
+         cs - lag(cs) OVER (PARTITION BY symbol ORDER BY window_start)
+           AS d,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start)
+           AS rn
+  FROM c
+),
+k AS (
+  SELECT symbol, quantile_disc(abs(d), 0.5) AS k FROM d
+  WHERE d IS NOT NULL GROUP BY symbol
+),
+base AS (
+  SELECT d.symbol, d.rn, d.d, k.k FROM d JOIN k ON d.symbol = k.symbol
+  WHERE d.d IS NOT NULL
+),
+rec(symbol, rn, su, sd) AS (
+  SELECT symbol, rn,
+         greatest(CAST(0 AS BIGINT), d - k),
+         greatest(CAST(0 AS BIGINT), -d - k)
+  FROM base WHERE rn = 2
+  UNION ALL
+  SELECT b.symbol, b.rn,
+         greatest(CAST(0 AS BIGINT), p.su + b.d - b.k),
+         greatest(CAST(0 AS BIGINT), p.sd - b.d - b.k)
+  FROM base b JOIN rec p ON p.symbol = b.symbol AND b.rn = p.rn + 1
+)
+SELECT r.symbol,
+       CAST(count(*) AS BIGINT) AS n_minutes,
+       any_value(k.k) AS k,
+       CAST(sum(CASE WHEN r.su > 5 * k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_up_alarms,
+       CAST(sum(CASE WHEN r.sd > 5 * k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dn_alarms,
+       max(r.su) AS max_su,
+       max(r.sd) AS max_sd
+FROM rec r JOIN k ON r.symbol = k.symbol
+GROUP BY r.symbol
+""",
+    doc="Two-sided CUSUM drift detector over the gold candles — the "
+    "change-point monitor quant desks run on every series: "
+    "s_up = max(0, s_up + d - k) and s_dn = max(0, s_dn - d - k) over "
+    "integer-grid close diffs (floor(close * 1e8)), with the allowance "
+    "k self-calibrated to each symbol's DISCRETE median |d| and alarms "
+    "at s > 5k. The clamp makes BOTH scans non-associative (window "
+    "frames and chunked offset composition cannot express them), so "
+    "each runs on `keyed_exact_clamped_cumsum` — honestly sequential "
+    "per symbol, symbols the parallel unit; the oracle carries both "
+    "states through ONE recursive CTE. Pure integer max/add on a "
+    "deterministic grid end to end: trajectories, alarm counts, and "
+    "maxima hash-match bit-for-bit. The diff stage rides chunked_lag "
+    "(parallel over symbol x day), and k broadcasts back — the only "
+    "per-symbol-serial work is the scan itself, which is the "
+    "operator's honest lower bound.",
+    tags=("gold", "recursive", "arrow-kernel", "indicator", "finance"),
+)
+def candle_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recursive import keyed_exact_clamped_cumsum
+
+    g = _gold_table(spark, sf_dir).select(
+        "symbol",
+        "window_start",
+        F.floor(F.col("close") * F.lit(100000000.0)).cast("long").alias("cs"),
+    )
+    lagged = chunked_lag(
+        g,
+        key_cols=["symbol"],
+        order_col="window_start",
+        value_col="cs",
+        chunk=F.substring("window_start", 1, 10),
+        out_col="prev_cs",
+        materialize=False,
+    )
+    d = lagged.filter(F.col("prev_cs").isNotNull()).select(
+        "symbol",
+        "window_start",
+        (F.col("cs") - F.col("prev_cs")).alias("d"),
+    )
+    from ..operators.partitioning import shared
+
+    d = shared(d)  # feeds the median branch and both scans
+    k = d.groupBy("symbol").agg(
+        # discrete selection of a LONG — the double return type is an
+        # artifact of Spark's percentile_disc signature; cast back
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(d))")
+        .cast("long")
+        .alias("k")
+    )
+    base = d.join(F.broadcast(k), "symbol")
+    up = keyed_exact_clamped_cumsum(
+        base.withColumn("x", F.col("d") - F.col("k")),
+        key_cols=["symbol"],
+        order_cols=["window_start"],
+        x_col="x",
+        passthrough=["k"],
+    ).select("symbol", "window_start", "k", F.col("balance").alias("su"))
+    dn = keyed_exact_clamped_cumsum(
+        base.withColumn("x", -F.col("d") - F.col("k")),
+        key_cols=["symbol"],
+        order_cols=["window_start"],
+        x_col="x",
+    ).select("symbol", "window_start", F.col("balance").alias("sd"))
+    both = up.join(dn, ["symbol", "window_start"])
+    return both.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.any_value(F.col("k")).alias("k"),
+        F.sum(F.when(F.col("su") > 5 * F.col("k"), 1).otherwise(0)).alias(
+            "n_up_alarms"
+        ),
+        F.sum(F.when(F.col("sd") > 5 * F.col("k"), 1).otherwise(0)).alias(
+            "n_dn_alarms"
+        ),
+        F.max("su").alias("max_su"),
+        F.max("sd").alias("max_sd"),
+    )

@@ -166,9 +166,18 @@ class TestDeltaEvolutionAndMaintenance:
         assert ops[v] == "MERGE"
 
     def test_compact_rewrites_small_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
         t = DeltaTable(str(tmp_path / "t"))
         for i in range(4):
-            t.write(make_df(spark, i * 5, 5).repartition(2))
+            # hash-repartition on a 2-valued key: EXACTLY two non-empty
+            # files per write at any worker count (plain repartition(2)
+            # round-robins from per-core single-row partitions whose
+            # random start offsets can land every row in one bucket —
+            # flipped with SPARK_GRAFT_CPUS=16)
+            t.write(
+                make_df(spark, i * 5, 5).repartition(2, F.col("id") % 2)
+            )
         meta, adds = t._snapshot_state(None)
         assert len(adds) == 8
         v = t.compact(spark)

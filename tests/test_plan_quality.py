@@ -722,6 +722,30 @@ def test_rollup_join_dims_broadcast(spark):
     assert "CartesianProduct" not in p
 
 
+def test_triangular_cycle_shares_dev_and_broadcasts_medians(spark):
+    """arb_triangular_cycle_1h: the candle-sized dev frame materializes
+    ONCE (shared -> ExistingRDD leaf) so the median branch and the
+    output join never re-aggregate the tick table, and the per-venue
+    medians come back via broadcast — no sort-merge join, no cartesian,
+    no tick shuffled twice."""
+    p = plan_of(spark, "arb_triangular_cycle_1h")
+    assert "ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+
+
+def test_candle_range_rolling_plans_stay_chunk_parallel(spark):
+    """Donchian/stochastic ride chunked_range_rolling: the window
+    partitions by (symbol, hour-bucket) — never a bare 3-key symbol
+    partition that caps parallelism forever — and the whole plan is two
+    exchanges (rolling shuffle + final per-symbol aggregate)."""
+    for name in ("candle_donchian_touches", "candle_stochastic_k"):
+        p = plan_of(spark, name)
+        assert p.count("Exchange") <= 2, name
+        assert "__b" in p, name  # the chunk bucket is in the window key
+        assert "Cartesian" not in p, name
+
+
 def test_pagerank_iterations_truncate_lineage(spark):
     """part_copurchase_pagerank: each iteration's ranks checkpoint
     eagerly, so the FINAL plan is a top-k over one ExistingRDD leaf —
