@@ -58,24 +58,36 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('user_event_transition_matrix', ['n']),
         ('user_retention_cohorts', ['weeks_since', 'n_users']),
     ],
+    "arbitrage": [
+        ('arb_triangular_cycle_1h', []),
+        ('arbitrage_spreads_1m', ['trades_a', 'trades_b']),
+        ('asof_last_click_before_purchase', ['trade_id', 'ts_us', 'click_ts_us']),
+        ('tick_dedup_first_per_minute', ['trade_id', 'ts_us']),
+        ('venue_union_stats', ['n']),
+        ('vwap_pivot_by_venue', []),
+    ],
     "delta": [
         ('delta_append_only_audit', ['n', 'delete_refused', 'update_refused', 'overwrite_refused']),
+        ('delta_cdc_update_images', ['n']),
         ('delta_check_constraint_audit', ['n', 'violating_batch_refused']),
         ('delta_copy_into_audit', ['n', 'first_ingested', 'second_ingested', 'second_skipped', 'replay_noop', 'modified_refused']),
         ('delta_default_columns_audit', ['priority', 'n', 'refused_new_col']),
         ('delta_deletion_vector_survivors', ['n']),
-        ('delta_generate_manifest_audit', ['n', 'manifest_read_matches']),
-        ('delta_generated_partition_pruning_audit', ['n_rows', 'derived_ok', 'partition_pruned', 'files_skipped']),
+        ('delta_history_audit', ['version', 'num_output_rows']),
         ('delta_identity_column_audit', ['n', 'min_rid', 'max_rid', 'ids_unique', 'explicit_refused']),
         ('delta_liquid_clustering_audit', ['n_rows', 'n_users', 'prunes_on_user', 'prunes_on_event']),
+        ('delta_log_cleanup_audit', ['n', 'checkpoint_parts', 'n_expired_commits', 'refused_below_retention', 'min_surviving_version', 'expired_travel_fails']),
         ('delta_mapped_rename_roundtrip', ['n']),
         ('delta_mapped_stream_audit', ['n']),
+        ('delta_merge_identity_audit', ['n', 'on_lattice', 'unique_ids', 'above_floor', 'hwm_synced', 'explicit_refused']),
         ('delta_nested_skipping_audit', ['n_rows', 'files_total', 'files_scanned', 'stats_nested']),
         ('delta_replace_where_audit', ['n', 'untouched_files_preserved']),
         ('delta_table_detail', ['num_files', 'num_rows', 'num_deletion_vectors', 'min_reader_version', 'min_writer_version']),
+        ('delta_vacuum_protocol_audit', ['n', 'feature_fenced_mid', 'vacuum_reclaimed', 'feature_gone_after_drop', 'reader_demoted']),
     ],
     "medallion": [
-        ('candle_bollinger_bands', []),
+        ('candle_donchian_touches', ['n_minutes', 'n_upper_touches', 'n_lower_touches']),
+        ('candle_gapfill_locf', ['trade_count']),
         ('candle_heikin_ashi', []),
         ('candle_holt_forecast', []),
         ('candle_macd', []),
@@ -86,12 +98,16 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('candle_return_acf', ['n_returns']),
         ('candle_return_moments', ['n_returns']),
         ('candle_rollup_1h', ['trade_count', 'n_minutes']),
+        ('candle_stochastic_k', ['n', 'n_overbought', 'n_oversold']),
         ('candle_trend_ols', ['n_candles']),
         ('distinct_symbols', []),
         ('events_freshness', ['n_ticks', 'max_ts_us', 'min_ts_us']),
         ('gold_latest_candles', ['trade_count']),
+        ('observed_ingest_metrics', ['n_rows', 'n_null_keys', 'min_ts_us', 'max_ts_us']),
+        ('silver_typed_ticks', ['trade_id', 'trade_ts_us']),
         ('symbol_max_drawdown', ['n_candles']),
         ('symbol_pair_hedge_beta', ['n_minutes']),
+        ('symbol_return_correlation', ['n_overlap']),
         ('symbol_return_volatility', ['n_returns']),
         ('symbol_trimmed_mean_price', ['n_trades', 'n_kept']),
         ('tick_hourly_seasonality', ['hour_of_day', 'n_trades', 'volume']),
@@ -106,6 +122,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
     "multimodal": [
         ('multimodal_audio_stats', ['doc_id', 'n_samples', 'sum_sq', 'peak']),
         ('multimodal_image_ahash', ['doc_id', 'ahash_lo', 'ahash_hi']),
+        ('multimodal_image_stats', ['doc_id', 'width', 'height', 'channels', 'n_bytes', 'pixel_sum']),
         ('multimodal_thumbnail_audit', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum']),
         ('multimodal_video_frame_sample', ['doc_id', 'slot', 'src_frame', 'n_frames', 'width', 'height', 'pixel_sum']),
     ],
@@ -138,15 +155,16 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
     "similarity": [
         ('emb_binary_quantization_recall_audit', ['vec_id', 'hamming', 'in_full_topk']),
         ('emb_dimension_stats', ['dim', 'n_vecs']),
+        ('emb_matryoshka_recall_audit', ['prefix_dims', 'vec_id', 'in_full_topk']),
         ('emb_quantization_stats', ['vec_id', 'label', 'n_sat']),
+        ('sim_cosine_topk', ['vec_id', 'label']),
         ('sim_cosine_topk_fast', ['vec_id', 'label']),
         ('sim_cosine_topk_ivf_indexed', ['vec_id', 'label']),
         ('sim_cosine_topk_ivfpq_indexed', ['vec_id', 'label']),
         ('sim_cosine_topk_ivfpq_reranked', ['vec_id', 'label']),
         ('sim_cosine_topk_lsh', ['vec_id', 'label', 'bucket']),
+        ('sim_cosine_topk_lsh_indexed', ['vec_id', 'label', 'bucket']),
         ('sim_cosine_topk_multi', ['query_id', 'vec_id', 'label', 'rank']),
-        ('sim_ivfpq_recall_at_k', ['k', 'n_exact', 'n_ivfpq', 'n_overlap']),
-        ('sim_lsh_recall_at_k', ['k', 'n_exact', 'n_lsh', 'n_overlap']),
     ],
     "text": [
         ('doc_bloom_index_probe', ['n_batch', 'n_flagged']),
@@ -156,7 +174,6 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('doc_dedup_keeper_rows', ['doc_id', 'n_chars']),
         ('doc_epoch_shuffle_audit', ['shard', 'n_docs', 'order_fingerprint', 'balanced', 'epochs_differ']),
         ('doc_exact_dedup_survivors', ['keeper_doc_id', 'n_copies']),
-        ('doc_fingerprints', ['doc_id', 'simhash16', 'n_tokens']),
         ('doc_hash_sample_per_lang', ['doc_id', 'rk']),
         ('doc_heaps_law_fit', ['n_points']),
         ('doc_importance_resampling', ['doc_id', 'n_tokens', 'selected']),
@@ -165,6 +182,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('doc_pii_redaction_audit', ['doc_id', 'n_url', 'n_email', 'n_ipv4', 'n_phone', 'redacted_len', 'original_len']),
         ('doc_rag_chunks', ['doc_id', 'chunk_id', 'start_token', 'n_tokens']),
         ('doc_rarity_scores', ['doc_id', 'n_tokens']),
+        ('doc_repetition_scores', ['doc_id', 'n_tokens']),
         ('doc_sequence_packing', ['pack_id', 'n_docs', 'pack_tokens']),
         ('doc_simpson_diversity_by_source', ['n_tokens', 'vocab']),
         ('doc_source_kl_divergence', ['n_tokens']),
@@ -184,6 +202,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('text_token_stats', ['doc_id', 'n_chars', 'n_tokens']),
     ],
     "windows": [
+        ('busy_window_events', ['interval_id', 'n_events', 'n_users']),
         ('revenue_time_rollup', ['gid', 'n_orders']),
         ('user_session_stats', ['user_id', 'session_start_us', 'session_end_us', 'n_events']),
         ('venue_grouping_sets', ['gid', 'n_ticks']),

@@ -3444,3 +3444,106 @@ def candle_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("su").alias("max_su"),
         F.max("sd").alias("max_sd"),
     )
+
+
+@register(
+    "tick_vpin_volume_buckets",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+t AS (
+  SELECT symbol, epoch_us(trade_timestamp) AS ts_us, trade_id,
+         CAST(floor(size) AS BIGINT) AS qs,
+         CASE WHEN taker_side IN ('purchase', 'signup')
+              THEN 1 ELSE 0 END AS is_buy
+  FROM ticks
+),
+c AS (
+  SELECT symbol, qs, is_buy,
+         sum(qs) OVER (PARTITION BY symbol ORDER BY ts_us, trade_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+b AS (
+  SELECT symbol, (cum - qs) // 5000 AS bucket,
+         sum(CASE WHEN is_buy = 1 THEN qs ELSE 0 END) AS buy_vol,
+         sum(CASE WHEN is_buy = 0 THEN qs ELSE 0 END) AS sell_vol
+  FROM c GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(abs(buy_vol - sell_vol)) AS BIGINT) AS total_imbalance,
+       CAST(sum(buy_vol + sell_vol) AS BIGINT) AS total_volume,
+       CAST(sum(abs(buy_vol - sell_vol)) AS DOUBLE)
+         / CAST(sum(buy_vol + sell_vol) AS DOUBLE) AS vpin
+FROM b GROUP BY symbol
+""",
+    doc="VPIN (volume-synchronized probability of informed trading) — "
+    "the flow-toxicity dial market makers watch: each symbol's tick "
+    "stream is cut into EQUAL-VOLUME buckets (5000 units via the "
+    "contiguous-fill rule bucket = exclusive-prefix-volume DIV V — "
+    "volume clock, not wall clock, so busy periods get more buckets), "
+    "and VPIN = sum(|buy - sell|) / sum(volume) over the buckets. The "
+    "prefix volume is an associative integer scan and runs on "
+    "`chunked_cumsum` — parallel over symbol x day chunks with the "
+    "sequential pass over per-chunk totals only, never the ticks (the "
+    "naive PARTITION BY symbol window caps parallelism at |symbols| "
+    "forever). Buy/sell classification is the taker_side mapping "
+    "(purchase/signup = buy). All-integer until ONE final correctly- "
+    "rounded division per symbol (long->double casts exact below "
+    "2^53), so every column hash-matches bit-for-bit.",
+    tags=("silver", "finance", "window-function", "rolling",
+          "aggregate"),
+)
+def tick_vpin_volume_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import chunked_cumsum
+
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        "trade_id",
+        F.floor(F.col("size")).cast("long").alias("qs"),
+        F.when(
+            F.col("taker_side").isin("purchase", "signup"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_buy"),
+    )
+    # one string order key, unique per symbol (ts then trade_id,
+    # zero-padded so lexicographic == chronological): chunked_cumsum
+    # takes a single order column, and the day prefix of ts is a
+    # monotone chunk of it
+    keyed = t.withColumn(
+        "__ord",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+        ),
+    )
+    cum = chunked_cumsum(
+        keyed,
+        key_cols=["symbol"],
+        order_col="__ord",
+        value_col="qs",
+        chunk=F.expr("ts_us div 86400000000"),
+        out_col="cum",
+    )
+    b = cum.groupBy(
+        "symbol", F.expr("(cum - qs) div 5000").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("is_buy") == 1, F.col("qs")).otherwise(0)).alias(
+            "buy_vol"
+        ),
+        F.sum(F.when(F.col("is_buy") == 0, F.col("qs")).otherwise(0)).alias(
+            "sell_vol"
+        ),
+    )
+    imb = F.abs(F.col("buy_vol") - F.col("sell_vol"))
+    return b.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(imb).alias("total_imbalance"),
+        F.sum(F.col("buy_vol") + F.col("sell_vol")).alias("total_volume"),
+        (
+            F.sum(imb).cast("double")
+            / F.sum(F.col("buy_vol") + F.col("sell_vol")).cast("double")
+        ).alias("vpin"),
+    )

@@ -1597,7 +1597,13 @@ class DeltaTable:
                     return False
         return True
 
-    def to_pandas(self, *, version: int | None = None, columns: list[str] | None = None):
+    def to_pandas(
+        self,
+        *,
+        version: int | None = None,
+        columns: list[str] | None = None,
+        shredded: dict[str, str] | None = None,
+    ):
         """JVM-free snapshot read -> pandas (S4: the reference dashboard's
         delta-rs ``DeltaTable(path).to_pandas()``,
         ``/root/reference/src/dashboard/app.py:31-32``).
@@ -1607,17 +1613,43 @@ class DeltaTable:
         (dashboard, notebook) can read any table this engine wrote without
         starting Spark. ``columns`` prunes the parquet read; ``version``
         time-travels like `read`.
+
+        ``shredded`` maps a VARIANT column name to a struct DDL
+        (``"k: long, t: string"``): on variantShredding tables the
+        column is served straight from the files' shredded typed_value
+        leaves as that struct (sources/shredding.py — residual binary
+        values refuse loudly), the same contract as the pydelta
+        source's explicit read schema.
         """
         import pandas as pd
         import pyarrow.parquet as pq
 
         meta, adds = self._snapshot_state(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        if self._has_variant(schema):
+        shred_structs: dict[str, T.StructType] = {}
+        for name, ddl in (shredded or {}).items():
+            f = schema[name]
+            if not isinstance(f.dataType, T.VariantType):
+                raise ValueError(
+                    f"shredded= names column {name!r}, which is "
+                    f"{f.dataType.simpleString()}, not variant"
+                )
+            shred_structs[name] = T._parse_datatype_string(ddl)
+        if shred_structs and self._column_mapping(meta):
             raise NotImplementedError(
-                "to_pandas cannot read VARIANT columns (pyarrow does not "
-                "recognize the parquet VARIANT logical type); use the "
-                "Spark read path"
+                "shredded-variant to_pandas on a column-mapped table is "
+                "not supported; unmap or use the pydelta source"
+            )
+        remaining = T.StructType(
+            [f for f in schema.fields if f.name not in shred_structs]
+        )
+        if self._has_variant(remaining):
+            raise NotImplementedError(
+                "to_pandas cannot read VARIANT columns as variants "
+                "(pyarrow does not recognize the parquet VARIANT logical "
+                "type); use the Spark read path — or, on a SHREDDED "
+                "table, pass shredded={column: struct_ddl} to serve the "
+                "typed paths from the typed_value leaves"
             )
         part_cols = meta.get("partitionColumns") or []
         mapping = self._column_mapping(meta) or {}
@@ -1694,6 +1726,25 @@ class DeltaTable:
                         )
                     # restore declared order (absents appended at the end)
                     tbl = tbl.select([phys(c) for c in data_cols])
+            if shred_structs:
+                import pyarrow as pa
+
+                from .pyds import _spark_to_arrow_type
+                from .shredding import _is_shredded_layout, unshred_struct_array
+
+                for i, c in enumerate(data_cols):
+                    want = shred_structs.get(c)
+                    if want is None:
+                        continue
+                    col = tbl.column(i).combine_chunks()
+                    if not _is_shredded_layout(col.type):
+                        raise NotImplementedError(
+                            f"column {c!r} in {fp} is not stored in the "
+                            "shredded layout; the binary variant is "
+                            "unreadable here — use the Spark read path"
+                        )
+                    arr = unshred_struct_array(col, want, _spark_to_arrow_type)
+                    tbl = tbl.set_column(i, pa.field(c, arr.type), arr)
             if mapping:
                 # nested struct fields read under PHYSICAL names; rebuild
                 # positionally to logical (struct-cast twin, arrow-side)

@@ -1687,8 +1687,13 @@ def register(spark) -> None:
 
     from . import delta as _delta_mod
     from . import dv as _dv_mod
+    from . import shredding as _shred_mod
 
-    for mod in (sys.modules[__name__], _delta_mod, _dv_mod):
+    # EVERY module this one references at top level must be here: a
+    # by-reference pickle of any of them reaches the worker as
+    # "import cryptopulse_...", which fails off-repo (caught live when
+    # the round-10 shredding import shipped without registration)
+    for mod in (sys.modules[__name__], _delta_mod, _dv_mod, _shred_mod):
         cloudpickle.register_pickle_by_value(mod)
     spark.dataSource.register(PyDeltaDataSource)
 

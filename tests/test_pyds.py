@@ -1857,3 +1857,71 @@ class TestVariantShredding:
             self._table(spark, tmp_path / "b", ['{"k": "s"}'], {"k": "long"})
         with pytest.raises(NotImplementedError, match="non-object"):
             self._table(spark, tmp_path / "c", ['[1,2]'], {"k": "long"})
+
+    def test_to_pandas_shredded(self, spark, tmp_path):
+        t = self._table(
+            spark,
+            tmp_path,
+            ['{"k": 7, "t": "a"}', '{"t": "b"}', None],
+        )
+        pdf = t.to_pandas(shredded={"payload": "k: long, t: string"})
+        got = {
+            int(r.id): (None, None)
+            if r.payload is None or not isinstance(r.payload, dict)
+            else (r.payload.get("k"), r.payload.get("t"))
+            for r in pdf.itertuples()
+        }
+        assert got == {0: (7, "a"), 1: (None, "b"), 2: (None, None)}
+        # without shredded= the variant gate still refuses, pointing at it
+        with pytest.raises(NotImplementedError, match="shredded"):
+            t.to_pandas()
+        with pytest.raises(ValueError, match="not variant"):
+            t.to_pandas(shredded={"id": "k: long"})
+
+
+class TestOffRepoWorkerShipping:
+    """The driver consumes this engine from OUTSIDE the repo (cwd
+    elsewhere, repo only on the driver's sys.path) — Python data-source
+    workers then cannot `import cryptopulse_...` by name, so register()
+    must ship EVERY referenced module by value. Round-10 regression: a
+    new top-level import in pyds.py (shredding) reached workers as a
+    by-reference pickle and every pydelta query failed off-repo while
+    in-repo pytest stayed green."""
+
+    def test_pydelta_read_with_offrepo_cwd(self, spark, tmp_path):
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        REPO = Path(__file__).resolve().parents[1]
+
+        t = DeltaTable(str(tmp_path / "t"))
+        t.write(spark.range(0, 10).coalesce(1))
+        script = tmp_path / "offrepo.py"
+        script.write_text(
+            "import sys\n"
+            f"sys.path.insert(0, {str(REPO)!r})\n"
+            "from pyspark.sql import SparkSession\n"
+            "from cryptopulse_real_time_arbitrage_detection_lakehouse_spark"
+            ".sources import pyds\n"
+            "spark = (SparkSession.builder.master('local[2]')"
+            ".config('spark.sql.shuffle.partitions','2').getOrCreate())\n"
+            "pyds.register(spark)\n"
+            "n = (spark.read.format('pydelta')"
+            f".option('path', {t.path!r}).load().count())\n"
+            "assert n == 10, n\n"
+            "print('OFFREPO_OK')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, str(script)],
+            cwd="/tmp",
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env={
+                k: v
+                for k, v in __import__("os").environ.items()
+                if k != "PYTHONPATH"
+            },
+        )
+        assert "OFFREPO_OK" in out.stdout, out.stderr[-2000:]
