@@ -876,6 +876,9 @@ class TestLifecyclePropertyWithIngestAndStats:
                 st.tuples(
                     st.just("compact"), st.integers(0, 6), st.integers(0, 1)
                 ),
+                st.tuples(
+                    st.just("fork"), st.integers(0, 6), st.integers(0, 1)
+                ),
             ),
             min_size=2,
             max_size=6,
@@ -1029,6 +1032,61 @@ class TestLifecyclePropertyWithIngestAndStats:
                             t.domain_metadata(latest).get(t.COPY_DOMAIN)
                             == led_before
                         )
+                elif op == "fork":
+                    # FULL-HISTORY FORK mid-program: the fork's log must
+                    # replay identically (snapshot == model, CDF change
+                    # feed == source's — the rewritten absolute cdc/DV
+                    # references resolving from the fork's root is
+                    # exactly what this exercises), and evolving the
+                    # fork must never move the source. Requires an
+                    # all-JSON log, so skipped after a compaction (the
+                    # gate has its own test).
+                    if not t._compaction_ranges() and t.latest_version():
+                        fpath = str(tmp_path / f"f-{_uuid.uuid4().hex}")
+                        fk = t.fork_with_history(fpath)
+                        assert fk.latest_version() == t.latest_version()
+                        got_f = (
+                            fk.read(spark)
+                            .orderBy("ident")
+                            .toPandas()
+                            .reset_index(drop=True)
+                        )
+                        want_f = (
+                            model.sort_values("ident")
+                            .reset_index(drop=True)
+                            .astype(
+                                {
+                                    "ident": "int64",
+                                    "grp": "int64",
+                                    "v": "int64",
+                                }
+                            )
+                        )
+                        pd.testing.assert_frame_equal(
+                            got_f[["ident", "grp", "v"]], want_f
+                        )
+                        sch = sorted(
+                            map(
+                                tuple,
+                                t.read_changes(spark, starting_version=0)
+                                .groupBy("_change_type")
+                                .count()
+                                .collect(),
+                            )
+                        )
+                        fch = sorted(
+                            map(
+                                tuple,
+                                fk.read_changes(spark, starting_version=0)
+                                .groupBy("_change_type")
+                                .count()
+                                .collect(),
+                            )
+                        )
+                        assert sch == fch
+                        src_v = t.latest_version()
+                        fk.delete(spark, f"grp = {a}")
+                        assert t.latest_version() == src_v
                 elif op == "recompute":
                     v_before = t.latest_version()
                     res = t.recompute_stats(
