@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, fmt_ts, sql_dsum, sql_fmt_ts
+from ..functions.determinism import dsum, fmt_ts, sql_davg, sql_dsum, sql_fmt_ts
 from ..operators.alerts import new_high_alerts
 from ..operators.chunked_lag import chunked_lag
 from ..operators.gold import candles
@@ -3546,4 +3546,83 @@ def tick_vpin_volume_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(imb).cast("double")
             / F.sum(F.col("buy_vol") + F.col("sell_vol")).cast("double")
         ).alias("vpin"),
+    )
+
+
+@register(
+    "tick_amihud_illiquidity",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+m AS (
+  SELECT symbol, date_trunc('minute', trade_timestamp) AS w,
+         arg_max(price, epoch_us(trade_timestamp)::HUGEINT * 1000000000000
+                 + trade_id) AS close,
+         {sql_dsum("price * size")} AS dollar_vol
+  FROM ticks GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, close, dollar_vol,
+         lag(close) OVER (PARTITION BY symbol ORDER BY w) AS prev
+  FROM m
+),
+term AS (
+  SELECT symbol,
+         abs((close - prev) / prev) / dollar_vol * 1000000000.0 AS illiq
+  FROM r WHERE prev IS NOT NULL AND dollar_vol > 0
+)
+SELECT symbol, count(*) AS n_minutes,
+       {sql_davg("illiq")} AS amihud_illiq_1e9,
+       max(illiq) AS max_illiq_1e9
+FROM term GROUP BY symbol
+""",
+    doc="Amihud illiquidity — THE price-impact dial (|return| per dollar "
+    "traded, averaged over minutes; the classic cross-sectional "
+    "liquidity measure): per (symbol, minute) the deterministic close "
+    "and the EXACT dollar volume (decimal-disciplined sum of "
+    "price*size), then illiq_t = |r_t| / dollar_vol_t scaled by 1e9 "
+    "into the decimal discipline's well-conditioned range, averaged "
+    "with the order-independent exact mean. Float discipline: closes "
+    "are selections, r and the term are a fixed chain of correctly- "
+    "rounded IEEE ops in the association both engines parse, the "
+    "scale-up keeps the davg cast away from sub-ulp territory, and "
+    "max is a selection — bit-reproducible. One tick shuffle into "
+    "minute candles, the lag chunk-decomposed over symbol x day (a "
+    "bare 3-symbol window would serialize years of minutes per task), "
+    "one final per-symbol aggregate. Pairs with tick_vpin_volume_"
+    "buckets: VPIN reads flow toxicity, Amihud reads its price impact.",
+    tags=("silver", "finance", "window-function", "aggregate"),
+)
+def tick_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import davg
+
+    t = _ticks(spark, sf_dir)
+    m = t.groupBy(
+        "symbol", F.date_trunc("minute", F.col("trade_timestamp")).alias("w")
+    ).agg(
+        F.max_by(
+            "price", F.struct(F.col("trade_timestamp"), F.col("trade_id"))
+        ).alias("close"),
+        dsum(F.col("price") * F.col("size")).alias("dollar_vol"),
+    )
+    r = chunked_lag(
+        m,
+        key_cols=["symbol"],
+        order_col="w",
+        value_col="close",
+        chunk=F.date_trunc("day", F.col("w")),
+        out_col="prev",
+        materialize=False,
+    )
+    term = r.filter(
+        F.col("prev").isNotNull() & (F.col("dollar_vol") > 0)
+    ).withColumn(
+        "illiq",
+        F.abs((F.col("close") - F.col("prev")) / F.col("prev"))
+        / F.col("dollar_vol")
+        * F.lit(1000000000.0),
+    )
+    return term.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        davg("illiq").alias("amihud_illiq_1e9"),
+        F.max("illiq").alias("max_illiq_1e9"),
     )
