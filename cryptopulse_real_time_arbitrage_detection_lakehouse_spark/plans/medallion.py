@@ -3568,7 +3568,7 @@ r AS (
 term AS (
   SELECT symbol,
          abs((close - prev) / prev) / dollar_vol * 1000000000.0 AS illiq
-  FROM r WHERE prev IS NOT NULL AND dollar_vol > 0
+  FROM r WHERE prev IS NOT NULL AND prev > 0 AND dollar_vol > 0
 )
 SELECT symbol, count(*) AS n_minutes,
        {sql_davg("illiq")} AS amihud_illiq_1e9,
@@ -3613,8 +3613,13 @@ def tick_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="prev",
         materialize=False,
     )
+    # prev > 0: a return needs a positive base price (the synthetic
+    # tape CAN emit an exact-0.0 tick — surfaced at sf0.1 where ANSI
+    # division threw); both engines filter identically
     term = r.filter(
-        F.col("prev").isNotNull() & (F.col("dollar_vol") > 0)
+        F.col("prev").isNotNull()
+        & (F.col("prev") > 0)
+        & (F.col("dollar_vol") > 0)
     ).withColumn(
         "illiq",
         F.abs((F.col("close") - F.col("prev")) / F.col("prev"))
