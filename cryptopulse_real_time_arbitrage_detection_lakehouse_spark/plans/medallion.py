@@ -3511,12 +3511,28 @@ def tick_vpin_volume_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one string order key, unique per symbol (ts then trade_id,
     # zero-padded so lexicographic == chronological): chunked_cumsum
     # takes a single order column, and the day prefix of ts is a
-    # monotone chunk of it
+    # monotone chunk of it. The invariant holds only for NON-NEGATIVE
+    # int64 values (any fit in 20 digits; a '-' would sort before
+    # digits and lpad would truncate >20-char inputs), so it is
+    # ENFORCED: assert_true raises at scan time on a violating row
+    # instead of letting the prefix-volume scan silently reorder.
+    # coalesce folds the (NULL-on-success) assertion into the key so
+    # Catalyst cannot prune it.
     keyed = t.withColumn(
         "__ord",
         F.concat(
             F.lpad(F.col("ts_us").cast("string"), 20, "0"),
             F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+            F.coalesce(
+                F.assert_true(
+                    (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
+                    F.lit(
+                        "tick_vpin_volume_buckets: negative ts_us/"
+                        "trade_id breaks the lexicographic order key"
+                    ),
+                ).cast("string"),
+                F.lit(""),
+            ),
         ),
     )
     cum = chunked_cumsum(

@@ -310,6 +310,18 @@ class PyDeltaReader(DataSourceReader):
             if isinstance(
                 self._spark_types.get(f.name), T.VariantType
             ) and isinstance(f.dataType, T.StructType):
+                if self._mapping or self._field_ids:
+                    # mirrors the to_pandas gate: under column mapping
+                    # the files carry physical nested names, so
+                    # _is_shredded_layout would miss the layout and the
+                    # positional logical-name rebuild would map
+                    # metadata/value/typed_value onto the declared
+                    # struct fields — silent garbage when types line up
+                    raise NotImplementedError(
+                        "shredded-variant reads on a column-mapped "
+                        "table are not supported by the pydelta source; "
+                        "unmap the table first"
+                    )
                 self._spark_types[f.name] = f.dataType
                 self._arrow_types[f.name] = _spark_to_arrow_type(f.dataType)
         self._cdf_parts: list | None = None

@@ -60,6 +60,21 @@ _SIMPLE_TYPES = {
 }
 
 
+def _lossless_widening(target, source) -> bool:
+    """True when casting arrow ``source`` -> ``target`` is a lossless
+    numeric widening (int8/16/32 -> wider int, float32 -> float64).
+    Everything else — notably string -> numeric, which arrow casts by
+    PARSING — must be refused, not coerced."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(source) and pa.types.is_integer(target):
+        signed = pa.types.is_signed_integer(source) == pa.types.is_signed_integer(target)
+        return signed and source.bit_width < target.bit_width
+    if pa.types.is_floating(source) and pa.types.is_floating(target):
+        return source.bit_width < target.bit_width
+    return False
+
+
 def _is_shredded_layout(arrow_type) -> bool:
     """True when an arrow struct type is the spec shredding group."""
     import pyarrow as pa
@@ -123,6 +138,17 @@ def unshred_struct_array(struct_arr, want: T.StructType, arrow_type_of):
                 refuse_residual(sub.field("value"), f"field {f.name!r}")
             leaf = sub.field("typed_value")
             if leaf.type != at:
+                # lossless numeric widenings only: a blanket cast would
+                # PARSE foreign-written leaves (arrow string->int64
+                # succeeds on digit strings), silently coercing a type
+                # miss this module's contract says to refuse loudly
+                if not _lossless_widening(at, leaf.type):
+                    raise NotImplementedError(
+                        f"shredded field {f.name!r} is stored as "
+                        f"{leaf.type} but declared {at}; only lossless "
+                        "numeric widenings are served — re-declare the "
+                        "field or rewrite the file"
+                    )
                 leaf = leaf.cast(at)
         else:
             # field never shredded into this file and no residual to

@@ -1858,6 +1858,67 @@ class TestVariantShredding:
         with pytest.raises(NotImplementedError, match="non-object"):
             self._table(spark, tmp_path / "c", ['[1,2]'], {"k": "long"})
 
+    def test_column_mapped_shredded_read_refused(self, spark, tmp_path):
+        # ADVICE r10: under column mapping the files carry physical
+        # nested names, _is_shredded_layout misses the layout, and the
+        # positional rebuild would serve metadata/value/typed_value AS
+        # the declared struct fields — gate it like to_pandas does
+        t = self._table(spark, tmp_path, ['{"k": 1}'], {"k": "long"})
+        t.enable_column_mapping()
+        with pytest.raises(Exception, match="column-mapped"):
+            self._read(
+                spark, t.path, "id long, payload struct<k: long>"
+            ).collect()
+
+    def test_unshred_widening_lossless_only(self):
+        # ADVICE r10: a blanket arrow cast PARSES string leaves into
+        # declared numerics — only lossless numeric widenings may serve
+        import pyarrow as pa
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.shredding import (
+            EMPTY_METADATA,
+            unshred_struct_array,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.pyds import (
+            _spark_to_arrow_type,
+        )
+        from pyspark.sql import types as T
+
+        def shredded(leaf):
+            k = pa.StructArray.from_arrays([leaf], names=["typed_value"])
+            tv = pa.StructArray.from_arrays([k], names=["k"])
+            return pa.StructArray.from_arrays(
+                [
+                    pa.array([EMPTY_METADATA] * len(leaf), type=pa.binary()),
+                    tv,
+                ],
+                names=["metadata", "typed_value"],
+            )
+
+        arr32 = shredded(pa.array([1, 2], type=pa.int32()))
+        out = unshred_struct_array(
+            arr32,
+            T.StructType([T.StructField("k", T.LongType())]),
+            _spark_to_arrow_type,
+        )
+        assert out.field("k").type == pa.int64()
+        assert out.field("k").to_pylist() == [1, 2]
+        # int -> double is NOT lossless (above 2^53): refused
+        with pytest.raises(NotImplementedError, match="lossless"):
+            unshred_struct_array(
+                arr32,
+                T.StructType([T.StructField("k", T.DoubleType())]),
+                _spark_to_arrow_type,
+            )
+        # string leaf declared long: arrow would PARSE it — refused
+        arr_s = shredded(pa.array(["1", "2"], type=pa.string()))
+        with pytest.raises(NotImplementedError, match="lossless"):
+            unshred_struct_array(
+                arr_s,
+                T.StructType([T.StructField("k", T.LongType())]),
+                _spark_to_arrow_type,
+            )
+
     def test_to_pandas_shredded(self, spark, tmp_path):
         t = self._table(
             spark,

@@ -475,3 +475,45 @@ class TestKeyedExactClampedCumsum:
                     clamped_ever = True  # clamp genuinely bound mid-series
             assert [b for _, b in sorted(by_k[k])] == want
         assert clamped_ever, "series never exercised the non-associativity"
+
+
+class TestVpinOrderKeyGuard:
+    """tick_vpin_volume_buckets enforces (not assumes) the invariant its
+    lexicographic order key needs: non-negative ts_us/trade_id (ADVICE
+    r10 — a '-' sorts before digits and lpad truncates >20 chars, which
+    would silently reorder the prefix-volume scan)."""
+
+    def test_negative_trade_id_raises(self, spark, tmp_path):
+        import pandas as pd
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import (
+            plans,
+        )
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pd.DataFrame(
+            {
+                "event_id": [-1, 2],  # negative trade_id breaks the key
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+                ),
+                "user_id": [1, 2],
+                "event_type": ["purchase", "click"],
+                "value": [10.0, 11.0],
+                "props": ['{"k": 3}', '{"k": 4}'],
+            }
+        ).to_parquet(sf / "events.parquet", index=False)
+        df = plans.get("tick_vpin_volume_buckets").fn(spark, str(sf))
+        with pytest.raises(Exception, match="negative ts_us/trade_id"):
+            df.collect()
+
+    def test_non_negative_rows_unaffected(self, spark):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark import (
+            plans,
+        )
+
+        df = plans.get("tick_vpin_volume_buckets").fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.count() > 0
