@@ -235,31 +235,51 @@ def _oracle_fingerprint(oracle: str, name: str, cols: list[str]) -> str:
     )
 
 
-def _make_combined(mod: str, spec: list[tuple[str, list[str]]]) -> None:
+def _register_combined(
+    name: str, spec: list[tuple[str, list[str]]], doc: str, tags: tuple[str, ...]
+) -> None:
     member_oracles = " UNION ALL ".join(
-        _oracle_fingerprint(get(name).oracle, name, cols)
-        for name, cols in spec
+        _oracle_fingerprint(get(m).oracle, m, cols) for m, cols in spec
     )
 
     def combined(spark: SparkSession, sf_dir: str, _spec=spec) -> DataFrame:
         out = None
-        for name, cols in _spec:
-            fp = _spark_fingerprint(get(name).fn(spark, sf_dir), name, cols)
+        for m, cols in _spec:
+            fp = _spark_fingerprint(get(m).fn(spark, sf_dir), m, cols)
             out = fp if out is None else out.unionByName(fp)
         return out
 
-    register(
-        f"{mod}_combined_audit",
-        oracle=member_oracles,
-        doc=f"Combined driver-coverage audit for plans/{mod}.py: row "
-        f"count + exact integer checksum per member query "
-        f"({len(spec)} members), each cross-checked against its DuckDB "
-        "oracle in one row. Members keep their own full-value-hash "
-        "entries; this row exists so one driver sample certifies the "
-        "whole module's fixtures and plans end-to-end.",
-        tags=("combined", "coverage", mod),
-    )(combined)
+    register(name, oracle=member_oracles, doc=doc, tags=tags)(combined)
 
 
 for _mod, _spec in sorted(_MEMBERS.items()):
-    _make_combined(_mod, _spec)
+    _register_combined(
+        f"{_mod}_combined_audit",
+        _spec,
+        doc=f"Combined driver-coverage audit for plans/{_mod}.py: row "
+        f"count + exact integer checksum per member query "
+        f"({len(_spec)} members), each cross-checked against its DuckDB "
+        "oracle in one row. Members keep their own full-value-hash "
+        "entries; this row exists so one driver sample certifies the "
+        "whole module's fixtures and plans end-to-end.",
+        tags=("combined", "coverage", _mod),
+    )
+
+#: the meta-row: EVERY combined-audit member across EVERY module in one
+#: registered query, so a single driver sample certifies the whole
+#: registry's fixtures + plans + oracles end-to-end (the per-module rows
+#: remain for cheaper targeted certification). ~15 s warm at sf0.1 —
+#: acceptable for a once-per-round certification row.
+_ALL_MEMBERS = [m for _, _s in sorted(_MEMBERS.items()) for m in _s]
+_register_combined(
+    "registry_coverage_audit",
+    _ALL_MEMBERS,
+    doc="Whole-registry driver-coverage audit: unions the (query, "
+    f"row-count, exact-integer-checksum) fingerprints of all "
+    f"{len(_ALL_MEMBERS)} combined-audit members across every plans "
+    "module — one sampled row drives every member fixture and plan "
+    "end-to-end against its DuckDB oracle. Exists because the driver "
+    "samples ~50 queries/round: this row makes whole-registry "
+    "certification a single lottery ticket instead of nine.",
+    tags=("combined", "coverage", "registry"),
+)
