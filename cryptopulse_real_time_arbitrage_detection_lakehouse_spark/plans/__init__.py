@@ -9,6 +9,7 @@ from .registry import QuerySpec, all_oracles, all_queries, get, register
 # Import for registration side effects (order = rough build order).
 from . import bronze  # noqa: E402,F401
 from . import medallion  # noqa: E402,F401
+from . import microstructure  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import arbitrage  # noqa: E402,F401
 from . import text  # noqa: E402,F401

@@ -868,3 +868,45 @@ def test_gini_windows_run_over_histogram_not_rows(spark):
     head, _, _tail = p.partition("Window")
     assert "partial_count" in p or "partial" in p.lower()
     assert _tail.count("HashAggregate") >= 1
+
+
+def test_quoted_spread_is_single_shuffle_with_pushed_gate(spark):
+    # quote synthesis is narrow codegen; the only exchange is the
+    # (symbol, minute) aggregation, partials map-side; the ticker-type
+    # gate reaches the parquet scan
+    p = plan_of(spark, "tick_quoted_spread_1m")
+    assert shuffle_count(p) == 1, p
+    assert "partial" in p.lower()
+    assert "In(event_type" in p
+
+
+def test_effective_spread_is_single_shuffle(spark):
+    p = plan_of(spark, "tick_effective_spread_by_side")
+    assert shuffle_count(p) == 1, p
+    assert "partial" in p.lower()
+
+
+def test_quote_imbalance_is_single_shuffle(spark):
+    p = plan_of(spark, "tick_quote_imbalance_1h")
+    assert shuffle_count(p) == 1, p
+    assert "partial" in p.lower()
+
+
+def test_nbbo_reduction_ladder_stays_map_side(spark):
+    # ticks -> (symbol, venue, minute) -> (symbol, minute) -> symbol:
+    # three progressively SMALLER aggregations, each map-side combinable;
+    # no extra exchanges beyond the ladder
+    p = plan_of(spark, "tick_nbbo_crossed_markets")
+    assert shuffle_count(p) <= 3, p
+    assert "partial" in p.lower()
+
+
+def test_microprice_drift_has_no_degenerate_window(spark):
+    # the minute-level lag is chunk-decomposed (symbol x day): every
+    # window partitions on (symbol, chunk) or the keys x chunks summary,
+    # never an empty partition spec that funnels rows to one task
+    p = plan_of(spark, "tick_microprice_drift")
+    assert not re.search(r"windowspecdefinition\((?:last_|mm|w)#", p), (
+        "window without key partitioning found"
+    )
+    assert "Window" in p
