@@ -123,6 +123,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('multimodal_audio_stats', ['doc_id', 'n_samples', 'sum_sq', 'peak']),
         ('multimodal_image_ahash', ['doc_id', 'ahash_lo', 'ahash_hi']),
         ('multimodal_image_stats', ['doc_id', 'width', 'height', 'channels', 'n_bytes', 'pixel_sum']),
+        ('multimodal_png_stats', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum', 'ahash_lo', 'ahash_hi']),
         ('multimodal_thumbnail_audit', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum']),
         ('multimodal_video_frame_sample', ['doc_id', 'slot', 'src_frame', 'n_frames', 'width', 'height', 'pixel_sum']),
     ],
@@ -151,6 +152,13 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('tpch_q7_nation_volume', ['l_year']),
         ('tpch_q8_market_share', ['o_year']),
         ('tpch_q9_product_profit', ['o_year']),
+    ],
+    "microstructure": [
+        ('tick_quoted_spread_1m', ['n_quotes']),
+        ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
+        ('tick_microprice_drift', ['n_minutes', 'n_signal_up', 'n_agree']),
+        ('tick_quote_imbalance_1h', ['n_quotes', 'total_bid_size', 'total_ask_size']),
+        ('tick_nbbo_crossed_markets', ['n_minutes_quoted_both', 'n_crossed']),
     ],
     "similarity": [
         ('emb_binary_quantization_recall_audit', ['vec_id', 'hamming', 'in_full_topk']),

@@ -6,8 +6,10 @@ byte arithmetically — which turns the whole Spark-side loop
 (encode kernel -> binary column -> decode kernel -> features) into an
 oracle-checkable black box. The asset generators are themselves
 ``mapInPandas`` kernels, so the plumbing under test is exactly the
-plumbing a real pipeline uses; only the codec behind
-``functions/multimodal.decode_image_rgb`` is stubbed.
+plumbing a real pipeline uses. PNG decode is REAL (dependency-free stdlib-zlib codec,
+``functions/multimodal._png_codec`` — see ``multimodal_png_stats``);
+JPEG/video codecs stay honestly gated behind
+``decode_image_rgb``/``decode_video_frames``.
 
 Asset recipes (all integer arithmetic, shared with the SQL twins):
 - image: width 16 + doc_id%48, height 16 + (doc_id*7)%48, 3 channels,
@@ -308,7 +310,115 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..functions.multimodal import image_ahash  # noqa: E402
+from ..functions.multimodal import image_ahash, png_to_img1  # noqa: E402
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, REAL PNG binary) with the image recipe above.
+
+    Same dims/pixel arithmetic as ``synth_image_assets`` so the oracles
+    are shared, but encoded as genuine 8-bit RGB PNG (stdlib zlib codec,
+    ``functions/multimodal._png_codec``) with the scanline filter type
+    cycling row % 5 — every decode of one asset exercises all five
+    unfilter paths (None/Sub/Up/Average/Paeth), so the oracle hash check
+    certifies the whole codec, not just the happy path."""
+    import numpy as np
+
+    from ..functions.multimodal import _png_codec
+
+    enc, _ = _png_codec()  # captured by value (nested function)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 48, 16 + (d * 7) % 48
+                pix = (
+                    ((d * 31 + np.arange(w * h * 3)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                )
+                ids.append(d)
+                blobs.append(enc(pix, 2))
+            yield pd.DataFrame({"doc_id": ids, "image": blobs})
+
+    return docs.select("doc_id").mapInPandas(part, schema="doc_id long, image binary")
+
+
+@register(
+    "multimodal_png_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS width,
+         16 + (doc_id * 7) % 48 AS height
+  FROM documents
+),
+stats AS (
+  SELECT d.doc_id,
+         CAST(d.width AS BIGINT) AS width, CAST(d.height AS BIGINT) AS height,
+         CAST(13 + d.width * d.height * 3 AS BIGINT) AS n_bytes,
+         CAST(SUM((d.doc_id * 31 + r.i) % 256) AS BIGINT) AS pixel_sum
+  FROM dims d, range(0, 63 * 63 * 3) r(i)
+  WHERE r.i < d.width * d.height * 3
+  GROUP BY d.doc_id, d.width, d.height
+),
+cells AS (
+  SELECT d.doc_id, k.k,
+         ((((k.k // 8) * (16 + (d.doc_id * 7) % 48)) // 8)
+            * (16 + d.doc_id % 48)
+          + (((k.k % 8) * (16 + d.doc_id % 48)) // 8)) * 3 AS b
+  FROM documents d, (SELECT unnest(range(0, 64)) AS k) k
+),
+grays AS (
+  SELECT doc_id, k,
+         (((doc_id * 31 + b) % 256)
+          + ((doc_id * 31 + b + 1) % 256)
+          + ((doc_id * 31 + b + 2) % 256)) // 3 AS gray
+  FROM cells
+),
+means AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM grays GROUP BY doc_id),
+hashes AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN g.k < 32 AND g.gray > m.mean
+                  THEN CAST(1 AS BIGINT) << g.k ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(SUM(CASE WHEN g.k >= 32 AND g.gray > m.mean
+                  THEN CAST(1 AS BIGINT) << (g.k - 32) ELSE 0 END) AS BIGINT) AS ahash_hi
+  FROM grays g JOIN means m USING (doc_id)
+  GROUP BY g.doc_id
+)
+SELECT s.doc_id, s.width, s.height, s.n_bytes, s.pixel_sum,
+       h.ahash_lo, h.ahash_hi
+FROM stats s JOIN hashes h USING (doc_id)
+""",
+    doc="REAL-codec image path, end to end and oracle-checked: every "
+    "document's raster is encoded as a genuine 8-bit RGB PNG (stdlib "
+    "zlib DEFLATE, scanline filters cycling None/Sub/Up/Average/Paeth), "
+    "decoded executor-side by the engine's dependency-free PNG decoder "
+    "(functions/multimodal._png_codec — the decode seam the IMG1 "
+    "operators stubbed until round 11; JPEG stays honestly gated), "
+    "transcoded to IMG1 at the codec boundary (png_to_img1), then run "
+    "through the UNCHANGED feature and perceptual-hash kernels. The "
+    "oracle recomputes dimensions, the transcoded byte length, the "
+    "exact pixel sum, and both aHash words arithmetically from the "
+    "recipe — a single wrong byte anywhere in DEFLATE/unfilter/"
+    "transcode flips the hash. Row-local kernels; the only exchange is "
+    "the stats/ahash join on doc_id.",
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    img1 = png_to_img1(synth_png_assets(docs))
+    feats = image_features(img1).select(
+        "doc_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "pixel_sum",
+    )
+    hashes = image_ahash(img1)
+    return feats.join(hashes, "doc_id")
 
 
 @register(

@@ -25,10 +25,113 @@ from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata 
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.skipif(HAVE_PIL, reason="stub only applies without Pillow")
-def test_codec_decode_is_a_clear_stub():
+@pytest.mark.skipif(HAVE_PIL, reason="gate only applies without Pillow")
+def test_non_png_codec_decode_is_a_clear_gate():
+    # JPEG magic: the non-PNG seam still refuses loudly without Pillow
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_rgb(b"\x89PNG....")
+        decode_image_rgb(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00")
+
+
+class TestPngCodec:
+    """The dependency-free stdlib-zlib PNG codec (round-11: the decode
+    seam is REAL for PNG; JPEG stays gated)."""
+
+    def test_roundtrip_all_color_types_and_filters(self):
+        import numpy as np
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.multimodal import (
+            _png_codec,
+        )
+
+        enc, dec = _png_codec()
+        rng = np.random.RandomState(11)
+        # >= 5 rows everywhere so the cycling row%5 filter exercises all
+        # five unfilter paths (None/Sub/Up/Average/Paeth) per image
+        for h, w, ct in [(5, 1, 2), (7, 3, 2), (16, 23, 2), (8, 8, 0), (9, 13, 6)]:
+            c = {0: 1, 2: 3, 6: 4}[ct]
+            r = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+            got = dec(enc(r, ct))
+            want = (
+                r if ct == 2
+                else np.repeat(r, 3, axis=2) if ct == 0
+                else r[:, :, :3]
+            )
+            assert got.shape == (h, w, 3)
+            assert (got == want).all(), (h, w, ct)
+
+    def test_foreign_libpng_pixel_decodes_exactly(self):
+        # the widely-published 1x1 red-pixel PNG (libpng-encoded): a
+        # FOREIGN encoder's bytes, with a documented expected pixel —
+        # independent evidence the decoder isn't just inverting its own
+        # encoder's misunderstanding of the spec
+        import base64
+
+        b64 = (
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+            "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+        )
+        r = decode_image_rgb(base64.b64decode(b64))
+        assert r.shape == (1, 1, 3) and r.tolist() == [[[255, 0, 0]]]
+
+    def test_unsupported_png_features_refuse_loudly(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.multimodal import (
+            _png_codec,
+        )
+
+        enc, dec = _png_codec()
+
+        def rewrite_ihdr(png: bytes, **kw) -> bytes:
+            w, h, depth, ct, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", png[16:29]
+            )
+            vals = dict(
+                w=w, h=h, depth=depth, ct=ct, comp=comp, filt=filt, inter=inter
+            )
+            vals.update(kw)
+            ihdr = struct.pack(
+                ">IIBBBBB", vals["w"], vals["h"], vals["depth"], vals["ct"],
+                vals["comp"], vals["filt"], vals["inter"],
+            )
+            return (
+                png[:8]
+                + struct.pack(">I", 13) + b"IHDR" + ihdr
+                + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+                + png[33:]
+            )
+
+        png = enc(np.zeros((6, 6, 3), dtype=np.uint8), 2)
+        with pytest.raises(NotImplementedError, match="bit depth"):
+            dec(rewrite_ihdr(png, depth=16))
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            dec(rewrite_ihdr(png, inter=1))
+        with pytest.raises(NotImplementedError, match="color type"):
+            dec(rewrite_ihdr(png, ct=3))  # palette
+        with pytest.raises(ValueError, match="signature"):
+            dec(b"\x89PNG\x00\x00\x00\x00" + png[8:])
+
+    def test_png_to_img1_composes_with_raster_kernels(self, spark):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.functions.multimodal import (
+            png_to_img1,
+        )
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.multimodal import (
+            synth_png_assets,
+        )
+
+        docs = load_table(spark, SF, "documents").limit(8)
+        via_png = {
+            r.doc_id: (r.meta.width, r.meta.height, r.pixel_sum)
+            for r in image_features(png_to_img1(synth_png_assets(docs))).collect()
+        }
+        via_img1 = {
+            r.doc_id: (r.meta.width, r.meta.height, r.pixel_sum)
+            for r in image_features(synth_image_assets(docs)).collect()
+        }
+        assert via_png == via_img1 and len(via_png) == 8
 
 
 def test_identity_resize_preserves_pixels(spark):
