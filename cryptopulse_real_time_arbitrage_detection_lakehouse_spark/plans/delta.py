@@ -2213,7 +2213,7 @@ GROUP BY event_type
 )
 def pyds_variant_shredded_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pyds
-    from ..sources.shredding import write_shredded_variant_table
+    from ..sources.shredding import write_shredded_variant_table_dist
 
     events = load_table(spark, sf_dir, "events")
     enriched = events.filter(F.col("event_type").isin(*_BATCH_TYPES)).select(
@@ -2226,12 +2226,17 @@ def pyds_variant_shredded_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload"),
     )
-    dt = write_shredded_variant_table(
+    # staged EXECUTOR-SIDE (mapInArrow, one staged file per partition;
+    # the driver sees one metadata row per file). File count scales
+    # with the input's scan partitioning (floor 4 so the read path
+    # always exercises multi-file planning) — a fixed count would cap
+    # both the staging write and the audited read at that parallelism
+    n_files = max(4, enriched.rdd.getNumPartitions())
+    dt = write_shredded_variant_table_dist(
         tempfile.mkdtemp(prefix="cpshred_") + "/ev_shred",
-        enriched.toArrow(),
+        enriched.repartition(n_files),
         "payload",
         {"k": "long", "t": "string", "u2": "long"},
-        n_files=4,
     )
     pyds.register(spark)
     read = (

@@ -1858,6 +1858,43 @@ class TestVariantShredding:
         with pytest.raises(NotImplementedError, match="non-object"):
             self._table(spark, tmp_path / "c", ['[1,2]'], {"k": "long"})
 
+    def test_dist_writer_roundtrips_and_refuses_executor_side(
+        self, spark, tmp_path
+    ):
+        from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.shredding import (
+            write_shredded_variant_table_dist,
+        )
+
+        df = spark.createDataFrame(
+            [(0, '{"k": 7, "t": "a"}'), (1, '{"t": "b"}'), (2, None),
+             (3, '{"k": 9}')],
+            "id long, payload string",
+        ).repartition(3)
+        t = write_shredded_variant_table_dist(
+            str(tmp_path / "d"), df, "payload", {"k": "long", "t": "string"}
+        )
+        got = {
+            r.id: (r.payload.k if r.payload else None,
+                   r.payload.t if r.payload else None)
+            for r in self._read(
+                spark, t.path, "id long, payload struct<k: long, t: string>"
+            ).collect()
+        }
+        assert got == {0: (7, "a"), 1: (None, "b"), 2: (None, None),
+                       3: (9, None)}
+        # one staged file per non-empty partition, log fenced both sides
+        _m, adds, proto = t._snapshot_state_full(None)
+        assert 1 <= len(adds) <= 3
+        assert "variantShredding" in proto["readerFeatures"]
+        # refuse-loudly contract holds from the EXECUTOR too
+        bad = spark.createDataFrame(
+            [(0, '{"k": 1, "extra": 2}')], "id long, payload string"
+        )
+        with pytest.raises(Exception, match="outside the shredding"):
+            write_shredded_variant_table_dist(
+                str(tmp_path / "bad"), bad, "payload", {"k": "long"}
+            )
+
     def test_column_mapped_shredded_read_refused(self, spark, tmp_path):
         # ADVICE r10: under column mapping the files carry physical
         # nested names, _is_shredded_layout misses the layout, and the
