@@ -48,6 +48,17 @@ def _build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("list", help="list registered queries")
     ls.add_argument("--tag", default=None, help="filter by tag substring")
 
+    r = sub.add_parser(
+        "render",
+        help="dashboard twin (reference src/dashboard/app.py): per-symbol "
+        "KPI + min/max-downsampled candle chart as self-contained HTML "
+        "or the raw JSON payload",
+    )
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--symbol", default=None, help="one symbol only")
+    r.add_argument("--out", default="-", help="output file ('-' = stdout)")
+    r.add_argument("--format", choices=("html", "json"), default="html")
+
     d = sub.add_parser(
         "delta", help="Delta table maintenance (OPTIMIZE/VACUUM/RESTORE/...)"
     )
@@ -175,6 +186,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         if args.cmd == "query":
             df = plans.get(args.name).fn(spark, args.sf_dir)
             df.show(args.limit, truncate=False)
+            return 0
+
+        if args.cmd == "render":
+            from .dashboard import dashboard_payload, render_html
+
+            payload = dashboard_payload(spark, args.sf_dir, args.symbol)
+            if args.format == "json":
+                import json as _json
+
+                text = _json.dumps(payload, indent=1, default=str)
+            else:
+                text = render_html(payload)
+            if args.out == "-":
+                print(text)
+            else:
+                with open(args.out, "w") as fh:
+                    fh.write(text)
+                print(f"wrote {args.format} to {args.out}", file=sys.stderr)
             return 0
 
         if args.cmd == "delta":

@@ -322,3 +322,40 @@ class TestCliCompactLog:
         assert "wrote log compaction" in out
         assert t._compaction_ranges() == [(0, 2)]
         assert t.read(spark).count() == 30
+
+
+class TestRenderVerb:
+    """The dashboard twin (reference src/dashboard/app.py): KPI + lossless
+    min/max-downsampled chart, emitted as self-contained HTML or JSON."""
+
+    def test_render_html_is_self_contained(self, spark, tmp_path):
+        out = tmp_path / "dash.html"
+        assert (
+            main(["render", "--out", str(out)], spark=spark) == 0
+        )
+        s = out.read_text()
+        # one panel per symbol, each with an SVG range band, a data
+        # table, and an accessible name; no external resources
+        assert s.count("class='panel'") == 3
+        assert s.count("<svg") == 3 and s.count("class='band'") == 3
+        assert s.count("<table>") == 3
+        assert "aria-label='S0 30-minute high/low range'" in s
+        assert "http://" not in s and "https://" not in s
+        assert "NaN" not in s
+
+    def test_render_json_payload(self, spark, capsys):
+        assert (
+            main(
+                ["render", "--format", "json", "--symbol", "S1"],
+                spark=spark,
+            )
+            == 0
+        )
+        import json
+
+        payload = json.loads(capsys.readouterr().out)
+        assert set(payload["kpis"]) == {"S1"} == set(payload["series"])
+        k = payload["kpis"]["S1"]
+        assert k["delta"] == pytest.approx(k["close"] - k["prev_close"])
+        kinds = {p["kind"] for p in payload["series"]["S1"]}
+        assert kinds == {"high", "low"}
