@@ -108,6 +108,20 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def quiesce(spark) -> None:
+    """Collect PREDECESSOR garbage outside the timed window.
+
+    Round-11 attribution of the "session-age drift" (SCALE.md): repeated
+    drains alone never degrade (bo2 aged == fresh), but driver heap
+    climbs to 3-6.5 GB across a long session and a deferred major GC
+    landing inside one later query roughly DOUBLES that single run
+    (forced full GC reclaims ~90% of the heap in ~0.26 s). Collecting
+    here, before each timing, charges every query its own allocations
+    only — the spikes were measurement contamination, not engine cost.
+    """
+    spark.sparkContext._jvm.java.lang.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -136,6 +150,7 @@ def main() -> None:
     total = 0.0
     for pass_i in range(3):
         for name in names:
+            quiesce(spark)
             sec = run_query(spark, name, sf_dir)
             if pass_i == 0:
                 timings[name] = round(sec, 4)
@@ -172,9 +187,10 @@ def main() -> None:
     # round-over-round comparable with BENCH_r01.
     cold_first: dict[str, float] = {}
     for name in extended:
+        quiesce(spark)
         cold = run_query(spark, name, sf_dir)
         cold_first[name] = round(cold, 4)
-        if name.endswith("_combined_audit"):
+        if name.endswith("_combined_audit") or name == "registry_coverage_audit":
             # driver-coverage constructs that re-run a whole module's
             # member queries: one pass records the cost without tripling
             # ~140 member executions; the members' own best-of-3 lines
