@@ -154,11 +154,15 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('tpch_q9_product_profit', ['o_year']),
     ],
     "microstructure": [
-        ('tick_quoted_spread_1m', ['n_quotes']),
+        ('candle_realized_variance_jumps', ['n_returns']),
         ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
+        ('tick_kyle_lambda', ['n_minutes', 'total_signed_vol']),
+        ('tick_lee_ready_classification', ['n_trades', 'n_quote_rule', 'n_tick_test', 'n_unclassified', 'n_correct']),
         ('tick_microprice_drift', ['n_minutes', 'n_signal_up', 'n_agree']),
-        ('tick_quote_imbalance_1h', ['n_quotes', 'total_bid_size', 'total_ask_size']),
         ('tick_nbbo_crossed_markets', ['n_minutes_quoted_both', 'n_crossed']),
+        ('tick_quote_imbalance_1h', ['n_quotes', 'total_bid_size', 'total_ask_size']),
+        ('tick_quoted_spread_1m', ['n_quotes']),
+        ('tick_roll_spread_estimate', ['n_pairs']),
     ],
     "similarity": [
         ('emb_binary_quantization_recall_audit', ['vec_id', 'hamming', 'in_full_topk']),

@@ -910,3 +910,25 @@ def test_microprice_drift_has_no_degenerate_window(spark):
         "window without key partitioning found"
     )
     assert "Window" in p
+
+
+def test_roll_kyle_lee_ready_have_no_degenerate_windows(spark):
+    # every sequential pass in the round-11 microstructure additions is
+    # chunk-decomposed (symbol x day) or partitioned by (symbol, day):
+    # no window may funnel a whole key's history to one task via an
+    # empty/key-only-free partition spec
+    import re as _re
+
+    for q in (
+        "tick_roll_spread_estimate",
+        "tick_kyle_lambda",
+        "tick_lee_ready_classification",
+        "candle_realized_variance_jumps",
+    ):
+        p = plan_of(spark, q)
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        assert specs, q
+        for spec in specs:
+            # first two args must be partition keys (symbol + chunk/day)
+            head = spec.split(" ASC")[0].split(" DESC")[0]
+            assert head.count("#") >= 2, (q, spec)

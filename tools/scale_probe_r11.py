@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 QUERIES = (
+    "tick_roll_spread_estimate",
+    "tick_kyle_lambda",
+    "tick_lee_ready_classification",
+    "candle_realized_variance_jumps",
     "tick_quoted_spread_1m",
     "tick_effective_spread_by_side",
     "tick_microprice_drift",
