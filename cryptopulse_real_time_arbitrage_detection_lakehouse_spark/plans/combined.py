@@ -160,6 +160,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('tick_lee_ready_classification', ['n_trades', 'n_quote_rule', 'n_tick_test', 'n_unclassified', 'n_correct']),
         ('tick_microprice_drift', ['n_minutes', 'n_signal_up', 'n_agree']),
         ('tick_nbbo_crossed_markets', ['n_minutes_quoted_both', 'n_crossed']),
+        ('tick_order_flow_imbalance', ['n_minutes', 'total_ofi']),
         ('tick_quote_imbalance_1h', ['n_quotes', 'total_bid_size', 'total_ask_size']),
         ('tick_quoted_spread_1m', ['n_quotes']),
         ('tick_roll_spread_estimate', ['n_pairs']),

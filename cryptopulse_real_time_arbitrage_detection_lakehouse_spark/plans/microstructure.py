@@ -21,7 +21,9 @@ arbitrage/execution user computes first —
   VPIN/Amihud/Kyle liquidity triptych),
 - Lee-Ready (1991) trade-side classification, audited against the
   fixture's true taker side,
-- realized variance vs bipower variation (jump detection).
+- realized variance vs bipower variation (jump detection),
+- order flow imbalance (Cont-Kukanov-Stoikov) with its mid-change
+  regression.
 
 Quote synthesis is the deterministic fixture mapping
 (`operators.ticks.events_as_quotes` / ``EVENTS_QUOTES_CTE``) — one op
@@ -816,4 +818,164 @@ def candle_realized_variance_jumps(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("rv_q") > 0,
             F.greatest(F.lit(0.0), F.lit(1.0) - bpv / rv),
         ).alias("jump_frac"),
+    )
+
+
+@register(
+    "tick_order_flow_imbalance",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+t AS (
+  SELECT symbol, epoch_us(trade_timestamp) AS ts_us, trade_id,
+         bid, ask, bid_size, ask_size, mid
+  FROM quotes
+),
+d AS (
+  SELECT *,
+         lag(bid) OVER w AS pb, lag(ask) OVER w AS pa,
+         lag(bid_size) OVER w AS pbs, lag(ask_size) OVER w AS pas
+  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id)
+),
+e AS (
+  SELECT symbol, ts_us, mid,
+         (CASE WHEN bid >= pb THEN bid_size ELSE 0 END
+          - CASE WHEN bid <= pb THEN pbs ELSE 0 END
+          - CASE WHEN ask <= pa THEN ask_size ELSE 0 END
+          + CASE WHEN ask >= pa THEN pas ELSE 0 END) AS ev
+  FROM d WHERE pb IS NOT NULL
+),
+m AS (
+  SELECT symbol, date_trunc('minute', to_timestamp(ts_us / 1000000.0)) AS w,
+         CAST(sum(ev) AS BIGINT) AS ofi,
+         arg_max(mid, ts_us) AS last_mid
+  FROM e GROUP BY 1, 2
+),
+r AS (
+  SELECT symbol, ofi AS x,
+         last_mid - lag(last_mid) OVER (PARTITION BY symbol ORDER BY w)
+           AS y
+  FROM m
+),
+s AS (
+  SELECT symbol, count(*) AS n_minutes,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         {sql_dsum('y')} AS sy, {sql_dsum('CAST(x AS DOUBLE) * y')} AS sxy
+  FROM r WHERE y IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n_minutes, sx AS total_ofi,
+       CASE WHEN CAST(n_minutes AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+            THEN NULL
+            ELSE (CAST(n_minutes AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n_minutes AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000.0
+       END AS ofi_beta_1e6
+FROM s
+""",
+    doc="Order flow imbalance (Cont-Kukanov-Stoikov) — the quote-UPDATE "
+    "flow measure that (their central empirical result) explains "
+    "short-horizon price moves better than trade volume: per quote "
+    "event, e_n adds the bid size when the bid holds or improves, "
+    "subtracts the prior bid size when it holds or worsens, and "
+    "mirrors on the ask — EXACT INTEGERS throughout (sizes are "
+    "integers; the bid/ask comparisons are on identical doubles), so "
+    "per-minute OFI is a BIGINT sum. The per-symbol OLS of minute mid "
+    "changes on OFI (ofi_beta) is the same exact-moment chain as "
+    "Kyle's lambda. The tick-level quote lag is chunk-decomposed over "
+    "symbol x day via a packed struct (one pass for all four prior "
+    "quote fields); minute reduction and regression are map-side "
+    "aggregates.",
+    tags=("silver", "finance", "microstructure", "window-function"),
+)
+def tick_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import dsum
+
+    t = _quotes(spark, sf_dir).select(
+        "symbol",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        "trade_id",
+        "bid",
+        "ask",
+        "bid_size",
+        "ask_size",
+        "mid",
+    ).withColumn(
+        "__ord",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+            F.coalesce(
+                F.assert_true(
+                    (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
+                    F.lit(
+                        "tick_order_flow_imbalance: negative ts_us/"
+                        "trade_id breaks the lexicographic order key"
+                    ),
+                ).cast("string"),
+                F.lit(""),
+            ),
+        ),
+    ).withColumn(
+        "q4",
+        F.struct(
+            F.col("bid"), F.col("ask"), F.col("bid_size"), F.col("ask_size")
+        ),
+    )
+    d = chunked_lag(
+        t,
+        key_cols=["symbol"],
+        order_col="__ord",
+        value_col="q4",
+        chunk=F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))),
+        out_col="pq",
+    ).filter(F.col("pq").isNotNull())
+    ev = (
+        F.when(F.col("bid") >= F.col("pq.bid"), F.col("bid_size")).otherwise(0)
+        - F.when(F.col("bid") <= F.col("pq.bid"), F.col("pq.bid_size")).otherwise(0)
+        - F.when(F.col("ask") <= F.col("pq.ask"), F.col("ask_size")).otherwise(0)
+        + F.when(F.col("ask") >= F.col("pq.ask"), F.col("pq.ask_size")).otherwise(0)
+    )
+    m = d.select(
+        "symbol", "ts_us", "mid", ev.alias("ev")
+    ).groupBy(
+        "symbol",
+        F.date_trunc(
+            "minute", F.timestamp_micros(F.col("ts_us"))
+        ).alias("w"),
+    ).agg(
+        F.sum("ev").alias("ofi"),
+        F.max_by("mid", F.col("ts_us")).alias("last_mid"),
+    )
+    r = chunked_lag(
+        m,
+        key_cols=["symbol"],
+        order_col="w",
+        value_col="last_mid",
+        chunk=F.date_trunc("day", F.col("w")),
+        out_col="prev_mid",
+    ).select(
+        "symbol",
+        F.col("ofi").alias("x"),
+        (F.col("last_mid") - F.col("prev_mid")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n_minutes").cast("double")
+    sx_d = F.col("sx").cast("double")
+    denom = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    beta = (
+        (n_d * F.col("sxy") - sx_d * F.col("sy")) / denom * F.lit(1000000.0)
+    )
+    return s.select(
+        "symbol",
+        "n_minutes",
+        F.col("sx").alias("total_ofi"),
+        F.when(denom != 0.0, beta).alias("ofi_beta_1e6"),
     )

@@ -932,3 +932,14 @@ def test_roll_kyle_lee_ready_have_no_degenerate_windows(spark):
             # first two args must be partition keys (symbol + chunk/day)
             head = spec.split(" ASC")[0].split(" DESC")[0]
             assert head.count("#") >= 2, (q, spec)
+
+
+def test_order_flow_imbalance_has_no_degenerate_window(spark):
+    import re as _re
+
+    p = plan_of(spark, "tick_order_flow_imbalance")
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs
+    for spec in specs:
+        head = spec.split(" ASC")[0].split(" DESC")[0]
+        assert head.count("#") >= 2, spec
