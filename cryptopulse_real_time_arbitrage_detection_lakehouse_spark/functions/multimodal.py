@@ -115,7 +115,13 @@ def _png_codec():
             cur = raw[y]
             left = np.concatenate([zeros, cur[:-c]]) if w * c > c else np.zeros_like(cur)
             upleft = np.concatenate([zeros, prev[:-c]]) if w * c > c else np.zeros_like(prev)
-            ft = y % 5
+            # filter schedule: ALL FIVE filters within the first 10 rows
+            # (every round-trip still exercises every unfilter path),
+            # then the fully-vectorizable None/Up for the tail — the
+            # left-dependent filters decode through a bounded per-x
+            # loop, so unbounded cycling made fixture decode O(pixels)
+            # in Python (30 s at sf0.1; observed round 11)
+            ft = y % 5 if y < 10 else (2 if y % 2 else 0)
             if ft == 0:
                 flt = cur
             elif ft == 1:  # Sub
@@ -186,23 +192,38 @@ def _png_codec():
                 cur = line
             elif ft == 2:  # Up
                 cur = (line + prev) % 256
-            else:  # Sub/Average/Paeth: left-dependency -> per-byte loop
-                if ft not in (1, 3, 4):
-                    raise ValueError(f"PNG filter type {ft} invalid")
-                cur = np.empty(stride, dtype=np.int64)
-                for i in range(stride):
-                    a = int(cur[i - c]) if i >= c else 0
-                    b = int(prev[i])
-                    cc = int(prev[i - c]) if i >= c else 0
-                    if ft == 1:
-                        pred = a
-                    elif ft == 3:
+            elif ft == 1:
+                # Sub: cur[i] = (line[i] + cur[i-c]) % 256 is a per-lane
+                # prefix sum (mod distributes over the cumsum) — fully
+                # vectorized; int64 cumsum is exact far beyond any row
+                cur = np.cumsum(line.reshape(-1, c), axis=0).reshape(-1) % 256
+            elif ft in (3, 4):
+                # Average/Paeth: the reconstructed LEFT pixel feeds the
+                # next prediction, so the x walk is inherently
+                # sequential; channels vectorize within each step
+                line2 = line.reshape(-1, c)
+                prev2 = prev.reshape(-1, c)
+                cur2 = np.empty_like(line2)
+                a = np.zeros(c, dtype=np.int64)
+                cc = np.zeros(c, dtype=np.int64)
+                for x in range(line2.shape[0]):
+                    b = prev2[x]
+                    if ft == 3:
                         pred = (a + b) // 2
                     else:
                         p = a + b - cc
-                        pa, pb, pcd = abs(p - a), abs(p - b), abs(p - cc)
-                        pred = a if (pa <= pb and pa <= pcd) else (b if pb <= pcd else cc)
-                    cur[i] = (int(line[i]) + pred) % 256
+                        pa, pb, pcd = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pcd),
+                            a,
+                            np.where(pb <= pcd, b, cc),
+                        )
+                    a = (line2[x] + pred) % 256
+                    cur2[x] = a
+                    cc = b
+                cur = cur2.reshape(-1)
+            else:
+                raise ValueError(f"PNG filter type {ft} invalid")
             out[y] = cur.astype(np.uint8)
             prev = cur
         raster = out.reshape(h, w, c)

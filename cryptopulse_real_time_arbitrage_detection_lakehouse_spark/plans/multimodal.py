@@ -408,8 +408,21 @@ FROM stats s JOIN hashes h USING (doc_id)
     tags=("multimodal", "image", "codec", "pandas-udf"),
 )
 def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    img1 = png_to_img1(synth_png_assets(docs))
+    from ..operators.partitioning import shared
+
+    # repartition: the documents scan is ONE file -> one partition, so
+    # without it the whole DEFLATE encode+decode chain runs on a single
+    # core (unlike the raw-IMG1 kernels, the PNG codec is the dominant
+    # cost here). The shuffle moves only doc_id longs — the blobs are
+    # synthesized AFTER the exchange.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # shared(): the feature and aHash branches below would each re-run
+    # the whole encode->DEFLATE->decode chain (Catalyst does not reuse
+    # subtrees across branches); one eager materialization of the
+    # transcoded IMG1 rows halves the codec work and the Arrow traffic
+    img1 = shared(png_to_img1(synth_png_assets(docs)))
     feats = image_features(img1).select(
         "doc_id",
         F.col("meta.width").cast("long").alias("width"),
