@@ -18,8 +18,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.determinism import fmt_ts, sql_dsum, sql_fmt_ts
-from ..operators.ticks import EVENTS_TICKS_CTE, events_as_ticks
+from ..functions.determinism import fmt_ts, sql_davg, sql_dsum, sql_fmt_ts
+from ..operators.ticks import (
+    EVENTS_QUOTES_CTE,
+    EVENTS_TICKS_CTE,
+    events_as_ticks,
+)
 from ..sources.testdata import load_table
 from ..streaming.jobs import gold_stream
 from ..streaming.sinks import drain, scoped_shuffle_partitions, start_parquet_stream
@@ -1064,4 +1068,95 @@ def streaming_purchase_attribution_full_outer(
         F.count(F.when(F.col("purchase_id").isNull(), 1)).alias(
             "n_unconverted_clicks"
         ),
+    )
+
+
+@register(
+    "streaming_quoted_spread_1m",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE}
+, g AS (
+  SELECT date_trunc('minute', trade_timestamp) AS ws,
+         date_trunc('minute', trade_timestamp) + INTERVAL 1 MINUTE AS we,
+         symbol,
+         count(*) AS n_quotes,
+         {sql_davg('ask - bid')} AS avg_quoted_spread,
+         max(ask - bid) AS max_quoted_spread
+  FROM quotes WHERE mid > 0 GROUP BY 1, 2, 3
+),
+wm AS (SELECT max(trade_timestamp) - INTERVAL 10 MINUTE AS horizon
+       FROM quotes WHERE mid > 0)
+SELECT {sql_fmt_ts("g.ws")} AS window_start,
+       {sql_fmt_ts("g.we")} AS window_end,
+       g.symbol, g.n_quotes, g.avg_quoted_spread, g.max_quoted_spread
+FROM g, wm WHERE g.we <= wm.horizon
+""",
+    doc="The round-11 microstructure family on the STREAMING surface, "
+    "physically executed: the NBBO quote mapping runs as narrow "
+    "stream-side transforms (from_json/filter/derive are all "
+    "stream-compatible), then 10-min watermark -> 1-min windowed "
+    "quoted-spread aggregation (exact-decimal mean, selection max) -> "
+    "append-mode checkpointed parquet sink drained with "
+    "trigger(availableNow=True). Oracle = the batch quoted-spread "
+    "aggregation restricted to watermark-finalized windows — "
+    "stream==batch equivalence for the quote family, same protocol as "
+    "streaming_gold_candles_availablenow. State at 100 TB: one open "
+    "window per (symbol, minute) inside the watermark horizon, evicted "
+    "on finalization.",
+    tags=("streaming", "finance", "microstructure", "watermark"),
+)
+def streaming_quoted_spread_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.determinism import davg
+    from ..operators.ticks import events_as_quotes
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cpsquote_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "spread")
+    ckpt = os.path.join(root, "ckpt")
+    events.write.parquet(src)
+
+    stream = events_as_quotes(
+        read_parquet_stream(spark, src, events.schema)
+    ).filter(F.col("mid") > 0)
+    spread = F.col("ask") - F.col("bid")
+    agg = (
+        stream.withWatermark("trade_timestamp", WATERMARK)
+        .groupBy(
+            F.window(F.col("trade_timestamp"), "1 minute").alias("w"),
+            "symbol",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_quotes"),
+            davg(spread).alias("avg_quoted_spread"),
+            F.max(spread).alias("max_quoted_spread"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "symbol",
+            "n_quotes",
+            "avg_quoted_spread",
+            "max_quoted_spread",
+        )
+    )
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                agg,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="quoted_spread_1m_stream",
+            )
+        )
+    out = spark.read.parquet(out_path)
+    return out.select(
+        fmt_ts("window_start", "window_start"),
+        fmt_ts("window_end", "window_end"),
+        "symbol",
+        "n_quotes",
+        "avg_quoted_spread",
+        "max_quoted_spread",
     )
