@@ -150,7 +150,14 @@ def main() -> None:
     total = 0.0
     for pass_i in range(3):
         for name in names:
-            quiesce(spark)
+            if pass_i == 0:
+                # quiesce ONLY the comparable single-pass `value` run:
+                # gc before every rep inflated headline bo3 ~40% in the
+                # r11 shakedown (a forced full GC clears soft-referenced
+                # caches/JIT state that reload inside the next timed
+                # window); later passes run un-quiesced, as every round
+                # before r11 did, so bo3 stays round-over-round stable
+                quiesce(spark)
             sec = run_query(spark, name, sf_dir)
             if pass_i == 0:
                 timings[name] = round(sec, 4)
