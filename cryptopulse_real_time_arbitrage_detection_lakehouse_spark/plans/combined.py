@@ -122,6 +122,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
     "multimodal": [
         ('multimodal_audio_stats', ['doc_id', 'n_samples', 'sum_sq', 'peak']),
         ('multimodal_image_ahash', ['doc_id', 'ahash_lo', 'ahash_hi']),
+        ('multimodal_image_near_dups', ['hamming', 'n_pairs', 'pair_checksum']),
         ('multimodal_image_stats', ['doc_id', 'width', 'height', 'channels', 'n_bytes', 'pixel_sum']),
         ('multimodal_png_stats', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum', 'ahash_lo', 'ahash_hi']),
         ('multimodal_thumbnail_audit', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum']),
@@ -156,6 +157,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
     "microstructure": [
         ('candle_realized_variance_jumps', ['n_returns']),
         ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
+        ('tick_implementation_shortfall', ['n_trades', 'n_buys']),
         ('tick_kyle_lambda', ['n_minutes', 'total_signed_vol']),
         ('tick_lee_ready_classification', ['n_trades', 'n_quote_rule', 'n_tick_test', 'n_unclassified', 'n_correct']),
         ('tick_microprice_drift', ['n_minutes', 'n_signal_up', 'n_agree']),

@@ -475,3 +475,147 @@ GROUP BY g.doc_id
 def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return image_ahash(synth_image_assets(docs))
+
+
+#: aHash banding: 64 bits as 8 bands of 8 — pigeonhole over Hamming<=3
+#: leaves >=5 identical bands, so the band-bucket equi-join has recall
+#: 1.0 for the verify threshold (same constants as the text SimHash
+#: machinery, plans/text.py).
+_AH_BANDS, _AH_BITS, _AH_HMAX = 8, 8, 3
+_AH_PER_WORD = 4  # 32-bit words -> 4 bands each
+
+#: grays/means/hashes CTE shared with the multimodal_image_ahash oracle
+_SQL_AHASH_CTE = """
+cells AS (
+  SELECT d.doc_id, k.k,
+         ((((k.k // 8) * (16 + (d.doc_id * 7) % 48)) // 8)
+            * (16 + d.doc_id % 48)
+          + (((k.k % 8) * (16 + d.doc_id % 48)) // 8)) * 3 AS b
+  FROM documents d, (SELECT unnest(range(0, 64)) AS k) k
+),
+grays AS (
+  SELECT doc_id, k,
+         (((doc_id * 31 + b) % 256)
+          + ((doc_id * 31 + b + 1) % 256)
+          + ((doc_id * 31 + b + 2) % 256)) // 3 AS gray
+  FROM cells
+),
+means AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM grays GROUP BY doc_id),
+hashes AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN g.k < 32 AND g.gray > m.mean
+                  THEN CAST(1 AS BIGINT) << g.k ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(SUM(CASE WHEN g.k >= 32 AND g.gray > m.mean
+                  THEN CAST(1 AS BIGINT) << (g.k - 32) ELSE 0 END) AS BIGINT) AS ahash_hi
+  FROM grays g JOIN means m USING (doc_id)
+  GROUP BY g.doc_id
+)
+"""
+
+
+@register(
+    "multimodal_image_near_dups",
+    oracle=f"""
+WITH {_SQL_AHASH_CTE},
+banded AS (
+  SELECT doc_id, ahash_lo, ahash_hi, b.band,
+         (CASE WHEN b.band < {_AH_PER_WORD}
+               THEN ahash_lo >> (b.band * {_AH_BITS})
+               ELSE ahash_hi >> ((b.band - {_AH_PER_WORD}) * {_AH_BITS})
+          END) & {2**_AH_BITS - 1} AS band_val
+  FROM hashes, (SELECT unnest(range(0, {_AH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.ahash_lo AS lo_a, a.ahash_hi AS hi_a,
+                  b.ahash_lo AS lo_b, b.ahash_hi AS hi_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+              AS BIGINT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+        <= {_AH_HMAX}
+)
+SELECT hamming, count(*) AS n_pairs,
+       CAST(sum((doc_a * 100000 + doc_b) % 1000000007) AS BIGINT)
+         AS pair_checksum
+FROM pairs GROUP BY hamming
+""",
+    doc="Image near-duplicate detection — the dedup family crossing into "
+    "the image modality: perceptual aHash fingerprints (decode kernel "
+    "-> 8x8 grayscale grid -> 64-bit hash) run through the SAME banded "
+    "Hamming machinery as the text SimHash dedup (8x8-bit bands, "
+    "band-bucket equi-join, bit_count verify <= 3; pigeonhole recall "
+    "1.0) — pixels never join, only (band, band_val, doc_id, 2 words) "
+    "shuffle. Output is the bounded per-Hamming summary (pair counts + "
+    "an exact pair checksum), so the certified surface is the whole "
+    "fingerprint->band->join->verify pipeline while the row count "
+    "stays 4 regardless of corpus dup structure. At 100 TB this is "
+    "how image dedup actually ships: hash executor-side, band-join, "
+    "verify on joined words.",
+    tags=("multimodal", "image", "dedup", "pandas-udf"),
+)
+def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import shared
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fp = shared(image_ahash(synth_image_assets(docs)))
+    mask = 2**_AH_BITS - 1
+    bands = []
+    for b in range(_AH_BANDS):
+        word = F.col("ahash_lo") if b < _AH_PER_WORD else F.col("ahash_hi")
+        shift = (b % _AH_PER_WORD) * _AH_BITS
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(word, shift).bitwiseAND(F.lit(mask)).alias(
+                    "band_val"
+                ),
+            )
+        )
+    banded = fp.select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select(
+        "doc_id", "ahash_lo", "ahash_hi", "bb.band", "bb.band_val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("b.ahash_lo").alias("lo_b"),
+            F.col("b.ahash_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    pairs = cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _AH_HMAX)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("doc_a") * 100000 + F.col("doc_b")) % 1000000007
+        ).alias("pair_checksum"),
+    )

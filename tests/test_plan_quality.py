@@ -943,3 +943,11 @@ def test_order_flow_imbalance_has_no_degenerate_window(spark):
     for spec in specs:
         head = spec.split(" ASC")[0].split(" DESC")[0]
         assert head.count("#") >= 2, spec
+
+
+def test_image_near_dups_band_join_never_cartesian(spark):
+    # the pair generation is an equi-join on (band, band_val) — a
+    # cartesian/nested-loop here would be pixels-squared at scale
+    p = plan_of(spark, "multimodal_image_near_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
