@@ -224,3 +224,58 @@ def test_encoders_roundtrip_through_feature_kernels(spark):
     )
     frames = video_frame_sample(vid, k=2).collect()
     assert len(frames) == 2
+
+
+def test_image_near_dups_dedup_first_is_exact_under_mod_wraps(spark, tmp_path):
+    """The dedup-first near-dup rewrite (distinct fingerprints band-join;
+    pair counts + modular checksum recovered arithmetically) must be
+    byte-identical to the naive all-pairs definition — including when
+    doc_a*100000 + doc_b wraps mod 1e9+7, which the offsets below force
+    (exercising the probe-row wrap accounting).
+    """
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.multimodal import (
+        multimodal_image_near_dups,
+    )
+
+    P, K = 1_000_000_007, 100_000
+    base = load_table(spark, SF, "documents").filter(F.col("doc_id") % 5 == 0)
+    parts = [base]
+    for off in (123_456_789, 999_000_000, 999_990_000):
+        parts.append(base.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    d = str(tmp_path / "corpus")
+    u.write.parquet(d + "/documents.parquet")
+
+    got = {
+        int(r["hamming"]): (int(r["n_pairs"]), int(r["pair_checksum"]))
+        for r in multimodal_image_near_dups(spark, d).collect()
+    }
+
+    # brute force: IMG1 recipe -> aHash -> all pairs (reference spec)
+    ids = sorted(r[0] for r in u.select("doc_id").collect())
+    assert max(ids) * K + max(ids) >= P, "fixture must force mod wraps"
+
+    def ahash(dv: int) -> int:
+        w, h = 16 + dv % 48, 16 + (dv * 7) % 48
+        grays = []
+        for k in range(64):
+            r, c = divmod(k, 8)
+            y, x = (r * h) // 8, (c * w) // 8
+            b0 = (y * w + x) * 3
+            grays.append(sum((dv * 31 + b0 + j) % 256 for j in range(3)) // 3)
+        mean = sum(grays) // 64
+        return sum(1 << k for k in range(64) if grays[k] > mean)
+
+    hs = [ahash(v) for v in ids]
+    assert len(set(hs)) < len(hs), "fixture must contain exact-dup classes"
+    exp: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = bin(hs[i] ^ hs[j]).count("1")
+            if ham <= 3:
+                e = exp.setdefault(ham, [0, 0])
+                e[0] += 1
+                e[1] += (ids[i] * K + ids[j]) % P
+    assert got == {h: tuple(v) for h, v in exp.items()}
