@@ -26,7 +26,9 @@ from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.session import ( 
 #: headline queries (subset of the registry that exercises every operator
 #: family: parse, windowed agg, joins, window functions, top-k). The
 #: reported metric `value` is the total over THIS list only, so it stays
-#: round-over-round comparable with BENCH_r01.
+#: round-over-round comparable with BENCH_r01 (caveat: r11 put pass 0
+#: behind a forced-GC quiesce that rounds 1-10 did not have, so `value`
+#: comparisons across the r10/r11 boundary absorb that convention shift).
 HEADLINE = [
     "silver_typed_ticks",
     "gold_candles_1m",
@@ -133,7 +135,12 @@ def main() -> None:
     # Warm-up: JVM + parquet footer caches on the smallest query.
     run_query(spark, names[0], sf_dir)
     # Headline loop runs THREE full passes. `value` stays the FIRST
-    # post-warmup pass (round-over-round comparable with BENCH_r01);
+    # post-warmup pass. CONVENTION CHANGE (r11): pass 0 now runs behind
+    # quiesce() — rounds 1-10 ran it un-quiesced — so `value` vs
+    # BENCH_r01..r10 absorbs that methodology shift (measured as GC
+    # de-contamination, see SCALE.md round-11) and is only
+    # approximately comparable across that boundary; r11+ values
+    # compare cleanly with each other;
     # `value_best_of_3` is the per-query-min total — the round-6 judge
     # burned a full idle re-run proving a 1.2x headline "regression" was
     # box noise on byte-identical code (this machine swings ±60%
@@ -191,7 +198,8 @@ def main() -> None:
     # `cold_first_run` (single cold pass: JVM/code-path warmup + box
     # noise; kept only to expose one-time costs). The HEADLINE loop
     # above is untouched (single post-warmup pass), so `value` stays
-    # round-over-round comparable with BENCH_r01.
+    # round-over-round comparable with BENCH_r01 (modulo the r11
+    # quiesce convention change noted above).
     cold_first: dict[str, float] = {}
     for name in extended:
         quiesce(spark)

@@ -63,6 +63,38 @@ def sql_davg(expr: str, scale: int = 10) -> str:
     return f"({sql_dsum(expr, scale)} / CAST(COUNT(*) AS DOUBLE))"
 
 
+def gavg(col: Column | str, grid: int = 100) -> Column:
+    """Floor-quantized integer-grid average — for UNBOUNDED terms.
+
+    ``davg``'s shared decimal grid is only exact while term magnitudes
+    stay under ~1e4 (see module doc); a ratio with a micro denominator
+    (relative spread off a micro-price mid) has no safe decimal scale.
+    Floor each term onto a 1/grid lattice instead: the BIGINT partial
+    sums are order-independent and engine-identical at ANY term
+    magnitude, at the cost of quantizing each term to the grid (0.01 bp
+    at the default grid=100 with bp-scaled terms). Exact while the group
+    sum of grid terms stays inside BIGINT — beyond that DuckDB's HUGEINT
+    sum diverges loudly from Spark's wrap, the bounded-regime caveat of
+    all lattice aggregates here.
+
+    Same convention as ``tick_implementation_shortfall``'s shortfall
+    average (plans/microstructure.py), promoted to a shared helper.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    g = float(grid)
+    return F.sum(F.floor(c * F.lit(g)).cast("long")).cast("double") / (
+        F.lit(g) * F.count(F.lit(1)).cast("double")
+    )
+
+
+def sql_gavg(expr: str, grid: int = 100) -> str:
+    """DuckDB twin of `gavg` (same lattice, same division order)."""
+    return (
+        f"(CAST(SUM(CAST(floor(({expr}) * {grid}.0) AS BIGINT)) AS DOUBLE)"
+        f" / ({grid}.0 * CAST(COUNT(*) AS DOUBLE)))"
+    )
+
+
 def fmt_ts(col: Column | str, alias: str | None = None) -> Column:
     """Render a timestamp as ``yyyy-MM-dd HH:mm:ss`` (UTC session tz).
 

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg, fmt_ts, sql_davg, sql_dsum
+from ..functions.determinism import davg, fmt_ts, gavg, sql_davg, sql_dsum, sql_gavg
 from ..operators.chunked_lag import chunked_lag
 from ..operators.ticks import EVENTS_QUOTES_CTE, events_as_quotes
 from ..sources.testdata import load_table
@@ -70,13 +70,16 @@ SELECT symbol,
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_quotes,
        {sql_davg('ask - bid')} AS avg_quoted_spread,
-       {sql_davg('(ask - bid) / mid * 10000.0')} AS avg_rel_spread_bp,
+       {sql_gavg('(ask - bid) / mid * 10000.0')} AS avg_rel_spread_bp,
        max(ask - bid) AS max_quoted_spread
 FROM quotes WHERE mid > 0 GROUP BY 1, 2
 """,
     doc="Quoted spread per (symbol, minute) — the first microstructure "
     "dial on any desk: average ask-bid (exact order-independent mean), "
-    "average RELATIVE spread in basis points of the midpoint, and the "
+    "average RELATIVE spread in bp of the midpoint (the bp ratio is "
+    "UNBOUNDED when mid is a micro-price, so it averages on the exact "
+    "0.01-bp integer grid — the implementation-shortfall convention — "
+    "instead of a magnitude-assuming decimal grid), and the "
     "minute's widest quote. mid > 0 gates the relative division "
     "identically in both engines (the synthetic tape can print an "
     "exact-0.0 price). One narrow codegen'd projection, one shuffle "
@@ -92,7 +95,7 @@ def tick_quoted_spread_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_quotes"),
         davg(spread).alias("avg_quoted_spread"),
-        davg(spread / F.col("mid") * F.lit(10000.0)).alias("avg_rel_spread_bp"),
+        gavg(spread / F.col("mid") * F.lit(10000.0)).alias("avg_rel_spread_bp"),
         F.max(spread).alias("max_quoted_spread"),
     )
 
@@ -107,9 +110,9 @@ SELECT symbol, taker_side,
             AS BIGINT) AS n_inside_quotes,
        CAST(sum(CASE WHEN price < bid OR price > ask THEN 1 ELSE 0 END)
             AS BIGINT) AS n_through_quotes,
-       {sql_davg('2.0 * abs(price - mid) / mid * 10000.0')}
+       {sql_gavg('2.0 * abs(price - mid) / mid * 10000.0')}
          AS avg_effective_spread_bp,
-       {sql_davg('(ask - bid) / mid * 10000.0')} AS avg_quoted_spread_bp
+       {sql_gavg('(ask - bid) / mid * 10000.0')} AS avg_quoted_spread_bp
 FROM quotes WHERE mid > 0 GROUP BY 1, 2
 """,
     doc="Effective vs quoted spread per (symbol, taker side): "
@@ -136,8 +139,8 @@ def tick_effective_spread_by_side(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_trades"),
         F.sum(F.when(inside, 1).otherwise(0)).alias("n_inside_quotes"),
         F.sum(F.when(through, 1).otherwise(0)).alias("n_through_quotes"),
-        davg(eff_bp).alias("avg_effective_spread_bp"),
-        davg(quoted_bp).alias("avg_quoted_spread_bp"),
+        gavg(eff_bp).alias("avg_effective_spread_bp"),
+        gavg(quoted_bp).alias("avg_quoted_spread_bp"),
     )
 
 
@@ -174,7 +177,7 @@ SELECT symbol,
        CAST(sum(CASE WHEN (prev_prem > 0 AND ret > 0)
                        OR (prev_prem < 0 AND ret < 0)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-       {sql_davg('prev_prem / prev_mid * 10000.0')} AS avg_prev_premium_bp
+       {sql_gavg('prev_prem / prev_mid * 10000.0')} AS avg_prev_premium_bp
 FROM s GROUP BY symbol
 """,
     doc="Microprice drift diagnostic — does the depth-weighted quote "
@@ -185,8 +188,9 @@ FROM s GROUP BY symbol
     "lagged one minute (chunk-decomposed over symbol x day — a bare "
     "3-symbol window would serialize years of minutes per task) and "
     "scored against the realized mid change by sign agreement. Counts "
-    "are exact integers; the average prior premium uses the exact "
-    "order-independent mean.",
+    "are exact integers; the average prior premium in bp averages on "
+    "the exact 0.01-bp integer grid (the ratio is unbounded when the "
+    "prior mid is a micro-price).",
     tags=("silver", "finance", "microstructure", "window-function"),
 )
 def tick_microprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,7 +233,7 @@ def tick_microprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_signal_up"
         ),
         F.sum(F.when(agree, 1).otherwise(0)).alias("n_agree"),
-        davg(F.col("prev_prem") / F.col("prev_mid") * F.lit(10000.0)).alias(
+        gavg(F.col("prev_prem") / F.col("prev_mid") * F.lit(10000.0)).alias(
             "avg_prev_premium_bp"
         ),
     )
@@ -502,8 +506,10 @@ FROM s
     doc="Kyle's lambda — THE price-impact regression (price change per "
     "unit of signed order flow, the slope market makers quote around): "
     "per symbol, OLS of minute close changes on minute NET SIGNED "
-    "VOLUME (exact integers: floor(size) signed by the taker side, so "
-    "Sum(x) and Sum(x^2) are BIGINT-exact in both engines; the y "
+    "VOLUME (exact integers: floor(size) signed by the taker side; "
+    "|x| <= 3e9 is ENFORCED so each x^2 fits BIGINT — Spark would wrap "
+    "silently where DuckDB errors — and the moment sums are exact "
+    "while they stay inside BIGINT; the y "
     "moments use the decimal discipline). The slope is one fixed IEEE "
     "chain over five aggregates, scaled 1e6 into a well-conditioned "
     "range; a zero-variance flow series returns NULL rather than a "
@@ -526,7 +532,20 @@ def tick_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="prev_close",
     ).select(
         "symbol",
-        F.col("signed_vol").alias("x"),
+        # same bound/rationale as tick_order_flow_imbalance's x guard
+        (
+            F.col("signed_vol")
+            + F.coalesce(
+                F.assert_true(
+                    F.abs(F.col("signed_vol")) <= F.lit(3_000_000_000),
+                    F.lit(
+                        "tick_kyle_lambda: |minute signed volume| > 3e9"
+                        " overflows the exact BIGINT x*x moment"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("x"),
         (F.col("close") - F.col("prev_close")).alias("y"),
     ).filter(F.col("y").isNotNull())
     s = d.groupBy("symbol").agg(
@@ -837,7 +856,7 @@ d AS (
   FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id)
 ),
 e AS (
-  SELECT symbol, ts_us, mid,
+  SELECT symbol, ts_us, trade_id, mid,
          (CASE WHEN bid >= pb THEN bid_size ELSE 0 END
           - CASE WHEN bid <= pb THEN pbs ELSE 0 END
           - CASE WHEN ask <= pa THEN ask_size ELSE 0 END
@@ -847,7 +866,7 @@ e AS (
 m AS (
   SELECT symbol, date_trunc('minute', to_timestamp(ts_us / 1000000.0)) AS w,
          CAST(sum(ev) AS BIGINT) AS ofi,
-         arg_max(mid, ts_us) AS last_mid
+         arg_max(mid, ts_us::HUGEINT * 1000000000000 + trade_id) AS last_mid
   FROM e GROUP BY 1, 2
 ),
 r AS (
@@ -881,7 +900,8 @@ FROM s
     "subtracts the prior bid size when it holds or worsens, and "
     "mirrors on the ask — EXACT INTEGERS throughout (sizes are "
     "integers; the bid/ask comparisons are on identical doubles), so "
-    "per-minute OFI is a BIGINT sum. The per-symbol OLS of minute mid "
+    "per-minute OFI is a BIGINT sum (|OFI| <= 3e9 ENFORCED so each "
+    "x^2 fits BIGINT; moment sums exact while inside BIGINT). The per-symbol OLS of minute mid "
     "changes on OFI (ofi_beta) is the same exact-moment chain as "
     "Kyle's lambda. The tick-level quote lag is chunk-decomposed over "
     "symbol x day via a packed struct (one pass for all four prior "
@@ -938,7 +958,7 @@ def tick_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("ask") >= F.col("pq.ask"), F.col("pq.ask_size")).otherwise(0)
     )
     m = d.select(
-        "symbol", "ts_us", "mid", ev.alias("ev")
+        "symbol", "ts_us", "trade_id", "mid", ev.alias("ev")
     ).groupBy(
         "symbol",
         F.date_trunc(
@@ -946,7 +966,12 @@ def tick_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     ).agg(
         F.sum("ev").alias("ofi"),
-        F.max_by("mid", F.col("ts_us")).alias("last_mid"),
+        # composite (ts_us, trade_id) tie-break — the repo-wide last-row
+        # convention (_last_key); a bare ts_us key could diverge from
+        # the oracle if two quotes share a microsecond
+        F.max_by("mid", F.struct(F.col("ts_us"), F.col("trade_id"))).alias(
+            "last_mid"
+        ),
     )
     r = chunked_lag(
         m,
@@ -957,7 +982,22 @@ def tick_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="prev_mid",
     ).select(
         "symbol",
-        F.col("ofi").alias("x"),
+        # |x| <= 3e9 keeps every x*x inside BIGINT: Spark would wrap
+        # SILENTLY where DuckDB's HUGEINT sum errors loudly, so the
+        # bound is enforced (the VPIN order-key guard idiom), not assumed
+        (
+            F.col("ofi")
+            + F.coalesce(
+                F.assert_true(
+                    F.abs(F.col("ofi")) <= F.lit(3_000_000_000),
+                    F.lit(
+                        "tick_order_flow_imbalance: |per-minute OFI| > 3e9"
+                        " overflows the exact BIGINT x*x moment"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("x"),
         (F.col("last_mid") - F.col("prev_mid")).alias("y"),
     ).filter(F.col("y").isNotNull())
     s = r.groupBy("symbol").agg(
@@ -1071,4 +1111,144 @@ def tick_implementation_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.min("arrival_mid")
             * F.lit(10000.0)
         ).alias("vwap_drift_bp"),
+    )
+
+
+@register(
+    "arb_executable_pnl_1m",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+v AS (
+  SELECT symbol, venue, date_trunc('minute', trade_timestamp) AS w,
+         arg_max(bid, {_SQL_LAST_KEY}) AS bid,
+         arg_max(ask, {_SQL_LAST_KEY}) AS ask,
+         arg_max(bid_size, {_SQL_LAST_KEY}) AS bid_size,
+         arg_max(ask_size, {_SQL_LAST_KEY}) AS ask_size
+  FROM quotes GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT symbol, w,
+         max(CASE WHEN venue = 'coinbase' THEN bid END) AS cb_bid,
+         max(CASE WHEN venue = 'coinbase' THEN ask END) AS cb_ask,
+         max(CASE WHEN venue = 'coinbase' THEN bid_size END) AS cb_bs,
+         max(CASE WHEN venue = 'coinbase' THEN ask_size END) AS cb_as,
+         max(CASE WHEN venue = 'binance' THEN bid END) AS bn_bid,
+         max(CASE WHEN venue = 'binance' THEN ask END) AS bn_ask,
+         max(CASE WHEN venue = 'binance' THEN bid_size END) AS bn_bs,
+         max(CASE WHEN venue = 'binance' THEN ask_size END) AS bn_as,
+         count(DISTINCT venue) AS n_venues
+  FROM v GROUP BY 1, 2
+),
+x AS (
+  SELECT symbol, w,
+         CASE WHEN bn_bid - cb_ask > 0.0 THEN 'buy_coinbase'
+              WHEN cb_bid - bn_ask > 0.0 THEN 'buy_binance' END AS dir,
+         CASE WHEN bn_bid - cb_ask > 0.0
+              THEN (bn_bid - cb_ask)
+                   * CAST(least(cb_as, bn_bs) AS DOUBLE)
+              WHEN cb_bid - bn_ask > 0.0
+              THEN (cb_bid - bn_ask)
+                   * CAST(least(bn_as, cb_bs) AS DOUBLE)
+              ELSE 0.0 END AS pnl,
+         CASE WHEN bn_bid - cb_ask > 0.0 THEN least(cb_as, bn_bs)
+              WHEN cb_bid - bn_ask > 0.0 THEN least(bn_as, cb_bs)
+              ELSE 0 END AS qty
+  FROM p WHERE n_venues = 2
+)
+SELECT symbol,
+       count(*) AS n_minutes_both,
+       CAST(sum(CASE WHEN dir IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_executable,
+       CAST(sum(CASE WHEN dir = 'buy_coinbase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buy_coinbase,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       {sql_dsum('pnl')} AS total_pnl,
+       max(pnl) AS max_minute_pnl
+FROM x GROUP BY symbol
+""",
+    doc="EXECUTABLE cross-venue arbitrage PnL — the title capability's "
+    "size-aware form, the number a desk actually trades on: per "
+    "(symbol, minute) take each venue's LAST quote (deterministic "
+    "composite (ts, trade_id) selection), and when venue A's ask "
+    "crosses venue B's bid, the realizable profit is the crossed edge "
+    "times the EXECUTABLE size min(A.ask_size, B.bid_size) — lifting "
+    "A's offer and hitting B's bid up to displayed depth (at most one "
+    "direction can cross per minute: bn_bid > cb_ask implies "
+    "cb_bid <= cb_ask < bn_bid <= ... so the two conditions are "
+    "mutually exclusive). Per-symbol summary: minutes quoted on both "
+    "venues, executable minutes, direction split, total executable "
+    "size (exact BIGINT) and PnL (exact-decimal sum; the per-minute "
+    "edge*size is one identical IEEE chain in both engines). The "
+    "price-only spread twins (arbitrage_spreads_1m, "
+    "tick_nbbo_crossed_markets) flag OPPORTUNITY; this one prices it. "
+    "One (symbol, venue, minute) reduction, one (symbol, minute) "
+    "pivot, one per-symbol rollup — three map-side-combinable "
+    "aggregations, no joins.",
+    tags=("silver", "finance", "microstructure", "arbitrage", "aggregate"),
+)
+def arb_executable_pnl_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import dsum
+
+    q = _quotes(spark, sf_dir)
+    v = q.groupBy(
+        "symbol",
+        "venue",
+        F.date_trunc("minute", F.col("trade_timestamp")).alias("w"),
+    ).agg(
+        F.max_by("bid", _last_key()).alias("bid"),
+        F.max_by("ask", _last_key()).alias("ask"),
+        F.max_by("bid_size", _last_key()).alias("bid_size"),
+        F.max_by("ask_size", _last_key()).alias("ask_size"),
+    )
+
+    def side(venue: str, col: str):
+        # one row per (symbol, venue, minute) upstream, so max(when) IS
+        # the venue's value — no selection-order dependence
+        return F.max(F.when(F.col("venue") == venue, F.col(col)))
+
+    p = v.groupBy("symbol", "w").agg(
+        side("coinbase", "bid").alias("cb_bid"),
+        side("coinbase", "ask").alias("cb_ask"),
+        side("coinbase", "bid_size").alias("cb_bs"),
+        side("coinbase", "ask_size").alias("cb_as"),
+        side("binance", "bid").alias("bn_bid"),
+        side("binance", "ask").alias("bn_ask"),
+        side("binance", "bid_size").alias("bn_bs"),
+        side("binance", "ask_size").alias("bn_as"),
+        F.count_distinct(F.col("venue")).alias("n_venues"),
+    ).filter(F.col("n_venues") == 2)
+    edge_cb = F.col("bn_bid") - F.col("cb_ask")  # buy coinbase, sell binance
+    edge_bn = F.col("cb_bid") - F.col("bn_ask")  # buy binance, sell coinbase
+    x = p.select(
+        "symbol",
+        "w",
+        F.when(edge_cb > 0.0, F.lit("buy_coinbase"))
+        .when(edge_bn > 0.0, F.lit("buy_binance"))
+        .alias("dir"),
+        F.when(
+            edge_cb > 0.0,
+            edge_cb * F.least("cb_as", "bn_bs").cast("double"),
+        )
+        .when(
+            edge_bn > 0.0,
+            edge_bn * F.least("bn_as", "cb_bs").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pnl"),
+        F.when(edge_cb > 0.0, F.least("cb_as", "bn_bs"))
+        .when(edge_bn > 0.0, F.least("bn_as", "cb_bs"))
+        .otherwise(F.lit(0))
+        .alias("qty"),
+    )
+    return x.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_minutes_both"),
+        F.sum(F.when(F.col("dir").isNotNull(), 1).otherwise(0)).alias(
+            "n_executable"
+        ),
+        F.sum(
+            F.when(F.col("dir") == "buy_coinbase", 1).otherwise(0)
+        ).alias("n_buy_coinbase"),
+        F.sum("qty").alias("total_qty"),
+        dsum(F.col("pnl")).alias("total_pnl"),
+        F.max("pnl").alias("max_minute_pnl"),
     )
