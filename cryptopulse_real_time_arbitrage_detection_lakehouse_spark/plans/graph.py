@@ -54,6 +54,44 @@ _ITERATIONS = 10
 _TOP_K = 20
 
 
+def _baskets(li: DataFrame) -> DataFrame:
+    """Distinct part-BASKETS with order multiplicity.
+
+    The dedup-first contract (X206 / pretrain funnel / image near-dups)
+    applied to GRAPH CONSTRUCTION: orders with identical part sets
+    contribute identical co-purchase pairs, so collapse them to one
+    (sorted parts array, m=order count) row BEFORE pair generation.
+    Round-12 attribution of the LPA 8.5x-at-100x-edges probe showed 92%
+    of the wall was the ppo self-join's wedge mass (the probe's
+    duplicated orders grow wedges 100x while the distinct edge set is
+    constant) — the LPA rounds themselves were flat. Basket dedup makes
+    pair-generation cost scale with DISTINCT baskets, and the remaining
+    O(rows) scan + two key shuffles are the honest floor of reading the
+    input. Per-order basket size is bounded (<= 7 lineitems/order in
+    TPC-H), so collect_set stays row-group sized.
+    """
+    ppo = li.distinct()
+    per_order = ppo.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    return per_order.groupBy("parts").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+
+
+def _copurchase_pairs(baskets: DataFrame, *, ordered: bool) -> DataFrame:
+    """(u, v, m) pairs via row-local nested explode of each distinct
+    basket — never a self-join; output mass is sum over DISTINCT baskets
+    of size^2, with m carrying the order multiplicity so weighted pair
+    supports are sum(m), exactly the self-join's count(*)."""
+    p = baskets.select(F.explode("parts").alias("u"), "parts", "m")
+    p = p.select("u", F.explode("parts").alias("v"), "m")
+    cond = (
+        (F.col("u") < F.col("v")) if ordered else (F.col("u") != F.col("v"))
+    )
+    return p.filter(cond)
+
+
 def _pagerank_oracle() -> str:
     """Chained-CTE DuckDB twin: one CTE pair (contribs, ranks) per
     iteration — recursive CTEs disallow aggregation in the recursive
@@ -120,18 +158,10 @@ ORDER BY r DESC, node LIMIT {_TOP_K}"""
 )
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ppo = li.distinct()
-    a, b = ppo.alias("a"), ppo.alias("b")
     edges_w = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+        _copurchase_pairs(_baskets(li), ordered=False)
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(F.sum("m").cast("long").alias("w"))
     )
     outw = edges_w.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
     # materialized once: 10 iterations re-read this copy instead of
@@ -231,17 +261,9 @@ FROM tri, stats, ne
 )
 def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ppo = li.distinct()
-    a, b = ppo.alias("a"), ppo.alias("b")
     e = shared(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
+        _copurchase_pairs(_baskets(li), ordered=True)
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
         .distinct()
     )
     deg = shared(
@@ -353,17 +375,10 @@ def part_copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.broadcast(
         ppo.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
     )
-    a, b = ppo.alias("a"), ppo.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+        _copurchase_pairs(_baskets(ppo), ordered=True)
+        .groupBy(F.col("u").alias("x"), F.col("v").alias("y"))
+        .agg(F.sum("m").cast("long").alias("nxy"))
         .filter(F.col("nxy") >= 3)
     )
     px = pc.select(F.col("p").alias("x"), F.col("n").alias("nx"))
@@ -452,15 +467,9 @@ def part_copurchase_communities_lpa(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ppo = li.distinct()
-    a, b = ppo.alias("a"), ppo.alias("b")
     e = shared(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _copurchase_pairs(_baskets(li), ordered=False)
+        .select("u", "v")
         .distinct()
     )
     nodes = shared(e.select(F.col("u").alias("node")).distinct())
