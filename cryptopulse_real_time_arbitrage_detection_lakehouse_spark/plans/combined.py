@@ -155,6 +155,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('tpch_q9_product_profit', ['o_year']),
     ],
     "microstructure": [
+        ('arb_executable_pnl_1m', ['n_minutes_both', 'n_executable', 'n_buy_coinbase', 'total_qty']),
         ('candle_realized_variance_jumps', ['n_returns']),
         ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
         ('tick_implementation_shortfall', ['n_trades', 'n_buys']),

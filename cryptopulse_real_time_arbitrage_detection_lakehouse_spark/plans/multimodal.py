@@ -829,3 +829,160 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("checksum").cast("long").alias("pair_checksum"),
         )
     )
+
+
+@register(
+    "multimodal_image_dedup_incremental",
+    oracle=f"""
+WITH {_SQL_AHASH_CTE},
+tagged AS (
+  SELECT doc_id, ahash_lo, ahash_hi, doc_id % 10 = 0 AS is_probe
+  FROM hashes
+),
+pairs AS (
+  SELECT p.doc_id AS probe_doc,
+         CAST(bit_count(xor(p.ahash_lo, c.ahash_lo))
+              + bit_count(xor(p.ahash_hi, c.ahash_hi)) AS BIGINT) AS hamming
+  FROM tagged p JOIN tagged c
+    ON p.is_probe AND NOT c.is_probe
+   AND bit_count(xor(p.ahash_lo, c.ahash_lo))
+       + bit_count(xor(p.ahash_hi, c.ahash_hi)) <= {_AH_HMAX}
+),
+per_h AS (
+  SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming
+),
+mins AS (
+  SELECT min(hamming) AS min_ham FROM pairs GROUP BY probe_doc
+),
+min_h AS (
+  SELECT min_ham AS hamming, CAST(count(*) AS BIGINT) AS n_probe_docs_min
+  FROM mins GROUP BY min_ham
+)
+SELECT per_h.hamming AS hamming, per_h.n_pairs AS n_pairs,
+       COALESCE(min_h.n_probe_docs_min, 0) AS n_probe_docs_min
+FROM per_h LEFT JOIN min_h ON per_h.hamming = min_h.hamming
+""",
+    doc="INCREMENTAL image near-dedup — the ingest-time form a training "
+    "pipeline actually runs (the text family's incremental-vs-indexed "
+    "contract, plans/text.py:2441, crossed into the image modality): "
+    "the corpus (doc_id % 10 != 0) is reduced to DISTINCT aHash "
+    "classes + multiplicity (the round-12 dedup-first contract) and "
+    "banded into an index; the probe batch (doc_id % 10 == 0) is "
+    "likewise class-collapsed and only its distinct fingerprints "
+    "band-join the index — probe cost O(batch + matches), pair counts "
+    "recovered as m_probe*m_corpus, never a pixel or member-pair "
+    "materialized. Output per Hamming distance: candidate pair count "
+    "and how many probe docs have that distance as their MINIMUM to "
+    "the corpus — the per-threshold admission decision (min-Hamming "
+    "distribution) a dedup gate enforces. Same-hash probe/corpus "
+    "overlap contributes Hamming 0 without touching the band join.",
+    tags=("multimodal", "image", "dedup", "incremental", "pandas-udf"),
+)
+def multimodal_image_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.partitioning import shared
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fp = shared(image_ahash(synth_image_assets(docs)))
+    cls = shared(
+        fp.groupBy("ahash_lo", "ahash_hi").agg(
+            F.sum(
+                F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+            ).alias("m_probe"),
+            F.sum(
+                F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0)
+            ).alias("m_corpus"),
+        )
+    )
+    mask = 2**_AH_BITS - 1
+    bands = []
+    for b in range(_AH_BANDS):
+        word = F.col("ahash_lo") if b < _AH_PER_WORD else F.col("ahash_hi")
+        shift = (b % _AH_PER_WORD) * _AH_BITS
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(word, shift).bitwiseAND(F.lit(mask)).alias(
+                    "band_val"
+                ),
+            )
+        )
+
+    def banded(side: DataFrame) -> DataFrame:
+        return side.select(
+            "ahash_lo",
+            "ahash_hi",
+            "m",
+            F.explode(F.array(*bands)).alias("bb"),
+        ).select("ahash_lo", "ahash_hi", "m", "bb.band", "bb.band_val")
+
+    probe = banded(
+        cls.filter(F.col("m_probe") > 0).select(
+            "ahash_lo", "ahash_hi", F.col("m_probe").alias("m")
+        )
+    ).alias("p")
+    corpus = banded(
+        cls.filter(F.col("m_corpus") > 0).select(
+            "ahash_lo", "ahash_hi", F.col("m_corpus").alias("m")
+        )
+    ).alias("c")
+    ham = (
+        F.bit_count(F.col("p.ahash_lo").bitwiseXOR(F.col("c.ahash_lo")))
+        + F.bit_count(F.col("p.ahash_hi").bitwiseXOR(F.col("c.ahash_hi")))
+    ).cast("long")
+    # distinct-fingerprint candidates from the band index; same-hash
+    # overlap (hamming 0 within one class) needs no join at all and is
+    # unioned from the class table directly
+    cand = (
+        probe.join(
+            corpus,
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.band_val") == F.col("c.band_val"))
+            & (
+                (F.col("p.ahash_lo") != F.col("c.ahash_lo"))
+                | (F.col("p.ahash_hi") != F.col("c.ahash_hi"))
+            ),
+        )
+        .select(
+            F.col("p.ahash_lo").alias("plo"),
+            F.col("p.ahash_hi").alias("phi"),
+            F.col("c.ahash_lo").alias("clo"),
+            F.col("c.ahash_hi").alias("chi"),
+            F.col("p.m").alias("m_p"),
+            F.col("c.m").alias("m_c"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AH_HMAX)
+        .distinct()
+    )
+    same = cls.filter(
+        (F.col("m_probe") > 0) & (F.col("m_corpus") > 0)
+    ).select(
+        F.col("ahash_lo").alias("plo"),
+        F.col("ahash_hi").alias("phi"),
+        F.col("ahash_lo").alias("clo"),
+        F.col("ahash_hi").alias("chi"),
+        F.col("m_probe").alias("m_p"),
+        F.col("m_corpus").alias("m_c"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    matches = shared(cand.unionByName(same))
+    per_h = matches.groupBy("hamming").agg(
+        F.sum(F.col("m_p") * F.col("m_c")).alias("n_pairs")
+    )
+    min_h = (
+        matches.groupBy("plo", "phi")
+        .agg(F.min("hamming").alias("hamming"), F.first("m_p").alias("m_p"))
+        .groupBy("hamming")
+        .agg(F.sum("m_p").cast("long").alias("n_probe_docs_min"))
+    )
+    return per_h.join(min_h, "hamming", "left").select(
+        "hamming",
+        "n_pairs",
+        F.coalesce(F.col("n_probe_docs_min"), F.lit(0).cast("long")).alias(
+            "n_probe_docs_min"
+        ),
+    )

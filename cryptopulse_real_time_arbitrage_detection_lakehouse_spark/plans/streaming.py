@@ -1323,3 +1323,149 @@ def streaming_order_flow_imbalance_1m(
         "ofi",
         "last_mid",
     )
+
+
+@register(
+    "streaming_arb_executable_pnl_1m",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+v AS (
+  SELECT symbol, venue, date_trunc('minute', trade_timestamp) AS ws,
+         date_trunc('minute', trade_timestamp) + INTERVAL 1 MINUTE AS we,
+         arg_max(bid, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS bid,
+         arg_max(ask, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS ask,
+         arg_max(bid_size, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS bid_size,
+         arg_max(ask_size, epoch_us(trade_timestamp)::HUGEINT * 1000000000000 + trade_id) AS ask_size
+  FROM quotes GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT symbol, ws, we,
+         max(CASE WHEN venue = 'coinbase' THEN bid END) AS cb_bid,
+         max(CASE WHEN venue = 'coinbase' THEN ask END) AS cb_ask,
+         max(CASE WHEN venue = 'coinbase' THEN bid_size END) AS cb_bs,
+         max(CASE WHEN venue = 'coinbase' THEN ask_size END) AS cb_as,
+         max(CASE WHEN venue = 'binance' THEN bid END) AS bn_bid,
+         max(CASE WHEN venue = 'binance' THEN ask END) AS bn_ask,
+         max(CASE WHEN venue = 'binance' THEN bid_size END) AS bn_bs,
+         max(CASE WHEN venue = 'binance' THEN ask_size END) AS bn_as,
+         count(*) AS n_venues
+  FROM v GROUP BY 1, 2, 3
+),
+wm AS (SELECT max(trade_timestamp) - INTERVAL 10 MINUTE AS horizon
+       FROM quotes)
+SELECT symbol,
+       strftime(p.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN bn_bid - cb_ask > 0.0 THEN 'buy_coinbase'
+            WHEN cb_bid - bn_ask > 0.0 THEN 'buy_binance' END AS dir,
+       CASE WHEN bn_bid - cb_ask > 0.0 THEN least(cb_as, bn_bs)
+            WHEN cb_bid - bn_ask > 0.0 THEN least(bn_as, cb_bs)
+            ELSE 0 END AS qty,
+       CASE WHEN bn_bid - cb_ask > 0.0
+            THEN (bn_bid - cb_ask) * CAST(least(cb_as, bn_bs) AS DOUBLE)
+            WHEN cb_bid - bn_ask > 0.0
+            THEN (cb_bid - bn_ask) * CAST(least(bn_as, cb_bs) AS DOUBLE)
+            ELSE 0.0 END AS pnl
+FROM p, wm WHERE p.n_venues = 2 AND p.we <= wm.horizon
+""",
+    doc="The TITLE capability — executable cross-venue arbitrage PnL — "
+    "physically executed on the STREAMING surface via CHAINED windowed "
+    "aggregations (the multiple-stateful-operator support the T-matrix "
+    "had not yet exercised): stage 1 reduces the watermarked quote "
+    "stream to each (venue, symbol, 1-min window)'s LAST quote "
+    "(deterministic max_by on the composite (ts, trade_id) key, "
+    "running in streaming state); stage 2 re-windows stage 1's window "
+    "column (window(col('w')) — watermark propagates through) and "
+    "pivots the two venues to price the crossed edge times executable "
+    "depth min(ask_size, bid_size). Oracle = the batch pivot "
+    "restricted to watermark-finalized windows; emission == batch, "
+    "per-minute rows with direction/size/PnL. State at 100 TB: stage 1 "
+    "holds one quote struct per (venue, symbol) open window, stage 2 "
+    "one pivot row per (symbol) open window — both evicted on "
+    "finalization, independent of tick volume.",
+    tags=("streaming", "finance", "microstructure", "arbitrage", "watermark"),
+)
+def streaming_arb_executable_pnl_1m(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.ticks import events_as_quotes
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cpsarb_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "pnl")
+    ckpt = os.path.join(root, "ckpt")
+    events.write.parquet(src)
+
+    stream = events_as_quotes(read_parquet_stream(spark, src, events.schema))
+    lk = F.struct(F.col("trade_timestamp"), F.col("trade_id"))
+    v = (
+        stream.withWatermark("trade_timestamp", WATERMARK)
+        .groupBy(
+            F.window(F.col("trade_timestamp"), "1 minute").alias("w"),
+            "symbol",
+            "venue",
+        )
+        .agg(
+            F.max_by("bid", lk).alias("bid"),
+            F.max_by("ask", lk).alias("ask"),
+            F.max_by("bid_size", lk).alias("bid_size"),
+            F.max_by("ask_size", lk).alias("ask_size"),
+        )
+    )
+
+    def side(venue: str, col: str):
+        # one row per (venue, symbol, window) upstream: max(when) IS the
+        # venue's value
+        return F.max(F.when(F.col("venue") == venue, F.col(col)))
+
+    p = v.groupBy(F.window(F.col("w"), "1 minute").alias("w2"), "symbol").agg(
+        side("coinbase", "bid").alias("cb_bid"),
+        side("coinbase", "ask").alias("cb_ask"),
+        side("coinbase", "bid_size").alias("cb_bs"),
+        side("coinbase", "ask_size").alias("cb_as"),
+        side("binance", "bid").alias("bn_bid"),
+        side("binance", "ask").alias("bn_ask"),
+        side("binance", "bid_size").alias("bn_bs"),
+        side("binance", "ask_size").alias("bn_as"),
+        F.count(F.lit(1)).alias("n_venues"),
+    )
+    edge_cb = F.col("bn_bid") - F.col("cb_ask")
+    edge_bn = F.col("cb_bid") - F.col("bn_ask")
+    out_stream = p.filter(F.col("n_venues") == 2).select(
+        "symbol",
+        F.col("w2.start").alias("window_start"),
+        F.when(edge_cb > 0.0, F.lit("buy_coinbase"))
+        .when(edge_bn > 0.0, F.lit("buy_binance"))
+        .alias("dir"),
+        F.when(edge_cb > 0.0, F.least("cb_as", "bn_bs"))
+        .when(edge_bn > 0.0, F.least("bn_as", "cb_bs"))
+        .otherwise(F.lit(0))
+        .alias("qty"),
+        F.when(
+            edge_cb > 0.0, edge_cb * F.least("cb_as", "bn_bs").cast("double")
+        )
+        .when(
+            edge_bn > 0.0, edge_bn * F.least("bn_as", "cb_bs").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pnl"),
+    )
+    with scoped_shuffle_partitions(spark):
+        drain(
+            start_parquet_stream(
+                out_stream,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="arb_executable_pnl_1m_stream",
+            )
+        )
+    out = spark.read.schema(out_stream.schema).parquet(out_path)
+    return out.select(
+        "symbol",
+        fmt_ts("window_start", "window_start"),
+        "dir",
+        "qty",
+        "pnl",
+    )
