@@ -1325,6 +1325,68 @@ def streaming_order_flow_imbalance_1m(
     )
 
 
+def arb_pnl_chained_stream(stream: DataFrame) -> DataFrame:
+    """Quote stream -> per-minute executable-arb PnL via TWO chained
+    stateful windowed aggregations (exposed for the plan pin test:
+    the physical streaming plan must carry exactly two StateStoreSave
+    operators — stage-1 last-quote selection, stage-2 venue pivot)."""
+    from pyspark.sql import functions as F
+
+    lk = F.struct(F.col("trade_timestamp"), F.col("trade_id"))
+    v = (
+        stream.withWatermark("trade_timestamp", WATERMARK)
+        .groupBy(
+            F.window(F.col("trade_timestamp"), "1 minute").alias("w"),
+            "symbol",
+            "venue",
+        )
+        .agg(
+            F.max_by("bid", lk).alias("bid"),
+            F.max_by("ask", lk).alias("ask"),
+            F.max_by("bid_size", lk).alias("bid_size"),
+            F.max_by("ask_size", lk).alias("ask_size"),
+        )
+    )
+
+    def side(venue: str, col: str):
+        # one row per (venue, symbol, window) upstream: max(when) IS the
+        # venue's value
+        return F.max(F.when(F.col("venue") == venue, F.col(col)))
+
+    p = v.groupBy(F.window(F.col("w"), "1 minute").alias("w2"), "symbol").agg(
+        side("coinbase", "bid").alias("cb_bid"),
+        side("coinbase", "ask").alias("cb_ask"),
+        side("coinbase", "bid_size").alias("cb_bs"),
+        side("coinbase", "ask_size").alias("cb_as"),
+        side("binance", "bid").alias("bn_bid"),
+        side("binance", "ask").alias("bn_ask"),
+        side("binance", "bid_size").alias("bn_bs"),
+        side("binance", "ask_size").alias("bn_as"),
+        F.count(F.lit(1)).alias("n_venues"),
+    )
+    edge_cb = F.col("bn_bid") - F.col("cb_ask")
+    edge_bn = F.col("cb_bid") - F.col("bn_ask")
+    return p.filter(F.col("n_venues") == 2).select(
+        "symbol",
+        F.col("w2.start").alias("window_start"),
+        F.when(edge_cb > 0.0, F.lit("buy_coinbase"))
+        .when(edge_bn > 0.0, F.lit("buy_binance"))
+        .alias("dir"),
+        F.when(edge_cb > 0.0, F.least("cb_as", "bn_bs"))
+        .when(edge_bn > 0.0, F.least("bn_as", "cb_bs"))
+        .otherwise(F.lit(0))
+        .alias("qty"),
+        F.when(
+            edge_cb > 0.0, edge_cb * F.least("cb_as", "bn_bs").cast("double")
+        )
+        .when(
+            edge_bn > 0.0, edge_bn * F.least("bn_as", "cb_bs").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pnl"),
+    )
+
+
 @register(
     "streaming_arb_executable_pnl_1m",
     oracle=f"""
@@ -1398,59 +1460,8 @@ def streaming_arb_executable_pnl_1m(
     ckpt = os.path.join(root, "ckpt")
     events.write.parquet(src)
 
-    stream = events_as_quotes(read_parquet_stream(spark, src, events.schema))
-    lk = F.struct(F.col("trade_timestamp"), F.col("trade_id"))
-    v = (
-        stream.withWatermark("trade_timestamp", WATERMARK)
-        .groupBy(
-            F.window(F.col("trade_timestamp"), "1 minute").alias("w"),
-            "symbol",
-            "venue",
-        )
-        .agg(
-            F.max_by("bid", lk).alias("bid"),
-            F.max_by("ask", lk).alias("ask"),
-            F.max_by("bid_size", lk).alias("bid_size"),
-            F.max_by("ask_size", lk).alias("ask_size"),
-        )
-    )
-
-    def side(venue: str, col: str):
-        # one row per (venue, symbol, window) upstream: max(when) IS the
-        # venue's value
-        return F.max(F.when(F.col("venue") == venue, F.col(col)))
-
-    p = v.groupBy(F.window(F.col("w"), "1 minute").alias("w2"), "symbol").agg(
-        side("coinbase", "bid").alias("cb_bid"),
-        side("coinbase", "ask").alias("cb_ask"),
-        side("coinbase", "bid_size").alias("cb_bs"),
-        side("coinbase", "ask_size").alias("cb_as"),
-        side("binance", "bid").alias("bn_bid"),
-        side("binance", "ask").alias("bn_ask"),
-        side("binance", "bid_size").alias("bn_bs"),
-        side("binance", "ask_size").alias("bn_as"),
-        F.count(F.lit(1)).alias("n_venues"),
-    )
-    edge_cb = F.col("bn_bid") - F.col("cb_ask")
-    edge_bn = F.col("cb_bid") - F.col("bn_ask")
-    out_stream = p.filter(F.col("n_venues") == 2).select(
-        "symbol",
-        F.col("w2.start").alias("window_start"),
-        F.when(edge_cb > 0.0, F.lit("buy_coinbase"))
-        .when(edge_bn > 0.0, F.lit("buy_binance"))
-        .alias("dir"),
-        F.when(edge_cb > 0.0, F.least("cb_as", "bn_bs"))
-        .when(edge_bn > 0.0, F.least("bn_as", "cb_bs"))
-        .otherwise(F.lit(0))
-        .alias("qty"),
-        F.when(
-            edge_cb > 0.0, edge_cb * F.least("cb_as", "bn_bs").cast("double")
-        )
-        .when(
-            edge_bn > 0.0, edge_bn * F.least("bn_as", "cb_bs").cast("double")
-        )
-        .otherwise(F.lit(0.0))
-        .alias("pnl"),
+    out_stream = arb_pnl_chained_stream(
+        events_as_quotes(read_parquet_stream(spark, src, events.schema))
     )
     with scoped_shuffle_partitions(spark):
         drain(

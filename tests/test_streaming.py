@@ -886,3 +886,37 @@ class TestTransactionalDeltaSink:
             txn=("sink-test", 1),
         )
         assert t.read(spark).count() == 60
+
+
+def test_arb_pnl_chained_stream_has_two_stateful_operators(spark, tmp_path):
+    """streaming_arb_executable_pnl_1m's claim is CHAINED windowed
+    aggregations — the physical streaming plan must carry exactly two
+    stateful aggregation saves (stage-1 last-quote selection, stage-2
+    venue pivot), and the second must consume the first's window column."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.operators.ticks import (
+        events_as_quotes,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.streaming import (
+        arb_pnl_chained_stream,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.streaming.sources import (
+        read_parquet_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+    out = arb_pnl_chained_stream(
+        events_as_quotes(read_parquet_stream(spark, src, events.schema))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert plan.count("StateStoreSave") == 2, plan
