@@ -526,6 +526,45 @@ def audio_features(assets: DataFrame, *, id_col: str = "doc_id", bin_col: str = 
     return assets.select(id_col, bin_col).mapInPandas(part, schema=AUDIO_STATS_SCHEMA)
 
 
+def audio_ahash(assets, *, id_col: str = "doc_id", bin_col: str = "audio"):
+    """Perceptual hash of PCM1 assets: 64 equal-by-index chunks (sample i
+    -> chunk (i*64)//n), per-chunk sum of |sample| (exact integers),
+    threshold each chunk energy against the integer mean of the 64
+    chunks, pack bits k<32 into ``ahash_lo``, the rest into ``ahash_hi``
+    — the audio twin of ``image_ahash``, feeding the SAME banded-Hamming
+    dedup machinery. Row-local Arrow kernel, no shuffle; the SQL oracle
+    recomputes every chunk sum arithmetically from the PCM1 recipe.
+    """
+    import numpy as np
+
+    chunks = AHASH_GRID * AHASH_GRID  # 64, matching the image hash width
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf[id_col], pdf[bin_col]):
+                magic, n = struct.unpack_from(PCM_HEADER_FMT, data)
+                assert magic == PCM_MAGIC, f"bad magic {magic!r}"
+                s = np.frombuffer(
+                    data, dtype="<i2", offset=PCM_HEADER_SIZE
+                ).astype(np.int64)
+                assert len(s) == n
+                k = (np.arange(n, dtype=np.int64) * chunks) // n
+                # integer-exact chunk energy (bincount's float weights
+                # would round): accumulate |s| per chunk on int64
+                cs = np.zeros(chunks, dtype=np.int64)
+                np.add.at(cs, k, np.abs(s))
+                mean = int(cs.sum()) // chunks
+                lo = sum(1 << j for j in range(32) if cs[j] > mean)
+                hi = sum(1 << (j - 32) for j in range(32, chunks) if cs[j] > mean)
+                out.append((doc_id, lo, hi))
+            yield pd.DataFrame(out, columns=[id_col, "ahash_lo", "ahash_hi"])
+
+    return assets.select(id_col, bin_col).mapInPandas(
+        part, schema=f"{id_col} long, ahash_lo long, ahash_hi long"
+    )
+
+
 #: perceptual average-hash grid (8x8 = 64 bits, emitted as two 32-bit
 #: words — same signed-64 avoidance as the SimHash fingerprints).
 AHASH_GRID = 8

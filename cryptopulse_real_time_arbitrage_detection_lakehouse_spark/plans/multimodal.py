@@ -513,10 +513,12 @@ hashes AS (
 """
 
 
-@register(
-    "multimodal_image_near_dups",
-    oracle=f"""
-WITH {_SQL_AHASH_CTE},
+#: SQL twin of operators/banded_hamming.hamming_pair_summary — appended
+#: after a modality's ``hashes(doc_id, ahash_lo, ahash_hi)`` CTE. The
+#: oracle stays the NAIVE all-pairs definition (band-join every doc,
+#: verify, checksum per pair); the Spark side must reproduce it from
+#: distinct classes + multiplicity arithmetic, byte-identically.
+_SQL_PAIR_SUMMARY = f"""
 banded AS (
   SELECT doc_id, ahash_lo, ahash_hi, b.band,
          (CASE WHEN b.band < {_AH_PER_WORD}
@@ -544,6 +546,45 @@ SELECT hamming, count(*) AS n_pairs,
        CAST(sum((doc_a * 100000 + doc_b) % 1000000007) AS BIGINT)
          AS pair_checksum
 FROM pairs GROUP BY hamming
+"""
+
+#: audio chunk-energy hash CTE shared with the audio near-dup oracle:
+#: recomputes every PCM1 sample arithmetically (n = 1000 + doc_id%500,
+#: sample_i = (doc_id*13 + i*7) % 4096 - 2048), sums |sample| into 64
+#: equal-by-index chunks (chunk = (i*64)//n), thresholds each chunk
+#: against the integer mean — functions/multimodal.audio_ahash's twin.
+_SQL_AUDIO_HASH_CTE = """
+samples AS (
+  SELECT d.doc_id, r.i,
+         1000 + d.doc_id % 500 AS n,
+         abs((d.doc_id * 13 + r.i * 7) % 4096 - 2048) AS a
+  FROM documents d, range(0, 1500) r(i)
+  WHERE r.i < 1000 + d.doc_id % 500
+),
+chunks AS (
+  SELECT doc_id, (i * 64) // n AS k, CAST(SUM(a) AS BIGINT) AS c
+  FROM samples GROUP BY 1, 2
+),
+cmean AS (SELECT doc_id, SUM(c) // 64 AS mean FROM chunks GROUP BY doc_id),
+hashes AS (
+  SELECT ch.doc_id,
+         CAST(SUM(CASE WHEN ch.k < 32 AND ch.c > m.mean
+                  THEN CAST(1 AS BIGINT) << ch.k ELSE 0 END) AS BIGINT)
+           AS ahash_lo,
+         CAST(SUM(CASE WHEN ch.k >= 32 AND ch.c > m.mean
+                  THEN CAST(1 AS BIGINT) << (ch.k - 32) ELSE 0 END) AS BIGINT)
+           AS ahash_hi
+  FROM chunks ch JOIN cmean m USING (doc_id)
+  GROUP BY ch.doc_id
+)
+"""
+
+
+@register(
+    "multimodal_image_near_dups",
+    oracle=f"""
+WITH {_SQL_AHASH_CTE},
+{_SQL_PAIR_SUMMARY}
 """,
     doc="Image near-duplicate detection — the dedup family crossing into "
     "the image modality: perceptual aHash fingerprints (decode kernel "
@@ -553,282 +594,55 @@ FROM pairs GROUP BY hamming
     "1.0). Duplicate-heavy corpora are the hard case: exact-dup "
     "fingerprint classes of size m would put O(m^2) candidate rows "
     "through the band join, so (the X206/pretrain-funnel contract "
-    "applied to the image modality) exact classes collapse to ONE "
-    "distinct-fingerprint row + multiplicity BEFORE banding, only "
-    "distinct hashes band-join, and the per-Hamming pair counts AND "
-    "the exact modular pair checksum are recovered arithmetically "
-    "(C(m,2) within-class at Hamming 0, m_a*m_b cross-class; the "
-    "checksum via sum(x) - P*sum(floor(x/P)) with the mod-P wrap "
-    "count answered by rank-lookup probe rows merged into the same "
-    "per-class sort — O(m log m) per class, never O(m^2)). Output is "
+    "applied to the image modality — operators/banded_hamming, shared "
+    "with the audio twin) exact classes collapse to ONE distinct "
+    "fingerprint + multiplicity BEFORE banding and the per-Hamming "
+    "pair counts AND exact modular checksum are recovered "
+    "arithmetically, O(m log m) per class never O(m^2). Output is "
     "byte-identical to the naive all-pairs oracle while candidate "
-    "mass is O(distinct^2), independent of dup multiplicity. At "
-    "100 TB this is how image dedup actually ships: hash "
-    "executor-side, dedup-first, band-join representatives.",
+    "mass is O(distinct^2), independent of dup multiplicity.",
     tags=("multimodal", "image", "dedup", "pandas-udf"),
 )
 def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..operators.banded_hamming import hamming_pair_summary
     from ..operators.partitioning import shared
-
-    K, P = 100000, 1000000007
-    DEC = "decimal(38,0)"
 
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    fp = shared(image_ahash(synth_image_assets(docs)))
+    return hamming_pair_summary(shared(image_ahash(synth_image_assets(docs))))
 
-    # doc_id in [0, P) keeps kd = doc_id*K exact in BIGINT and makes
-    # floor((kd_i + d_j)/P) = kd_i div P + [kd_i % P + d_j >= P] — the
-    # identity the wrap accounting below relies on. Enforced, not
-    # assumed (the VPIN/OFI order-key guard idiom).
-    guard = F.coalesce(
-        F.assert_true(
-            F.col("doc_id").between(0, P - 1),
-            F.lit(
-                "multimodal_image_near_dups: doc_id outside [0, 1e9+6] "
-                "breaks the exact checksum wrap arithmetic"
-            ),
-        ).cast("long"),
-        F.lit(0).cast("long"),
-    )
-    kd = F.col("doc_id") * F.lit(K).cast("long") + guard
 
-    # -- collapse exact-duplicate fingerprints to one class row --------
-    cls = shared(
-        fp.groupBy("ahash_lo", "ahash_hi").agg(
-            F.count(F.lit(1)).alias("m"),
-            F.max("doc_id").alias("mx"),
-            F.sum(F.col("doc_id").cast(DEC)).alias("sd"),
-        )
-    )
+@register(
+    "multimodal_audio_near_dups",
+    oracle=f"""
+WITH {_SQL_AUDIO_HASH_CTE},
+{_SQL_PAIR_SUMMARY}
+""",
+    doc="Audio near-duplicate detection — the dedup family completing "
+    "its modality coverage (text SimHash/MinHash, embeddings, images, "
+    "now audio): PCM1 assets decode executor-side into a 64-bit "
+    "chunk-energy perceptual hash (64 equal-by-index chunks, exact "
+    "integer |sample| sums thresholded at the integer chunk mean — "
+    "functions/multimodal.audio_ahash), then the SAME dedup-first "
+    "banded-Hamming operator as images (operators/banded_hamming): "
+    "distinct fingerprints + multiplicity band-join, pair counts and "
+    "the exact modular checksum recovered arithmetically. The fixture "
+    "corpus is genuinely dup-heavy in this hash (258 distinct hashes "
+    "per 500 docs, 419 exact-dup pairs), so the class-collapse path is "
+    "the one actually exercised. Samples never join; only (band, "
+    "band_val, 2 words) shuffle.",
+    tags=("multimodal", "audio", "dedup", "pandas-udf"),
+)
+def multimodal_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import audio_ahash
+    from ..operators.banded_hamming import hamming_pair_summary
+    from ..operators.partitioning import shared
 
-    # -- band-join DISTINCT fingerprints only --------------------------
-    mask = 2**_AH_BITS - 1
-    bands = []
-    for b in range(_AH_BANDS):
-        word = F.col("ahash_lo") if b < _AH_PER_WORD else F.col("ahash_hi")
-        shift = (b % _AH_PER_WORD) * _AH_BITS
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(word, shift).bitwiseAND(F.lit(mask)).alias(
-                    "band_val"
-                ),
-            )
-        )
-    banded = cls.select(
-        "ahash_lo",
-        "ahash_hi",
-        "m",
-        "mx",
-        "sd",
-        F.explode(F.array(*bands)).alias("bb"),
-    ).select("ahash_lo", "ahash_hi", "m", "mx", "sd", "bb.band", "bb.band_val")
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    key_a = F.struct(F.col("a.ahash_lo"), F.col("a.ahash_hi"))
-    key_b = F.struct(F.col("b.ahash_lo"), F.col("b.ahash_hi"))
-    hamming = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("long")
-    cls_pairs = shared(
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (key_a < key_b),
-        )
-        .select(
-            F.col("a.ahash_lo").alias("lo_a"),
-            F.col("a.ahash_hi").alias("hi_a"),
-            F.col("b.ahash_lo").alias("lo_b"),
-            F.col("b.ahash_hi").alias("hi_b"),
-            F.col("a.m").alias("m_a"),
-            F.col("b.m").alias("m_b"),
-            F.col("a.sd").alias("sd_a"),
-            F.col("b.sd").alias("sd_b"),
-            F.greatest(F.col("a.mx"), F.col("b.mx")).alias("mx"),
-        )
-        .distinct()
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _AH_HMAX)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-
-    # -- Hamming-0: all-member pairs inside each exact class, recovered
-    # arithmetically. For sorted members d_1<..<d_m the exact modular
-    # checksum is sum(x) - P*sum(floor(x/P)) over x = K*d_i + d_j; the
-    # rank terms come from one cumulative window, the wrap count
-    # [rho_i + d_j >= P] from probe rows (threshold max(P-rho_i, d_i+1))
-    # merged into the SAME per-class sort (probes order before equal-v
-    # members, so 'cum' at a probe counts members strictly below). ----
-    mem = (
-        fp.join(cls.filter(F.col("m") >= 2), ["ahash_lo", "ahash_hi"])
-        .select("ahash_lo", "ahash_hi", "m", "mx", "doc_id", kd.alias("kd"))
-        .withColumn("rho", F.pmod(F.col("kd"), F.lit(P)))
-        .withColumn("q", F.expr(f"kd div {P}"))
-    )
-    thr = F.greatest(F.lit(P).cast("long") - F.col("rho"), F.col("doc_id") + 1)
-    probes = (
-        mem.filter(thr <= F.col("mx"))
-        .select(
-            "ahash_lo",
-            "ahash_hi",
-            "m",
-            thr.alias("v"),
-            F.lit(1).alias("is_probe"),
-            F.lit(0).cast("long").alias("kd"),
-            F.lit(0).cast("long").alias("q"),
-        )
-    )
-    mrows = mem.select(
-        "ahash_lo",
-        "ahash_hi",
-        "m",
-        F.col("doc_id").alias("v"),
-        F.lit(0).alias("is_probe"),
-        "kd",
-        "q",
-    )
-    w_cls = (
-        Window.partitionBy("ahash_lo", "ahash_hi")
-        .orderBy(F.col("v").asc(), F.col("is_probe").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = mrows.unionByName(probes).withColumn(
-        "cum", F.sum(1 - F.col("is_probe")).over(w_cls)
-    )
-    is_mem = F.col("is_probe") == 0
-    s_term = F.when(
-        is_mem,
-        F.col("kd").cast(DEC) * (F.col("m") - F.col("cum"))
-        + F.col("v").cast(DEC) * (F.col("cum") - 1),
-    ).otherwise(F.lit(0).cast(DEC))
-    w_term = F.when(
-        is_mem, F.col("q").cast(DEC) * (F.col("m") - F.col("cum"))
-    ).otherwise((F.col("m") - F.col("cum")).cast(DEC))
-    within_rows = (
-        u.groupBy("ahash_lo", "ahash_hi", "m")
-        .agg(F.sum(s_term).alias("s"), F.sum(w_term).alias("w"))
-        .select(
-            F.lit(0).cast("long").alias("hamming"),
-            F.expr("(m * (m - 1)) div 2").cast("long").alias("n_pairs"),
-            (F.col("s") - F.lit(P).cast(DEC) * F.col("w")).alias("checksum"),
-        )
-    )
-
-    # -- Hamming 1..3: members of both classes of each verified pair,
-    # tagged by side, one cumulative window per pair; each member
-    # contributes as the pair MIN against the other side's suffix
-    # (count from the cumulative, sum from the class totals); probe
-    # rows answer the mod-P wrap count exactly as in the within pass. --
-    pk = ["lo_a", "hi_a", "lo_b", "hi_b"]
-    carry = [*pk, "hamming", "m_a", "m_b", "sd_a", "sd_b"]
-    memA = fp.join(
-        cls_pairs,
-        (F.col("ahash_lo") == F.col("lo_a"))
-        & (F.col("ahash_hi") == F.col("hi_a")),
-    ).select(*carry, "mx", F.lit(1).alias("is_a"), "doc_id", kd.alias("kd"))
-    memB = fp.join(
-        cls_pairs,
-        (F.col("ahash_lo") == F.col("lo_b"))
-        & (F.col("ahash_hi") == F.col("hi_b")),
-    ).select(*carry, "mx", F.lit(0).alias("is_a"), "doc_id", kd.alias("kd"))
-    tagged = (
-        memA.unionByName(memB)
-        .withColumn("rho", F.pmod(F.col("kd"), F.lit(P)))
-        .withColumn("q", F.expr(f"kd div {P}"))
-    )
-    thr2 = F.greatest(F.lit(P).cast("long") - F.col("rho"), F.col("doc_id") + 1)
-    cprobes = (
-        tagged.filter(thr2 <= F.col("mx"))
-        .select(
-            *carry,
-            "is_a",
-            thr2.alias("v"),
-            F.lit(1).alias("is_probe"),
-            F.lit(0).cast("long").alias("kd"),
-            F.lit(0).cast("long").alias("q"),
-        )
-    )
-    crows = tagged.select(
-        *carry,
-        "is_a",
-        F.col("doc_id").alias("v"),
-        F.lit(0).alias("is_probe"),
-        "kd",
-        "q",
-    )
-    w_pair = (
-        Window.partitionBy(*pk)
-        .orderBy(F.col("v").asc(), F.col("is_probe").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    zero_dec = F.lit(0).cast(DEC)
-    cu = (
-        crows.unionByName(cprobes)
-        .withColumn(
-            "cum_a",
-            F.sum(
-                F.when(is_mem & (F.col("is_a") == 1), 1).otherwise(0)
-            ).over(w_pair),
-        )
-        .withColumn(
-            "cum_b",
-            F.sum(
-                F.when(is_mem & (F.col("is_a") == 0), 1).otherwise(0)
-            ).over(w_pair),
-        )
-        .withColumn(
-            "cs_a",
-            F.sum(
-                F.when(
-                    is_mem & (F.col("is_a") == 1), F.col("v").cast(DEC)
-                ).otherwise(zero_dec)
-            ).over(w_pair),
-        )
-        .withColumn(
-            "cs_b",
-            F.sum(
-                F.when(
-                    is_mem & (F.col("is_a") == 0), F.col("v").cast(DEC)
-                ).otherwise(zero_dec)
-            ).over(w_pair),
-        )
-    )
-    n_gt = F.when(
-        F.col("is_a") == 1, F.col("m_b") - F.col("cum_b")
-    ).otherwise(F.col("m_a") - F.col("cum_a"))
-    s_gt = F.when(
-        F.col("is_a") == 1, F.col("sd_b") - F.col("cs_b")
-    ).otherwise(F.col("sd_a") - F.col("cs_a"))
-    cs_term = F.when(is_mem, F.col("kd").cast(DEC) * n_gt + s_gt).otherwise(
-        zero_dec
-    )
-    cw_term = F.when(is_mem, F.col("q").cast(DEC) * n_gt).otherwise(
-        n_gt.cast(DEC)
-    )
-    cross_rows = (
-        cu.groupBy(*pk, "hamming", "m_a", "m_b")
-        .agg(F.sum(cs_term).alias("s"), F.sum(cw_term).alias("w"))
-        .select(
-            "hamming",
-            (F.col("m_a") * F.col("m_b")).cast("long").alias("n_pairs"),
-            (F.col("s") - F.lit(P).cast(DEC) * F.col("w")).alias("checksum"),
-        )
-    )
-
-    return (
-        within_rows.unionByName(cross_rows)
-        .groupBy("hamming")
-        .agg(
-            F.sum("n_pairs").alias("n_pairs"),
-            F.sum("checksum").cast("long").alias("pair_checksum"),
-        )
-    )
+    return hamming_pair_summary(shared(audio_ahash(synth_audio_assets(docs))))
 
 
 @register(
