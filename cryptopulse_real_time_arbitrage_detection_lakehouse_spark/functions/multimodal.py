@@ -608,3 +608,50 @@ def image_ahash(assets, *, id_col: str = "doc_id", bin_col: str = "image"):
     return assets.select(id_col, bin_col).mapInPandas(
         part, schema=f"{id_col} long, ahash_lo long, ahash_hi long"
     )
+
+
+def video_mhash(assets, *, id_col: str = "doc_id", bin_col: str = "video"):
+    """Temporal-majority perceptual hash of VID1 clips: every frame gets
+    the 8x8 nearest-neighbor grayscale aHash (the ``image_ahash`` kernel
+    per frame — y = row*H//8, x = col*W//8, gray = (r+g+b)//3, threshold
+    at the FRAME's integer cell mean), and the clip's 64-bit fingerprint
+    sets bit k iff a STRICT majority of frames set it (2*count >
+    n_frames; ties -> 0, deterministic). Re-encoded, re-muxed, or
+    lightly-edited copies keep most frames' bits, so clip-level
+    near-duplicates differ in few bits and the SAME banded-Hamming dedup
+    machinery as images/audio applies. All-integer arithmetic — the SQL
+    oracle recomputes every sampled byte from the VID1 recipe. Row-local
+    Arrow kernel over frames x 64 cells, no shuffle; only (doc_id, 2
+    words) leave the decode stage.
+    """
+    import numpy as np
+
+    g = AHASH_GRID
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf[id_col], pdf[bin_col]):
+                magic, w, h, nf = struct.unpack_from(VID_HEADER_FMT, data)
+                assert magic == VID_MAGIC, f"bad magic {magic!r}"
+                raster = (
+                    np.frombuffer(data, dtype=np.uint8, offset=VID_HEADER_SIZE)
+                    .reshape(nf, h * w * 3)
+                    .astype(np.int64)
+                )
+                ks = np.arange(g * g, dtype=np.int64)
+                base = (((ks // g) * h) // g * w + ((ks % g) * w) // g) * 3
+                grays = (
+                    raster[:, base] + raster[:, base + 1] + raster[:, base + 2]
+                ) // 3  # (nf, 64)
+                means = grays.sum(axis=1) // (g * g)
+                nset = (grays > means[:, None]).sum(axis=0)
+                maj = 2 * nset > nf
+                lo = sum(1 << k for k in range(32) if maj[k])
+                hi = sum(1 << (k - 32) for k in range(32, 64) if maj[k])
+                out.append((doc_id, lo, hi))
+            yield pd.DataFrame(out, columns=[id_col, "ahash_lo", "ahash_hi"])
+
+    return assets.select(id_col, bin_col).mapInPandas(
+        part, schema=f"{id_col} long, ahash_lo long, ahash_hi long"
+    )

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import davg, fmt_ts, gavg, sql_davg, sql_dsum, sql_gavg
 from ..operators.chunked_lag import chunked_lag
-from ..operators.ticks import EVENTS_QUOTES_CTE, events_as_quotes
+from ..operators.ticks import EVENTS_QUOTES_CTE, EVENTS_TICKS_CTE, events_as_quotes
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -1251,4 +1251,419 @@ def arb_executable_pnl_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total_qty"),
         dsum(F.col("pnl")).alias("total_pnl"),
         F.max("pnl").alias("max_minute_pnl"),
+    )
+
+
+#: Hayashi-Yoshida interval bucketing: one hour of tape per join bucket.
+#: The knob trades explode fan-out (intervals spanning many buckets) for
+#: per-bucket candidate mass (ticks per bucket); an hour suits tapes from
+#: sparse (minutes between ticks) to dense (sub-second) without either
+#: side degenerating.
+_HY_BUCKET_US = 3_600_000_000
+
+#: product-term quantizer: 0.01 resolution on the return product. Prices
+#: are O(1e3), so |floor(r_a*r_b*100)| <= ~3.1e7 per term and the BIGINT
+#: sum stays far inside 2^53 for any plausible pair count (enforced at
+#: the float conversion below, never assumed).
+_HY_Q = 100.0
+_TWO53 = 2**53
+
+
+@register(
+    "tick_hayashi_yoshida_covariance",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+t AS (
+  SELECT symbol, price, epoch_us(trade_timestamp) AS ts_us, trade_id
+  FROM ticks
+),
+d AS (
+  SELECT symbol, ts_us, price,
+         lag(price) OVER w AS prev_price,
+         lag(ts_us) OVER w AS prev_us
+  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id)
+),
+iv AS (
+  SELECT symbol, ts_us, prev_us, price - prev_price AS r
+  FROM d WHERE prev_us IS NOT NULL AND prev_us < ts_us
+),
+vars AS (
+  SELECT symbol,
+         CAST(SUM(CAST(floor(r * r * {_HY_Q}) AS BIGINT)) AS BIGINT)
+           AS var_q,
+         count(*) AS n_intervals
+  FROM iv GROUP BY symbol
+),
+ivb AS (
+  SELECT symbol, ts_us, prev_us, r,
+         unnest(range(prev_us // {_HY_BUCKET_US},
+                      ts_us // {_HY_BUCKET_US} + 1)) AS bucket
+  FROM iv
+),
+pr AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+         CAST(floor(a.r * b.r * {_HY_Q}) AS BIGINT) AS term
+  FROM ivb a JOIN ivb b
+    ON a.bucket = b.bucket AND a.symbol < b.symbol
+   AND greatest(a.prev_us, b.prev_us) < least(a.ts_us, b.ts_us)
+   AND a.bucket = greatest(a.prev_us, b.prev_us) // {_HY_BUCKET_US}
+),
+agg AS (
+  SELECT symbol_a, symbol_b, count(*) AS n_pairs,
+         CAST(SUM(term) AS BIGINT) AS hy_cov_q
+  FROM pr GROUP BY 1, 2
+)
+SELECT g.symbol_a, g.symbol_b, g.n_pairs, g.hy_cov_q,
+       va.n_intervals AS n_intervals_a, vb.n_intervals AS n_intervals_b,
+       va.var_q AS hy_var_a_q, vb.var_q AS hy_var_b_q,
+       CASE WHEN va.var_q = 0 OR vb.var_q = 0 THEN NULL
+            ELSE CAST(g.hy_cov_q AS DOUBLE)
+                 / sqrt(CAST(va.var_q AS DOUBLE) * CAST(vb.var_q AS DOUBLE))
+       END AS hy_corr
+FROM agg g
+JOIN vars va ON va.symbol = g.symbol_a
+JOIN vars vb ON vb.symbol = g.symbol_b
+""",
+    doc="Hayashi-Yoshida (2005) asynchronous covariance — the tick-level "
+    "refinement of symbol_lead_lag_xcorr's minute grid: cross-venue "
+    "tapes never tick simultaneously, and synchronizing them onto a "
+    "grid biases covariance toward zero (the Epps effect). HY sums "
+    "r_i(A)*r_j(B) over exactly the return-interval pairs whose "
+    "(prev_ts, ts] spans OVERLAP — no grid, no interpolation, "
+    "consistent under fully asynchronous sampling. Intervals come "
+    "from one chunked struct-lag per symbol (scale-safe two-level "
+    "form); the overlap join is an HOUR-BUCKET equi-join (intervals "
+    "explode to the buckets they span; a pair is counted exactly once "
+    "by crediting the bucket containing the overlap START), so "
+    "candidate mass is per-bucket tick mass, never the tape cross "
+    "product. Each product quantizes to the exact 0.01 integer grid "
+    "(floor, one identical IEEE chain both engines) so the covariance "
+    "sum is order-independent BIGINT arithmetic inside DECIMAL(38,0); "
+    "HY variances (own-interval r^2, overlap = the interval itself) "
+    "ride the same grid, and the HY correlation converts grid sums to "
+    "double only behind an assert_true that they sit inside 2^53 "
+    "(exact int->double both engines — the OFI moment-guard idiom: "
+    "loud error, never silent divergence). Zero-length intervals "
+    "(tied microseconds) are dropped identically in both engines.",
+    tags=("silver", "finance", "microstructure", "join", "aggregate"),
+)
+def tick_hayashi_yoshida_covariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.partitioning import shared
+    from ..operators.ticks import events_as_ticks
+
+    t = (
+        events_as_ticks(load_table(spark, sf_dir, "events"))
+        .select(
+            "symbol",
+            "price",
+            F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+            "trade_id",
+        )
+        .withColumn(
+            "__ord",
+            F.concat(
+                F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+                F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+                F.coalesce(
+                    F.assert_true(
+                        (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
+                        F.lit(
+                            "tick_hayashi_yoshida_covariance: negative "
+                            "ts_us/trade_id breaks the lexicographic "
+                            "order key"
+                        ),
+                    ).cast("string"),
+                    F.lit(""),
+                ),
+            ),
+        )
+        .withColumn(
+            "pv", F.struct(F.col("price"), F.col("ts_us").alias("p_us"))
+        )
+    )
+    iv = shared(
+        chunked_lag(
+            t,
+            key_cols=["symbol"],
+            order_col="__ord",
+            value_col="pv",
+            chunk=F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))),
+            out_col="prev",
+        )
+        .filter(
+            F.col("prev").isNotNull() & (F.col("prev.p_us") < F.col("ts_us"))
+        )
+        .select(
+            "symbol",
+            "ts_us",
+            F.col("prev.p_us").alias("prev_us"),
+            (F.col("price") - F.col("prev.price")).alias("r"),
+        )
+    )
+    vars_ = iv.groupBy("symbol").agg(
+        F.sum(
+            F.floor(F.col("r") * F.col("r") * F.lit(_HY_Q)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("var_q"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    ivb = iv.select(
+        "symbol",
+        "ts_us",
+        "prev_us",
+        "r",
+        F.explode(
+            F.sequence(
+                F.expr(f"prev_us div {_HY_BUCKET_US}"),
+                F.expr(f"ts_us div {_HY_BUCKET_US}"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = ivb.alias("a"), ivb.alias("b")
+    ostart = F.greatest(F.col("a.prev_us"), F.col("b.prev_us"))
+    oend = F.least(F.col("a.ts_us"), F.col("b.ts_us"))
+    pr = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.symbol") < F.col("b.symbol"))
+        & (ostart < oend)
+        # exactly-once credit: only the bucket containing the overlap
+        # START keeps the pair (ts_us >= 0, so div == floor-division and
+        # the half-open bucket range test below is the same predicate as
+        # the oracle's `a.bucket = greatest(...) // _HY_BUCKET_US`)
+        & (F.col("a.bucket") * F.lit(_HY_BUCKET_US) <= ostart)
+        & (ostart < (F.col("a.bucket") + 1) * F.lit(_HY_BUCKET_US)),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.floor(F.col("a.r") * F.col("b.r") * F.lit(_HY_Q)).alias("term"),
+    )
+    agg = pr.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("hy_cov_q"),
+    )
+    va = F.broadcast(vars_).alias("va")
+    vb = F.broadcast(vars_).alias("vb")
+    g = (
+        agg.alias("g")
+        .join(va, F.col("va.symbol") == F.col("g.symbol_a"))
+        .join(vb, F.col("vb.symbol") == F.col("g.symbol_b"))
+    )
+
+    def exact_long(col, what):
+        # grid sums accumulate in DECIMAL(38,0) (never wraps) but are
+        # EXCHANGED as BIGINT and converted to double for the HY
+        # correlation; both are exact only inside 2^53, so enforce it
+        # (the OFI/VPIN guard idiom) — loud error, never silent drift
+        return (
+            col
+            + F.coalesce(
+                F.assert_true(
+                    F.abs(col) < F.lit(_TWO53).cast("decimal(38,0)"),
+                    F.lit(
+                        "tick_hayashi_yoshida_covariance: grid sum "
+                        f"|{what}| >= 2^53 — long/double no longer exact"
+                    ),
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).cast("long")
+
+    cov_l = exact_long(F.col("g.hy_cov_q"), "hy_cov_q")
+    va_l = exact_long(F.col("va.var_q"), "hy_var_a_q")
+    vb_l = exact_long(F.col("vb.var_q"), "hy_var_b_q")
+    corr = cov_l.cast("double") / F.sqrt(
+        va_l.cast("double") * vb_l.cast("double")
+    )
+    return g.select(
+        "symbol_a",
+        "symbol_b",
+        "n_pairs",
+        cov_l.alias("hy_cov_q"),
+        F.col("va.n_intervals").alias("n_intervals_a"),
+        F.col("vb.n_intervals").alias("n_intervals_b"),
+        va_l.alias("hy_var_a_q"),
+        vb_l.alias("hy_var_b_q"),
+        F.when(
+            (F.col("va.var_q") != 0) & (F.col("vb.var_q") != 0), corr
+        ).alias("hy_corr"),
+    )
+
+
+#: taker fee schedule for the net-PnL arb query — documented constants
+#: (typical spot taker tiers: 10 bp on coinbase, 7.5 bp on binance).
+#: Identical literals in the Spark plan and the oracle SQL, so the fee
+#: arithmetic is one identical IEEE chain in both engines.
+_FEE_CB = 0.001
+_FEE_BN = 0.00075
+
+
+@register(
+    "arb_executable_pnl_net_1m",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+v AS (
+  SELECT symbol, venue, date_trunc('minute', trade_timestamp) AS w,
+         arg_max(bid, {_SQL_LAST_KEY}) AS bid,
+         arg_max(ask, {_SQL_LAST_KEY}) AS ask,
+         arg_max(bid_size, {_SQL_LAST_KEY}) AS bid_size,
+         arg_max(ask_size, {_SQL_LAST_KEY}) AS ask_size
+  FROM quotes GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT symbol, w,
+         max(CASE WHEN venue = 'coinbase' THEN bid END) AS cb_bid,
+         max(CASE WHEN venue = 'coinbase' THEN ask END) AS cb_ask,
+         max(CASE WHEN venue = 'coinbase' THEN bid_size END) AS cb_bs,
+         max(CASE WHEN venue = 'coinbase' THEN ask_size END) AS cb_as,
+         max(CASE WHEN venue = 'binance' THEN bid END) AS bn_bid,
+         max(CASE WHEN venue = 'binance' THEN ask END) AS bn_ask,
+         max(CASE WHEN venue = 'binance' THEN bid_size END) AS bn_bs,
+         max(CASE WHEN venue = 'binance' THEN ask_size END) AS bn_as,
+         count(DISTINCT venue) AS n_venues
+  FROM v GROUP BY 1, 2
+),
+x AS (
+  SELECT symbol, w,
+         CASE WHEN bn_bid - cb_ask > 0.0 OR cb_bid - bn_ask > 0.0
+              THEN 1 ELSE 0 END AS gross_exec,
+         bn_bid * (1.0 - {_FEE_BN}) - cb_ask * (1.0 + {_FEE_CB})
+           AS net_cb,
+         cb_bid * (1.0 - {_FEE_CB}) - bn_ask * (1.0 + {_FEE_BN})
+           AS net_bn,
+         cb_bid, cb_ask, bn_bid, bn_ask, cb_bs, cb_as, bn_bs, bn_as
+  FROM p WHERE n_venues = 2
+),
+y AS (
+  SELECT symbol, w, gross_exec,
+         CASE WHEN net_cb > 0.0 THEN 'buy_coinbase'
+              WHEN net_bn > 0.0 THEN 'buy_binance' END AS dir,
+         CASE WHEN net_cb > 0.0
+              THEN net_cb * CAST(least(cb_as, bn_bs) AS DOUBLE)
+              WHEN net_bn > 0.0
+              THEN net_bn * CAST(least(bn_as, cb_bs) AS DOUBLE)
+              ELSE 0.0 END AS net_pnl,
+         CASE WHEN net_cb > 0.0
+              THEN (bn_bid * {_FEE_BN} + cb_ask * {_FEE_CB})
+                   * CAST(least(cb_as, bn_bs) AS DOUBLE)
+              WHEN net_bn > 0.0
+              THEN (cb_bid * {_FEE_CB} + bn_ask * {_FEE_BN})
+                   * CAST(least(bn_as, cb_bs) AS DOUBLE)
+              ELSE 0.0 END AS fees,
+         CASE WHEN net_cb > 0.0 THEN least(cb_as, bn_bs)
+              WHEN net_bn > 0.0 THEN least(bn_as, cb_bs)
+              ELSE 0 END AS qty
+  FROM x
+)
+SELECT symbol,
+       count(*) AS n_minutes_both,
+       CAST(sum(gross_exec) AS BIGINT) AS n_gross_executable,
+       CAST(sum(CASE WHEN dir IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_net_executable,
+       CAST(sum(CASE WHEN dir = 'buy_coinbase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buy_coinbase_net,
+       CAST(sum(qty) AS BIGINT) AS total_qty_net,
+       {sql_dsum('net_pnl')} AS total_net_pnl,
+       {sql_dsum('fees')} AS total_fees,
+       max(net_pnl) AS max_minute_net_pnl
+FROM y GROUP BY symbol
+""",
+    doc="FEE-ADJUSTED executable arbitrage PnL — arb_executable_pnl_1m "
+    "net of the taker fees both legs actually pay (documented "
+    "schedule: 10 bp coinbase, 7.5 bp binance; the buy leg pays on "
+    "the ask notional, the sell leg on the bid). A minute executes "
+    "only when the NET edge bn_bid*(1-f_bn) - cb_ask*(1+f_cb) (or its "
+    "mirror) is positive — the gross-vs-net executable counts quantify "
+    "how many raw crossed-market minutes fees erase, which is the "
+    "first question a desk asks of any arbitrage detector. Emits net "
+    "PnL, total fees paid, and executable size (exact BIGINT; "
+    "exact-decimal sums; every per-minute double is one identical IEEE "
+    "chain in both engines — the fee factors are literal constants "
+    "folded identically). Same three map-side-combinable aggregations "
+    "as the gross twin, no joins.",
+    tags=("silver", "finance", "microstructure", "arbitrage", "aggregate"),
+)
+def arb_executable_pnl_net_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import dsum
+
+    q = _quotes(spark, sf_dir)
+    v = q.groupBy(
+        "symbol",
+        "venue",
+        F.date_trunc("minute", F.col("trade_timestamp")).alias("w"),
+    ).agg(
+        F.max_by("bid", _last_key()).alias("bid"),
+        F.max_by("ask", _last_key()).alias("ask"),
+        F.max_by("bid_size", _last_key()).alias("bid_size"),
+        F.max_by("ask_size", _last_key()).alias("ask_size"),
+    )
+
+    def side(venue: str, col: str):
+        return F.max(F.when(F.col("venue") == venue, F.col(col)))
+
+    p = v.groupBy("symbol", "w").agg(
+        side("coinbase", "bid").alias("cb_bid"),
+        side("coinbase", "ask").alias("cb_ask"),
+        side("coinbase", "bid_size").alias("cb_bs"),
+        side("coinbase", "ask_size").alias("cb_as"),
+        side("binance", "bid").alias("bn_bid"),
+        side("binance", "ask").alias("bn_ask"),
+        side("binance", "bid_size").alias("bn_bs"),
+        side("binance", "ask_size").alias("bn_as"),
+        F.count_distinct(F.col("venue")).alias("n_venues"),
+    ).filter(F.col("n_venues") == 2)
+    gross_cb = F.col("bn_bid") - F.col("cb_ask")
+    gross_bn = F.col("cb_bid") - F.col("bn_ask")
+    net_cb = F.col("bn_bid") * F.lit(1.0 - _FEE_BN) - F.col("cb_ask") * F.lit(
+        1.0 + _FEE_CB
+    )
+    net_bn = F.col("cb_bid") * F.lit(1.0 - _FEE_CB) - F.col("bn_ask") * F.lit(
+        1.0 + _FEE_BN
+    )
+    fees_cb = (
+        F.col("bn_bid") * F.lit(_FEE_BN) + F.col("cb_ask") * F.lit(_FEE_CB)
+    )
+    fees_bn = (
+        F.col("cb_bid") * F.lit(_FEE_CB) + F.col("bn_ask") * F.lit(_FEE_BN)
+    )
+    qty_cb = F.least("cb_as", "bn_bs")
+    qty_bn = F.least("bn_as", "cb_bs")
+    y = p.select(
+        "symbol",
+        "w",
+        F.when((gross_cb > 0.0) | (gross_bn > 0.0), 1)
+        .otherwise(0)
+        .alias("gross_exec"),
+        F.when(net_cb > 0.0, F.lit("buy_coinbase"))
+        .when(net_bn > 0.0, F.lit("buy_binance"))
+        .alias("dir"),
+        F.when(net_cb > 0.0, net_cb * qty_cb.cast("double"))
+        .when(net_bn > 0.0, net_bn * qty_bn.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("net_pnl"),
+        F.when(net_cb > 0.0, fees_cb * qty_cb.cast("double"))
+        .when(net_bn > 0.0, fees_bn * qty_bn.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("fees"),
+        F.when(net_cb > 0.0, qty_cb)
+        .when(net_bn > 0.0, qty_bn)
+        .otherwise(F.lit(0))
+        .alias("qty"),
+    )
+    return y.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_minutes_both"),
+        F.sum("gross_exec").alias("n_gross_executable"),
+        F.sum(F.when(F.col("dir").isNotNull(), 1).otherwise(0)).alias(
+            "n_net_executable"
+        ),
+        F.sum(
+            F.when(F.col("dir") == "buy_coinbase", 1).otherwise(0)
+        ).alias("n_buy_coinbase_net"),
+        F.sum("qty").alias("total_qty_net"),
+        dsum(F.col("net_pnl")).alias("total_net_pnl"),
+        dsum(F.col("fees")).alias("total_fees"),
+        F.max("net_pnl").alias("max_minute_net_pnl"),
     )

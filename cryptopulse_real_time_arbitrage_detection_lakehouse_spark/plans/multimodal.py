@@ -800,3 +800,85 @@ def multimodal_image_dedup_incremental(
             "n_probe_docs_min"
         ),
     )
+
+
+#: video temporal-majority hash CTE shared with the video near-dup
+#: oracle: recomputes every sampled VID1 byte arithmetically (dims
+#: w = 8 + d%8, h = 8 + 3d%8, nf = 4 + d%5 <= 8; pixel x of frame f is
+#: (d*17 + f*101 + x) % 256 — plans/multimodal.synth_video_assets), runs
+#: the 8x8 nearest-neighbor grayscale aHash per frame, then keeps bit k
+#: iff a strict majority of the clip's frames set it —
+#: functions/multimodal.video_mhash's twin.
+_SQL_VIDEO_HASH_CTE = """
+vcells AS (
+  SELECT d.doc_id, f.f, k.k,
+         4 + d.doc_id % 5 AS nf,
+         ((((k.k // 8) * (8 + (d.doc_id * 3) % 8)) // 8)
+            * (8 + d.doc_id % 8)
+          + (((k.k % 8) * (8 + d.doc_id % 8)) // 8)) * 3 AS b
+  FROM documents d,
+       (SELECT unnest(range(0, 8)) AS f) f,
+       (SELECT unnest(range(0, 64)) AS k) k
+  WHERE f.f < 4 + d.doc_id % 5
+),
+vgrays AS (
+  SELECT doc_id, f, k, nf,
+         (((doc_id * 17 + f * 101 + b) % 256)
+          + ((doc_id * 17 + f * 101 + b + 1) % 256)
+          + ((doc_id * 17 + f * 101 + b + 2) % 256)) // 3 AS gray
+  FROM vcells
+),
+vmeans AS (
+  SELECT doc_id, f, SUM(gray) // 64 AS mean FROM vgrays GROUP BY 1, 2
+),
+vbits AS (
+  SELECT g.doc_id, g.k, g.nf,
+         SUM(CASE WHEN g.gray > m.mean THEN 1 ELSE 0 END) AS nset
+  FROM vgrays g JOIN vmeans m ON g.doc_id = m.doc_id AND g.f = m.f
+  GROUP BY 1, 2, 3
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND 2 * nset > nf
+                  THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT)
+           AS ahash_lo,
+         CAST(SUM(CASE WHEN k >= 32 AND 2 * nset > nf
+                  THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT)
+           AS ahash_hi
+  FROM vbits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "multimodal_video_near_dups",
+    oracle=f"""
+WITH {_SQL_VIDEO_HASH_CTE},
+{_SQL_PAIR_SUMMARY}
+""",
+    doc="Video near-duplicate detection — the dedup family's FIFTH "
+    "modality (text SimHash/MinHash, embeddings, images, audio, now "
+    "video): VID1 clips decode executor-side into a temporal-majority "
+    "perceptual hash (per-frame 8x8 grayscale aHash, clip bit k set "
+    "iff a strict majority of frames set it — "
+    "functions/multimodal.video_mhash), then the SAME dedup-first "
+    "banded-Hamming operator as images and audio "
+    "(operators/banded_hamming): exact fingerprint classes collapse "
+    "to distinct hashes + multiplicity before banding, per-Hamming "
+    "pair counts and the exact mod-1e9+7 checksum recovered "
+    "arithmetically. The VID1 recipe is periodic in doc_id with "
+    "period 1280 (lcm of the dim/frame/pixel residues), so larger "
+    "corpora genuinely contain exact-duplicate clips and the "
+    "class-collapse path is exercised, not idle. Frames never "
+    "join; only (band, band_val, 2 words) shuffle.",
+    tags=("multimodal", "video", "dedup", "pandas-udf"),
+)
+def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import video_mhash
+    from ..operators.banded_hamming import hamming_pair_summary
+    from ..operators.partitioning import shared
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return hamming_pair_summary(shared(video_mhash(synth_video_assets(docs))))

@@ -951,3 +951,29 @@ def test_image_near_dups_band_join_never_cartesian(spark):
     p = plan_of(spark, "multimodal_image_near_dups")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_hayashi_yoshida_overlap_join_never_cartesian(spark):
+    # the HY interval-overlap pairing is an hour-bucket EQUI-join with
+    # range residuals — a cartesian/nested-loop here would be the tape
+    # cross product; the tiny per-symbol vars frame must broadcast
+    p = plan_of(spark, "tick_hayashi_yoshida_covariance")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_video_near_dups_band_join_never_cartesian(spark):
+    # video fingerprints ride the shared dedup-first banded-Hamming
+    # operator: pair generation stays an equi-join on (band, band_val)
+    p = plan_of(spark, "multimodal_video_near_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_arb_executable_pnl_net_has_no_join(spark):
+    # three map-side-combinable aggregations, no joins (the gross twin's
+    # contract): a join appearing here means the pivot regressed
+    p = plan_of(spark, "arb_executable_pnl_net_1m")
+    assert "Join" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p
