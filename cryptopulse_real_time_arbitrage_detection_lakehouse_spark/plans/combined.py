@@ -127,6 +127,9 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('multimodal_png_stats', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum', 'ahash_lo', 'ahash_hi']),
         ('multimodal_thumbnail_audit', ['doc_id', 'width', 'height', 'n_bytes', 'pixel_sum']),
         ('multimodal_video_frame_sample', ['doc_id', 'slot', 'src_frame', 'n_frames', 'width', 'height', 'pixel_sum']),
+        ('multimodal_audio_near_dups', ['hamming', 'n_pairs', 'pair_checksum']),
+        ('multimodal_video_near_dups', ['hamming', 'n_pairs', 'pair_checksum']),
+        ('multimodal_image_dedup_incremental', ['hamming', 'n_pairs', 'n_probe_docs_min']),
     ],
     "relational": [
         ('customer_order_profile', ['c_custkey', 'n_orders']),
@@ -156,6 +159,8 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
     ],
     "microstructure": [
         ('arb_executable_pnl_1m', ['n_minutes_both', 'n_executable', 'n_buy_coinbase', 'total_qty']),
+        ('arb_executable_pnl_net_1m', ['n_minutes_both', 'n_gross_executable', 'n_net_executable', 'n_buy_coinbase_net', 'total_qty_net']),
+        ('tick_hayashi_yoshida_covariance', ['n_pairs', 'hy_cov_q', 'n_intervals_a', 'n_intervals_b', 'hy_var_a_q', 'hy_var_b_q']),
         ('candle_realized_variance_jumps', ['n_returns']),
         ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
         ('tick_implementation_shortfall', ['n_trades', 'n_buys']),

@@ -1254,12 +1254,28 @@ def arb_executable_pnl_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Hayashi-Yoshida interval bucketing: one hour of tape per join bucket.
-#: The knob trades explode fan-out (intervals spanning many buckets) for
-#: per-bucket candidate mass (ticks per bucket); an hour suits tapes from
-#: sparse (minutes between ticks) to dense (sub-second) without either
-#: side degenerating.
-_HY_BUCKET_US = 3_600_000_000
+#: Hayashi-Yoshida interval bucketing: the join-bucket width is
+#: DATA-ADAPTIVE — the smallest ladder step >= the tape's average
+#: inter-tick gap (span // n_intervals, exact BIGINT arithmetic in both
+#: engines), capped at one hour. Per-bucket candidate mass is then
+#: O(1) per symbol at ANY tick density (the X206 occupancy-adaptive
+#: idea applied to time): a fixed width would go quadratic in
+#: (rate x width) on dense tapes and explode-heavy on sparse ones. The
+#: scalar is one broadcast row, never a driver collect.
+_HY_LADDER_US = (
+    1_000_000,  # 1 s
+    10_000_000,  # 10 s
+    60_000_000,  # 1 min
+    600_000_000,  # 10 min
+    3_600_000_000,  # 1 h cap
+)
+_SQL_HY_WIDTH = (
+    "CASE "
+    + " ".join(
+        f"WHEN g <= {w} THEN {w}" for w in _HY_LADDER_US[:-1]
+    )
+    + f" ELSE {_HY_LADDER_US[-1]} END"
+)
 
 #: product-term quantizer: 0.01 resolution on the return product. Prices
 #: are O(1e3), so |floor(r_a*r_b*100)| <= ~3.1e7 per term and the BIGINT
@@ -1294,11 +1310,14 @@ vars AS (
          count(*) AS n_intervals
   FROM iv GROUP BY symbol
 ),
+sc AS (
+  SELECT {_SQL_HY_WIDTH} AS w_us
+  FROM (SELECT (max(ts_us) - min(prev_us)) // count(*) AS g FROM iv)
+),
 ivb AS (
-  SELECT symbol, ts_us, prev_us, r,
-         unnest(range(prev_us // {_HY_BUCKET_US},
-                      ts_us // {_HY_BUCKET_US} + 1)) AS bucket
-  FROM iv
+  SELECT symbol, ts_us, prev_us, r, w_us,
+         unnest(range(prev_us // w_us, ts_us // w_us + 1)) AS bucket
+  FROM iv, sc
 ),
 pr AS (
   SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
@@ -1306,7 +1325,8 @@ pr AS (
   FROM ivb a JOIN ivb b
     ON a.bucket = b.bucket AND a.symbol < b.symbol
    AND greatest(a.prev_us, b.prev_us) < least(a.ts_us, b.ts_us)
-   AND a.bucket = greatest(a.prev_us, b.prev_us) // {_HY_BUCKET_US}
+   AND a.bucket * a.w_us <= greatest(a.prev_us, b.prev_us)
+   AND greatest(a.prev_us, b.prev_us) < (a.bucket + 1) * a.w_us
 ),
 agg AS (
   SELECT symbol_a, symbol_b, count(*) AS n_pairs,
@@ -1332,11 +1352,15 @@ JOIN vars vb ON vb.symbol = g.symbol_b
     "(prev_ts, ts] spans OVERLAP — no grid, no interpolation, "
     "consistent under fully asynchronous sampling. Intervals come "
     "from one chunked struct-lag per symbol (scale-safe two-level "
-    "form); the overlap join is an HOUR-BUCKET equi-join (intervals "
-    "explode to the buckets they span; a pair is counted exactly once "
-    "by crediting the bucket containing the overlap START), so "
-    "candidate mass is per-bucket tick mass, never the tape cross "
-    "product. Each product quantizes to the exact 0.01 integer grid "
+    "form); the overlap join is a TIME-BUCKET equi-join whose width is "
+    "DATA-ADAPTIVE — the smallest ladder step (1s..1h) at or above the "
+    "tape's average inter-tick gap, one broadcast scalar chosen by "
+    "exact BIGINT arithmetic identically in both engines — so "
+    "per-bucket candidate mass stays O(1) per symbol at ANY density "
+    "(a fixed width would go quadratic in rate x width on dense "
+    "tapes). Intervals explode to the buckets they span; a pair is "
+    "counted exactly once by crediting the bucket containing the "
+    "overlap START, never the tape cross product. Each product quantizes to the exact 0.01 integer grid "
     "(floor, one identical IEEE chain both engines) so the covariance "
     "sum is order-independent BIGINT arithmetic inside DECIMAL(38,0); "
     "HY variances (own-interval r^2, overlap = the interval itself) "
@@ -1410,21 +1434,29 @@ def tick_hayashi_yoshida_covariance(
         ).alias("var_q"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
-    ivb = iv.select(
+    # data-adaptive bucket width: one broadcast scalar row (no driver
+    # collect), exact BIGINT ladder choice — identical CASE in the oracle
+    width = F.when(F.col("g") <= _HY_LADDER_US[0], _HY_LADDER_US[0])
+    for w in _HY_LADDER_US[1:-1]:
+        width = width.when(F.col("g") <= w, w)
+    width = width.otherwise(_HY_LADDER_US[-1])
+    sc_df = iv.agg(
+        F.expr("(max(ts_us) - min(prev_us)) div count(*)").alias("g")
+    ).select(width.alias("w_us"))
+    ivb = iv.crossJoin(F.broadcast(sc_df)).select(
         "symbol",
         "ts_us",
         "prev_us",
         "r",
+        "w_us",
         F.explode(
-            F.sequence(
-                F.expr(f"prev_us div {_HY_BUCKET_US}"),
-                F.expr(f"ts_us div {_HY_BUCKET_US}"),
-            )
+            F.expr("sequence(prev_us div w_us, ts_us div w_us)")
         ).alias("bucket"),
     )
     a, b = ivb.alias("a"), ivb.alias("b")
     ostart = F.greatest(F.col("a.prev_us"), F.col("b.prev_us"))
     oend = F.least(F.col("a.ts_us"), F.col("b.ts_us"))
+    w_a = F.col("a.w_us")
     pr = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -1433,9 +1465,9 @@ def tick_hayashi_yoshida_covariance(
         # exactly-once credit: only the bucket containing the overlap
         # START keeps the pair (ts_us >= 0, so div == floor-division and
         # the half-open bucket range test below is the same predicate as
-        # the oracle's `a.bucket = greatest(...) // _HY_BUCKET_US`)
-        & (F.col("a.bucket") * F.lit(_HY_BUCKET_US) <= ostart)
-        & (ostart < (F.col("a.bucket") + 1) * F.lit(_HY_BUCKET_US)),
+        # the oracle's `a.bucket = greatest(...) // w_us`)
+        & (F.col("a.bucket") * w_a <= ostart)
+        & (ostart < (F.col("a.bucket") + 1) * w_a),
     ).select(
         F.col("a.symbol").alias("symbol_a"),
         F.col("b.symbol").alias("symbol_b"),

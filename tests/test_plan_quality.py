@@ -954,13 +954,18 @@ def test_image_near_dups_band_join_never_cartesian(spark):
 
 
 def test_hayashi_yoshida_overlap_join_never_cartesian(spark):
-    # the HY interval-overlap pairing is an hour-bucket EQUI-join with
-    # range residuals — a cartesian/nested-loop here would be the tape
-    # cross product; the tiny per-symbol vars frame must broadcast
+    # the HY interval-overlap pairing is a time-bucket EQUI-join with
+    # range residuals — a cartesian/nested-loop there would be the tape
+    # cross product; the tiny per-symbol vars frame must broadcast. The
+    # ONLY nested-loop joins allowed are the 1-row adaptive-width
+    # scalar broadcasts (BuildRight, Cross).
     p = plan_of(spark, "tick_hayashi_yoshida_covariance")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
 
 
 def test_video_near_dups_band_join_never_cartesian(spark):
