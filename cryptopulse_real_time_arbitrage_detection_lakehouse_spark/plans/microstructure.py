@@ -1699,3 +1699,189 @@ def arb_executable_pnl_net_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("fees")).alias("total_fees"),
         F.max("net_pnl").alias("max_minute_net_pnl"),
     )
+
+
+#: Epps-curve sampling grid (seconds) and return quantizer (0.01 grid).
+_EPPS_INTERVALS_S = (60, 300, 900, 3600)
+_EPPS_Q = 100.0
+#: |quantized grid return| bound: keeps every x*x and every moment sum
+#: exact inside BIGINT (and the moments inside 2^53 for the exact
+#: int->double conversion) at any plausible grid length.
+_EPPS_XMAX = 1_000_000
+_SQL_EPPS_INTERVALS = ", ".join(str(s) for s in _EPPS_INTERVALS_S)
+
+
+@register(
+    "symbol_epps_effect_curve",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+t AS (
+  SELECT symbol, price, epoch_us(trade_timestamp) AS ts_us, trade_id
+  FROM ticks
+),
+g AS (
+  SELECT symbol, dt.dt_s, ts_us // (CAST(dt.dt_s AS BIGINT) * 1000000) AS bucket,
+         arg_max(price, {_SQL_LAST_KEY.replace('epoch_us(trade_timestamp)', 'ts_us')}) AS p
+  FROM t, (SELECT unnest([{_SQL_EPPS_INTERVALS}]) AS dt_s) dt
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT symbol, dt_s, bucket,
+         CAST(floor((p - lag(p) OVER w) * {_EPPS_Q}) AS BIGINT) AS x,
+         bucket - lag(bucket) OVER w AS db
+  FROM g WINDOW w AS (PARTITION BY symbol, dt_s ORDER BY bucket)
+),
+rr AS (SELECT symbol, dt_s, bucket, x FROM r WHERE db = 1),
+pr AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, a.dt_s,
+         a.x AS xa, b.x AS xb
+  FROM rr a JOIN rr b
+    ON a.dt_s = b.dt_s AND a.bucket = b.bucket AND a.symbol < b.symbol
+),
+m AS (
+  SELECT symbol_a, symbol_b, dt_s, count(*) AS n,
+         CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy,
+         CAST(sum(xa * xa) AS BIGINT) AS sxx,
+         CAST(sum(xb * xb) AS BIGINT) AS syy
+  FROM pr GROUP BY 1, 2, 3
+)
+SELECT symbol_a, symbol_b, CAST(dt_s AS BIGINT) AS interval_s, n AS n_common,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS epps_corr
+FROM m
+""",
+    doc="Epps (1979) effect curve — the companion diagnostic to "
+    "tick_hayashi_yoshida_covariance: return correlations measured on "
+    "a sampling grid SHRINK as the grid gets finer, because "
+    "asynchronous ticks decouple fine-grained returns (the bias HY "
+    "removes). Per symbol pair and per interval in {60s, 5m, 15m, 1h}: "
+    "last price per grid bucket (composite (ts, trade_id) selection), "
+    "returns over ADJACENT observed buckets only (bucket gap = 1 — no "
+    "interpolation, both engines drop gaps identically), each return "
+    "floor-quantized to the exact 0.01 grid so ALL five correlation "
+    "moments are exact BIGINT arithmetic (|x| <= 1e6 ENFORCED — the "
+    "OFI moment-guard idiom); the Pearson correlation converts exact "
+    "moments to double in one identical IEEE chain (the Kyle-lambda "
+    "OLS convention). Plotting epps_corr against interval_s gives the "
+    "canonical rising curve whose asymptote the HY estimator reads "
+    "off directly. One tick reduction (map-side combinable), one "
+    "chunk-decomposed lag over the bucket summary, one grid-bucket "
+    "equi-join bounded by grid length — never tick volume.",
+    tags=("silver", "finance", "microstructure", "window-function", "join"),
+)
+def symbol_epps_effect_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import shared
+    from ..operators.ticks import events_as_ticks
+
+    t = events_as_ticks(load_table(spark, sf_dir, "events")).select(
+        "symbol",
+        "price",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        "trade_id",
+    )
+    g = (
+        t.select(
+            "symbol",
+            "price",
+            "ts_us",
+            "trade_id",
+            F.explode(
+                F.array(
+                    *[F.lit(s).cast("long") for s in _EPPS_INTERVALS_S]
+                )
+            ).alias("dt_s"),
+        )
+        .groupBy(
+            "symbol",
+            "dt_s",
+            F.expr("ts_us div (dt_s * 1000000)").alias("bucket"),
+        )
+        .agg(
+            F.max_by(
+                "price", F.struct(F.col("ts_us"), F.col("trade_id"))
+            ).alias("p")
+        )
+    )
+    rr = shared(
+        chunked_lag(
+            g.withColumn("bp", F.struct(F.col("bucket"), F.col("p"))),
+            key_cols=["symbol", "dt_s"],
+            order_col="bucket",
+            value_col="bp",
+            chunk=F.expr("bucket div 1024"),
+            out_col="prev",
+        )
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("prev.bucket") == F.col("bucket") - 1)
+        )
+        .select(
+            "symbol",
+            "dt_s",
+            "bucket",
+            (
+                F.floor((F.col("p") - F.col("prev.p")) * F.lit(_EPPS_Q))
+                + F.coalesce(
+                    F.assert_true(
+                        F.abs(
+                            F.floor(
+                                (F.col("p") - F.col("prev.p"))
+                                * F.lit(_EPPS_Q)
+                            )
+                        )
+                        <= F.lit(_EPPS_XMAX),
+                        F.lit(
+                            "symbol_epps_effect_curve: |grid return| > "
+                            "1e6 overflows the exact BIGINT moments"
+                        ),
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            ).alias("x"),
+        )
+    )
+    a, b = rr.alias("a"), rr.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.dt_s") == F.col("b.dt_s"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.dt_s").alias("dt_s"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+    )
+    m = pr.groupBy("symbol_a", "symbol_b", "dt_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    denx = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    deny = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    corr = (n_d * F.col("sxy").cast("double") - sx_d * sy_d) / F.sqrt(
+        denx * deny
+    )
+    return m.select(
+        "symbol_a",
+        "symbol_b",
+        F.col("dt_s").alias("interval_s"),
+        F.col("n").alias("n_common"),
+        F.when((denx > 0.0) & (deny > 0.0), corr).alias("epps_corr"),
+    )

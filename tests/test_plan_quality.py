@@ -982,3 +982,13 @@ def test_arb_executable_pnl_net_has_no_join(spark):
     p = plan_of(spark, "arb_executable_pnl_net_1m")
     assert "Join" not in p
     assert "HashAggregate" in p or "SortAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_epps_curve_join_bounded(spark):
+    # the pair join stays a (dt_s, bucket) equi-join — never cartesian.
+    # (The bucket lag rides chunked_lag upstream of the shared()
+    # checkpoint, so its window specs are not visible in this executed
+    # plan; the chunked form is pinned by the operator's own tests.)
+    p = plan_of(spark, "symbol_epps_effect_curve")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
