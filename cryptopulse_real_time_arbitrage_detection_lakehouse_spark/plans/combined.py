@@ -162,6 +162,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('arb_executable_pnl_net_1m', ['n_minutes_both', 'n_gross_executable', 'n_net_executable', 'n_buy_coinbase_net', 'total_qty_net']),
         ('tick_hayashi_yoshida_covariance', ['n_pairs', 'hy_cov_q', 'n_intervals_a', 'n_intervals_b', 'hy_var_a_q', 'hy_var_b_q']),
         ('symbol_epps_effect_curve', ['interval_s', 'n_common']),
+        ('tick_lead_lag_hy', ['lag_s', 'n_pairs', 'hy_cov_q']),
         ('candle_realized_variance_jumps', ['n_returns']),
         ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
         ('tick_implementation_shortfall', ['n_trades', 'n_buys']),

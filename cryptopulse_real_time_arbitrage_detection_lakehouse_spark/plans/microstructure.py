@@ -1284,6 +1284,135 @@ _SQL_HY_WIDTH = (
 _HY_Q = 100.0
 _TWO53 = 2**53
 
+#: shared SQL prefix for the HY-family oracles: return intervals (one
+#: lag per symbol), HY variances, and the adaptive bucket-width scalar.
+_SQL_HY_PREFIX = f"""
+t AS (
+  SELECT symbol, price, epoch_us(trade_timestamp) AS ts_us, trade_id
+  FROM ticks
+),
+d AS (
+  SELECT symbol, ts_us, price,
+         lag(price) OVER w AS prev_price,
+         lag(ts_us) OVER w AS prev_us
+  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id)
+),
+iv AS (
+  SELECT symbol, ts_us, prev_us, price - prev_price AS r
+  FROM d WHERE prev_us IS NOT NULL AND prev_us < ts_us
+),
+vars AS (
+  SELECT symbol,
+         CAST(SUM(CAST(floor(r * r * {_HY_Q}) AS BIGINT)) AS BIGINT)
+           AS var_q,
+         count(*) AS n_intervals
+  FROM iv GROUP BY symbol
+),
+sc AS (
+  SELECT {{width}} AS w_us
+  FROM (SELECT (max(ts_us) - min(prev_us)) // count(*) AS g FROM iv)
+)"""
+
+
+def _hy_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared HY-family interval frame: (symbol, ts_us, prev_us, r),
+    materialized (``shared``) because variances, the width scalar, and
+    the bucket explode all traverse it. One chunked struct-lag per
+    symbol — the twin of the ``iv`` CTE in ``_SQL_HY_PREFIX``."""
+    from ..operators.partitioning import shared
+    from ..operators.ticks import events_as_ticks
+
+    t = (
+        events_as_ticks(load_table(spark, sf_dir, "events"))
+        .select(
+            "symbol",
+            "price",
+            F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+            "trade_id",
+        )
+        .withColumn(
+            "__ord",
+            F.concat(
+                F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+                F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+                F.coalesce(
+                    F.assert_true(
+                        (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
+                        F.lit(
+                            "hy intervals: negative ts_us/trade_id breaks "
+                            "the lexicographic order key"
+                        ),
+                    ).cast("string"),
+                    F.lit(""),
+                ),
+            ),
+        )
+        .withColumn(
+            "pv", F.struct(F.col("price"), F.col("ts_us").alias("p_us"))
+        )
+    )
+    return shared(
+        chunked_lag(
+            t,
+            key_cols=["symbol"],
+            order_col="__ord",
+            value_col="pv",
+            chunk=F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))),
+            out_col="prev",
+        )
+        .filter(
+            F.col("prev").isNotNull() & (F.col("prev.p_us") < F.col("ts_us"))
+        )
+        .select(
+            "symbol",
+            "ts_us",
+            F.col("prev.p_us").alias("prev_us"),
+            (F.col("price") - F.col("prev.price")).alias("r"),
+        )
+    )
+
+
+def _hy_vars(iv: DataFrame) -> DataFrame:
+    return iv.groupBy("symbol").agg(
+        F.sum(
+            F.floor(F.col("r") * F.col("r") * F.lit(_HY_Q)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("var_q"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def _hy_width(iv: DataFrame) -> DataFrame:
+    """1-row adaptive bucket-width frame (w_us), broadcast by callers."""
+    width = F.when(F.col("g") <= _HY_LADDER_US[0], _HY_LADDER_US[0])
+    for w in _HY_LADDER_US[1:-1]:
+        width = width.when(F.col("g") <= w, w)
+    width = width.otherwise(_HY_LADDER_US[-1])
+    return iv.agg(
+        F.expr("(max(ts_us) - min(prev_us)) div count(*)").alias("g")
+    ).select(width.alias("w_us"))
+
+
+def _hy_exact_long(col, query: str, what: str):
+    # grid sums accumulate in DECIMAL(38,0) (never wraps) but are
+    # EXCHANGED as BIGINT and converted to double for correlations;
+    # both are exact only inside 2^53, so enforce it (the OFI/VPIN
+    # guard idiom) — loud error, never silent drift
+    return (
+        col
+        + F.coalesce(
+            F.assert_true(
+                F.abs(col) < F.lit(_TWO53).cast("decimal(38,0)"),
+                F.lit(
+                    f"{query}: grid sum |{what}| >= 2^53 — long/double "
+                    "no longer exact"
+                ),
+            ).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+    ).cast("long")
+
 
 @register(
     "tick_hayashi_yoshida_covariance",
@@ -1374,75 +1503,11 @@ JOIN vars vb ON vb.symbol = g.symbol_b
 def tick_hayashi_yoshida_covariance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.partitioning import shared
-    from ..operators.ticks import events_as_ticks
-
-    t = (
-        events_as_ticks(load_table(spark, sf_dir, "events"))
-        .select(
-            "symbol",
-            "price",
-            F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
-            "trade_id",
-        )
-        .withColumn(
-            "__ord",
-            F.concat(
-                F.lpad(F.col("ts_us").cast("string"), 20, "0"),
-                F.lpad(F.col("trade_id").cast("string"), 20, "0"),
-                F.coalesce(
-                    F.assert_true(
-                        (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
-                        F.lit(
-                            "tick_hayashi_yoshida_covariance: negative "
-                            "ts_us/trade_id breaks the lexicographic "
-                            "order key"
-                        ),
-                    ).cast("string"),
-                    F.lit(""),
-                ),
-            ),
-        )
-        .withColumn(
-            "pv", F.struct(F.col("price"), F.col("ts_us").alias("p_us"))
-        )
-    )
-    iv = shared(
-        chunked_lag(
-            t,
-            key_cols=["symbol"],
-            order_col="__ord",
-            value_col="pv",
-            chunk=F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))),
-            out_col="prev",
-        )
-        .filter(
-            F.col("prev").isNotNull() & (F.col("prev.p_us") < F.col("ts_us"))
-        )
-        .select(
-            "symbol",
-            "ts_us",
-            F.col("prev.p_us").alias("prev_us"),
-            (F.col("price") - F.col("prev.price")).alias("r"),
-        )
-    )
-    vars_ = iv.groupBy("symbol").agg(
-        F.sum(
-            F.floor(F.col("r") * F.col("r") * F.lit(_HY_Q)).cast(
-                "decimal(38,0)"
-            )
-        ).alias("var_q"),
-        F.count(F.lit(1)).alias("n_intervals"),
-    )
+    iv = _hy_iv(spark, sf_dir)
+    vars_ = _hy_vars(iv)
     # data-adaptive bucket width: one broadcast scalar row (no driver
     # collect), exact BIGINT ladder choice — identical CASE in the oracle
-    width = F.when(F.col("g") <= _HY_LADDER_US[0], _HY_LADDER_US[0])
-    for w in _HY_LADDER_US[1:-1]:
-        width = width.when(F.col("g") <= w, w)
-    width = width.otherwise(_HY_LADDER_US[-1])
-    sc_df = iv.agg(
-        F.expr("(max(ts_us) - min(prev_us)) div count(*)").alias("g")
-    ).select(width.alias("w_us"))
+    sc_df = _hy_width(iv)
     ivb = iv.crossJoin(F.broadcast(sc_df)).select(
         "symbol",
         "ts_us",
@@ -1486,23 +1551,7 @@ def tick_hayashi_yoshida_covariance(
     )
 
     def exact_long(col, what):
-        # grid sums accumulate in DECIMAL(38,0) (never wraps) but are
-        # EXCHANGED as BIGINT and converted to double for the HY
-        # correlation; both are exact only inside 2^53, so enforce it
-        # (the OFI/VPIN guard idiom) — loud error, never silent drift
-        return (
-            col
-            + F.coalesce(
-                F.assert_true(
-                    F.abs(col) < F.lit(_TWO53).cast("decimal(38,0)"),
-                    F.lit(
-                        "tick_hayashi_yoshida_covariance: grid sum "
-                        f"|{what}| >= 2^53 — long/double no longer exact"
-                    ),
-                ).cast("decimal(38,0)"),
-                F.lit(0).cast("decimal(38,0)"),
-            )
-        ).cast("long")
+        return _hy_exact_long(col, "tick_hayashi_yoshida_covariance", what)
 
     cov_l = exact_long(F.col("g.hy_cov_q"), "hy_cov_q")
     va_l = exact_long(F.col("va.var_q"), "hy_var_a_q")
@@ -1884,4 +1933,168 @@ def symbol_epps_effect_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dt_s").alias("interval_s"),
         F.col("n").alias("n_common"),
         F.when((denx > 0.0) & (deny > 0.0), corr).alias("epps_corr"),
+    )
+
+
+#: lead-lag ladder (seconds): negative = symbol_b shifted back in time
+#: (tests whether A's returns correlate with B's EARLIER returns, i.e.
+#: B leads A); positive = B shifted forward (A leads B).
+_HRY_LAGS_S = (-60, -10, 0, 10, 60)
+_SQL_HRY_LAGS = ", ".join(str(s) for s in _HRY_LAGS_S)
+
+
+@register(
+    "tick_lead_lag_hy",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+{_SQL_HY_PREFIX.format(width=_SQL_HY_WIDTH)},
+iva AS (
+  SELECT symbol, ts_us, prev_us, r, w_us,
+         unnest(range(prev_us // w_us, ts_us // w_us + 1)) AS bucket
+  FROM iv, sc
+),
+lgs AS (SELECT unnest([{_SQL_HRY_LAGS}]) AS lag_s),
+ivb AS (
+  SELECT symbol, r, lag_s, w_us,
+         ts_us - CAST(lag_s AS BIGINT) * 1000000 AS st,
+         prev_us - CAST(lag_s AS BIGINT) * 1000000 AS sp,
+         unnest(range((prev_us - CAST(lag_s AS BIGINT) * 1000000) // w_us,
+                      (ts_us - CAST(lag_s AS BIGINT) * 1000000) // w_us + 1))
+           AS bucket
+  FROM iv, sc, lgs
+),
+pr AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, b.lag_s,
+         CAST(floor(a.r * b.r * {_HY_Q}) AS BIGINT) AS term
+  FROM iva a JOIN ivb b
+    ON a.bucket = b.bucket AND a.symbol < b.symbol
+   AND greatest(a.prev_us, b.sp) < least(a.ts_us, b.st)
+   AND a.bucket * a.w_us <= greatest(a.prev_us, b.sp)
+   AND greatest(a.prev_us, b.sp) < (a.bucket + 1) * a.w_us
+),
+agg AS (
+  SELECT symbol_a, symbol_b, lag_s, count(*) AS n_pairs,
+         CAST(SUM(term) AS BIGINT) AS hy_cov_q
+  FROM pr GROUP BY 1, 2, 3
+)
+SELECT g.symbol_a, g.symbol_b, CAST(g.lag_s AS BIGINT) AS lag_s,
+       g.n_pairs, g.hy_cov_q,
+       CASE WHEN va.var_q = 0 OR vb.var_q = 0 THEN NULL
+            ELSE CAST(g.hy_cov_q AS DOUBLE)
+                 / sqrt(CAST(va.var_q AS DOUBLE) * CAST(vb.var_q AS DOUBLE))
+       END AS hy_corr
+FROM agg g
+JOIN vars va ON va.symbol = g.symbol_a
+JOIN vars vb ON vb.symbol = g.symbol_b
+""",
+    doc="Lead-lag Hayashi-Yoshida contrast curve (Hoffmann-Rosenbaum-"
+    "Yoshida 2013): the HY covariance re-evaluated with symbol_b's "
+    "return intervals TIME-SHIFTED by each lag in {-60s, -10s, 0, "
+    "+10s, +60s} — the lag maximizing |correlation| estimates which "
+    "series leads and by how much, the tick-level answer to the "
+    "question symbol_lead_lag_xcorr approximates on a minute grid "
+    "(and the curve whose peak a cross-venue arbitrage desk watches). "
+    "Machinery shared with tick_hayashi_yoshida_covariance "
+    "(_hy_iv/_hy_vars/_hy_width): same chunked struct-lag intervals, "
+    "same data-adaptive bucket width, same exactly-once overlap-start "
+    "credit, same 0.01-grid BIGINT product sums and 2^53-guarded "
+    "correlation — the b side simply fans out 5 shifted copies before "
+    "bucketing, so candidate mass is 5x the unshifted join, still "
+    "O(1) per bucket per symbol. Unshifted HY variances normalize "
+    "every lag (the HRY convention).",
+    tags=("silver", "finance", "microstructure", "join", "aggregate"),
+)
+def tick_lead_lag_hy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _hy_iv(spark, sf_dir)
+    vars_ = _hy_vars(iv)
+    sc_df = _hy_width(iv)
+    iva = iv.crossJoin(F.broadcast(sc_df)).select(
+        "symbol",
+        "ts_us",
+        "prev_us",
+        "r",
+        "w_us",
+        F.explode(
+            F.expr("sequence(prev_us div w_us, ts_us div w_us)")
+        ).alias("bucket"),
+    )
+    ivb = (
+        iv.crossJoin(F.broadcast(sc_df))
+        .select(
+            "symbol",
+            "r",
+            "w_us",
+            "ts_us",
+            "prev_us",
+            F.explode(
+                F.array(*[F.lit(s).cast("long") for s in _HRY_LAGS_S])
+            ).alias("lag_s"),
+        )
+        .select(
+            "symbol",
+            "r",
+            "w_us",
+            "lag_s",
+            (F.col("ts_us") - F.col("lag_s") * F.lit(1_000_000)).alias("st"),
+            (F.col("prev_us") - F.col("lag_s") * F.lit(1_000_000)).alias(
+                "sp"
+            ),
+        )
+        .select(
+            "symbol",
+            "r",
+            "w_us",
+            "lag_s",
+            "st",
+            "sp",
+            F.explode(F.expr("sequence(sp div w_us, st div w_us)")).alias(
+                "bucket"
+            ),
+        )
+    )
+    a, b = iva.alias("a"), ivb.alias("b")
+    ostart = F.greatest(F.col("a.prev_us"), F.col("b.sp"))
+    oend = F.least(F.col("a.ts_us"), F.col("b.st"))
+    w_a = F.col("a.w_us")
+    pr = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.symbol") < F.col("b.symbol"))
+        & (ostart < oend)
+        & (F.col("a.bucket") * w_a <= ostart)
+        & (ostart < (F.col("a.bucket") + 1) * w_a),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("b.lag_s").alias("lag_s"),
+        F.floor(F.col("a.r") * F.col("b.r") * F.lit(_HY_Q)).alias("term"),
+    )
+    agg = pr.groupBy("symbol_a", "symbol_b", "lag_s").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("hy_cov_q"),
+    )
+    va = F.broadcast(vars_).alias("va")
+    vb = F.broadcast(vars_).alias("vb")
+    g = (
+        agg.alias("g")
+        .join(va, F.col("va.symbol") == F.col("g.symbol_a"))
+        .join(vb, F.col("vb.symbol") == F.col("g.symbol_b"))
+    )
+    cov_l = _hy_exact_long(
+        F.col("g.hy_cov_q"), "tick_lead_lag_hy", "hy_cov_q"
+    )
+    va_l = _hy_exact_long(F.col("va.var_q"), "tick_lead_lag_hy", "var_a")
+    vb_l = _hy_exact_long(F.col("vb.var_q"), "tick_lead_lag_hy", "var_b")
+    corr = cov_l.cast("double") / F.sqrt(
+        va_l.cast("double") * vb_l.cast("double")
+    )
+    return g.select(
+        "symbol_a",
+        "symbol_b",
+        "lag_s",
+        "n_pairs",
+        cov_l.alias("hy_cov_q"),
+        F.when(
+            (F.col("va.var_q") != 0) & (F.col("vb.var_q") != 0), corr
+        ).alias("hy_corr"),
     )

@@ -992,3 +992,14 @@ def test_epps_curve_join_bounded(spark):
     p = plan_of(spark, "symbol_epps_effect_curve")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_lead_lag_hy_join_never_cartesian(spark):
+    # shifted-interval pairing stays the bucket equi-join; only the
+    # 1-row width-scalar broadcasts may appear as nested-loop crosses
+    p = plan_of(spark, "tick_lead_lag_hy")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
