@@ -323,3 +323,76 @@ def keyed_exact_clamped_cumsum(
     return df.select(*cols).groupBy(*key_cols).applyInPandas(
         kernel, out_schema
     )
+
+
+def keyed_momentum_replay(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    q_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-key inventory-clamped momentum backtest over the quantized
+    integer price series ``q_col`` ordered by ``order_col`` — the
+    canonical strategy-replay state machine, and (like
+    `keyed_exact_clamped_cumsum`) inherently sequential: the position
+    clamp makes each step depend on the clamped PRIOR state, so no
+    chunk-carry scheme is exact.
+
+    Step t (from the second observation): the move m = q_t - q_{t-1}
+    first marks the held position (pnl += pos * m), then the position
+    chases the move's sign one unit, clamped to [-cap, +cap]. Running
+    peak/drawdown track the cumulative PnL. ALL state is integer
+    (position, grid PnL, peak, max drawdown, trade count), so both
+    engines' recursions are exact with no rounding argument needed.
+
+    Emits ONE summary row per key: n_obs, n_trades, final_pos,
+    total_pnl_q, max_drawdown_q. Per-key cost is the key's own summary
+    series (bounded by calendar, not corpus bytes); keys are the
+    parallel unit.
+    """
+    out_schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("n_trades", T.LongType()),
+            T.StructField("final_pos", T.LongType()),
+            T.StructField("total_pnl_q", T.LongType()),
+            T.StructField("max_drawdown_q", T.LongType()),
+        ]
+    )
+    cols = key_cols + [order_col, q_col]
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        qs = [int(v) for v in pdf[q_col]]
+        pos = cum = peak = mdd = ntr = 0
+        prev = None
+        for q in qs:
+            if prev is not None:
+                m = q - prev
+                cum += pos * m
+                peak = max(peak, cum)
+                mdd = max(mdd, peak - cum)
+                step = 1 if m > 0 else (-1 if m < 0 else 0)
+                new_pos = max(-cap, min(cap, pos + step))
+                if new_pos != pos:
+                    ntr += 1
+                pos = new_pos
+            prev = q
+        head = pdf.iloc[:1][key_cols].copy()
+        head["n_obs"] = pd.Series([len(qs)], index=head.index, dtype="int64")
+        head["n_trades"] = pd.Series([ntr], index=head.index, dtype="int64")
+        head["final_pos"] = pd.Series([pos], index=head.index, dtype="int64")
+        head["total_pnl_q"] = pd.Series([cum], index=head.index, dtype="int64")
+        head["max_drawdown_q"] = pd.Series(
+            [mdd], index=head.index, dtype="int64"
+        )
+        return head
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(
+        kernel, out_schema
+    )

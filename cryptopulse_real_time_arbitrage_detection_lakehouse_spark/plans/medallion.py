@@ -3647,3 +3647,101 @@ def tick_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("illiq").alias("amihud_illiq_1e9"),
         F.max("illiq").alias("max_illiq_1e9"),
     )
+
+
+#: inventory cap (units) for the momentum replay backtest.
+_REPLAY_CAP = 5
+
+
+@register(
+    "candle_momentum_replay",
+    oracle=f"""
+WITH RECURSIVE {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+ranked AS MATERIALIZED (
+  SELECT symbol,
+         CAST(floor(close * {float(_IND_SCALE)!r}) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY symbol ORDER BY window_start)
+           AS rn
+  FROM gold
+),
+rec(symbol, rn, q, pos, cum, peak, mdd, ntr) AS (
+  SELECT symbol, rn, q, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         0::BIGINT
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.symbol, r.rn, r.q,
+         greatest(-{_REPLAY_CAP}, least({_REPLAY_CAP},
+             p.pos + CASE WHEN r.q > p.q THEN 1
+                          WHEN r.q < p.q THEN -1 ELSE 0 END)),
+         p.cum + p.pos * (r.q - p.q),
+         greatest(p.peak, p.cum + p.pos * (r.q - p.q)),
+         greatest(p.mdd,
+                  greatest(p.peak, p.cum + p.pos * (r.q - p.q))
+                  - (p.cum + p.pos * (r.q - p.q))),
+         p.ntr + CASE WHEN greatest(-{_REPLAY_CAP}, least({_REPLAY_CAP},
+                          p.pos + CASE WHEN r.q > p.q THEN 1
+                                       WHEN r.q < p.q THEN -1 ELSE 0 END))
+                      <> p.pos THEN 1 ELSE 0 END
+  FROM ranked r JOIN rec p ON p.symbol = r.symbol AND r.rn = p.rn + 1
+),
+agg AS (
+  SELECT symbol, count(*) AS n_obs, max(ntr) AS n_trades,
+         arg_max(pos, rn) AS final_pos,
+         arg_max(cum, rn) AS total_pnl_q,
+         max(mdd) AS max_drawdown_q
+  FROM rec GROUP BY symbol
+)
+SELECT symbol, n_obs, n_trades, final_pos, total_pnl_q, max_drawdown_q,
+       CAST(total_pnl_q AS DOUBLE) / {float(_IND_SCALE)!r} AS total_pnl,
+       CAST(max_drawdown_q AS DOUBLE) / {float(_IND_SCALE)!r}
+         AS max_drawdown
+FROM agg
+""",
+    doc="Inventory-clamped momentum replay over the 1-minute close "
+    "series — the canonical strategy-BACKTEST state machine, the "
+    "capability a detector pipeline feeds: each minute the move first "
+    "marks the held position (pnl += pos * move), then the position "
+    "chases the move's sign one unit, clamped to +-5; running peak "
+    "and max drawdown track cumulative PnL. The position clamp makes "
+    "each step depend on the clamped PRIOR state (the "
+    "keyed_exact_clamped_cumsum non-associativity argument), so the "
+    "scan is honestly sequential per key — and bounded by CALENDAR "
+    "length, not tick volume: 100 TB of ticks and 100 GB produce the "
+    "same minute series; symbols are the parallel unit. ALL state is "
+    "integer on the 2^20 close grid (position, grid PnL, peak, "
+    "drawdown, trade count), so the Arrow-kernel recursion "
+    "(operators/recursive.keyed_momentum_replay) and the DuckDB "
+    "recursive CTE agree exactly with no rounding argument; the two "
+    "reported doubles are single divisions of identical integer "
+    "operands.",
+    tags=("gold", "analytics", "backtest", "recursive", "arrow-kernel"),
+)
+def candle_momentum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recursive import keyed_momentum_replay
+
+    gold = _gold_table(spark, sf_dir).select(
+        "symbol",
+        "window_start",
+        F.floor(F.col("close") * F.lit(float(_IND_SCALE)))
+        .cast("long")
+        .alias("q"),
+    )
+    state = keyed_momentum_replay(
+        gold,
+        key_cols=["symbol"],
+        order_col="window_start",
+        q_col="q",
+        cap=_REPLAY_CAP,
+    )
+    s = F.lit(float(_IND_SCALE))
+    return state.select(
+        "symbol",
+        "n_obs",
+        "n_trades",
+        "final_pos",
+        "total_pnl_q",
+        "max_drawdown_q",
+        (F.col("total_pnl_q").cast("double") / s).alias("total_pnl"),
+        (F.col("max_drawdown_q").cast("double") / s).alias("max_drawdown"),
+    )
