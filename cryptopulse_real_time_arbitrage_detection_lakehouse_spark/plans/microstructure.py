@@ -2098,3 +2098,109 @@ def tick_lead_lag_hy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("va.var_q") != 0) & (F.col("vb.var_q") != 0), corr
         ).alias("hy_corr"),
     )
+
+
+@register(
+    "tick_imbalance_forward_returns",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+t AS (
+  SELECT symbol, epoch_us(trade_timestamp) AS ts_us, trade_id,
+         mid, bid_size, ask_size
+  FROM quotes
+),
+d AS (
+  SELECT symbol, ts_us, trade_id, mid,
+         lag(mid) OVER w AS pm,
+         lag(bid_size) OVER w AS pbs,
+         lag(ask_size) OVER w AS pas
+  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id)
+),
+e AS (
+  SELECT symbol,
+         least(4, ((pbs - pas + pbs + pas) * 5) // (2 * (pbs + pas)))
+           AS imb_bucket,
+         mid - pm AS dmid
+  FROM d WHERE pm IS NOT NULL
+)
+SELECT symbol, imb_bucket,
+       count(*) AS n_quotes,
+       CAST(sum(CASE WHEN dmid > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN dmid < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       {sql_davg('dmid')} AS avg_fwd_mid_chg
+FROM e GROUP BY 1, 2
+""",
+    doc="Book-imbalance-conditioned forward returns — the empirical "
+    "companion to tick_order_flow_imbalance: does displayed depth "
+    "imbalance predict the NEXT mid move? Each quote's imbalance "
+    "(bid_size - ask_size)/(bid_size + ask_size) is bucketed into 5 "
+    "equal cells by EXACT integer cross-multiplication "
+    "(((bs-as)+(bs+as))*5 div (2*(bs+as)) — no float division, no "
+    "boundary ambiguity; sizes are positive integers so truncating "
+    "div == floor div in both engines), and the SUBSEQUENT "
+    "quote-to-quote mid change is attributed back to it via one "
+    "chunked struct-lag (the forward return of quote t-1 IS the "
+    "backward difference at t — no lead operator needed). Per "
+    "(symbol, bucket): count, up/down counts, and the exact-decimal "
+    "average forward mid change (|dmid| is price-bounded, davg-safe). "
+    "Monotone avg_fwd_mid_chg across buckets is the classic depth-"
+    "imbalance predictability result. One tick-level lag, one "
+    "map-side-combinable aggregation.",
+    tags=("silver", "finance", "microstructure", "window-function"),
+)
+def tick_imbalance_forward_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = _quotes(spark, sf_dir).select(
+        "symbol",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        "trade_id",
+        "mid",
+        "bid_size",
+        "ask_size",
+    ).withColumn(
+        "__ord",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+            F.coalesce(
+                F.assert_true(
+                    (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
+                    F.lit(
+                        "tick_imbalance_forward_returns: negative ts_us/"
+                        "trade_id breaks the lexicographic order key"
+                    ),
+                ).cast("string"),
+                F.lit(""),
+            ),
+        ),
+    ).withColumn(
+        "q3",
+        F.struct(F.col("mid"), F.col("bid_size"), F.col("ask_size")),
+    )
+    d = chunked_lag(
+        t,
+        key_cols=["symbol"],
+        order_col="__ord",
+        value_col="q3",
+        chunk=F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))),
+        out_col="pq",
+    ).filter(F.col("pq").isNotNull())
+    bucket = F.least(
+        F.lit(4).cast("long"),
+        F.expr(
+            "((pq.bid_size - pq.ask_size + pq.bid_size + pq.ask_size) * 5)"
+            " div (2 * (pq.bid_size + pq.ask_size))"
+        ),
+    )
+    e = d.select(
+        "symbol",
+        bucket.alias("imb_bucket"),
+        (F.col("mid") - F.col("pq.mid")).alias("dmid"),
+    )
+    return e.groupBy("symbol", "imb_bucket").agg(
+        F.count(F.lit(1)).alias("n_quotes"),
+        F.sum(F.when(F.col("dmid") > 0.0, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("dmid") < 0.0, 1).otherwise(0)).alias("n_down"),
+        davg(F.col("dmid")).alias("avg_fwd_mid_chg"),
+    )
