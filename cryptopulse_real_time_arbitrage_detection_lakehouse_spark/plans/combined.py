@@ -204,6 +204,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('doc_importance_resampling', ['doc_id', 'n_tokens', 'selected']),
         ('doc_lang_rebalance', ['doc_id', 'copy_id']),
         ('doc_length_histogram', ['log2_bucket', 'n_docs']),
+        ('doc_padding_waste_audit', ['n_batches', 'n_docs', 'total_tokens', 'total_pad']),
         ('doc_pii_redaction_audit', ['doc_id', 'n_url', 'n_email', 'n_ipv4', 'n_phone', 'redacted_len', 'original_len']),
         ('doc_rag_chunks', ['doc_id', 'chunk_id', 'start_token', 'n_tokens']),
         ('doc_rarity_scores', ['doc_id', 'n_tokens']),

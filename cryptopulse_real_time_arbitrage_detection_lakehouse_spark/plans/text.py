@@ -4060,3 +4060,137 @@ def doc_simpson_diversity_by_source(
             ).cast("double")
         ).alias("simpson_diversity"),
     )
+
+
+#: batch size for the padding-waste audit (sequences per training batch).
+_PAD_BATCH = 32
+
+
+@register(
+    "doc_padding_waste_audit",
+    oracle=f"""
+WITH lt AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS n_tokens FROM documents
+),
+ls AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rk
+  FROM lt
+),
+hs AS (
+  SELECT n_tokens,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM lt
+),
+lb AS (
+  SELECT (rk - 1) // {_PAD_BATCH} AS batch, max(n_tokens) AS mx,
+         CAST(sum(n_tokens) AS BIGINT) AS s, count(*) AS c
+  FROM ls GROUP BY 1
+),
+hb AS (
+  SELECT (rk - 1) // {_PAD_BATCH} AS batch, max(n_tokens) AS mx,
+         CAST(sum(n_tokens) AS BIGINT) AS s, count(*) AS c
+  FROM hs GROUP BY 1
+),
+u AS (
+  SELECT 'length_sorted' AS strategy, count(*) AS n_batches,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(s) AS BIGINT) AS total_tokens,
+         CAST(sum(mx * c - s) AS BIGINT) AS total_pad
+  FROM lb
+  UNION ALL
+  SELECT 'hash_shuffled', count(*), CAST(sum(c) AS BIGINT),
+         CAST(sum(s) AS BIGINT), CAST(sum(mx * c - s) AS BIGINT)
+  FROM hb
+)
+SELECT strategy, n_batches, n_docs, total_tokens, total_pad,
+       CAST(total_pad AS DOUBLE)
+         / CAST(total_pad + total_tokens AS DOUBLE) AS pad_fraction
+FROM u
+""",
+    doc="Padding-waste audit for sequence batching — the packing-"
+    "efficiency dial every training pipeline tunes: batches of 32 "
+    "docs pad every sequence to the batch max, so batch composition "
+    "decides what fraction of compute is padding. Compares "
+    "LENGTH-SORTED batching (docs ranked by (n_tokens, doc_id)) "
+    "against HASH-SHUFFLED batching (ranked by md5(doc_id) — the "
+    "default random order), reporting per strategy the exact integer "
+    "pad mass sum(batch_max*batch_n - batch_sum) and the padding "
+    "fraction of total compute. The GLOBAL rank is computed scale-"
+    "safely (the hash-rank family contract): rows rank WITHIN their "
+    "partition cell (token-length value / md5 prefix byte — bounded "
+    "cells, parallel windows) and a broadcast prefix-count offset "
+    "from the tiny cell summary lifts cell ranks to global ranks — "
+    "no single-task global window ever sees the corpus; the oracle "
+    "uses the naive global row_number as the independent reference.",
+    tags=("text", "llm-pipeline", "window-function", "aggregate"),
+)
+def doc_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = shared(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+    )
+
+    def ranked(cell_expr, order_cols):
+        # two-level global rank: per-cell row_number (parallel windows
+        # over bounded cells) + broadcast prefix offsets from the cell
+        # summary — the sequential pass touches cells, not rows
+        dd = d.withColumn("cell", cell_expr)
+        w_cell = W.partitionBy("cell").orderBy(*order_cols)
+        cells = dd.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+        w_off = W.orderBy("cell").rowsBetween(W.unboundedPreceding, -1)
+        offs = cells.select(
+            "cell",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        )
+        return (
+            dd.withColumn("rn", F.row_number().over(w_cell))
+            .join(F.broadcast(offs), "cell")
+            .select(
+                "n_tokens", (F.col("off") + F.col("rn")).alias("rank")
+            )
+        )
+
+    def strategy(name, ranked_df):
+        b = ranked_df.groupBy(
+            ((F.col("rank") - 1) / F.lit(_PAD_BATCH))
+            .cast("long")
+            .alias("batch")
+        ).agg(
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        return b.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("c").alias("n_docs"),
+            F.sum("s").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("c") - F.col("s")).alias("total_pad"),
+        )
+
+    ls = strategy(
+        "length_sorted", ranked(F.col("n_tokens"), [F.col("doc_id")])
+    )
+    hs = strategy(
+        "hash_shuffled",
+        ranked(F.substring(F.col("h"), 1, 2), [F.col("h"), F.col("doc_id")]),
+    )
+    u = ls.unionByName(hs)
+    return u.select(
+        "strategy",
+        "n_batches",
+        "n_docs",
+        "total_tokens",
+        "total_pad",
+        (
+            F.col("total_pad").cast("double")
+            / (F.col("total_pad") + F.col("total_tokens")).cast("double")
+        ).alias("pad_fraction"),
+    )
