@@ -2204,3 +2204,135 @@ def tick_imbalance_forward_returns(
         F.sum(F.when(F.col("dmid") < 0.0, 1).otherwise(0)).alias("n_down"),
         davg(F.col("dmid")).alias("avg_fwd_mid_chg"),
     )
+
+
+@register(
+    "tick_cross_venue_staleness",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+m AS (
+  SELECT symbol, venue, epoch_us(trade_timestamp) AS ts_us, trade_id,
+         CASE WHEN venue = 'coinbase'
+              THEN epoch_us(trade_timestamp) END AS cb_ts,
+         CASE WHEN venue = 'binance'
+              THEN epoch_us(trade_timestamp) END AS bn_ts
+  FROM quotes
+),
+f AS (
+  SELECT symbol, venue, ts_us,
+         last_value(cb_ts IGNORE NULLS) OVER w AS last_cb,
+         last_value(bn_ts IGNORE NULLS) OVER w AS last_bn
+  FROM m
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT symbol, venue, ts_us,
+         ts_us - CASE WHEN venue = 'coinbase' THEN last_bn
+                      ELSE last_cb END AS stale_us
+  FROM f
+)
+SELECT symbol, venue,
+       count(*) AS n_quotes,
+       CAST(sum(CASE WHEN stale_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_ref,
+       CAST(sum(stale_us) AS BIGINT) AS total_stale_us,
+       CAST(CAST(sum(stale_us) AS BIGINT) AS DOUBLE)
+         / CAST(sum(CASE WHEN stale_us IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) AS avg_stale_us,
+       max(stale_us) AS max_stale_us
+FROM s GROUP BY 1, 2
+""",
+    doc="Cross-venue quote staleness — the latency dial behind phantom "
+    "arbitrage: at each quote event, how old is the OTHER venue's most "
+    "recent quote for the same symbol? A crossed market flagged "
+    "against a stale opposite side is an opportunity that was already "
+    "gone (the reference's detector, reading one merged stream, never "
+    "measures this). The merged per-symbol stream carries each "
+    "venue's last quote time forward with TWO chunk-decomposed LOCF "
+    "passes (operators/rolling.chunked_locf — parallel over symbol x "
+    "day chunks, sequential only over the chunk summary), keyed by "
+    "the composite (ts, trade_id) order so microsecond ties resolve "
+    "identically in both engines; staleness is an exact integer "
+    "microsecond difference. Per (symbol, venue): quote count, quotes "
+    "with an opposite-side reference, exact total/max staleness, and "
+    "the average as one division of exact integers (total enforced "
+    "inside 2^53 — the OFI guard idiom). Rows before a venue's first "
+    "opposite quote stay unreferenced, identically in both engines.",
+    tags=("silver", "finance", "microstructure", "window-function"),
+)
+def tick_cross_venue_staleness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.rolling import chunked_locf
+
+    q = _quotes(spark, sf_dir).select(
+        "symbol",
+        "venue",
+        F.unix_micros(F.col("trade_timestamp")).alias("ts_us"),
+        "trade_id",
+    ).withColumn(
+        "__ord",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("trade_id").cast("string"), 20, "0"),
+            F.coalesce(
+                F.assert_true(
+                    (F.col("ts_us") >= 0) & (F.col("trade_id") >= 0),
+                    F.lit(
+                        "tick_cross_venue_staleness: negative ts_us/"
+                        "trade_id breaks the lexicographic order key"
+                    ),
+                ).cast("string"),
+                F.lit(""),
+            ),
+        ),
+    ).withColumn(
+        "cb_ts",
+        F.when(F.col("venue") == "coinbase", F.col("ts_us")),
+    ).withColumn(
+        "bn_ts",
+        F.when(F.col("venue") == "binance", F.col("ts_us")),
+    )
+    chunk = F.date_trunc("day", F.timestamp_micros(F.col("ts_us")))
+    f1 = chunked_locf(
+        q,
+        key_cols=["symbol"],
+        order_col="__ord",
+        value_col="cb_ts",
+        chunk=chunk,
+        out_col="last_cb",
+    )
+    f2 = chunked_locf(
+        f1,
+        key_cols=["symbol"],
+        order_col="__ord",
+        value_col="bn_ts",
+        chunk=chunk,
+        out_col="last_bn",
+    )
+    stale = F.col("ts_us") - F.when(
+        F.col("venue") == "coinbase", F.col("last_bn")
+    ).otherwise(F.col("last_cb"))
+    s = f2.select("symbol", "venue", stale.alias("stale_us"))
+    total = F.sum("stale_us")
+    guarded_total = total + F.coalesce(
+        F.assert_true(
+            F.abs(total) < F.lit(_TWO53),
+            F.lit(
+                "tick_cross_venue_staleness: total staleness >= 2^53 — "
+                "the avg division is no longer exact-int-operand"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    n_ref = F.sum(F.when(F.col("stale_us").isNotNull(), 1).otherwise(0))
+    return s.groupBy("symbol", "venue").agg(
+        F.count(F.lit(1)).alias("n_quotes"),
+        n_ref.alias("n_with_ref"),
+        guarded_total.alias("total_stale_us"),
+        (guarded_total.cast("double") / n_ref.cast("double")).alias(
+            "avg_stale_us"
+        ),
+        F.max("stale_us").alias("max_stale_us"),
+    )
