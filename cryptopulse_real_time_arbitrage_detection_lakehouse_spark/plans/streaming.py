@@ -1480,3 +1480,155 @@ def streaming_arb_executable_pnl_1m(
         "qty",
         "pnl",
     )
+
+
+@register(
+    "streaming_cross_venue_staleness_1m",
+    oracle=f"""
+WITH {EVENTS_QUOTES_CTE},
+m AS (
+  SELECT symbol, venue, epoch_us(trade_timestamp) AS ts_us, trade_id,
+         CASE WHEN venue = 'coinbase'
+              THEN epoch_us(trade_timestamp) END AS cb_ts,
+         CASE WHEN venue = 'binance'
+              THEN epoch_us(trade_timestamp) END AS bn_ts
+  FROM quotes
+),
+f AS (
+  SELECT symbol, venue, ts_us,
+         last_value(cb_ts IGNORE NULLS) OVER w AS last_cb,
+         last_value(bn_ts IGNORE NULLS) OVER w AS last_bn
+  FROM m
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_us, trade_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT symbol, venue, ts_us,
+         ts_us - CASE WHEN venue = 'coinbase' THEN last_bn
+                      ELSE last_cb END AS stale_us
+  FROM f
+)
+SELECT symbol, venue,
+       strftime(date_trunc('minute', to_timestamp(ts_us / 1000000.0)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_quotes,
+       CAST(sum(CASE WHEN stale_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_ref,
+       CAST(sum(stale_us) AS BIGINT) AS total_stale_us,
+       max(stale_us) AS max_stale_us
+FROM s GROUP BY 1, 2, 3
+""",
+    doc="Cross-venue quote staleness on the STREAMING surface, "
+    "physically executed — the live monitor a desk actually runs "
+    "(is the feed I'm arbitraging against stale RIGHT NOW?): per "
+    "symbol an applyInPandasWithState processor carries each venue's "
+    "LAST QUOTE TIME (two BIGINTs per symbol — state scales with key "
+    "cardinality, never tick volume), stamps every arriving quote "
+    "with the opposite venue's age (exact integer microseconds, "
+    "composite (ts_us, trade_id) order), reduces to per-(symbol, "
+    "venue, minute) counts/total/max, and appends through a "
+    "checkpointed parquet sink drained with trigger(availableNow). "
+    "Oracle = the batch LOCF staleness chain minute-grouped — "
+    "stream==batch, extending the T3 stateful matrix to the "
+    "staleness family (single-drain determinism protocol as the "
+    "streaming OFI twin).",
+    tags=("streaming", "finance", "microstructure", "stateful"),
+)
+def streaming_cross_venue_staleness_1m(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.ticks import events_as_quotes
+
+    def stale_minutes(key, pdf_iter, state):
+        import numpy as np
+
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["ts_us", "trade_id"])
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+        is_cb = (rows["venue"] == "coinbase").to_numpy()
+        cb = pd.Series(np.where(is_cb, ts, np.nan), dtype="float64")
+        bn = pd.Series(np.where(~is_cb, ts, np.nan), dtype="float64")
+        if state.exists:
+            p_cb, p_bn = state.get
+            if len(cb) and np.isnan(cb.iloc[0]) and p_cb >= 0:
+                cb.iloc[0] = float(p_cb)
+            if len(bn) and np.isnan(bn.iloc[0]) and p_bn >= 0:
+                bn.iloc[0] = float(p_bn)
+        lcb = cb.ffill().to_numpy()
+        lbn = bn.ffill().to_numpy()
+        ref = np.where(is_cb, lbn, lcb)
+        stale = pd.array(ts - ref, dtype="Int64")
+        out = pd.DataFrame(
+            {
+                "symbol": key[0],
+                "venue": rows["venue"].to_numpy(),
+                "minute_us": (ts // 60_000_000) * 60_000_000,
+                "stale_us": stale,
+            }
+        )
+        g = out.groupby(["venue", "minute_us"], sort=True)
+        res = g.agg(
+            n_quotes=("stale_us", "size"),
+            n_with_ref=("stale_us", "count"),
+            total_stale_us=("stale_us", "sum"),
+            max_stale_us=("stale_us", "max"),
+        ).reset_index()
+        # SQL sum over zero referenced rows is NULL, pandas Int64 sum
+        # is 0 — align with the oracle (and the batch twin's F.sum)
+        res.loc[res["n_with_ref"] == 0, "total_stale_us"] = pd.NA
+        res.insert(0, "symbol", key[0])
+        res["window_start_us"] = res.pop("minute_us")
+        # single-drain determinism: every minute in this batch is final;
+        # a continuous pipeline would carry
+        # state.update((last_cb_or_-1, last_bn_or_-1)) instead
+        state.remove()
+        return iter([res])
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cpsstale_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "stale")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = events_as_quotes(
+        read_parquet_stream(spark, src, events.schema)
+    ).select(
+        "symbol",
+        "venue",
+        F.unix_micros("trade_timestamp").alias("ts_us"),
+        "trade_id",
+    )
+    minutes = stream.groupBy("symbol").applyInPandasWithState(
+        stale_minutes,
+        outputStructType=(
+            "symbol string, venue string, n_quotes long, n_with_ref long, "
+            "total_stale_us long, max_stale_us long, window_start_us long"
+        ),
+        stateStructType="last_cb long, last_bn long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with scoped_shuffle_partitions(spark, 16):
+        drain(
+            start_parquet_stream(
+                minutes,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="stale_1m_stream",
+            )
+        )
+    out = spark.read.schema(minutes.schema).parquet(out_path)
+    return out.select(
+        "symbol",
+        "venue",
+        fmt_ts(F.timestamp_micros(F.col("window_start_us")), "window_start"),
+        "n_quotes",
+        "n_with_ref",
+        "total_stale_us",
+        "max_stale_us",
+    )
