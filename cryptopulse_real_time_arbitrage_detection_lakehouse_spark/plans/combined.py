@@ -88,6 +88,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
     "medallion": [
         ('candle_donchian_touches', ['n_minutes', 'n_upper_touches', 'n_lower_touches']),
         ('candle_momentum_replay', ['n_obs', 'n_trades', 'final_pos', 'total_pnl_q', 'max_drawdown_q']),
+        ('candle_range_volatility', ['n_minutes', 's_hl2', 's_co2', 's_rs']),
         ('candle_gapfill_locf', ['trade_count']),
         ('candle_heikin_ashi', []),
         ('candle_holt_forecast', []),

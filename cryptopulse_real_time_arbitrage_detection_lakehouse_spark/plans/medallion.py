@@ -3745,3 +3745,131 @@ def candle_momentum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_pnl_q").cast("double") / s).alias("total_pnl"),
         (F.col("max_drawdown_q").cast("double") / s).alias("max_drawdown"),
     )
+
+
+#: ln-grid scale for the range-volatility estimators: 1e-4 ln units.
+#: Coarse enough that squares of SYNTHETIC-tape log-ranges (random
+#: prices span up to ~5e4x inside one minute, ln ~ 10.8) summed over a
+#: day stay far inside 2^53 for the exact double conversion; 1e-4
+#: resolution on a log-range is far below estimator noise.
+_VOL_LN_GRID = 10_000.0
+#: ln(2) spelled as the same double literal in both engines.
+_LN2 = 0.6931471805599453
+#: |grid log-range| bound (ln ratio <= 30): squares <= 9e10, a day of
+#: minutes <= ~1e14 — exact in BIGINT and under 2^53, enforced loudly.
+_VOL_LMAX = 300_000
+
+
+@register(
+    "candle_range_volatility",
+    oracle=f"""
+WITH {EVENTS_TICKS_CTE},
+gold AS ({_GOLD_ORACLE_BODY}),
+g AS (
+  SELECT symbol, substring(window_start, 1, 10) AS day,
+         CAST(round(ln(high) * {_VOL_LN_GRID!r}) AS BIGINT) AS lh,
+         CAST(round(ln(low) * {_VOL_LN_GRID!r}) AS BIGINT) AS ll,
+         CAST(round(ln(open) * {_VOL_LN_GRID!r}) AS BIGINT) AS lo,
+         CAST(round(ln(close) * {_VOL_LN_GRID!r}) AS BIGINT) AS lc
+  FROM gold WHERE low > 0.0
+),
+s AS (
+  SELECT symbol, day, count(*) AS n_minutes,
+         CAST(sum((lh - ll) * (lh - ll)) AS BIGINT) AS s_hl2,
+         CAST(sum((lc - lo) * (lc - lo)) AS BIGINT) AS s_co2,
+         CAST(sum((lh - lc) * (lh - lo) + (ll - lc) * (ll - lo))
+              AS BIGINT) AS s_rs
+  FROM g GROUP BY 1, 2
+)
+SELECT symbol, day, n_minutes, s_hl2, s_co2, s_rs,
+       CAST(s_hl2 AS DOUBLE)
+         / (((4.0 * {_LN2!r}) * CAST(n_minutes AS DOUBLE))
+            * ({_VOL_LN_GRID!r} * {_VOL_LN_GRID!r})) AS parkinson_sigma2,
+       ((0.5 * CAST(s_hl2 AS DOUBLE))
+        - (((2.0 * {_LN2!r}) - 1.0) * CAST(s_co2 AS DOUBLE)))
+         / (CAST(n_minutes AS DOUBLE)
+            * ({_VOL_LN_GRID!r} * {_VOL_LN_GRID!r})) AS gk_sigma2,
+       CAST(s_rs AS DOUBLE)
+         / (CAST(n_minutes AS DOUBLE)
+            * ({_VOL_LN_GRID!r} * {_VOL_LN_GRID!r})) AS rs_sigma2
+FROM s
+""",
+    doc="Range-based volatility estimators per (symbol, day) — "
+    "Parkinson (1980) high-low, Garman-Klass (1980) OHLC, and "
+    "Rogers-Satchell (1991, drift-free) over the 1-minute candle "
+    "table: 5-8x more efficient than close-to-close variance at the "
+    "same sample size, the standard daily risk dials a desk derives "
+    "from candles it already has. Each log price lands on the exact "
+    "1e-4 ln grid (round(ln(x)*1e4) — the Zipf/TF-IDF ln-grid idiom "
+    "at a coarseness chosen so daily sums of squared log-ranges stay "
+    "inside 2^53 even on this synthetic tape's 5e4x minute ranges), "
+    "so every log-range difference, square, and cross product is "
+    "exact BIGINT arithmetic (|grid log-range| <= 3e5 ENFORCED: loud "
+    "assert, not silent drift) and "
+    "the daily sums are order-independent; the three estimators are "
+    "single identical IEEE chains over the exact sums (ln(2) spelled "
+    "as the same double literal in both engines). Zero-price minutes "
+    "are gated identically (the tape prints exact 0.0 at sf0.1). One "
+    "candle scan, one (symbol, day) reduction — map-side combinable.",
+    tags=("gold", "analytics", "finance", "aggregate"),
+)
+def candle_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gold_table(spark, sf_dir).filter(F.col("low") > 0.0)
+
+    def lq(col, name):
+        raw = F.round(F.log(F.col(col)) * F.lit(_VOL_LN_GRID)).cast("long")
+        return raw.alias(name)
+
+    q = g.select(
+        "symbol",
+        F.substring(F.col("window_start"), 1, 10).alias("day"),
+        lq("high", "lh"),
+        lq("low", "ll"),
+        lq("open", "lo"),
+        lq("close", "lc"),
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            (F.abs(F.col("lh") - F.col("ll")) <= F.lit(_VOL_LMAX))
+            & (F.abs(F.col("lc") - F.col("lo")) <= F.lit(_VOL_LMAX)),
+            F.lit(
+                "candle_range_volatility: |grid log-range| > 3e6 — "
+                "BIGINT square exactness bound violated"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    dhl = F.col("lh") - F.col("ll") + guard
+    dco = F.col("lc") - F.col("lo")
+    rs_term = (F.col("lh") - F.col("lc")) * (F.col("lh") - F.col("lo")) + (
+        F.col("ll") - F.col("lc")
+    ) * (F.col("ll") - F.col("lo"))
+    s = q.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum(dhl * dhl).alias("s_hl2"),
+        F.sum(dco * dco).alias("s_co2"),
+        F.sum(rs_term).alias("s_rs"),
+    )
+    n_d = F.col("n_minutes").cast("double")
+    g2 = F.lit(_VOL_LN_GRID) * F.lit(_VOL_LN_GRID)
+    return s.select(
+        "symbol",
+        "day",
+        "n_minutes",
+        "s_hl2",
+        "s_co2",
+        "s_rs",
+        (
+            F.col("s_hl2").cast("double")
+            / (F.lit(4.0) * F.lit(_LN2) * n_d * g2)
+        ).alias("parkinson_sigma2"),
+        (
+            (
+                F.lit(0.5) * F.col("s_hl2").cast("double")
+                - (F.lit(2.0) * F.lit(_LN2) - F.lit(1.0))
+                * F.col("s_co2").cast("double")
+            )
+            / (n_d * g2)
+        ).alias("gk_sigma2"),
+        (F.col("s_rs").cast("double") / (n_d * g2)).alias("rs_sigma2"),
+    )
