@@ -167,6 +167,7 @@ _MEMBERS: dict[str, list[tuple[str, list[str]]]] = {
         ('tick_lead_lag_hy', ['lag_s', 'n_pairs', 'hy_cov_q']),
         ('tick_imbalance_forward_returns', ['imb_bucket', 'n_quotes', 'n_up', 'n_down']),
         ('tick_cross_venue_staleness', ['n_quotes', 'n_with_ref', 'total_stale_us', 'max_stale_us']),
+        ('tick_venue_lead_lag_hy', ['lag_s', 'n_pairs', 'hy_cov_q']),
         ('candle_realized_variance_jumps', ['n_returns']),
         ('tick_effective_spread_by_side', ['n_trades', 'n_inside_quotes', 'n_through_quotes']),
         ('tick_implementation_shortfall', ['n_trades', 'n_buys']),

@@ -141,3 +141,76 @@ def test_lead_lag_hy_matches_bruteforce(spark, tmp_path, seed):
         for (a, b), (n, c) in cov.items():
             if n > 0:
                 assert got[(f"S{a}", f"S{b}", lag_s)] == (n, c), lag_s
+
+
+def _mk_events_venued(spark, tmp_path, ticks):
+    """ticks: (symbol_idx, venue_odd, ts_us, price); venue role-play is
+    event_id parity (even = coinbase, odd = binance)."""
+    rows = [
+        (
+            i * 2 + (1 if venue_odd else 0),
+            EPOCH + dt.timedelta(microseconds=ts_us),
+            sym,
+            "click",
+            float(price),
+            json.dumps({"k": i % 11}),
+        )
+        for i, (sym, venue_odd, ts_us, price) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "hyv_events")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    return d
+
+
+def _brute_venue_hy(ticks, lag_us=0):
+    """O(n^2) per-symbol coinbase-vs-binance HY (binance shifted)."""
+    per = {}
+    for i, (sym, venue_odd, ts, price) in enumerate(ticks):
+        per.setdefault((sym, venue_odd), []).append((ts, 2 * i, price))
+    iv = {}
+    for key, rows in per.items():
+        rows.sort()
+        iv[key] = [
+            (t0, t1, p1 - p0)
+            for (t0, _a, p0), (t1, _b, p1) in zip(rows, rows[1:])
+            if t0 < t1
+        ]
+    out = {}
+    for sym in sorted({s for s, _v in per}):
+        n, c = 0, 0
+        for (a0, a1, ra) in iv.get((sym, False), []):
+            for (b0, b1, rb) in iv.get((sym, True), []):
+                if max(a0, b0 - lag_us) < min(a1, b1 - lag_us):
+                    n += 1
+                    c += math.floor(ra * rb * 100.0)
+        out[sym] = (n, c)
+    return out
+
+
+def test_venue_lead_lag_hy_matches_bruteforce(spark, tmp_path):
+    rng = random.Random(99)
+    ticks = []
+    for i in range(110):
+        ticks.append(
+            (
+                rng.randrange(3),
+                bool(rng.getrandbits(1)),
+                rng.randrange(7_200 * US),
+                round(rng.uniform(1.0, 500.0), 2),
+            )
+        )
+    d = _mk_events_venued(spark, tmp_path, ticks)
+    got = {
+        (r.symbol, r.lag_s): (r.n_pairs, r.hy_cov_q)
+        for r in plans.get("tick_venue_lead_lag_hy").fn(spark, d).collect()
+    }
+    for lag_s in (-60, -10, 0, 10, 60):
+        want = _brute_venue_hy(ticks, lag_us=lag_s * US)
+        for sym, (n, c) in want.items():
+            if n > 0:
+                assert got[(f"S{sym}", lag_s)] == (n, c), lag_s

@@ -1003,3 +1003,12 @@ def test_lead_lag_hy_join_never_cartesian(spark):
     for line in p.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
+
+
+def test_venue_lead_lag_hy_join_never_cartesian(spark):
+    p = plan_of(spark, "tick_venue_lead_lag_hy")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
