@@ -1632,3 +1632,155 @@ def streaming_cross_venue_staleness_1m(
         "total_stale_us",
         "max_stale_us",
     )
+
+
+#: momentum-replay constants shared with plans/medallion (same literal
+#: values; import would be circular-ish noise for two ints).
+_MR_SCALE = 1 << 20
+_MR_CAP = 5
+
+
+@register(
+    "streaming_momentum_replay",
+    oracle=f"""
+WITH RECURSIVE {EVENTS_TICKS_CTE},
+gold AS (
+  SELECT symbol, date_trunc('minute', trade_timestamp) AS w,
+         arg_max(price,
+                 epoch_us(trade_timestamp)::HUGEINT * 1000000000000
+                 + trade_id) AS close
+  FROM ticks GROUP BY 1, 2
+),
+ranked AS MATERIALIZED (
+  SELECT symbol,
+         CAST(floor(close * {float(_MR_SCALE)!r}) AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY symbol ORDER BY w) AS rn
+  FROM gold
+),
+rec(symbol, rn, q, pos, cum, peak, mdd, ntr) AS (
+  SELECT symbol, rn, q, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         0::BIGINT
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.symbol, r.rn, r.q,
+         greatest(-{_MR_CAP}, least({_MR_CAP},
+             p.pos + CASE WHEN r.q > p.q THEN 1
+                          WHEN r.q < p.q THEN -1 ELSE 0 END)),
+         p.cum + p.pos * (r.q - p.q),
+         greatest(p.peak, p.cum + p.pos * (r.q - p.q)),
+         greatest(p.mdd,
+                  greatest(p.peak, p.cum + p.pos * (r.q - p.q))
+                  - (p.cum + p.pos * (r.q - p.q))),
+         p.ntr + CASE WHEN greatest(-{_MR_CAP}, least({_MR_CAP},
+                          p.pos + CASE WHEN r.q > p.q THEN 1
+                                       WHEN r.q < p.q THEN -1 ELSE 0 END))
+                      <> p.pos THEN 1 ELSE 0 END
+  FROM ranked r JOIN rec p ON p.symbol = r.symbol AND r.rn = p.rn + 1
+)
+SELECT symbol, count(*) AS n_obs, max(ntr) AS n_trades,
+       arg_max(pos, rn) AS final_pos,
+       arg_max(cum, rn) AS total_pnl_q,
+       max(mdd) AS max_drawdown_q
+FROM rec GROUP BY symbol
+""",
+    doc="Inventory-clamped momentum replay on the STREAMING surface, "
+    "physically executed — the RECURSIVE family joining the T3 "
+    "stateful matrix: per symbol an applyInPandasWithState processor "
+    "reduces arriving ticks to minute closes (deterministic composite "
+    "(ts_us, trade_id) selection) and advances the exact-integer "
+    "backtest state machine (position clamped to +-{cap}, "
+    "mark-to-move PnL, running peak/drawdown — "
+    "operators/recursive.keyed_momentum_replay's recurrence) across "
+    "micro-batches, draining each symbol's summary through a "
+    "checkpointed append sink. State is SIX integers per symbol at "
+    "any tick volume. Oracle = the batch recursive-CTE replay over "
+    "the gold close series — stream == batch for a NON-ASSOCIATIVE "
+    "per-key recursion (the clamp breaks every chunk-carry scheme; "
+    "single-drain determinism protocol as the OFI/staleness twins: "
+    "the drain holds each symbol's full history, so the final summary "
+    "is exact; a continuous pipeline would state.update() the open "
+    "tuple instead of emitting).".format(cap=_MR_CAP),
+    tags=("streaming", "finance", "backtest", "stateful", "recursive"),
+)
+def streaming_momentum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scale, cap = float(_MR_SCALE), _MR_CAP
+
+    def replay(key, pdf_iter, state):
+        import math
+
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["ts_us", "trade_id"])
+        rows["minute_us"] = (rows["ts_us"] // 60_000_000) * 60_000_000
+        closes = rows.groupby("minute_us", sort=True)["price"].last()
+        qs = [int(math.floor(p * scale)) for p in closes]
+        pos = cum = peak = mdd = ntr = 0
+        prev = None
+        for q in qs:
+            if prev is not None:
+                m = q - prev
+                cum += pos * m
+                peak = max(peak, cum)
+                mdd = max(mdd, peak - cum)
+                step = 1 if m > 0 else (-1 if m < 0 else 0)
+                new_pos = max(-cap, min(cap, pos + step))
+                if new_pos != pos:
+                    ntr += 1
+                pos = new_pos
+            prev = q
+        res = pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "n_obs": [len(qs)],
+                "n_trades": [ntr],
+                "final_pos": [pos],
+                "total_pnl_q": [cum],
+                "max_drawdown_q": [mdd],
+            }
+        )
+        # single-drain determinism: the batch holds the full history; a
+        # continuous pipeline would state.update() the open tuple
+        state.remove()
+        return iter([res])
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cpsmr_")
+    src = os.path.join(root, "src")
+    out_path = os.path.join(root, "replay")
+    ckpt = os.path.join(root, "ckpt")
+    events.coalesce(1).write.parquet(src)
+
+    stream = events_as_ticks(
+        read_parquet_stream(spark, src, events.schema)
+    ).select(
+        "symbol",
+        F.unix_micros("trade_timestamp").alias("ts_us"),
+        "trade_id",
+        "price",
+    )
+    summaries = stream.groupBy("symbol").applyInPandasWithState(
+        replay,
+        outputStructType=(
+            "symbol string, n_obs long, n_trades long, final_pos long, "
+            "total_pnl_q long, max_drawdown_q long"
+        ),
+        stateStructType=(
+            "prev_q long, pos long, cum long, peak long, mdd long, "
+            "ntr long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with scoped_shuffle_partitions(spark, 16):
+        drain(
+            start_parquet_stream(
+                summaries,
+                path=out_path,
+                checkpoint=ckpt,
+                query_name="momentum_replay_stream",
+            )
+        )
+    return spark.read.schema(summaries.schema).parquet(out_path)
