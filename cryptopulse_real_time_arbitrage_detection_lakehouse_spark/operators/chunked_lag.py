@@ -58,21 +58,24 @@ def chunked_lag(
         df = df.localCheckpoint(eager=True)
     d = df.withColumn("__chunk", chunk)
     w_local = W.partitionBy(*key_cols, "__chunk").orderBy(order_col)
-    w_local_desc = W.partitionBy(*key_cols, "__chunk").orderBy(
-        F.col(order_col).desc()
-    )
-    # __lag, __rn, __rn_desc all ride the SAME (key, chunk) exchange; the
+    # whole-partition frame (no orderBy): the count rides the SAME
+    # exchange AND the same ascending sort as __lag/__rn — the previous
+    # descending row_number forced a second per-partition Sort (guide
+    # §2.4: operations keyed the same way should share one exchange; here
+    # they also share one sort). "last row" is then __rn == __cnt.
+    w_all = W.partitionBy(*key_cols, "__chunk")
+    # __lag, __rn, __cnt all ride the SAME (key, chunk) exchange; the
     # tails branch below filters this very subtree, so Spark reuses the
     # shuffle instead of recomputing the upstream pipeline twice.
     local = (
         d.withColumn("__lag", F.lag(value_col).over(w_local))
         .withColumn("__rn", F.row_number().over(w_local))
-        .withColumn("__rn_desc", F.row_number().over(w_local_desc))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w_all))
     )
 
     # one row per (key, chunk): the chunk's last value in order — extracted
     # from `local` (shared lineage), not recomputed from `df`
-    tails = local.filter(F.col("__rn_desc") == 1).select(
+    tails = local.filter(F.col("__rn") == F.col("__cnt")).select(
         *key_cols, "__chunk", F.col(value_col).alias("__tail")
     )
     # sequential pass over the SUMMARY only: the previous non-empty
@@ -94,4 +97,4 @@ def chunked_lag(
         out_col,
         F.when(F.col("__rn") == 1, F.col("__prev_tail")).otherwise(F.col("__lag")),
     )
-    return out.drop("__chunk", "__lag", "__rn", "__rn_desc", "__prev_tail")
+    return out.drop("__chunk", "__lag", "__rn", "__cnt", "__prev_tail")

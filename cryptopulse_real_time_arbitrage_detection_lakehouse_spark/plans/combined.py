@@ -24,8 +24,12 @@ columns are already covered by the member's own hash entry).
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .registry import get, register
 
@@ -264,6 +268,28 @@ def _oracle_fingerprint(oracle: str, name: str, cols: list[str]) -> str:
     )
 
 
+#: result schema of every combined audit (matches the oracle UNION's
+#: column names/types: query VARCHAR, n BIGINT, isum BIGINT-or-NULL)
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("isum", T.LongType(), True),
+    ]
+)
+
+
+def _audit_workers() -> int:
+    """Concurrent member-fingerprint jobs (guide §2.6: overlap independent
+    jobs so one member's straggler tail back-fills with the next member's
+    tasks). Parameterised for the cluster via SPARK_GRAFT_AUDIT_THREADS;
+    the local default keeps the driver's bench comparable."""
+    env = os.environ.get("SPARK_GRAFT_AUDIT_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(8, os.cpu_count() or 4)
+
+
 def _register_combined(
     name: str, spec: list[tuple[str, list[str]]], doc: str, tags: tuple[str, ...]
 ) -> None:
@@ -272,11 +298,29 @@ def _register_combined(
     )
 
     def combined(spark: SparkSession, sf_dir: str, _spec=spec) -> DataFrame:
-        out = None
-        for m, cols in _spec:
+        # r12 optimization: the serial form built one ~|members|-branch
+        # union plan; member fn() construction (eager `shared()`
+        # checkpoints, fixture builds) ran single-threaded on the driver
+        # — 64 s of serial driver time for the 183-member registry row at
+        # sf0.1 even warm. Each member's fingerprint is ONE bounded row,
+        # so compute them as overlapping jobs from a small thread pool
+        # (guide §2.6) and assemble the same rows in the same member
+        # order. Still recomputed from the parquet inputs on every
+        # invocation — nothing is memoized across calls.
+        def one(entry: tuple[str, list[str]]) -> tuple[str, int, int | None]:
+            m, cols = entry
             fp = _spark_fingerprint(get(m).fn(spark, sf_dir), m, cols)
-            out = fp if out is None else out.unionByName(fp)
-        return out
+            row = fp.collect()[0]
+            isum = row["isum"]
+            return (m, int(row["n"]), None if isum is None else int(isum))
+
+        workers = _audit_workers()
+        if workers <= 1:
+            rows = [one(e) for e in _spec]
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                rows = list(pool.map(one, _spec))
+        return spark.createDataFrame(rows, _FP_SCHEMA)
 
     register(name, oracle=member_oracles, doc=doc, tags=tags)(combined)
 

@@ -69,7 +69,7 @@ def _build_delta_table(
         table.write(
             events.filter(F.col("event_type") == etype)
             .select(*_EVENT_COLS)
-            .repartition(1)
+            .coalesce(1)
         )
         if checkpoint_after is not None and i == checkpoint_after:
             table.checkpoint(spark)
@@ -180,7 +180,7 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             table.write(
                 events.filter(F.col("event_type") == etype)
                 .select(*_EVENT_COLS)
-                .repartition(1)
+                .coalesce(1)
             )
     source = (
         events.filter(F.col("event_type").isin("click", "view"))
@@ -263,7 +263,7 @@ def delta_partitioned_stream_counts(spark: SparkSession, sf_dir: str) -> DataFra
             events.filter(F.col("event_type") == etype)
             .select(*_EVENT_COLS)
             .withColumn("event_date", F.to_date("ts"))
-            .repartition(1),
+            .coalesce(1),
             partition_by=["event_date"],
         )
     root = tempfile.mkdtemp(prefix="cpdeltapartstream_")
@@ -315,7 +315,7 @@ def pyds_delta_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             events.filter(F.col("event_type") == etype)
             .select(*_EVENT_COLS)
             .withColumn("event_date", F.to_date("ts"))
-            .repartition(1),
+            .coalesce(1),
             partition_by=["event_date"],
         )
     pyds.register(spark)
@@ -374,7 +374,7 @@ def pyds_stream_skip_change_audit(
         table.write(
             events.filter(F.col("event_type") == etype)
             .select(*_EVENT_COLS)
-            .repartition(1)
+            .coalesce(1)
         )
     # rewrite commit: every click gets a new image (remove + add)
     table.update(
@@ -388,7 +388,7 @@ def pyds_stream_skip_change_audit(
     table.write(
         events.filter(F.col("event_type") == "purchase")
         .select(*_EVENT_COLS)
-        .repartition(1)
+        .coalesce(1)
     )
     pyds.register(spark)
     root = tempfile.mkdtemp(prefix="cppydsk_out_")
@@ -452,8 +452,8 @@ def pyds_stream_where_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sl = events.filter(F.col("event_type") == etype).select(*_EVENT_COLS)
         # value-disjoint files: the first is provably below the
         # predicate (stats-pruned whole), the second does real filtering
-        table.write(sl.filter(F.col("value") < 50.0).repartition(1))
-        table.write(sl.filter(F.col("value") >= 50.0).repartition(1))
+        table.write(sl.filter(F.col("value") < 50.0).coalesce(1))
+        table.write(sl.filter(F.col("value") >= 50.0).coalesce(1))
     pyds.register(spark)
     root = tempfile.mkdtemp(prefix="cppydsw_out_")
     out_path = os.path.join(root, "out")
@@ -1058,7 +1058,7 @@ def delta_mapped_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("user_id").alias("uid"), F.col("value").alias("amount")
             ).alias("payload"),
         )
-        .repartition(1)
+        .coalesce(1)
     )
     table.enable_column_mapping()
     table.rename_column("payload", "data")
@@ -1072,7 +1072,7 @@ def delta_mapped_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("user_id").alias("uid"), F.col("value").alias("val")
             ).alias("data"),
         )
-        .repartition(1)
+        .coalesce(1)
     )
     got = table.read(spark)
     return got.groupBy("event_type").agg(
@@ -1121,7 +1121,7 @@ def delta_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_after = table.write(
         events.filter(F.col("event_type") == "purchase")
         .select(*_EVENT_COLS)
-        .repartition(1)
+        .coalesce(1)
     )
     append_auto_retried = int(v_after == stolen + 1 and stolen == v_before + 1)
 
@@ -1139,7 +1139,7 @@ def delta_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 other.write(
                     events.filter(F.col("event_type") == etype)
                     .select(*_EVENT_COLS)
-                    .repartition(1)
+                    .coalesce(1)
                 )
             return out
 
@@ -1212,14 +1212,14 @@ def delta_ict_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.write(
             events.filter(F.col("event_type") == etype)
             .select(*_EVENT_COLS)
-            .repartition(1)
+            .coalesce(1)
         )
     table.enable_in_commit_timestamps()  # version 2
     for etype in ("purchase", "signup"):
         table.write(
             events.filter(F.col("event_type") == etype)
             .select(*_EVENT_COLS)
-            .repartition(1)
+            .coalesce(1)
         )
     log = os.path.join(table.path, "_delta_log")
     icts: dict[int, int] = {}
@@ -1283,14 +1283,14 @@ def delta_check_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("bogus").alias("event_type"),
                 "value",
             )
-            .repartition(1)
+            .coalesce(1)
         )
     except ValueError:
         refused = 1
     table.write(
         events.filter(F.col("event_type") == "click")
         .select(*_EVENT_COLS)
-        .repartition(1)
+        .coalesce(1)
     )
     got = table.read(spark)
     return got.groupBy("event_type").agg(
@@ -1377,7 +1377,7 @@ def delta_idmode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.create(sel.schema, mapping_mode="id")
     for etype in ("click", "purchase"):
         table.write(
-            sel.filter(F.col("event_type") == etype).repartition(1)
+            sel.filter(F.col("event_type") == etype).coalesce(1)
         )
     complete = 1
     for name in os.listdir(table.path):
@@ -1595,7 +1595,7 @@ def delta_row_tracking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(
         events.filter(F.col("event_type") == "click")
         .select(*cols)
-        .repartition(1)
+        .coalesce(1)
         .sortWithinPartitions("event_id")
     )
     table.enable_row_tracking()  # v1: backfill + hwm domain
@@ -1603,7 +1603,7 @@ def delta_row_tracking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(
         events.filter(F.col("event_type") == "purchase")
         .select(*cols)
-        .repartition(1)
+        .coalesce(1)
         .sortWithinPartitions("event_id")
     )
     # v3: UPDATE preserves ids, bumps versions on matched rows only
@@ -1880,7 +1880,7 @@ def delta_append_only_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view_again = (
         events.filter(F.col("event_type") == "view")
         .select(*_EVENT_COLS)
-        .repartition(1)
+        .coalesce(1)
     )
     flags = (
         refused(lambda: table.delete(spark, "value < 10")),
@@ -2004,7 +2004,7 @@ def delta_type_widening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = DeltaTable(tempfile.mkdtemp(prefix="cpwiden_") + "/events_delta")
     for etype in _BATCH_TYPES:
         table.write(
-            narrow.filter(F.col("event_type") == etype).repartition(1)
+            narrow.filter(F.col("event_type") == etype).coalesce(1)
         )
     _m, adds_before = table._snapshot_state(None)
     table.widen_column_type("user_id", "long")
@@ -2026,7 +2026,7 @@ def delta_type_widening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("view_wide").alias("event_type"),
             (F.col("value").cast("double") * 2).alias("value"),
         )
-        .repartition(1)
+        .coalesce(1)
     )
     return table.read(spark).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2425,7 +2425,7 @@ def delta_identity_column_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.write(
             events.filter(F.col("event_type") == etype)
             .select("event_id", "event_type", "value")
-            .repartition(1)
+            .coalesce(1)
         )
     try:
         table.write(
@@ -2569,7 +2569,7 @@ def delta_maintenance_lifecycle_audit(
         table.write(
             events.filter(F.col("event_type") == etype)
             .select("event_id", "event_type")
-            .repartition(1)
+            .coalesce(1)
         )
     n_ckpts = len(
         [
@@ -2728,7 +2728,7 @@ def delta_merge_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(
         events.filter(F.col("event_type") == 'click')
         .select("event_id", "event_type")
-        .repartition(1)
+        .coalesce(1)
     )
     hwm0 = table._identity_columns(table._snapshot_state(None)[0])[
         "row_id"
@@ -2985,7 +2985,7 @@ def delta_mapped_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(
         events.filter(F.col("event_type").isin("click", "view"))
         .select("event_id", "event_type", "value")
-        .repartition(1)
+        .coalesce(1)
     )
     table.enable_column_mapping()
     table.rename_column("value", "amount")
@@ -2994,7 +2994,7 @@ def delta_mapped_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", "event_type", F.col("value").alias("amount")
         )
-        .repartition(1)
+        .coalesce(1)
     )
     root = tempfile.mkdtemp(prefix="cpmaps_out_")
     out_path = os.path.join(root, "out")
@@ -3054,13 +3054,13 @@ def pyds_mapped_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.write(
         events.filter(F.col("event_type").isin("click", "view"))
         .select("event_id", "event_type", "value")
-        .repartition(1)
+        .coalesce(1)
     )
     table.rename_column("value", "amount")
     table.write(
         events.filter(F.col("event_type") == "purchase")
         .select("event_id", "event_type", F.col("value").alias("amount"))
-        .repartition(1)
+        .coalesce(1)
     )
     pyds.register(spark)
     root = tempfile.mkdtemp(prefix="cppydsm_out_")
@@ -3196,7 +3196,7 @@ def pyds_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             events.filter(F.col("event_type") == etype)
             .select("event_id", "event_type", "value")
-            .repartition(1)
+            .coalesce(1)
         )
 
     counts = {
@@ -3729,7 +3729,7 @@ def delta_txn_cleanup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = "cp-ingest"
     sl = lambda et: events.filter(  # noqa: E731
         F.col("event_type") == et
-    ).repartition(1)
+    ).coalesce(1)
     table.write(sl("click"), txn=(app, 1))  # v0
     table.write(sl("view"), txn=(app, 2))  # v1
     # dataChange=false tail: bumps the version past the txn commits so
@@ -3847,7 +3847,7 @@ def delta_version_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = DeltaTable(tempfile.mkdtemp(prefix="cpcrc_") + "/events_delta")
     for etype in _BATCH_TYPES:
         table.write(
-            events.filter(F.col("event_type") == etype).repartition(1)
+            events.filter(F.col("event_type") == etype).coalesce(1)
         )
     table.delete(spark, "event_type = 'click' AND value < 50")
     v = table.latest_version()
@@ -4245,7 +4245,7 @@ def delta_log_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = DeltaTable(tempfile.mkdtemp(prefix="cplogcmp_") + "/events_delta")
     sl = lambda et: events.filter(  # noqa: E731
         F.col("event_type") == et
-    ).repartition(1)
+    ).coalesce(1)
     t.write(sl("click"))                                   # v0
     t.write(sl("purchase"))                                # v1
     t.delete(spark, "event_type = 'purchase'")             # v2: removes v1

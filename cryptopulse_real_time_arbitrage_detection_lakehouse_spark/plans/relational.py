@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import davg, dsum, sql_davg, sql_dsum
-from ..operators.partitioning import shared
+from ..operators.partitioning import shared, spread
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -44,8 +44,23 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # r12: the exact-decimal sums are BigDecimal-backed (sum buffer
+    # decimal(35,10) exceeds the long-backed 18-digit fast path), which
+    # makes the partial aggregation the dominant per-task cost — 1.55 s
+    # single-task vs 0.36 s for plain double sums at sf0.1. `spread`
+    # widens the scan to cluster parallelism ONLY when the input arrives
+    # narrower (the sf0.1 file is one row group -> one task); at 100 TB
+    # the scan is already wide and no exchange is added (guide §1.2:
+    # per-task work, parallelised scale-adaptively). Measured 1.55 ->
+    # 0.76 s for the agg stage.
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        spread(filtered)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -85,6 +100,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer scales with SF — no forced broadcast (a hint pinned here
     # would OOM at 100x); AQE's join-strategy switching broadcasts it at
     # small SF anyway. nation is bounded (25 rows) so its hint is safe.
+    # (r12: a spread() here was measured to NOT pay — one dsum's
+    # BigDecimal load ~0.2 s vs the added exchange ~0.3 s; q1 keeps its
+    # spread because it carries SEVEN decimal aggregates.)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)

@@ -260,17 +260,21 @@ ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
 #: a module constant and the testdata tables are immutable; the index
 #: lives on disk so it survives Spark session restarts within a process.
 _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
+#: build serialization for thread-pooled combined-audit members — a
+#: check-then-build race would build an index twice (wasteful, not wrong)
+_ANN_INDEX_LOCK = __import__("threading").Lock()
 
 
 def _cached_index_path(kind: str, sf_dir: str, build) -> str:
     import tempfile
 
     key = (kind, os.path.abspath(sf_dir))
-    path = _ANN_INDEX_CACHE.get(key)
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix=f"cp{kind}_") + f"/{kind}_index"
-        build(path)
-        _ANN_INDEX_CACHE[key] = path
+    with _ANN_INDEX_LOCK:
+        path = _ANN_INDEX_CACHE.get(key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix=f"cp{kind}_") + f"/{kind}_index"
+            build(path)
+            _ANN_INDEX_CACHE[key] = path
     return path
 
 
@@ -1762,11 +1766,21 @@ def exact_threshold_join(
             "vec_id", F.md5(F.to_json(F.col("qx"))).alias("dig")
         )
     )
-    rep_ids = members.groupBy("dig").agg(F.min("vec_id").alias("rep_id"))
+    # r12 optimization (guide §2.4): representatives straight from ONE
+    # groupBy on the digest — the previous form joined q_all back to
+    # `members` and to a separate min-vec_id aggregate (two extra
+    # shuffles + a second full quantize/digest pass inside the eager
+    # checkpoint job). qx/n2 are functions of the digest (quantized-
+    # identical vectors), so min_by on vec_id picks the same rows the
+    # old rep filter kept, bit-for-bit.
     q = shared(
-        q_all.join(members, "vec_id")
-        .join(rep_ids, ["dig"])
-        .filter(F.col("vec_id") == F.col("rep_id"))
+        q_all.withColumn("dig", F.md5(F.to_json(F.col("qx"))))
+        .groupBy("dig")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.min_by("qx", "vec_id").alias("qx"),
+            F.min_by("n2", "vec_id").alias("n2"),
+        )
         .select("dig", "vec_id", "qx", "n2")
     )
     # K x DIM centroid constants (the K smallest vec_ids — the same
@@ -1778,8 +1792,16 @@ def exact_threshold_join(
         .collect()
     ]
     cents = [(i, vec) for i, (_vid, vec) in enumerate(sorted(cents))]
-    assigned = _km_assign(q, cents).withColumn(
-        "cosc", F.col("score") / F.sqrt(F.col("n2").cast("double"))
+    # r12: checkpoint the assignment — it feeds THREE consumers (the
+    # radii collect below and both legs of the banded pair join), and
+    # without materialization each branch re-runs the Arrow matmul
+    # kernel over every distinct vector (guide §4: pay the Python
+    # boundary once). One row per distinct fingerprint, same width as
+    # the already-checkpointed `q`.
+    assigned = shared(
+        _km_assign(q, cents).withColumn(
+            "cosc", F.col("score") / F.sqrt(F.col("n2").cast("double"))
+        )
     )
     # per-cell angular radius: max angle to centroid = acos(min cosine)
     radii = {

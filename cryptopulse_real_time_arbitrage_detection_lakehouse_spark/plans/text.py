@@ -3001,6 +3001,8 @@ def doc_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: charges the build to a `:index_build` line, the query line measures
 #: the probe alone).
 _BLOOM_INDEX_CACHE: dict[str, str] = {}
+#: build serialization for thread-pooled combined-audit members
+_BLOOM_INDEX_LOCK = __import__("threading").Lock()
 
 
 def _bloom_bits_path(spark: SparkSession, sf_dir: str) -> str:
@@ -3009,8 +3011,10 @@ def _bloom_bits_path(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.bloom_index import write_bloom_bits
 
     key = os.path.abspath(sf_dir)
-    path = _BLOOM_INDEX_CACHE.get(key)
-    if path is None or not os.path.isdir(path):
+    with _BLOOM_INDEX_LOCK:
+        path = _BLOOM_INDEX_CACHE.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
         corpus = (
             spread(_docs(spark, sf_dir), by="doc_id")
             .filter(

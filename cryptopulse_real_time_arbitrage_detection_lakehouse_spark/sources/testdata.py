@@ -27,6 +27,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: identically regardless of how the testdata was written.
 _EVENT_TIME_COLUMNS = {"events": ("ts",)}
 
+#: (abs path, mtime) -> on-disk schema. Driver-side plan-construction
+#: cost: every ``spark.read.parquet`` call re-lists the path and re-reads
+#: the footer to infer the schema (~0.11 s warm vs ~0.025 s with an
+#: explicit schema, measured r12). Query fns call load_table hundreds of
+#: times per bench/correctness pass (the combined audits alone build ~160
+#: member plans), so schema inference was a double-digit-seconds
+#: driver-side tax (guide §7.3: planning work is single-threaded driver
+#: time). Caching the SCHEMA only — never the DataFrame object — keeps
+#: every call's expression IDs fresh, so multi-load self-joins (tpch_q21
+#: et al.) stay unambiguous, and nothing about execution changes: each
+#: run still scans the parquet from disk. mtime keys invalidation when a
+#: probe regenerates testdata at the same path.
+_SCHEMA_CACHE: dict = {}
+
 
 def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
@@ -43,7 +57,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # call could flip the conf before the lazy scan executes. A no-op
         # when the file stores micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (os.path.abspath(path), mtime)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for c in ts_cols:
         dt = df.schema[c].dataType
         if isinstance(dt, LongType):

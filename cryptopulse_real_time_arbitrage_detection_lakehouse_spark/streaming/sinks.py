@@ -16,6 +16,7 @@ the classpath to actually run.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -32,20 +33,39 @@ from pyspark.sql.streaming import StreamingQuery
 STREAM_SHUFFLE_PARTITIONS = 4
 
 
+#: re-entrancy guard: the combined audits (plans/combined.py) run member
+#: queries from a thread pool, so two drains' scopes can overlap. A naive
+#: save/restore pair would then restore the INNER scope's saved value (4)
+#: last and leave the session pinned narrow. Ref-count instead: the first
+#: scope to enter saves the prior width, the last to exit restores it.
+_SCOPE_LOCK = threading.Lock()
+_SCOPE_STATE: dict[str, list] = {}  # session key -> [depth, prior]
+
+
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
     """Temporarily set ``spark.sql.shuffle.partitions`` around a bounded
     stream start+drain. Streaming state partitioning is read from the
     session conf when the query's checkpoint is created — the fresh
     per-call checkpoints in `plans/streaming.py` make this scope exact —
-    and the conf is restored for whatever batch work follows."""
+    and the conf is restored for whatever batch work follows. Thread-safe
+    via ref-counting (overlapping scopes share one saved prior)."""
     key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    skey = spark.sparkContext.applicationId
+    with _SCOPE_LOCK:
+        state = _SCOPE_STATE.get(skey)
+        if state is None:
+            _SCOPE_STATE[skey] = state = [0, spark.conf.get(key)]
+        state[0] += 1
+        spark.conf.set(key, str(n))
     try:
         yield
     finally:
-        spark.conf.set(key, prior)
+        with _SCOPE_LOCK:
+            state[0] -= 1
+            if state[0] == 0:
+                spark.conf.set(key, state[1])
+                _SCOPE_STATE.pop(skey, None)
 
 
 def kafka_records(df: DataFrame, *, key: Column | str) -> DataFrame:

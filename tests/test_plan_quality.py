@@ -32,7 +32,11 @@ def test_gold_candles_is_single_shuffle(spark):
 
     df = medallion._gold(spark, SF_SMOKE)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("Exchange") == 1
+    # one HASH exchange for the windowed aggregation; `spread` may add
+    # one round-robin exchange when the scan arrives narrower than the
+    # cluster (one-row-group testdata) and adds none on a wide scan
+    assert 1 <= p.count("Exchange") <= 2
+    assert p.count("hashpartitioning") == 1
     # map-side partial aggregation before the exchange
     assert "partial" in p.lower()
 
@@ -40,7 +44,11 @@ def test_gold_candles_is_single_shuffle(spark):
 def test_tpch_q1_pushes_date_filter_to_scan(spark):
     p = plan_of(spark, "tpch_q1_pricing_summary")
     assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", p)
-    assert p.count("Exchange") == 1
+    # one hash exchange for the group-by; `spread` may add one
+    # round-robin exchange when the scan arrives narrower than the
+    # cluster (sf0.1's one-row-group file) and adds none on a wide scan
+    assert 1 <= p.count("Exchange") <= 2
+    assert p.count("hashpartitioning") == 1
 
 
 def test_silver_parse_is_narrow(spark):
@@ -747,11 +755,11 @@ def test_candle_range_rolling_plans_stay_chunk_parallel(spark):
 
 
 def test_pagerank_iterations_truncate_lineage(spark):
-    """part_copurchase_pagerank: each iteration's ranks checkpoint
-    eagerly, so the FINAL plan is a top-k over one ExistingRDD leaf —
-    were lineage kept, the plan would re-derive all 10 iterations (and
-    the edge self-join) per reference and this plan would carry joins,
-    exchanges, and grow O(K^2)."""
+    """part_copurchase_pagerank: the final ranks checkpoint eagerly
+    (r12: iterations in between stay one linear pipelined action), so
+    the FINAL plan is a top-k over one ExistingRDD leaf — were lineage
+    kept past the loop, the top-k would re-derive all 10 iterations and
+    the edge self-join on every action referencing it."""
     p = plan_of(spark, "part_copurchase_pagerank")
     assert "ExistingRDD" in p
     assert "TakeOrderedAndProject" in p
@@ -799,6 +807,29 @@ def test_iterative_plans_use_reliable_checkpoint_when_configured(spark):
     assert walked, "no reliable-checkpoint files written"
     assert sorted(map(tuple, pr(spark, SF_SMOKE).collect())) == before_pr
     assert sorted(map(tuple, lpa(spark, SF_SMOKE).collect())) == before_lpa
+
+
+def test_pagerank_contribs_cover_all_nodes(spark):
+    """The co-purchase graph is SYMMETRIC (_copurchase_pairs emits both
+    directions of every pair), so distinct src == distinct dst and every
+    node receives a contribution row each PageRank iteration. This is
+    the structural precondition for the r12 iteration shape, which damps
+    `contribs` directly instead of re-joining `nodes` per iteration (the
+    dropped left join could never miss); result equality itself is
+    pinned by the oracle suite's left-join SQL twin."""
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.plans.graph import (
+        _baskets,
+        _copurchase_pairs,
+    )
+    from cryptopulse_real_time_arbitrage_detection_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = _copurchase_pairs(_baskets(li), ordered=False)
+    srcs = {r.u for r in pairs.select("u").distinct().collect()}
+    dsts = {r.v for r in pairs.select("v").distinct().collect()}
+    assert srcs and srcs == dsts
 
 
 def test_pagerank_edge_derivation_shape(spark):
