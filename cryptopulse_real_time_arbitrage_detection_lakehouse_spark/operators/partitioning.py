@@ -16,17 +16,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame, *, by: str | None = None, partitions: int | None = None) -> DataFrame:
+def spread(
+    df: DataFrame,
+    *,
+    by: str | None = None,
+    partitions: int | None = None,
+    force: bool = False,
+) -> DataFrame:
     """Ensure at least ``partitions`` (default: cluster parallelism)
     partitions before a CPU-heavy stage; no-op when already wide enough.
 
     ``by`` hash-distributes on a key column (keeps any later shuffle on the
     same key co-partitioned); otherwise round-robin.
+
+    ``force=True`` repartitions even when the input is already wide, at
+    width max(current, target) — for call sites where establishing the
+    ``by`` clustering itself is the optimization (e.g. shuffling compact
+    parent rows by key BEFORE an explode so the downstream per-key
+    aggregation needs no exchange over the exploded mass; guide §2.3 /
+    §3.3). A pinned width is used instead of a bare ``repartition(by)``
+    because AQE would otherwise coalesce a small shuffle to one
+    partition and serialize the explode it feeds.
     """
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    cur = df.rdd.getNumPartitions()
+    if not force and cur >= target:
         return df
-    return df.repartition(target, by) if by else df.repartition(target)
+    width = max(cur, target)
+    return df.repartition(width, by) if by else df.repartition(width)
 
 
 def write_bucketed(

@@ -2140,7 +2140,21 @@ WHERE n_dup_grams > 0
 def doc_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r12 (guide §2.3 shuffle fewer bytes / §3.3 explode after the
+    # exchange): hash-repartition the DOCUMENTS by doc_id BEFORE the
+    # 40-char gram explode. Clustering on doc_id satisfies the
+    # (gram, doc_id) aggregation's required distribution, so the plan
+    # sheds the post-explode exchange of every 40-byte gram (~40x the
+    # text bytes) and shuffles each document's text exactly once — at
+    # ANY scale, which is why this uses spread(force=True) — always
+    # repartition on doc_id, at width max(input, cluster) so AQE cannot
+    # coalesce the explode to one task. Also fixes the one-task explode
+    # on the one-row-group testdata: warm 5.18 -> 1.38 s A/B at sf0.1.
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        by="doc_id",
+        force=True,
+    )
     # Spark's sequence(a, b) runs DESCENDING when a > b: the short-doc
     # guard is semantics, not just speed
     grams = docs.filter(F.length("text") >= 40).select(
@@ -2221,7 +2235,13 @@ WHERE n_dup_grams > 0
 def doc_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r12: forced pre-explode doc_id spread, same rationale/measurement
+    # as doc_exact_substring_dups above (hashed twin: 3.15 -> 0.81 s).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        by="doc_id",
+        force=True,
+    )
     grams = docs.filter(F.length("text") >= 40).select(
         "doc_id",
         F.explode(
