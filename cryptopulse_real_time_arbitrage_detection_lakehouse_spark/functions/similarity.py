@@ -197,6 +197,191 @@ def cosine_topk_fast(
     return local.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+#: row-block size for the blocked Gram products below: caps the in-flight
+#: cosine block at block x |group| doubles so per-task memory stays
+#:  O(|group|) regardless of group size (the groups themselves are bounded
+#: by the callers' cell/cluster-size contracts).
+_GRAM_BLOCK = 1024
+
+
+def _int64_matrix(col) -> "object":
+    """pandas Series of array<long> -> (n, dim) int64 ndarray."""
+    import numpy as np
+
+    return np.asarray([np.asarray(a, dtype=np.int64) for a in col])
+
+
+def gram_threshold_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    tau: float,
+) -> DataFrame:
+    """All cross pairs with exact quantized cosine >= ``tau`` between the
+    ``left`` and ``right`` legs of a cell-pair candidate join, scored as
+    per-group int64 Gram products (guide §4.2: hand whole batches to
+    vectorized native code) instead of one interpreted
+    ``zip_with``+``aggregate`` expression per candidate pair.
+
+    The left input carries ``(ca, cb, dig_a, id_a, qx_a, n2_a)`` and the
+    right ``(ca, cb, dig_b, id_b, qx_b, n2_b)`` — suffixed names (and
+    therefore fresh attribute ids) because both legs derive from ONE
+    checkpointed frame and Spark's ambiguous-self-join detection rejects
+    a cogroup whose sides share attributes. ``(ca, cb)`` is the
+    surviving cell pair the row was replicated into (left rows belong to
+    cell ``ca``, right rows to cell ``cb``). For
+    each cogrouped cell pair the kernel computes ``Xa @ Xb.T`` in int64
+    (exact — the module-doc bounds keep 64-dim dots < 2^53, inside both
+    int64 and double) and divides by the same ``sqrt(double(n2))`` norms
+    the column expression used, so every kept cosine is bit-identical.
+
+    Pair dedup: every unordered pair appears in both (i, j) and (j, i)
+    cell groups (the caller's bound is symmetric), so exactly one
+    ordering is kept via ``id_a < id_b`` on the representative ids — a
+    strict total order over digests (one rep id per digest), equivalent
+    to the previous ``dig_a < dig_b`` filter in WHICH pairs survive: the
+    downstream expansion re-orders members with least/greatest anyway.
+    Self-pairs (same digest) are excluded by the strict inequality.
+
+    Scale: one task per surviving cell pair; per-task memory is one
+    cell's rep matrix plus a ``_GRAM_BLOCK x |cb|`` cosine block (cells
+    bound per-task memory by construction — the same contract the
+    radii/bound design already states). Output rows are only the pairs
+    above ``tau``.
+    """
+    import numpy as np
+
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "dig_a": pd.Series(dtype=object),
+                "dig_b": pd.Series(dtype=object),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        xa = _int64_matrix(lpdf["qx_a"])
+        xb = _int64_matrix(rpdf["qx_b"])
+        na = np.sqrt(lpdf["n2_a"].to_numpy(dtype=np.int64).astype(np.float64))
+        nb = np.sqrt(rpdf["n2_b"].to_numpy(dtype=np.int64).astype(np.float64))
+        ia = lpdf["id_a"].to_numpy(dtype=np.int64)
+        ib = rpdf["id_b"].to_numpy(dtype=np.int64)
+        da = lpdf["dig_a"].to_numpy()
+        db = rpdf["dig_b"].to_numpy()
+        frames = []
+        for s in range(0, len(xa), _GRAM_BLOCK):
+            e = min(s + _GRAM_BLOCK, len(xa))
+            dots = xa[s:e] @ xb.T  # exact int64
+            cos = dots.astype(np.float64) / (na[s:e, None] * nb[None, :])
+            keep = (cos >= tau) & (ia[s:e, None] < ib[None, :])
+            li, rj = np.nonzero(keep)
+            if len(li):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "dig_a": da[s + li],
+                            "dig_b": db[rj],
+                            "cosine": cos[li, rj],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    return (
+        left.groupBy("ca", "cb")
+        .cogroup(right.groupBy("ca", "cb"))
+        .applyInPandas(kernel, "dig_a string, dig_b string, cosine double")
+    )
+
+
+def semdedup_removed_ids(
+    m: DataFrame,
+    *,
+    eps: float,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """SemDeDup's removed set — every vector with a within-cluster
+    neighbour at cosine >= ``eps`` that dominates it under the keeper
+    rule (neighbour closer to the centroid, ties to the smaller id) —
+    computed as one per-cluster int64 Gram product instead of a
+    cluster self-join scoring each pair with an interpreted
+    ``zip_with``+``aggregate`` expression (guide §4.2).
+
+    ``m`` must carry ``(vec_id, cluster, qx, n2x, cosc)``. Rows are
+    hash-partitioned by cluster and sorted within partitions so each
+    cluster arrives contiguous; the kernel buffers ONE cluster at a time
+    across Arrow batches (cluster sizes are bounded by the caller's
+    K ~ n / target contract) and emits the removed ``vec_id``s. Each
+    vector belongs to exactly one cluster and each cluster is flushed
+    exactly once, so the output needs no distinct. Cosines are
+    ``double(int64 dot) / (sqrt(double(n2_i)) * sqrt(double(n2_j)))`` —
+    the identical IEEE expression the column form evaluated, so the
+    ``>= eps`` verdicts are bit-identical. The self-pair drops out
+    structurally: a row never dominates itself (equal cosc, equal id).
+    """
+    import numpy as np
+
+    width = max(
+        parallelism or m.sparkSession.sparkContext.defaultParallelism,
+        m.rdd.getNumPartitions(),
+    )
+
+    def kernel(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+
+        def flush():
+            if not buf:
+                return None
+            g = pd.concat(buf) if len(buf) > 1 else buf[0]
+            x = _int64_matrix(g["qx"])
+            n2 = g["n2x"].to_numpy(dtype=np.int64)
+            norm = np.sqrt(n2.astype(np.float64))
+            ci = g["cosc"].to_numpy(dtype=np.float64)
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            removed = np.zeros(len(x), dtype=bool)
+            for s in range(0, len(x), _GRAM_BLOCK):
+                e = min(s + _GRAM_BLOCK, len(x))
+                dots = x[s:e] @ x.T  # exact int64
+                cos = dots.astype(np.float64) / (norm[s:e, None] * norm[None, :])
+                dom = (ci[None, :] < ci[s:e, None]) | (
+                    (ci[None, :] == ci[s:e, None])
+                    & (ids[None, :] < ids[s:e, None])
+                )
+                removed[s:e] = ((cos >= eps) & dom).any(axis=1)
+            out = ids[removed]
+            return pd.DataFrame({"rm_id": out}) if len(out) else None
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # split the batch at cluster boundaries; flush completed runs
+            cl = pdf["cluster"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+            bounds = np.r_[starts, len(cl)]
+            for i in range(len(starts)):
+                run = pdf.iloc[bounds[i] : bounds[i + 1]]
+                key = cl[bounds[i]]
+                if cur is not None and key != cur:
+                    res = flush()
+                    if res is not None:
+                        yield res
+                    buf.clear()
+                cur = key
+                buf.append(run)
+        res = flush()
+        if res is not None:
+            yield res
+
+    return (
+        m.select("vec_id", "cluster", "qx", "n2x", "cosc")
+        .repartition(width, "cluster")
+        .sortWithinPartitions("cluster")
+        .mapInPandas(kernel, "rm_id long")
+    )
+
+
 def cosine_topk_batch(
     embeddings: DataFrame,
     queries: dict[int, Sequence[float]],

@@ -279,6 +279,32 @@ _FP_SCHEMA = T.StructType(
 )
 
 
+def _member_session(spark: SparkSession) -> SparkSession:
+    """Per-member SparkSession clone: shared SparkContext (one scheduler,
+    one set of executors) but an ISOLATED SQLConf and temp-view catalog.
+
+    Why (r12 VERDICT "what's wrong" #1): pooled members run concurrently,
+    and a streaming member holds ``scoped_shuffle_partitions(4)`` for its
+    whole drain — with one shared session every OTHER member planned in
+    that window compiled its batch shuffles 4 wide. Harmless at sf0.1;
+    at cluster scale it nondeterministically caps concurrent audit
+    members at 4-way shuffle parallelism. A clone gives each member its
+    own conf, so a drain's narrow width touches nobody else.
+
+    ``cloneSession()`` rather than ``newSession()``: the clone COPIES the
+    parent's current runtime SQLConf (and temp views), while a new
+    session would reset to builder-level conf — under a foreign driver
+    session whose timezone/AQE settings were applied at runtime, members
+    must still see them. Falls back to the shared session if the JVM
+    handle is unavailable (e.g. a Connect session).
+    """
+    try:
+        jclone = spark._jsparkSession.cloneSession()
+        return SparkSession(spark.sparkContext, jclone)
+    except Exception:  # pragma: no cover - non-JVM session
+        return spark
+
+
 def _audit_workers() -> int:
     """Concurrent member-fingerprint jobs (guide §2.6: overlap independent
     jobs so one member's straggler tail back-fills with the next member's
@@ -309,7 +335,11 @@ def _register_combined(
         # invocation — nothing is memoized across calls.
         def one(entry: tuple[str, list[str]]) -> tuple[str, int, int | None]:
             m, cols = entry
-            fp = _spark_fingerprint(get(m).fn(spark, sf_dir), m, cols)
+            # r13: each pooled member plans/runs on its own session clone
+            # so one member's scoped conf (streaming drain widths) cannot
+            # leak into siblings compiled in the same window.
+            sess = _member_session(spark) if workers > 1 else spark
+            fp = _spark_fingerprint(get(m).fn(sess, sf_dir), m, cols)
             row = fp.collect()[0]
             isum = row["isum"]
             return (m, int(row["n"]), None if isum is None else int(isum))

@@ -33,10 +33,12 @@ from ..functions.similarity import (
     cosine_topk_batch,
     cosine_topk_fast,
     dot_long,
+    gram_threshold_pairs,
     ivf_cell_column,
     ivf_probe_cells,
     quantize_vector,
     quantized_elements,
+    semdedup_removed_ids,
     sign_bucket,
     sign_bucket_py,
     sql_sign_bucket,
@@ -1828,28 +1830,30 @@ def exact_threshold_join(
             if best >= tau - 1e-9:
                 survive.append((i, j))
     pairs = spark.createDataFrame(survive or [(-1, -1)], "ca long, cb long")
+    # r13 optimization (guide §4.2): pair scoring moves from one
+    # interpreted zip_with+aggregate projection per candidate pair into a
+    # per-cell-pair int64 Gram product (Xa @ Xb.T) in the Arrow kernel —
+    # each leg is replicated onto its surviving cell pairs (broadcast
+    # join, no shuffle), cogrouped by (ca, cb), and scored as one matmul.
+    # Identical IEEE cosine expression, identical kept-pair set (the
+    # kernel dedups unordered pairs by rep vec_id instead of digest
+    # order — a strict total order over digests, and the member
+    # expansion below re-orders with least/greatest anyway).
     a = assigned.select(
         F.col("dig").alias("dig_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("qx").alias("qx_a"),
+        F.col("n2").alias("n2_a"),
         F.col("cluster").alias("ca"),
-        F.col("qx").alias("xa"),
-        F.col("n2").alias("na"),
-    )
+    ).join(F.broadcast(pairs), "ca")
     b = assigned.select(
         F.col("dig").alias("dig_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("qx").alias("qx_b"),
+        F.col("n2").alias("n2_b"),
         F.col("cluster").alias("cb"),
-        F.col("qx").alias("xb"),
-        F.col("n2").alias("nb"),
-    )
-    cosine = dot_long(F.col("xa"), F.col("xb")).cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
-    )
-    rep_pairs = (
-        a.join(F.broadcast(pairs), "ca")
-        .join(b, ["cb"])
-        .filter(F.col("dig_a") < F.col("dig_b"))
-        .select("dig_a", "dig_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= tau)
-    )
+    ).join(F.broadcast(pairs), "cb")
+    rep_pairs = gram_threshold_pairs(a, b, tau=tau)
     # expand rep pairs to member pairs (the rep cosine IS every member
     # pair's cosine — identical qx inputs, identical float expression)
     ma = members.select(F.col("dig").alias("dig_a"), F.col("vec_id").alias("va"))
@@ -1972,34 +1976,14 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    x = m.select(
-        F.col("vec_id").alias("i"),
-        "cluster",
-        F.col("qx").alias("xi"),
-        F.col("n2x").alias("ni"),
-        F.col("cosc").alias("ci"),
-    )
-    y = m.select(
-        F.col("vec_id").alias("j"),
-        "cluster",
-        F.col("qx").alias("xj"),
-        F.col("n2x").alias("nj"),
-        F.col("cosc").alias("cj"),
-    )
-    cos_ij = dot_long(F.col("xi"), F.col("xj")).cast("double") / (
-        F.sqrt(F.col("ni").cast("double")) * F.sqrt(F.col("nj").cast("double"))
-    )
-    removed = (
-        x.join(y, ["cluster"])
-        .filter(F.col("i") != F.col("j"))
-        .filter(cos_ij >= F.lit(SEMDEDUP_EPS))
-        .filter(
-            (F.col("cj") < F.col("ci"))
-            | ((F.col("cj") == F.col("ci")) & (F.col("j") < F.col("i")))
-        )
-        .select(F.col("i").alias("rm_id"))
-        .distinct()
-    )
+    # r13 optimization (guide §4.2): the within-cluster pair scoring —
+    # previously a cluster self-join evaluating one interpreted
+    # zip_with+aggregate dot per (i, j) pair — becomes a per-cluster
+    # int64 Gram product (X @ X.T) in an Arrow kernel that emits only
+    # the removed ids. Identical IEEE cosine expression and keeper rule;
+    # the distinct is structural (one cluster per vector, one flush per
+    # cluster, any() over dominating witnesses).
+    removed = semdedup_removed_ids(m, eps=SEMDEDUP_EPS)
     return (
         m.join(removed, m["vec_id"] == removed["rm_id"], "left")
         .select(

@@ -2654,8 +2654,15 @@ FROM (
           "sampling", "contamination", "quality"),
 )
 def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
+    # r13 optimization (guide §1.2 / §2.4): the r12 form materialized a
+    # frame per stage (6 eager checkpoints) and unioned 8 separate
+    # aggregate branches — 34 jobs. Stages 0-2, 5, 7 are row-local
+    # predicates and stages 3/4/6 are id-set memberships, so ONE tagged
+    # frame (b2 left-joined with the keeper / dominated / contaminated
+    # id sets on the spread key doc_id) feeds ONE conditional
+    # aggregation producing all 8 rows. The expensive legs — LSH
+    # banding among exact-dedup survivors, gram decontamination — keep
+    # their exact r12 shape; only the orchestration around them shrank.
     d = spread(_docs(spark, sf_dir), by="doc_id")
     bucket8 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
@@ -2663,15 +2670,13 @@ def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket16 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("long")
-    base = shared(
-        d.select(
-            "doc_id",
-            "lang",
-            "text",
-            tokens("text").alias("toks"),
-            bucket8.alias("bucket8"),
-            bucket16.alias("bucket16"),
-        )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens("text").alias("toks"),
+        bucket8.alias("bucket8"),
+        bucket16.alias("bucket16"),
     )
     stop_cnt = F.lit(0)
     for lang, words in sorted(LANG_PROFILES.items()):
@@ -2687,15 +2692,23 @@ def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("toks")).alias("n_distinct"),
         )
     )
-    s1 = b2.filter(F.col("pred_lang") == F.col("lang"))
-    s2 = s1.filter(
+    pass1 = F.col("pred_lang") == F.col("lang")
+    quality = (
         (F.col("n_toks") >= 10)
         & (20 * F.col("stop_cnt") >= F.col("n_toks"))
         & (10 * F.col("n_distinct") >= 3 * F.col("n_toks"))
     )
-    s2d = s2.withColumn("dig", F.md5(F.lower(F.trim(F.col("text")))))
-    keepers = s2d.groupBy("dig").agg(F.min("doc_id").alias("doc_id"))
-    s3 = shared(s2d.join(keepers, ["dig", "doc_id"]).drop("dig"))
+    # exact-dedup keepers among stage-2 survivors: min doc_id per
+    # normalized-content digest — shuffles (dig, doc_id) only, and the
+    # keeper ids flow back as a doc_id-keyed flag instead of a filter.
+    keep_ids = (
+        b2.filter(pass1 & quality)
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("dig"), "doc_id")
+        .groupBy("dig")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = shared(b2.join(keep_ids, "doc_id"))
     # near-dedup over survivors: the same banding family as
     # doc_near_dup_pairs, restricted to s3 (the digest-unique set, so no
     # exact-dup collapse leg is needed — it would be the identity here)
@@ -2752,11 +2765,12 @@ def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s4 = s3.join(dominated, "doc_id", "left_anti")
-    s5 = shared(s4.filter(F.col("bucket8") < SPLIT_TRAIN_LT))
+    s5 = s3.join(dominated, "doc_id", "left_anti").filter(
+        F.col("bucket8") < SPLIT_TRAIN_LT
+    )
     gram_hash = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
     testg = (
-        base.filter(F.col("bucket8") >= SPLIT_VAL_LT)
+        b2.filter(F.col("bucket8") >= SPLIT_VAL_LT)
         .select(
             F.explode(shingles(F.col("toks"), CONTAM_NGRAM)).alias("gram")
         )
@@ -2773,37 +2787,77 @@ def doc_pretrain_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s6 = shared(s5.join(contaminated, "doc_id", "left_anti"))
     thresh = F.lit(32768)
     for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
         thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
-    s7 = s6.filter(F.col("bucket16") < thresh)
-
-    stages = [
-        (0, "ingested", b2),
-        (1, "langid_confirmed", s1),
-        (2, "quality_filtered", s2),
-        (3, "exact_deduped", s3),
-        (4, "near_deduped", s4),
-        (5, "train_split", s5),
-        (6, "decontaminated", s6),
-        (7, "quota_sampled", s7),
-    ]
-    rows = [
-        df.groupBy()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").cast("long").alias("n_tokens"),
+    # the tagged frame: three id-set flags joined on the spread key;
+    # each stage predicate composes the prior one, so the conditional
+    # sums below reproduce the per-stage frames' counts exactly.
+    flags = (
+        b2.join(
+            keep_ids.select("doc_id", F.lit(1).alias("is_keeper")),
+            "doc_id",
+            "left",
         )
-        .select(
-            F.lit(i).cast("long").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            "n_docs",
-            "n_tokens",
+        .join(
+            dominated.select("doc_id", F.lit(1).alias("is_dom")),
+            "doc_id",
+            "left",
         )
-        for i, name, df in stages
+        .join(
+            contaminated.select("doc_id", F.lit(1).alias("is_cont")),
+            "doc_id",
+            "left",
+        )
+    )
+    st = {
+        0: F.lit(True),
+        1: pass1,
+        2: pass1 & quality,
+    }
+    st[3] = st[2] & F.col("is_keeper").isNotNull()
+    st[4] = st[3] & F.col("is_dom").isNull()
+    st[5] = st[4] & (F.col("bucket8") < SPLIT_TRAIN_LT)
+    st[6] = st[5] & F.col("is_cont").isNull()
+    st[7] = st[6] & (F.col("bucket16") < thresh)
+    names = [
+        "ingested",
+        "langid_confirmed",
+        "quality_filtered",
+        "exact_deduped",
+        "near_deduped",
+        "train_split",
+        "decontaminated",
+        "quota_sampled",
     ]
-    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("stage")
+    aggs = []
+    for i in range(8):
+        aggs.append(
+            F.sum(F.when(st[i], 1).otherwise(0)).cast("long").alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(F.when(st[i], F.col("n_toks"))).cast("long").alias(f"t{i}")
+        )
+    row = flags.agg(*aggs)
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("stage"),
+                            F.lit(names[i]).alias("stage_name"),
+                            F.col(f"n{i}").alias("n_docs"),
+                            F.col(f"t{i}").alias("n_tokens"),
+                        )
+                        for i in range(8)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage")
+    )
 
 
 HH_PHI_INV = 5000  # heavy hitter = frequency > n / 5000

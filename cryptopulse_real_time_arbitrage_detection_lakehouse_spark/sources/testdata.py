@@ -37,8 +37,10 @@ _EVENT_TIME_COLUMNS = {"events": ("ts",)}
 #: time). Caching the SCHEMA only — never the DataFrame object — keeps
 #: every call's expression IDs fresh, so multi-load self-joins (tpch_q21
 #: et al.) stay unambiguous, and nothing about execution changes: each
-#: run still scans the parquet from disk. mtime keys invalidation when a
-#: probe regenerates testdata at the same path.
+#: run still scans the parquet from disk. (mtime_ns, size) keys
+#: invalidation when a probe regenerates testdata at the same path —
+#: nanosecond mtime plus file size so a same-second rewrite on a
+#: coarse-mtime filesystem cannot serve a stale schema (r12 ADVICE).
 _SCHEMA_CACHE: dict = {}
 
 
@@ -59,10 +61,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
-        mtime = os.path.getmtime(path)
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
-        mtime = -1.0
-    key = (os.path.abspath(path), mtime)
+        stamp = (-1, -1)
+    key = (os.path.abspath(path), stamp)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

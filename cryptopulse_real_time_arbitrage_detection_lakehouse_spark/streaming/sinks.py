@@ -34,12 +34,22 @@ STREAM_SHUFFLE_PARTITIONS = 4
 
 
 #: re-entrancy guard: the combined audits (plans/combined.py) run member
-#: queries from a thread pool, so two drains' scopes can overlap. A naive
-#: save/restore pair would then restore the INNER scope's saved value (4)
-#: last and leave the session pinned narrow. Ref-count instead: the first
-#: scope to enter saves the prior width, the last to exit restores it.
+#: queries from a thread pool, so two drains' scopes can overlap. Scopes
+#: are tracked PER SESSION (a pooled member runs on its own cloned
+#: session since r13, so cross-thread overlap mutates disjoint confs) as
+#: a LIFO stack of saved priors: nested scopes with DIFFERENT widths
+#: (n=4 drains nesting inside n=16 stateful ones, or vice versa) each
+#: restore exactly the value they displaced — the r12 ref-count restored
+#: only the outermost prior, leaving an inner scope's exit at the inner
+#: width (r12 ADVICE).
 _SCOPE_LOCK = threading.Lock()
-_SCOPE_STATE: dict[str, list] = {}  # session key -> [depth, prior]
+_SCOPE_STATE: dict[tuple, list] = {}  # session key -> [saved prior, ...]
+
+
+def _session_key(spark: SparkSession) -> tuple:
+    # applicationId + JVM-session identity: cloned sessions share the
+    # context but have their OWN SQLConf, so each needs its own stack.
+    return (spark.sparkContext.applicationId, spark._jsparkSession.hashCode())
 
 
 @contextmanager
@@ -49,22 +59,19 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTI
     session conf when the query's checkpoint is created — the fresh
     per-call checkpoints in `plans/streaming.py` make this scope exact —
     and the conf is restored for whatever batch work follows. Thread-safe
-    via ref-counting (overlapping scopes share one saved prior)."""
+    via a per-session LIFO stack of saved priors."""
     key = "spark.sql.shuffle.partitions"
-    skey = spark.sparkContext.applicationId
+    skey = _session_key(spark)
     with _SCOPE_LOCK:
-        state = _SCOPE_STATE.get(skey)
-        if state is None:
-            _SCOPE_STATE[skey] = state = [0, spark.conf.get(key)]
-        state[0] += 1
+        stack = _SCOPE_STATE.setdefault(skey, [])
+        stack.append(spark.conf.get(key))
         spark.conf.set(key, str(n))
     try:
         yield
     finally:
         with _SCOPE_LOCK:
-            state[0] -= 1
-            if state[0] == 0:
-                spark.conf.set(key, state[1])
+            spark.conf.set(key, stack.pop())
+            if not stack:
                 _SCOPE_STATE.pop(skey, None)
 
 
